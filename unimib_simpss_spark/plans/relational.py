@@ -1,0 +1,750 @@
+"""Core relational query surface (SURVEY.md §2.2-2.6).
+
+Covers [REF] operators (strict rename P1-P3, filters P7/P8, broadcast
+lookup join J1, distinct A1, sort/limit W1/W2) and the [EXT] relational
+surface the driver contract demands (predicates P9, scalar functions P10,
+joins J2-J5, aggregations A3-A6, windows W3-W6, set ops W5).
+
+Determinism/parity rules used throughout (and mirrored in every oracle):
+- every floating-point AGGREGATE is rounded identically on both sides;
+- every top-k ORDER BY sorts on the rounded value plus a unique key;
+- computed integer columns are cast to BIGINT on both sides;
+- window frames are fully ordered (unique tie-break) so running values
+  are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.catalog import load_table
+from unimib_simpss_spark.operators.rename import convert
+from unimib_simpss_spark.plans.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# A3/A6 + P9: grouped aggregation with filter pushdown (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4)                        AS avg_qty,
+           round(avg(l_discount), 4)                        AS avg_disc,
+           count(*)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: scan → pushed filter → hash agg (partial+final)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W3: latest-reading-per-key (the reference's natural query on sensor_data)
+# --------------------------------------------------------------------------
+@query(
+    "q02_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per key via row_number — reference's latest-per-sensor scan.
+
+    Scale note: single shuffle on the partition key; at 100 TB prefer this
+    over groupBy(max)+self-join (one shuffle vs two).
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 + A3 + W6: multi-join, aggregate, global top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q03_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-01-01'
+      AND l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact-dim join → agg → TakeOrderedAndProject top-k.
+
+    Scale note: customer filter prunes before the join; AQE turns the
+    filtered customer side into a broadcast when it fits. Global top-k is
+    TakeOrderedAndProject — per-partition heaps, no full sort.
+    """
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# P9: predicate gauntlet — comparison / IN / BETWEEN / LIKE / NULL / boolean
+# --------------------------------------------------------------------------
+@query(
+    "q04_predicate_gauntlet",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_totalprice BETWEEN 10000 AND 200000
+      AND o_orderpriority LIKE '1-%'
+      AND o_custkey IS NOT NULL
+      AND NOT (o_totalprice < 20000)
+    """,
+)
+def q04_predicate_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every predicate family in one pushed-down scan filter."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(10000, 200000)
+        & F.col("o_orderpriority").like("1-%")
+        & F.col("o_custkey").isNotNull()
+        & ~(F.col("o_totalprice") < 20000)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# P10: scalar string/math/conditional functions
+# --------------------------------------------------------------------------
+@query(
+    "q05_scalar_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(substring(p_name, 1, 10))      AS name10,
+           concat(p_brand, '#', p_type)         AS brand_type,
+           CAST(length(p_name) AS BIGINT)       AS name_len,
+           CAST(abs(p_size - 25) AS BIGINT)     AS size_dev,
+           round(p_retailprice * 1.1, 2)        AS uplifted,
+           CASE WHEN p_size > 25 THEN 'L'
+                WHEN p_size > 10 THEN 'M'
+                ELSE 'S' END                    AS size_class
+    FROM part
+    """,
+)
+def q05_scalar_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function suite — all JVM built-ins, whole-stage codegen."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("name10"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("uplifted"),
+        F.when(F.col("p_size") > 25, "L")
+        .when(F.col("p_size") > 10, "M")
+        .otherwise("S")
+        .alias("size_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P10: date/time functions
+# --------------------------------------------------------------------------
+@query(
+    "q06_scalar_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)    AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)   AS order_month,
+           CAST(day(o_orderdate) AS BIGINT)     AS order_day,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(o_orderdate AS DATE)            AS order_date,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+                                                AS days_since_epoch_start,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    """,
+)
+def q06_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extraction/arithmetic/truncation suite."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P10: JSON extraction (events.props is a JSON string column)
+# --------------------------------------------------------------------------
+@query(
+    "q07_json_props",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+               AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q07_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over a JSON-string column, then aggregate.
+
+    Reference parity: the reference's wire format is JSON text everywhere
+    (consumer.py:128-138); this is the query-side JSON surface.
+    """
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J2: left outer join with null-handling aggregate
+# --------------------------------------------------------------------------
+@query(
+    "q08_customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)                              AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2)     AS total_spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q08_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving customers with zero orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: left-semi join (EXISTS)
+# --------------------------------------------------------------------------
+@query(
+    "q09_customers_with_bigticket",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q09_customers_with_bigticket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence check as left-semi join (no row multiplication)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: left-anti join (NOT EXISTS) — also the reference's unknown-sensor branch
+# --------------------------------------------------------------------------
+@query(
+    "q10_customers_without_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q10_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence check as left-anti join.
+
+    Reference parity: the strict lookup-join failure branch
+    (mqtt_kafka_producer.py:203-209 — unknown sensor id raises KeyError)
+    is exactly this anti-join routed to a dead-letter side (see
+    operators/sensor_pipeline.py).
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# J4: non-equi range join against a tiny banding dimension
+# --------------------------------------------------------------------------
+@query(
+    "q11_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('budget', 0.0, 940.0),
+               ('mid', 940.0, 980.0),
+               ('premium', 980.0, 1e12)
+    )
+    SELECT band,
+           count(*)                       AS n_parts,
+           round(avg(p_retailprice), 4)   AS avg_price
+    FROM part JOIN bands
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def q11_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-join (range condition) — broadcast nested loop on a 3-row dim.
+
+    Scale note: the band table is constant-size → broadcast; the fact side
+    streams through without shuffle.
+    """
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 940.0), ("mid", 940.0, 980.0), ("premium", 980.0, 1e12)],
+        schema="band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: rollup with grouping id
+# --------------------------------------------------------------------------
+@query(
+    "q12_rollup_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*)                         AS n_suppliers,
+           round(sum(s_acctbal), 2)         AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region→nation hierarchy with broadcast dim joins."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: cube
+# --------------------------------------------------------------------------
+@query(
+    "q13_cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 2)  AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q13_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two independent dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W4: ranking + lag analytic windows
+# --------------------------------------------------------------------------
+@query(
+    "q14_supplier_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           CAST(rank() OVER w AS BIGINT)        AS bal_rank,
+           CAST(dense_rank() OVER w AS BIGINT)  AS bal_dense_rank,
+           lag(s_acctbal) OVER w                AS prev_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def q14_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag over a per-nation window."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.lag("s_acctbal").over(w).alias("prev_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W4: running aggregate with an explicit frame
+# --------------------------------------------------------------------------
+@query(
+    "q15_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+)
+def q15_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with ROWS frame; fully-ordered → bit-identical folds."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W5: union / intersect / except
+# --------------------------------------------------------------------------
+@query(
+    "q16_set_ops",
+    oracle="""
+    WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                 WHERE o_totalprice > 250000)
+    SELECT 'both' AS tag, c_custkey FROM (SELECT * FROM seg INTERSECT SELECT * FROM big)
+    UNION ALL
+    SELECT 'seg_only' AS tag, c_custkey FROM (SELECT * FROM seg EXCEPT SELECT * FROM big)
+    UNION ALL
+    SELECT 'big_only' AS tag, c_custkey FROM (SELECT * FROM big EXCEPT SELECT * FROM seg)
+    """,
+)
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL with tagged provenance."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    seg = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        o.where(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("tag"), "c_custkey")  # noqa: E731
+    return (
+        tag(seg.intersect(big), "both")
+        .unionAll(tag(seg.subtract(big), "seg_only"))
+        .unionAll(tag(big.subtract(seg), "big_only"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A1/A4: distinct + count distinct
+# --------------------------------------------------------------------------
+@query(
+    "q17_distinct_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)  AS n_customers,
+           count(*)                   AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q17_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) with expand-based partial aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: HAVING
+# --------------------------------------------------------------------------
+@query(
+    "q18_frequent_buyers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+)
+def q18_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+# --------------------------------------------------------------------------
+# W6: global top-k
+# --------------------------------------------------------------------------
+@query(
+    "q19_global_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def q19_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — TakeOrderedAndProject (per-partition heaps, no sort)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# J5: as-of join (event-time), merge-union formulation
+# --------------------------------------------------------------------------
+@query(
+    "q20_asof_click_before_purchase",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 0 AS side,
+               event_id AS click_id, value AS click_value
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS side,
+               NULL AS click_id, NULL AS click_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT user_id, ts, event_id, side,
+               last_value(click_id IGNORE NULLS) OVER w AS asof_click_id,
+               last_value(click_value IGNORE NULLS) OVER w AS asof_click_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           asof_click_id, asof_click_value
+    FROM m WHERE side = 1
+    """,
+)
+def q20_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user.
+
+    Implemented as the scalable merge-union: tag both sides, union, and
+    carry the last non-null left-side value forward in one window pass —
+    ONE shuffle on the key, no row-multiplying range join. This is the
+    100 TB formulation (a naive ts<=ts join is quadratic per key).
+    """
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    u = clicks.unionAll(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "asof_click_value", F.last("click_value", ignorenulls=True).over(w)
+        )
+        .where(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "asof_click_id",
+            "asof_click_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P1/P2/P3: strict rename-projection (the reference's convert operator)
+# --------------------------------------------------------------------------
+_EVENT_RENAME = {
+    "event_id": "reading_id",
+    "user_id": "sensor_id",
+    "ts": "time_received",
+    "event_type": "kind",
+    "value": "reading_value",
+    "props": "props_json",
+}
+
+
+@query(
+    "q21_convert_rename",
+    oracle="""
+    SELECT event_id AS reading_id, user_id AS sensor_id, ts AS time_received,
+           event_type AS kind, value AS reading_value, props AS props_json
+    FROM events
+    """,
+)
+def q21_convert_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict rename-projection (data_mapper.convert parity, P1).
+
+    Reference: data_mapping/data_mapper.py:4-32 — arity-checked src→dst
+    rename; here the check is a plan-time schema assertion.
+    """
+    e = _t(spark, sf_dir, "events")
+    return convert(e, _EVENT_RENAME, strict=True)
+
+
+# --------------------------------------------------------------------------
+# W1/W2: ordered scan + limit (the reference's CQL query surface, S7)
+# --------------------------------------------------------------------------
+@query(
+    "q22_ordered_limit",
+    oracle="""
+    SELECT event_id, event_type, user_id, ts
+    FROM events
+    ORDER BY event_type, ts, event_id
+    LIMIT 15
+    """,
+)
+def q22_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT … ORDER BY … LIMIT — the reference's cqlsh query shape
+    (Readme.md:268) with deterministic full ordering."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "event_type", "user_id", "ts")
+        .orderBy("event_type", "ts", "event_id")
+        .limit(15)
+    )
