@@ -1,2 +1,178 @@
-"""Sensor-pipeline queries (reference-parity surface). Filled in with the
-ingest pipeline milestone."""
+"""Sensor/streaming-analog queries, oracle-checked in batch.
+
+Structured Streaming's design point is that event-time operators are
+plain relational expressions — so the engine's streaming surface (ST7
+windows, ST9 keyed dedup, J1 lookup join of the ingest path) is verified
+here on the batch `events` table against DuckDB, while
+`tests/test_streaming.py` exercises the same operators on live streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.catalog import load_table
+from unimib_simpss_spark.operators.rename import convert
+from unimib_simpss_spark.plans.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# ST7: tumbling event-time window (batch-checkable form)
+# --------------------------------------------------------------------------
+@query(
+    "q23_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts)       AS window_start,
+           event_type,
+           count(*)                     AS n_events,
+           round(avg(value), 4)         AS avg_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window via F.window (epoch-aligned, so
+    window.start ≡ date_trunc('hour')). The same expression runs on a
+    watermarked stream (streaming/pipeline.py: windowed_stats)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ST7: session window (gap-based), oracle = gaps-and-islands
+# --------------------------------------------------------------------------
+@query(
+    "q24_session_windows",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM x
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL 30 MINUTE     AS session_end,
+           count(*)                         AS n_events
+    FROM y
+    GROUP BY user_id, sess
+    """,
+)
+def q24_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap via F.session_window — the
+    stateful streaming operator, verified in batch against a
+    gaps-and-islands SQL oracle (session end = last event + gap)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ST9/S4: keyed last-writer-wins dedup — the Cassandra upsert read surface
+# --------------------------------------------------------------------------
+@query(
+    "q25_upsert_read",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q25_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins per (user_id, event_type): what a reader of the
+    reference's upsert-by-PK table observes (link_kafka_cassandra.py:45).
+    One shuffle on the key — same layout the storage partitioning uses."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# J1+P1: the ingest path as a relational query (broadcast lookup + rename)
+# --------------------------------------------------------------------------
+@query(
+    "q26_ingest_replay",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT user_id AS dim_sensor_id,
+               'g' || CAST(user_id % 4 AS VARCHAR) AS group_id
+        FROM events
+    )
+    SELECT e.ts       AS time_received,
+           d.group_id AS sensor_group,
+           e.user_id  AS sensor_id,
+           e.event_id AS reading_id,
+           e.value    AS reading_value
+    FROM events e JOIN dim d ON e.user_id = d.dim_sensor_id
+    """,
+)
+def q26_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 replay shape: enrich → broadcast dim lookup (J1) → strict
+    rename (P1) to the persisted schema. The dim is derived here (the
+    testdata has no sensor_group.csv); in the real pipeline it comes from
+    sources/csv_dim.py with the reference's validation rules."""
+    e = _t(spark, sf_dir, "events")
+    dim = (
+        e.select(F.col("user_id").alias("dim_sensor_id"))
+        .distinct()
+        .withColumn(
+            "group_id",
+            F.concat(F.lit("g"), (F.col("dim_sensor_id") % 4).cast("string")),
+        )
+    )
+    joined = e.join(F.broadcast(dim), e.user_id == dim.dim_sensor_id).select(
+        "ts", "group_id", "user_id", "event_id", "value"
+    )
+    return convert(
+        joined,
+        {
+            "ts": "time_received",
+            "group_id": "sensor_group",
+            "user_id": "sensor_id",
+            "event_id": "reading_id",
+            "value": "reading_value",
+        },
+        strict=True,
+    )
