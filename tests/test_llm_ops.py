@@ -1,0 +1,127 @@
+"""Unit tests for the LLM-data-pipeline operators (dedup, similarity,
+text analysis) beyond the oracle-parity gate: edge cases and
+cross-implementation invariants (LSH ⊆ exact, Arrow == codegen)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.functions import analysis as A
+from unimib_simpss_spark.functions.text import shingles, token_fingerprint
+from unimib_simpss_spark.operators import dedup as D
+from unimib_simpss_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [("one two",), ("one two three",), ("",)], ["text"]
+    ).select(shingles("text").alias("sg"))
+    rows = [r.sg for r in df.collect()]
+    assert rows[0] == []
+    assert rows[1] == ["one two three"]
+    assert rows[2] == []
+
+
+def test_token_fingerprint_order_blind(spark):
+    df = spark.createDataFrame(
+        [("the quick fox",), ("fox the quick the",)], ["text"]
+    ).select(token_fingerprint("text").alias("fp"))
+    a, b = [r.fp for r in df.collect()]
+    assert a == b
+
+
+def test_lang_id_und_on_empty(spark):
+    pred, best = A.lang_id("text")
+    df = spark.createDataFrame([("",), ("zzz qqq",)], ["text"]).select(
+        pred.alias("p"), best.alias("b")
+    )
+    rows = df.collect()
+    assert all(r.p == "und" and r.b == 0 for r in rows)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",)], ["text"]
+    ).select(A.rolling_fingerprint("text").alias("fp"))
+    f1, f2, f3 = [r.fp for r in df.collect()]
+    assert f1 != f2 and f1 == f3
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(docs):
+    """LSH candidates that pass verification ⊆ exact Jaccard pairs
+    (verification makes precision exact; only recall is approximate)."""
+    exact = {
+        (r.doc1, r.doc2) for r in D.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc1, r.doc2)
+        for r in D.minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh <= exact
+    assert exact, "fixture has no near-dup pairs — weak test"
+    # 4 bands × 4 rows at j≥0.8 → per-pair recall ≥ 1-(1-0.8^4)^4 ≈ 0.92
+    assert len(lsh) >= 0.5 * len(exact)
+
+
+def test_simhash_band_join_is_complete(docs):
+    """Pigeonhole band join must find EVERY hamming≤3 pair — compare
+    against a brute-force cross join of the signatures."""
+    sigs = docs.select(
+        F.col("doc_id"),
+        D.simhash_col(
+            F.transform(
+                shingles("text"),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("simhash"),
+    ).where(F.size(shingles("text")) > 0)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    brute = {
+        (r.d1, r.d2)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {(r.doc1, r.doc2) for r in D.simhash_pairs(docs, max_hamming=3).collect()}
+    assert banded == brute
+    assert brute, "fixture has no simhash near-dups — weak test"
+
+
+def test_cosine_arrow_matches_codegen(emb):
+    base = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in S.cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 8).collect()
+    }
+    arrow = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in S.cosine_topk_pandas(
+            emb, k=5, query_pred=F.col("vec_id") < 8
+        ).collect()
+    }
+    assert base == arrow
+
+
+def test_ivf_neighbors_share_cell(emb):
+    out = S.ivf_topk(emb, k=3)
+    cells = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("ncell")
+    )
+    bad = out.join(cells, "neighbor_id").where(F.col("cell") != F.col("ncell"))
+    assert bad.count() == 0

@@ -1,0 +1,208 @@
+"""Text-analysis expressions for the LLM-data pipeline: language-ID,
+quality scoring, token counting, and rolling-hash fingerprints.
+
+Like :mod:`~unimib_simpss_spark.functions.text`, every expression is
+produced twice from the SAME constants — a Spark ``Column`` (built-in
+functions only, whole-stage codegen, no Python in the row path) and a
+DuckDB SQL string — so the driver's oracle can verify it bit-for-bit.
+
+The reference (PCampi/unimib-simpss) has no text surface at all; these
+are [EXT] operators demanded by the driver contract, built to be
+per-row/stateless so they scale embarrassingly-parallel to 100 TB.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as _op
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.functions.hashing import MERSENNE_31, hash64
+from unimib_simpss_spark.functions.text import tokens, tokens_sql
+
+# ----------------------------------------------------------------- constants
+# Character-trigram markers per language (ASCII only, leading space = word
+# boundary). Chained-CASE order below is the deterministic tie-break.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "ing", " an"),
+    "es": (" de", "que", " el", " la"),
+    "de": ("der", "ein", "sch", "und"),
+    "fr": (" le", "les", " et", "ent"),
+    "it": (" di", "che", " il", "zio"),
+}
+LANG_UNKNOWN = "und"
+
+# Common-English stopwords for the quality heuristic.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "that", "it",
+    "for", "on", "with", "as", "was", "at", "by", "this", "are", "or",
+)
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single symbol.
+# Same regex semantics in Java (Spark) and RE2-ish (DuckDB).
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]"
+WS_SPLIT_RE = "\\s+"
+PUNCT_RE = "[^a-zA-Z0-9 \\t\\n\\r]"
+
+# Rolling polynomial hash: acc = (acc*B + h(token)) mod 2^31-1.
+ROLLING_BASE = 1_000_003
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ------------------------------------------------------------ token counting
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace-delimited token count."""
+    return F.size(F.filter(F.split(_c(col), WS_SPLIT_RE), lambda t: t != "")).cast(
+        "long"
+    )
+
+
+def token_count_ws_sql(expr: str) -> str:
+    return (
+        f"CAST(len(list_filter(string_split_regex({expr}, '{WS_SPLIT_RE}'),"
+        " t -> t <> '')) AS BIGINT)"
+    )
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish pre-token count (letter runs / digit runs / symbols)."""
+    return F.regexp_count(_c(col), F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def token_count_bpe_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{BPE_TOKEN_RE}')) AS BIGINT)"
+
+
+# ------------------------------------------------------------- language ID
+def _occurrences(text: Column, gram: str) -> Column:
+    """Occurrence count of a literal n-gram via length differencing
+    (JVM-side; no regex engine in the loop)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(gram)))) / len(gram)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-trigram occurrence totals over lowercased text."""
+    t = F.lower(_c(col))
+    return {
+        lang: functools.reduce(
+            _op.add, (_occurrences(t, g) for g in grams)
+        ).cast("long")
+        for lang, grams in LANG_TRIGRAMS.items()
+    }
+
+
+def lang_id(col: Column | str) -> tuple[Column, Column]:
+    """(predicted_language, best_score): argmax of marker-trigram counts,
+    ties broken by LANG_TRIGRAMS declaration order; all-zero → 'und'."""
+    scores = lang_scores(col)
+    langs = list(LANG_TRIGRAMS)
+    best = F.greatest(*scores.values()) if len(scores) > 1 else scores[langs[0]]
+    pred = F.when(best <= 0, F.lit(LANG_UNKNOWN))
+    for lang in langs:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred.otherwise(F.lit(LANG_UNKNOWN)), best
+
+
+def _occurrences_sql(texpr: str, gram: str) -> str:
+    g = gram.replace("'", "''")
+    return f"((length({texpr}) - length(replace({texpr}, '{g}', ''))) // {len(gram)})"
+
+
+def lang_id_sql(expr: str) -> tuple[str, str]:
+    """(pred_sql, best_score_sql) — DuckDB twins of :func:`lang_id`."""
+    texpr = f"lower({expr})"
+    score = {
+        lang: "(" + " + ".join(_occurrences_sql(texpr, g) for g in grams) + ")"
+        for lang, grams in LANG_TRIGRAMS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in LANG_TRIGRAMS
+    )
+    pred = (
+        f"CASE WHEN {best} <= 0 THEN '{LANG_UNKNOWN}' {whens} "
+        f"ELSE '{LANG_UNKNOWN}' END"
+    )
+    return pred, f"CAST({best} AS BIGINT)"
+
+
+# ----------------------------------------------------------- quality scoring
+def quality_components(col: Column | str) -> dict[str, Column]:
+    """n_tokens, stopword ratio, punctuation ratio, mean token length."""
+    tk = tokens(col)
+    n_tok = F.size(tk)
+    stop_hits = F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS)))
+    tok_chars = F.aggregate(tk, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_chars = F.length(_c(col))
+    punct = F.regexp_count(_c(col), F.lit(PUNCT_RE))
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "stop_ratio": F.round(stop_hits / F.nullif(n_tok, F.lit(0)), 4),
+        "punct_ratio": F.round(punct / F.nullif(n_chars, F.lit(0)), 4),
+        "mean_tok_len": F.round(tok_chars / F.nullif(n_tok, F.lit(0)), 4),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality: length saturation + stopword mass −
+    punctuation noise. Heuristic, but deterministic and oracle-twinned."""
+    c = quality_components(col)
+    n_tok = c["n_tokens"].cast("double")
+    score = (
+        0.4 * F.least(n_tok / 80.0, F.lit(1.0))
+        + 0.35 * F.least(c["stop_ratio"] * 4.0, F.lit(1.0))
+        + 0.25 * (1.0 - F.least(c["punct_ratio"] * 8.0, F.lit(1.0)))
+    )
+    return F.round(score, 4)
+
+
+def quality_components_sql(expr: str) -> dict[str, str]:
+    tk = tokens_sql(expr)
+    n_tok = f"len({tk})"
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_hits = f"len(list_filter({tk}, t -> t IN ({stops})))"
+    tok_chars = f"list_sum(list_transform({tk}, t -> length(t)))"
+    punct = f"len(regexp_extract_all({expr}, '{PUNCT_RE}'))"
+    return {
+        "n_tokens": f"CAST({n_tok} AS BIGINT)",
+        "stop_ratio": f"round({stop_hits} / nullif({n_tok}, 0)::DOUBLE, 4)",
+        "punct_ratio": f"round({punct} / nullif(length({expr}), 0)::DOUBLE, 4)",
+        "mean_tok_len": f"round({tok_chars} / nullif({n_tok}, 0)::DOUBLE, 4)",
+    }
+
+
+def quality_score_sql(expr: str) -> str:
+    c = quality_components_sql(expr)
+    return (
+        f"round(0.4 * least({c['n_tokens']} / 80.0, 1.0)"
+        f" + 0.35 * least({c['stop_ratio']} * 4.0, 1.0)"
+        f" + 0.25 * (1.0 - least({c['punct_ratio']} * 8.0, 1.0)), 4)"
+    )
+
+
+# ------------------------------------------------- rolling-hash fingerprint
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over the token sequence:
+    acc = (acc*B + h64(token) mod P) mod P. One pass, no shuffle."""
+    hs = F.transform(tokens(col), lambda t: hash64(t) % MERSENNE_31)
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % MERSENNE_31,
+    )
+
+
+def rolling_fingerprint_sql(expr: str) -> str:
+    hs = (
+        f"list_transform({tokens_sql(expr)}, "
+        f"t -> (('0x' || substring(md5(t), 1, 15))::BIGINT) % {MERSENNE_31})"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hs}), "
+        f"(acc, x) -> (acc * {ROLLING_BASE} + x) % {MERSENNE_31})"
+    )

@@ -1,0 +1,98 @@
+"""Portable text expressions: tokens, shingles, hashes — each produced
+twice from the same constants, as a Spark Column and as DuckDB SQL text,
+so every text/dedup operator is verifiable against the oracle
+bit-for-bit.
+
+All expressions are built-in higher-order functions (whole-stage
+codegen, no Python in the row path) — the 100 TB-safe formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.functions.hashing import MERSENNE_31, hash64_sql
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+# ------------------------------------------------------------------ tokens
+def tokens(col: Column | str) -> Column:
+    """Lowercased alnum tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'),"
+        " t -> t <> '')"
+    )
+
+
+# ---------------------------------------------------------------- shingles
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined); [] when fewer than n
+    tokens. Guarded: Spark's sequence(1, 0) counts DOWN, so the
+    short-document case must short-circuit."""
+    tk = tokens(col)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        )
+    )
+    return F.when(F.size(tk) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    tk = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({tk}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({tk}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({tk}, i, i + {n - 1}), ' '))) "
+        f"ELSE [] END"
+    )
+
+
+# ------------------------------------------------------- hashed shingles
+def hashed_shingles(col: Column | str, n: int = 3) -> Column:
+    """Shingles mapped through hash64 mod 2^31-1 (MinHash input space)."""
+    return F.transform(
+        shingles(col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MERSENNE_31,
+    )
+
+
+def hashed_shingles_sql(expr: str, n: int = 3) -> str:
+    return (
+        f"list_transform({shingles_sql(expr, n)}, "
+        f"s -> {hash64_sql('s')} % {MERSENNE_31})"
+    )
+
+
+# ----------------------------------------------------------- normalization
+def normalized_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace — exact-dedup normal form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def normalized_text_sql(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def token_fingerprint(col: Column | str) -> Column:
+    """md5 of the sorted distinct token set — order/multiplicity-blind
+    content fingerprint (catches shuffled near-dups exactly)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def token_fingerprint_sql(expr: str) -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct({tokens_sql(expr)})), ' '))"
+    )

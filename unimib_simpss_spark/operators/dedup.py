@@ -1,0 +1,362 @@
+"""Document deduplication operators for LLM-data pipelines.
+
+Four families, each designed for 100 TB (no driver-side collect, no
+all-pairs comparison except inside LSH buckets):
+
+- **exact**: hash-groupBy on normalized text — one shuffle.
+- **fingerprint**: hash-groupBy on the sorted distinct token set —
+  catches word-order/multiplicity shuffles; one shuffle.
+- **n-gram Jaccard**: posting-list self-join on shingles (candidate pairs
+  share ≥1 shingle — the exact inverted-index formulation), then exact
+  Jaccard filter. Shuffles on shingle then on pair.
+- **MinHash + LSH**: 16 permutations, 4 bands × 4 rows; band-bucket join
+  produces candidates, exact Jaccard verifies. The sub-quadratic scale
+  path: cost ∝ documents + collisions, never pairs.
+- **SimHash**: 32-bit signature over shingle hashes; pairs via pigeonhole
+  band join (hamming ≤ 3 ⇒ one of 4 bytes equal — EXACT, not
+  approximate), verified by bit_count(xor).
+
+Every operator has a DuckDB-oracle twin generated from the SAME constants
+(``*_sql``), so correctness is checked bit-for-bit.
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as _op
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.functions.hashing import MERSENNE_31
+from unimib_simpss_spark.functions.text import (
+    hashed_shingles_sql,
+    normalized_text,
+    normalized_text_sql,
+    shingles,
+    shingles_sql,
+    token_fingerprint,
+    token_fingerprint_sql,
+)
+
+# ---------------------------------------------------------------- constants
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+# Deterministic universal-hash coefficients (a*h + b) mod 2^31-1.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (
+        (1103515245 * (i + 1) + 12345) % MERSENNE_31 or 1,
+        (2654435761 * i + 1013904223) % MERSENNE_31,
+    )
+    for i in range(MINHASH_K)
+]
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+
+
+# -------------------------------------------------------------- exact dedup
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by md5 of normalized text; keep min id."""
+    return (
+        docs.select(F.md5(normalized_text(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    return f"""
+    SELECT md5({normalized_text_sql(text_expr)}) AS text_hash,
+           min({id_expr}) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """
+
+
+def fingerprint_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-set fingerprint dedup: catches shuffled/reordered copies."""
+    return (
+        docs.select(token_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def fingerprint_dedup_sql(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    return f"""
+    SELECT {token_fingerprint_sql(text_expr)} AS fingerprint,
+           min({id_expr}) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+# ----------------------------------------------------- n-gram Jaccard pairs
+def _shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col).alias("sg")
+    ).where(F.size("sg") > 0)
+
+
+def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Attach exact shingle-set Jaccard to (doc1, doc2) candidate pairs."""
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("sg").alias("sg1"))
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("sg").alias("sg2"))
+    inter = F.size(F.array_intersect("sg1", "sg2"))
+    return (
+        pairs.join(a, "doc1")
+        .join(b, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                inter.cast("double")
+                / (F.size("sg1") + F.size("sg2") - inter),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via inverted-index (posting-list) join + exact
+    Jaccard ≥ threshold. Exact answer; cost ∝ co-occurring pairs."""
+    sh = _shingle_docs(docs, text_col, id_col)
+    post = sh.select("doc_id", F.explode("sg").alias("shingle"))
+    cand = (
+        post.alias("a")
+        .join(post.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    return _pair_jaccard(cand, sh).where(F.col("jaccard") >= threshold)
+
+
+def jaccard_pairs_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
+    sg = shingles_sql(text_expr)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {sg} AS sg FROM documents
+    ), shn AS (
+        SELECT doc_id, sg FROM sh WHERE len(sg) > 0
+    ), post AS (
+        SELECT doc_id, unnest(sg) AS shingle FROM shn
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2,
+           round(len(list_intersect(x.sg, y.sg))::DOUBLE /
+                 (len(x.sg) + len(y.sg) - len(list_intersect(x.sg, y.sg))), 6)
+               AS jaccard
+    FROM cand JOIN shn x ON cand.doc1 = x.doc_id
+              JOIN shn y ON cand.doc2 = y.doc_id
+    WHERE round(len(list_intersect(x.sg, y.sg))::DOUBLE /
+                (len(x.sg) + len(y.sg) - len(list_intersect(x.sg, y.sg))), 6)
+          >= {threshold}
+    """
+
+
+# --------------------------------------------------------------- MinHash/LSH
+def _perm(a: int, b: int):
+    """One universal-hash permutation as a 1-arg HOF lambda (PySpark
+    counts lambda parameters — default-arg capture would change arity)."""
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_31
+
+
+def minhash_signature_cols(hs_col: Column) -> list[Column]:
+    """The K per-permutation min-hash values over a hashed-shingle array."""
+    return [
+        F.array_min(F.transform(hs_col, _perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH candidates (band-bucket join) verified with exact
+    Jaccard. The 100 TB dedup path: never enumerates non-colliding pairs."""
+    sh = _shingle_docs(docs, text_col, id_col)
+    sigs = sh.select(
+        "doc_id",
+        *minhash_signature_cols(
+            F.transform(
+                F.col("sg"),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+                % MERSENNE_31,
+            )
+        ),
+    )
+    band_keys = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col(f"mh{b * MINHASH_ROWS + r}").cast("string")
+                for r in range(MINHASH_ROWS)
+            ],
+        ).alias(f"band{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sigs.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])).alias(
+            "band_id", "band_key"
+        ),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    return _pair_jaccard(cand, sh).where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
+    hs = hashed_shingles_sql(text_expr)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a}*x + {b}) % {MERSENNE_31})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_exprs = ", ".join(
+        "concat_ws('-', "
+        + ", ".join(
+            f"CAST(mh{b * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+        )
+        + f") AS band{b}"
+        for b in range(MINHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM bandkeys"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {shingles_sql(text_expr)} AS sg FROM documents
+    ), shn AS (
+        SELECT doc_id, sg FROM sh WHERE len(sg) > 0
+    ), hashed AS (
+        SELECT doc_id, sg, list_transform(sg, s ->
+            (('0x' || substring(md5(s), 1, 15))::BIGINT) % {MERSENNE_31}) AS hs
+        FROM shn
+    ), sigs AS (
+        SELECT doc_id, {sig_exprs} FROM hashed
+    ), bandkeys AS (
+        SELECT doc_id, {band_exprs} FROM sigs
+    ), bands AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2,
+           round(len(list_intersect(x.sg, y.sg))::DOUBLE /
+                 (len(x.sg) + len(y.sg) - len(list_intersect(x.sg, y.sg))), 6)
+               AS jaccard
+    FROM cand JOIN shn x ON cand.doc1 = x.doc_id
+              JOIN shn y ON cand.doc2 = y.doc_id
+    WHERE round(len(list_intersect(x.sg, y.sg))::DOUBLE /
+                (len(x.sg) + len(y.sg) - len(list_intersect(x.sg, y.sg))), 6)
+          >= {threshold}
+    """
+
+
+# ------------------------------------------------------------------ SimHash
+def simhash_col(hs_col: Column) -> Column:
+    """32-bit SimHash of a hashed-shingle array (raw 60-bit hashes; bits
+    0..31 used). Majority vote per bit, ties → 0."""
+    def bit_set(j: int):
+        return lambda h: F.shiftright(h, j) % 2 == 1
+
+    n = F.size(hs_col)
+    terms: list[Column] = []
+    for j in range(SIMHASH_BITS):
+        cnt = F.size(F.filter(hs_col, bit_set(j)))
+        terms.append(F.when(cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0)))
+    return functools.reduce(_op.add, terms).cast("long")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole band join.
+
+    hamming ≤ 3 over 32 bits ⇒ at least one of the 4 bytes is identical,
+    so joining on any-equal-byte finds EVERY qualifying pair (no recall
+    loss), while comparing only candidate buckets — the scale path.
+    """
+    raw_hash = F.transform(
+        shingles(text_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), raw_hash.alias("hs")).where(
+        F.size("hs") > 0
+    )
+    sh = d.select("doc_id", simhash_col(F.col("hs")).alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b) % 256).alias(f"x{b}")
+                    for b in range(SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_sql(max_hamming: int = 3, text_expr: str = "text") -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) > len(hs) "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, list_transform({shingles_sql(text_expr)}, s ->
+            ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hs
+        FROM documents
+    ), shn AS (SELECT doc_id, hs FROM sh WHERE len(hs) > 0
+    ), sims AS (
+        SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM shn
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -1,2 +1,52 @@
-"""Deduplication queries (exact, MinHash, SimHash, n-gram Jaccard). Filled
-in with the LLM-ops milestone."""
+"""Deduplication queries over ``documents`` (SURVEY.md §2.7 [EXT]).
+
+Five dedup families from :mod:`unimib_simpss_spark.operators.dedup`:
+exact hash-groupBy, token-set fingerprint, inverted-index n-gram
+Jaccard, MinHash+LSH band join, and SimHash pigeonhole band join. The
+LSH/band variants are the 100 TB scale paths — candidate generation is
+a bucket equi-join, never an all-pairs product. Oracles are generated
+from the same constants, so thresholds/coefficients can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from unimib_simpss_spark.catalog import load_table
+from unimib_simpss_spark.operators import dedup as D
+from unimib_simpss_spark.plans.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query("q31_exact_dedup", oracle=D.exact_dedup_sql())
+def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(normalized text) → keeper id + copy count."""
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@query("q32_fingerprint_dedup", oracle=D.fingerprint_dedup_sql())
+def q32_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set fingerprint dedup (catches word-order shuffles)."""
+    return D.fingerprint_dedup_groups(_docs(spark, sf_dir))
+
+
+@query("q33_jaccard_pairs", oracle=D.jaccard_pairs_sql(threshold=0.8))
+def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.8 pairs via inverted-index self-join."""
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@query("q34_minhash_pairs", oracle=D.minhash_dedup_sql(threshold=0.8))
+def q34_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates (4 bands × 4 rows) verified by exact
+    Jaccard — the sub-quadratic dedup path."""
+    return D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@query("q35_simhash_pairs", oracle=D.simhash_sql(max_hamming=3))
+def q35_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming ≤ 3 pairs via exact pigeonhole band join."""
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)

@@ -1,2 +1,51 @@
-"""Similarity-search queries (cosine top-k, IVF/LSH). Filled in with the
-LLM-ops milestone."""
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2.7 [EXT]).
+
+Three paths from :mod:`unimib_simpss_spark.operators.similarity`:
+brute-force cosine top-k (broadcast queries × corpus, exact baseline),
+IVF cell-probed top-k (equi-join on coarse cell — the 100 TB path), and
+an Arrow/NumPy ``mapInPandas`` variant of brute force (GEMM per batch,
+the bench path). The Arrow variant shares the brute-force oracle: same
+contract, different physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.catalog import load_table
+from unimib_simpss_spark.operators import similarity as S
+from unimib_simpss_spark.plans.registry import query
+
+_QUERY_PRED_SQL = "vec_id < 8"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@query(
+    "q36_cosine_topk",
+    oracle=S.cosine_topk_sql(k=5, query_pred_sql=_QUERY_PRED_SQL),
+)
+def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 8 query vectors."""
+    return S.cosine_topk(_emb(spark, sf_dir), k=5, query_pred=F.col("vec_id") < 8)
+
+
+@query("q37_ivf_topk", oracle=S.ivf_topk_sql(k=3))
+def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: top-3 neighbors within each vector's coarse cell."""
+    return S.ivf_topk(_emb(spark, sf_dir), k=3)
+
+
+@query(
+    "q38_cosine_topk_arrow",
+    oracle=S.cosine_topk_sql(k=5, query_pred_sql=_QUERY_PRED_SQL),
+)
+def q38_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/NumPy GEMM variant of q36 — same contract and oracle,
+    mapInPandas physical plan."""
+    return S.cosine_topk_pandas(
+        _emb(spark, sf_dir), k=5, query_pred=F.col("vec_id") < 8
+    )

@@ -1,2 +1,121 @@
-"""Text-analysis queries (lang-id, quality, tokens, fingerprints). Filled
-in with the LLM-ops milestone."""
+"""Text-analysis queries over ``documents`` (SURVEY.md §2.7 [EXT]).
+
+Language-ID, quality scoring, token counting, rolling-hash
+fingerprinting. All expressions are built-in Column functions
+(whole-stage codegen, zero Python in the row path) and fully per-row —
+embarrassingly parallel, no shuffle except the final aggregations, so
+the plans scale linearly to 100 TB. Oracle SQL is generated from the
+same constants in :mod:`unimib_simpss_spark.functions.analysis`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.catalog import load_table
+from unimib_simpss_spark.functions import analysis as A
+from unimib_simpss_spark.plans.registry import query
+
+_ws = A.token_count_ws_sql("text")
+_bpe = A.token_count_bpe_sql("text")
+
+
+@query(
+    "q27_token_stats",
+    oracle=f"""
+    SELECT source,
+           count(*)                 AS n_docs,
+           sum({_ws})               AS sum_ws_tokens,
+           sum({_bpe})              AS sum_bpe_tokens,
+           round(avg(n_chars), 2)   AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q27_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            A.token_count_ws("text").alias("ws"),
+            A.token_count_bpe("text").alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("sum_ws_tokens"),
+            F.sum("bpe").alias("sum_bpe_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+_pred_sql, _best_sql = A.lang_id_sql("text")
+
+
+@query(
+    "q28_lang_id",
+    oracle=f"""
+    SELECT lang, {_pred_sql} AS pred_lang, count(*) AS n_docs,
+           sum({_best_sql}) AS sum_score
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (char-trigram heuristic): labeled vs predicted
+    confusion counts. Per-row scoring, one small final agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred, best = A.lang_id("text")
+    return (
+        docs.select("lang", pred.alias("pred_lang"), best.alias("score"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("score").alias("sum_score"))
+    )
+
+
+_qc_sql = A.quality_components_sql("text")
+
+
+@query(
+    "q29_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           {_qc_sql['n_tokens']}    AS n_tokens,
+           {_qc_sql['stop_ratio']}  AS stop_ratio,
+           {_qc_sql['punct_ratio']} AS punct_ratio,
+           {_qc_sql['mean_tok_len']} AS mean_tok_len,
+           {A.quality_score_sql('text')} AS quality
+    FROM documents
+    """,
+)
+def q29_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics (length/stopword/punct ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qc = A.quality_components("text")
+    return docs.select(
+        "doc_id",
+        qc["n_tokens"].alias("n_tokens"),
+        qc["stop_ratio"].alias("stop_ratio"),
+        qc["punct_ratio"].alias("punct_ratio"),
+        qc["mean_tok_len"].alias("mean_tok_len"),
+        A.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "q30_doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, {A.rolling_fingerprint_sql('text')} AS fingerprint
+    FROM documents
+    """,
+)
+def q30_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", A.rolling_fingerprint("text").alias("fingerprint")
+    )
