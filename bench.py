@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the ``noop`` sink — full execution, no
+driver-side row transfer — so the timing measures the engine, not
+py4j serialization. A warmup query first absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from unimib_simpss_spark.plans import registry  # noqa: E402
+from unimib_simpss_spark.session import get_spark  # noqa: E402
+
+# Headline subset: one per operator family (agg, topk-join, window,
+# as-of, set-ops, streaming-shaped, ingest, text, dedup incl. LSH,
+# similarity incl. IVF + Arrow).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q08_customer_order_stats",
+    "q12_rollup_revenue",
+    "q14_supplier_rank",
+    "q16_set_ops",
+    "q20_asof_click_before_purchase",
+    "q23_tumbling_window",
+    "q26_ingest_replay",
+    "q27_token_stats",
+    "q30_doc_fingerprints",
+    "q33_jaccard_pairs",
+    "q34_minhash_pairs",
+    "q36_cosine_topk",
+    "q37_ivf_topk",
+    "q38_cosine_topk_arrow",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="simpss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    run(HEADLINE[0])  # warmup: JVM + codegen + parquet footer cache
+    timings = {name: round(run(name), 3) for name in HEADLINE}
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import operator as _op
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from unimib_simpss_spark.functions.hashing import MERSENNE_31
@@ -96,9 +96,21 @@ def fingerprint_dedup_sql(text_expr: str = "text", id_expr: str = "doc_id") -> s
 
 # ----------------------------------------------------- n-gram Jaccard pairs
 def _shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col).alias("sg")
-    ).where(F.size("sg") > 0)
+    """(doc_id, sg) with empty-shingle docs dropped.
+
+    The input is repartitioned by id BEFORE the shingle projection:
+    tokenize+shingle is the expensive per-row step, and source files may
+    have few splits (locally: one) — shuffling the raw text (cheap,
+    ~doc-sized rows) buys full-cluster parallelism for the compute. The
+    result is persisted by callers that branch over it (posting list +
+    both sides of the verify join) so the shingling runs exactly once.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition("doc_id")
+        .select("doc_id", shingles("_text").alias("sg"))
+        .where(F.size("sg") > 0)
+    )
 
 
 def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
@@ -127,14 +139,37 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs via inverted-index (posting-list) join + exact
-    Jaccard ≥ threshold. Exact answer; cost ∝ co-occurring pairs."""
-    sh = _shingle_docs(docs, text_col, id_col)
-    post = sh.select("doc_id", F.explode("sg").alias("shingle"))
+    """Near-dup pairs via prefix-filtered inverted-index join + exact
+    Jaccard ≥ threshold. Exact answer (PPJoin-style pruning loses no
+    pairs), cost ∝ pairs sharing a RARE shingle, not any shingle:
+
+    - **prefix filter**: with shingles globally ordered rarest-first,
+      J(A,B) ≥ t ⇒ A and B share one of their first
+      ``|X| - floor(t*|X|) + 1`` shingles — so only that prefix is
+      indexed (floor, not ceil: conservative under float t).
+    - **length filter**: J(A,B) ≥ t ⇒ t*|B| ≤ |A| — join pruned on
+      sizes before the pair is ever materialized.
+    """
+    sh = _shingle_docs(docs, text_col, id_col).persist()
+    post = sh.select(
+        "doc_id", F.size("sg").alias("sz"), F.explode("sg").alias("shingle")
+    )
+    freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("doc_id").orderBy("freq", "shingle")
+    prefix = (
+        post.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "sz", "shingle")
+    )
     cand = (
-        post.alias("a")
-        .join(post.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(threshold) * F.col("b.sz") <= F.col("a.sz"))
+            & (F.lit(threshold) * F.col("a.sz") <= F.col("b.sz"))
+        )
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
@@ -189,17 +224,20 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidates (band-bucket join) verified with exact
     Jaccard. The 100 TB dedup path: never enumerates non-colliding pairs."""
-    sh = _shingle_docs(docs, text_col, id_col)
-    sigs = sh.select(
+    sh = _shingle_docs(docs, text_col, id_col).persist()
+    # Materialize the hashed-shingle array BEHIND a persist barrier: the
+    # K=16 signature expressions each traverse it, and without the
+    # barrier project-collapsing would re-inline (and re-md5) the
+    # hashing into every one of them.
+    hashed = sh.select(
         "doc_id",
-        *minhash_signature_cols(
-            F.transform(
-                F.col("sg"),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-                % MERSENNE_31,
-            )
-        ),
-    )
+        F.transform(
+            F.col("sg"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % MERSENNE_31,
+        ).alias("hs"),
+    ).persist()
+    sigs = hashed.select("doc_id", *minhash_signature_cols(F.col("hs")))
     band_keys = [
         F.concat_ws(
             "-",
@@ -305,11 +343,19 @@ def simhash_pairs(
     loss), while comparing only candidate buckets — the scale path.
     """
     raw_hash = F.transform(
-        shingles(text_col),
+        shingles("_text"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
-    d = docs.select(F.col(id_col).alias("doc_id"), raw_hash.alias("hs")).where(
-        F.size("hs") > 0
+    # repartition: spread the per-row shingle+hash compute (source may
+    # have few splits); persist: the 32 per-bit majority votes in
+    # simhash_col all traverse hs — the barrier stops project-collapsing
+    # from re-inlining the md5 pipeline into each term.
+    d = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition("doc_id")
+        .select("doc_id", raw_hash.alias("hs"))
+        .where(F.size("hs") > 0)
+        .persist()
     )
     sh = d.select("doc_id", simhash_col(F.col("hs")).alias("simhash"))
     bands = sh.select(
