@@ -1,0 +1,237 @@
+"""Multimodal column operators: image/audio/video as opaque ``binary``
+columns with typed metadata (SURVEY.md §2.7 [EXT]).
+
+Design for 100 TB:
+
+- Payloads are **opaque bytes + a typed metadata struct** — Spark never
+  interprets media server-side; the schema is the contract
+  (:data:`MEDIA_META_TYPE`). Filters on metadata (kind, dims, duration)
+  are plain Column predicates → predicate pushdown & column pruning
+  still apply, and a scan that only needs metadata never reads payload
+  bytes (parquet column pruning).
+- Decode / feature-extraction runs as **Arrow-batched ``mapInPandas``**
+  — one Python worker per partition, whole Arrow batches in, so the
+  interop cost is per-batch not per-row. Partitioning is preserved;
+  no shuffle is introduced by any decode step.
+- The actual codec work (JPEG decode, PCM resample, H.264 frame
+  extraction) requires image/audio libs that are NOT in this container:
+  those steps are **STUBBED** — ``decoder="real"`` raises
+  ``NotImplementedError`` with the intended implementation documented,
+  and the default ``decoder="fake"`` is a deterministic byte-level
+  stand-in (histogram + moments) so the Spark-side plumbing (schemas,
+  batch shapes, UDF signatures, partition behavior) is fully real and
+  testable.
+
+The reference (PCampi/unimib-simpss) has no media surface; the closest
+analog is its opaque-JSON-bytes handling on the Kafka path
+(simpss_persistence/kafka_consumer/consumer.py:128-138).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+MEDIA_META_TYPE = StructType(
+    [
+        StructField("width", IntegerType()),        # image/video
+        StructField("height", IntegerType()),       # image/video
+        StructField("sample_rate", IntegerType()),  # audio
+        StructField("duration_ms", IntegerType()),  # audio/video
+        StructField("codec", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_META_TYPE),
+    ]
+)
+
+N_FEATURES = 64  # fake-decoder feature width (byte-histogram folded)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+# ------------------------------------------------------------ media builder
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from ``documents`` (the
+    container ships no real media): payload = utf-8 bytes of ``text``,
+    kind cycles by id, metadata synthesized from ``n_chars``. Entirely
+    JVM-side — this is the loader analog, not a UDF."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+        (F.col("doc_id") % len(MEDIA_KINDS) + 1).cast("int"),
+    )
+    n = F.col("n_chars").cast("int")
+    is_img = kind == "image"
+    is_aud = kind == "audio"
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.when(~is_aud, (n % 64 + 1) * 16).cast("int").alias("width"),
+            F.when(~is_aud, (n % 48 + 1) * 16).cast("int").alias("height"),
+            F.when(is_aud, F.lit(16_000)).cast("int").alias("sample_rate"),
+            F.when(~is_img, n * 10).cast("int").alias("duration_ms"),
+            F.when(is_img, F.lit("png"))
+            .when(is_aud, F.lit("pcm16"))
+            .otherwise(F.lit("h264"))
+            .alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def media_from_documents_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`media_from_documents` (a FROM-able CTE body
+    exposing media_id/kind/payload plus the raw ``n`` the metadata
+    derives from), used to oracle-pair metadata-level queries."""
+    kinds = ", ".join(f"'{k}'" for k in MEDIA_KINDS)
+    return f"""
+    SELECT doc_id AS media_id,
+           ([{kinds}])[CAST(doc_id % {len(MEDIA_KINDS)} + 1 AS INT)] AS kind,
+           encode(text) AS payload,
+           CAST(n_chars AS INT) AS n
+    FROM {table}
+    """
+
+
+# ------------------------------------------------------- metadata operators
+def media_stats(media: DataFrame) -> DataFrame:
+    """Catalog stats over the metadata + payload envelope — pure Column
+    expressions; payload only contributes its length (no decode)."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.octet_length("payload")).alias("sum_bytes"),
+        F.sum(F.coalesce(F.col("meta.duration_ms"), F.lit(0))).alias(
+            "sum_duration_ms"
+        ),
+        F.max(F.col("meta.width")).alias("max_width"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling PLAN for videos: one row per (media_id, frame_ts).
+
+    Generating the timestamp grid is JVM-side (``sequence``); the actual
+    frame DECODE at each timestamp is the stubbed step — at scale this
+    exact exploded plan feeds the decoder with (payload, offset) pairs,
+    already partition-parallel with no shuffle."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("meta.duration_ms") - 1,
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+# ------------------------------------------------------------ decode (UDF)
+def _fake_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic byte-level stand-in for a real media decode:
+    folded byte histogram (N_FEATURES bins, L1-normalized). Replace with
+    PIL/libsndfile/PyAV per-kind decoders in production."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES).astype(np.float32)
+    total = float(hist.sum()) or 1.0
+    return {"n_bytes": int(arr.size), "features": (hist / total).tolist()}
+
+
+def _real_decode(payload: bytes, kind: str) -> dict[str, Any]:
+    """The production decode path — NOT IMPLEMENTED in this container.
+
+    Intended wiring (libs unavailable here, deliberately stubbed):
+    - image: ``PIL.Image.open(io.BytesIO(payload))`` → RGB tensor →
+      resize → channel-mean/std features.
+    - audio: ``soundfile.read`` → PCM → mel-spectrogram pooling.
+    - video: ``av.open`` → keyframe iterator → per-frame image path.
+    """
+    raise NotImplementedError(
+        f"real {kind} decode requires PIL/soundfile/PyAV (not installed); "
+        "use decoder='fake' for the deterministic byte-level stand-in"
+    )
+
+
+def decode_media(
+    media: DataFrame,
+    decoder: str | Callable[[bytes, str], dict[str, Any]] = "fake",
+) -> DataFrame:
+    """Decode payloads into fixed-width feature rows via Arrow-batched
+    ``mapInPandas`` (schema :data:`FEATURE_SCHEMA`).
+
+    Partition-preserving; each Arrow batch is decoded in one Python call.
+    ``decoder`` is 'fake' (deterministic stand-in), 'real' (stub that
+    raises — see :func:`_real_decode`), or any ``(bytes, kind) → dict``.
+    """
+    if decoder == "fake":
+        fn: Callable[[bytes, str], dict[str, Any]] = lambda p, k: _fake_decode(p)
+    elif decoder == "real":
+        fn = _real_decode
+    else:
+        fn = decoder
+
+    def decode_batches(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [fn(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [o["n_bytes"] for o in out],
+                    "features": [o["features"] for o in out],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        decode_batches, FEATURE_SCHEMA
+    )
+
+
+def media_feature_topk(
+    media: DataFrame, k: int = 3, query_pred=None
+) -> DataFrame:
+    """End-to-end multimodal similarity: decode → cosine top-k over the
+    decoded features, reusing the embedding similarity operator."""
+    from unimib_simpss_spark.operators.similarity import cosine_topk
+
+    feats = decode_media(media).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+    return cosine_topk(feats, k=k, query_pred=query_pred, id_col="vec_id")

@@ -25,6 +25,7 @@ _QUERY_MODULES = (
     "unimib_simpss_spark.plans.llm_text",
     "unimib_simpss_spark.plans.llm_dedup",
     "unimib_simpss_spark.plans.llm_similarity",
+    "unimib_simpss_spark.plans.llm_multimodal",
 )
 
 

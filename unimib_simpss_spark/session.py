@@ -55,6 +55,18 @@ def get_spark(
     ``shuffle_partitions`` defaults to the core count — AQE coalesces down,
     so err high.
     """
+    # Python workers deserialize UDF closures that reference this
+    # package by module path — make it importable regardless of the
+    # driver's cwd. Local mode: workers inherit this env (set before
+    # the JVM starts). Real cluster: ship a wheel via --py-files; this
+    # is a no-op there.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pypath if pypath else "")
+        )
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
