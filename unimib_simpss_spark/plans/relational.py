@@ -748,3 +748,90 @@ def q22_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "ts", "event_id")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# J2 (full outer / right): nation coverage from both fact directions
+# --------------------------------------------------------------------------
+@query(
+    "q43_nation_coverage",
+    oracle="""
+    WITH s AS (
+        SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        FROM supplier GROUP BY 1
+    ), c AS (
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        FROM customer GROUP BY 1
+    )
+    SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+           coalesce(n_suppliers, 0) AS n_suppliers,
+           coalesce(n_customers, 0) AS n_customers
+    FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey
+    """,
+)
+def q43_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two aggregates — rows survive from either
+    side; the nullable gap is filled with 0 on both engines."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        s.join(c, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W4 (lead / ntile / percent_rank): order timeline analytics
+# --------------------------------------------------------------------------
+@query(
+    "q44_order_timeline",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER w                       AS next_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT)               AS spend_quartile,
+           round(percent_rank() OVER w, 6)               AS pr
+    FROM orders
+    WHERE o_custkey < 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q44_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / ntile / percent_rank over a per-customer timeline window."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).cast("long").alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 (approx count distinct): HLL sketch — engines use different sketch
+# implementations, so no value-level oracle; accuracy is bounded in
+# tests/test_relational_extra.py against the exact count.
+# --------------------------------------------------------------------------
+@query("q45_approx_distinct")
+def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct(user_id) per event_type (rsd=0.02) next to
+    the exact distinct count — the 100 TB cardinality path (one pass,
+    fixed-size sketch, no distinct shuffle)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
