@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import operator as _op
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from unimib_simpss_spark.functions.hashing import MERSENNE_31
@@ -140,31 +140,37 @@ def jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs via prefix-filtered inverted-index join + exact
-    Jaccard ≥ threshold. Exact answer (PPJoin-style pruning loses no
-    pairs), cost ∝ pairs sharing a RARE shingle, not any shingle:
+    Jaccard ≥ threshold. Exact answer (prefix pruning is PPJoin-style
+    and loses no pairs):
 
-    - **prefix filter**: with shingles globally ordered rarest-first,
-      J(A,B) ≥ t ⇒ A and B share one of their first
-      ``|X| - floor(t*|X|) + 1`` shingles — so only that prefix is
-      indexed (floor, not ceil: conservative under float t).
+    - **prefix filter**: order each shingle set by a global total order
+      (here: md5 hash value — computed array-side, NO frequency table,
+      no extra shuffle or window) and index only the first
+      ``|X| - floor(t*|X|) + 1`` entries; J(A,B) ≥ t pairs must
+      collide inside both prefixes (floor, not ceil: conservative
+      under float t).
     - **length filter**: J(A,B) ≥ t ⇒ t*|B| ≤ |A| — join pruned on
       sizes before the pair is ever materialized.
+    - joining on the 60-bit hash (not the string) shrinks shuffle rows;
+      a collision can only ADD a candidate, and verification keeps
+      precision exact.
     """
     sh = _shingle_docs(docs, text_col, id_col).persist()
-    post = sh.select(
-        "doc_id", F.size("sg").alias("sz"), F.explode("sg").alias("shingle")
+    hs_sorted = F.array_sort(
+        F.transform(
+            F.col("sg"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
     )
-    freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.partitionBy("doc_id").orderBy("freq", "shingle")
-    prefix = (
-        post.join(freq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
-        .select("doc_id", "sz", "shingle")
+    p = F.size("sg") - F.floor(F.lit(threshold) * F.size("sg")) + 1
+    prefix = sh.select(
+        "doc_id",
+        F.size("sg").alias("sz"),
+        F.explode(F.slice(hs_sorted, F.lit(1), p)).alias("hsh"),
     )
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
+        .join(prefix.alias("b"), "hsh")
         .where(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.lit(threshold) * F.col("b.sz") <= F.col("a.sz"))

@@ -108,13 +108,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF-style ANN: search only within the query's coarse cell.
 
-    The cell equi-join replaces the cross join — at 100 TB with C cells
-    this cuts compared pairs by ~C× and the join co-partitions both
-    sides on the cell id (single shuffle, no broadcast needed).
+    The cell grouping replaces the cross join — at 100 TB with C cells
+    this cuts compared pairs by ~C× and co-partitions on the cell id
+    (single shuffle, no broadcast needed).
+
+    ``impl='arrow'`` (default): one ``applyInPandas`` GEMM per cell —
+    the in-cell all-pairs product runs as a NumPy matmul instead of
+    ~pairs×dim interpreted array-lambda ops (order-of-magnitude faster
+    at bench scale). Requires a cell's vectors to fit one worker
+    (IVF cells are bounded by construction; block the matmul per-cell
+    if a cell outgrows memory). ``impl='sql'``: pure Column-expression
+    join — no Python anywhere, same contract.
     """
+    if impl == "arrow":
+        return _ivf_topk_arrow(emb, k, id_col, vec_col, cell_col)
     base = with_unit_vectors(emb, vec_col).select(
         F.col(id_col).alias("_id"), F.col(cell_col).alias("_cell"), "_v", "_norm"
     )
@@ -147,6 +158,51 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "cell", "neighbor_id", "cosine")
+    )
+
+
+def _ivf_topk_arrow(
+    emb: DataFrame, k: int, id_col: str, vec_col: str, cell_col: str
+) -> DataFrame:
+    """Per-cell GEMM top-k (see :func:`ivf_topk`). Deterministic
+    tie-break matches the SQL contract: rounded cosine desc, id asc."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"query_id long, cell {emb.schema[cell_col].dataType.simpleString()}, "
+        "neighbor_id long, cosine double"
+    )
+
+    def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)  # stable-argsort ties → id asc
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"query_id": [], "cell": [], "neighbor_id": [], "cosine": []}
+            )
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(sims, -np.inf)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, : min(k, n - 1)]
+        nq, kk = order.shape
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, kk),
+                "cell": np.repeat(pdf[cell_col].to_numpy(), kk),
+                "neighbor_id": ids[order.ravel()],
+                "cosine": np.take_along_axis(sims, order, axis=1).ravel(),
+            }
+        )
+
+    return (
+        emb.select(
+            F.col(id_col), F.col(cell_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        )
+        .groupBy(cell_col)
+        .applyInPandas(score_cell, out_schema)
     )
 
 
