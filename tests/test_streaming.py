@@ -89,3 +89,107 @@ def test_streaming_windowed_stats(spark, dim, tmp_path):
     # sensors 120+121 (g1) in window 0; 122 (g2) at +11min in window 1
     assert out[("2024-01-01T00:00:00", "g1")] == 2
     assert out[("2024-01-01T00:10:00", "g2")] == 1
+
+
+def test_streaming_observed_metrics(spark, dim, tmp_path):
+    """A2: per-batch row counters surface via observe/lastProgress."""
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    base = {"uptime": 1, "T": 900, "P": 400, "H": 50, "Ix": 0, "Iy": 0, "Iz": 0, "M": 0}
+    _write_log(logdir, "a.json", [dict(base, id=120), dict(base, id=121)])
+
+    q = start_sensor_ingest(
+        file_replay_source(spark, str(logdir), max_files_per_trigger=10),
+        dim, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        ts_col=F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    progresses = [
+        p if isinstance(p, dict) else json.loads(str(p)) for p in q.recentProgress
+    ]
+    observed = [
+        p["observedMetrics"]["ingest"]["rows_persisted"]
+        for p in progresses
+        if p.get("observedMetrics", {}).get("ingest")
+    ]
+    assert sum(observed) == 2
+
+
+def test_streaming_fanout_two_sinks_one_source(spark, dim, tmp_path):
+    """ST3: one consumed stream delivered to N subscribers — here two
+    independent queries (raw archive + windowed stats) off one source,
+    the Spark restatement of the reference's pub/sub registry
+    (simpss_persistence/pub_sub/interface.py:7-40)."""
+    from unimib_simpss_spark.operators.sensor_pipeline import sensor_pipeline
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    base = {"uptime": 1, "T": 900, "P": 400, "H": 50, "Ix": 0, "Iy": 0, "Iz": 0, "M": 0}
+    _write_log(logdir, "a.json", [dict(base, id=120), dict(base, id=122)])
+
+    stream = file_replay_source(spark, str(logdir), max_files_per_trigger=10)
+    persisted, _ = sensor_pipeline(
+        stream, dim, ts_col=F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    q1 = (
+        persisted.writeStream.format("memory").queryName("fan_a")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2 = (
+        windowed_stats(persisted).writeStream.format("memory").queryName("fan_b")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    assert spark.sql("select * from fan_a").count() == 2
+    stats = spark.sql("select * from fan_b").collect()
+    assert {r.sensor_group for r in stats} == {"g1", "g2"}
+
+
+def test_streaming_dedup_within_watermark(spark, dim, tmp_path):
+    """ST9: dropDuplicatesWithinWatermark on the PK collapses redelivered
+    messages inside the watermark window."""
+    from unimib_simpss_spark.operators.sensor_pipeline import sensor_pipeline
+    from unimib_simpss_spark.streaming.pipeline import streaming_dedup
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    base = {"uptime": 7, "T": 900, "P": 400, "H": 50, "Ix": 0, "Iy": 0, "Iz": 0, "M": 0}
+    # same sensor redelivered 3x with identical event time → one PK
+    _write_log(logdir, "a.json", [dict(base, id=120)] * 3 + [dict(base, id=121)])
+
+    stream = file_replay_source(spark, str(logdir), max_files_per_trigger=10)
+    persisted, _ = sensor_pipeline(
+        stream, dim, ts_col=F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    deduped = streaming_dedup(persisted, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select sensor_id from dedup_out").collect()
+    assert sorted(r.sensor_id for r in out) == [120, 121]
+
+
+def test_replay_upsert_idempotent(spark, dim, tmp_path):
+    """ST5: re-delivering the same batch through the keyed sink leaves
+    the stored table unchanged — the exactly-once-effect contract that
+    checkpoint replay relies on."""
+    from unimib_simpss_spark.operators.sensor_pipeline import sensor_pipeline
+    from unimib_simpss_spark.streaming.sinks import upsert_keyed_parquet
+
+    base = {"uptime": 1, "T": 900, "P": 400, "H": 50, "Ix": 0, "Iy": 0, "Iz": 0, "M": 0}
+    raw = spark.createDataFrame([dict(base, id=120), dict(base, id=121)])
+    persisted, _ = sensor_pipeline(
+        raw, dim, ts_col=F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    sink = str(tmp_path / "sensor_data")
+    upsert_keyed_parquet(persisted, sink, ("sensor_group", "sensor_id", "time_received"),
+                         partition_col="sensor_group")
+    first = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    upsert_keyed_parquet(persisted, sink, ("sensor_group", "sensor_id", "time_received"),
+                         partition_col="sensor_group")
+    second = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert first == second and len(first) == 2

@@ -116,6 +116,12 @@ def start_sensor_ingest(
     persisted, _dead = sensor_pipeline(
         raw_stream, dim, ts_col=ts_col, on_unknown=on_unknown
     )
+    # A2: the reference's messages_read/messages_sent counters
+    # (mqtt_kafka_producer.py:37-38) as streaming observed metrics —
+    # surfaced per micro-batch in query.lastProgress["observedMetrics"].
+    persisted = persisted.observe(
+        "ingest", F.count(F.lit(1)).alias("rows_persisted")
+    )
     writer = persisted.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_dir
     )
