@@ -279,3 +279,66 @@ def cosine_topk_pandas(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rank"))
     )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup mining: all pairs with cosine ≥
+    threshold within a coarse cell (one applyInPandas GEMM per cell —
+    same scale contract as :func:`ivf_topk`). Cell-scoped by design: at
+    100 TB the cell id is a k-means assignment and cross-cell pairs are
+    below-threshold by construction of the coarse quantizer."""
+    import numpy as np
+    import pandas as pd
+
+    cell_t = emb.schema[cell_col].dataType.simpleString()
+    out_schema = f"vec1 long, vec2 long, cell {cell_t}, cosine double"
+
+    def pairs_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec1": [], "vec2": [], "cell": [], "cosine": []})
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        iu = np.triu_indices(n, 1)
+        keep = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "vec1": ids[iu[0][keep]],
+                "vec2": ids[iu[1][keep]],
+                "cell": np.repeat(pdf[cell_col].iloc[0], int(keep.sum())),
+                "cosine": sims[iu][keep],
+            }
+        )
+
+    return (
+        emb.select(
+            F.col(id_col),
+            F.col(cell_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
+        .groupBy(cell_col)
+        .applyInPandas(pairs_cell, out_schema)
+    )
+
+
+def cosine_pairs_sql(threshold: float = 0.35) -> str:
+    return f"""
+    WITH base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS cell,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {threshold}
+    """

@@ -49,3 +49,9 @@ def q38_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_pandas(
         _emb(spark, sf_dir), k=5, query_pred=F.col("vec_id") < 8
     )
+
+
+@query("q46_embedding_cosine_pairs", oracle=S.cosine_pairs_sql(threshold=0.35))
+def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.35, cell-scoped GEMM)."""
+    return S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)

@@ -835,3 +835,27 @@ def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# A5 (grouping sets) + S7 (raw SQL surface): the same ANSI-SQL text runs
+# on both engines — spark.sql over registered views vs the DuckDB oracle.
+# --------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2)            AS sum_price,
+           CAST(grouping(l_returnflag) AS BIGINT)    AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT)    AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("q47_sql_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q47_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the raw spark.sql surface — the engine's
+    full-SQL entry point (S7): identical SQL text on both engines."""
+    from unimib_simpss_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
