@@ -193,3 +193,46 @@ def test_replay_upsert_idempotent(spark, dim, tmp_path):
                          partition_col="sensor_group")
     second = sorted(map(tuple, spark.read.parquet(sink).collect()))
     assert first == second and len(first) == 2
+
+
+def test_stateful_sensor_health_across_batches(spark, dim, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-sensor
+    state must accumulate across TWO micro-batches (two files,
+    maxFilesPerTrigger=1) — count, max gap, running mean."""
+    from unimib_simpss_spark.operators.sensor_pipeline import sensor_pipeline
+    from unimib_simpss_spark.streaming.stateful import sensor_health
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    base = {"P": 400, "H": 50, "Ix": 0, "Iy": 0, "Iz": 0, "M": 0}
+    # uptime (seconds) carries event time; batch 1: t=0,60; batch 2: t=180
+    _write_log(logdir, "a.json", [dict(base, id=120, uptime=0, T=100),
+                                  dict(base, id=120, uptime=60, T=200)])
+    _write_log(logdir, "b.json", [dict(base, id=120, uptime=180, T=300),
+                                  dict(base, id=121, uptime=180, T=50)])
+
+    stream = file_replay_source(spark, str(logdir), max_files_per_trigger=1)
+    persisted, _ = sensor_pipeline(
+        stream, dim,
+        ts_col=F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("uptime")),
+    )
+    health = sensor_health(persisted)
+    q = (
+        health.writeStream.format("memory").queryName("health")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from health order by sensor_id, n_readings"
+    ).collect()
+    final = {(r.sensor_group, r.sensor_id): r for r in rows}  # last update wins
+    s120 = final[("g1", 120)]
+    # 3 readings over both batches; gaps 60s then 120s → max 120000 ms
+    assert s120.n_readings == 3
+    assert s120.max_gap_ms == 120_000
+    assert abs(s120.avg_temperature - 200.0) < 1e-9
+    s121 = final[("g1", 121)]
+    assert s121.n_readings == 1 and s121.max_gap_ms == 0
