@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis) for the pure-expression layer.
+
+Each example ships a LIST of generated strings through one Spark job, so
+coverage scales with list size, not job count. Deadlines are disabled —
+Spark job latency is not the property under test.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.functions.analysis import quality_score, token_count_ws
+from unimib_simpss_spark.functions.text import (
+    normalized_text,
+    shingles,
+    token_fingerprint,
+    tokens,
+)
+from unimib_simpss_spark.operators.rename import convert
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"), max_codepoint=0x2FF
+        ),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _eval(spark, strings, *cols):
+    df = spark.createDataFrame([(s,) for s in strings], ["text"])
+    return df.select(*cols).collect()
+
+
+@SETTINGS
+@given(strings=texts)
+def test_tokens_are_lower_alnum_nonempty(spark, strings):
+    rows = _eval(spark, strings, tokens("text").alias("tk"))
+    for r in rows:
+        for t in r.tk:
+            assert re.fullmatch(r"[a-z0-9]+", t), t
+
+
+@SETTINGS
+@given(strings=texts)
+def test_normalized_text_idempotent(spark, strings):
+    once = normalized_text("text")
+    rows = _eval(
+        spark,
+        strings,
+        once.alias("a"),
+        F.trim(F.regexp_replace(F.lower(once), "\\s+", " ")).alias("b"),
+    )
+    for r in rows:
+        assert r.a == r.b
+
+
+@SETTINGS
+@given(strings=texts)
+def test_shingle_count_bound(spark, strings):
+    rows = _eval(
+        spark,
+        strings,
+        F.size(tokens("text")).alias("n"),
+        F.size(shingles("text")).alias("s"),
+    )
+    for r in rows:
+        if r.n < 3:
+            assert r.s == 0
+        else:
+            assert 1 <= r.s <= r.n - 2
+
+
+@SETTINGS
+@given(strings=texts, seed=st.integers(0, 2**16))
+def test_fingerprint_order_blind(spark, strings, seed):
+    """Shuffling a text's tokens never changes its set-fingerprint."""
+    import random
+
+    rng = random.Random(seed)
+
+    def shuffle_words(s: str) -> str:
+        ws = s.split()
+        rng.shuffle(ws)
+        return " ".join(ws)
+
+    pairs = [(s, shuffle_words(s)) for s in strings]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    rows = df.select(
+        token_fingerprint("a").alias("fa"), token_fingerprint("b").alias("fb")
+    ).collect()
+    for r in rows:
+        assert r.fa == r.fb
+
+
+@SETTINGS
+@given(strings=texts)
+def test_quality_score_bounded(spark, strings):
+    rows = _eval(
+        spark,
+        strings,
+        quality_score("text").alias("q"),
+        token_count_ws("text").alias("n"),
+    )
+    for r in rows:
+        if r.n == 0:
+            continue  # empty text → NULL components
+        assert r.q is not None and 0.0 <= r.q <= 1.0
+
+
+@SETTINGS
+@given(
+    names=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    data=st.data(),
+)
+def test_convert_total_bijective_rename(spark, names, data):
+    """P1 parity: a total rename maps every column exactly; any missing
+    source key must raise (the reference's strict-arity ValueError)."""
+    dsts = [f"{n}_dst" for n in names]
+    mapping = dict(zip(names, dsts))
+    df = spark.createDataFrame([tuple(range(len(names)))], names)
+    out = convert(df, mapping, strict=True)
+    assert out.columns == dsts
+
+    if len(names) > 1:
+        partial = dict(list(mapping.items())[:-1])
+        with pytest.raises(ValueError):
+            convert(df, partial, strict=True)
