@@ -133,11 +133,55 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def _hashed_shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, sz, hs): shingle count + 60-bit md5 hashes per doc.
+
+    This is the representation the pair miners persist: caching long
+    arrays is several times cheaper than caching the shingle STRINGS
+    (columnar cache build dominates these operators' runtime), and
+    array_intersect over longs beats string intersect in the verify
+    join. Set semantics survive hashing up to md5-collisions —
+    P ≈ (#distinct shingles)²/2⁶¹, ~1e-8 at 10⁸ shingles; callers
+    expose ``verify_on='text'`` to force the string path.
+    """
+    return _shingle_docs(docs, text_col, id_col).select(
+        "doc_id",
+        F.size("sg").alias("sz"),
+        F.transform(
+            F.col("sg"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+
+
+def _pair_jaccard_hashed(pairs: DataFrame, hsd: DataFrame) -> DataFrame:
+    """Jaccard over hashed shingle sets for (doc1, doc2) pairs."""
+    a = hsd.select(
+        F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"), F.col("hs").alias("h1")
+    )
+    b = hsd.select(
+        F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"), F.col("hs").alias("h2")
+    )
+    inter = F.size(F.array_intersect("h1", "h2"))
+    return (
+        pairs.join(a, "doc1")
+        .join(b, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                inter.cast("double") / (F.col("sz1") + F.col("sz2") - inter), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify_on: str = "hash",
 ) -> DataFrame:
     """Near-dup pairs via prefix-filtered inverted-index join + exact
     Jaccard ≥ threshold. Exact answer (prefix pruning is PPJoin-style
@@ -152,21 +196,21 @@ def jaccard_pairs(
     - **length filter**: J(A,B) ≥ t ⇒ t*|B| ≤ |A| — join pruned on
       sizes before the pair is ever materialized.
     - joining on the 60-bit hash (not the string) shrinks shuffle rows;
-      a collision can only ADD a candidate, and verification keeps
-      precision exact.
+      a collision can only ADD a candidate.
+
+    ``verify_on='hash'`` (default) verifies Jaccard on the hashed sets
+    (see :func:`_hashed_shingle_docs` for the cache/collision
+    trade-off); ``'text'`` re-derives and intersects the shingle
+    strings.
     """
-    sh = _shingle_docs(docs, text_col, id_col).persist()
-    hs_sorted = F.array_sort(
-        F.transform(
-            F.col("sg"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-        )
-    )
-    p = F.size("sg") - F.floor(F.lit(threshold) * F.size("sg")) + 1
-    prefix = sh.select(
+    if verify_on == "text":
+        sh = _shingle_docs(docs, text_col, id_col).persist()
+    hsd = _hashed_shingle_docs(docs, text_col, id_col).persist()
+    p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
+    prefix = hsd.select(
         "doc_id",
-        F.size("sg").alias("sz"),
-        F.explode(F.slice(hs_sorted, F.lit(1), p)).alias("hsh"),
+        "sz",
+        F.explode(F.slice(F.array_sort("hs"), F.lit(1), p)).alias("hsh"),
     )
     cand = (
         prefix.alias("a")
@@ -179,7 +223,9 @@ def jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    return _pair_jaccard(cand, sh).where(F.col("jaccard") >= threshold)
+    if verify_on == "text":
+        return _pair_jaccard(cand, sh).where(F.col("jaccard") >= threshold)
+    return _pair_jaccard_hashed(cand, hsd).where(F.col("jaccard") >= threshold)
 
 
 def jaccard_pairs_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
@@ -229,21 +275,20 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash+LSH candidates (band-bucket join) verified with exact
-    Jaccard. The 100 TB dedup path: never enumerates non-colliding pairs."""
-    sh = _shingle_docs(docs, text_col, id_col).persist()
-    # Materialize the hashed-shingle array BEHIND a persist barrier: the
-    # K=16 signature expressions each traverse it, and without the
-    # barrier project-collapsing would re-inline (and re-md5) the
-    # hashing into every one of them.
-    hashed = sh.select(
+    Jaccard over the hashed shingle sets. The 100 TB dedup path: never
+    enumerates non-colliding pairs.
+
+    One persist of (doc_id, sz, 60-bit hs) feeds both the K=16
+    signature expressions (mod-P applied per signature — cheap; the
+    barrier stops project-collapsing from re-inlining the md5 pipeline
+    into each one) and the verify join."""
+    hsd = _hashed_shingle_docs(docs, text_col, id_col).persist()
+    sigs = hsd.select(
         "doc_id",
-        F.transform(
-            F.col("sg"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-            % MERSENNE_31,
-        ).alias("hs"),
-    ).persist()
-    sigs = hashed.select("doc_id", *minhash_signature_cols(F.col("hs")))
+        *minhash_signature_cols(
+            F.transform(F.col("hs"), lambda h: h % MERSENNE_31)
+        ),
+    )
     band_keys = [
         F.concat_ws(
             "-",
@@ -267,7 +312,7 @@ def minhash_dedup_pairs(
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    return _pair_jaccard(cand, sh).where(F.col("jaccard") >= threshold)
+    return _pair_jaccard_hashed(cand, hsd).where(F.col("jaccard") >= threshold)
 
 
 def minhash_dedup_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
