@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 # Mersenne prime 2^31-1: universal-hash modulus. a*h+b stays < 2^62.
 MERSENNE_31 = 2_147_483_647
 
+# Shingle-hash composition base (Horner over per-token hashes mod P31).
+# Every intermediate stays < P31*B ≈ 2^51 — safe in Spark longs AND
+# DuckDB BIGINT (which errors on overflow instead of wrapping).
+COMBO_BASE = 1_000_003
+
 
 def hash64(col: Column | str) -> Column:
     """60-bit non-negative integer hash of a string column (md5-based)."""

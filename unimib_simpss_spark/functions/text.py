@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from unimib_simpss_spark.functions.hashing import MERSENNE_31, hash64_sql
+from unimib_simpss_spark.functions.hashing import COMBO_BASE, MERSENNE_31, hash64_sql
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
@@ -66,7 +66,9 @@ def shingles_sql(expr: str, n: int = 3) -> str:
 
 # ------------------------------------------------------- hashed shingles
 def hashed_shingles(col: Column | str, n: int = 3) -> Column:
-    """Shingles mapped through hash64 mod 2^31-1 (MinHash input space)."""
+    """Shingles mapped through hash64 mod 2^31-1 (SimHash-style input
+    space derived from the shingle STRING — costs one md5 per shingle;
+    the dedup pair miners use the cheaper combo space below instead)."""
     return F.transform(
         shingles(col, n),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
@@ -78,6 +80,25 @@ def hashed_shingles_sql(expr: str, n: int = 3) -> str:
     return (
         f"list_transform({shingles_sql(expr, n)}, "
         f"s -> {hash64_sql('s')} % {MERSENNE_31})"
+    )
+
+
+def combo_shingle_hashes_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of the dedup miners' shingle-hash space: one md5 per
+    TOKEN reduced mod 2^31-1, 3-gram hashes composed by Horner's rule
+    (never builds shingle strings). Distinct values. Must stay
+    arithmetically identical to ``dedup._combo_shingle_docs``."""
+    assert n == 3, "combo composition is written for 3-gram shingles"
+    th = (
+        f"list_transform({tokens_sql(expr)}, "
+        f"t -> {hash64_sql('t')} % {MERSENNE_31})"
+    )
+    b, p = COMBO_BASE, MERSENNE_31
+    return (
+        f"(SELECT CASE WHEN len(th) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(th) - 1), "
+        f"i -> ((th[i] * {b} + th[i+1]) % {p} * {b} + th[i+2]) % {p})) "
+        f"ELSE [] END FROM (SELECT {th} AS th))"
     )
 
 

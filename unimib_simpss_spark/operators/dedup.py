@@ -30,15 +30,16 @@ import operator as _op
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from unimib_simpss_spark.functions.hashing import MERSENNE_31
+from unimib_simpss_spark.functions.hashing import COMBO_BASE, MERSENNE_31
 from unimib_simpss_spark.functions.text import (
-    hashed_shingles_sql,
+    combo_shingle_hashes_sql,
     normalized_text,
     normalized_text_sql,
     shingles,
     shingles_sql,
     token_fingerprint,
     token_fingerprint_sql,
+    tokens,
 )
 
 # ---------------------------------------------------------------- constants
@@ -133,24 +134,46 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-def _hashed_shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, sz, hs): shingle count + 60-bit md5 hashes per doc.
+def _combo_shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, sz, hs): the pair miners' shared shingle-hash relation.
 
-    This is the representation the pair miners persist: caching long
-    arrays is several times cheaper than caching the shingle STRINGS
-    (columnar cache build dominates these operators' runtime), and
-    array_intersect over longs beats string intersect in the verify
-    join. Set semantics survive hashing up to md5-collisions —
-    P ≈ (#distinct shingles)²/2⁶¹, ~1e-8 at 10⁸ shingles; callers
-    expose ``verify_on='text'`` to force the string path.
+    One md5 per TOKEN (reduced mod 2^31-1), 3-gram hashes composed by
+    Horner's rule — integer ops only, no shingle strings ever built:
+    ~5× faster to compute AND to columnar-cache than md5-per-shingle.
+    Arithmetic is mirrored exactly by
+    ``functions.text.combo_shingle_hashes_sql`` so the DuckDB oracles
+    operate in the IDENTICAL hash space (collisions, ~n²/2³¹, are
+    in-spec: both engines agree bit-for-bit). jaccard_pairs and
+    minhash_dedup_pairs build this same logical plan, so one persisted
+    copy serves both in a shared session (CacheManager plan matching).
     """
-    return _shingle_docs(docs, text_col, id_col).select(
-        "doc_id",
-        F.size("sg").alias("sz"),
+    tok_h = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            F.transform(
+                tokens("_text"),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+                % MERSENNE_31,
+            ).alias("th"),
+        )
+        .where(F.size("th") >= 3)  # shingles() yields [] below 3 tokens
+    )
+    th = F.col("th")
+    b, p = COMBO_BASE, MERSENNE_31
+    comb = F.array_distinct(
         F.transform(
-            F.col("sg"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-        ).alias("hs"),
+            F.sequence(F.lit(1), F.size(th) - 2),
+            lambda i: (
+                (F.element_at(th, i) * b + F.element_at(th, i + 1)) % p * b
+                + F.element_at(th, i + 2)
+            )
+            % p,
+        )
+    )
+    return tok_h.select("doc_id", comb.alias("hs")).select(
+        "doc_id", F.size("hs").alias("sz"), "hs"
     )
 
 
@@ -198,14 +221,15 @@ def jaccard_pairs(
     - joining on the 60-bit hash (not the string) shrinks shuffle rows;
       a collision can only ADD a candidate.
 
-    ``verify_on='hash'`` (default) verifies Jaccard on the hashed sets
-    (see :func:`_hashed_shingle_docs` for the cache/collision
-    trade-off); ``'text'`` re-derives and intersects the shingle
-    strings.
+    ``verify_on='hash'`` (default) verifies Jaccard in the combo-hash
+    space shared with the DuckDB oracle (see
+    :func:`_combo_shingle_docs`); ``'text'`` re-derives and intersects
+    the shingle STRINGS — the exact string-set Jaccard, which can
+    differ from the oracle's hash-space answer on (rare) collisions.
     """
     if verify_on == "text":
         sh = _shingle_docs(docs, text_col, id_col).persist()
-    hsd = _hashed_shingle_docs(docs, text_col, id_col).persist()
+    hsd = _combo_shingle_docs(docs, text_col, id_col).persist()
     p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
     prefix = hsd.select(
         "doc_id",
@@ -229,26 +253,30 @@ def jaccard_pairs(
 
 
 def jaccard_pairs_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
-    sg = shingles_sql(text_expr)
+    """Oracle twin of :func:`jaccard_pairs` — same combo-hash space,
+    but as a plain (unfiltered) inverted-index join: the oracle states
+    WHAT the answer is; the Spark side adds the prefix/length pruning
+    that computes the same answer at scale."""
+    hs = combo_shingle_hashes_sql(text_expr)
     return f"""
     WITH sh AS (
-        SELECT doc_id, {sg} AS sg FROM documents
+        SELECT doc_id, {hs} AS hs FROM documents
     ), shn AS (
-        SELECT doc_id, sg FROM sh WHERE len(sg) > 0
+        SELECT doc_id, hs FROM sh WHERE len(hs) > 0
     ), post AS (
-        SELECT doc_id, unnest(sg) AS shingle FROM shn
+        SELECT doc_id, unnest(hs) AS h FROM shn
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-        FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
     )
     SELECT doc1, doc2,
-           round(len(list_intersect(x.sg, y.sg))::DOUBLE /
-                 (len(x.sg) + len(y.sg) - len(list_intersect(x.sg, y.sg))), 6)
+           round(len(list_intersect(x.hs, y.hs))::DOUBLE /
+                 (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 6)
                AS jaccard
     FROM cand JOIN shn x ON cand.doc1 = x.doc_id
               JOIN shn y ON cand.doc2 = y.doc_id
-    WHERE round(len(list_intersect(x.sg, y.sg))::DOUBLE /
-                (len(x.sg) + len(y.sg) - len(list_intersect(x.sg, y.sg))), 6)
+    WHERE round(len(list_intersect(x.hs, y.hs))::DOUBLE /
+                (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 6)
           >= {threshold}
     """
 
@@ -275,20 +303,16 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash+LSH candidates (band-bucket join) verified with exact
-    Jaccard over the hashed shingle sets. The 100 TB dedup path: never
-    enumerates non-colliding pairs.
+    Jaccard over the combo-hash shingle sets. The 100 TB dedup path:
+    never enumerates non-colliding pairs.
 
-    One persist of (doc_id, sz, 60-bit hs) feeds both the K=16
-    signature expressions (mod-P applied per signature — cheap; the
-    barrier stops project-collapsing from re-inlining the md5 pipeline
-    into each one) and the verify join."""
-    hsd = _hashed_shingle_docs(docs, text_col, id_col).persist()
-    sigs = hsd.select(
-        "doc_id",
-        *minhash_signature_cols(
-            F.transform(F.col("hs"), lambda h: h % MERSENNE_31)
-        ),
-    )
+    One persist of (doc_id, sz, hs) feeds both the K=16 signature
+    expressions (the barrier stops project-collapsing from re-inlining
+    the hashing into each one) and the verify join — and it is the
+    same relation :func:`jaccard_pairs` builds, so a shared session
+    caches it once."""
+    hsd = _combo_shingle_docs(docs, text_col, id_col).persist()
+    sigs = hsd.select("doc_id", *minhash_signature_cols(F.col("hs")))
     band_keys = [
         F.concat_ws(
             "-",
@@ -316,7 +340,7 @@ def minhash_dedup_pairs(
 
 
 def minhash_dedup_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
-    hs = hashed_shingles_sql(text_expr)
+    hs = combo_shingle_hashes_sql(text_expr)
     sig_exprs = ", ".join(
         f"list_min(list_transform(hs, x -> ({a}*x + {b}) % {MERSENNE_31})) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -335,15 +359,11 @@ def minhash_dedup_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
     )
     return f"""
     WITH sh AS (
-        SELECT doc_id, {shingles_sql(text_expr)} AS sg FROM documents
+        SELECT doc_id, {hs} AS hs FROM documents
     ), shn AS (
-        SELECT doc_id, sg FROM sh WHERE len(sg) > 0
-    ), hashed AS (
-        SELECT doc_id, sg, list_transform(sg, s ->
-            (('0x' || substring(md5(s), 1, 15))::BIGINT) % {MERSENNE_31}) AS hs
-        FROM shn
+        SELECT doc_id, hs FROM sh WHERE len(hs) > 0
     ), sigs AS (
-        SELECT doc_id, {sig_exprs} FROM hashed
+        SELECT doc_id, {sig_exprs} FROM shn
     ), bandkeys AS (
         SELECT doc_id, {band_exprs} FROM sigs
     ), bands AS (
@@ -355,13 +375,13 @@ def minhash_dedup_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
          AND a.doc_id < b.doc_id
     )
     SELECT doc1, doc2,
-           round(len(list_intersect(x.sg, y.sg))::DOUBLE /
-                 (len(x.sg) + len(y.sg) - len(list_intersect(x.sg, y.sg))), 6)
+           round(len(list_intersect(x.hs, y.hs))::DOUBLE /
+                 (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 6)
                AS jaccard
     FROM cand JOIN shn x ON cand.doc1 = x.doc_id
               JOIN shn y ON cand.doc2 = y.doc_id
-    WHERE round(len(list_intersect(x.sg, y.sg))::DOUBLE /
-                (len(x.sg) + len(y.sg) - len(list_intersect(x.sg, y.sg))), 6)
+    WHERE round(len(list_intersect(x.hs, y.hs))::DOUBLE /
+                (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 6)
           >= {threshold}
     """
 
