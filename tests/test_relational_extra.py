@@ -35,3 +35,53 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
         "PushedFilters"
     )[1][:200]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change the joined row multiset."""
+    from unimib_simpss_spark.operators.skew import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k"), "o_orderkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    plain = sorted(map(tuple, o.join(c, "k").collect()))
+    salted = sorted(map(tuple, salted_join(o, c, on="k", salt_buckets=4,
+                                           salt_by="o_orderkey").collect()))
+    assert plain == salted
+
+
+def test_salted_join_rejects_full_outer(spark, sf_dir):
+    import pytest as _pytest
+
+    from unimib_simpss_spark.operators.skew import salted_join
+
+    df = spark.range(2).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, on="k", how="full_outer")
+
+
+def test_binned_range_join_matches_between(spark, sf_dir):
+    """Bin rewrite must equal the naive BETWEEN join, including rows on
+    bin boundaries."""
+    from unimib_simpss_spark.operators.skew import binned_range_join
+
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 49, 50, 99, 100, 150, 249, 250])],
+        "id long, v double",
+    )
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 99.0), ("b", 50.0, 149.0), ("c", 240.0, 260.0)],
+        "name string, lo double, hi double",
+    )
+    naive = sorted(
+        (r.id, r.name)
+        for r in facts.join(ranges, facts.v.between(ranges.lo, ranges.hi)).collect()
+    )
+    binned = sorted(
+        (r.id, r.name)
+        for r in binned_range_join(facts, ranges, "v", "lo", "hi", bin_width=100.0).collect()
+    )
+    assert naive == binned and naive

@@ -1,0 +1,95 @@
+"""Skew-mitigation operators: salted joins and binned range joins.
+
+Two techniques Spark doesn't apply automatically in every case, written
+as plan-level rewrites that preserve exact semantics:
+
+- **Salted equi-join** — for a shuffle join where a handful of hot keys
+  overwhelm their reducer: the skewed side gets a random salt in
+  [0, S), the build side is replicated S× with every salt value, and
+  the join key becomes (key, salt). AQE's skew-join splitting handles
+  sort-merge spills; explicit salting is still the tool when the hot
+  key is so large a single key must be spread across MANY tasks (AQE
+  splits by partition, salting splits WITHIN a key), and for stateful
+  streaming aggs where AQE doesn't apply.
+- **Binned range join** — replaces the broadcast-nested-loop plan of
+  ``a.v BETWEEN b.lo AND b.hi`` with an equi-join on overlapping
+  fixed-width bins + residual predicate: cost drops from |A|·|B| to
+  Σ co-binned pairs. This is the standard open-source answer to
+  Databricks' range-join optimization.
+
+Salting uses a DETERMINISTIC salt (hash of a unique column, not
+``rand()``) so results are reproducible and retries/speculative tasks
+can't diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    salt_by: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side salted into ``salt_buckets``
+    sub-keys and ``other`` replicated once per salt value.
+
+    ``salt_by``: column of ``skewed`` whose hash picks the salt
+    (default: the join key's row — uses a uniform spread over all
+    columns via ``xxhash64``). Exact same rows as a plain join; the
+    only change is shuffle placement.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, got {how!r}: "
+            "replicating the build side breaks right/full semantics"
+        )
+    salt_src = F.xxhash64(F.col(salt_by)) if salt_by else F.xxhash64(*skewed.columns)
+    a = skewed.withColumn("_salt", F.pmod(salt_src, F.lit(salt_buckets)).cast("int"))
+    b = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = a.join(b, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def binned_range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how_residual: Column | None = None,
+) -> DataFrame:
+    """Range join ``facts.value BETWEEN ranges.lo AND ranges.hi`` as an
+    equi-join on fixed-width bins.
+
+    Each range row is exploded to every bin it overlaps (cheap when
+    ``bin_width`` ≈ typical range width); each fact row maps to exactly
+    one bin. The bin equi-join co-partitions both sides (shuffle hash
+    join — broadcast not required), and the residual BETWEEN filter
+    restores exact semantics. ``how_residual`` appends an extra join
+    predicate evaluated after the bin match.
+    """
+    v = F.col(value_col)
+    fb = facts.withColumn("_bin", F.floor(v / bin_width).cast("long"))
+    rb = ranges.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width).cast("long"),
+                F.floor(F.col(hi_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    joined = fb.join(rb.withColumnRenamed("_bin", "_rbin"), F.col("_bin") == F.col("_rbin"))
+    pred = v.between(F.col(lo_col), F.col(hi_col))
+    if how_residual is not None:
+        pred = pred & how_residual
+    return joined.where(pred).drop("_bin", "_rbin")

@@ -859,3 +859,78 @@ def q47_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Scale-technique variants: binned range join (vs BNL) and salted join
+# (vs hot-key shuffle). Oracles are plain declarative SQL — the Spark
+# side must produce the IDENTICAL answer through the rewritten plan.
+# --------------------------------------------------------------------------
+_PRICE_BANDS = [
+    (f"b{i:02d}", float(i * 50_000), float((i + 1) * 50_000)) for i in range(12)
+]
+_PRICE_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+
+
+@query(
+    "q48_binned_range_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_PRICE_BANDS_SQL})
+    SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def q48_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join executed as a binned equi-join (operators/skew.py):
+    ranges explode to overlapping fixed-width bins, facts map to one
+    bin, the bin equi-join co-partitions both sides, and the residual
+    BETWEEN restores exact semantics — |A|·|B| BNL becomes Σ co-binned
+    pairs, the open-source counterpart of a range-join optimization."""
+    from unimib_simpss_spark.operators.skew import binned_range_join
+
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, schema="band string, lo double, hi double"
+    )
+    # hi is exclusive: shrink by epsilon so the hi-edge bin matches BETWEEN
+    joined = binned_range_join(
+        o.select("o_orderkey", "o_totalprice"),
+        bands.withColumn("hi", F.col("hi") - F.lit(1e-9)),
+        value_col="o_totalprice",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=50_000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "q49_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                 AS n_orders,
+           count(DISTINCT c_nationkey) AS n_nations
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): the fact side is
+    salted into 8 sub-keys, the dim side replicated 8x — identical rows
+    to the plain join (the oracle proves it), with hot keys spread
+    across 8 tasks instead of one. The explicit-salt tool for when AQE
+    can't split (single giant key, stateful streaming aggs)."""
+    from unimib_simpss_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    joined = salted_join(o, c.select("custkey", "c_nationkey"), on="custkey",
+                         salt_buckets=8, salt_by="o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
