@@ -342,3 +342,173 @@ def cosine_pairs_sql(threshold: float = 0.35) -> str:
     FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {threshold}
     """
+
+
+# ------------------------------------------------------------ index builds
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build a real IVF coarse quantizer: distributed Lloyd k-means.
+
+    Deterministic throughout: seeds are the k lowest-id vectors, and
+    assignment breaks distance ties by centroid index. Per iteration:
+    one mapInPandas pass assigns every vector to its nearest centroid
+    (one GEMM per Arrow batch against the broadcast k×d matrix), one
+    groupBy recomputes means. Only the k×d centroid matrix ever touches
+    the driver — bounded regardless of corpus size, which is what makes
+    this the 100 TB index-build path.
+
+    Returns (vec_id, cell) — the input for :func:`ivf_topk` /
+    :func:`cosine_pairs` in place of a precomputed label.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+    seeds = base.orderBy("vec_id").limit(k).collect()
+    centroids = np.array([r.v for r in seeds], dtype=np.float64)
+    sc = emb.sparkSession.sparkContext
+
+    out_schema = "vec_id long, cell int, v array<double>"
+
+    for _ in range(iters):
+        bc = sc.broadcast(centroids)
+
+        def assign(batches):
+            c = bc.value
+            for pdf in batches:
+                mat = np.array(list(pdf["v"]), dtype=np.float64)
+                # squared L2 via GEMM: |x-c|^2 = |x|^2 - 2 x·c + |c|^2
+                d2 = (
+                    -2.0 * (mat @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                    + (mat * mat).sum(axis=1)[:, None]
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell": np.argmin(np.round(d2, 9), axis=1).astype("int32"),
+                        "v": pdf["v"],
+                    }
+                )
+
+        assigned = base.mapInPandas(assign, out_schema)
+        # element-wise mean per cell, computed distributed; only k×d
+        # aggregated means are collected
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in means:
+            new_c[r.cell][r.pos] = r.m
+        if np.allclose(new_c, centroids, atol=1e-12):
+            centroids = new_c
+            break
+        centroids = new_c
+
+    bc = sc.broadcast(centroids)
+
+    def final_assign(batches):
+        c = bc.value
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            d2 = (
+                -2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+                + (mat * mat).sum(axis=1)[:, None]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": np.argmin(np.round(d2, 9), axis=1).astype("int32"),
+                }
+            )
+
+    return base.mapInPandas(final_assign, "vec_id long, cell int")
+
+
+def hyperplane_lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH cosine ANN: sign-bit signatures bucket the
+    corpus; exact cosine runs only within colliding buckets.
+
+    Deterministic planes (fixed-seed Gaussian). Recall per true
+    neighbor at angle θ is 1-(1-(1-θ/π)^planes)^tables — tunable,
+    measured in tests against the brute-force baseline. Candidate
+    generation is a bucket equi-join: cost ∝ collisions, never pairs.
+    Output matches the cosine_topk contract (minus exactness).
+    """
+    import numpy as np
+
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("_id"), "_v", "_norm"
+    )
+    # signature per table: packed sign bits of the n_planes projections
+    sig_cols = []
+    for t in range(n_tables):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.array(*[F.lit(float(w)) for w in planes[t][p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
+        sig_cols.append(sum(bits[1:], bits[0]).alias(f"sig{t}"))
+    signed = base.select("_id", "_v", "_norm", *sig_cols).persist()
+    buckets = signed.select(
+        "_id",
+        "_v",
+        "_norm",
+        F.posexplode(F.array(*[F.col(f"sig{t}") for t in range(n_tables)])).alias(
+            "table_id", "bucket"
+        ),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["table_id", "bucket"])
+        .where(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("query_id"),
+            F.col("b._id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._norm") * F.col("b._norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rank"))
+    )

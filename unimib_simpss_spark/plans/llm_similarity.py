@@ -55,3 +55,22 @@ def q38_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (≥ 0.35, cell-scoped GEMM)."""
     return S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+@query("q50_ivf_kmeans_topk")  # iterative index build → rows-only check
+def q50_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF path: build the coarse quantizer with distributed
+    k-means, then cell-probed top-3 over the LEARNED cells (instead of
+    the precomputed label column q37 uses)."""
+    emb = _emb(spark, sf_dir)
+    cells = S.kmeans_cells(emb, k=8, iters=3)
+    indexed = emb.join(cells, "vec_id").withColumn("cell", F.col("cell"))
+    return S.ivf_topk(indexed, k=3, cell_col="cell")
+
+
+@query("q51_lsh_cosine_topk")  # approximate recall → rows-only check
+def q51_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH cosine ANN (6 planes × 12 tables): bucket
+    equi-join candidates, exact cosine within buckets. Recall is
+    bounds-tested against brute force in tests/test_llm_ops.py."""
+    return S.hyperplane_lsh_topk(_emb(spark, sf_dir), k=5, n_planes=6, n_tables=12)
