@@ -236,3 +236,54 @@ def test_stateful_sensor_health_across_batches(spark, dim, tmp_path):
     assert abs(s120.avg_temperature - 200.0) < 1e-9
     s121 = final[("g1", 121)]
     assert s121.n_readings == 1 and s121.max_gap_ms == 0
+
+
+def test_stream_stream_interval_join(spark, dim, tmp_path):
+    """J5 streaming: readings joined to a command stream within a
+    10-minute event-time interval per sensor, state bounded by
+    watermarks on BOTH sides."""
+    from unimib_simpss_spark.streaming.pipeline import interval_join
+
+    readings_dir = tmp_path / "readings"
+    commands_dir = tmp_path / "commands"
+    readings_dir.mkdir()
+    commands_dir.mkdir()
+    base = {"P": 400, "H": 50, "Ix": 0, "Iy": 0, "Iz": 0, "M": 0}
+    # readings at t=0s and t=1200s for sensor 120
+    _write_log(readings_dir, "r.json", [dict(base, id=120, uptime=0, T=100),
+                                        dict(base, id=120, uptime=1200, T=200)])
+    # command at t=300s → joins ONLY the t=0 reading (within +10min)
+    (commands_dir / "c.json").write_text(
+        json.dumps({"id": 120, "cmd": "calibrate", "offset": 300}) + "\n"
+    )
+
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    readings = (
+        file_replay_source(spark, str(readings_dir), max_files_per_trigger=10)
+        .select(
+            F.col("id").alias("sensor_id"),
+            (t0 + F.make_interval(secs=F.col("uptime"))).alias("r_ts"),
+            F.col("T").alias("temperature"),
+        )
+    )
+    commands = (
+        spark.readStream.schema("id long, cmd string, offset long")
+        .json(str(commands_dir))
+        .select(
+            F.col("id").alias("sensor_id"),
+            (t0 + F.make_interval(secs=F.col("offset"))).alias("c_ts"),
+            "cmd",
+        )
+    )
+    joined = interval_join(
+        commands, readings, key="sensor_id", left_ts="c_ts", right_ts="r_ts",
+        lower="10 minutes", upper="0 seconds", watermark="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssjoin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ssjoin").collect()
+    assert len(rows) == 1
+    assert rows[0].temperature == 100 and rows[0].cmd == "calibrate"

@@ -180,3 +180,31 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(PRIMARY_KEY)
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (J5's streaming form): match right
+    rows whose event time falls in [left_ts - lower, left_ts + upper]
+    for the same key.
+
+    Both sides carry watermarks, so Spark can bound the join state to
+    the interval width — the requirement for an unbounded run. Columns
+    must be disjoint apart from ``key`` (alias upstream).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - interval {lower}"))
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
