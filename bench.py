@@ -42,6 +42,12 @@ HEADLINE = [
     "q36_cosine_topk",
     "q37_ivf_topk",
     "q38_cosine_topk_arrow",
+    "q39_media_stats",
+    "q44_order_timeline",
+    "q46_embedding_cosine_pairs",
+    "q47_sql_grouping_sets",
+    "q48_binned_range_join",
+    "q49_salted_join",
 ]
 
 

@@ -66,6 +66,7 @@ def binned_range_join(
     hi_col: str,
     bin_width: float,
     how_residual: Column | None = None,
+    broadcast_ranges: bool = True,
 ) -> DataFrame:
     """Range join ``facts.value BETWEEN ranges.lo AND ranges.hi`` as an
     equi-join on fixed-width bins.
@@ -88,7 +89,15 @@ def binned_range_join(
             )
         ),
     )
-    joined = fb.join(rb.withColumnRenamed("_bin", "_rbin"), F.col("_bin") == F.col("_rbin"))
+    rb = rb.withColumnRenamed("_bin", "_rbin")
+    # Locally-built range frames carry no stats, so without a hint the
+    # planner may broadcast the FACT side (BuildLeft — measured 5×
+    # slower at bench scale). Small range tables: broadcast them
+    # explicitly; huge ones: broadcast_ranges=False co-partitions both
+    # sides on the bin (the actual scale path).
+    if broadcast_ranges:
+        rb = F.broadcast(rb)
+    joined = fb.join(rb, F.col("_bin") == F.col("_rbin"))
     pred = v.between(F.col(lo_col), F.col(hi_col))
     if how_residual is not None:
         pred = pred & how_residual
