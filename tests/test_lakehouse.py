@@ -1,0 +1,67 @@
+"""Layout guarantees: partition pruning for clustered writes, and
+shuffle-free joins between co-bucketed tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.sources.lakehouse import (
+    read_table,
+    write_bucketed,
+    write_clustered,
+)
+
+
+@pytest.fixture(scope="module")
+def warehouse_spark(tmp_path_factory):
+    from unimib_simpss_spark.session import get_spark
+
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        app_name="lakehouse-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
+    yield s
+
+
+def test_clustered_write_prunes_partitions(warehouse_spark, tmp_path_factory):
+    spark = warehouse_spark
+    out = str(tmp_path_factory.mktemp("clustered") / "sensor_data")
+    df = spark.createDataFrame(
+        [(g, i, t) for g in ("g1", "g2", "g3") for i in range(4) for t in range(5)],
+        "sensor_group string, sensor_id int, t int",
+    )
+    write_clustered(df, out, partition_by="sensor_group", cluster_by=("sensor_id", "t"))
+
+    got = spark.read.parquet(out).where(F.col("sensor_group") == "g2")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(sensor_group" in plan
+    assert got.count() == 20
+    # rows inside each file are sorted by the clustering keys
+    part = spark.read.parquet(f"{out}/sensor_group=g2")
+    rows = [(r.sensor_id, r.t) for r in part.collect()]
+    assert rows == sorted(rows)
+
+
+def test_cobucketed_join_has_no_exchange(warehouse_spark):
+    spark = warehouse_spark
+    n = 1000
+    facts = spark.range(n).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    dims = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    write_bucketed(facts, "b_facts", bucket_by="k", n_buckets=8, sort_by=("k",))
+    write_bucketed(dims, "b_dims", bucket_by="k", n_buckets=8, sort_by=("k",))
+
+    joined = read_table(spark, "b_facts").join(read_table(spark, "b_dims"), "k")
+    # disable broadcast so the join would NEED a shuffle if buckets didn't align
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert joined.count() == n

@@ -1,0 +1,62 @@
+"""Lakehouse table layout helpers: partitioned + bucketed + clustered
+writes, and the read-side guarantees they buy.
+
+At 100 TB the dominant costs are shuffles and full scans; the layout
+tools here remove both for known access patterns:
+
+- ``write_clustered``: hive-partition by a coarse key (partition
+  PRUNING at read: only matching directories are listed) and sort rows
+  within files by the clustering keys (min/max stats make range scans
+  skip row groups) — the lakehouse restatement of the reference's
+  Cassandra layout: PRIMARY KEY (sensor_group, sensor_id,
+  time_received) = partition dir + file sort order
+  (link_kafka_cassandra.py:33-46).
+- ``write_bucketed``: hash-bucket by join key into a saved table; two
+  tables bucketed the same way join WITHOUT any Exchange — the shuffle
+  happens once at write time, then every subsequent join is free. This
+  is how a fact table that joins the same dimension daily should be
+  stored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: str,
+    cluster_by: tuple[str, ...],
+    mode: str = "overwrite",
+) -> None:
+    """Partition directories by ``partition_by``; sort rows within each
+    output file by ``cluster_by`` (sortWithinPartitions — no global
+    shuffle beyond the partition split)."""
+    (
+        df.repartition(partition_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .partitionBy(partition_by)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed managed table (bucket pruning + shuffle-free
+    joins between co-bucketed tables)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
