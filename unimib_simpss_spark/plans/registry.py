@@ -22,6 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = (
     "unimib_simpss_spark.plans.relational",
     "unimib_simpss_spark.plans.sensor",
+    "unimib_simpss_spark.plans.timeseries",
     "unimib_simpss_spark.plans.llm_text",
     "unimib_simpss_spark.plans.llm_dedup",
     "unimib_simpss_spark.plans.llm_similarity",

@@ -934,3 +934,139 @@ def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
+
+
+# --------------------------------------------------------------------------
+# A3 variant: pivot (wide conditional aggregation). Explicit pivot values
+# skip Spark's extra distinct-scan pass — at 100 TB the value list must be
+# declared (or derived from a tiny dim), never discovered from the fact.
+# --------------------------------------------------------------------------
+@query(
+    "q52_pivot_returnflag",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'A'), 2) AS rf_a,
+           round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'N'), 2) AS rf_n,
+           round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 2) AS rf_r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q52_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy().pivot(values).agg(): compiles to ONE pass of
+    conditional partial aggregates (same plan as SQL FILTER clauses) —
+    a single shuffle of |groups| x |pivot values| cells."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A").alias("rf_a"),
+        F.col("N").alias("rf_n"),
+        F.col("R").alias("rf_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 variant: statistical profile — variance/stddev/corr/covar are
+# single-pass partial-aggregatable moments; exact percentiles need a
+# per-group sort but stay distributed (one shuffle on the group key).
+# --------------------------------------------------------------------------
+@query(
+    "q53_stat_profile",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+           round(var_samp(l_quantity), 4)                    AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(quantile_cont(l_extendedprice, 0.5), 2)     AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 2)     AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q53_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates (stddev/var/corr/covar) + exact
+    interpolated percentiles, grouped. All moments are map-side
+    combinable; F.percentile is Spark's exact linear-interpolation
+    twin of DuckDB quantile_cont."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# UDTF-shape: explode (lateral view). The only row-multiplying relational
+# operator — generated rows never hit the driver; the follow-up count is
+# partial-aggregated before its shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q54_token_explode",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+        FROM documents
+    )
+    WHERE length(tok) >= 4
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def q54_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → filter → count → global top-20. Spark's
+    Generate node streams the exploded rows straight into a partial
+    HashAggregate; the final order-by-limit is TakeOrderedAndProject
+    (per-partition heaps, no full sort)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok")
+    )
+    return (
+        toks.where(F.length("tok") >= 4)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery through the full-SQL surface (S7). Catalyst
+# decorrelates it into an aggregate + join — no per-row re-execution, so
+# the shape survives at any scale. Identical SQL text on both engines.
+# --------------------------------------------------------------------------
+_CORRELATED_SQL = """
+    SELECT c_mktsegment,
+           count(*)               AS n_above,
+           round(avg(c_acctbal), 2) AS avg_bal_above
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+                       FROM customer c2
+                       WHERE c2.c_mktsegment = c.c_mktsegment)
+    GROUP BY c_mktsegment
+"""
+
+
+@query("q56_correlated_subquery", oracle=_CORRELATED_SQL)
+def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their segment's mean balance. Proves the SQL
+    entry point handles correlated scalar subqueries (decorrelated by
+    Catalyst into agg + broadcast join, visible in explain())."""
+    from unimib_simpss_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)

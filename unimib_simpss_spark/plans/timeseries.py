@@ -1,0 +1,117 @@
+"""Time-series rollup with gap-fill + LOCF (hypertable-rollup shape).
+
+The reference's storage is a per-group time-clustered telemetry table
+(`link_kafka_cassandra.py:45` — PRIMARY KEY (sensor_group, sensor_id,
+time_received)); the natural downstream query on such a table is a
+time-bucket rollup with gaps filled. The reference has no query engine to
+express it — this module is the [EXT] Spark-first formulation:
+
+  1. bucket aggregate: groupBy(key, date_trunc(bucket, ts)) — one shuffle,
+     map-side combined, output bounded by |keys| x |buckets| regardless of
+     input scale;
+  2. dense spine: explode(sequence(start, stop, interval)) cross-joined
+     with the distinct key set — generated, never scanned; broadcast
+     because |spine| is O(keys x buckets), not O(rows);
+  3. left join agg onto spine + last(ignorenulls) window for
+     last-observation-carried-forward.
+
+At 100 TB only step 1 touches the raw data; steps 2-3 operate on the
+bounded rollup, so the whole gap-fill costs one extra tiny shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.catalog import load_table
+from unimib_simpss_spark.plans.registry import query
+
+
+def gapfill_rollup(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    start: str,
+    stop: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Bucketed avg/count rollup on a dense time spine with LOCF.
+
+    Returns one row per (key, bucket) between ``start`` and ``stop``
+    inclusive: ``n_events`` (0 on gaps), ``avg_value`` (NULL on gaps),
+    and ``locf_value`` (last non-null avg carried forward per key).
+    """
+    spark = df.sparkSession
+    agg = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+    ).agg(
+        F.round(F.avg(value_col), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    buckets = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("timestamp"),
+                F.lit(stop).cast("timestamp"),
+                F.expr(f"INTERVAL 1 {bucket.upper()}"),
+            )
+        ).alias("bucket")
+    )
+    spine = df.select(F.col(key_col).alias("key")).distinct().crossJoin(
+        F.broadcast(buckets)
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(agg, ["key", "bucket"], "left").select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+@query(
+    "q55_gapfill_rollup",
+    oracle="""
+    WITH spine AS (
+        SELECT t.event_type AS key, b.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-30 23:00:00',
+                                          INTERVAL 1 HOUR)) AS bucket
+        ) b
+    ), agg AS (
+        SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+               round(avg(value), 4) AS avg_value, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.key AS event_type, s.bucket,
+           coalesce(a.n_events, 0)  AS n_events,
+           a.avg_value              AS avg_value,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+               PARTITION BY s.key ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM spine s LEFT JOIN agg a ON a.key = s.key AND a.bucket = s.bucket
+    """,
+)
+def q55_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type rollup over the full events month, dense
+    spine, zero-filled counts, LOCF values."""
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_rollup(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        start="2024-01-01 00:00:00",
+        stop="2024-01-30 23:00:00",
+        bucket="hour",
+    )
