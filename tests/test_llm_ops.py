@@ -158,3 +158,50 @@ def test_hyperplane_lsh_recall_and_exactness(emb):
     # per-pair recall at cosine≈0.45 with 6 planes × 12 tables is ~0.6,
     # top-5 sets overlap less — bound loosely but meaningfully
     assert recall >= 0.25, recall
+
+
+class TestHashSplit:
+    def test_split_fractions_validated(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.sampling import (
+            deterministic_sample,
+            hash_split,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        with _pytest.raises(ValueError):
+            hash_split(docs, "doc_id", {"train": 0.5, "val": 0.4})  # sums to 0.9
+        with _pytest.raises(ValueError):
+            hash_split(docs, "doc_id", {"train": 0.999, "val": 0.001})  # 0 buckets
+        with _pytest.raises(ValueError):
+            deterministic_sample(docs, "doc_id", 0.0)
+
+    def test_split_stable_and_partitioning_invariant(self, spark, sf_dir):
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.sampling import hash_split
+
+        docs = load_table(spark, sf_dir, "documents")
+        fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs, "doc_id", fracs).select("doc_id", "split").collect()
+        }
+        # repartitioning must not move any row between splits
+        b = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs.repartition(7), "doc_id", fracs)
+            .select("doc_id", "split")
+            .collect()
+        }
+        assert a == b
+        assert set(a.values()) == {"train", "val", "test"}
+        # a subset of the data gets identical assignments (append-stability)
+        sub = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs.where("doc_id % 2 = 0"), "doc_id", fracs)
+            .select("doc_id", "split")
+            .collect()
+        }
+        assert all(a[k] == v for k, v in sub.items())

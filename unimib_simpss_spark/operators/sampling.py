@@ -1,0 +1,88 @@
+"""Deterministic, key-hashed sampling and dataset splitting.
+
+A 100 TB training-data pipeline cannot use ``df.sample()`` for
+train/val/test splits: RNG sampling is nondeterministic across retries,
+repartitions, and reruns, so a failed stage re-executes with different
+rows and the split silently leaks. The reproducible formulation hashes a
+stable key column — membership is a pure function of the key, identical
+on every rerun, every engine, and every subset of the data (adding new
+rows never moves old rows between splits — the property that keeps
+incremental ingestion append-only).
+
+Built on the portable 60-bit md5 hash (`functions/hashing.py`), so the
+assignment is verifiable bit-for-bit against the DuckDB oracle; swap in
+``xxhash64`` for production where cross-engine parity isn't needed.
+
+Per-row, no shuffle, whole-stage codegen — embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.functions.hashing import hash64, hash64_sql
+
+
+def split_assignment(
+    key: Column | str, fractions: dict[str, float], buckets: int = 100
+) -> Column:
+    """Split-label column: key-hash bucketed into ``fractions``.
+
+    ``fractions`` maps label -> fraction (must sum to 1.0); assignment is
+    ``hash(key) % buckets`` walked through the cumulative ranges.
+    """
+    _check_fractions(fractions, buckets)
+    h = hash64(F.col(key).cast("string") if isinstance(key, str) else key.cast("string"))
+    b = h % buckets
+    expr = None
+    hi = 0.0
+    items = list(fractions.items())
+    for label, frac in items[:-1]:
+        hi += frac
+        cond = b < int(round(hi * buckets))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last_label = items[-1][0]
+    return (expr.otherwise(last_label) if expr is not None else F.lit(last_label)).alias(
+        "split"
+    )
+
+
+def split_assignment_sql(
+    key_expr: str, fractions: dict[str, float], buckets: int = 100
+) -> str:
+    """DuckDB SQL text twin of :func:`split_assignment`."""
+    _check_fractions(fractions, buckets)
+    b = f"({hash64_sql(f'CAST({key_expr} AS VARCHAR)')} % {buckets})"
+    items = list(fractions.items())
+    parts = []
+    hi = 0.0
+    for label, frac in items[:-1]:
+        hi += frac
+        parts.append(f"WHEN {b} < {int(round(hi * buckets))} THEN '{label}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{items[-1][0]}' END"
+
+
+def hash_split(df: DataFrame, key: str, fractions: dict[str, float]) -> DataFrame:
+    """Tag ``df`` with a deterministic ``split`` column."""
+    return df.withColumn("split", split_assignment(key, fractions))
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep a stable ``fraction`` of rows, selected purely by key hash."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    buckets = 10_000
+    h = hash64(F.col(key).cast("string"))
+    return df.where((h % buckets) < int(round(fraction * buckets)))
+
+
+def _check_fractions(fractions: dict[str, float], buckets: int) -> None:
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    for label, frac in fractions.items():
+        if int(round(frac * buckets)) == 0:
+            raise ValueError(f"fraction for {label!r} rounds to 0/{buckets} buckets")

@@ -74,3 +74,47 @@ def q51_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join candidates, exact cosine within buckets. Recall is
     bounds-tested against brute force in tests/test_llm_ops.py."""
     return S.hyperplane_lsh_topk(_emb(spark, sf_dir), k=5, n_planes=6, n_tables=12)
+
+
+@query(
+    "q57_label_centroids",
+    oracle="""
+    SELECT label, pos, round(avg(v), 5) AS mean_v
+    FROM (
+        SELECT label,
+               unnest(embedding)                          AS v,
+               unnest(range(1, len(embedding) + 1))       AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via a GROUPED-AGG pandas UDF (the UDAF shape
+    of SURVEY §2.7): one Arrow batch per label feeds a single NumPy
+    column-mean — the vectorized custom aggregate pattern. Emitted in
+    long form (label, pos, mean_v) so the oracle compares element-wise.
+
+    Scale: grouped-agg state is one k x d float64 accumulator per group;
+    the only shuffle is the groupBy(label). At 100 TB the same UDF runs
+    unchanged — group count, not row count, bounds memory."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("array<double>", F.PandasUDFType.GROUPED_AGG)
+    def centroid(emb):
+        return np.stack(emb.to_numpy()).astype("float64").mean(axis=0).tolist()
+
+    cent = (
+        _emb(spark, sf_dir)
+        .groupBy("label")
+        .agg(centroid(F.col("embedding")).alias("centroid"))
+    )
+    return cent.select(
+        "label",
+        F.posexplode("centroid").alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.round("v", 5).alias("mean_v"),
+    )

@@ -119,3 +119,39 @@ def q30_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", A.rolling_fingerprint("text").alias("fingerprint")
     )
+
+
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_oracle() -> str:
+    from unimib_simpss_spark.operators.sampling import split_assignment_sql
+
+    case = split_assignment_sql("doc_id", _SPLIT_FRACS)
+    return f"""
+    SELECT source, {case} AS split,
+           count(*)               AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY source, split
+    """
+
+
+@query("q58_hash_split", oracle=_split_oracle())
+def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py):
+    membership is a pure function of hash(doc_id), so the split is
+    identical on every rerun/retry/engine and append-stable — the
+    reproducible alternative to RNG df.sample() for training data.
+    Summarized per (source, split) for the oracle compare."""
+    from unimib_simpss_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, key="doc_id", fractions=_SPLIT_FRACS)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
