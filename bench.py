@@ -55,6 +55,7 @@ HEADLINE = [
     "q56_correlated_subquery",
     "q57_label_centroids",
     "q58_hash_split",
+    "q59_dedup_clusters",
 ]
 
 

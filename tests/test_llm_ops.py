@@ -205,3 +205,30 @@ class TestHashSplit:
             .collect()
         }
         assert all(a[k] == v for k, v in sub.items())
+
+
+def test_dedup_clusters_transitive_and_canonical(spark, sf_dir):
+    from unimib_simpss_spark.catalog import load_table
+    from unimib_simpss_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    clusters = D.dedup_clusters(docs, pairs)
+    comp = {r["doc_id"]: r["component"] for r in clusters.collect()}
+    got_pairs = [(r["doc1"], r["doc2"]) for r in pairs.collect()]
+    assert got_pairs, "need at least one near-dup pair for a meaningful test"
+    # every mined pair ends up in the same component
+    for a, b in got_pairs:
+        assert comp[a] == comp[b], (a, b)
+    # component id is the min member id; singletons are their own component
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, c in comp.items():
+        members[c].append(doc)
+    for c, ms in members.items():
+        assert c == min(ms)
+    paired = {d for ab in got_pairs for d in ab}
+    for doc, c in comp.items():
+        if doc not in paired:
+            assert c == doc

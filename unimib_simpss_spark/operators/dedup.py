@@ -477,3 +477,109 @@ def simhash_sql(max_hamming: int = 3, text_expr: str = "text") -> str:
     FROM sims a JOIN sims b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ------------------------------------------------------ connected components
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 25
+) -> DataFrame:
+    """Connected components of an undirected pair graph → ``(node,
+    label)`` where ``label`` is the component's minimum node id.
+
+    Iterative min-label propagation, pure DataFrame ops: each round a
+    node takes the min of its own label and its neighbors' labels; stop
+    when no label changes. Rounds needed = graph diameter — near-dup
+    clusters are shallow (a dup of a dup of a dup is rare), so this
+    converges in a handful of rounds; for adversarial long-chain graphs
+    swap in large-star/small-star (same building blocks, O(log n)
+    rounds). Per round: one equi-join + one min-agg (two shuffles on
+    the node key); ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1 — the classic iterative-Spark
+    trap. Driver holds only the convergence counter, never the graph.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
+    ).union(
+        edges.select(F.col(dst).cast("long").alias("node"), F.col(src).cast("long").alias("nbr"))
+    )
+    sym = sym.repartition("node").persist()
+    labels = (
+        sym.select("node").distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_labels = labels.select(
+            F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+        )
+        proposed = (
+            sym.join(nbr_labels, "nbr")
+            .select("node", F.col("nbr_label").alias("label"))
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            proposed.alias("new")
+            .join(labels.alias("old"), "node")
+            .where(F.col("new.label") != F.col("old.label"))
+            .count()
+        )
+        labels = proposed
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: every document tagged with
+    its component id (min doc id of the cluster; singletons are their
+    own component) and the cluster size. Downstream "keep one per
+    cluster" is ``where(doc_id == component)`` — the canonical-survivor
+    rule is deterministic and needs no extra pass."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src="doc1", dst="doc2")
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("label", F.col(id_col)).alias("component"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+    )
+
+
+def dedup_clusters_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
+    """Oracle twin of :func:`dedup_clusters` over Jaccard pairs: the
+    transitive closure as a recursive CTE (fine at oracle scale; the
+    Spark side is the distributed formulation)."""
+    jp = jaccard_pairs_sql(threshold=threshold, text_expr=text_expr)
+    return f"""
+    WITH RECURSIVE
+    jp AS ({jp}),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM jp
+        UNION
+        SELECT doc2 AS a, doc1 AS b FROM jp
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           count(*) OVER (
+               PARTITION BY coalesce(c.component, d.doc_id)) AS cluster_size
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """

@@ -50,3 +50,15 @@ def q34_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming ≤ 3 pairs via exact pigeonhole band join."""
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@query("q59_dedup_clusters", oracle=D.dedup_clusters_sql(threshold=0.8))
+def q59_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components over the exact Jaccard
+    ≥ 0.8 pair graph (iterative min-label propagation, lineage
+    checkpointed per round), every doc tagged with component id +
+    cluster size. The missing last step of dedup: q33-q35 mine pairs,
+    this picks the survivors (keep = doc_id == component)."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    return D.dedup_clusters(docs, pairs)
