@@ -56,6 +56,7 @@ HEADLINE = [
     "q57_label_centroids",
     "q58_hash_split",
     "q59_dedup_clusters",
+    "q60_regional_revenue",
 ]
 
 

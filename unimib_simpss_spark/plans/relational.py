@@ -983,17 +983,19 @@ def q52_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(var_samp(l_quantity), 4)                    AS var_qty,
            round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-           round(quantile_cont(l_extendedprice, 0.5), 2)     AS median_price,
-           round(quantile_cont(l_extendedprice, 0.9), 2)     AS p90_price
+           round(quantile_disc(l_extendedprice, 0.5), 2)     AS median_price,
+           round(quantile_disc(l_extendedprice, 0.9), 2)     AS p90_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def q53_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-moment aggregates (stddev/var/corr/covar) + exact
-    interpolated percentiles, grouped. All moments are map-side
-    combinable; F.percentile is Spark's exact linear-interpolation
-    twin of DuckDB quantile_cont."""
+    percentiles, grouped. All moments are map-side combinable.
+    Percentiles are DISCRETE (percentile_disc = SQL-standard smallest
+    value with cum. distribution >= p): both engines then return an
+    actual data element, dodging the last-ulp interpolation arithmetic
+    that makes quantile_cont round differently across engines."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
@@ -1002,8 +1004,12 @@ def q53_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "covar_qty_price"
         ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2
+        ).alias("median_price"),
+        F.round(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 2
+        ).alias("p90_price"),
     )
 
 
@@ -1070,3 +1076,54 @@ def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_CORRELATED_SQL)
+
+
+# --------------------------------------------------------------------------
+# J2 at depth: six-way star join (TPC-H Q5 shape). The point is what
+# Catalyst does unprompted: region/nation broadcast (tiny), customer/
+# supplier broadcast under AQE at this SF, join order driven by the
+# pushed region filter — at 100 TB the same declarative plan flips the
+# big sides to shuffle joins without a code change.
+# --------------------------------------------------------------------------
+@query(
+    "q60_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON c_nationkey = n_nationkey
+                   AND s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def q60_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation where customer and supplier are co-national,
+    restricted to two regions — the deepest join tree in the suite,
+    left entirely to Catalyst/AQE ordering."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey))
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
