@@ -57,6 +57,7 @@ HEADLINE = [
     "q58_hash_split",
     "q59_dedup_clusters",
     "q60_regional_revenue",
+    "q61_incremental_dedup",
 ]
 
 

@@ -583,3 +583,55 @@ def dedup_clusters_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
                PARTITION BY coalesce(c.component, d.doc_id)) AS cluster_size
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     """
+
+
+def incremental_dedup_pairs(
+    docs: DataFrame,
+    is_new: Column,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: which NEW documents near-duplicate
+    the EXISTING corpus? ``is_new`` is a boolean Column splitting the
+    input. Mines the full pair graph with the prefix-filtered
+    :func:`jaccard_pairs` machinery, then keeps only cross-set pairs,
+    reported as ``(new_doc, corpus_doc, jaccard)``.
+
+    Append-only pipelines run this per batch: the corpus side's shingle
+    index is the reusable artifact (at scale, a persisted/bucketed
+    table keyed on prefix hash); the batch side is small, so the
+    candidate join broadcasts the batch prefixes against it. Composing
+    the verified pair miner keeps one code path for both full and
+    incremental dedup.
+    """
+    sides = docs.select(F.col(id_col), is_new.alias("is_new"))
+    pairs = jaccard_pairs(docs, threshold=threshold, text_col=text_col, id_col=id_col)
+    a = sides.withColumnRenamed(id_col, "doc1").withColumnRenamed("is_new", "new1")
+    b = sides.withColumnRenamed(id_col, "doc2").withColumnRenamed("is_new", "new2")
+    return (
+        pairs.join(F.broadcast(a), "doc1")
+        .join(F.broadcast(b), "doc2")
+        .where(F.col("new1") != F.col("new2"))
+        .select(
+            F.when(F.col("new1"), F.col("doc1")).otherwise(F.col("doc2")).alias("new_doc"),
+            F.when(F.col("new1"), F.col("doc2")).otherwise(F.col("doc1")).alias("corpus_doc"),
+            "jaccard",
+        )
+    )
+
+
+def incremental_dedup_sql(threshold: float = 0.8, new_pred_sql: str = "doc_id % 5 = 0") -> str:
+    """Oracle twin of :func:`incremental_dedup_pairs` with ``is_new``
+    given as a SQL predicate over ``documents``."""
+    jp = jaccard_pairs_sql(threshold=threshold)
+    return f"""
+    WITH jp AS ({jp}),
+    sides AS (SELECT doc_id, ({new_pred_sql}) AS is_new FROM documents)
+    SELECT CASE WHEN a.is_new THEN jp.doc1 ELSE jp.doc2 END AS new_doc,
+           CASE WHEN a.is_new THEN jp.doc2 ELSE jp.doc1 END AS corpus_doc,
+           jp.jaccard
+    FROM jp JOIN sides a ON jp.doc1 = a.doc_id
+            JOIN sides b ON jp.doc2 = b.doc_id
+    WHERE a.is_new <> b.is_new
+    """

@@ -11,6 +11,7 @@ from the same constants, so thresholds/coefficients can't drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from unimib_simpss_spark.catalog import load_table
 from unimib_simpss_spark.operators import dedup as D
@@ -62,3 +63,16 @@ def q59_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = D.jaccard_pairs(docs, threshold=0.8)
     return D.dedup_clusters(docs, pairs)
+
+
+@query("q61_incremental_dedup", oracle=D.incremental_dedup_sql(threshold=0.8))
+def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: treat every 5th doc as the incoming
+    batch and report which of them near-duplicate (Jaccard >= 0.8) the
+    existing corpus — the per-batch dedup gate of an append-only
+    training-data pipeline, composed from the same verified pair miner
+    as q33."""
+    docs = _docs(spark, sf_dir)
+    return D.incremental_dedup_pairs(
+        docs, is_new=(F.col("doc_id") % 5 == 0), threshold=0.8
+    )
