@@ -58,6 +58,7 @@ HEADLINE = [
     "q59_dedup_clusters",
     "q60_regional_revenue",
     "q61_incremental_dedup",
+    "q62_corpus_pipeline",
 ]
 
 

@@ -252,15 +252,18 @@ def jaccard_pairs(
     return _pair_jaccard_hashed(cand, hsd).where(F.col("jaccard") >= threshold)
 
 
-def jaccard_pairs_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
+def jaccard_pairs_sql(
+    threshold: float = 0.8, text_expr: str = "text", where_sql: str = "TRUE"
+) -> str:
     """Oracle twin of :func:`jaccard_pairs` — same combo-hash space,
     but as a plain (unfiltered) inverted-index join: the oracle states
     WHAT the answer is; the Spark side adds the prefix/length pruning
-    that computes the same answer at scale."""
+    that computes the same answer at scale. ``where_sql`` restricts the
+    document population (mirrors filtering ``docs`` before mining)."""
     hs = combo_shingle_hashes_sql(text_expr)
     return f"""
     WITH sh AS (
-        SELECT doc_id, {hs} AS hs FROM documents
+        SELECT doc_id, {hs} AS hs FROM documents WHERE {where_sql}
     ), shn AS (
         SELECT doc_id, hs FROM sh WHERE len(hs) > 0
     ), post AS (
@@ -555,11 +558,15 @@ def dedup_clusters(
     )
 
 
-def dedup_clusters_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
+def dedup_clusters_sql(
+    threshold: float = 0.8, text_expr: str = "text", where_sql: str = "TRUE"
+) -> str:
     """Oracle twin of :func:`dedup_clusters` over Jaccard pairs: the
     transitive closure as a recursive CTE (fine at oracle scale; the
     Spark side is the distributed formulation)."""
-    jp = jaccard_pairs_sql(threshold=threshold, text_expr=text_expr)
+    jp = jaccard_pairs_sql(
+        threshold=threshold, text_expr=text_expr, where_sql=where_sql
+    )
     return f"""
     WITH RECURSIVE
     jp AS ({jp}),
@@ -581,7 +588,8 @@ def dedup_clusters_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
            coalesce(c.component, d.doc_id) AS component,
            count(*) OVER (
                PARTITION BY coalesce(c.component, d.doc_id)) AS cluster_size
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    FROM (SELECT * FROM documents WHERE {where_sql}) d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
     """
 
 

@@ -76,3 +76,62 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup_pairs(
         docs, is_new=(F.col("doc_id") % 5 == 0), threshold=0.8
     )
+
+
+def _corpus_pipeline_oracle() -> str:
+    from unimib_simpss_spark.functions.analysis import (
+        quality_score_sql,
+        token_count_ws_sql,
+    )
+    from unimib_simpss_spark.operators.sampling import split_assignment_sql
+
+    qs = quality_score_sql("text")
+    clusters = D.dedup_clusters_sql(threshold=0.8, where_sql=f"{qs} >= 0.5")
+    case = split_assignment_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    ws = token_count_ws_sql("text")
+    return f"""
+    WITH surv AS (
+        SELECT d.doc_id, d.text
+        FROM ({clusters}) c JOIN documents d ON c.doc_id = d.doc_id
+        WHERE c.doc_id = c.component
+    )
+    SELECT {case}            AS split,
+           count(*)          AS n_docs,
+           sum({ws})         AS sum_ws_tokens,
+           round(avg({qs.replace('text', 'surv.text')}), 4) AS avg_quality
+    FROM surv
+    GROUP BY split
+    """
+
+
+@query("q62_corpus_pipeline", oracle=_corpus_pipeline_oracle())
+def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone documents-in → training-corpus-out pipeline, composed
+    entirely from verified operators: quality filter (>= 0.5) → exact
+    near-dup clustering → canonical-survivor selection → deterministic
+    train/val/test split → per-split corpus stats. Every stage is
+    collect-free and keyed; the whole pipeline is one lazy plan."""
+    from unimib_simpss_spark.functions import analysis as A
+    from unimib_simpss_spark.operators.sampling import split_assignment
+
+    docs = _docs(spark, sf_dir)
+    docs_q = docs.where(A.quality_score("text") >= 0.5)
+    pairs = D.jaccard_pairs(docs_q, threshold=0.8)
+    clusters = D.dedup_clusters(docs_q, pairs)
+    surv = docs_q.join(
+        clusters.where(F.col("doc_id") == F.col("component")).select("doc_id"),
+        "doc_id",
+    )
+    return (
+        surv.select(
+            split_assignment("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+            A.token_count_ws("text").alias("ws"),
+            A.quality_score("text").alias("q"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("sum_ws_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
