@@ -85,3 +85,23 @@ def test_binned_range_join_matches_between(spark, sf_dir):
         for r in binned_range_join(facts, ranges, "v", "lo", "hi", bin_width=100.0).collect()
     )
     assert naive == binned and naive
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """q60's six-way star join must broadcast the dimension sides and
+    never fall back to a cartesian/BNL product."""
+    plan = registry.queries()["q60_regional_revenue"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_spine_is_broadcast(spark, sf_dir):
+    """q55's generated time spine must broadcast against the rollup —
+    the spine is O(keys x buckets), never worth a shuffle."""
+    plan = registry.queries()["q55_gapfill_rollup"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
