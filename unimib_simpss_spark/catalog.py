@@ -37,9 +37,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable on ANY session.
+
+    ``events.parquet`` is written with nanosecond timestamps, which vanilla
+    Spark rejects with PARQUET_TYPE_ILLEGAL. The legacy conf is
+    runtime-settable, so set it here — callers (including external harnesses
+    that build their own SparkSession) must not need a specially-configured
+    session just to read a table.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        # Conf not recognized on some builds — the read below will surface
+        # a clear error if nanos support is genuinely absent.
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        _ensure_nanos_readable(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read via nanosAsLong: truncate to
