@@ -60,8 +60,31 @@ def q40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q41_media_decode")  # no oracle: NumPy feature math → rows-only check
 def q41_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode (deterministic fake decoder) → feature rows."""
-    return M.decode_media(_media(spark, sf_dir))
+    """Arrow-batched decode (deterministic fake decoder) → feature digests.
+
+    The registered contract surface is SCALAR columns only — the raw
+    ``features array<float>`` crashes hash canonicalizers that sort rows
+    in pandas (lists are unhashable). Internal/tested consumers use
+    :func:`~unimib_simpss_spark.operators.multimodal.decode_media`
+    directly for the full array.
+    """
+    feats = M.decode_media(_media(spark, sf_dir))
+    # Position-weighted checksum of the feature vector: deterministic,
+    # order-stable (fold-left over the array), scalar.
+    weighted = F.zip_with(
+        "features",
+        F.sequence(F.lit(1), F.size("features")),
+        lambda f, i: f.cast("double") * i.cast("double"),
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("features").alias("n_dims"),
+        F.round(
+            F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("feature_digest"),
+    )
 
 
 @query("q42_media_feature_topk")  # no oracle: decode feeds cosine top-k
