@@ -97,7 +97,7 @@ def _corpus_pipeline_oracle() -> str:
     )
     SELECT {case}            AS split,
            count(*)          AS n_docs,
-           sum({ws})         AS sum_ws_tokens,
+           CAST(sum({ws}) AS BIGINT) AS sum_ws_tokens,
            round(avg({qs.replace('text', 'surv.text')}), 4) AS avg_quality
     FROM surv
     GROUP BY split

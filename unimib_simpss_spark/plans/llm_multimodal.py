@@ -30,9 +30,9 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH media AS ({_MEDIA_CTE})
     SELECT kind, count(*) AS n_media,
-           sum(octet_length(payload)) AS sum_bytes,
-           sum(CASE WHEN kind <> 'image' THEN n * 10 ELSE 0 END)
-               AS sum_duration_ms,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS sum_bytes,
+           CAST(sum(CASE WHEN kind <> 'image' THEN n * 10 ELSE 0 END)
+               AS BIGINT) AS sum_duration_ms,
            max(CASE WHEN kind <> 'audio' THEN (n % 64 + 1) * 16 END)
                AS max_width
     FROM media GROUP BY kind

@@ -26,8 +26,8 @@ _bpe = A.token_count_bpe_sql("text")
     oracle=f"""
     SELECT source,
            count(*)                 AS n_docs,
-           sum({_ws})               AS sum_ws_tokens,
-           sum({_bpe})              AS sum_bpe_tokens,
+           CAST(sum({_ws}) AS BIGINT)  AS sum_ws_tokens,
+           CAST(sum({_bpe}) AS BIGINT) AS sum_bpe_tokens,
            round(avg(n_chars), 2)   AS avg_chars
     FROM documents
     GROUP BY source
@@ -60,7 +60,7 @@ _pred_sql, _best_sql = A.lang_id_sql("text")
     "q28_lang_id",
     oracle=f"""
     SELECT lang, {_pred_sql} AS pred_lang, count(*) AS n_docs,
-           sum({_best_sql}) AS sum_score
+           CAST(sum({_best_sql}) AS BIGINT) AS sum_score
     FROM documents
     GROUP BY 1, 2
     """,
