@@ -98,6 +98,24 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_incremental_dedup_never_forces_corpus_broadcast(spark, sf_dir):
+    """q61 must not hint-broadcast the O(corpus) sides relation. With
+    the auto-broadcast threshold disabled, a hint would still force a
+    BroadcastExchange — so the static plan must contain none."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = registry.queries()["q61_incremental_dedup"](
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_gapfill_spine_is_broadcast(spark, sf_dir):
     """q55's generated time spine must broadcast against the rollup —
     the spine is O(keys x buckets), never worth a shuffle."""

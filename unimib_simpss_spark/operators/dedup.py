@@ -608,18 +608,22 @@ def incremental_dedup_pairs(
 
     Append-only pipelines run this per batch: the corpus side's shingle
     index is the reusable artifact (at scale, a persisted/bucketed
-    table keyed on prefix hash); the batch side is small, so the
-    candidate join broadcasts the batch prefixes against it. Composing
-    the verified pair miner keeps one code path for both full and
-    incremental dedup.
+    table keyed on prefix hash). Composing the verified pair miner
+    keeps one code path for both full and incremental dedup.
+
+    Scale note: ``sides`` is O(corpus), so it must NEVER be broadcast —
+    the pair relation is the small side here (post-threshold survivors).
+    No hints: the equi-joins on doc1/doc2 shuffle-join by default, and
+    AQE may demote them to a runtime broadcast of whichever side is
+    actually small, which is never forced to be the corpus.
     """
     sides = docs.select(F.col(id_col), is_new.alias("is_new"))
     pairs = jaccard_pairs(docs, threshold=threshold, text_col=text_col, id_col=id_col)
     a = sides.withColumnRenamed(id_col, "doc1").withColumnRenamed("is_new", "new1")
     b = sides.withColumnRenamed(id_col, "doc2").withColumnRenamed("is_new", "new2")
     return (
-        pairs.join(F.broadcast(a), "doc1")
-        .join(F.broadcast(b), "doc2")
+        pairs.join(a, "doc1")
+        .join(b, "doc2")
         .where(F.col("new1") != F.col("new2"))
         .select(
             F.when(F.col("new1"), F.col("doc1")).otherwise(F.col("doc2")).alias("new_doc"),
