@@ -14,13 +14,17 @@ from unimib_simpss_spark.catalog import TABLES, load_table
 
 def test_events_readable_without_preconfigured_session(spark, sf_dir):
     """Simulate the driver: drop the nanos conf, then load via the catalog."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try:
         df = load_table(spark, sf_dir, "events")
         assert dict(df.dtypes)["ts"] == "timestamp"
         assert df.count() > 0
     finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def test_events_ts_is_timestamp_not_bigint(spark, sf_dir):

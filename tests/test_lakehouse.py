@@ -17,6 +17,9 @@ from unimib_simpss_spark.sources.lakehouse import (
 def warehouse_spark(tmp_path_factory):
     from unimib_simpss_spark.session import get_spark
 
+    # NOTE: if a session already exists (full-suite order), getOrCreate
+    # returns it and static conf like warehouse.dir CANNOT change — so
+    # never assume a private warehouse here; tests clean up by table name.
     wh = tmp_path_factory.mktemp("warehouse")
     s = get_spark(
         app_name="lakehouse-tests",
@@ -25,6 +28,18 @@ def warehouse_spark(tmp_path_factory):
         extra_conf={"spark.sql.warehouse.dir": str(wh)},
     )
     yield s
+
+
+def _drop_table_and_location(spark, name: str) -> None:
+    """Drop a managed table AND its on-disk location. A stale location
+    without a catalog entry (prior run, different session) makes
+    saveAsTable fail with LOCATION_ALREADY_EXISTS, so remove both."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
 
 
 def test_clustered_write_prunes_partitions(warehouse_spark, tmp_path_factory):
@@ -53,6 +68,8 @@ def test_cobucketed_join_has_no_exchange(warehouse_spark):
         (F.col("id") % 100).alias("k"), F.col("id").alias("v")
     )
     dims = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    _drop_table_and_location(spark, "b_facts")
+    _drop_table_and_location(spark, "b_dims")
     write_bucketed(facts, "b_facts", bucket_by="k", n_buckets=8, sort_by=("k",))
     write_bucketed(dims, "b_dims", bucket_by="k", n_buckets=8, sort_by=("k",))
 
