@@ -1,0 +1,73 @@
+"""Deterministic cache lifecycle: no persisted blocks survive a dedup /
+ANN query beyond the handle the caller owns.
+
+The pair miners and index builders persist O(corpus) intermediates
+(compute sharing + plan barriers — see operators/caching.py). The
+contract under test: every internal cache is unpersisted before the
+operator returns, and the returned (checkpointed) result is the ONLY
+new persistent RDD — freed by ``release_result`` when the caller is
+done, leaving the context exactly as it started.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.catalog import load_table
+from unimib_simpss_spark.operators import dedup as D
+from unimib_simpss_spark.operators import similarity as S
+from unimib_simpss_spark.operators.caching import persistent_rdd_ids, release_result
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings")
+
+
+OPS = {
+    "jaccard_pairs": lambda spark: D.jaccard_pairs(_docs(spark), threshold=0.8),
+    "minhash_pairs": lambda spark: D.minhash_dedup_pairs(_docs(spark), threshold=0.8),
+    "simhash_pairs": lambda spark: D.simhash_pairs(_docs(spark), max_hamming=3),
+    "incremental_dedup": lambda spark: D.incremental_dedup_pairs(
+        _docs(spark), is_new=(F.col("doc_id") % 5 == 0), threshold=0.8
+    ),
+    "kmeans_cells": lambda spark: S.kmeans_cells(_emb(spark), k=4, iters=2),
+    "lsh_topk": lambda spark: S.hyperplane_lsh_topk(_emb(spark), k=3, n_tables=4),
+}
+
+
+@pytest.mark.parametrize("name", sorted(OPS))
+def test_op_releases_every_internal_cache(spark, name):
+    before = persistent_rdd_ids(spark)
+    out = OPS[name](spark)
+    out.collect()
+    leaked = persistent_rdd_ids(spark) - before
+    # the only new blocks may be the result's own checkpoint
+    release_result(out)
+    assert persistent_rdd_ids(spark) - before == set(), (
+        f"{name} leaked persistent RDDs beyond its result handle "
+        f"(new ids while held: {sorted(leaked)})"
+    )
+
+
+def test_dedup_clusters_single_handle(spark):
+    before = persistent_rdd_ids(spark)
+    docs = _docs(spark)
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    clusters = D.dedup_clusters(docs, pairs)
+    release_result(pairs)
+    clusters.collect()
+    release_result(clusters)
+    assert persistent_rdd_ids(spark) - before == set()
+
+
+def test_release_result_noop_on_lazy_plan(spark):
+    df = _docs(spark).select("doc_id")
+    release_result(df)  # must not raise
+    assert df.count() > 0

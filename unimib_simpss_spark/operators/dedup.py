@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from unimib_simpss_spark.functions.hashing import COMBO_BASE, MERSENNE_31
+from unimib_simpss_spark.operators.caching import materialize_release, release_result
 from unimib_simpss_spark.functions.text import (
     combo_shingle_hashes_sql,
     normalized_text,
@@ -227,9 +228,12 @@ def jaccard_pairs(
     the shingle STRINGS — the exact string-set Jaccard, which can
     differ from the oracle's hash-space answer on (rare) collisions.
     """
+    caches: list[DataFrame] = []
     if verify_on == "text":
         sh = _shingle_docs(docs, text_col, id_col).persist()
+        caches.append(sh)
     hsd = _combo_shingle_docs(docs, text_col, id_col).persist()
+    caches.append(hsd)
     p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
     prefix = hsd.select(
         "doc_id",
@@ -248,8 +252,10 @@ def jaccard_pairs(
         .distinct()
     )
     if verify_on == "text":
-        return _pair_jaccard(cand, sh).where(F.col("jaccard") >= threshold)
-    return _pair_jaccard_hashed(cand, hsd).where(F.col("jaccard") >= threshold)
+        out = _pair_jaccard(cand, sh).where(F.col("jaccard") >= threshold)
+    else:
+        out = _pair_jaccard_hashed(cand, hsd).where(F.col("jaccard") >= threshold)
+    return materialize_release(out, *caches)
 
 
 def jaccard_pairs_sql(
@@ -339,7 +345,8 @@ def minhash_dedup_pairs(
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    return _pair_jaccard_hashed(cand, hsd).where(F.col("jaccard") >= threshold)
+    out = _pair_jaccard_hashed(cand, hsd).where(F.col("jaccard") >= threshold)
+    return materialize_release(out, hsd)
 
 
 def minhash_dedup_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
@@ -444,7 +451,7 @@ def simhash_pairs(
             )
         ).alias("band_id", "band_val"),
     )
-    return (
+    out = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -458,6 +465,7 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return materialize_release(out, d)
 
 
 def simhash_sql(max_hamming: int = 3, text_expr: str = "text") -> str:
@@ -526,6 +534,10 @@ def connected_components(
             .where(F.col("new.label") != F.col("old.label"))
             .count()
         )
+        # round N-1's checkpoint blocks are dead once `changed` is
+        # computed — drop them now instead of waiting for GC, or a long
+        # chain of rounds holds diameter× copies of the label relation.
+        release_result(labels)
         labels = proposed
         if changed == 0:
             break
@@ -544,7 +556,7 @@ def dedup_clusters(
     from pyspark.sql import Window
 
     comp = connected_components(pairs, src="doc1", dst="doc2")
-    return (
+    out = (
         docs.select(F.col(id_col).cast("long").alias(id_col))
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .select(
@@ -556,6 +568,12 @@ def dedup_clusters(
             F.count(F.lit(1)).over(Window.partitionBy("component")),
         )
     )
+    # comp is checkpointed (CC must truncate lineage) — materialize the
+    # tagged output now so comp's blocks can be dropped deterministically;
+    # the caller owns exactly one handle, freed with release_result().
+    out = out.localCheckpoint(eager=True)
+    release_result(comp)
+    return out
 
 
 def dedup_clusters_sql(
@@ -621,7 +639,7 @@ def incremental_dedup_pairs(
     pairs = jaccard_pairs(docs, threshold=threshold, text_col=text_col, id_col=id_col)
     a = sides.withColumnRenamed(id_col, "doc1").withColumnRenamed("is_new", "new1")
     b = sides.withColumnRenamed(id_col, "doc2").withColumnRenamed("is_new", "new2")
-    return (
+    out = (
         pairs.join(a, "doc1")
         .join(b, "doc2")
         .where(F.col("new1") != F.col("new2"))
@@ -631,6 +649,11 @@ def incremental_dedup_pairs(
             "jaccard",
         )
     )
+    # pairs is checkpointed (jaccard_pairs materializes it) — fold it
+    # into the (smaller) cross-set survivor set and drop its blocks.
+    out = materialize_release(out)
+    release_result(pairs)
+    return out
 
 
 def incremental_dedup_sql(threshold: float = 0.8, new_pred_sql: str = "doc_id % 5 = 0") -> str:

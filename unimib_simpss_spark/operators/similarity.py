@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from unimib_simpss_spark.operators.caching import materialize_release
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -433,7 +435,9 @@ def kmeans_cells(
                 }
             )
 
-    return base.mapInPandas(final_assign, "vec_id long, cell int")
+    return materialize_release(
+        base.mapInPandas(final_assign, "vec_id long, cell int"), base
+    )
 
 
 def hyperplane_lsh_topk(
@@ -507,8 +511,9 @@ def hyperplane_lsh_topk(
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rank"))
     )
+    return materialize_release(out, signed)

@@ -60,9 +60,13 @@ def q59_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed per round), every doc tagged with component id +
     cluster size. The missing last step of dedup: q33-q35 mine pairs,
     this picks the survivors (keep = doc_id == component)."""
+    from unimib_simpss_spark.operators.caching import release_result
+
     docs = _docs(spark, sf_dir)
     pairs = D.jaccard_pairs(docs, threshold=0.8)
-    return D.dedup_clusters(docs, pairs)
+    clusters = D.dedup_clusters(docs, pairs)
+    release_result(pairs)  # clusters is materialized; the pair graph is spent
+    return clusters
 
 
 @query("q61_incremental_dedup", oracle=D.incremental_dedup_sql(threshold=0.8))
@@ -114,10 +118,13 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unimib_simpss_spark.functions import analysis as A
     from unimib_simpss_spark.operators.sampling import split_assignment
 
+    from unimib_simpss_spark.operators.caching import release_result
+
     docs = _docs(spark, sf_dir)
     docs_q = docs.where(A.quality_score("text") >= 0.5)
     pairs = D.jaccard_pairs(docs_q, threshold=0.8)
     clusters = D.dedup_clusters(docs_q, pairs)
+    release_result(pairs)  # clusters is materialized; the pair graph is spent
     surv = docs_q.join(
         clusters.where(F.col("doc_id") == F.col("component")).select("doc_id"),
         "doc_id",
