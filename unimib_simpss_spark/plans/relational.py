@@ -177,12 +177,16 @@ def q04_predicate_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# P10: scalar string/math/conditional functions
+# P10: scalar string/math/conditional + date/time functions in one gauntlet
+# (two disjoint-column union legs so every function keeps its exact
+# output and type; merged from the former q05/q06 to fit the driver's
+# 50-query verification window)
 # --------------------------------------------------------------------------
 @query(
-    "q05_scalar_part",
+    "q05_scalar_gauntlet",
     oracle="""
-    SELECT p_partkey,
+    SELECT 'part_scalars'                       AS family,
+           CAST(p_partkey AS BIGINT)            AS row_key,
            upper(substring(p_name, 1, 10))      AS name10,
            concat(p_brand, '#', p_type)         AS brand_type,
            CAST(length(p_name) AS BIGINT)       AS name_len,
@@ -190,34 +194,19 @@ def q04_predicate_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(p_retailprice * 1.1, 2)        AS uplifted,
            CASE WHEN p_size > 25 THEN 'L'
                 WHEN p_size > 10 THEN 'M'
-                ELSE 'S' END                    AS size_class
+                ELSE 'S' END                    AS size_class,
+           CAST(NULL AS BIGINT)                 AS order_year,
+           CAST(NULL AS BIGINT)                 AS order_month,
+           CAST(NULL AS BIGINT)                 AS order_day,
+           CAST(NULL AS BIGINT)                 AS order_quarter,
+           CAST(NULL AS DATE)                   AS order_date,
+           CAST(NULL AS BIGINT)                 AS days_since_epoch_start,
+           CAST(NULL AS DATE)                   AS month_start
     FROM part
-    """,
-)
-def q05_scalar_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar function suite — all JVM built-ins, whole-stage codegen."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper(F.substring("p_name", 1, 10)).alias("name10"),
-        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
-        F.length("p_name").cast("long").alias("name_len"),
-        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("uplifted"),
-        F.when(F.col("p_size") > 25, "L")
-        .when(F.col("p_size") > 10, "M")
-        .otherwise("S")
-        .alias("size_class"),
-    )
-
-
-# --------------------------------------------------------------------------
-# P10: date/time functions
-# --------------------------------------------------------------------------
-@query(
-    "q06_scalar_dates",
-    oracle="""
-    SELECT o_orderkey,
+    UNION ALL
+    SELECT 'date_scalars'                       AS family,
+           CAST(o_orderkey AS BIGINT)           AS row_key,
+           NULL, NULL, NULL, NULL, NULL, NULL,
            CAST(year(o_orderdate) AS BIGINT)    AS order_year,
            CAST(month(o_orderdate) AS BIGINT)   AS order_month,
            CAST(day(o_orderdate) AS BIGINT)     AS order_day,
@@ -230,11 +219,42 @@ def q05_scalar_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE year(o_orderdate) = 1997
     """,
 )
-def q06_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date extraction/arithmetic/truncation suite."""
+def q05_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function suite — string/math/conditional over part plus
+    date extraction/arithmetic/truncation over orders, all JVM
+    built-ins inside whole-stage codegen. One tagged union, each leg
+    NULL-padding the other's columns so every scalar keeps its type."""
+    p = _t(spark, sf_dir, "part")
     o = _t(spark, sf_dir, "orders")
-    return o.where(F.year("o_orderdate") == 1997).select(
-        "o_orderkey",
+    part_leg = p.select(
+        F.lit("part_scalars").alias("family"),
+        F.col("p_partkey").cast("long").alias("row_key"),
+        F.upper(F.substring("p_name", 1, 10)).alias("name10"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("uplifted"),
+        F.when(F.col("p_size") > 25, "L")
+        .when(F.col("p_size") > 10, "M")
+        .otherwise("S")
+        .alias("size_class"),
+        F.lit(None).cast("long").alias("order_year"),
+        F.lit(None).cast("long").alias("order_month"),
+        F.lit(None).cast("long").alias("order_day"),
+        F.lit(None).cast("long").alias("order_quarter"),
+        F.lit(None).cast("date").alias("order_date"),
+        F.lit(None).cast("long").alias("days_since_epoch_start"),
+        F.lit(None).cast("date").alias("month_start"),
+    )
+    date_leg = o.where(F.year("o_orderdate") == 1997).select(
+        F.lit("date_scalars").alias("family"),
+        F.col("o_orderkey").cast("long").alias("row_key"),
+        F.lit(None).cast("string").alias("name10"),
+        F.lit(None).cast("string").alias("brand_type"),
+        F.lit(None).cast("long").alias("name_len"),
+        F.lit(None).cast("long").alias("size_dev"),
+        F.lit(None).cast("double").alias("uplifted"),
+        F.lit(None).cast("string").alias("size_class"),
         F.year("o_orderdate").cast("long").alias("order_year"),
         F.month("o_orderdate").cast("long").alias("order_month"),
         F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
@@ -245,6 +265,7 @@ def q06_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_epoch_start"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
     )
+    return part_leg.unionAll(date_leg)
 
 
 # --------------------------------------------------------------------------
