@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from unimib_simpss_spark.operators.caching import release_result  # noqa: E402
 from unimib_simpss_spark.plans import registry  # noqa: E402
 from unimib_simpss_spark.session import get_spark  # noqa: E402
 
@@ -70,8 +71,13 @@ def main() -> None:
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        # Dedup/ANN queries return eagerly-checkpointed results; free
+        # their blocks so a 33-query session doesn't accumulate them.
+        release_result(df)
+        return elapsed
 
     run(HEADLINE[0])  # warmup: JVM + codegen + parquet footer cache
     timings = {name: round(run(name), 3) for name in HEADLINE}

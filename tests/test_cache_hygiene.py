@@ -71,3 +71,43 @@ def test_release_result_noop_on_lazy_plan(spark):
     df = _docs(spark).select("doc_id")
     release_result(df)  # must not raise
     assert df.count() > 0
+
+
+def test_durable_checkpoint_mode(spark, tmp_path):
+    """The 100 TB deployment path: checkpoint_mode('durable') routes
+    materialize_release through reliable ``checkpoint()`` against the
+    context checkpoint dir (files survive executor churn, unlike
+    localCheckpoint blocks)."""
+    import os
+
+    from unimib_simpss_spark.operators.caching import (
+        checkpoint_mode,
+        materialize_release,
+        set_checkpoint_mode,
+    )
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    set_checkpoint_mode("durable")
+    try:
+        assert checkpoint_mode() == "durable"
+        out = materialize_release(_docs(spark).select("doc_id"))
+        assert out.count() > 0
+        # reliable checkpoint wrote files under the checkpoint dir
+        found = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckpt_dir)
+            for f in files
+        ]
+        assert found, "durable mode must write checkpoint files"
+        # dedup ops still honor the hygiene contract in durable mode
+        before = persistent_rdd_ids(spark)
+        pairs = D.jaccard_pairs(_docs(spark), threshold=0.8)
+        pairs.collect()
+        release_result(pairs)
+        assert persistent_rdd_ids(spark) - before == set()
+    finally:
+        set_checkpoint_mode("local")
+
+    with pytest.raises(ValueError):
+        set_checkpoint_mode("bogus")

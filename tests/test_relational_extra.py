@@ -99,17 +99,35 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
 
 
 def test_incremental_dedup_never_forces_corpus_broadcast(spark, sf_dir):
-    """q61 must not hint-broadcast the O(corpus) sides relation. With
-    the auto-broadcast threshold disabled, a hint would still force a
-    BroadcastExchange — so the static plan must contain none."""
+    """q61 must not hint-broadcast the O(corpus) sides relation. The
+    production path eagerly checkpoints (its plan is just a scan of the
+    result blocks), so the assertion runs on the PRE-checkpoint lazy
+    join via materialize=False. With the auto-broadcast threshold
+    disabled, only an explicit hint could still force a
+    BroadcastExchange — so the lazy plan must contain none."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.catalog import load_table
+    from unimib_simpss_spark.operators.caching import release_result
+    from unimib_simpss_spark.operators.dedup import incremental_dedup_pairs
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    pairs = None
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = registry.queries()["q61_incremental_dedup"](
-            spark, sf_dir
-        )._jdf.queryExecution().executedPlan().toString()
+        docs = load_table(spark, sf_dir, "documents")
+        lazy, pairs = incremental_dedup_pairs(
+            docs, is_new=(F.col("doc_id") % 5 == 0), threshold=0.8,
+            materialize=False,
+        )
+        plan = lazy._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" not in plan
+        # Not vacuous: the lazy plan must expose the real join strategy
+        # (shuffle join with broadcast disabled), not a checkpoint scan.
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
+        if pairs is not None:
+            release_result(pairs)
         if prev is None:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+from py4j.protocol import Py4JError
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES: tuple[str, ...] = (
@@ -46,11 +48,16 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
     that build their own SparkSession) must not need a specially-configured
     session just to read a table.
     """
+    # The conf intentionally STAYS set on the session (no restore): the
+    # scan executes lazily, possibly long after load_table returns, and
+    # still needs it then. Narrow guard: only "conf not recognized /
+    # not runtime-settable" is survivable — the read below then surfaces
+    # a clear error if nanos support is genuinely absent.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        # Conf not recognized on some builds — the read below will surface
-        # a clear error if nanos support is genuinely absent.
+    except (Py4JError, AnalysisException):
+        # AnalysisException = CANNOT_MODIFY_CONFIG on builds where the
+        # legacy conf is static; Py4JError = gateway-level rejection.
         pass
 
 

@@ -617,6 +617,7 @@ def incremental_dedup_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental ingestion dedup: which NEW documents near-duplicate
     the EXISTING corpus? ``is_new`` is a boolean Column splitting the
@@ -634,6 +635,14 @@ def incremental_dedup_pairs(
     No hints: the equi-joins on doc1/doc2 shuffle-join by default, and
     AQE may demote them to a runtime broadcast of whichever side is
     actually small, which is never forced to be the corpus.
+
+    ``materialize=False`` is the plan-inspection escape hatch: returns
+    ``(lazy_result, pairs_cache)`` where ``lazy_result`` is the
+    un-checkpointed join plan (so its executedPlan shows the real join
+    strategy, not ``Scan ExistingRDD``) and ``pairs_cache`` is the
+    checkpointed pair relation the plan reads — the caller must
+    ``release_result(pairs_cache)`` when done. Production callers use
+    the default, which returns one self-owned DataFrame.
     """
     sides = docs.select(F.col(id_col), is_new.alias("is_new"))
     pairs = jaccard_pairs(docs, threshold=threshold, text_col=text_col, id_col=id_col)
@@ -649,6 +658,8 @@ def incremental_dedup_pairs(
             "jaccard",
         )
     )
+    if not materialize:
+        return out, pairs
     # pairs is checkpointed (jaccard_pairs materializes it) — fold it
     # into the (smaller) cross-set survivor set and drop its blocks.
     out = materialize_release(out)

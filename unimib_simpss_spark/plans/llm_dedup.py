@@ -114,7 +114,10 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely from verified operators: quality filter (>= 0.5) → exact
     near-dup clustering → canonical-survivor selection → deterministic
     train/val/test split → per-split corpus stats. Every stage is
-    collect-free and keyed; the whole pipeline is one lazy plan."""
+    collect-free and keyed. Note: the pair-mining + clustering stages
+    execute EAGERLY at construction time (they checkpoint so their
+    O(corpus) caches can be released deterministically); the stages
+    after the cluster relation stay lazy."""
     from unimib_simpss_spark.functions import analysis as A
     from unimib_simpss_spark.operators.sampling import split_assignment
 

@@ -96,14 +96,20 @@ def x41_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("features")),
         lambda f, i: f.cast("double") * i.cast("double"),
     )
+    # Guard empty/NULL feature vectors: sequence(1, size) is not empty
+    # when size <= 0 (Spark steps DOWNWARD for stop < start), so the
+    # zip_with would NULL-pad and poison the fold — define the digest
+    # as 0.0 for degenerate vectors instead.
+    digest = F.when(
+        F.size("features") >= 1,
+        F.round(F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x), 4),
+    ).otherwise(F.lit(0.0))
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
         F.size("features").alias("n_dims"),
-        F.round(
-            F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x), 4
-        ).alias("feature_digest"),
+        digest.alias("feature_digest"),
     )
 
 
