@@ -36,10 +36,10 @@ HEADLINE = [
     "q20_asof_click_before_purchase",
     "q23_tumbling_window",
     "q26_ingest_replay",
-    "q27_token_stats",
+    "q27_text_profile",
     "q29_quality_fingerprint",
     "q33_jaccard_pairs",
-    "q34_minhash_pairs",
+    "q34_hash_band_pairs",
     "q36_cosine_topk",
     "q37_ivf_topk",
     "q39_media_profile",

@@ -22,16 +22,37 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-@query("q31_exact_dedup", oracle=D.exact_dedup_sql())
-def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups: md5(normalized text) → keeper id + copy count."""
-    return D.exact_dedup_groups(_docs(spark, sf_dir))
+def _dedup_groups_oracle() -> str:
+    return f"""
+    SELECT 'exact' AS family, group_key, keep_id, n_copies
+    FROM ({D.exact_dedup_sql()} ) e(group_key, keep_id, n_copies)
+    UNION ALL
+    SELECT 'fingerprint' AS family, group_key, keep_id, n_copies
+    FROM ({D.fingerprint_dedup_sql()} ) f(group_key, keep_id, n_copies)
+    """
 
 
-@query("q32_fingerprint_dedup", oracle=D.fingerprint_dedup_sql())
-def q32_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set fingerprint dedup (catches word-order shuffles)."""
-    return D.fingerprint_dedup_groups(_docs(spark, sf_dir))
+@query("q31_dedup_groups", oracle=_dedup_groups_oracle())
+def q31_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (md5 of normalized text → keeper id + copy
+    count) unioned with token-set fingerprint dedup groups (catches
+    word-order shuffles), tagged by family — both are one-shuffle
+    hash-groupBy plans over the same scan (merged from the former
+    q31/q32 to free a slot in the driver's 50-query window)."""
+    docs = _docs(spark, sf_dir)
+    exact = D.exact_dedup_groups(docs).select(
+        F.lit("exact").alias("family"),
+        F.col("text_hash").alias("group_key"),
+        "keep_id",
+        "n_copies",
+    )
+    fp = D.fingerprint_dedup_groups(docs).select(
+        F.lit("fingerprint").alias("family"),
+        F.col("fingerprint").alias("group_key"),
+        "keep_id",
+        "n_copies",
+    )
+    return exact.unionAll(fp)
 
 
 @query("q33_jaccard_pairs", oracle=D.jaccard_pairs_sql(threshold=0.8))
@@ -40,17 +61,39 @@ def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
-@query("q34_minhash_pairs", oracle=D.minhash_dedup_sql(threshold=0.8))
-def q34_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates (4 bands × 4 rows) verified by exact
-    Jaccard — the sub-quadratic dedup path."""
-    return D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+def _hash_band_pairs_oracle() -> str:
+    return f"""
+    SELECT 'minhash' AS family, doc1, doc2, jaccard AS score
+    FROM ({D.minhash_dedup_sql(threshold=0.8)})
+    UNION ALL
+    SELECT 'simhash' AS family, doc1, doc2, CAST(hamming AS DOUBLE) AS score
+    FROM ({D.simhash_sql(max_hamming=3)})
+    """
 
 
-@query("q35_simhash_pairs", oracle=D.simhash_sql(max_hamming=3))
-def q35_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming ≤ 3 pairs via exact pigeonhole band join."""
-    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+@query("q34_hash_band_pairs", oracle=_hash_band_pairs_oracle())
+def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two hash-band near-dup miners, tagged by family (merged from
+    the former q34/q35 to fit the driver's 50-query window): ``minhash``
+    = MinHash+LSH candidates (4 bands × 4 rows) verified by exact
+    Jaccard (score = jaccard), ``simhash`` = SimHash pigeonhole band
+    join, exact for hamming ≤ 3 (score = hamming). Both generate
+    candidates via band-bucket equi-joins — the sub-quadratic 100 TB
+    dedup paths, never an all-pairs product."""
+    docs = _docs(spark, sf_dir)
+    mh = D.minhash_dedup_pairs(docs, threshold=0.8).select(
+        F.lit("minhash").alias("family"),
+        "doc1",
+        "doc2",
+        F.col("jaccard").alias("score"),
+    )
+    sh = D.simhash_pairs(docs, max_hamming=3).select(
+        F.lit("simhash").alias("family"),
+        "doc1",
+        "doc2",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionAll(sh)
 
 
 @query("q59_dedup_clusters", oracle=D.dedup_clusters_sql(threshold=0.8))
