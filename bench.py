@@ -38,10 +38,13 @@ HEADLINE = [
     "q26_ingest_replay",
     "q27_text_profile",
     "q29_quality_fingerprint",
+    "q30_repetition_rules",
+    "q32_sequence_packing",
     "q33_jaccard_pairs",
     "q34_hash_band_pairs",
     "q36_cosine_topk",
     "q37_ivf_topk",
+    "q38_decontamination",
     "q39_media_profile",
     "q44_order_timeline",
     "q46_embedding_cosine_pairs",

@@ -37,6 +37,9 @@ OPS = {
     "incremental_dedup": lambda spark: D.incremental_dedup_pairs(
         _docs(spark), is_new=(F.col("doc_id") % 5 == 0), threshold=0.8
     ),
+    "decontaminate": lambda spark: D.decontaminate(
+        _docs(spark), is_benchmark=(F.col("doc_id") % 97 == 0)
+    ),
     "kmeans_cells": lambda spark: S.kmeans_cells(_emb(spark), k=4, iters=2),
     "lsh_topk": lambda spark: S.hyperplane_lsh_topk(_emb(spark), k=3, n_tables=4),
 }

@@ -232,3 +232,66 @@ def test_dedup_clusters_transitive_and_canonical(spark, sf_dir):
     for doc, c in comp.items():
         if doc not in paired:
             assert c == doc
+
+
+def test_repetition_components_known_values(spark):
+    rc = A.repetition_components("text")
+    df = spark.createDataFrame(
+        [
+            ("spam spam spam spam",),   # 1 distinct token, all 2/3-grams dup
+            ("a b c d",),               # all unique
+            ("",),                      # empty → all 0 via guards
+        ],
+        ["text"],
+    ).select(
+        rc["top_token_frac"].alias("t"),
+        rc["dup_2gram_frac"].alias("d2"),
+        rc["dup_3gram_frac"].alias("d3"),
+    )
+    spammy, uniq, empty = df.collect()
+    assert spammy.t == 1.0
+    # "spam spam" ×3 → 1 distinct of 3 2-grams; "spam spam spam" ×2 → 1 of 2
+    assert spammy.d2 == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert spammy.d3 == pytest.approx(1 - 1 / 2, abs=1e-6)
+    assert uniq.t == 0.25 and uniq.d2 == 0.0 and uniq.d3 == 0.0
+    assert empty.t == 0.0 and empty.d2 == 0.0 and empty.d3 == 0.0
+
+
+def test_greedy_pack_concat_and_chunk(spark):
+    from unimib_simpss_spark.operators.sampling import greedy_pack
+
+    df = spark.createDataFrame(
+        [("s1", 1, 3), ("s1", 2, 3), ("s1", 3, 3), ("s1", 4, 3),
+         ("s2", 1, 7)],
+        ["src", "id", "ntok"],
+    )
+    out = greedy_pack(df, "src", "id", "ntok", budget=6)
+    got = {(r.src, r.id): r.seq_bin for r in out.collect()}
+    # s1 prefix sums (exclusive): 0,3,6,9 → bins 0,0,1,1; s2 starts fresh
+    assert got == {("s1", 1): 0, ("s1", 2): 0, ("s1", 3): 1, ("s1", 4): 1,
+                   ("s2", 1): 0}
+
+
+def test_greedy_pack_rejects_bad_budget(spark):
+    from unimib_simpss_spark.operators.sampling import greedy_pack, greedy_pack_sql
+
+    df = spark.createDataFrame([("s", 1, 1)], ["src", "id", "ntok"])
+    with pytest.raises(ValueError):
+        greedy_pack(df, "src", "id", "ntok", budget=0)
+    with pytest.raises(ValueError):
+        greedy_pack_sql("src", "id", "ntok", 0)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),  # benchmark
+            (1, "x alpha beta gamma delta y"),           # shares one 4-gram
+            (2, "entirely different words here now"),    # clean
+            (3, "alpha beta gamma delta epsilon qq"),    # shares two 4-grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.decontaminate(df, is_benchmark=(F.col("doc_id") == 0))
+    got = {r.doc_id: (r.n_shared_ngrams, r.n_bench_docs) for r in out.collect()}
+    assert got == {1: (1, 1), 3: (2, 1)}

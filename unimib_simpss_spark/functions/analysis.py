@@ -185,6 +185,82 @@ def quality_score_sql(expr: str) -> str:
     )
 
 
+# ------------------------------------------------ repetition (Gopher-style)
+# Thresholds picked from the synthetic-corpus distributions (measured at
+# sf0.001/0.01/0.1: top-token frac p50≈0.09, p90≈0.14; dup-2gram p90≈0.065;
+# dup-3gram p95≈0.011) so both pass/fail classes are populated at every
+# scale. Real deployments tune these per corpus, as Gopher does
+# (Rae et al. 2021 use duplicate line/paragraph fractions; this corpus is
+# single-line, so the token-level analogues are used).
+REPETITION_MAX_TOP_TOKEN_FRAC = 0.125
+REPETITION_MAX_DUP_2GRAM_FRAC = 0.06
+REPETITION_MAX_DUP_3GRAM_FRAC = 0.01
+
+
+def repetition_components(col: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition metrics, all pure Column expressions
+    (per-row, shuffle-free, whole-stage codegen — scales linearly):
+
+    - ``top_token_frac``: occurrences of the most frequent token / total
+      tokens (the token-level analogue of Gopher's duplicate-line
+      fraction for single-line corpora).
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: 1 − distinct/total
+      n-grams — mass of repeated word n-grams.
+
+    All rounded to 6 so the DuckDB twin hashes bit-for-bit.
+    """
+    tk = tokens(col)
+    n = F.size(tk)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(tk), lambda x: F.size(F.filter(tk, lambda y: y == x))
+        )
+    )
+    out = {
+        "top_token_frac": F.when(
+            n > 0, F.round(top_cnt.cast("double") / n, 6)
+        ).otherwise(F.lit(0.0))
+    }
+    def _gram_at(g: int):
+        # closure factory, NOT a default-arg lambda: Spark picks the HOF
+        # variant by lambda arity, so `lambda i, g=g` would bind the
+        # 2-param (element, index) transform and break the expression
+        return lambda i: F.array_join(F.slice(tk, i, g), " ")
+
+    for g in (2, 3):
+        total = n - (g - 1)
+        uniq = F.size(
+            F.array_distinct(F.transform(F.sequence(F.lit(1), total), _gram_at(g)))
+        )
+        out[f"dup_{g}gram_frac"] = F.when(
+            n >= g, F.round(F.lit(1.0) - uniq.cast("double") / total, 6)
+        ).otherwise(F.lit(0.0))
+    return out
+
+
+def repetition_components_sql(expr: str) -> dict[str, str]:
+    """DuckDB SQL twins of :func:`repetition_components` (token array
+    bound once via a scalar subquery, same trick as the combo hashes)."""
+    tk = tokens_sql(expr)
+    top = (
+        f"(SELECT CASE WHEN len(tk) > 0 THEN "
+        f"round(list_max(list_transform(list_distinct(tk), "
+        f"x -> len(list_filter(tk, y -> y = x))))::DOUBLE / len(tk), 6) "
+        f"ELSE 0.0 END FROM (SELECT {tk} AS tk))"
+    )
+    out = {"top_token_frac": top}
+    for g in (2, 3):
+        out[f"dup_{g}gram_frac"] = (
+            f"(SELECT CASE WHEN len(tk) >= {g} THEN "
+            f"round(1.0 - len(list_distinct(list_transform("
+            f"range(1, len(tk) - {g - 2}), "
+            f"i -> array_to_string(list_slice(tk, i, i + {g - 1}), ' '))))::DOUBLE "
+            f"/ (len(tk) - {g - 1}), 6) "
+            f"ELSE 0.0 END FROM (SELECT {tk} AS tk))"
+        )
+    return out
+
+
 # ------------------------------------------------- rolling-hash fingerprint
 def rolling_fingerprint(col: Column | str) -> Column:
     """Order-sensitive polynomial rolling hash over the token sequence:

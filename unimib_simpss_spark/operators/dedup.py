@@ -681,3 +681,91 @@ def incremental_dedup_sql(threshold: float = 0.8, new_pred_sql: str = "doc_id % 
             JOIN sides b ON jp.doc2 = b.doc_id
     WHERE a.is_new <> b.is_new
     """
+
+
+# --------------------------------------------------------- decontamination
+DECON_NGRAM = 4  # measured: 3-grams flag ~94% of this small-vocab corpus
+                 # (spurious), 5+-grams find ~0 hits at sf0.01; 4-grams
+                 # flag 8/8/727 docs at sf0.001/0.01/0.1 — non-trivial at
+                 # every scale while still meaning real phrase overlap.
+
+
+def decontaminate(
+    docs: DataFrame,
+    is_benchmark: Column,
+    n: int = DECON_NGRAM,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by n-gram collision: flag every
+    TRAINING document sharing ≥ ``min_shared`` distinct word ``n``-grams
+    with any BENCHMARK document (``is_benchmark`` boolean Column splits
+    the input) — the standard eval-leakage gate of an LLM data pipeline
+    (GPT-3 App. C / PaLM-style n-gram overlap).
+
+    Plan: one shingle pass (repartitioned by id so per-row shingling
+    parallelizes off single-split files), exploded into an inverted
+    index; candidates come from an equi-join on the gram — never an
+    all-pairs product. The benchmark side is tiny by construction, so
+    AQE broadcasts it; output is one groupBy on the training doc id.
+    Returns ``(doc_id, n_shared_ngrams, n_bench_docs)``.
+
+    Scale note: grams join as strings here for bit-exact oracle parity;
+    at 100 TB swap the join key to a 64-bit gram hash (same shape,
+    ~10× narrower shuffle rows).
+    """
+    sg = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_text"),
+            is_benchmark.alias("is_bench"),
+        )
+        .repartition("doc_id")
+        .select("doc_id", "is_bench", shingles("_text", n).alias("sg"))
+        .where(F.size("sg") > 0)
+        .persist()
+    )
+    bench = sg.where(F.col("is_bench")).select(
+        F.explode("sg").alias("g"), F.col("doc_id").alias("bench_id")
+    )
+    train = sg.where(~F.col("is_bench")).select(
+        "doc_id", F.explode("sg").alias("g")
+    )
+    out = (
+        train.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_shared_ngrams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+        .where(F.col("n_shared_ngrams") >= min_shared)
+    )
+    return materialize_release(out, sg)
+
+
+def decontaminate_sql(
+    bench_pred_sql: str = "doc_id % 97 = 0",
+    n: int = DECON_NGRAM,
+    min_shared: int = 1,
+) -> str:
+    """Oracle twin of :func:`decontaminate` with ``is_benchmark`` given
+    as a SQL predicate over ``documents``."""
+    sg = shingles_sql("text", n)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, ({bench_pred_sql}) AS is_bench, {sg} AS sg
+        FROM documents
+    ), tn AS (SELECT doc_id, is_bench, sg FROM t WHERE len(sg) > 0),
+    bench AS (
+        SELECT unnest(sg) AS g, doc_id AS bench_id FROM tn WHERE is_bench
+    ), train AS (
+        SELECT doc_id, unnest(sg) AS g FROM tn WHERE NOT is_bench
+    )
+    SELECT train.doc_id,
+           count(DISTINCT train.g)  AS n_shared_ngrams,
+           count(DISTINCT bench_id) AS n_bench_docs
+    FROM train JOIN bench ON train.g = bench.g
+    GROUP BY train.doc_id
+    HAVING count(DISTINCT train.g) >= {min_shared}
+    """

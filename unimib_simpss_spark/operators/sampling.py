@@ -18,7 +18,7 @@ Per-row, no shuffle, whole-stage codegen — embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from unimib_simpss_spark.functions.hashing import hash64, hash64_sql
@@ -75,6 +75,54 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     buckets = 10_000
     h = hash64(F.col(key).cast("string"))
     return df.where((h % buckets) < int(round(fraction * buckets)))
+
+
+def greedy_pack(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Sequence packing (token-budget binning) for LLM training batches:
+    concatenate documents in deterministic ``order_col`` order within
+    each ``partition_col`` group and chunk the stream every ``budget``
+    tokens — each row is tagged with the ``seq_bin`` its FIRST token
+    lands in (concat-and-chunk assignment, the standard packing used to
+    build fixed-length training sequences without padding waste).
+
+    Distributed formulation: one window per partition key — packing is
+    sequential BY DESIGN (bins depend on the running token total), so
+    the parallel unit is the partition key, never a global sort. At
+    100 TB, partition on the natural shard key (source/date/shard id) so
+    every group packs independently; the window is a single shuffle on
+    that key.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(
+        "seq_bin", F.floor(prefix / F.lit(budget)).cast("long")
+    )
+
+
+def greedy_pack_sql(
+    partition_expr: str, order_expr: str, token_expr: str, budget: int
+) -> str:
+    """DuckDB SQL twin of :func:`greedy_pack`'s ``seq_bin`` column."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    prefix = (
+        f"coalesce(sum({token_expr}) OVER (PARTITION BY {partition_expr} "
+        f"ORDER BY {order_expr} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"1 PRECEDING), 0)"
+    )
+    return f"CAST(floor({prefix} / {budget}) AS BIGINT)"
 
 
 def _check_fractions(fractions: dict[str, float], buckets: int) -> None:

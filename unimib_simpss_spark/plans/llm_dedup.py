@@ -96,6 +96,21 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.unionAll(sh)
 
 
+@query(
+    "q38_decontamination",
+    oracle=D.decontaminate_sql(bench_pred_sql="doc_id % 97 = 0"),
+)
+def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treat every 97th doc as held-out eval
+    data and flag training docs sharing ≥1 distinct 4-gram with any of
+    them (inverted-index equi-join on the gram, AQE-broadcast bench
+    side) — the eval-leakage gate an LLM pipeline runs before training.
+    """
+    return D.decontaminate(
+        _docs(spark, sf_dir), is_benchmark=(F.col("doc_id") % 97 == 0)
+    )
+
+
 @query("q59_dedup_clusters", oracle=D.dedup_clusters_sql(threshold=0.8))
 def q59_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: connected components over the exact Jaccard

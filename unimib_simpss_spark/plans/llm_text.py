@@ -128,6 +128,89 @@ def q29_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_oracle() -> str:
+    rc = A.repetition_components_sql("text")
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               {rc['top_token_frac']} AS top_token_frac,
+               {rc['dup_2gram_frac']} AS dup_2gram_frac,
+               {rc['dup_3gram_frac']} AS dup_3gram_frac
+        FROM documents
+    )
+    SELECT doc_id, top_token_frac, dup_2gram_frac, dup_3gram_frac,
+           CAST(CASE WHEN top_token_frac <= {A.REPETITION_MAX_TOP_TOKEN_FRAC}
+                      AND dup_2gram_frac <= {A.REPETITION_MAX_DUP_2GRAM_FRAC}
+                      AND dup_3gram_frac <= {A.REPETITION_MAX_DUP_3GRAM_FRAC}
+                THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM m
+    """
+
+
+@query("q30_repetition_rules", oracle=_repetition_oracle())
+def q30_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules per document: most-frequent
+    -token fraction plus duplicate 2-/3-gram fractions, and a pass/fail
+    gate at corpus-calibrated thresholds (functions/analysis.py). Pure
+    per-row Column exprs, no shuffle — scales linearly; the gate is the
+    filter a training pipeline applies before dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    rc = A.repetition_components("text")
+    m = docs.select(
+        "doc_id",
+        rc["top_token_frac"].alias("top_token_frac"),
+        rc["dup_2gram_frac"].alias("dup_2gram_frac"),
+        rc["dup_3gram_frac"].alias("dup_3gram_frac"),
+    )
+    passes = (
+        (F.col("top_token_frac") <= A.REPETITION_MAX_TOP_TOKEN_FRAC)
+        & (F.col("dup_2gram_frac") <= A.REPETITION_MAX_DUP_2GRAM_FRAC)
+        & (F.col("dup_3gram_frac") <= A.REPETITION_MAX_DUP_3GRAM_FRAC)
+    )
+    return m.withColumn("passes", passes.cast("long"))
+
+
+_PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence
+
+
+def _packing_oracle() -> str:
+    from unimib_simpss_spark.operators.sampling import greedy_pack_sql
+
+    sb = greedy_pack_sql("source", "doc_id", "ws", _PACK_BUDGET)
+    return f"""
+    WITH t AS (SELECT doc_id, source, {_ws} AS ws FROM documents),
+    p AS (SELECT source, ws, {sb} AS seq_bin FROM t)
+    SELECT source, seq_bin,
+           count(*)                  AS n_docs,
+           CAST(sum(ws) AS BIGINT)   AS sum_tokens,
+           round(sum(ws) / {_PACK_BUDGET}.0, 4) AS fill_ratio
+    FROM p
+    GROUP BY source, seq_bin
+    """
+
+
+@query("q32_sequence_packing", oracle=_packing_oracle())
+def q32_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (token-budget binning): concat-and-chunk docs
+    into 512-token training sequences per source (operators/sampling.py
+    greedy_pack — deterministic doc_id order, window prefix-sum), then
+    per-sequence fill stats. The parallel unit is the partition key, so
+    the plan is one shuffle at any scale."""
+    from unimib_simpss_spark.operators.sampling import greedy_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", A.token_count_ws("text").alias("ws"))
+    packed = greedy_pack(
+        t, partition_col="source", order_col="doc_id", token_col="ws",
+        budget=_PACK_BUDGET,
+    )
+    return packed.groupBy("source", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("sum_tokens"),
+        F.round(F.sum("ws") / F.lit(float(_PACK_BUDGET)), 4).alias("fill_ratio"),
+    )
+
+
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
