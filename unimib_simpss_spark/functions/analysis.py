@@ -198,8 +198,22 @@ REPETITION_MAX_DUP_3GRAM_FRAC = 0.01
 
 
 def repetition_components(col: Column | str) -> dict[str, Column]:
-    """Gopher-style repetition metrics, all pure Column expressions
-    (per-row, shuffle-free, whole-stage codegen — scales linearly):
+    """Gopher-style repetition metrics over raw text — convenience
+    wrapper around :func:`repetition_components_from_tokens`.
+
+    PERF: this form re-tokenizes inside every nested HOF lambda (lambda
+    scopes defeat common-subexpression elimination — measured 12× slower
+    at sf0.1). Hot paths should tokenize into a column first, put an
+    exchange/persist barrier behind it, and call the ``_from_tokens``
+    variant — see ``plans/llm_text.py:q30_repetition_rules``.
+    """
+    return repetition_components_from_tokens(tokens(col))
+
+
+def repetition_components_from_tokens(tk: Column) -> dict[str, Column]:
+    """Gopher-style repetition metrics from a pre-tokenized array
+    column, all pure Column expressions (per-row, shuffle-free — scales
+    linearly):
 
     - ``top_token_frac``: occurrences of the most frequent token / total
       tokens (the token-level analogue of Gopher's duplicate-line
@@ -209,7 +223,6 @@ def repetition_components(col: Column | str) -> dict[str, Column]:
 
     All rounded to 6 so the DuckDB twin hashes bit-for-bit.
     """
-    tk = tokens(col)
     n = F.size(tk)
     top_cnt = F.array_max(
         F.transform(

@@ -32,17 +32,22 @@ def tokens_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------- shingles
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-token shingles (space-joined); [] when fewer than n
-    tokens. Guarded: Spark's sequence(1, 0) counts DOWN, so the
-    short-document case must short-circuit.
+def shingles_from_tokens(tk: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined) from an already-bound
+    token-array column; [] when fewer than n tokens. Guarded: Spark's
+    sequence(1, 0) counts DOWN, so the short-document case must
+    short-circuit.
 
-    Formulation note (measured at sf0.1): per-position
-    ``slice``+``array_join`` over a ``sequence`` beats a
-    transform-with-index + ``element_at`` variant ~2× in the full
-    pipeline — outer-scope array references inside a HOF lambda defeat
-    subexpression reuse, so keep the lambda self-contained."""
-    tk = tokens(col)
+    PERF CONTRACT: pass a projected column ATTRIBUTE (``F.col("tk")``
+    over a prior ``.select(tokens(...).alias("tk"))``), not a raw
+    expression. The per-position lambda references ``tk``, and an
+    expression there is re-evaluated once PER POSITION (lambda scopes
+    defeat common-subexpression elimination) — re-tokenizing a k-token
+    document k−n+1 times. An attribute reference is a cheap row lookup.
+    The two-projection shape survives the optimizer: CollapseProject
+    declines to inline a non-cheap alias that is referenced more than
+    once, and ``tk`` appears in the guard, the sequence bound, and the
+    lambda."""
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(tk) - (n - 1)),
@@ -52,6 +57,19 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(tk) >= n, sh).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles from raw text — self-contained
+    expression form. Fine for one-off use on short text; hot paths
+    should project ``tokens()`` first and use
+    :func:`shingles_from_tokens` (see its perf contract).
+
+    Formulation note (measured at sf0.1): per-position
+    ``slice``+``array_join`` over a ``sequence`` beats a
+    transform-with-index + ``element_at`` variant ~2× in the full
+    pipeline."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:

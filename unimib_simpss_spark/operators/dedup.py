@@ -36,7 +36,7 @@ from unimib_simpss_spark.functions.text import (
     combo_shingle_hashes_sql,
     normalized_text,
     normalized_text_sql,
-    shingles,
+    shingles_from_tokens,
     shingles_sql,
     token_fingerprint,
     token_fingerprint_sql,
@@ -97,21 +97,39 @@ def fingerprint_dedup_sql(text_expr: str = "text", id_expr: str = "doc_id") -> s
 
 
 # ----------------------------------------------------- n-gram Jaccard pairs
-def _shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, sg) with empty-shingle docs dropped.
+def _tokenized_docs(
+    docs: DataFrame, text_col: str, id_col: str, min_tokens: int = 3
+) -> DataFrame:
+    """(doc_id, tk): the shared first stage of every shingle relation.
 
-    The input is repartitioned by id BEFORE the shingle projection:
-    tokenize+shingle is the expensive per-row step, and source files may
-    have few splits (locally: one) — shuffling the raw text (cheap,
-    ~doc-sized rows) buys full-cluster parallelism for the compute. The
-    result is persisted by callers that branch over it (posting list +
-    both sides of the verify join) so the shingling runs exactly once.
+    Three deliberate plan choices (each measured at sf0.1):
+
+    - the short-doc filter tests ``tokens()`` BEFORE the shuffle — a
+      filter placed above a projection gets predicate-pushed with its
+      alias substituted, so guarding on the hashed/shingled array would
+      re-derive that whole array per row just to test its length;
+    - the input is repartitioned by id so the downstream per-row
+      compute parallelizes even off single-split files;
+    - ``tokens()`` is projected into a bound column so downstream
+      per-position shingle lambdas reference an attribute, not an
+      expression (see ``shingles_from_tokens``'s perf contract —
+      an expression there re-tokenizes once per shingle position).
     """
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .where(F.size(tokens("_text")) >= min_tokens)
         .repartition("doc_id")
-        .select("doc_id", shingles("_text").alias("sg"))
-        .where(F.size("sg") > 0)
+        .select("doc_id", tokens("_text").alias("tk"))
+    )
+
+
+def _shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, sg) with empty-shingle docs dropped (min-token filter ⇔
+    non-empty shingles). The result is persisted by callers that branch
+    over it (posting list + both sides of the verify join) so the
+    shingling runs exactly once."""
+    return _tokenized_docs(docs, text_col, id_col).select(
+        "doc_id", shingles_from_tokens(F.col("tk")).alias("sg")
     )
 
 
@@ -148,18 +166,13 @@ def _combo_shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFram
     minhash_dedup_pairs build this same logical plan, so one persisted
     copy serves both in a shared session (CacheManager plan matching).
     """
-    tok_h = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-        .repartition("doc_id")
-        .select(
-            "doc_id",
-            F.transform(
-                tokens("_text"),
-                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-                % MERSENNE_31,
-            ).alias("th"),
-        )
-        .where(F.size("th") >= 3)  # shingles() yields [] below 3 tokens
+    tok_h = _tokenized_docs(docs, text_col, id_col).select(
+        "doc_id",
+        F.transform(
+            F.col("tk"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+            % MERSENNE_31,
+        ).alias("th"),
     )
     th = F.col("th")
     b, p = COMBO_BASE, MERSENNE_31
@@ -424,18 +437,18 @@ def simhash_pairs(
     loss), while comparing only candidate buckets — the scale path.
     """
     raw_hash = F.transform(
-        shingles("_text"),
+        shingles_from_tokens(F.col("tk")),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
-    # repartition: spread the per-row shingle+hash compute (source may
-    # have few splits); persist: the 32 per-bit majority votes in
-    # simhash_col all traverse hs — the barrier stops project-collapsing
-    # from re-inlining the md5 pipeline into each term.
+    # _tokenized_docs: pre-shuffle short-doc filter (≥3 tokens ⇔
+    # non-empty shingles), repartition for parallelism, tokens bound to
+    # an attribute so the shingle lambda doesn't re-tokenize per
+    # position. persist: the 32 per-bit majority votes in simhash_col
+    # all traverse hs — the barrier stops project-collapsing from
+    # re-inlining the md5 pipeline into each term.
     d = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-        .repartition("doc_id")
+        _tokenized_docs(docs, text_col, id_col)
         .select("doc_id", raw_hash.alias("hs"))
-        .where(F.size("hs") > 0)
         .persist()
     )
     sh = d.select("doc_id", simhash_col(F.col("hs")).alias("simhash"))
@@ -721,9 +734,12 @@ def decontaminate(
             F.col(text_col).alias("_text"),
             is_benchmark.alias("is_bench"),
         )
+        .where(F.size(tokens("_text")) >= n)  # pre-shuffle cheap guard
         .repartition("doc_id")
-        .select("doc_id", "is_bench", shingles("_text", n).alias("sg"))
-        .where(F.size("sg") > 0)
+        .select("doc_id", "is_bench", tokens("_text").alias("tk"))
+        .select(
+            "doc_id", "is_bench", shingles_from_tokens(F.col("tk"), n).alias("sg")
+        )
         .persist()
     )
     bench = sg.where(F.col("is_bench")).select(
