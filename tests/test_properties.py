@@ -145,3 +145,49 @@ def test_convert_total_bijective_rename(spark, names, data):
         partial = dict(list(mapping.items())[:-1])
         with pytest.raises(ValueError):
             convert(df, partial, strict=True)
+
+
+@SETTINGS
+@given(strings=texts)
+def test_repetition_metrics_bounded(spark, strings):
+    """All repetition fractions live in [0, 1]; a text of one repeated
+    token maxes top_token_frac at 1."""
+    from unimib_simpss_spark.functions.analysis import repetition_components
+
+    rc = repetition_components("text")
+    rows = _eval(
+        spark,
+        strings + ["spam spam spam spam spam"],
+        rc["top_token_frac"].alias("t"),
+        rc["dup_2gram_frac"].alias("d2"),
+        rc["dup_3gram_frac"].alias("d3"),
+    )
+    for r in rows:
+        assert 0.0 <= r.t <= 1.0
+        assert 0.0 <= r.d2 <= 1.0
+        assert 0.0 <= r.d3 <= 1.0
+    assert rows[-1].t == 1.0
+
+
+@SETTINGS
+@given(
+    ntoks=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=64),
+)
+def test_greedy_pack_bins_monotone_and_dense(spark, ntoks, budget):
+    """seq_bin is monotone in pack order, starts at 0, and never skips:
+    concat-and-chunk can't leave an empty sequence behind."""
+    from unimib_simpss_spark.operators.sampling import greedy_pack
+
+    df = spark.createDataFrame(
+        [("g", i, n) for i, n in enumerate(ntoks)], ["src", "id", "ntok"]
+    )
+    rows = sorted(
+        greedy_pack(df, "src", "id", "ntok", budget=budget).collect(),
+        key=lambda r: r.id,
+    )
+    bins = [r.seq_bin for r in rows]
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    assert all(b2 - b1 <= (rows[i].ntok // budget) + 1
+               for i, (b1, b2) in enumerate(zip(bins, bins[1:])))
