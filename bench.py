@@ -37,8 +37,8 @@ HEADLINE = [
     "q23_tumbling_window",
     "q26_ingest_replay",
     "q27_text_profile",
-    "q29_quality_fingerprint",
-    "q30_repetition_rules",
+    "q29_doc_profile",
+    "q30_corpus_mix",
     "q32_sequence_packing",
     "q33_jaccard_pairs",
     "q34_hash_band_pairs",

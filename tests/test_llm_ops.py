@@ -295,3 +295,25 @@ def test_decontaminate_flags_ngram_overlap(spark):
     out = D.decontaminate(df, is_benchmark=(F.col("doc_id") == 0))
     got = {r.doc_id: (r.n_shared_ngrams, r.n_bench_docs) for r in out.collect()}
     assert got == {1: (1, 1), 3: (2, 1)}
+
+
+def test_corpus_mix_deterministic_and_weighted(spark, docs):
+    from unimib_simpss_spark.operators.sampling import corpus_mix, mix_keep
+
+    fracs = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = corpus_mix(docs, "source", "doc_id", fracs, default_fraction=1.0)
+    counts = {r.source: r.n for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["src0"] == totals["src0"]          # fraction 1.0 keeps all
+    assert "src2" not in counts                      # fraction 0.0 drops all
+    assert 0 < counts["src1"] < totals["src1"]       # partial keep
+    assert counts["src3"] == totals["src3"]          # unlisted → default 1.0
+    # deterministic: identical on rerun
+    again = {r.source: r.n for r in
+             corpus_mix(docs, "source", "doc_id", fracs, default_fraction=1.0)
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
+    with pytest.raises(ValueError):
+        mix_keep("source", "doc_id", {"src0": 1.5})

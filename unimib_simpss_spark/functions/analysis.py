@@ -133,13 +133,23 @@ def lang_id_sql(expr: str) -> tuple[str, str]:
 
 # ----------------------------------------------------------- quality scoring
 def quality_components(col: Column | str) -> dict[str, Column]:
-    """n_tokens, stopword ratio, punctuation ratio, mean token length."""
-    tk = tokens(col)
+    """n_tokens, stopword ratio, punctuation ratio, mean token length.
+
+    Convenience form re-deriving ``tokens()`` per component (~4×/row);
+    hot paths project tokens once and use
+    :func:`quality_components_from_tokens`."""
+    c = _c(col)
+    return quality_components_from_tokens(tokens(c), c)
+
+
+def quality_components_from_tokens(tk: Column, raw: Column) -> dict[str, Column]:
+    """Quality components from a pre-tokenized array column plus the raw
+    text column (punctuation/char ratios need the original string)."""
     n_tok = F.size(tk)
     stop_hits = F.size(F.filter(tk, lambda t: t.isin(*STOPWORDS)))
     tok_chars = F.aggregate(tk, F.lit(0), lambda acc, t: acc + F.length(t))
-    n_chars = F.length(_c(col))
-    punct = F.regexp_count(_c(col), F.lit(PUNCT_RE))
+    n_chars = F.length(raw)
+    punct = F.regexp_count(raw, F.lit(PUNCT_RE))
     return {
         "n_tokens": n_tok.cast("long"),
         "stop_ratio": F.round(stop_hits / F.nullif(n_tok, F.lit(0)), 4),
@@ -151,7 +161,12 @@ def quality_components(col: Column | str) -> dict[str, Column]:
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality: length saturation + stopword mass −
     punctuation noise. Heuristic, but deterministic and oracle-twinned."""
-    c = quality_components(col)
+    return quality_score_from_components(quality_components(col))
+
+
+def quality_score_from_components(c: dict[str, Column]) -> Column:
+    """Composite quality from an already-built components dict — lets a
+    one-scan profile query share the component expressions."""
     n_tok = c["n_tokens"].cast("double")
     score = (
         0.4 * F.least(n_tok / 80.0, F.lit(1.0))
@@ -205,7 +220,7 @@ def repetition_components(col: Column | str) -> dict[str, Column]:
     scopes defeat common-subexpression elimination — measured 12× slower
     at sf0.1). Hot paths should tokenize into a column first, put an
     exchange/persist barrier behind it, and call the ``_from_tokens``
-    variant — see ``plans/llm_text.py:q30_repetition_rules``.
+    variant — see ``plans/llm_text.py:q29_doc_profile``.
     """
     return repetition_components_from_tokens(tokens(col))
 
@@ -278,7 +293,12 @@ def repetition_components_sql(expr: str) -> dict[str, str]:
 def rolling_fingerprint(col: Column | str) -> Column:
     """Order-sensitive polynomial rolling hash over the token sequence:
     acc = (acc*B + h64(token) mod P) mod P. One pass, no shuffle."""
-    hs = F.transform(tokens(col), lambda t: hash64(t) % MERSENNE_31)
+    return rolling_fingerprint_from_tokens(tokens(col))
+
+
+def rolling_fingerprint_from_tokens(tk: Column) -> Column:
+    """Rolling hash from a pre-tokenized array column."""
+    hs = F.transform(tk, lambda t: hash64(t) % MERSENNE_31)
     return F.aggregate(
         hs,
         F.lit(0).cast("long"),

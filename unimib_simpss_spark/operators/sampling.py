@@ -77,6 +77,67 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     return df.where((h % buckets) < int(round(fraction * buckets)))
 
 
+def mix_keep(
+    group_col: str,
+    key: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    buckets: int = 10_000,
+) -> Column:
+    """Boolean keep-flag implementing a deterministic corpus mix: each
+    ``group_col`` value is down-sampled to its fraction (the LLaMA/Pile
+    data-mixing step — per-source sampling weights applied before
+    training). Membership is a pure function of ``hash(key)``, so the
+    mix is identical on every rerun/engine and append-stable; groups not
+    listed keep ``default_fraction``.
+
+    Per-row, no shuffle — composes with any downstream plan."""
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    h = hash64(F.col(key).cast("string")) % buckets
+    thr: Column | None = None
+    for g, frac in fractions.items():
+        t = int(round(frac * buckets))
+        cond = F.col(group_col) == g
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = int(round(default_fraction * buckets))
+    thr_col = thr.otherwise(default_t) if thr is not None else F.lit(default_t)
+    return h < thr_col
+
+
+def mix_keep_sql(
+    group_expr: str,
+    key_expr: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    buckets: int = 10_000,
+) -> str:
+    """DuckDB SQL text twin of :func:`mix_keep`."""
+    h = f"({hash64_sql(f'CAST({key_expr} AS VARCHAR)')} % {buckets})"
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(round(frac * buckets))}"
+        for g, frac in fractions.items()
+    )
+    default_t = int(round(default_fraction * buckets))
+    return f"({h} < CASE {group_expr} {whens} ELSE {default_t} END)"
+
+
+def corpus_mix(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Apply :func:`mix_keep` as a filter — the production form."""
+    return df.where(
+        mix_keep(group_col, key, fractions, default_fraction=default_fraction)
+    )
+
+
 def greedy_pack(
     df: DataFrame,
     partition_col: str,

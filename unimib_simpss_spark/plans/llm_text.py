@@ -97,48 +97,25 @@ def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _qc_sql = A.quality_components_sql("text")
 
 
-@query(
-    "q29_quality_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           {_qc_sql['n_tokens']}    AS n_tokens,
-           {_qc_sql['stop_ratio']}  AS stop_ratio,
-           {_qc_sql['punct_ratio']} AS punct_ratio,
-           {_qc_sql['mean_tok_len']} AS mean_tok_len,
-           {A.quality_score_sql('text')} AS quality,
-           {A.rolling_fingerprint_sql('text')} AS fingerprint
-    FROM documents
-    """,
-)
-def q29_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality heuristics (length/stopword/punct ratios)
-    plus the order-sensitive rolling-hash fingerprint, one scan (merged
-    from the former q29/q30 to fit the driver's 50-query window — the
-    two queries shared the same per-row scan shape)."""
-    docs = load_table(spark, sf_dir, "documents")
-    qc = A.quality_components("text")
-    return docs.select(
-        "doc_id",
-        qc["n_tokens"].alias("n_tokens"),
-        qc["stop_ratio"].alias("stop_ratio"),
-        qc["punct_ratio"].alias("punct_ratio"),
-        qc["mean_tok_len"].alias("mean_tok_len"),
-        A.quality_score("text").alias("quality"),
-        A.rolling_fingerprint("text").alias("fingerprint"),
-    )
-
-
-def _repetition_oracle() -> str:
+def _doc_profile_oracle() -> str:
     rc = A.repetition_components_sql("text")
     return f"""
     WITH m AS (
         SELECT doc_id,
+               {_qc_sql['n_tokens']}    AS n_tokens,
+               {_qc_sql['stop_ratio']}  AS stop_ratio,
+               {_qc_sql['punct_ratio']} AS punct_ratio,
+               {_qc_sql['mean_tok_len']} AS mean_tok_len,
+               {A.quality_score_sql('text')} AS quality,
+               {A.rolling_fingerprint_sql('text')} AS fingerprint,
                {rc['top_token_frac']} AS top_token_frac,
                {rc['dup_2gram_frac']} AS dup_2gram_frac,
                {rc['dup_3gram_frac']} AS dup_3gram_frac
         FROM documents
     )
-    SELECT doc_id, top_token_frac, dup_2gram_frac, dup_3gram_frac,
+    SELECT doc_id, n_tokens, stop_ratio, punct_ratio, mean_tok_len,
+           quality, fingerprint, top_token_frac, dup_2gram_frac,
+           dup_3gram_frac,
            CAST(CASE WHEN top_token_frac <= {A.REPETITION_MAX_TOP_TOKEN_FRAC}
                       AND dup_2gram_frac <= {A.REPETITION_MAX_DUP_2GRAM_FRAC}
                       AND dup_3gram_frac <= {A.REPETITION_MAX_DUP_3GRAM_FRAC}
@@ -147,26 +124,36 @@ def _repetition_oracle() -> str:
     """
 
 
-@query("q30_repetition_rules", oracle=_repetition_oracle())
-def q30_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality rules per document: most-frequent
-    -token fraction plus duplicate 2-/3-gram fractions, and a pass/fail
-    gate at corpus-calibrated thresholds (functions/analysis.py) — the
-    filter a training pipeline applies before dedup.
+@query("q29_doc_profile", oracle=_doc_profile_oracle())
+def q29_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile in ONE scan and one projection: quality
+    heuristics (length/stopword/punct ratios + composite score), the
+    order-sensitive rolling-hash fingerprint, and the Gopher-style
+    repetition metrics with their corpus-calibrated pass gate (merged
+    q29+q30 — every metric shares the same per-doc grain).
 
     Plan shape: tokenize ONCE into a column, then an exchange barrier
     (repartition on doc_id — also spreads single-split files across the
-    cluster), then the metric projection over the materialized array.
-    Without the barrier, CollapseProject inlines the tokenizer into
-    every nested HOF lambda, where lambda scoping defeats
-    common-subexpression elimination — measured 12× slower at sf0.1."""
+    cluster), then one metric projection over the bound array. Without
+    the barrier, each metric's nested HOF lambdas re-evaluate the raw
+    tokenizer expression per invocation (lambda scoping defeats CSE —
+    measured 12× slower at sf0.1)."""
     from unimib_simpss_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    pre = docs.select("doc_id", tokens("text").alias("tk")).repartition("doc_id")
+    pre = docs.select(
+        "doc_id", "text", tokens("text").alias("tk")
+    ).repartition("doc_id")
+    qc = A.quality_components_from_tokens(F.col("tk"), F.col("text"))
     rc = A.repetition_components_from_tokens(F.col("tk"))
     m = pre.select(
         "doc_id",
+        qc["n_tokens"].alias("n_tokens"),
+        qc["stop_ratio"].alias("stop_ratio"),
+        qc["punct_ratio"].alias("punct_ratio"),
+        qc["mean_tok_len"].alias("mean_tok_len"),
+        A.quality_score_from_components(qc).alias("quality"),
+        A.rolling_fingerprint_from_tokens(F.col("tk")).alias("fingerprint"),
         rc["top_token_frac"].alias("top_token_frac"),
         rc["dup_2gram_frac"].alias("dup_2gram_frac"),
         rc["dup_3gram_frac"].alias("dup_3gram_frac"),
@@ -177,6 +164,58 @@ def q30_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("dup_3gram_frac") <= A.REPETITION_MAX_DUP_3GRAM_FRAC)
     )
     return m.withColumn("passes", passes.cast("long"))
+
+
+_MIX_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.75
+
+
+def _corpus_mix_oracle() -> str:
+    from unimib_simpss_spark.operators.sampling import mix_keep_sql
+
+    keep = mix_keep_sql(
+        "source", "doc_id", _MIX_FRACS, default_fraction=_MIX_DEFAULT
+    )
+    return f"""
+    WITH m AS (
+        SELECT source, {keep} AS keep, {_ws} AS ws FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN ws ELSE 0 END) AS BIGINT) AS kept_tokens,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4)
+               AS achieved_frac
+    FROM m
+    GROUP BY source
+    """
+
+
+@query("q30_corpus_mix", oracle=_corpus_mix_oracle())
+def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (operators/sampling.py mix_keep): the
+    per-source sampling-weight step of a training-data pipeline
+    (LLaMA/Pile-style mixes). Membership is a pure function of
+    hash(doc_id) so the mix is rerun/engine/append-stable; reported as
+    per-source kept counts + token mass + achieved fraction. Per-row
+    flag, one small agg — no extra shuffle at any scale."""
+    from unimib_simpss_spark.operators.sampling import mix_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = mix_keep("source", "doc_id", _MIX_FRACS, default_fraction=_MIX_DEFAULT)
+    t = docs.select(
+        "source", keep.alias("keep"), A.token_count_ws("text").alias("ws")
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("ws")).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+        F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 4).alias(
+            "achieved_frac"
+        ),
+    )
 
 
 _PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence
