@@ -140,28 +140,71 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_P_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_P_MIX_DEFAULT = 0.75
+_P_BENCH_PRED = "doc_id % 97 = 0"
+_P_PACK_BUDGET = 512
+
+
+def _gate_sql() -> str:
+    """The quality + repetition admission predicate, shared by the Spark
+    plan (same constants) and every oracle stage."""
+    from unimib_simpss_spark.functions import analysis as A
+
+    rc = A.repetition_components_sql("text")
+    return (
+        f"{A.quality_score_sql('text')} >= 0.5"
+        f" AND {rc['top_token_frac']} <= {A.REPETITION_MAX_TOP_TOKEN_FRAC}"
+        f" AND {rc['dup_2gram_frac']} <= {A.REPETITION_MAX_DUP_2GRAM_FRAC}"
+        f" AND {rc['dup_3gram_frac']} <= {A.REPETITION_MAX_DUP_3GRAM_FRAC}"
+    )
+
+
 def _corpus_pipeline_oracle() -> str:
     from unimib_simpss_spark.functions.analysis import (
         quality_score_sql,
         token_count_ws_sql,
     )
-    from unimib_simpss_spark.operators.sampling import split_assignment_sql
-
-    qs = quality_score_sql("text")
-    clusters = D.dedup_clusters_sql(threshold=0.8, where_sql=f"{qs} >= 0.5")
-    case = split_assignment_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-    ws = token_count_ws_sql("text")
-    return f"""
-    WITH surv AS (
-        SELECT d.doc_id, d.text
-        FROM ({clusters}) c JOIN documents d ON c.doc_id = d.doc_id
-        WHERE c.doc_id = c.component
+    from unimib_simpss_spark.operators.sampling import (
+        greedy_pack_sql,
+        mix_keep_sql,
+        split_assignment_sql,
     )
-    SELECT {case}            AS split,
-           count(*)          AS n_docs,
-           CAST(sum({ws}) AS BIGINT) AS sum_ws_tokens,
-           round(avg({qs.replace('text', 'surv.text')}), 4) AS avg_quality
-    FROM surv
+
+    gate = _gate_sql()
+    clusters = D.dedup_clusters_sql(threshold=0.8, where_sql=gate)
+    hits = D.decontaminate_sql(bench_pred_sql=_P_BENCH_PRED)
+    mix = mix_keep_sql(
+        "p.source", "p.doc_id", _P_MIX, default_fraction=_P_MIX_DEFAULT
+    )
+    case = split_assignment_sql("doc_id", _P_SPLITS)
+    ws = token_count_ws_sql("text")
+    qs = quality_score_sql("text")
+    pack = greedy_pack_sql("split", "doc_id", "ws", _P_PACK_BUDGET)
+    return f"""
+    WITH cl AS ({clusters}),
+    hits AS ({hits}),
+    surv AS (
+        SELECT p.doc_id, p.text, p.source
+        FROM documents p JOIN cl c ON p.doc_id = c.doc_id
+        WHERE c.doc_id = c.component
+          AND NOT (p.{_P_BENCH_PRED})
+          AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = p.doc_id)
+          AND {mix}
+    ),
+    t AS (
+        SELECT doc_id, {case} AS split, {ws} AS ws, {qs} AS q FROM surv
+    ),
+    packed AS (
+        SELECT split, ws, q, {pack} AS seq_bin FROM t
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT seq_bin) AS BIGINT) AS n_seqs,
+           CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+           round(avg(q), 4) AS avg_quality
+    FROM packed
     GROUP BY split
     """
 
@@ -169,37 +212,79 @@ def _corpus_pipeline_oracle() -> str:
 @query("q62_corpus_pipeline", oracle=_corpus_pipeline_oracle())
 def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone documents-in → training-corpus-out pipeline, composed
-    entirely from verified operators: quality filter (>= 0.5) → exact
-    near-dup clustering → canonical-survivor selection → deterministic
-    train/val/test split → per-split corpus stats. Every stage is
-    collect-free and keyed. Note: the pair-mining + clustering stages
-    execute EAGERLY at construction time (they checkpoint so their
-    O(corpus) caches can be released deterministically); the stages
-    after the cluster relation stay lazy."""
+    entirely from verified operators: quality + Gopher-repetition
+    admission gate → exact near-dup clustering → canonical-survivor
+    selection → benchmark holdout + n-gram decontamination → per-source
+    corpus mixing → deterministic train/val/test split → 512-token
+    sequence packing → per-split corpus stats. Every stage is
+    collect-free and keyed. The whole query executes EAGERLY at
+    construction time: the heavy stages checkpoint so their O(corpus)
+    caches can be released deterministically, and the final (3-row)
+    aggregate is materialized so the tokenized admission relation can be
+    dropped too — the caller owns one self-contained handle."""
     from unimib_simpss_spark.functions import analysis as A
-    from unimib_simpss_spark.operators.sampling import split_assignment
-
-    from unimib_simpss_spark.operators.caching import release_result
+    from unimib_simpss_spark.functions.text import tokens
+    from unimib_simpss_spark.operators.caching import (
+        materialize_release,
+        release_result,
+    )
+    from unimib_simpss_spark.operators.sampling import (
+        greedy_pack,
+        mix_keep,
+        split_assignment,
+    )
 
     docs = _docs(spark, sf_dir)
-    docs_q = docs.where(A.quality_score("text") >= 0.5)
+    # Admission gate over a tokenize-once projection. The persist is a
+    # PUSHDOWN BARRIER, not just a compute cache: cache substitution
+    # happens before optimization, so the gate filter stays above the
+    # InMemoryRelation — un-persisted, PushDownPredicates substitutes
+    # the tk alias into the gate and shoves it below the exchange, and
+    # the repetition HOF lambdas then re-tokenize per position ON EVERY
+    # CONSUMER of this relation (measured: 2.8 s → 24 s at sf0.1).
+    pre = (
+        docs.select("doc_id", "text", "source", tokens("text").alias("tk"))
+        .repartition("doc_id")
+        .persist()
+    )
+    qc = A.quality_components_from_tokens(F.col("tk"), F.col("text"))
+    rc = A.repetition_components_from_tokens(F.col("tk"))
+    docs_q = pre.where(
+        (A.quality_score_from_components(qc) >= 0.5)
+        & (rc["top_token_frac"] <= A.REPETITION_MAX_TOP_TOKEN_FRAC)
+        & (rc["dup_2gram_frac"] <= A.REPETITION_MAX_DUP_2GRAM_FRAC)
+        & (rc["dup_3gram_frac"] <= A.REPETITION_MAX_DUP_3GRAM_FRAC)
+    ).select("doc_id", "text", "source")
     pairs = D.jaccard_pairs(docs_q, threshold=0.8)
     clusters = D.dedup_clusters(docs_q, pairs)
     release_result(pairs)  # clusters is materialized; the pair graph is spent
-    surv = docs_q.join(
-        clusters.where(F.col("doc_id") == F.col("component")).select("doc_id"),
+    hits = D.decontaminate(docs, is_benchmark=F.expr(_P_BENCH_PRED))
+    surv = (
+        docs_q.join(
+            clusters.where(F.col("doc_id") == F.col("component")).select("doc_id"),
+            "doc_id",
+        )
+        .where(~F.expr(_P_BENCH_PRED))
+        .join(hits.select("doc_id"), "doc_id", "left_anti")
+        .where(mix_keep("source", "doc_id", _P_MIX, default_fraction=_P_MIX_DEFAULT))
+    )
+    t = surv.select(
         "doc_id",
+        split_assignment("doc_id", _P_SPLITS),
+        A.token_count_ws("text").alias("ws"),
+        A.quality_score("text").alias("q"),
     )
-    return (
-        surv.select(
-            split_assignment("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
-            A.token_count_ws("text").alias("ws"),
-            A.quality_score("text").alias("q"),
-        )
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ws").alias("sum_ws_tokens"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
-        )
+    packed = greedy_pack(
+        t, partition_col="split", order_col="doc_id", token_col="ws",
+        budget=_P_PACK_BUDGET,
     )
+    out = packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("seq_bin").alias("n_seqs"),
+        F.sum("ws").alias("sum_ws_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+    out = materialize_release(out, pre)
+    release_result(clusters)  # spent once the 3-row result is owned
+    release_result(hits)
+    return out
