@@ -287,3 +287,49 @@ def test_stream_stream_interval_join(spark, dim, tmp_path):
     rows = spark.sql("select * from ssjoin").collect()
     assert len(rows) == 1
     assert rows[0].temperature == 100 and rows[0].cmd == "calibrate"
+
+
+def test_streaming_admission_gate(spark, tmp_path):
+    """The [EXT] text-quality operators are stateless Column exprs, so
+    the corpus admission gate (quality score + Gopher repetition rules)
+    runs unchanged inside a Structured Streaming micro-batch — the
+    streaming form of q62's first stage. (The batch path persists the
+    tokenized relation as a pushdown barrier; a streaming DF can't
+    persist, so at scale apply the gate inside foreachBatch where the
+    batch DF can.)"""
+    from unimib_simpss_spark.functions import analysis as A
+    from unimib_simpss_spark.functions.text import tokens
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    _write_log(
+        src,
+        "docs0.json",
+        [
+            {"doc_id": 1,
+             "text": "the quick brown fox jumps over the lazy dog and runs away"},
+            {"doc_id": 2, "text": "spam spam spam spam spam spam spam spam"},
+            {"doc_id": 3, "text": "x"},
+        ],
+    )
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+    pre = stream.select("doc_id", "text", tokens("text").alias("tk"))
+    qc = A.quality_components_from_tokens(F.col("tk"), F.col("text"))
+    rc = A.repetition_components_from_tokens(F.col("tk"))
+    gated = pre.where(
+        (A.quality_score_from_components(qc) >= 0.25)
+        & (rc["top_token_frac"] <= 0.3)
+    ).select("doc_id")
+    out, chk = tmp_path / "docs_out", tmp_path / "chk"
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # doc2 passes quality but is repetition-rejected (top_token_frac 1.0);
+    # doc3 passes nothing stronger than the single-token edge and is
+    # repetition-rejected too; only doc1 clears both gates.
+    assert {r.doc_id for r in spark.read.parquet(str(out)).collect()} == {1}
