@@ -76,16 +76,11 @@ def test_minhash_pairs_subset_of_exact_jaccard(docs):
 
 def test_simhash_band_join_is_complete(docs):
     """Pigeonhole band join must find EVERY hamming≤3 pair — compare
-    against a brute-force cross join of the signatures."""
-    sigs = docs.select(
-        F.col("doc_id"),
-        D.simhash_col(
-            F.transform(
-                shingles("text"),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            )
-        ).alias("simhash"),
-    ).where(F.size(shingles("text")) > 0)
+    against a brute-force cross join of signatures built over the same
+    combo shingle-hash relation the operator uses."""
+    sigs = D._combo_shingle_docs(docs, "text", "doc_id").select(
+        "doc_id", D.simhash_col(F.col("hs")).alias("simhash")
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     brute = {

@@ -323,6 +323,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _hsd: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidates (band-bucket join) verified with exact
     Jaccard over the combo-hash shingle sets. The 100 TB dedup path:
@@ -331,9 +332,11 @@ def minhash_dedup_pairs(
     One persist of (doc_id, sz, hs) feeds both the K=16 signature
     expressions (the barrier stops project-collapsing from re-inlining
     the hashing into each one) and the verify join — and it is the
-    same relation :func:`jaccard_pairs` builds, so a shared session
-    caches it once."""
-    hsd = _combo_shingle_docs(docs, text_col, id_col).persist()
+    same relation :func:`jaccard_pairs` and :func:`simhash_pairs`
+    build, so callers running several miners pass it via ``_hsd`` (they
+    own its lifecycle) and the corpus is shingled exactly once."""
+    owns = _hsd is None
+    hsd = _combo_shingle_docs(docs, text_col, id_col).persist() if owns else _hsd
     sigs = hsd.select("doc_id", *minhash_signature_cols(F.col("hs")))
     band_keys = [
         F.concat_ws(
@@ -359,7 +362,7 @@ def minhash_dedup_pairs(
         .distinct()
     )
     out = _pair_jaccard_hashed(cand, hsd).where(F.col("jaccard") >= threshold)
-    return materialize_release(out, hsd)
+    return materialize_release(out, *([hsd] if owns else []))
 
 
 def minhash_dedup_sql(threshold: float = 0.8, text_expr: str = "text") -> str:
@@ -429,28 +432,26 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _hsd: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole band join.
 
     hamming ≤ 3 over 32 bits ⇒ at least one of the 4 bytes is identical,
     so joining on any-equal-byte finds EVERY qualifying pair (no recall
     loss), while comparing only candidate buckets — the scale path.
+
+    Signatures are computed over the shared combo shingle-hash space
+    (:func:`_combo_shingle_docs` — one md5 per token, Horner-composed),
+    the SAME relation the Jaccard and MinHash miners index: a caller
+    running several miners passes the persisted relation via ``_hsd``
+    and the corpus is shingled exactly once (see q34). Combo hashes are
+    mod 2^31−1, so bit 31 is constant-0 — harmless: a never-differing
+    bit can't break the pigeonhole argument. When ``_hsd`` is supplied
+    the CALLER owns its lifecycle; otherwise it is built and released
+    here.
     """
-    raw_hash = F.transform(
-        shingles_from_tokens(F.col("tk")),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
-    # _tokenized_docs: pre-shuffle short-doc filter (≥3 tokens ⇔
-    # non-empty shingles), repartition for parallelism, tokens bound to
-    # an attribute so the shingle lambda doesn't re-tokenize per
-    # position. persist: the 32 per-bit majority votes in simhash_col
-    # all traverse hs — the barrier stops project-collapsing from
-    # re-inlining the md5 pipeline into each term.
-    d = (
-        _tokenized_docs(docs, text_col, id_col)
-        .select("doc_id", raw_hash.alias("hs"))
-        .persist()
-    )
+    owns = _hsd is None
+    d = _combo_shingle_docs(docs, text_col, id_col).persist() if owns else _hsd
     sh = d.select("doc_id", simhash_col(F.col("hs")).alias("simhash"))
     bands = sh.select(
         "doc_id",
@@ -478,10 +479,12 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return materialize_release(out, d)
+    return materialize_release(out, *([d] if owns else []))
 
 
 def simhash_sql(max_hamming: int = 3, text_expr: str = "text") -> str:
+    """Oracle twin of :func:`simhash_pairs` over the combo hash space
+    (same constants as ``combo_shingle_hashes_sql``)."""
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) > len(hs) "
         f"THEN {1 << j} ELSE 0 END)"
@@ -489,8 +492,7 @@ def simhash_sql(max_hamming: int = 3, text_expr: str = "text") -> str:
     )
     return f"""
     WITH sh AS (
-        SELECT doc_id, list_transform({shingles_sql(text_expr)}, s ->
-            ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hs
+        SELECT doc_id, {combo_shingle_hashes_sql(text_expr)} AS hs
         FROM documents
     ), shn AS (SELECT doc_id, hs FROM sh WHERE len(hs) > 0
     ), sims AS (

@@ -80,20 +80,40 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, exact for hamming ≤ 3 (score = hamming). Both generate
     candidates via band-bucket equi-joins — the sub-quadratic 100 TB
     dedup paths, never an all-pairs product."""
+    from unimib_simpss_spark.operators.caching import (
+        materialize_release,
+        release_result,
+    )
+
     docs = _docs(spark, sf_dir)
-    mh = D.minhash_dedup_pairs(docs, threshold=0.8).select(
-        F.lit("minhash").alias("family"),
-        "doc1",
-        "doc2",
-        F.col("jaccard").alias("score"),
+    # Shingle-hash the corpus ONCE: both miners index the same combo
+    # relation, passed via _hsd (this query owns its lifecycle — both
+    # legs are eagerly materialized before the releases below). The
+    # tagged union is then materialized into ONE self-owned handle so
+    # the legs' checkpoint blocks can be freed here — release_result on
+    # a lazy union cannot reach its children.
+    hsd = D._combo_shingle_docs(docs, "text", "doc_id").persist()
+    mh = D.minhash_dedup_pairs(docs, threshold=0.8, _hsd=hsd)
+    sh = D.simhash_pairs(docs, max_hamming=3, _hsd=hsd)
+    out = materialize_release(
+        mh.select(
+            F.lit("minhash").alias("family"),
+            "doc1",
+            "doc2",
+            F.col("jaccard").alias("score"),
+        ).unionAll(
+            sh.select(
+                F.lit("simhash").alias("family"),
+                "doc1",
+                "doc2",
+                F.col("hamming").cast("double").alias("score"),
+            )
+        ),
+        hsd,
     )
-    sh = D.simhash_pairs(docs, max_hamming=3).select(
-        F.lit("simhash").alias("family"),
-        "doc1",
-        "doc2",
-        F.col("hamming").cast("double").alias("score"),
-    )
-    return mh.unionAll(sh)
+    release_result(mh)
+    release_result(sh)
+    return out
 
 
 @query(
