@@ -114,3 +114,33 @@ def test_durable_checkpoint_mode(spark, tmp_path):
 
     with pytest.raises(ValueError):
         set_checkpoint_mode("bogus")
+
+
+# Registry-level sweep: every query that persists/checkpoints internally
+# must leave the context clean once the caller releases its one handle.
+# (Catches composition leaks the per-operator tests can't — e.g. a lazy
+# union over two checkpointed legs, where release_result on the union
+# cannot reach the children's blocks.)
+CACHE_HEAVY_QUERIES = (
+    "q31_dedup_groups",
+    "q33_jaccard_pairs",
+    "q34_hash_band_pairs",
+    "q36_cosine_topk",
+    "q38_decontamination",
+    "q59_dedup_clusters",
+    "q61_incremental_dedup",
+    "q62_corpus_pipeline",
+)
+
+
+@pytest.mark.parametrize("name", CACHE_HEAVY_QUERIES)
+def test_query_releases_all_caches(spark, name):
+    from unimib_simpss_spark.plans import registry as R
+
+    qs = R.queries()
+    before = persistent_rdd_ids(spark)
+    df = qs[name](spark, SF_SMALL)
+    df.count()
+    release_result(df)
+    leaked = persistent_rdd_ids(spark) - before
+    assert leaked == set(), f"{name} leaked persistent RDDs: {sorted(leaked)}"
