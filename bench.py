@@ -48,12 +48,10 @@ HEADLINE = [
     "q39_media_profile",
     "q44_order_timeline",
     "q46_embedding_cosine_pairs",
-    "q47_sql_grouping_sets",
     "q48_binned_range_join",
     "q49_salted_join",
     "q52_pivot_returnflag",
     "q53_stat_profile",
-    "q54_token_explode",
     "q55_gapfill_rollup",
     "q56_correlated_subquery",
     "q57_label_centroids",

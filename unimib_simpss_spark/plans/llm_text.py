@@ -41,16 +41,36 @@ def _text_profile_oracle() -> str:
            CAST(NULL AS DOUBLE) AS avg_chars
     FROM documents
     GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'top_tokens' AS family, tok AS key1,
+               CAST(NULL AS VARCHAR) AS key2,
+               count(*) AS n_docs,
+               CAST(NULL AS BIGINT) AS sum_a,
+               CAST(NULL AS BIGINT) AS sum_b,
+               CAST(NULL AS DOUBLE) AS avg_chars
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+            FROM documents
+        )
+        WHERE length(tok) >= 4
+        GROUP BY tok
+        ORDER BY n_docs DESC, tok
+        LIMIT 20
+    )
     """
 
 
 @query("q27_text_profile", oracle=_text_profile_oracle())
 def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus text profile, two tagged legs over the same scan (merged
-    from the former q27/q28 to fit the driver's 50-query window):
+    """Corpus text profile, three tagged legs over the same table (merged
+    from the former q27/q28/q54 to fit the driver's 50-query window):
     ``tokens`` = per-source token counting (whitespace + BPE-ish regex),
     ``lang`` = language-ID (char-trigram heuristic) labeled-vs-predicted
-    confusion counts. Per-row Column exprs + two small aggs — scales."""
+    confusion counts, ``top_tokens`` = the UDTF-shape explode → filter →
+    count → global top-20 (Generate streams into a partial HashAggregate;
+    the order-by-limit is TakeOrderedAndProject — per-partition heaps, no
+    full sort). Per-row Column exprs + small aggs — scales."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -91,7 +111,26 @@ def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("avg_chars"),
         )
     )
-    return tok.unionAll(lng)
+    top = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok")
+        )
+        .where(F.length("tok") >= 4)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "tok")
+        .limit(20)
+        .select(
+            F.lit("top_tokens").alias("family"),
+            F.col("tok").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            "n_docs",
+            F.lit(None).cast("long").alias("sum_a"),
+            F.lit(None).cast("long").alias("sum_b"),
+            F.lit(None).cast("double").alias("avg_chars"),
+        )
+    )
+    return tok.unionAll(lng).unionAll(top)
 
 
 _qc_sql = A.quality_components_sql("text")

@@ -379,61 +379,35 @@ def q09_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# J4: non-equi range join against a tiny banding dimension
+# A5: the whole grouping-analytics family in one tagged union — ROLLUP
+# (region→nation hierarchy, DataFrame API), CUBE (two independent dims,
+# DataFrame API), and GROUPING SETS through the raw spark.sql surface
+# (S7: the IDENTICAL SQL text runs on both engines). Merged from the
+# former q12/q13/q47 to fit the driver's 50-query verification window.
+# Every leg carries grouping() flags so NULL group keys and NULL
+# super-aggregate rows stay distinguishable.
 # --------------------------------------------------------------------------
-@query(
-    "q11_price_bands",
-    oracle="""
-    WITH bands(band, lo, hi) AS (
-        VALUES ('budget', 0.0, 940.0),
-               ('mid', 940.0, 980.0),
-               ('premium', 980.0, 1e12)
-    )
-    SELECT band,
-           count(*)                       AS n_parts,
-           round(avg(p_retailprice), 4)   AS avg_price
-    FROM part JOIN bands
-      ON p_retailprice >= lo AND p_retailprice < hi
-    GROUP BY band
-    """,
-)
-def q11_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-join (range condition) — broadcast nested loop on a 3-row dim.
-
-    Scale note: the band table is constant-size → broadcast; the fact side
-    streams through without shuffle.
-    """
-    p = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        [("budget", 0.0, 940.0), ("mid", 940.0, 980.0), ("premium", 980.0, 1e12)],
-        schema="band string, lo double, hi double",
-    )
-    return (
-        p.join(
-            F.broadcast(bands),
-            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
-        )
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
-        )
-    )
+_GS_LEG_SQL = """
+    SELECT 'gsets_lineitem' AS family,
+           l_returnflag AS key1, l_linestatus AS key2,
+           count(*)                               AS n_rows,
+           round(sum(l_extendedprice), 2)         AS total,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g2
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
 
 
-# --------------------------------------------------------------------------
-# A5: ROLLUP (region→nation hierarchy) + CUBE (two independent dims),
-# one tagged union — merged from the former q12/q13 to fit the driver's
-# 50-query verification window. Each leg keeps its own grouping keys
-# (aligned to key1/key2) and measures (n_rows/total).
-# --------------------------------------------------------------------------
 @query(
     "q12_rollup_cube",
-    oracle="""
+    oracle=f"""
     SELECT 'rollup_supplier' AS family,
            r_name AS key1, n_name AS key2,
            count(*)                 AS n_rows,
-           round(sum(s_acctbal), 2) AS total
+           round(sum(s_acctbal), 2) AS total,
+           CAST(grouping(r_name) AS BIGINT) AS g1,
+           CAST(grouping(n_name) AS BIGINT) AS g2
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -442,15 +416,24 @@ def q11_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cube_orders' AS family,
            o_orderstatus AS key1, o_orderpriority AS key2,
            count(*)                    AS n_rows,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderstatus) AS BIGINT)   AS g1,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g2
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    {_GS_LEG_SQL}
     """,
 )
 def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over the region→nation hierarchy (broadcast dim joins)
-    unioned with CUBE over two independent order dimensions; the family
-    tag disambiguates the NULL super-aggregate rows of each leg."""
+    """ROLLUP over the region→nation hierarchy (broadcast dim joins),
+    CUBE over two independent order dimensions, and GROUPING SETS
+    submitted as raw SQL text through spark.sql over registered views —
+    the engine's full-SQL entry point (S7) checked against the SAME text
+    on DuckDB. The family tag + grouping() flags disambiguate every
+    super-aggregate row."""
+    from unimib_simpss_spark.catalog import register_views
+
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
@@ -462,6 +445,8 @@ def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("s_acctbal"), 2).alias("total"),
+            F.grouping("r_name").cast("long").alias("g1"),
+            F.grouping("n_name").cast("long").alias("g2"),
         )
         .select(
             F.lit("rollup_supplier").alias("family"),
@@ -469,6 +454,8 @@ def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("key2"),
             "n_rows",
             "total",
+            "g1",
+            "g2",
         )
     )
     o = _t(spark, sf_dir, "orders")
@@ -477,6 +464,8 @@ def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping("o_orderstatus").cast("long").alias("g1"),
+            F.grouping("o_orderpriority").cast("long").alias("g2"),
         )
         .select(
             F.lit("cube_orders").alias("family"),
@@ -484,9 +473,13 @@ def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("key2"),
             "n_rows",
             "total",
+            "g1",
+            "g2",
         )
     )
-    return rollup_leg.unionAll(cube_leg)
+    register_views(spark, sf_dir)
+    gsets_leg = spark.sql(_GS_LEG_SQL)
+    return rollup_leg.unionAll(cube_leg).unionAll(gsets_leg)
 
 
 # --------------------------------------------------------------------------
@@ -635,25 +628,74 @@ def q18_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# W6: global top-k
+# W6 (global top-k) + W1/W2/S7 (ordered scan + limit, the reference's CQL
+# query shape, Readme.md:268) — one tagged union, merged from the former
+# q19/q22 to fit the driver's 50-query window. Columns are NULL-padded per
+# leg so both keep native types.
 # --------------------------------------------------------------------------
 @query(
     "q19_global_topk",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_extendedprice
-    FROM lineitem
-    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-    LIMIT 20
+    SELECT * FROM (
+        SELECT 'lineitem_topk' AS leg,
+               l_orderkey, l_linenumber, l_extendedprice,
+               NULL AS event_id, NULL AS event_type, NULL AS user_id,
+               NULL AS ts
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 20
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'events_limit' AS leg,
+               NULL AS l_orderkey, NULL AS l_linenumber,
+               NULL AS l_extendedprice,
+               event_id, event_type, user_id, ts
+        FROM events
+        ORDER BY event_type, ts, event_id
+        LIMIT 15
+    )
     """,
 )
 def q19_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k — TakeOrderedAndProject (per-partition heaps, no sort)."""
+    """Global top-k over lineitem (TakeOrderedAndProject: per-partition
+    heaps, no full sort) unioned with the reference's cqlsh
+    SELECT…ORDER BY…LIMIT shape over events — both legs keep limits
+    inside their own subquery, so each stays a k-row heap scan at any
+    scale."""
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    topk = (
         l.select("l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
         .limit(20)
+        .select(
+            F.lit("lineitem_topk").alias("leg"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
     )
+    e = _t(spark, sf_dir, "events")
+    limited = (
+        e.select("event_id", "event_type", "user_id", "ts")
+        .orderBy("event_type", "ts", "event_id")
+        .limit(15)
+        .select(
+            F.lit("events_limit").alias("leg"),
+            F.lit(None).cast("long").alias("l_orderkey"),
+            F.lit(None).cast("int").alias("l_linenumber"),
+            F.lit(None).cast("double").alias("l_extendedprice"),
+            "event_id",
+            "event_type",
+            "user_id",
+            "ts",
+        )
+    )
+    return topk.unionAll(limited)
 
 
 # --------------------------------------------------------------------------
@@ -728,29 +770,6 @@ def q20_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
             "asof_click_id",
             "asof_click_value",
         )
-    )
-
-
-# --------------------------------------------------------------------------
-# W1/W2: ordered scan + limit (the reference's CQL query surface, S7)
-# --------------------------------------------------------------------------
-@query(
-    "q22_ordered_limit",
-    oracle="""
-    SELECT event_id, event_type, user_id, ts
-    FROM events
-    ORDER BY event_type, ts, event_id
-    LIMIT 15
-    """,
-)
-def q22_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SELECT … ORDER BY … LIMIT — the reference's cqlsh query shape
-    (Readme.md:268) with deterministic full ordering."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.select("event_id", "event_type", "user_id", "ts")
-        .orderBy("event_type", "ts", "event_id")
-        .limit(15)
     )
 
 
@@ -842,30 +861,6 @@ def x45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A5 (grouping sets) + S7 (raw SQL surface): the same ANSI-SQL text runs
-# on both engines — spark.sql over registered views vs the DuckDB oracle.
-# --------------------------------------------------------------------------
-_GROUPING_SETS_SQL = """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2)            AS sum_price,
-           CAST(grouping(l_returnflag) AS BIGINT)    AS g_rf,
-           CAST(grouping(l_linestatus) AS BIGINT)    AS g_ls
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-"""
-
-
-@query("q47_sql_grouping_sets", oracle=_GROUPING_SETS_SQL)
-def q47_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS through the raw spark.sql surface — the engine's
-    full-SQL entry point (S7): identical SQL text on both engines."""
-    from unimib_simpss_spark.catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_GROUPING_SETS_SQL)
-
-
-# --------------------------------------------------------------------------
 # Scale-technique variants: binned range join (vs BNL) and salted join
 # (vs hot-key shuffle). Oracles are plain declarative SQL — the Spark
 # side must produce the IDENTICAL answer through the rewritten plan.
@@ -876,21 +871,43 @@ _PRICE_BANDS = [
 _PRICE_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
 
 
+_PART_BANDS_SQL = """
+        VALUES ('budget', 0.0, 940.0),
+               ('mid', 940.0, 980.0),
+               ('premium', 980.0, 1e12)
+"""
+
+
 @query(
     "q48_binned_range_join",
     oracle=f"""
-    WITH bands(band, lo, hi) AS (VALUES {_PRICE_BANDS_SQL})
-    SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+    WITH bands(band, lo, hi) AS (VALUES {_PRICE_BANDS_SQL}),
+    part_bands(band, lo, hi) AS ({_PART_BANDS_SQL})
+    SELECT 'orders_binned' AS leg, band,
+           count(*) AS n_rows, round(avg(o_totalprice), 4) AS avg_price
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    UNION ALL
+    SELECT 'part_bnl' AS leg, band,
+           count(*) AS n_rows, round(avg(p_retailprice), 4) AS avg_price
+    FROM part JOIN part_bands ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band
     """,
 )
 def q48_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join executed as a binned equi-join (operators/skew.py):
-    ranges explode to overlapping fixed-width bins, facts map to one
-    bin, the bin equi-join co-partitions both sides, and the residual
-    BETWEEN restores exact semantics — |A|·|B| BNL becomes Σ co-binned
-    pairs, the open-source counterpart of a range-join optimization."""
+    """Both J4 range-join strategies in one tagged union (merged q11+q48
+    to fit the driver's 50-query window), same band-join semantics
+    through two physical plans:
+
+    - ``orders_binned``: the binned equi-join rewrite (operators/skew.py)
+      — ranges explode to overlapping fixed-width bins, facts map to one
+      bin, the bin equi-join co-partitions both sides, and the residual
+      BETWEEN restores exact semantics. |A|·|B| BNL becomes Σ co-binned
+      pairs — the 100 TB formulation.
+    - ``part_bnl``: broadcast-nested-loop against a constant 3-row band
+      dim — the right plan when the dim side is tiny (no shuffle at all;
+      the fact side streams through).
+    """
     from unimib_simpss_spark.operators.skew import binned_range_join
 
     o = _t(spark, sf_dir, "orders")
@@ -906,10 +923,29 @@ def q48_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi_col="hi",
         bin_width=50_000.0,
     )
-    return joined.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_orders"),
+    binned_leg = joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    ).select(F.lit("orders_binned").alias("leg"), "band", "n_rows", "avg_price")
+
+    p = _t(spark, sf_dir, "part")
+    part_bands = spark.createDataFrame(
+        [("budget", 0.0, 940.0), ("mid", 940.0, 980.0), ("premium", 980.0, 1e12)],
+        schema="band string, lo double, hi double",
     )
+    bnl_leg = (
+        p.join(
+            F.broadcast(part_bands),
+            (p.p_retailprice >= part_bands.lo) & (p.p_retailprice < part_bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .select(F.lit("part_bnl").alias("leg"), "band", "n_rows", "avg_price")
+    )
+    return binned_leg.unionAll(bnl_leg)
 
 
 @query(
@@ -1014,43 +1050,6 @@ def q53_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 2
         ).alias("p90_price"),
-    )
-
-
-# --------------------------------------------------------------------------
-# UDTF-shape: explode (lateral view). The only row-multiplying relational
-# operator — generated rows never hit the driver; the follow-up count is
-# partial-aggregated before its shuffle.
-# --------------------------------------------------------------------------
-@query(
-    "q54_token_explode",
-    oracle="""
-    SELECT tok, count(*) AS n
-    FROM (
-        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
-        FROM documents
-    )
-    WHERE length(tok) >= 4
-    GROUP BY tok
-    ORDER BY n DESC, tok
-    LIMIT 20
-    """,
-)
-def q54_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """split → explode → filter → count → global top-20. Spark's
-    Generate node streams the exploded rows straight into a partial
-    HashAggregate; the final order-by-limit is TakeOrderedAndProject
-    (per-partition heaps, no full sort)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok")
-    )
-    return (
-        toks.where(F.length("tok") >= 4)
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "tok")
-        .limit(20)
     )
 
 
