@@ -80,7 +80,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for ``spark.sql`` queries."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> None:
+    """Register tables as temp views for ``spark.sql`` queries.
+
+    ``names`` defaults to all tables; queries that only reference one or
+    two views should pass them explicitly — each registration costs a
+    parquet footer/schema read (plus the events nanos conf path), which
+    is pure overhead on a hot query path.
+    """
+    for name in names if names is not None else TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -477,7 +477,7 @@ def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g2",
         )
     )
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("lineitem",))
     gsets_leg = spark.sql(_GS_LEG_SQL)
     return rollup_leg.unionAll(cube_leg).unionAll(gsets_leg)
 
@@ -1077,7 +1077,7 @@ def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst into agg + broadcast join, visible in explain())."""
     from unimib_simpss_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("customer",))
     return spark.sql(_CORRELATED_SQL)
 
 
