@@ -73,6 +73,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (events.ts,
+    # lineitem.l_shipdate, orders.o_orderdate in driver-generated data)
+    # surface as TIMESTAMP_NTZ on vanilla Spark 3.4+. Normalize to the
+    # session-tz TIMESTAMP the engine (and the DuckDB oracle compare,
+    # which reads the same values as naive timestamps under the UTC
+    # session tz) expects — windows/watermarks/interval arithmetic then
+    # behave identically on every session, preconfigured or not.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
