@@ -60,6 +60,10 @@ HEADLINE = [
     "q60_regional_revenue",
     "q61_incremental_dedup",
     "q62_corpus_pipeline",
+    # round 6 additions: privacy scrub, LM-score filter, domain capping
+    "q63_pii_pipeline",
+    "q64_bigram_lm_score",
+    "q65_source_cap",
 ]
 
 

@@ -1,0 +1,109 @@
+"""Unit tests for the curation/privacy operators (PII scrub, bigram LM
+scoring, per-source cap) beyond the oracle-parity gate: determinism,
+idempotence, stability-under-append, and bound invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.functions import privacy as P
+from unimib_simpss_spark.operators import curation as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+# -------------------------------------------------------------- privacy
+
+
+def test_pseudonym_stable_and_distinct(spark):
+    df = spark.createDataFrame(
+        [("Customer#000000001",), ("Customer#000000002",), ("Customer#000000001",)],
+        ["name"],
+    ).select(P.pseudonym("name").alias("p"))
+    vals = [r.p for r in df.collect()]
+    assert vals[0] == vals[2] != vals[1]
+    assert all(len(v) == 16 for v in vals)
+
+
+def test_redaction_removes_all_digits_and_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [("Customer#000000042",), ("a1b22c333",), ("nodigits",), ("",)], ["name"]
+    ).select(
+        "name",
+        P.redact_digits("name").alias("red"),
+        P.digit_count("name").alias("nd"),
+    )
+    rows = df.select(
+        "red", "nd", P.digit_count("red").alias("nd_after"),
+        P.redact_digits("red").alias("red_twice"),
+    ).collect()
+    for r in rows:
+        assert r.nd_after == 0  # no digit survives redaction
+        assert r.red_twice == r.red  # idempotent
+    assert rows[0].red == "Customer#[ID]"
+    assert rows[1].red == "a[ID]b[ID]c[ID]" and rows[1].nd == 6
+
+
+def test_kanon_flags_exactly_small_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 1)] * 4 + [("c", 2)] * 1, ["seg", "nat"]
+    )
+    out = {(r.seg, r.nat): (r.group_n, r.suppressed)
+           for r in P.kanon_groups(df, ["seg", "nat"], k=5).collect()}
+    assert out[("a", 1)] == (5, 0)
+    assert out[("b", 1)] == (4, 1)
+    assert out[("c", 2)] == (1, 1)
+
+
+# ------------------------------------------------------------ bigram LM
+
+
+def test_doc_bigrams_counts_and_order(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "x"), (3, "p q")], ["doc_id", "text"])
+    rows = sorted(
+        (r.doc_id, r.w1, r.w2) for r in C.doc_bigrams(df).collect()
+    )
+    assert rows == [(1, "a", "b"), (1, "b", "c"), (3, "p", "q")]  # 1-token doc → none
+
+
+def test_bigram_lm_rare_doc_scores_lower(spark):
+    # 9 identical docs share one common bigram; the outlier's bigram is
+    # globally unique, so its mean log-prob must be strictly lower.
+    rows = [(i, "the cat") for i in range(9)] + [(99, "zyx qwv")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    scores = {r.doc_id: r.avg_logp for r in C.bigram_lm_scores(df).collect()}
+    assert scores[99] < scores[0]
+    assert len(scores) == 10
+
+
+def test_source_cap_bounds_and_rank(docs):
+    out = C.source_cap(docs, quota=7).cache()
+    per = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rk").alias("max_rk")
+    )
+    assert per.where((F.col("n") > 7) | (F.col("max_rk") > 7)).count() == 0
+    # ranks within a source are dense 1..n
+    dense = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rk").alias("s")
+    )
+    assert dense.where(F.col("s") != F.col("n") * (F.col("n") + 1) / 2).count() == 0
+    out.unpersist()
+
+
+def test_source_cap_stable_under_other_source_append(spark):
+    base = spark.createDataFrame(
+        [(i, "src_a") for i in range(20)], ["doc_id", "source"]
+    )
+    appended = base.unionAll(
+        spark.createDataFrame([(100 + i, "src_b") for i in range(20)],
+                              ["doc_id", "source"])
+    )
+    picks_before = {r.doc_id for r in
+                    C.source_cap(base, quota=5).where("source = 'src_a'").collect()}
+    picks_after = {r.doc_id for r in
+                   C.source_cap(appended, quota=5).where("source = 'src_a'").collect()}
+    assert picks_before == picks_after

@@ -1,0 +1,135 @@
+"""Curation / privacy queries (SURVEY.md §2.7 [EXT]).
+
+Three training-data-pipeline knobs over the shared test tables, each
+oracle-paired with DuckDB running the equivalent ANSI SQL:
+
+- q63: PII pipeline — join-preserving pseudonymization + digit-run
+  redaction over the ``customer`` direct identifier, unioned with a
+  k-anonymity audit of the (mktsegment, nationkey) quasi-identifiers.
+- q64: bigram LM scoring — perplexity-proxy quality score per document
+  under the corpus's own bigram frequency model.
+- q65: per-source cap — deterministic hash-ordered domain capping of
+  the ``documents`` corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.catalog import load_table
+from unimib_simpss_spark.functions import privacy as P
+from unimib_simpss_spark.operators import curation as C
+from unimib_simpss_spark.plans.registry import query
+
+_KANON_K = 5
+
+_PII_ORACLE = f"""
+SELECT 'redact' AS section,
+       c_custkey,
+       substr(sha256(c_name), 1, 16)                      AS pseudonym,
+       regexp_replace(c_name, '[0-9]+', '[ID]', 'g')      AS redacted_name,
+       CAST(length(c_name)
+            - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT)
+                                                          AS n_digits,
+       CAST(NULL AS VARCHAR) AS c_mktsegment,
+       CAST(NULL AS INT)     AS c_nationkey,
+       CAST(NULL AS BIGINT)  AS group_n,
+       CAST(NULL AS BIGINT)  AS suppressed
+FROM customer
+UNION ALL
+SELECT 'kanon' AS section,
+       CAST(NULL AS BIGINT)  AS c_custkey,
+       CAST(NULL AS VARCHAR) AS pseudonym,
+       CAST(NULL AS VARCHAR) AS redacted_name,
+       CAST(NULL AS BIGINT)  AS n_digits,
+       c_mktsegment,
+       c_nationkey,
+       CAST(count(*) AS BIGINT)                           AS group_n,
+       CAST(count(*) < {_KANON_K} AS BIGINT)              AS suppressed
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+"""
+
+
+@query("q63_pii_pipeline", oracle=_PII_ORACLE)
+def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + k-anonymity audit, tagged by section.
+
+    'redact' pseudonymizes and redacts the direct identifier (pure
+    Column exprs, codegen'd, no shuffle); 'kanon' sizes every
+    quasi-identifier group and flags those below k=5 for suppression
+    (one combinable shuffle). See functions/privacy.py for the 100 TB
+    notes."""
+    cust = load_table(spark, sf_dir, "customer")
+    redact = cust.select(
+        F.lit("redact").alias("section"),
+        "c_custkey",
+        P.pseudonym("c_name").alias("pseudonym"),
+        P.redact_digits("c_name").alias("redacted_name"),
+        P.digit_count("c_name").alias("n_digits"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("long").alias("group_n"),
+        F.lit(None).cast("long").alias("suppressed"),
+    )
+    kanon = P.kanon_groups(cust, ["c_mktsegment", "c_nationkey"], k=_KANON_K).select(
+        F.lit("kanon").alias("section"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(None).cast("string").alias("pseudonym"),
+        F.lit(None).cast("string").alias("redacted_name"),
+        F.lit(None).cast("long").alias("n_digits"),
+        "c_mktsegment",
+        "c_nationkey",
+        "group_n",
+        "suppressed",
+    )
+    return redact.unionAll(kanon)
+
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bi AS (
+    SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+    FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) s
+),
+counts AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY w1, w2),
+tot AS (SELECT count(*) AS total FROM bi)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(cnt / (SELECT total FROM tot))), 3) AS avg_logp
+FROM bi JOIN counts USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+@query("q64_bigram_lm_score", oracle=_BIGRAM_LM_ORACLE)
+def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean bigram log-probability per
+    document under the corpus's own bigram model (the cheap KenLM-filter
+    stand-in). See operators/curation.py for the plan and 100 TB notes."""
+    return C.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+_SOURCE_CAP_QUOTA = 10
+
+_SOURCE_CAP_ORACLE = f"""
+SELECT source, doc_id, rk FROM (
+    SELECT source, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS rk
+    FROM documents
+) WHERE rk <= {_SOURCE_CAP_QUOTA}
+"""
+
+
+@query("q65_source_cap", oracle=_SOURCE_CAP_ORACLE)
+def q65_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: deterministic hash-ordered top-10 documents per
+    source — bounds any one source's share of the training mix. See
+    operators/curation.py for stability and scale notes."""
+    return C.source_cap(
+        load_table(spark, sf_dir, "documents"), quota=_SOURCE_CAP_QUOTA
+    )

@@ -78,9 +78,16 @@ def q39_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionAll(frames)
 
 
-@query("x41_media_decode")  # no oracle: NumPy feature math → rows-only check
-def x41_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode (deterministic fake decoder) → feature digests.
+@query("x41_media_pipeline")  # no oracle: NumPy feature math → rows-only check
+def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Arrow-decode media paths in one tagged union (merged from
+    the former x41/x42 so every rows-only query fits the driver's
+    50-query verification window):
+
+    - 'decode': Arrow-batched decode (deterministic fake decoder) →
+      per-media feature digests.
+    - 'topk': decode → cosine top-3 over decoded features (multimodal
+      ANN; media_id carries the query id).
 
     The registered contract surface is SCALAR columns only — the raw
     ``features array<float>`` crashes hash canonicalizers that sort rows
@@ -88,7 +95,8 @@ def x41_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~unimib_simpss_spark.operators.multimodal.decode_media`
     directly for the full array.
     """
-    feats = M.decode_media(_media(spark, sf_dir))
+    media = _media(spark, sf_dir)
+    feats = M.decode_media(media)
     # Position-weighted checksum of the feature vector: deterministic,
     # order-stable (fold-left over the array), scalar.
     weighted = F.zip_with(
@@ -104,18 +112,24 @@ def x41_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features") >= 1,
         F.round(F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x), 4),
     ).otherwise(F.lit(0.0))
-    return feats.select(
+    decode_leg = feats.select(
+        F.lit("decode").alias("method"),
         "media_id",
         "kind",
-        "n_bytes",
-        F.size("features").alias("n_dims"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.size("features").cast("long").alias("n_dims"),
         digest.alias("feature_digest"),
+        F.lit(None).cast("long").alias("neighbor_id"),
+        F.lit(None).cast("double").alias("cosine"),
     )
-
-
-@query("x42_media_feature_topk")  # no oracle: decode feeds cosine top-k
-def x42_media_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → cosine top-3 over decoded features (multimodal ANN)."""
-    return M.media_feature_topk(
-        _media(spark, sf_dir), k=3, query_pred=F.col("vec_id") < 6
+    topk_leg = M.media_feature_topk(media, k=3, query_pred=F.col("vec_id") < 6).select(
+        F.lit("topk").alias("method"),
+        F.col("query_id").alias("media_id"),
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("long").alias("n_dims"),
+        F.lit(None).cast("double").alias("feature_digest"),
+        "neighbor_id",
+        "cosine",
     )
+    return decode_leg.unionAll(topk_leg)

@@ -64,23 +64,39 @@ def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
-@query("x50_ivf_kmeans_topk")  # iterative index build → rows-only check
-def x50_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF path: build the coarse quantizer with distributed
-    k-means, then cell-probed top-3 over the LEARNED cells (instead of
-    the precomputed label column q37 uses)."""
+@query("x50_ann_learned_index")  # iterative build + approx recall → rows-only
+def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both LEARNED-index ANN paths in one tagged union (merged from the
+    former x50/x51 so every rows-only query fits the driver's 50-query
+    verification window):
+
+    - 'ivf_kmeans': build the coarse quantizer with distributed Lloyd
+      k-means, then cell-probed top-3 over the LEARNED cells (instead
+      of the precomputed label column q37 uses).
+    - 'lsh': random-hyperplane LSH cosine ANN (6 planes × 12 tables) —
+      bucket equi-join candidates, exact cosine within buckets. Recall
+      is bounds-tested against brute force in tests/test_llm_ops.py.
+    """
     emb = _emb(spark, sf_dir)
     cells = S.kmeans_cells(emb, k=8, iters=3)
     indexed = emb.join(cells, "vec_id").withColumn("cell", F.col("cell"))
-    return S.ivf_topk(indexed, k=3, cell_col="cell")
-
-
-@query("x51_lsh_cosine_topk")  # approximate recall → rows-only check
-def x51_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH cosine ANN (6 planes × 12 tables): bucket
-    equi-join candidates, exact cosine within buckets. Recall is
-    bounds-tested against brute force in tests/test_llm_ops.py."""
-    return S.hyperplane_lsh_topk(_emb(spark, sf_dir), k=5, n_planes=6, n_tables=12)
+    ivf = S.ivf_topk(indexed, k=3, cell_col="cell").select(
+        F.lit("ivf_kmeans").alias("method"),
+        "query_id",
+        F.col("cell").cast("long").alias("cell"),
+        "neighbor_id",
+        "cosine",
+        F.lit(None).cast("long").alias("rank"),
+    )
+    lsh = S.hyperplane_lsh_topk(emb, k=5, n_planes=6, n_tables=12).select(
+        F.lit("lsh").alias("method"),
+        "query_id",
+        F.lit(None).cast("long").alias("cell"),
+        "neighbor_id",
+        "cosine",
+        "rank",
+    )
+    return ivf.unionAll(lsh)
 
 
 @query(
