@@ -27,68 +27,94 @@ def doc_bigrams(
     """Explode whitespace-token bigrams: (id, w1, w2), one row per
     adjacent token pair.
 
-    Pairs are built INSIDE the token array (``transform`` over index +
-    ``element_at``) before the explode, so adjacency never needs a
-    per-document window — the naive posexplode + ``lead()`` formulation
-    costs a full shuffle + sort just to see each token's neighbor that
-    the source row already held. This version is narrow-only (scan →
-    project → generate), which also lets Spark recompute it cheaply
-    wherever the plan references it twice.
+    Pairs are built INSIDE the token array (``zip_with`` over the
+    array and its shift-by-one slice) before the explode, so adjacency
+    never needs a per-document window — the naive posexplode +
+    ``lead()`` formulation costs a full shuffle + sort just to see each
+    token's neighbor that the source row already held.
 
-    ``greatest(size-1, 1)`` keeps ``sequence`` ascending for 1-token
-    docs; the phantom pair it creates has a NULL w2 (``element_at`` past
-    the end) and is filtered inside the array — split() can never emit
-    a NULL token, so NULL w2 exactly identifies the phantom.
+    The token array is projected to a bound attribute BEHIND an
+    Exchange (same contract as dedup's ``_tokenized_docs``): without
+    the barrier, CollapseProject inlines the ``split()`` into every
+    consumer position and the mine re-tokenizes per reference
+    (measured ~5 s → ~0.3 s at sf0.1); the repartition also spreads
+    the per-row compute off single-split files. ``split()`` never
+    yields an empty array (empty text → ``[""]``), so the slice
+    lengths are always ≥ 0 and 1-token docs emit no pairs.
     """
-    l = F.split(F.col(text_col), " ")
-    pairs = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(l) - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(l, i).alias("w1"),
-                F.element_at(l, i + F.lit(1)).alias("w2"),
-            ),
-        ),
-        lambda p: p["w2"].isNotNull(),
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    ).repartition(id_col)
+    n1 = F.size(F.col("toks")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, n1),
+        F.slice(F.col("toks"), 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    return (
-        docs.select(F.col(id_col), F.explode(pairs).alias("pair"))
-        .select(F.col(id_col), F.col("pair.w1").alias("w1"), F.col("pair.w2").alias("w2"))
+    return toks.select(F.col(id_col), F.explode(pairs).alias("pair")).select(
+        F.col(id_col), F.col("pair.w1").alias("w1"), F.col("pair.w2").alias("w2")
     )
 
 
 def bigram_lm_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ndigits: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under the corpus model.
 
-    Plan: mine bigrams (narrow-only, see :func:`doc_bigrams`) → count
-    per distinct bigram (one shuffle, map-side combinable) → join
-    scores back on the bigram key (AQE broadcasts the count table when
-    it fits, skew-splits when one bigram dominates) → per-document
-    average (second combinable shuffle). The corpus total is
-    ``sum(cnt)`` over the already-aggregated count relation — NOT a
-    third pass over the raw bigrams — and rides along as a broadcast
-    1-row cross join; no driver-side collect anywhere.
+    Plan: mine bigrams (narrow-only, see :func:`doc_bigrams`), then
+    immediately collapse to per-document counts keyed by
+    ``xxhash64(w1, w2)`` — after that point no string ever shuffles;
+    every exchange carries an 8-byte key plus counts, and the raw
+    bigram stream is never wider than one map stage. From the persisted
+    per-doc relation: corpus counts (map-side-combinable rollup of the
+    already-reduced rows), the corpus total as a broadcast 1-row cross
+    join (sum over the count relation — never a second pass over raw
+    bigrams), a hash-keyed scoring join (AQE broadcasts the LM side
+    when it fits, skew-splits when one bigram dominates), and the
+    dcnt-weighted per-document average. No driver-side collect.
 
-    At 100 TB the count table is the corpus's distinct-bigram relation;
-    if even that is too hot, swap the exact counts for a count-min
-    sketch or a top-K LM — the scoring join is unchanged.
+    The 64-bit hash space is the same engine-portability trade the
+    dedup miners make (PLANS.md): collisions merge two bigrams' counts
+    with probability ~n²/2⁶⁴ — negligible against an LM score that is
+    itself a heuristic. At 100 TB, the count relation is the corpus's
+    distinct-bigram LM; if even that is too hot, swap exact counts for
+    a count-min sketch or top-K LM — the scoring join is unchanged.
+
+    ``materialize=True`` computes eagerly so the shared per-doc
+    relation is released deterministically (operators/caching.py);
+    pass ``False`` to inspect the lazy plan (caller owns the cache).
     """
+    from unimib_simpss_spark.operators.caching import materialize_release
+
     bi = doc_bigrams(docs, id_col=id_col, text_col=text_col)
-    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    dbi = (
+        bi.select(F.col(id_col), F.xxhash64("w1", "w2").alias("bkey"))
+        .groupBy(id_col, "bkey")
+        .agg(F.count(F.lit(1)).alias("dcnt"))
+        .persist()
+    )
+    counts = dbi.groupBy("bkey").agg(F.sum("dcnt").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total_bigrams"))
-    return (
-        bi.join(counts, ["w1", "w2"])
+    scored = (
+        dbi.join(counts, "bkey")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("dcnt").alias("n_bigrams"),
             F.round(
-                F.avg(F.log(F.col("cnt") / F.col("total_bigrams"))), ndigits
+                F.sum(F.col("dcnt") * F.log(F.col("cnt") / F.col("total_bigrams")))
+                / F.sum("dcnt"),
+                ndigits,
             ).alias("avg_logp"),
         )
     )
+    if not materialize:
+        return scored
+    return materialize_release(scored, dbi)
 
 
 def source_cap(
