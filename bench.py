@@ -64,6 +64,7 @@ HEADLINE = [
     "q63_pii_pipeline",
     "q64_bigram_lm_score",
     "q65_source_cap",
+    "q66_vocab_coverage",
 ]
 
 

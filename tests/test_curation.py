@@ -107,3 +107,32 @@ def test_source_cap_stable_under_other_source_append(spark):
     picks_after = {r.doc_id for r in
                    C.source_cap(appended, quota=5).where("source = 'src_a'").collect()}
     assert picks_before == picks_after
+
+
+def test_vocab_coverage_curve(spark):
+    from unimib_simpss_spark.operators.curation import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d"), (3, "a")], ["doc_id", "text"]
+    )
+    rows = {r.token: r for r in vocab_coverage(docs, topk=3).collect()}
+    # counts: a=5, b=3, c=1, d=1 → top3 = a, b, c (tie c<d)
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"].rank == 1 and rows["a"].cnt == 5
+    assert rows["b"].rank == 2 and rows["b"].cnt == 3
+    assert rows["c"].rank == 3 and rows["c"].cnt == 1
+    assert rows["a"].cum_share == 0.5          # 5/10
+    assert rows["b"].cum_share == 0.8          # 8/10
+    assert rows["c"].cum_share == 0.9          # 9/10 (d uncovered)
+
+
+def test_vocab_coverage_monotone_on_corpus(spark, sf_dir):
+    from unimib_simpss_spark.catalog import load_table
+    from unimib_simpss_spark.operators.curation import vocab_coverage
+
+    out = vocab_coverage(load_table(spark, sf_dir, "documents"), topk=20).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    cnts = [r.cnt for r in by_rank]
+    assert cnts == sorted(cnts, reverse=True)
+    shares = [r.cum_share for r in by_rank]
+    assert shares == sorted(shares) and shares[-1] <= 1.0

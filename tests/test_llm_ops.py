@@ -312,3 +312,68 @@ def test_corpus_mix_deterministic_and_weighted(spark, docs):
     assert again == counts
     with pytest.raises(ValueError):
         mix_keep("source", "doc_id", {"src0": 1.5})
+
+
+class TestProductQuantization:
+    def test_codes_shape_and_determinism(self, emb):
+        books = S.pq_codebooks(emb, m=4, ksub=16)
+        assert books.shape == (4, 16, 16)  # 64-d / 4 subspaces
+        codes = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, books).collect()}
+        assert len(codes) == emb.count()
+        assert all(len(c) == 4 for c in codes.values())
+        assert all(0 <= v < 16 for c in codes.values() for v in c)
+        again = {
+            r.vec_id: list(r.codes)
+            for r in S.pq_encode(emb, S.pq_codebooks(emb, m=4, ksub=16)).collect()
+        }
+        assert again == codes
+
+    def test_adc_recall_vs_exact_l2(self, emb):
+        import numpy as np
+
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows])
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        k = 5
+        exact: dict[int, dict[int, float]] = {}
+        for qi in np.where(ids < 6)[0]:
+            d2 = ((mat - mat[qi]) ** 2).sum(axis=1)
+            mask = ids != ids[qi]
+            order = sorted(zip(np.round(d2[mask], 6), ids[mask]))[:k]
+            exact[int(ids[qi])] = {int(n): d for d, n in order}
+
+        def run(**kw):
+            got: dict[int, set[int]] = {}
+            d2s: dict[tuple[int, int], float] = {}
+            for r in S.pq_topk(
+                emb, k=k, query_pred=F.col("vec_id") < 6, **kw
+            ).collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+                d2s[(r.query_id, r.neighbor_id)] = r.d2
+            recall = sum(
+                len(got[q] & set(exact[q])) for q in exact
+            ) / (k * len(exact))
+            return got, d2s, recall
+
+        got, _, adc_recall = run(m=16, ksub=16)
+        assert set(got) == set(exact)
+        assert all(len(v) == k for v in got.values())
+        # near-random 64-d vectors are PQ's worst case; ADC-only recall
+        # is weak, chance is k/n ≈ 0.08 — bound above chance only
+        assert adc_recall >= 0.15, adc_recall
+
+        got_r, d2s, refined_recall = run(m=16, ksub=16, refine=25)
+        # refine buys recall back (measured 0.83 here): strictly better
+        # than ADC-only and comfortably high in absolute terms
+        assert refined_recall >= max(adc_recall, 0.5), (adc_recall, refined_recall)
+        # refined distances are EXACT squared L2 (only recall is approx)
+        for q, nbrs in exact.items():
+            for n, d in nbrs.items():
+                if (q, n) in d2s:
+                    assert abs(d2s[(q, n)] - d) < 1e-9
+
+    def test_dim_not_divisible_raises(self, emb):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            S.pq_codebooks(emb, m=5, ksub=8)

@@ -21,6 +21,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bound_tokens(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, toks): whitespace token array as a bound attribute.
+
+    The projection sits BEHIND an Exchange (same contract as dedup's
+    ``_tokenized_docs``): without the barrier, CollapseProject inlines
+    the ``split()`` into every consumer position and array lambdas
+    re-tokenize per reference (measured ~5 s → ~0.3 s for the bigram
+    mine at sf0.1); the repartition also spreads per-row compute off
+    single-split files.
+    """
+    return docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    ).repartition(id_col)
+
+
 def doc_bigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -33,18 +50,12 @@ def doc_bigrams(
     ``lead()`` formulation costs a full shuffle + sort just to see each
     token's neighbor that the source row already held.
 
-    The token array is projected to a bound attribute BEHIND an
-    Exchange (same contract as dedup's ``_tokenized_docs``): without
-    the barrier, CollapseProject inlines the ``split()`` into every
-    consumer position and the mine re-tokenizes per reference
-    (measured ~5 s → ~0.3 s at sf0.1); the repartition also spreads
-    the per-row compute off single-split files. ``split()`` never
-    yields an empty array (empty text → ``[""]``), so the slice
-    lengths are always ≥ 0 and 1-token docs emit no pairs.
+    The token array comes from :func:`_bound_tokens` (attribute behind
+    an Exchange — see its perf contract). ``split()`` never yields an
+    empty array (empty text → ``[""]``), so the slice lengths are
+    always ≥ 0 and 1-token docs emit no pairs.
     """
-    toks = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
-    ).repartition(id_col)
+    toks = _bound_tokens(docs, id_col, text_col)
     n1 = F.size(F.col("toks")) - 1
     pairs = F.zip_with(
         F.slice(F.col("toks"), 1, n1),
@@ -115,6 +126,52 @@ def bigram_lm_scores(
     if not materialize:
         return scored
     return materialize_release(scored, dbi)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    topk: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-prep vocabulary stats: the corpus's top-``topk`` tokens
+    with rank and cumulative corpus-coverage share.
+
+    The coverage curve is THE tokenizer-design diagnostic: how much of
+    the token stream a candidate vocabulary of size N covers (and where
+    byte-fallback takes over). Plan: explode tokens off the bound
+    attribute → one map-side-combinable count shuffle (output = the
+    vocabulary relation, far smaller than the corpus) → global top-k
+    via ``TakeOrderedAndProject`` (never a full sort of the vocabulary)
+    → rank + running-share window over just ``topk`` rows (driver-size,
+    single partition by construction). The corpus token total rides
+    along as a broadcast 1-row cross join over the already-aggregated
+    counts — never a second pass over the corpus.
+    """
+    tok = _bound_tokens(docs, id_col, text_col).select(
+        F.explode("toks").alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    top = counts.orderBy(F.desc("cnt"), "token").limit(topk)
+    w = (
+        Window.orderBy(F.desc("cnt"), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "token"))
+            .cast("long")
+            .alias("rank"),
+            F.round(
+                F.sum("cnt").over(w) / F.col("total_tokens"), 6
+            ).alias("cum_share"),
+        )
+    )
 
 
 def source_cap(

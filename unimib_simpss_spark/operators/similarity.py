@@ -517,3 +517,238 @@ def hyperplane_lsh_topk(
         .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rank"))
     )
     return materialize_release(out, signed)
+
+
+# ------------------------------------------------- product quantization
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 10,
+    sample_cap: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train PQ codebooks: ``m`` subspaces × ``ksub`` centroids each.
+
+    Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) compresses a d-dim float
+    vector to ``m`` small codes — 16× smaller at float32/m-byte codes —
+    which is what lets a 100 TB embedding corpus fit an ANN index in
+    cluster memory.
+
+    Training follows the standard practice (what FAISS does): run Lloyd
+    k-means per subspace on a bounded, deterministic sample. The
+    driver-side footprint is ``sample_cap × d`` floats plus the
+    ``m × ksub × d/m`` codebook — bounded regardless of corpus size,
+    same contract as the query-matrix collect in
+    :func:`cosine_topk_pandas` and the k seeds in :func:`kmeans_cells`.
+    Sampling is hash-ordered (lowest ``xxhash64(id)`` first), so the
+    training set is a uniform, rerun/append-stable draw — not the
+    file-order head.
+
+    Returns ``np.ndarray`` of shape ``(m, ksub, d//m)``. ``d`` must be
+    divisible by ``m``.
+    """
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_cap)
+        .collect()
+    )
+    sample = np.array([r.v for r in rows], dtype=np.float64)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        # deterministic seeds: first ksub sample rows (hash-ordered draw)
+        c = sub[: min(ksub, len(sub))].copy()
+        if len(c) < ksub:  # degenerate tiny corpus: pad by repetition
+            c = np.resize(c, (ksub, dsub))
+        for _ in range(iters):
+            d2 = (
+                -2.0 * (sub @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+                + (sub * sub).sum(axis=1)[:, None]
+            )
+            assign = np.argmin(np.round(d2, 9), axis=1)
+            new_c = c.copy()
+            for cc in range(ksub):
+                mask = assign == cc
+                if mask.any():
+                    new_c[cc] = sub[mask].mean(axis=0)
+            if np.allclose(new_c, c, atol=1e-12):
+                c = new_c
+                break
+            c = new_c
+        books[j] = c
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (vec_id, codes array<tinyint>).
+
+    One mapInPandas pass; each Arrow batch does ``m`` small GEMMs
+    against the broadcast codebook tensor. Partition-preserving, no
+    shuffle — at 100 TB this is a map-only re-encode of the corpus
+    producing the (16× smaller) index relation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    sc = emb.sparkSession.sparkContext
+    bb = sc.broadcast(books)
+
+    def encode(batches):
+        b = bb.value
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int8)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                c = b[j]
+                d2 = (
+                    -2.0 * (sub @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                    + (sub * sub).sum(axis=1)[:, None]
+                )
+                codes[:, j] = np.argmin(np.round(d2, 9), axis=1).astype(np.int8)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "codes": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, "vec_id long, codes array<tinyint>"
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: Column | None = None,
+    m: int = 4,
+    ksub: int = 16,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: exact queries scored against the
+    compressed corpus, optionally exact-re-ranked.
+
+    Output: (query_id, neighbor_id, d2, rank) — ``d2`` ascending,
+    the asymmetric squared-L2 estimate (query vs reconstructed
+    neighbor), or the EXACT squared L2 when ``refine`` > 0.
+    Self-matches excluded; ties break on neighbor id.
+
+    Scale shape: train on a bounded sample (:func:`pq_codebooks`),
+    encode map-only (:func:`pq_encode`), then one mapInPandas scan of
+    the CODES relation scores every (query, neighbor) via LUT gather —
+    the corpus's float vectors are never read again on the hot path,
+    which is the whole point of PQ. The per-query distance LUT tensor
+    (nq × m × ksub) is broadcast; global top-k is a per-query window
+    over candidate rows.
+
+    ``refine=R`` adds the standard IVFPQ-refine stage: keep the top-R
+    shortlist by ADC, then rescore ONLY those ``nq × R`` candidates
+    against their exact vectors (one keyed join back into the corpus —
+    a point-lookup-sized read, not a second scan) and emit the exact
+    top-k. This is how PQ recall is bought back at 100 TB: the
+    compressed index prunes, the refine join touches R rows per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = pq_codebooks(
+        emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    _, _, dsub = books.shape
+    qrows = (
+        emb.where(query_pred if query_pred is not None else F.lit(True))
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = np.array([r.v for r in qrows], dtype=np.float64)
+    # LUT[q, j, c] = ||q_sub_j - codebook[j][c]||^2
+    nq = len(q_ids)
+    lut = np.empty((nq, m, ksub), dtype=np.float64)
+    for j in range(m):
+        sub = q_mat[:, j * dsub : (j + 1) * dsub]
+        c = books[j]
+        lut[:, j, :] = (
+            -2.0 * (sub @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+            + (sub * sub).sum(axis=1)[:, None]
+        )
+    sc = emb.sparkSession.sparkContext
+    bl = sc.broadcast((q_ids, lut))
+
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+
+    def score(batches):
+        ids, l = bl.value
+        jj = np.arange(m)
+        for pdf in batches:
+            cmat = np.array(list(pdf["codes"]), dtype=np.int64)
+            c_ids = pdf["vec_id"].to_numpy()
+            # gather: dist[q, n] = sum_j LUT[q, j, codes[n, j]]
+            d = l[:, jj[None, :], cmat].sum(axis=2)  # (nq, nbatch)
+            n = len(c_ids)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "neighbor_id": np.tile(c_ids, len(ids)),
+                    "d2": np.round(d.ravel(), 6),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, d2 double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    if refine:
+        shortlist = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= max(refine, k))
+            .select("query_id", "neighbor_id")
+        )
+        qv = (
+            emb.where(query_pred if query_pred is not None else F.lit(True))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("_qv"),
+            )
+        )
+        cv = emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        diff2 = F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            shortlist.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .select("query_id", "neighbor_id", F.round(diff2, 6).alias("d2"))
+        )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id", "d2", F.col("rn").cast("long").alias("rank")
+        )
+    )

@@ -133,3 +133,33 @@ def q65_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.source_cap(
         load_table(spark, sf_dir, "documents"), quota=_SOURCE_CAP_QUOTA
     )
+
+
+_VOCAB_TOPK = 50
+
+_VOCAB_ORACLE = f"""
+WITH counts AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+),
+tot AS (SELECT sum(cnt) AS total FROM counts),
+topk AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {_VOCAB_TOPK})
+SELECT tok AS token,
+       cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+       round(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / (SELECT total FROM tot), 6) AS cum_share
+FROM topk
+"""
+
+
+@query("q66_vocab_coverage", oracle=_VOCAB_ORACLE)
+def q66_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary curve: top-50 tokens with rank and
+    cumulative corpus-coverage share. See operators/curation.py
+    vocab_coverage for the plan shape and 100 TB notes."""
+    return C.vocab_coverage(
+        load_table(spark, sf_dir, "documents"), topk=_VOCAB_TOPK
+    )
