@@ -61,11 +61,31 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
         pass
 
 
+def _ensure_timestamps_ltz(spark: SparkSession) -> None:
+    """Read naive parquet TIMESTAMP(MICROS) as session-tz TIMESTAMP.
+
+    Driver-generated data stores isAdjustedToUTC=false micros (events.ts,
+    lineitem.l_shipdate, orders.o_orderdate), which Spark 3.4+ surfaces
+    as TIMESTAMP_NTZ by default. Disabling NTZ inference at the READER
+    (rather than casting after the scan) matters for performance, not
+    just types: a cast projection between scan and filter blocks parquet
+    predicate pushdown — measured 2× on the q01 lineitem scan at sf0.1.
+    Same conf-stays-set / narrow-guard contract as
+    :func:`_ensure_nanos_readable`; the cast in :func:`load_table`
+    remains as the fallback when the conf is rejected.
+    """
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except (Py4JError, AnalysisException):
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         _ensure_nanos_readable(spark)
+    _ensure_timestamps_ltz(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read via nanosAsLong: truncate to
