@@ -333,3 +333,46 @@ def test_streaming_admission_gate(spark, tmp_path):
     # doc3 passes nothing stronger than the single-token edge and is
     # repetition-rejected too; only doc1 clears both gates.
     assert {r.doc_id for r in spark.read.parquet(str(out)).collect()} == {1}
+
+
+def test_streaming_pii_scrub(spark, tmp_path):
+    """The privacy operators (pseudonym / redaction / digit audit) are
+    stateless Column exprs, so the PII scrub of q63's 'redact' leg runs
+    unchanged inside a Structured Streaming micro-batch — scrub-at-
+    ingest, the shape a real corpus pipeline needs (identifiers must
+    never reach the persisted zone unscrubbed)."""
+    from unimib_simpss_spark.functions import privacy as P
+
+    src = tmp_path / "pii_in"
+    src.mkdir()
+    _write_log(
+        src,
+        "users0.json",
+        [
+            {"user_id": 1, "name": "agent 007 card 4111"},
+            {"user_id": 2, "name": "plainname"},
+        ],
+    )
+    stream = spark.readStream.schema("user_id BIGINT, name STRING").json(str(src))
+    scrubbed = stream.select(
+        "user_id",
+        P.pseudonym("name").alias("pseudonym"),
+        P.redact_digits("name").alias("redacted"),
+        P.digit_count("name").alias("n_digits"),
+    )
+    out, chk = tmp_path / "pii_out", tmp_path / "pii_chk"
+    q = (
+        scrubbed.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows[1].redacted == "agent [ID] card [ID]"
+    assert rows[1].n_digits == 7
+    assert rows[2].redacted == "plainname" and rows[2].n_digits == 0
+    # pseudonyms: deterministic, distinct, and digit-free surface
+    assert rows[1].pseudonym != rows[2].pseudonym
+    assert len(rows[1].pseudonym) == 16

@@ -163,3 +163,19 @@ def q66_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.vocab_coverage(
         load_table(spark, sf_dir, "documents"), topk=_VOCAB_TOPK
     )
+
+
+@query("x67_cms_heavy_hitters")  # fixed-memory sketch estimates → rows-only
+def x67_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the document token stream:
+    top-20 tokens by CMS estimate from a fixed 4×512-cell grid.
+    Overestimate/merge bounds are property-tested in
+    tests/test_sketches.py; the exact counterpart is
+    q66_vocab_coverage (same stream, exact counts)."""
+    from unimib_simpss_spark.functions.sketches import cms_heavy_hitters
+    from unimib_simpss_spark.operators.curation import _bound_tokens
+
+    toks = _bound_tokens(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select(F.explode("toks").alias("token"))
+    return cms_heavy_hitters(toks, "token", k=20)
