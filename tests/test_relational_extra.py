@@ -141,3 +141,43 @@ def test_gapfill_spine_is_broadcast(spark, sf_dir):
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q64_no_string_shuffle_plan_shape(spark, sf_dir):
+    """The bigram LM plan must never shuffle token strings: every
+    exchange after the mine carries the 8-byte xxhash64 bigram key (or
+    the doc id), and the persisted per-doc relation keeps the mine from
+    running twice. Regression guard for the round-6 rewrite."""
+    from unimib_simpss_spark.operators.curation import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bigram_lm_scores(docs, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "w1" not in line and "w2" not in line, line
+    # exactly one cached relation feeds both the LM build and scoring
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_q66_topk_never_full_sorts_vocab(spark, sf_dir):
+    """vocab_coverage's global top-k must be TakeOrderedAndProject
+    (per-partition heaps), not a global Sort of the vocabulary."""
+    from unimib_simpss_spark.catalog import load_table
+    from unimib_simpss_spark.operators.curation import vocab_coverage
+
+    df = vocab_coverage(load_table(spark, sf_dir, "documents"), topk=50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q65_single_exchange(spark, sf_dir):
+    """source_cap is one hash exchange on the group key + window."""
+    from unimib_simpss_spark.catalog import load_table
+    from unimib_simpss_spark.operators.curation import source_cap
+
+    df = source_cap(load_table(spark, sf_dir, "documents"), quota=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
