@@ -100,3 +100,48 @@ def test_feature_topk_contract(media):
         cos = [r.cosine for r in sorted(nb, key=lambda r: r.rank)]
         assert cos == sorted(cos, reverse=True)
         assert all(r.neighbor_id != qid for r in nb)
+
+
+class TestResize:
+    def test_shape_and_range(self, spark, sf_dir):
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators import multimodal as M
+
+        media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+        out = M.resize_media(media, width=8, height=6).collect()
+        assert out and all(r.kind != "audio" for r in out)
+        n_visual = media.where("kind <> 'audio'").count()
+        assert len(out) == n_visual
+        for r in out:
+            assert r.dst_w == 8 and r.dst_h == 6
+            assert len(r.pixels) == 48
+            assert all(0.0 <= p <= 1.0 for p in r.pixels)
+
+    def test_area_average_preserves_mean_exactly(self, spark):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import multimodal as M
+
+        # 16x16 source -> 8x8 target: blocks tile evenly, so the mean
+        # of the pooled grid equals the mean of the source grid exactly
+        payload = bytes(range(256))
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(payload), (16, 16, None, None, "png"))],
+            M.MEDIA_SCHEMA,
+        )
+        r = M.resize_media(media, width=8, height=8).collect()[0]
+        grid = np.frombuffer(payload, dtype=np.uint8).reshape(16, 16) / 255.0
+        assert abs(float(np.mean(r.pixels)) - float(grid.mean())) < 1e-6
+        # deterministic
+        again = M.resize_media(media, width=8, height=8).collect()[0]
+        assert list(again.pixels) == list(r.pixels)
+
+    def test_real_decoder_is_an_honest_stub(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators import multimodal as M
+
+        media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+        with _pytest.raises(NotImplementedError):
+            M.resize_media(media, decoder="real")

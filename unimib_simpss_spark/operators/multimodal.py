@@ -235,3 +235,87 @@ def media_feature_topk(
         F.col("features").alias("embedding"),
     )
     return cosine_topk(feats, k=k, query_pred=query_pred, id_col="vec_id")
+
+
+# ------------------------------------------------------------ resize (UDF)
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode-and-resize image/video rows to a fixed (height × width)
+    grayscale grid via area-average pooling (row-major ``pixels``,
+    values in [0, 1]).
+
+    The plumbing is the production shape: audio rows are dropped by a
+    METADATA predicate (JVM-side, pruned before any Python runs), the
+    resize itself is Arrow-batched ``mapInPandas`` (partition-
+    preserving, no shuffle), and pooling is vectorized
+    ``np.add.reduceat`` over block boundaries — exact area averaging,
+    the same downsample a real preprocessing pipeline applies before
+    feature extraction. Codec work is stubbed exactly like
+    :func:`decode_media`: ``decoder="fake"`` materializes the payload
+    bytes as a ``src_h × src_w`` grid (tiled/truncated, /255);
+    ``decoder="real"`` raises with the intended PIL/PyAV wiring
+    documented.
+    """
+    if decoder == "real":
+        _real_decode(b"", "image")  # raises NotImplementedError
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def resize_batches(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_px = []
+            for payload, sw, sh in zip(pdf["payload"], pdf["src_w"], pdf["src_h"]):
+                sw, sh = int(sw), int(sh)
+                grid = (
+                    np.resize(np.frombuffer(payload, dtype=np.uint8), (sh, sw))
+                    .astype(np.float64)
+                    / 255.0
+                )
+                rb = (np.arange(height) * sh) // height
+                cb = (np.arange(width) * sw) // width
+                pooled = np.add.reduceat(
+                    np.add.reduceat(grid, rb, axis=0), cb, axis=1
+                )
+                rcnt = np.diff(np.append(rb, sh))[:, None]
+                ccnt = np.diff(np.append(cb, sw))[None, :]
+                out_px.append((pooled / (rcnt * ccnt)).ravel().astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "src_w": pdf["src_w"],
+                    "src_h": pdf["src_h"],
+                    "dst_w": np.full(len(pdf), width, dtype=np.int32),
+                    "dst_h": np.full(len(pdf), height, dtype=np.int32),
+                    "pixels": out_px,
+                }
+            )
+
+    visual = media.where(F.col("kind") != "audio").select(
+        "media_id",
+        "kind",
+        "payload",
+        F.col("meta.width").alias("src_w"),
+        F.col("meta.height").alias("src_h"),
+    )
+    return visual.mapInPandas(resize_batches, RESIZE_SCHEMA)

@@ -88,6 +88,9 @@ def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-media feature digests.
     - 'topk': decode → cosine top-3 over decoded features (multimodal
       ANN; media_id carries the query id).
+    - 'resize': metadata-pruned decode-and-resize of the visual rows to
+      an 8×8 area-averaged grid (n_dims carries the grid size, the
+      digest folds the pixel vector).
 
     The registered contract surface is SCALAR columns only — the raw
     ``features array<float>`` crashes hash canonicalizers that sort rows
@@ -132,4 +135,24 @@ def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "cosine",
     )
-    return decode_leg.unionAll(topk_leg)
+    resized = M.resize_media(media, width=8, height=8)
+    px_weighted = F.zip_with(
+        "pixels",
+        F.sequence(F.lit(1), F.size("pixels")),
+        lambda p, i: p.cast("double") * i.cast("double"),
+    )
+    px_digest = F.when(
+        F.size("pixels") >= 1,
+        F.round(F.aggregate(px_weighted, F.lit(0.0), lambda acc, x: acc + x), 4),
+    ).otherwise(F.lit(0.0))
+    resize_leg = resized.select(
+        F.lit("resize").alias("method"),
+        "media_id",
+        "kind",
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.size("pixels").cast("long").alias("n_dims"),
+        px_digest.alias("feature_digest"),
+        F.lit(None).cast("long").alias("neighbor_id"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return decode_leg.unionAll(topk_leg).unionAll(resize_leg)
