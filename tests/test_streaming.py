@@ -376,3 +376,55 @@ def test_streaming_pii_scrub(spark, tmp_path):
     # pseudonyms: deterministic, distinct, and digit-free surface
     assert rows[1].pseudonym != rows[2].pseudonym
     assert len(rows[1].pseudonym) == 16
+
+
+def test_streaming_dedup_gate_stream_static(spark, tmp_path):
+    """q61's incremental dedup gate in streaming form: the corpus's
+    MinHash band relation is precomputed (static side), each incoming
+    micro-batch computes its own bands with the SAME stateless
+    expressions, and a stream-static equi-join on (band_id, band_key)
+    flags likely near-dups before they enter the corpus. Candidates
+    only — exact-Jaccard verification runs in foreachBatch at scale,
+    as in the batch path."""
+    from unimib_simpss_spark.operators.dedup import minhash_bands
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely different text about spark engines here")],
+        ["doc_id", "text"],
+    )
+    corpus_bands = (
+        minhash_bands(corpus)
+        .withColumnRenamed("doc_id", "corpus_doc_id")
+        .persist()
+    )
+    src = tmp_path / "newdocs_in"
+    src.mkdir()
+    _write_log(
+        src,
+        "batch0.json",
+        [
+            {"doc_id": 1, "text": base + " extra"},  # near-dup of 100
+            {"doc_id": 2, "text": "unrelated novel content nothing shared with anyone else here"},
+        ],
+    )
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+    flagged = (
+        minhash_bands(stream)
+        .join(corpus_bands, ["band_id", "band_key"])
+        .select(F.col("doc_id").alias("new_doc_id"), "corpus_doc_id")
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("dedup_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in spark.sql("SELECT DISTINCT * FROM dedup_gate").collect()
+    }
+    corpus_bands.unpersist()
+    assert (1, 100) in hits          # the planted near-dup collides
+    assert all(n != 2 for n, _ in hits)  # the novel doc passes the gate

@@ -318,6 +318,43 @@ def minhash_signature_cols(hs_col: Column) -> list[Column]:
     ]
 
 
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _hsd: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, band_id, band_key): the LSH bucket relation.
+
+    Pure stateless Column expressions end-to-end (tokenize → combo
+    hashes → K permutation minima → band keys → posexplode), so the
+    SAME code runs over a batch corpus or a Structured Streaming
+    micro-batch — which is what makes the stream-static incremental
+    dedup gate possible (stream side computes its bands per batch,
+    joins the precomputed corpus bands; see
+    tests/test_streaming.py::test_streaming_dedup_gate_stream_static).
+    Callers sharing the hashed-shingle relation pass it via ``_hsd``.
+    """
+    hsd = _combo_shingle_docs(docs, text_col, id_col) if _hsd is None else _hsd
+    sigs = hsd.select("doc_id", *minhash_signature_cols(F.col("hs")))
+    band_keys = [
+        F.concat_ws(
+            "-",
+            *[
+                F.col(f"mh{b * MINHASH_ROWS + r}").cast("string")
+                for r in range(MINHASH_ROWS)
+            ],
+        ).alias(f"band{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    return sigs.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -337,23 +374,7 @@ def minhash_dedup_pairs(
     own its lifecycle) and the corpus is shingled exactly once."""
     owns = _hsd is None
     hsd = _combo_shingle_docs(docs, text_col, id_col).persist() if owns else _hsd
-    sigs = hsd.select("doc_id", *minhash_signature_cols(F.col("hs")))
-    band_keys = [
-        F.concat_ws(
-            "-",
-            *[
-                F.col(f"mh{b * MINHASH_ROWS + r}").cast("string")
-                for r in range(MINHASH_ROWS)
-            ],
-        ).alias(f"band{b}")
-        for b in range(MINHASH_BANDS)
-    ]
-    bands = sigs.select("doc_id", *band_keys).select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])).alias(
-            "band_id", "band_key"
-        ),
-    )
+    bands = minhash_bands(docs, text_col, id_col, _hsd=hsd)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_key"])
