@@ -136,3 +136,41 @@ def test_vocab_coverage_monotone_on_corpus(spark, sf_dir):
     assert cnts == sorted(cnts, reverse=True)
     shares = [r.cum_share for r in by_rank]
     assert shares == sorted(shares) and shares[-1] <= 1.0
+
+
+def test_dup_spans_merges_contiguous_hits(spark):
+    from unimib_simpss_spark.operators.curation import dup_spans
+
+    para = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{para} filler one two three four five six"),
+            (2, f"unrelated lead in words here then {para}"),
+            (3, "totally different text with no overlap at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dup_spans(docs, n=6).collect()}
+    # the copied 8-token paragraph = three overlapping 6-grams per doc,
+    # merged into ONE span of 8 tokens; doc 3 reports nothing
+    assert set(rows) == {1, 2}
+    for d in (1, 2):
+        assert rows[d].n_dup_grams == 3
+        assert rows[d].n_spans == 1
+        assert rows[d].dup_tokens == 8
+
+
+def test_dup_spans_separates_distant_hits(spark):
+    from unimib_simpss_spark.operators.curation import dup_spans
+
+    a = "one two three four five six"
+    b = "seven eight nine ten eleven twelve"
+    gap = " ".join(f"g{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{a} {gap} {b}"), (2, f"{a} other words {b} trailing junk here")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dup_spans(docs, n=6).collect()}
+    # each doc shares the two 6-token blocks, far enough apart in doc 1
+    # to stay two spans of 6 tokens each
+    assert rows[1].n_spans == 2 and rows[1].dup_tokens == 12

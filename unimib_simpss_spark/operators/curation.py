@@ -200,3 +200,74 @@ def source_cap(
         .where(F.col("rk") <= quota)
         .select(group_col, id_col, "rk")
     )
+
+
+DUP_SPAN_NGRAM = 6
+
+
+def dup_spans(
+    docs: DataFrame,
+    n: int = DUP_SPAN_NGRAM,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inter-document duplicated-passage detection: positional n-gram
+    matches merged into maximal spans (the n-gram-granular form of
+    exact-substring training-data dedup, Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022).
+
+    Returns one row per document that shares at least one n-gram with
+    ``min_docs-1`` other documents: ``(doc_id, n_dup_grams, n_spans,
+    dup_tokens)`` where ``dup_tokens`` sums the token length of the
+    merged spans (overlapping/adjacent gram hits coalesce, so a copied
+    paragraph counts once, not per gram).
+
+    Plan: positional grams off the bound token attribute (posexplode,
+    narrow) → shared-gram relation via one combinable groupBy (output =
+    distinct grams seen in ≥ min_docs docs) → join back (AQE broadcasts
+    the shared side when it fits) → per-doc island merge (lag + running
+    sum over the doc's hit positions — state is one row, partition is
+    the doc) → two combinable rollups. No stage ever holds more than
+    the gram relation; at 100 TB swap the join key for the 64-bit gram
+    hash exactly as q38's scale note prescribes.
+    """
+    from unimib_simpss_spark.functions.text import tokens
+
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .where(F.size(tokens("_text")) >= n)
+        .repartition("doc_id")
+        .select("doc_id", tokens("_text").alias("tk"))
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("tk"), i, n), " "),
+            )
+        ).alias("pos", "g"),
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup = grams.join(shared, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    islands = dup.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("gs"),
+        (F.max("pos") - F.min("pos") + n).alias("st"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.sum("gs").cast("long").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("st").cast("long").alias("dup_tokens"),
+    )

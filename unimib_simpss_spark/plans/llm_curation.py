@@ -179,3 +179,59 @@ def x67_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     ).select(F.explode("toks").alias("token"))
     return cms_heavy_hitters(toks, "token", k=20)
+
+
+_DUP_N = 6
+
+
+def _dup_spans_oracle() -> str:
+    from unimib_simpss_spark.functions.text import tokens_sql
+
+    tk = tokens_sql("text")
+    n = _DUP_N
+    return f"""
+    WITH tn AS (
+        SELECT doc_id, {tk} AS tk FROM documents WHERE len({tk}) >= {n}
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(tk, i, i + {n - 1}), ' ') AS g
+        FROM tn, LATERAL (SELECT unnest(range(1, len(tk) - {n} + 2)) AS i) s
+    ),
+    shared AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dup AS (SELECT doc_id, pos FROM grams JOIN shared USING (g)),
+    d1 AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         > {n} THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+        FROM d1
+    ),
+    spans AS (
+        SELECT doc_id, island, count(*) AS gs, max(pos) - min(pos) + {n} AS st
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(sum(gs) AS BIGINT) AS n_dup_grams,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(st) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+    """
+
+
+@query("q67_dup_spans", oracle=_dup_spans_oracle())
+def q67_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document duplicated-passage report: positional 6-gram
+    matches across documents merged into maximal spans per document
+    (exact-substring dedup at n-gram granularity, Lee et al. 2022).
+    Sorts outside the driver's 50-slot window; the local parity gate
+    (tests/test_oracle_parity.py) runs the same hash compare."""
+    return C.dup_spans(load_table(spark, sf_dir, "documents"), n=_DUP_N)
