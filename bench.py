@@ -65,6 +65,7 @@ HEADLINE = [
     "q64_bigram_lm_score",
     "q65_source_cap",
     "q66_vocab_coverage",
+    "q67_dup_spans",
 ]
 
 

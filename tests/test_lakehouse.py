@@ -82,3 +82,32 @@ def test_cobucketed_join_has_no_exchange(warehouse_spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
     assert joined.count() == n
+
+
+def test_write_sharded_even_and_deterministic(spark, sf_dir, tmp_path):
+    from unimib_simpss_spark.catalog import load_table
+    from unimib_simpss_spark.sources.lakehouse import write_sharded
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 4
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_sharded(docs, out1, n_shards=n, key="doc_id")
+    write_sharded(docs, out2, n_shards=n, key="doc_id")
+
+    import glob
+
+    dirs1 = sorted(glob.glob(f"{out1}/shard=*"))
+    assert len(dirs1) == n
+    # one file per shard directory
+    for d in dirs1:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1
+    total = docs.count()
+    sizes = [spark.read.parquet(d).count() for d in dirs1]
+    assert sum(sizes) == total
+    # hash sharding is uniform: no shard more than 2x the ideal share
+    assert max(sizes) <= 2 * (total // n + 1)
+    # rerun-stable membership: same doc_ids land in the same shard
+    for d1, d2 in zip(dirs1, sorted(glob.glob(f"{out2}/shard=*"))):
+        ids1 = {r.doc_id for r in spark.read.parquet(d1).collect()}
+        ids2 = {r.doc_id for r in spark.read.parquet(d2).collect()}
+        assert ids1 == ids2

@@ -60,3 +60,39 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str,
+    order_col: str | None = None,
+) -> None:
+    """Write exactly ``n_shards`` evenly-loaded parquet files with
+    deterministic, rerun-stable content — the corpus-writer shape for
+    a training-data export (downstream loaders want same-size shards
+    and reproducible shard membership, not whatever partitioning the
+    last shuffle left behind).
+
+    Shard assignment is ``xxhash64(key) % n_shards`` (uniform and
+    append-stable per row, like operators/sampling's splits). The rows
+    are co-located per shard with one shuffle, then written
+    ``partitionBy("shard")`` so every shard is exactly one directory
+    with exactly one file — note a bare ``repartition(n, shard)`` would
+    NOT guarantee that: it places rows by ``hash(shard_value) % n``,
+    and two shard ids can collide into one partition leaving another
+    empty. Rows are sorted within each shard so file content is
+    deterministic given identical input; no global sort anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order_col or key)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
