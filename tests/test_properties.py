@@ -191,3 +191,74 @@ def test_greedy_pack_bins_monotone_and_dense(spark, ntoks, budget):
     assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
     assert all(b2 - b1 <= (rows[i].ntok // budget) + 1
                for i, (b1, b2) in enumerate(zip(bins, bins[1:])))
+
+
+@SETTINGS
+@given(strings=texts)
+def test_redaction_idempotent_and_digit_free(spark, strings):
+    from unimib_simpss_spark.functions.privacy import digit_count, redact_digits
+
+    rows = _eval(
+        spark,
+        strings,
+        redact_digits("text").alias("r1"),
+        redact_digits(redact_digits("text")).alias("r2"),
+        digit_count("text").alias("nd"),
+        F.length("text").alias("ln"),
+    )
+    for r in rows:
+        assert not re.search(r"[0-9]", r.r1)      # no digit survives
+        assert r.r1 == r.r2                        # idempotent
+        assert 0 <= r.nd <= r.ln                   # audit metric bounded
+
+
+@SETTINGS
+@given(strings=texts)
+def test_pseudonym_functional_and_collision_free_in_sample(spark, strings):
+    from unimib_simpss_spark.functions.privacy import pseudonym
+
+    rows = _eval(spark, strings, F.col("text"), pseudonym("text").alias("p"))
+    by_text: dict[str, set[str]] = {}
+    for r in rows:
+        by_text.setdefault(r.text, set()).add(r.p)
+    # deterministic per value (functional); distinct values don't collide
+    # in a sample this small (64-bit birthday bound)
+    assert all(len(v) == 1 for v in by_text.values())
+    ps = [next(iter(v)) for v in by_text.values()]
+    assert len(set(ps)) == len(ps)
+
+
+@SETTINGS
+@given(strings=texts)
+def test_bigram_count_matches_token_arithmetic(spark, strings):
+    from unimib_simpss_spark.operators.curation import doc_bigrams
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.n
+        for r in doc_bigrams(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for i, s in enumerate(strings):
+        expect = max(len(s.split(" ")) - 1, 0)
+        assert got.get(i, 0) == expect, (s, got.get(i, 0), expect)
+
+
+@SETTINGS
+@given(strings=texts, n=st.integers(2, 5))
+def test_dup_spans_bounds(spark, strings, n):
+    from unimib_simpss_spark.operators.curation import dup_spans
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], ["doc_id", "text"]
+    )
+    tokn = {i: len([t for t in re.split(r"\W+", s.lower()) if t]) for i, s in enumerate(strings)}
+    for r in dup_spans(docs, n=n).collect():
+        assert r.n_spans >= 1 and r.n_dup_grams >= r.n_spans
+        # every span covers at least n tokens and at most the document
+        assert n * r.n_spans <= r.dup_tokens
+        assert r.dup_tokens <= max(tokn[r.doc_id], n)
