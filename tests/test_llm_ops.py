@@ -377,3 +377,31 @@ class TestProductQuantization:
 
         with _pytest.raises(ValueError):
             S.pq_codebooks(emb, m=5, ksub=8)
+
+    def test_ivfpq_recall_and_contract(self, emb):
+        import numpy as np
+
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows])
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        k = 5
+        exact = {}
+        for qi in np.where(ids < 6)[0]:
+            d2 = ((mat - mat[qi]) ** 2).sum(axis=1)
+            mask = ids != ids[qi]
+            order = sorted(zip(np.round(d2[mask], 6), ids[mask]))[:k]
+            exact[int(ids[qi])] = {int(n) for _, n in order}
+
+        out = S.ivfpq_topk(
+            emb, k=k, query_pred=F.col("vec_id") < 6,
+            n_cells=8, nprobe=4, m=16, ksub=16, refine=25,
+        ).collect()
+        got: dict[int, set[int]] = {}
+        for r in out:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert set(got) == set(exact)          # every query answered
+        assert all(len(v) == k for v in got.values())
+        recall = sum(len(got[q] & exact[q]) for q in exact) / (k * len(exact))
+        # scans nprobe/n_cells = half the corpus; refine re-ranks exactly
+        # (measured 0.80 at sf0.001) — bound with margin over chance
+        assert recall >= 0.45, recall

@@ -353,7 +353,8 @@ def kmeans_cells(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Build a real IVF coarse quantizer: distributed Lloyd k-means.
 
     Deterministic throughout: seeds are the k lowest-id vectors, and
@@ -435,9 +436,15 @@ def kmeans_cells(
                 }
             )
 
-    return materialize_release(
+    out = materialize_release(
         base.mapInPandas(final_assign, "vec_id long, cell int"), base
     )
+    if return_centroids:
+        # the k×d quantizer itself — already driver-resident by the
+        # bounded-collect contract above; IVF-PQ uses it to rank cells
+        # for query-side probing
+        return out, centroids
+    return out
 
 
 def hyperplane_lsh_topk(
@@ -715,6 +722,156 @@ def pq_topk(
             )
 
     scored = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, d2 double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    if refine:
+        shortlist = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= max(refine, k))
+            .select("query_id", "neighbor_id")
+        )
+        qv = (
+            emb.where(query_pred if query_pred is not None else F.lit(True))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("_qv"),
+            )
+        )
+        cv = emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        diff2 = F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            shortlist.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .select("query_id", "neighbor_id", F.round(diff2, 6).alias("d2"))
+        )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id", "d2", F.col("rn").cast("long").alias("rank")
+        )
+    )
+
+
+def _adc_lut(q_mat, books):
+    """LUT[q, j, c] = ||q_sub_j - codebook[j][c]||² for every query."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+    nq = len(q_mat)
+    lut = np.empty((nq, m, ksub), dtype=np.float64)
+    for j in range(m):
+        sub = q_mat[:, j * dsub : (j + 1) * dsub]
+        c = books[j]
+        lut[:, j, :] = (
+            -2.0 * (sub @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+            + (sub * sub).sum(axis=1)[:, None]
+        )
+    return lut
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: Column | None = None,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k: the composed production ANN architecture (what a
+    FAISS ``IVFx,PQy`` index is) — a learned coarse quantizer prunes
+    the scan to ``nprobe`` cells per query, PQ codes score the
+    survivors by asymmetric distance, and ``refine`` exact-re-ranks the
+    shortlist.
+
+    Output contract matches :func:`pq_topk` (query_id, neighbor_id,
+    d2, rank). Scale shape, stage by stage:
+
+    - index build: distributed Lloyd (:func:`kmeans_cells`, driver holds
+      k×d) + sample-trained codebooks (:func:`pq_codebooks`) + map-only
+      encode joined to its cell id — the stored index relation is
+      (vec_id, cell, m-byte codes), 16× smaller than the vectors;
+    - query: nearest ``nprobe`` centroids per query rank in the driver
+      (nq × k distances over the already-resident centroid matrix),
+      becoming a broadcast (query_id, cell) probe relation;
+    - search: probe ⋈ codes on CELL (the only join over corpus-sized
+      data — equi-keyed, so each task scores one cell's codes against
+      the queries probing it) → LUT gather → per-query shortlist →
+      optional exact refine touching nq × refine rows.
+
+    Scanned fraction ≈ nprobe / n_cells of the corpus, the IVF
+    contract; everything else is bounded by query count or grid size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cells, centroids = kmeans_cells(
+        emb, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col,
+        return_centroids=True,
+    )
+    books = pq_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col).join(
+        cells.withColumnRenamed("vec_id", "_cid").withColumnRenamed("cell", "_cell"),
+        F.col("vec_id") == F.col("_cid"),
+    ).select("vec_id", F.col("_cell").alias("cell"), "codes")
+
+    qrows = (
+        emb.where(query_pred if query_pred is not None else F.lit(True))
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = np.array([r.v for r in qrows], dtype=np.float64)
+    qd2 = (
+        -2.0 * (q_mat @ centroids.T)
+        + (centroids * centroids).sum(axis=1)[None, :]
+        + (q_mat * q_mat).sum(axis=1)[:, None]
+    )
+    probe_rows = [
+        (int(q_ids[qi]), int(c))
+        for qi in range(len(q_ids))
+        for c in np.argsort(np.round(qd2[qi], 9), kind="stable")[:nprobe]
+    ]
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    lut = _adc_lut(q_mat, books)
+    bl = spark.sparkContext.broadcast({int(i): lut[n] for n, i in enumerate(q_ids)})
+    mm = m
+
+    def score(batches):
+        luts = bl.value
+        jj = np.arange(mm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_n, out_d = [], [], []
+            for qid, grp in pdf.groupby("query_id"):
+                l = luts[int(qid)]
+                gmat = np.array(list(grp["codes"]), dtype=np.int64)
+                d = l[jj[None, :], gmat].sum(axis=1)
+                out_q.extend([int(qid)] * len(grp))
+                out_n.extend(grp["vec_id"].tolist())
+                out_d.extend(np.round(d, 6).tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "d2": out_d}
+            )
+
+    cand = probes.join(codes, "cell").select("query_id", "vec_id", "codes")
+    scored = cand.mapInPandas(
         score, "query_id long, neighbor_id long, d2 double"
     ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))

@@ -145,13 +145,26 @@ def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x66_pq_topk")  # sample-trained codebooks + approx ADC → rows-only
 def x66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: sample-trained codebooks (16 subspaces
-    × 16 centroids → 16-byte codes, 16× smaller than float32), map-only
-    corpus encode, LUT-gather asymmetric-distance shortlist of 25, then
-    exact re-rank to top-5 (the IVFPQ-refine pattern). Recall@5 ≈ 0.83
-    vs exact L2 on the synthetic corpus — bounds-tested in
-    tests/test_llm_ops.py."""
-    return S.pq_topk(
-        _emb(spark, sf_dir), k=5, query_pred=F.col("vec_id") < 6,
-        m=16, ksub=16, refine=25,
+    """Product-quantization ANN, both index layouts in one tagged union:
+
+    - 'pq': flat PQ — sample-trained codebooks (16 subspaces × 16
+      centroids → 16-byte codes, 16× smaller than float32), map-only
+      corpus encode, LUT-gather asymmetric-distance shortlist of 25,
+      exact re-rank to top-5 (recall@5 ≈ 0.83 vs exact L2).
+    - 'ivfpq': the composed FAISS-style IVF-PQ — learned coarse
+      quantizer prunes the scan to nprobe=4 of 8 cells per query, PQ
+      scores the survivors, exact refine (recall@5 ≈ 0.8-0.87 while
+      scanning half the corpus).
+
+    Both bounds-tested in tests/test_llm_ops.py."""
+    emb = _emb(spark, sf_dir)
+    pred = F.col("vec_id") < 6
+    pq = S.pq_topk(emb, k=5, query_pred=pred, m=16, ksub=16, refine=25).select(
+        F.lit("pq").alias("method"), "query_id", "neighbor_id", "d2", "rank"
     )
+    ivfpq = S.ivfpq_topk(
+        emb, k=5, query_pred=pred, n_cells=8, nprobe=4, m=16, ksub=16, refine=25
+    ).select(
+        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "d2", "rank"
+    )
+    return pq.unionAll(ivfpq)
