@@ -130,6 +130,10 @@ CACHE_HEAVY_QUERIES = (
     "q59_dedup_clusters",
     "q61_incremental_dedup",
     "q62_corpus_pipeline",
+    "q64_bigram_lm_score",
+    "x41_media_pipeline",
+    "x50_ann_learned_index",
+    "x66_pq_topk",
 )
 
 

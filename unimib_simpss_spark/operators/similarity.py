@@ -790,6 +790,7 @@ def ivfpq_topk(
     refine: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF-PQ top-k: the composed production ANN architecture (what a
     FAISS ``IVFx,PQy`` index is) — a learned coarse quantizer prunes
@@ -814,6 +815,11 @@ def ivfpq_topk(
 
     Scanned fraction ≈ nprobe / n_cells of the corpus, the IVF
     contract; everything else is bounded by query count or grid size.
+
+    ``materialize=True`` (default) computes the result eagerly so the
+    checkpointed cell-assignment relation is released deterministically
+    (operators/caching.py contract); pass ``False`` to inspect the lazy
+    plan — the caller then owns the cells' blocks.
     """
     import numpy as np
     import pandas as pd
@@ -902,10 +908,17 @@ def ivfpq_topk(
             .join(cv, "neighbor_id")
             .select("query_id", "neighbor_id", F.round(diff2, 6).alias("d2"))
         )
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(
             "query_id", "neighbor_id", "d2", F.col("rn").cast("long").alias("rank")
         )
     )
+    if not materialize:
+        return out
+    from unimib_simpss_spark.operators.caching import release_result
+
+    out = materialize_release(out)
+    release_result(cells)
+    return out

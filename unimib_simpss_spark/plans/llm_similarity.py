@@ -76,7 +76,17 @@ def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'lsh': random-hyperplane LSH cosine ANN (6 planes × 12 tables) —
       bucket equi-join candidates, exact cosine within buckets. Recall
       is bounds-tested against brute force in tests/test_llm_ops.py.
+
+    The union is checkpointed and the legs' internal checkpoints
+    released before returning — release_result on a lazy union cannot
+    reach the children's blocks (the composition-leak case the
+    registry-level sweep in tests/test_cache_hygiene.py guards).
     """
+    from unimib_simpss_spark.operators.caching import (
+        materialize_release,
+        release_result,
+    )
+
     emb = _emb(spark, sf_dir)
     cells = S.kmeans_cells(emb, k=8, iters=3)
     indexed = emb.join(cells, "vec_id").withColumn("cell", F.col("cell"))
@@ -88,7 +98,8 @@ def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.lit(None).cast("long").alias("rank"),
     )
-    lsh = S.hyperplane_lsh_topk(emb, k=5, n_planes=6, n_tables=12).select(
+    lsh_raw = S.hyperplane_lsh_topk(emb, k=5, n_planes=6, n_tables=12)
+    lsh = lsh_raw.select(
         F.lit("lsh").alias("method"),
         "query_id",
         F.lit(None).cast("long").alias("cell"),
@@ -96,7 +107,10 @@ def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rank",
     )
-    return ivf.unionAll(lsh)
+    out = materialize_release(ivf.unionAll(lsh))
+    release_result(cells)
+    release_result(lsh_raw)
+    return out
 
 
 @query(
@@ -156,15 +170,26 @@ def x66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       scores the survivors, exact refine (recall@5 ≈ 0.8-0.87 while
       scanning half the corpus).
 
-    Both bounds-tested in tests/test_llm_ops.py."""
+    Both bounds-tested in tests/test_llm_ops.py. The ivfpq leg is an
+    eager self-owned checkpoint (its cells released internally), so the
+    union is checkpointed and the leg handle freed before returning —
+    the composition-leak guard the cache-hygiene sweep asserts."""
+    from unimib_simpss_spark.operators.caching import (
+        materialize_release,
+        release_result,
+    )
+
     emb = _emb(spark, sf_dir)
     pred = F.col("vec_id") < 6
     pq = S.pq_topk(emb, k=5, query_pred=pred, m=16, ksub=16, refine=25).select(
         F.lit("pq").alias("method"), "query_id", "neighbor_id", "d2", "rank"
     )
-    ivfpq = S.ivfpq_topk(
+    ivfpq_raw = S.ivfpq_topk(
         emb, k=5, query_pred=pred, n_cells=8, nprobe=4, m=16, ksub=16, refine=25
-    ).select(
+    )
+    ivfpq = ivfpq_raw.select(
         F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "d2", "rank"
     )
-    return pq.unionAll(ivfpq)
+    out = materialize_release(pq.unionAll(ivfpq))
+    release_result(ivfpq_raw)
+    return out
