@@ -165,6 +165,7 @@ _P_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _P_MIX_DEFAULT = 0.75
 _P_BENCH_PRED = "doc_id % 97 = 0"
 _P_PACK_BUDGET = 512
+_P_SOURCE_QUOTA = 8
 
 
 def _gate_sql() -> str:
@@ -213,8 +214,18 @@ def _corpus_pipeline_oracle() -> str:
           AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = p.doc_id)
           AND {mix}
     ),
+    capped AS (
+        SELECT doc_id, text, source FROM (
+            SELECT doc_id, text, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM surv
+        ) WHERE rk <= {_P_SOURCE_QUOTA}
+    ),
     t AS (
-        SELECT doc_id, {case} AS split, {ws} AS ws, {qs} AS q FROM surv
+        SELECT doc_id, {case} AS split, {ws} AS ws, {qs} AS q FROM capped
     ),
     packed AS (
         SELECT split, ws, q, {pack} AS seq_bin FROM t
@@ -235,8 +246,9 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely from verified operators: quality + Gopher-repetition
     admission gate → exact near-dup clustering → canonical-survivor
     selection → benchmark holdout + n-gram decontamination → per-source
-    corpus mixing → deterministic train/val/test split → 512-token
-    sequence packing → per-split corpus stats. Every stage is
+    corpus mixing → per-source domain cap (hash-ordered top-8) →
+    deterministic train/val/test split → 512-token sequence packing →
+    per-split corpus stats. Every stage is
     collect-free and keyed. The whole query executes EAGERLY at
     construction time: the heavy stages checkpoint so their O(corpus)
     caches can be released deterministically, and the final (3-row)
@@ -287,6 +299,13 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.expr(_P_BENCH_PRED))
         .join(hits.select("doc_id"), "doc_id", "left_anti")
         .where(mix_keep("source", "doc_id", _P_MIX, default_fraction=_P_MIX_DEFAULT))
+    )
+    # Domain cap over the SURVIVORS (post-gate, post-dedup, post-mix) —
+    # the round-6 source_cap operator as the capstone's bounding stage.
+    from unimib_simpss_spark.operators.curation import source_cap
+
+    surv = surv.join(
+        source_cap(surv, quota=_P_SOURCE_QUOTA).select("doc_id"), "doc_id"
     )
     t = surv.select(
         "doc_id",
