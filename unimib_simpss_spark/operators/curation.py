@@ -179,6 +179,7 @@ def source_cap(
     quota: int,
     group_col: str = "source",
     id_col: str = "doc_id",
+    project: bool = True,
 ) -> DataFrame:
     """Deterministic per-source cap: keep the hash-ordered first
     ``quota`` documents of each source.
@@ -191,15 +192,22 @@ def source_cap(
     are exactly the ones the cap truncates, so the window never ranks
     more than it must at scale (pair with AQE skew handling if one
     source is pathological).
+
+    ``project=True`` returns the (group, id, rk) report; ``project=
+    False`` returns the INPUT rows that survive the cap, all columns —
+    the pipeline-stage form, which filters in the same single window
+    pass instead of forcing callers into a self-join that would
+    evaluate the upstream plan twice (q62 uses this).
     """
     w = Window.partitionBy(group_col).orderBy(
         F.md5(F.col(id_col).cast("string")), id_col
     )
-    return (
-        docs.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= quota)
-        .select(group_col, id_col, "rk")
+    capped = docs.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= quota
     )
+    if project:
+        return capped.select(group_col, id_col, "rk")
+    return capped.drop("rk")
 
 
 DUP_SPAN_NGRAM = 6

@@ -301,12 +301,12 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(mix_keep("source", "doc_id", _P_MIX, default_fraction=_P_MIX_DEFAULT))
     )
     # Domain cap over the SURVIVORS (post-gate, post-dedup, post-mix) —
-    # the round-6 source_cap operator as the capstone's bounding stage.
+    # the round-6 source_cap operator as the capstone's bounding stage
+    # (project=False: filter in the window pass itself; a self-join on
+    # the kept ids would evaluate the survivor subtree twice).
     from unimib_simpss_spark.operators.curation import source_cap
 
-    surv = surv.join(
-        source_cap(surv, quota=_P_SOURCE_QUOTA).select("doc_id"), "doc_id"
-    )
+    surv = source_cap(surv, quota=_P_SOURCE_QUOTA, project=False)
     t = surv.select(
         "doc_id",
         split_assignment("doc_id", _P_SPLITS),
