@@ -428,3 +428,52 @@ def test_streaming_dedup_gate_stream_static(spark, tmp_path):
     corpus_bands.unpersist()
     assert (1, 100) in hits          # the planted near-dup collides
     assert all(n != 2 for n, _ in hits)  # the novel doc passes the gate
+
+
+def test_streaming_cms_state_accumulates_across_batches(spark, tmp_path):
+    """The count-min grid lives in applyInPandasWithState state, so
+    estimates must ACCUMULATE across micro-batches (cell-wise additive
+    fold), never reset — and stay overestimates of the true stream
+    counts under fixed per-key memory."""
+    from unimib_simpss_spark.streaming.stateful import streaming_token_cms
+
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    _write_log(
+        src,
+        "b0.json",
+        [{"src": "a", "tok": t} for t in ["x", "x", "y"]]
+        + [{"src": "b", "tok": "z"}],
+    )
+    _write_log(
+        src,
+        "b1.json",
+        [{"src": "a", "tok": t} for t in ["x", "y", "y", "w"]],
+    )
+    stream = spark.readStream.schema("src STRING, tok STRING").json(str(src))
+    out = streaming_token_cms(stream, "src", "tok")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cms_stream").collect()
+    # final snapshot per (group, token): the LAST batch that mentioned it
+    final = {}
+    for r in rows:
+        final[(r.group_key, r.token)] = max(
+            final.get((r.group_key, r.token), 0), r.est
+        )
+    # stream totals: a saw x3, y3, w1; b saw z1 — estimates are exact
+    # here (no collisions at this tiny cardinality) and MUST include
+    # batch-0 counts in batch-1 estimates (state carried)
+    assert final[("a", "x")] == 3
+    assert final[("a", "y")] == 3
+    assert final[("a", "w")] == 1
+    assert final[("b", "z")] == 1
+    totals = {r.group_key: r.total for r in rows}
+    assert totals["a"] == 7 and totals["b"] == 1

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -111,4 +112,103 @@ def sensor_health(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+# -------------------------------------------------- streaming CMS state
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+_CMS_STATE_SCHEMA = StructType(
+    [StructField("cells", ArrayType(LongType())), StructField("total", LongType())]
+)
+
+_CMS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("token", StringType()),
+        StructField("est", LongType()),
+        StructField("total", LongType()),
+    ]
+)
+
+
+def _cms_probe(token: str, j: int) -> int:
+    """Deterministic cell for (token, row j) — engine-portable enough
+    for state (md5 is stable across workers/restarts, unlike PYTHONHASHSEED-
+    dependent hash())."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{token}".encode()).digest()
+    return int.from_bytes(h[:8], "big") % CMS_WIDTH
+
+
+def _cms_track(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this key's tokens into a fixed depth×width count-min grid
+    held in Spark-managed state; emit the current top-5 estimates.
+
+    The state is FIXED-SIZE (depth×width longs) no matter how many
+    distinct tokens the key ever sees — the whole point of sketch-typed
+    streaming state versus a per-token map that grows without bound.
+    Batch counts fold in cell-wise (CMS is additive), so restarts and
+    micro-batch boundaries are invisible to the estimates.
+    """
+    if state.exists:
+        cells, total = state.get
+        cells = list(cells)
+    else:
+        cells, total = [0] * (CMS_DEPTH * CMS_WIDTH), 0
+    seen: set[str] = set()
+    for pdf in batches:
+        for tok in pdf["token"]:
+            tok = str(tok)
+            seen.add(tok)
+            total += 1
+            for j in range(CMS_DEPTH):
+                cells[j * CMS_WIDTH + _cms_probe(tok, j)] += 1
+    state.update((cells, total))
+
+    def est(tok: str) -> int:
+        return min(cells[j * CMS_WIDTH + _cms_probe(tok, j)] for j in range(CMS_DEPTH))
+
+    top = sorted(seen, key=lambda t: (-est(t), t))[:5]
+    (group_key,) = key
+    yield pd.DataFrame(
+        {
+            "group_key": [group_key] * len(top),
+            "token": top,
+            "est": [est(t) for t in top],
+            "total": [total] * len(top),
+        }
+    )
+
+
+def streaming_token_cms(
+    stream: DataFrame, group_col: str, token_col: str
+) -> DataFrame:
+    """Per-group streaming heavy hitters under fixed memory: a count-min
+    grid per group key carried across micro-batches in
+    ``applyInPandasWithState``; each batch emits the group's current
+    top-5 token estimates among the batch's tokens (overestimates only
+    — CMS never undercounts, so true heavy hitters cannot be missed).
+
+    Batch twin with the same math: ``functions/sketches.py`` (build /
+    merge / estimate over relations).
+    """
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(token_col).cast("string").alias("token"),
+    )
+    return src.groupBy("group_key").applyInPandasWithState(
+        _cms_track,
+        outputStructType=_CMS_OUTPUT_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
