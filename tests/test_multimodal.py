@@ -145,3 +145,45 @@ class TestResize:
         media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
         with _pytest.raises(NotImplementedError):
             M.resize_media(media, decoder="real")
+
+
+class TestResample:
+    def test_audio_only_and_shapes(self, spark, sf_dir):
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators import multimodal as M
+
+        media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+        out = M.resample_audio(media, target_rate=8_000).collect()
+        assert out and all(r.kind == "audio" for r in out)
+        assert len(out) == media.where("kind = 'audio'").count()
+        for r in out:
+            assert r.dst_rate == 8_000
+            assert len(r.features) == M.N_FEATURES
+            assert all(0.0 <= f <= 1.0 for f in r.features)
+            # fixture audio is 16 kHz; downsampling to 8 kHz halves it
+            assert r.src_rate == 16_000
+            assert r.n_samples >= 2
+
+    def test_resample_halves_sample_count_and_is_deterministic(self, spark):
+        from unimib_simpss_spark.operators import multimodal as M
+
+        payload = bytes(range(256)) * 4
+        media = spark.createDataFrame(
+            [(7, "audio", bytearray(payload), (None, None, 16_000, 125, "pcm16"))],
+            M.MEDIA_SCHEMA,
+        )
+        r1 = M.resample_audio(media, target_rate=8_000).collect()[0]
+        # 16 kHz x 125 ms = 2000 source samples -> 1000 at 8 kHz
+        assert r1.n_samples == 1000
+        r2 = M.resample_audio(media, target_rate=8_000).collect()[0]
+        assert list(r1.features) == list(r2.features)
+
+    def test_real_decoder_is_an_honest_stub(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators import multimodal as M
+
+        media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+        with _pytest.raises(NotImplementedError):
+            M.resample_audio(media, decoder="real")

@@ -319,3 +319,90 @@ def resize_media(
         F.col("meta.height").alias("src_h"),
     )
     return visual.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+# ----------------------------------------------------------- audio (UDF)
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("src_rate", IntegerType()),
+        StructField("dst_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def resample_audio(
+    media: DataFrame,
+    target_rate: int = 8_000,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode-and-resample audio rows to ``target_rate``, emitting
+    ``N_FEATURES`` equal-time mean-|amplitude| envelope bins.
+
+    Same production plumbing as :func:`resize_media`, audio flavor:
+    non-audio rows drop on a JVM-side METADATA predicate before Python;
+    the work is Arrow-batched ``mapInPandas`` (partition-preserving);
+    resampling is vectorized linear interpolation onto the target
+    sample grid and the envelope pooling is ``np.add.reduceat`` over
+    |signal| — the standard waveform preprocessing ahead of a
+    mel/feature stage. Codec stubbed exactly like the decode path:
+    ``decoder="fake"`` materializes payload bytes as a centered
+    [-1, 1] PCM signal whose length matches ``meta.sample_rate ×
+    meta.duration_ms`` (tiled/truncated); ``decoder="real"`` raises
+    with the intended libsndfile wiring documented.
+    """
+    if decoder == "real":
+        _real_decode(b"", "audio")  # raises NotImplementedError
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def resample_batches(batches: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_n, out_feat = [], []
+            for payload, rate, dur in zip(
+                pdf["payload"], pdf["src_rate"], pdf["duration_ms"]
+            ):
+                n_src = max(int(rate) * int(dur) // 1000, 2)
+                sig = (
+                    np.resize(np.frombuffer(payload, dtype=np.uint8), n_src)
+                    .astype(np.float64)
+                    / 127.5
+                    - 1.0
+                )
+                n_dst = max(n_src * target_rate // int(rate), 2)
+                resampled = np.interp(
+                    np.linspace(0.0, n_src - 1, n_dst),
+                    np.arange(n_src),
+                    sig,
+                )
+                b = (np.arange(N_FEATURES) * n_dst) // N_FEATURES
+                pooled = np.add.reduceat(np.abs(resampled), b) / np.diff(
+                    np.append(b, n_dst)
+                )
+                out_n.append(n_dst)
+                out_feat.append(pooled.astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "src_rate": pdf["src_rate"],
+                    "dst_rate": np.full(len(pdf), target_rate, dtype=np.int32),
+                    "n_samples": out_n,
+                    "features": out_feat,
+                }
+            )
+
+    audio = media.where(F.col("kind") == "audio").select(
+        "media_id",
+        "kind",
+        "payload",
+        F.col("meta.sample_rate").alias("src_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    return audio.mapInPandas(resample_batches, RESAMPLE_SCHEMA)

@@ -91,6 +91,9 @@ def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'resize': metadata-pruned decode-and-resize of the visual rows to
       an 8×8 area-averaged grid (n_dims carries the grid size, the
       digest folds the pixel vector).
+    - 'audio': metadata-pruned decode-and-resample of the audio rows to
+      8 kHz with envelope pooling (n_bytes carries the resampled sample
+      count, the digest folds the envelope bins).
 
     The registered contract surface is SCALAR columns only — the raw
     ``features array<float>`` crashes hash canonicalizers that sort rows
@@ -155,4 +158,26 @@ def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("neighbor_id"),
         F.lit(None).cast("double").alias("cosine"),
     )
-    return decode_leg.unionAll(topk_leg).unionAll(resize_leg)
+    resampled = M.resample_audio(media, target_rate=8_000)
+    au_weighted = F.zip_with(
+        "features",
+        F.sequence(F.lit(1), F.size("features")),
+        lambda p, i: p.cast("double") * i.cast("double"),
+    )
+    au_digest = F.when(
+        F.size("features") >= 1,
+        F.round(F.aggregate(au_weighted, F.lit(0.0), lambda acc, x: acc + x), 4),
+    ).otherwise(F.lit(0.0))
+    audio_leg = resampled.select(
+        F.lit("audio").alias("method"),
+        "media_id",
+        "kind",
+        F.col("n_samples").cast("long").alias("n_bytes"),
+        F.size("features").cast("long").alias("n_dims"),
+        au_digest.alias("feature_digest"),
+        F.lit(None).cast("long").alias("neighbor_id"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return (
+        decode_leg.unionAll(topk_leg).unionAll(resize_leg).unionAll(audio_leg)
+    )
