@@ -10,6 +10,11 @@ Everything here is a pure Column expression — JVM-side, whole-stage
 codegen, zero Python in the hot path — so the same code runs unchanged
 over 100 TB. The only aggregation (k-anonymity group sizing) is one
 map-side-combinable groupBy.
+
+The reference (PCampi/unimib-simpss) carries raw sensor ids end-to-end
+(mqtt_kafka_producer.py:198-206 enriches but never masks); this module
+is the [EXT] scrub stage a corpus pipeline inserts at that same
+enrichment point before anything persists.
 """
 
 from __future__ import annotations

@@ -19,6 +19,12 @@ Everything is relational: build is explode → one map-side-combinable
 groupBy on (row, col) — output bounded by depth×width; estimate is a
 keyed join against the cells. Hashing is ``xxhash64(token, seed_j)``,
 deterministic across runs and partitionings.
+
+The reference (PCampi/unimib-simpss) exposes only exact counters
+(messages_read/messages_sent, mqtt_kafka_producer.py:37-38); the
+sketches are the [EXT] fixed-memory form those counters need once the
+key space is unbounded. Streaming-state twin:
+streaming/stateful.py:streaming_token_cms.
 """
 
 from __future__ import annotations

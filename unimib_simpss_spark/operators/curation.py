@@ -13,6 +13,11 @@ quality/dedup operators don't cover:
   contribution to the corpus by keeping a deterministic, hash-ordered
   top-``quota`` per source. Prevents one crawl domain from dominating
   the training mix; stable under reruns and appends of other sources.
+
+The reference (PCampi/unimib-simpss) has no corpus surface; its closest
+analog is the per-message validity gate on the Kafka consume path
+(simpss_persistence/kafka_consumer/consumer.py:60-75,124-138) — these
+operators are that admission idea generalized to corpus granularity.
 """
 
 from __future__ import annotations
