@@ -315,3 +315,54 @@ def rolling_fingerprint_sql(expr: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hs}), "
         f"(acc, x) -> (acc * {ROLLING_BASE} + x) % {MERSENNE_31})"
     )
+
+
+# ------------------------------------------------- order-independent avg
+AVG_SCALE = 1_000_000
+
+
+def exact_avg(col: Column | str, ndigits: int = 4) -> Column:
+    """Cross-engine order-independent average of a double column,
+    rounded to ``ndigits`` in INTEGER arithmetic.
+
+    Two distinct float traps make plain ``round(avg(value), n)``
+    engine-divergent (both observed on q23/q55: green at sf0.01, red at
+    sf0.1):
+
+    - ``avg(double)`` is float summation in accumulation order — the
+      engines can differ in the last ulp;
+    - even on an IDENTICAL exact mean, ``round`` itself splits at a
+      decimal boundary: for 51.51125 Spark rounds the shortest decimal
+      string (BigDecimal HALF_UP → 51.5113) while DuckDB rounds the
+      binary double, which sits just below the boundary (→ 51.5112).
+
+    So both the sum AND the rounding run on exact integers: sum
+    ``round(value × 1e6)`` as longs, then half-up at digit ``ndigits``
+    via ``floor((S + half·n) / (div·n))`` — every operand is an exact
+    integer-valued double well under 2^53 in both engines — and one
+    final division by ``10^ndigits`` (identical IEEE op both sides).
+    Quantizes input at 1e-6, invisible at report precision; halves
+    round UP (toward +inf) by definition of this op on both engines.
+    Must be paired with :func:`exact_avg_sql` (same constants, same
+    operation order).
+    """
+    div = AVG_SCALE // 10**ndigits
+    if div < 1:
+        raise ValueError(f"ndigits={ndigits} exceeds AVG_SCALE precision")
+    scaled = F.round(_c(col) * AVG_SCALE).cast("long")
+    n = F.count(F.lit(1))
+    units = F.floor(
+        (F.sum(scaled).cast("double") + (div / 2) * n) / (div * n)
+    )
+    return units.cast("double") / (10**ndigits)
+
+
+def exact_avg_sql(expr: str, ndigits: int = 4) -> str:
+    """DuckDB twin of :func:`exact_avg` — identical constants and op
+    order."""
+    div = AVG_SCALE // 10**ndigits
+    return (
+        f"(CAST(floor((CAST(sum(CAST(round({expr} * {AVG_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" + {div / 2} * count(*)) / ({div} * count(*))) AS DOUBLE)"
+        f" / {10**ndigits})"
+    )

@@ -24,27 +24,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # ST7: tumbling event-time window (batch-checkable form)
 # --------------------------------------------------------------------------
-@query(
-    "q23_tumbling_window",
-    oracle="""
+def _q23_oracle() -> str:
+    from unimib_simpss_spark.functions.analysis import exact_avg_sql
+
+    return f"""
     SELECT date_trunc('hour', ts)       AS window_start,
            event_type,
            count(*)                     AS n_events,
-           round(avg(value), 4)         AS avg_value
+           {exact_avg_sql('value')}     AS avg_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
-    """,
-)
+    """
+
+
+@query("q23_tumbling_window", oracle=_q23_oracle())
 def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window via F.window (epoch-aligned, so
     window.start ≡ date_trunc('hour')). The same expression runs on a
     watermarked stream (streaming/pipeline.py: windowed_stats)."""
+    from unimib_simpss_spark.functions.analysis import exact_avg
+
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            exact_avg("value").alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -44,11 +44,15 @@ def gapfill_rollup(
     and ``locf_value`` (last non-null avg carried forward per key).
     """
     spark = df.sparkSession
+    from unimib_simpss_spark.functions.analysis import exact_avg
+
     agg = df.groupBy(
         F.col(key_col).alias("key"),
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
     ).agg(
-        F.round(F.avg(value_col), 4).alias("avg_value"),
+        # order-independent cross-engine average (see exact_avg: plain
+        # avg(double) diverged from the oracle in the 4th digit at sf0.1)
+        exact_avg(value_col).alias("avg_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
     buckets = spark.range(1).select(
@@ -77,9 +81,10 @@ def gapfill_rollup(
     )
 
 
-@query(
-    "q55_gapfill_rollup",
-    oracle="""
+def _q55_oracle() -> str:
+    from unimib_simpss_spark.functions.analysis import exact_avg_sql
+
+    return f"""
     WITH spine AS (
         SELECT t.event_type AS key, b.bucket
         FROM (SELECT DISTINCT event_type FROM events) t
@@ -90,7 +95,7 @@ def gapfill_rollup(
         ) b
     ), agg AS (
         SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
-               round(avg(value), 4) AS avg_value, count(*) AS n_events
+               {exact_avg_sql('value')} AS avg_value, count(*) AS n_events
         FROM events GROUP BY 1, 2
     )
     SELECT s.key AS event_type, s.bucket,
@@ -100,8 +105,10 @@ def gapfill_rollup(
                PARTITION BY s.key ORDER BY s.bucket
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
     FROM spine s LEFT JOIN agg a ON a.key = s.key AND a.bucket = s.bucket
-    """,
-)
+    """
+
+
+@query("q55_gapfill_rollup", oracle=_q55_oracle())
 def q55_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-event-type rollup over the full events month, dense
     spine, zero-filled counts, LOCF values."""
