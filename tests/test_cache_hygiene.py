@@ -148,3 +148,24 @@ def test_query_releases_all_caches(spark, name):
     release_result(df)
     leaked = persistent_rdd_ids(spark) - before
     assert leaked == set(), f"{name} leaked persistent RDDs: {sorted(leaked)}"
+
+
+def test_entire_registry_leaves_context_clean(spark):
+    """Run EVERY registered query once (sf0.001) and require the
+    context's persistent-RDD set to return to its starting state after
+    each result handle is released — the catch-all for queries added
+    after the named CACHE_HEAVY_QUERIES list above."""
+    from unimib_simpss_spark.plans import registry as R
+
+    qs = R.queries()
+    before = persistent_rdd_ids(spark)
+    leaks: dict[str, list[int]] = {}
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, SF_SMALL)
+        df.count()
+        release_result(df)
+        leaked = persistent_rdd_ids(spark) - before
+        if leaked:
+            leaks[name] = sorted(leaked)
+            break  # attribute the first leak precisely, then stop
+    assert not leaks, leaks
