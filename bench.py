@@ -60,10 +60,10 @@ HEADLINE = [
     "q60_regional_revenue",
     "q61_incremental_dedup",
     "q62_corpus_pipeline",
-    # round 6 additions: privacy scrub, LM-score filter, domain capping
+    # round 6 additions: privacy scrub, LM-score filter, vocab curve,
+    # dup spans (the former q65 domain cap is now q30's 'cap' leg)
     "q63_pii_pipeline",
     "q64_bigram_lm_score",
-    "q65_source_cap",
     "q66_vocab_coverage",
     "q67_dup_spans",
 ]

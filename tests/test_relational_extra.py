@@ -172,8 +172,9 @@ def test_q66_topk_never_full_sorts_vocab(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_q65_single_exchange(spark, sf_dir):
-    """source_cap is one hash exchange on the group key + window."""
+def test_source_cap_single_exchange(spark, sf_dir):
+    """source_cap (q30's 'cap' leg) is one hash exchange on the group
+    key + window."""
     from unimib_simpss_spark.catalog import load_table
     from unimib_simpss_spark.operators.curation import source_cap
 

@@ -8,8 +8,10 @@ oracle-paired with DuckDB running the equivalent ANSI SQL:
   k-anonymity audit of the (mktsegment, nationkey) quasi-identifiers.
 - q64: bigram LM scoring — perplexity-proxy quality score per document
   under the corpus's own bigram frequency model.
-- q65: per-source cap — deterministic hash-ordered domain capping of
-  the ``documents`` corpus.
+
+(The per-source domain cap that lived here as q65 is now the 'cap' leg
+of q30_corpus_mix in plans/llm_text.py — merged so every oracle-paired
+query sorts inside the driver's 50-slot window.)
 """
 
 from __future__ import annotations
@@ -111,30 +113,6 @@ def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
 
 
-_SOURCE_CAP_QUOTA = 10
-
-_SOURCE_CAP_ORACLE = f"""
-SELECT source, doc_id, rk FROM (
-    SELECT source, doc_id,
-           CAST(row_number() OVER (
-               PARTITION BY source
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-           ) AS BIGINT) AS rk
-    FROM documents
-) WHERE rk <= {_SOURCE_CAP_QUOTA}
-"""
-
-
-@query("q65_source_cap", oracle=_SOURCE_CAP_ORACLE)
-def q65_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain capping: deterministic hash-ordered top-10 documents per
-    source — bounds any one source's share of the training mix. See
-    operators/curation.py for stability and scale notes."""
-    return C.source_cap(
-        load_table(spark, sf_dir, "documents"), quota=_SOURCE_CAP_QUOTA
-    )
-
-
 _VOCAB_TOPK = 50
 
 _VOCAB_ORACLE = f"""
@@ -232,6 +210,7 @@ def q67_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-document duplicated-passage report: positional 6-gram
     matches across documents merged into maximal spans per document
     (exact-substring dedup at n-gram granularity, Lee et al. 2022).
-    Sorts outside the driver's 50-slot window; the local parity gate
-    (tests/test_oracle_parity.py) runs the same hash compare."""
+    Sorts inside the driver's 50-slot window since the q65→q30 merge;
+    the local parity gate (tests/test_oracle_parity.py) runs the same
+    hash compare at sf0.001."""
     return C.dup_spans(load_table(spark, sf_dir, "documents"), n=_DUP_N)

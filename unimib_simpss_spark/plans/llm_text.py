@@ -207,6 +207,7 @@ def q29_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIX_DEFAULT = 0.75
+_SOURCE_CAP_QUOTA = 10
 
 
 def _corpus_mix_oracle() -> str:
@@ -219,25 +220,55 @@ def _corpus_mix_oracle() -> str:
     WITH m AS (
         SELECT source, {keep} AS keep, {_ws} AS ws FROM documents
     )
-    SELECT source,
+    SELECT 'mix' AS section,
+           source,
            count(*) AS n_docs,
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN keep THEN ws ELSE 0 END) AS BIGINT) AS kept_tokens,
            round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4)
-               AS achieved_frac
+               AS achieved_frac,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS rk
     FROM m
     GROUP BY source
+    UNION ALL
+    SELECT 'cap' AS section,
+           source,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS kept_tokens,
+           CAST(NULL AS DOUBLE) AS achieved_frac,
+           doc_id,
+           rk
+    FROM (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= {_SOURCE_CAP_QUOTA}
     """
 
 
 @query("q30_corpus_mix", oracle=_corpus_mix_oracle())
 def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic corpus mixing (operators/sampling.py mix_keep): the
-    per-source sampling-weight step of a training-data pipeline
-    (LLaMA/Pile-style mixes). Membership is a pure function of
-    hash(doc_id) so the mix is rerun/engine/append-stable; reported as
-    per-source kept counts + token mass + achieved fraction. Per-row
-    flag, one small agg — no extra shuffle at any scale."""
+    """The two deterministic per-source row selectors of a training-data
+    pipeline in one tagged union (merged q30+q65 — same recipe as
+    q05/q09/q12/q36):
+
+    - 'mix' — corpus mixing (operators/sampling.py mix_keep), the
+      per-source sampling-weight step (LLaMA/Pile-style mixes).
+      Membership is a pure function of hash(doc_id) so the mix is
+      rerun/engine/append-stable; reported as per-source kept counts +
+      token mass + achieved fraction. Per-row flag, one small agg — no
+      extra shuffle at any scale.
+    - 'cap' — domain capping (operators/curation.py source_cap):
+      deterministic hash-ordered top-10 documents per source, bounding
+      any one source's share of the training mix. One shuffle on the
+      group key; see source_cap for stability and scale notes.
+    """
+    from unimib_simpss_spark.operators.curation import source_cap
     from unimib_simpss_spark.operators.sampling import mix_keep
 
     docs = load_table(spark, sf_dir, "documents")
@@ -245,7 +276,7 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "source", keep.alias("keep"), A.token_count_ws("text").alias("ws")
     )
-    return t.groupBy("source").agg(
+    mix = t.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum(F.when(F.col("keep"), F.col("ws")).otherwise(F.lit(0))).alias(
@@ -254,7 +285,27 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 4).alias(
             "achieved_frac"
         ),
+    ).select(
+        F.lit("mix").alias("section"),
+        "source",
+        "n_docs",
+        "n_kept",
+        "kept_tokens",
+        "achieved_frac",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("rk"),
     )
+    cap = source_cap(docs, quota=_SOURCE_CAP_QUOTA).select(
+        F.lit("cap").alias("section"),
+        "source",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_kept"),
+        F.lit(None).cast("long").alias("kept_tokens"),
+        F.lit(None).cast("double").alias("achieved_frac"),
+        "doc_id",
+        "rk",
+    )
+    return mix.unionAll(cap)
 
 
 _PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence
