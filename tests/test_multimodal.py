@@ -146,6 +146,22 @@ class TestResize:
         with _pytest.raises(NotImplementedError):
             M.resize_media(media, decoder="real")
 
+    def test_source_smaller_than_target_grid_is_finite(self, spark):
+        """Upscaling (src < dst) repeats pooling-bin boundaries →
+        zero-width bins; the divisor clamp must yield the boundary
+        element, never Inf/NaN (round-6 advice)."""
+        import math
+
+        from unimib_simpss_spark.operators import multimodal as M
+
+        media = spark.createDataFrame(
+            [(2, "image", bytearray(bytes(range(12))), (4, 3, None, None, "png"))],
+            M.MEDIA_SCHEMA,
+        )
+        r = M.resize_media(media, width=8, height=8).collect()[0]
+        assert len(r.pixels) == 64
+        assert all(math.isfinite(p) and 0.0 <= p <= 1.0 for p in r.pixels)
+
 
 class TestResample:
     def test_audio_only_and_shapes(self, spark, sf_dir):
@@ -187,3 +203,19 @@ class TestResample:
         media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
         with _pytest.raises(NotImplementedError):
             M.resample_audio(media, decoder="real")
+
+    def test_zero_duration_clip_is_finite(self, spark):
+        """duration_ms=0 → n_src=2 → n_dst=2 < N_FEATURES: most envelope
+        bins are zero-width; the divisor clamp must keep every feature
+        finite (round-6 advice)."""
+        import math
+
+        from unimib_simpss_spark.operators import multimodal as M
+
+        media = spark.createDataFrame(
+            [(9, "audio", bytearray(b"\x00\xff"), (None, None, 16_000, 0, "pcm16"))],
+            M.MEDIA_SCHEMA,
+        )
+        r = M.resample_audio(media, target_rate=8_000).collect()[0]
+        assert len(r.features) == M.N_FEATURES
+        assert all(math.isfinite(f) for f in r.features)

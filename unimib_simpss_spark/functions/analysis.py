@@ -345,6 +345,18 @@ def exact_avg(col: Column | str, ndigits: int = 4) -> Column:
     round UP (toward +inf) by definition of this op on both engines.
     Must be paired with :func:`exact_avg_sql` (same constants, same
     operation order).
+
+    INPUT-PRECISION ASSUMPTION: the quantization step itself
+    (``round(value × 1e6)``) is the one remaining raw-double round, and
+    Spark (shortest-decimal BigDecimal HALF_UP) and DuckDB (binary
+    double) can disagree on it ONLY when ``value × 1e6`` lands within
+    an ulp of a ``.5`` boundary — i.e. when the input is quantized at
+    5e-7 or finer. This holds as long as input values are generated or
+    stored on a grid coarser than 1e-6 (the driver's testdata is
+    2-decimal: max |value×1e6 − nearest int| measured 6e-8 at sf0.1,
+    nowhere near 0.5). Feeding full-precision doubles voids the
+    cross-engine guarantee at the 1e-6 digit — re-quantize upstream or
+    raise AVG_SCALE if that ever matters.
     """
     div = AVG_SCALE // 10**ndigits
     if div < 1:

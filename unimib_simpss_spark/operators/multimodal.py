@@ -296,8 +296,13 @@ def resize_media(
                 pooled = np.add.reduceat(
                     np.add.reduceat(grid, rb, axis=0), cb, axis=1
                 )
-                rcnt = np.diff(np.append(rb, sh))[:, None]
-                ccnt = np.diff(np.append(cb, sw))[None, :]
+                # A source smaller than the target grid repeats block
+                # boundaries → zero-width bins; reduceat returns the
+                # single element at a repeated index, so clamping the
+                # divisor to 1 yields that element (correct average)
+                # instead of Inf/NaN.
+                rcnt = np.maximum(np.diff(np.append(rb, sh)), 1)[:, None]
+                ccnt = np.maximum(np.diff(np.append(cb, sw)), 1)[None, :]
                 out_px.append((pooled / (rcnt * ccnt)).ravel().astype(np.float32))
             yield pd.DataFrame(
                 {
@@ -382,8 +387,12 @@ def resample_audio(
                     sig,
                 )
                 b = (np.arange(N_FEATURES) * n_dst) // N_FEATURES
-                pooled = np.add.reduceat(np.abs(resampled), b) / np.diff(
-                    np.append(b, n_dst)
+                # n_dst < N_FEATURES (e.g. an empty-duration clip →
+                # n_src=2) repeats bin boundaries → zero-width bins;
+                # clamp the divisor to 1 (reduceat already returns the
+                # single element at a repeated index).
+                pooled = np.add.reduceat(np.abs(resampled), b) / np.maximum(
+                    np.diff(np.append(b, n_dst)), 1
                 )
                 out_n.append(n_dst)
                 out_feat.append(pooled.astype(np.float32))

@@ -650,6 +650,7 @@ def pq_topk(
     refine: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks=None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: exact queries scored against the
     compressed corpus, optionally exact-re-ranked.
@@ -673,16 +674,30 @@ def pq_topk(
     a point-lookup-sized read, not a second scan) and emit the exact
     top-k. This is how PQ recall is bought back at 100 TB: the
     compressed index prunes, the refine join touches R rows per query.
+
+    ``query_pred`` is REQUIRED: the query matrix is collected to the
+    driver, and only the predicate bounds that collect (the same
+    contract as ``pq_codebooks``' sample_cap). A None default would
+    silently collect the whole corpus. ``codebooks`` accepts the
+    pretrained ``pq_codebooks`` tensor so a plan composing several PQ
+    paths (x66) trains once.
     """
     import numpy as np
     import pandas as pd
 
-    books = pq_codebooks(
-        emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    if query_pred is None:
+        raise ValueError(
+            "pq_topk requires query_pred: collecting every corpus vector "
+            "as a query breaks the bounded-driver contract"
+        )
+    books = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else pq_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
     )
     _, _, dsub = books.shape
     qrows = (
-        emb.where(query_pred if query_pred is not None else F.lit(True))
+        emb.where(query_pred)
         .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
@@ -731,12 +746,9 @@ def pq_topk(
             .where(F.col("rn") <= max(refine, k))
             .select("query_id", "neighbor_id")
         )
-        qv = (
-            emb.where(query_pred if query_pred is not None else F.lit(True))
-            .select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).cast("array<double>").alias("_qv"),
-            )
+        qv = emb.where(query_pred).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
         )
         cv = emb.select(
             F.col(id_col).alias("neighbor_id"),
@@ -791,7 +803,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = True,
-) -> DataFrame:
+    codebooks=None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """IVF-PQ top-k: the composed production ANN architecture (what a
     FAISS ``IVFx,PQy`` index is) — a learned coarse quantizer prunes
     the scan to ``nprobe`` cells per query, PQ codes score the
@@ -819,23 +832,39 @@ def ivfpq_topk(
     ``materialize=True`` (default) computes the result eagerly so the
     checkpointed cell-assignment relation is released deterministically
     (operators/caching.py contract); pass ``False`` to inspect the lazy
-    plan — the caller then owns the cells' blocks.
+    plan — then the return is the TUPLE ``(out, cells)`` so the caller
+    holds a releasable handle on the checkpointed cell relation the
+    lazy plan still references (releasing it any other way is
+    impossible — the leak the round-6 advice flagged).
+
+    ``query_pred`` is REQUIRED (same bounded-driver contract as
+    :func:`pq_topk`); ``codebooks`` accepts a pretrained tensor so a
+    composing plan trains once.
     """
     import numpy as np
     import pandas as pd
 
+    if query_pred is None:
+        raise ValueError(
+            "ivfpq_topk requires query_pred: collecting every corpus vector "
+            "as a query breaks the bounded-driver contract"
+        )
     cells, centroids = kmeans_cells(
         emb, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col,
         return_centroids=True,
     )
-    books = pq_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    books = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else pq_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    )
     codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col).join(
         cells.withColumnRenamed("vec_id", "_cid").withColumnRenamed("cell", "_cell"),
         F.col("vec_id") == F.col("_cid"),
     ).select("vec_id", F.col("_cell").alias("cell"), "codes")
 
     qrows = (
-        emb.where(query_pred if query_pred is not None else F.lit(True))
+        emb.where(query_pred)
         .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
@@ -887,12 +916,9 @@ def ivfpq_topk(
             .where(F.col("rn") <= max(refine, k))
             .select("query_id", "neighbor_id")
         )
-        qv = (
-            emb.where(query_pred if query_pred is not None else F.lit(True))
-            .select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).cast("array<double>").alias("_qv"),
-            )
+        qv = emb.where(query_pred).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
         )
         cv = emb.select(
             F.col(id_col).alias("neighbor_id"),
@@ -916,7 +942,7 @@ def ivfpq_topk(
         )
     )
     if not materialize:
-        return out
+        return out, cells
     from unimib_simpss_spark.operators.caching import release_result
 
     out = materialize_release(out)

@@ -10,6 +10,8 @@ contract, different physical plan.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -135,11 +137,13 @@ def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: grouped-agg state is one k x d float64 accumulator per group;
     the only shuffle is the groupBy(label). At 100 TB the same UDF runs
     unchanged — group count, not row count, bounds memory."""
-    import numpy as np
-    import pandas as pd
 
-    @F.pandas_udf("array<double>", F.PandasUDFType.GROUPED_AGG)
-    def centroid(emb):
+    # Type-hint form (pd.Series -> scalar-per-group infers GROUPED_AGG);
+    # the PandasUDFType enum emitted a SPARK-28264 deprecation warning
+    # on every run. ``pd``/``np`` must be module-level for the string
+    # annotations (future-import) to resolve at decoration time.
+    @F.pandas_udf("array<double>")
+    def centroid(emb: pd.Series) -> list:
         return np.stack(emb.to_numpy()).astype("float64").mean(axis=0).tolist()
 
     cent = (
@@ -173,7 +177,12 @@ def x66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both bounds-tested in tests/test_llm_ops.py. The ivfpq leg is an
     eager self-owned checkpoint (its cells released internally), so the
     union is checkpointed and the leg handle freed before returning —
-    the composition-leak guard the cache-hygiene sweep asserts."""
+    the composition-leak guard the cache-hygiene sweep asserts.
+
+    The PQ codebooks are trained ONCE (pq_codebooks) and passed to both
+    legs — they share the same corpus sample, so training twice only
+    duplicated the hash-ordered sort/collect and the per-subspace
+    k-means loops (round-6 advice)."""
     from unimib_simpss_spark.operators.caching import (
         materialize_release,
         release_result,
@@ -181,11 +190,15 @@ def x66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     pred = F.col("vec_id") < 6
-    pq = S.pq_topk(emb, k=5, query_pred=pred, m=16, ksub=16, refine=25).select(
+    books = S.pq_codebooks(emb, m=16, ksub=16)
+    pq = S.pq_topk(
+        emb, k=5, query_pred=pred, m=16, ksub=16, refine=25, codebooks=books
+    ).select(
         F.lit("pq").alias("method"), "query_id", "neighbor_id", "d2", "rank"
     )
     ivfpq_raw = S.ivfpq_topk(
-        emb, k=5, query_pred=pred, n_cells=8, nprobe=4, m=16, ksub=16, refine=25
+        emb, k=5, query_pred=pred, n_cells=8, nprobe=4, m=16, ksub=16,
+        refine=25, codebooks=books,
     )
     ivfpq = ivfpq_raw.select(
         F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "d2", "rank"
