@@ -80,6 +80,29 @@ def test_bigram_lm_rare_doc_scores_lower(spark):
     assert len(scores) == 10
 
 
+def test_bigram_lm_dsir_upweights_target_domain(spark):
+    """DSIR importance weights must rank in-domain docs above
+    out-of-domain docs: a doc made of the target's bigrams gets a
+    positive weight, a doc of out-of-domain bigrams a negative one,
+    and the 'lm' leg must match bigram_lm_scores on the same corpus."""
+    rows = (
+        [(i, "the cat sat", "tgt") for i in range(5)]
+        + [(10 + i, "a dog ran", "other") for i in range(5)]
+        + [(99, "the cat sat", "other")]  # in-domain text, other source
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = C.bigram_lm_dsir(df, target_pred=F.col("source") == "tgt")
+    dsir = {r.doc_id: r.score for r in out.where("section = 'dsir'").collect()}
+    lm = {r.doc_id: r.score for r in out.where("section = 'lm'").collect()}
+    assert len(dsir) == 11 and len(lm) == 11
+    # target-looking docs (wherever they live) outrank out-of-domain docs
+    assert dsir[0] > dsir[10]
+    assert dsir[99] == dsir[0]  # weight depends on content, not membership
+    # the lm leg is bigram_lm_scores' metric, verbatim
+    ref = {r.doc_id: r.avg_logp for r in C.bigram_lm_scores(df).collect()}
+    assert lm == ref
+
+
 def test_source_cap_bounds_and_rank(docs):
     out = C.source_cap(docs, quota=7).cache()
     per = out.groupBy("source").agg(

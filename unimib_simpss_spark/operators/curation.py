@@ -27,27 +27,33 @@ from pyspark.sql import functions as F
 
 
 def _bound_tokens(
-    docs: DataFrame, id_col: str, text_col: str
+    docs: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """(id, toks): whitespace token array as a bound attribute.
+    """(id, *carry, toks): whitespace token array as a bound attribute.
 
     The projection sits BEHIND an Exchange (same contract as dedup's
     ``_tokenized_docs``): without the barrier, CollapseProject inlines
     the ``split()`` into every consumer position and array lambdas
     re-tokenize per reference (measured ~5 s → ~0.3 s for the bigram
     mine at sf0.1); the repartition also spreads per-row compute off
-    single-split files.
+    single-split files. ``carry`` names extra per-document columns to
+    keep alongside the tokens (e.g. a target-corpus flag).
     """
     return docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.split(F.col(text_col), " ").alias("toks"),
     ).repartition(id_col)
 
 
 def doc_bigrams(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Explode whitespace-token bigrams: (id, w1, w2), one row per
-    adjacent token pair.
+    """Explode whitespace-token bigrams: (id, *carry, w1, w2), one row
+    per adjacent token pair.
 
     Pairs are built INSIDE the token array (``zip_with`` over the
     array and its shift-by-one slice) before the explode, so adjacency
@@ -58,17 +64,24 @@ def doc_bigrams(
     The token array comes from :func:`_bound_tokens` (attribute behind
     an Exchange — see its perf contract). ``split()`` never yields an
     empty array (empty text → ``[""]``), so the slice lengths are
-    always ≥ 0 and 1-token docs emit no pairs.
+    always ≥ 0 and 1-token docs emit no pairs. ``carry`` rides along
+    unchanged (per-document constants, e.g. a target-corpus flag) —
+    cheaper than re-joining them onto the mined relation by doc id.
     """
-    toks = _bound_tokens(docs, id_col, text_col)
+    toks = _bound_tokens(docs, id_col, text_col, carry=carry)
     n1 = F.size(F.col("toks")) - 1
     pairs = F.zip_with(
         F.slice(F.col("toks"), 1, n1),
         F.slice(F.col("toks"), 2, n1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    return toks.select(F.col(id_col), F.explode(pairs).alias("pair")).select(
-        F.col(id_col), F.col("pair.w1").alias("w1"), F.col("pair.w2").alias("w2")
+    return toks.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.explode(pairs).alias("pair")
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.col("pair.w1").alias("w1"),
+        F.col("pair.w2").alias("w2"),
     )
 
 
@@ -131,6 +144,90 @@ def bigram_lm_scores(
     if not materialize:
         return scored
     return materialize_release(scored, dbi)
+
+
+def bigram_lm_dsir(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 3,
+) -> DataFrame:
+    """Corpus-model LM scoring AND DSIR importance weighting off ONE
+    bigram mine, tagged by section ``(section, id, n_bigrams, score)``:
+
+    - 'lm' — :func:`bigram_lm_scores`' metric: mean bigram
+      log-probability under the corpus's own model (perplexity-proxy
+      quality filter).
+    - 'dsir' — the importance weight of Data Selection via Importance
+      Resampling (Xie et al. 2023, "Data Selection for Language Models
+      via Importance Resampling"): mean over the document's bigrams of
+      ``log p̂_target(b) − log p̂_raw(b)``, where the target model is
+      built from the ``target_pred`` subset (the in-domain corpus) and
+      the raw model from everything. Both models are add-one smoothed
+      over the SHARED corpus vocabulary so unseen-in-target bigrams are
+      defined and the two legs stay comparable; high weight = looks
+      like the target domain, the doc to up-sample.
+
+    Plan: one bigram mine with the target flag carried through
+    (:func:`doc_bigrams` ``carry`` — per-doc constant, no re-join),
+    collapsed to the per-doc hashed-count relation (persisted, shared
+    by every aggregate below — see :func:`bigram_lm_scores` for why
+    nothing wider than 8-byte keys + counts ever shuffles). Corpus and
+    target count relations are combinable rollups of that relation;
+    vocabulary size + both totals ride as a broadcast 1-row cross join;
+    ONE scoring join serves both legs (the union branches AFTER the
+    join, off the same persisted scored relation). Checkpointed +
+    caches released before returning (operators/caching.py contract).
+    """
+    from unimib_simpss_spark.operators.caching import materialize_release
+
+    base = docs.withColumn("_tgt", target_pred)
+    bi = doc_bigrams(base, id_col=id_col, text_col=text_col, carry=("_tgt",))
+    dbi = (
+        bi.select(F.col(id_col), "_tgt", F.xxhash64("w1", "w2").alias("bkey"))
+        .groupBy(id_col, "_tgt", "bkey")
+        .agg(F.count(F.lit(1)).alias("dcnt"))
+        .persist()
+    )
+    counts = dbi.groupBy("bkey").agg(F.sum("dcnt").alias("cnt"))
+    tcounts = (
+        dbi.where(F.col("_tgt"))
+        .groupBy("bkey")
+        .agg(F.sum("dcnt").alias("tcnt"))
+    )
+    lm = counts.join(tcounts, "bkey", "left").persist()
+    stats = lm.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("cnt").cast("double").alias("rtot"),
+        F.coalesce(F.sum("tcnt"), F.lit(0)).cast("double").alias("ttot"),
+    )
+    joined = (
+        dbi.join(lm, "bkey")
+        .crossJoin(F.broadcast(stats))
+        .persist()
+    )
+    lm_leg = joined.groupBy(id_col).agg(
+        F.sum("dcnt").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("dcnt") * F.log(F.col("cnt") / F.col("rtot")))
+            / F.sum("dcnt"),
+            ndigits,
+        ).alias("score"),
+    )
+    logratio = F.log(
+        (F.coalesce(F.col("tcnt"), F.lit(0)) + 1) / (F.col("ttot") + F.col("v"))
+    ) - F.log((F.col("cnt") + 1) / (F.col("rtot") + F.col("v")))
+    dsir_leg = joined.groupBy(id_col).agg(
+        F.sum("dcnt").alias("n_bigrams"),
+        F.round(F.sum(F.col("dcnt") * logratio) / F.sum("dcnt"), ndigits).alias(
+            "score"
+        ),
+    )
+    out = lm_leg.select(F.lit("lm").alias("section"), "*").unionAll(
+        dsir_leg.select(F.lit("dsir").alias("section"), "*")
+    )
+    return materialize_release(out, dbi, lm, joined)
 
 
 def vocab_coverage(

@@ -89,28 +89,64 @@ def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact.unionAll(kanon)
 
 
-_BIGRAM_LM_ORACLE = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+_DSIR_TARGET_SOURCE = "src0"
+
+_BIGRAM_LM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+),
 bi AS (
-    SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+    SELECT doc_id, source, l[i] AS w1, l[i + 1] AS w2
     FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) s
 ),
 counts AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY w1, w2),
-tot AS (SELECT count(*) AS total FROM bi)
-SELECT doc_id,
+tcounts AS (
+    SELECT w1, w2, count(*) AS tcnt FROM bi
+    WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY w1, w2
+),
+stats AS (
+    SELECT count(*)::DOUBLE AS v,
+           sum(cnt)::DOUBLE AS rtot,
+           coalesce(sum(tcnt), 0)::DOUBLE AS ttot
+    FROM counts LEFT JOIN tcounts USING (w1, w2)
+),
+joined AS (
+    SELECT bi.doc_id, counts.cnt, tcounts.tcnt
+    FROM bi JOIN counts USING (w1, w2) LEFT JOIN tcounts USING (w1, w2)
+)
+SELECT 'lm' AS section, doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(ln(cnt / (SELECT total FROM tot))), 3) AS avg_logp
-FROM bi JOIN counts USING (w1, w2)
-GROUP BY doc_id
+       round(avg(ln(cnt / (SELECT rtot FROM stats))), 3) AS score
+FROM joined GROUP BY doc_id
+UNION ALL
+SELECT 'dsir' AS section, doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       -- + 0 normalizes DuckDB's -0.0 (round of a tiny negative mean)
+       -- to +0.0; Spark's BigDecimal round can't produce -0.0
+       round(avg(
+           ln((coalesce(tcnt, 0) + 1)
+              / ((SELECT ttot FROM stats) + (SELECT v FROM stats)))
+         - ln((cnt + 1)
+              / ((SELECT rtot FROM stats) + (SELECT v FROM stats)))
+       ), 3) + 0 AS score
+FROM joined GROUP BY doc_id
 """
 
 
 @query("q64_bigram_lm_score", oracle=_BIGRAM_LM_ORACLE)
 def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-proxy quality score: mean bigram log-probability per
-    document under the corpus's own bigram model (the cheap KenLM-filter
-    stand-in). See operators/curation.py for the plan and 100 TB notes."""
-    return C.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+    """Bigram-model document scoring, both pipeline knobs off one mine,
+    tagged by section: 'lm' is the perplexity-proxy quality score (mean
+    bigram log-probability under the corpus's own model — the cheap
+    KenLM-filter stand-in) and 'dsir' is the DSIR importance weight
+    against the '{src0}' in-domain target (Xie et al. 2023 — up-sample
+    documents whose bigrams look like the target corpus). See
+    operators/curation.py bigram_lm_dsir for the plan and 100 TB
+    notes."""
+    return C.bigram_lm_dsir(
+        load_table(spark, sf_dir, "documents"),
+        target_pred=F.col("source") == _DSIR_TARGET_SOURCE,
+    )
 
 
 _VOCAB_TOPK = 50

@@ -60,10 +60,51 @@ def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_emb(spark, sf_dir), k=3)
 
 
-@query("q46_embedding_cosine_pairs", oracle=S.cosine_pairs_sql(threshold=0.35))
+def _cosine_pairs_semdedup_oracle() -> str:
+    pairs = S.cosine_pairs_sql(threshold=0.35)
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT 'pairs' AS section, vec1, vec2, cell, cosine FROM pairs
+    UNION ALL
+    SELECT 'drop' AS section,
+           min(vec1) AS vec1, vec2, cell, max(cosine) AS cosine
+    FROM pairs GROUP BY cell, vec2
+    """
+
+
+@query("q46_embedding_cosine_pairs", oracle=_cosine_pairs_semdedup_oracle())
 def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥ 0.35, cell-scoped GEMM)."""
-    return S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+    """Embedding-cosine near-dup mining AND the SemDeDup pruning
+    decision it feeds, tagged by section:
+
+    - 'pairs' — all within-cell pairs with cosine ≥ 0.35 (cell-scoped
+      GEMM, :func:`operators.similarity.cosine_pairs`).
+    - 'drop' — the semantic-dedup verdict (SemDeDup shape — Abbas et
+      al. 2023, "SemDeDup: Data-Efficient Learning at Web-Scale Through
+      Semantic Deduplication": cluster embeddings, drop all but one of
+      each within-cluster near-dup set): a vector is dropped when a
+      LOWER-id vector sits within the threshold in its cell — vec2 =
+      dropped id, vec1 = the lowest-id survivor it dedupes against,
+      cosine = strongest evidence. Deterministic keep-lowest-id policy,
+      so the kept set is rerun-stable.
+
+    The pair relation is computed ONCE (persisted), both legs derive
+    from it, and the union is checkpointed + the cache released before
+    returning (operators/caching.py contract). The 'drop' leg adds one
+    combinable groupBy over the (small) pair relation — candidate
+    mining stays the dominant cost at any scale."""
+    from unimib_simpss_spark.operators.caching import materialize_release
+
+    pairs = S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35).persist()
+    pleg = pairs.select(
+        F.lit("pairs").alias("section"), "vec1", "vec2", "cell", "cosine"
+    )
+    drops = (
+        pairs.groupBy("cell", "vec2")
+        .agg(F.min("vec1").alias("vec1"), F.max("cosine").alias("cosine"))
+        .select(F.lit("drop").alias("section"), "vec1", "vec2", "cell", "cosine")
+    )
+    return materialize_release(pleg.unionAll(drops), pairs)
 
 
 @query("x50_ann_learned_index")  # iterative build + approx recall → rows-only
@@ -118,7 +159,10 @@ def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q57_label_centroids",
     oracle="""
-    SELECT label, pos, round(avg(v), 5) AS mean_v
+    -- + 0 normalizes DuckDB's -0.0 (round of a tiny negative mean over
+    -- signed components) to +0.0; Spark's BigDecimal round can't
+    -- produce -0.0, and the sorted-row hash compare distinguishes them
+    SELECT label, pos, round(avg(v), 5) + 0 AS mean_v
     FROM (
         SELECT label,
                unnest(embedding)                          AS v,

@@ -1018,11 +1018,14 @@ def q52_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q53_stat_profile",
     oracle="""
+    -- + 0 on the signed moments normalizes DuckDB's -0.0 (round of a
+    -- tiny negative corr/covar) to +0.0 to match Spark's BigDecimal round
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4)                 AS sd_qty,
            round(var_samp(l_quantity), 4)                    AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(corr(l_quantity, l_extendedprice), 4) + 0   AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) + 0
+                                                             AS covar_qty_price,
            round(quantile_disc(l_extendedprice, 0.5), 2)     AS median_price,
            round(quantile_disc(l_extendedprice, 0.9), 2)     AS p90_price
     FROM lineitem
