@@ -197,3 +197,41 @@ def test_dup_spans_separates_distant_hits(spark):
     # each doc shares the two 6-token blocks, far enough apart in doc 1
     # to stay two spans of 6 tokens each
     assert rows[1].n_spans == 2 and rows[1].dup_tokens == 12
+
+
+# ----------------------------------------------------------------- bm25
+
+
+def test_bm25_rare_term_match_outranks_common_terms(spark):
+    # bench doc 0 carries the rare term 'zebra'; only train doc 10 has
+    # it, so doc 10 must outrank docs that share only ubiquitous terms.
+    rows = [
+        (0, "zebra data data"),
+        (10, "zebra value"),
+        (11, "data data data data"),
+        (12, "data value row"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = C.bm25_decontam_topk(
+        docs, is_benchmark=(F.col("doc_id") == 0), k=3
+    ).collect()
+    by_rank = {r.rank: r for r in out if r.bench_id == 0}
+    assert by_rank[1].doc_id == 10
+    assert all(r.score > 0 for r in out)
+
+
+def test_bm25_rank_contract(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = C.bm25_decontam_topk(
+        docs, is_benchmark=(F.col("doc_id") % 97 == 0), k=5
+    )
+    pdf = out.toPandas()
+    assert (pdf["rank"].between(1, 5)).all()
+    # no bench doc appears as a retrieved (train-side) document
+    assert not (pdf["doc_id"] % 97 == 0).any()
+    for _, g in pdf.groupby("bench_id"):
+        g = g.sort_values("rank")
+        # ranks are 1..n contiguous, scores non-increasing on the
+        # rounded value (the ordering key)
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["score"].diff().dropna() <= 1e-12).all()

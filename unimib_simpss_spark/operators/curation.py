@@ -22,7 +22,7 @@ operators are that admission idea generalized to corpus granularity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -391,3 +391,155 @@ def dup_spans(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("st").cast("long").alias("dup_tokens"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_decontam_topk(
+    docs: DataFrame,
+    is_benchmark: Column,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Retrieval-based decontamination: BM25 top-``k`` TRAINING
+    documents for every BENCHMARK document (``is_benchmark`` splits the
+    corpus, mirroring :func:`operators.dedup.decontaminate`).
+
+    The sparse complement to the exact n-gram collision gate: n-gram
+    overlap catches verbatim leakage, BM25 retrieval surfaces
+    *reworded* eval items whose term profile still matches a training
+    document (the "contamination via retrieval" audit of LLM pipeline
+    practice; Robertson/Sparck-Jones BM25 with k1/b defaults). Returns
+    ``(bench_id, doc_id, score, rank)``, rank 1..k per bench doc by
+    (score DESC, doc_id) — ties and the FP sum are decided on the
+    ROUNDED score so the ordering is engine-stable.
+
+    Plan — classic sparse retrieval as relational algebra, no
+    all-pairs product:
+
+    - one tf shuffle: explode whitespace tokens -> combinable
+      groupBy (doc, token) count;
+    - dl as a window over the tf relation (no join back to the corpus);
+    - df and the (N, avgdl) stats are aggregates of the tf relation —
+      vocabulary-sized and 1-row, both broadcast;
+    - the candidate generator is the postings equi-join tf JOIN
+      bench-terms ON token: only training postings for QUERY terms
+      shuffle into the (bench_id, doc_id) scoring groupBy, top-k via a
+      per-bench window.
+
+    The tf relation is persisted (four consumers) and released via the
+    operators/caching.py contract. At 100 TB the bench side is tiny by
+    construction (eval suites), df/stats stay vocabulary-sized, and
+    the scoring shuffle is bounded by query-term postings — the same
+    inverted-index scaling as q33/q38.
+    """
+    from unimib_simpss_spark.operators.caching import materialize_release
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            is_benchmark.alias("is_bench"),
+            F.col(text_col).alias("_text"),
+        )
+        .select("doc_id", "is_bench", F.explode(F.split("_text", " ")).alias("token"))
+        .groupBy("doc_id", "is_bench", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    train = tf.where(~F.col("is_bench"))
+    traindl = train.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+    stats = (
+        train.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_train"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    dfr = train.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    q = tf.where(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_id"), "token"
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_train") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        traindl.join(F.broadcast(q), "token")
+        .join(F.broadcast(dfr), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("bench_id", "doc_id")
+        .agg(F.round(F.sum(contrib), ndigits).alias("score"))
+    )
+    w = Window.partitionBy("bench_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("bench_id", "doc_id", "score", "rank")
+    )
+    return materialize_release(out, tf)
+
+
+def bm25_decontam_sql(
+    bench_pred_sql: str = "doc_id % 97 = 0",
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    ndigits: int = 6,
+) -> str:
+    """Oracle twin of :func:`bm25_decontam_topk` (same constants, same
+    rounded-score ordering) over the ``documents`` view."""
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, ({bench_pred_sql}) AS is_bench,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, is_bench, token, count(*) AS tf
+        FROM tok GROUP BY doc_id, is_bench, token
+    ), dl AS (
+        SELECT doc_id, sum(tf) AS dl FROM tf WHERE NOT is_bench GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_train, avg(dl) AS avgdl FROM dl
+    ), df AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS df
+        FROM tf WHERE NOT is_bench GROUP BY token
+    ), q AS (
+        SELECT doc_id AS bench_id, token FROM tf WHERE is_bench
+    ), scored AS (
+        SELECT q.bench_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n_train - df + 0.5) / (df + 0.5))
+                   * (tf.tf * {k1 + 1.0}) / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / avgdl))
+               ), {ndigits}) AS score
+        FROM tf
+        JOIN q USING (token)
+        JOIN df USING (token)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        WHERE NOT tf.is_bench
+        GROUP BY q.bench_id, tf.doc_id
+    )
+    SELECT bench_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY bench_id ORDER BY score DESC, doc_id
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}
+    """

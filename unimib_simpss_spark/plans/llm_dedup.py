@@ -116,19 +116,77 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "q38_decontamination",
-    oracle=D.decontaminate_sql(bench_pred_sql="doc_id % 97 = 0"),
-)
-def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: treat every 97th doc as held-out eval
-    data and flag training docs sharing ≥1 distinct 4-gram with any of
-    them (inverted-index equi-join on the gram, AQE-broadcast bench
-    side) — the eval-leakage gate an LLM pipeline runs before training.
+_BENCH_PRED_SQL = "doc_id % 97 = 0"
+
+
+def _decontamination_oracle() -> str:
+    from unimib_simpss_spark.operators.curation import bm25_decontam_sql
+
+    return f"""
+    SELECT 'ngram' AS section, doc_id, n_shared_ngrams, n_bench_docs,
+           CAST(NULL AS BIGINT) AS bench_id,
+           CAST(NULL AS DOUBLE) AS score,
+           CAST(NULL AS BIGINT) AS rank
+    FROM ({D.decontaminate_sql(bench_pred_sql=_BENCH_PRED_SQL)})
+    UNION ALL
+    SELECT 'bm25' AS section, doc_id,
+           CAST(NULL AS BIGINT) AS n_shared_ngrams,
+           CAST(NULL AS BIGINT) AS n_bench_docs,
+           bench_id, score, rank
+    FROM ({bm25_decontam_sql(bench_pred_sql=_BENCH_PRED_SQL)})
     """
-    return D.decontaminate(
-        _docs(spark, sf_dir), is_benchmark=(F.col("doc_id") % 97 == 0)
+
+
+@query("q38_decontamination", oracle=_decontamination_oracle())
+def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, BOTH standard audits off the same
+    train/eval split (every 97th doc is held-out eval), tagged by
+    section:
+
+    - 'ngram' — verbatim leakage: training docs sharing ≥1 distinct
+      4-gram with any eval doc (inverted-index equi-join on the gram,
+      AQE-broadcast bench side — GPT-3 App. C / PaLM shape).
+    - 'bm25' — reworded leakage: BM25 top-5 training docs retrieved
+      per eval doc (sparse postings join; see
+      operators/curation.py bm25_decontam_topk for the plan and
+      100 TB notes).
+
+    Both legs release their shared relations internally; the tagged
+    union is then materialized into ONE self-owned handle (q34's
+    recipe) so the legs' checkpoint blocks are freed here —
+    release_result on a lazy union cannot reach its children."""
+    from unimib_simpss_spark.operators.caching import (
+        materialize_release,
+        release_result,
     )
+    from unimib_simpss_spark.operators.curation import bm25_decontam_topk
+
+    docs = _docs(spark, sf_dir)
+    pred = F.col("doc_id") % 97 == 0
+    ng_raw = D.decontaminate(docs, is_benchmark=pred)
+    ng = ng_raw.select(
+        F.lit("ngram").alias("section"),
+        "doc_id",
+        "n_shared_ngrams",
+        "n_bench_docs",
+        F.lit(None).cast("long").alias("bench_id"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    bm_raw = bm25_decontam_topk(docs, is_benchmark=pred)
+    bm = bm_raw.select(
+        F.lit("bm25").alias("section"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_shared_ngrams"),
+        F.lit(None).cast("long").alias("n_bench_docs"),
+        "bench_id",
+        "score",
+        "rank",
+    )
+    out = materialize_release(ng.unionAll(bm))
+    release_result(ng_raw)
+    release_result(bm_raw)
+    return out
 
 
 @query("q59_dedup_clusters", oracle=D.dedup_clusters_sql(threshold=0.8))
