@@ -235,3 +235,76 @@ def test_bm25_rank_contract(spark, sf_dir):
         # rounded value (the ordering key)
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (g["score"].diff().dropna() <= 1e-12).all()
+
+
+# ------------------------------------------------------------------ bpe
+
+
+def _ref_bpe(word_counts, n_merges, eow="</w>"):
+    """Pure-Python reference BPE (Sennrich et al. 2016 learn_bpe):
+    greedy left-to-right merge, overlapping pairs both counted, ties on
+    count broken by lexicographically smallest (left, right)."""
+    vocab = {}
+    for w, c in word_counts.items():
+        syms = tuple(list(w) + [eow])
+        vocab[syms] = vocab.get(syms, 0) + c
+    merges = []
+    for step in range(1, n_merges + 1):
+        stats = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        mx = max(stats.values())
+        a, b = min(p for p, c in stats.items() if c == mx)
+        merges.append((step, a, b, a + b, mx))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_matches_reference_algorithm(spark, sf_dir):
+    import duckdb
+
+    wc = dict(
+        duckdb.sql(
+            f"""SELECT w, count(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS w
+                  FROM read_parquet('{sf_dir}/documents.parquet'))
+                WHERE w <> '' GROUP BY w"""
+        ).fetchall()
+    )
+    expect = _ref_bpe(wc, n_merges=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in C.bpe_merges(docs, n_merges=8).orderBy("step").collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_greedy_merge_and_tiebreak(spark):
+    # 'aaa' under the (a,a) winner merges greedily left-to-right: one
+    # merged pair plus a lone 'a', never an overlapping double-count on
+    # the apply side.
+    docs = spark.createDataFrame([("aaa aaa ab",)], ["text"])
+    out = C.bpe_merges(docs, n_merges=2).orderBy("step").collect()
+    # round 1: pairs (a,a)x2 per 'aaa' word => cnt 4; (a,</w>), (a,b)...
+    assert (out[0].left, out[0].right, out[0].pair_count) == ("a", "a", 4)
+    wc = {"aaa": 2, "ab": 1}
+    assert [
+        (r.step, r.left, r.right, r.merged, r.pair_count) for r in out
+    ] == _ref_bpe(wc, n_merges=2)

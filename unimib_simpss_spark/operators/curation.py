@@ -543,3 +543,107 @@ def bm25_decontam_sql(
     )
     WHERE rank <= {k}
     """
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    eow: str = "</w>",
+) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): learn ``n_merges``
+    byte-pair merges from the corpus, returning the merge table
+    ``(step, left, right, merged, pair_count)`` in learned order.
+
+    The scale insight: BPE trains on the VOCABULARY weighted by word
+    counts, not on the corpus — one corpus-sized shuffle (word →
+    count) reduces the working set to the type vocabulary, and every
+    round after that is vocabulary-sized:
+
+    - pair counting is explode(adjacent symbol pairs) → one combinable
+      groupBy, weighted by the word count;
+    - the winner is TakeOrdered(1) (count DESC, pair lexicographic —
+      deterministic tie-break), a ONE-ROW collect per round (the
+      bounded-driver contract: R rounds → R rows total);
+    - applying the merge is a pure Column fold over each word's symbol
+      array (``F.aggregate`` carrying (out, pending) state — greedy
+      left-to-right, so "aaa" under (a,a) merges once, matching the
+      reference algorithm) — NO shuffle; the vocab relation is
+      localCheckpoint'd per round to truncate lineage, previous round
+      released eagerly (the q59 connected-components recipe).
+
+    At 100 TB the corpus pass is one map-side-combinable count; a 10M-
+    type vocabulary iterates in seconds per round. Returns a driver-
+    built ``n_merges``-row DataFrame (bounded by construction).
+    """
+    spark = docs.sparkSession
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .select(
+            "wcount",
+            F.concat(chars, F.array(F.lit(eow))).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "wcount",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merged = l + r
+        merges.append((step, l, r, merged, cnt))
+        la, ra, ma = F.lit(l), F.lit(r), F.lit(merged)
+        empty = F.array().cast("array<string>")
+        folded = F.aggregate(
+            F.col("syms"),
+            F.struct(empty.alias("out"), F.lit(None).cast("string").alias("pend")),
+            lambda acc, s: F.when(
+                (acc["pend"] == la) & (s == ra),
+                F.struct(
+                    F.concat(acc["out"], F.array(ma)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(acc["pend"].isNull(), acc["out"])
+                    .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                    .alias("out"),
+                    s.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["pend"]))
+            ),
+        )
+        prev = vocab
+        vocab = vocab.select("wcount", folded.alias("syms")).localCheckpoint()
+        prev.unpersist()
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )

@@ -250,3 +250,14 @@ def q67_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the local parity gate (tests/test_oracle_parity.py) runs the same
     hash compare at sf0.001."""
     return C.dup_spans(load_table(spark, sf_dir, "documents"), n=_DUP_N)
+
+@query("x68_bpe_merges")  # iterative argmax loop → rows-only
+def x68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 8 byte-pair merges learned
+    from the document corpus, in order. Iterative (one argmax round per
+    merge) and therefore not SQL-expressible for the driver's oracle —
+    behavioral parity with the reference algorithm (Sennrich et al.
+    2016) is asserted in tests/test_curation.py against a pure-Python
+    re-implementation on the same corpus; see
+    operators/curation.py bpe_merges for the vocabulary-sized plan."""
+    return C.bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
