@@ -477,3 +477,55 @@ def test_streaming_cms_state_accumulates_across_batches(spark, tmp_path):
     assert final[("b", "z")] == 1
     totals = {r.group_key: r.total for r in rows}
     assert totals["a"] == 7 and totals["b"] == 1
+
+
+def test_streaming_decontam_gate_stream_static(spark, tmp_path):
+    """q38's decontamination gate in streaming form: the benchmark
+    suite's 4-gram inverted index is precomputed (static side, tiny by
+    construction), each incoming training micro-batch shingles itself
+    with the SAME stateless expressions, and a stream-static equi-join
+    on the gram flags contaminated docs before they enter the corpus —
+    the ingestion-time twin of the batch eval-leakage audit (same
+    pattern as test_streaming_dedup_gate_stream_static)."""
+    from unimib_simpss_spark.functions.text import shingles_from_tokens, tokens
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    bench_grams = (
+        bench.select(F.col("doc_id").alias("bench_id"), tokens("text").alias("tk"))
+        .select("bench_id", F.explode(shingles_from_tokens(F.col("tk"), 4)).alias("g"))
+        .persist()
+    )
+    src = tmp_path / "traindocs_in"
+    src.mkdir()
+    _write_log(
+        src,
+        "batch0.json",
+        [
+            # contains the bench 4-gram "beta gamma delta epsilon"
+            {"doc_id": 1, "text": "intro beta gamma delta epsilon outro words"},
+            {"doc_id": 2, "text": "novel training content sharing no benchmark span at all"},
+        ],
+    )
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+    flagged = (
+        stream.select("doc_id", tokens("text").alias("tk"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("tk"), 4)).alias("g"))
+        .join(bench_grams, "g")
+        .select(F.col("doc_id").alias("train_doc_id"), "bench_id")
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("decontam_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = {
+        (r.train_doc_id, r.bench_id)
+        for r in spark.sql("SELECT DISTINCT * FROM decontam_gate").collect()
+    }
+    bench_grams.unpersist()
+    assert (1, 900) in hits              # planted contamination collides
+    assert all(t != 2 for t, _ in hits)  # the clean doc passes the gate

@@ -577,6 +577,8 @@ def bpe_merges(
     type vocabulary iterates in seconds per round. Returns a driver-
     built ``n_merges``-row DataFrame (bounded by construction).
     """
+    from unimib_simpss_spark.operators.caching import release_result
+
     spark = docs.sparkSession
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
@@ -642,8 +644,11 @@ def bpe_merges(
         )
         prev = vocab
         vocab = vocab.select("wcount", folded.alias("syms")).localCheckpoint()
-        prev.unpersist()
-    vocab.unpersist()
+        # round N-1's checkpoint blocks are dead once round N is
+        # checkpointed — release_result, not unpersist: unpersist is a
+        # no-op on a LogicalRDD-backed checkpoint (the q59 CC recipe).
+        release_result(prev)
+    release_result(vocab)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )

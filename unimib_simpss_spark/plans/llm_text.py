@@ -208,6 +208,7 @@ def q29_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIX_DEFAULT = 0.75
 _SOURCE_CAP_QUOTA = 10
+_MIX_ALPHA = 0.3
 
 
 def _corpus_mix_oracle() -> str:
@@ -248,6 +249,20 @@ def _corpus_mix_oracle() -> str:
                ) AS BIGINT) AS rk
         FROM documents
     ) WHERE rk <= {_SOURCE_CAP_QUOTA}
+    UNION ALL
+    SELECT 'alpha' AS section,
+           source,
+           count(*) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS kept_tokens,
+           round(power(count(*), {_MIX_ALPHA})
+                 / (SELECT sum(power(n, {_MIX_ALPHA}))
+                    FROM (SELECT count(*) AS n FROM documents GROUP BY source)),
+                 6) AS achieved_frac,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS rk
+    FROM documents
+    GROUP BY source
     """
 
 
@@ -267,6 +282,11 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       deterministic hash-ordered top-10 documents per source, bounding
       any one source's share of the training mix. One shuffle on the
       group key; see source_cap for stability and scale notes.
+    - 'alpha' — temperature-scaled mixture weights, p(s) ∝ n_s^α with
+      α=0.3 (the multilingual up-sampling rule of XLM-R / mT5:
+      down-weight head sources, up-weight tail sources relative to raw
+      share). One combinable per-source count + a broadcast 1-row
+      normalizer — no extra pass over the corpus at any scale.
     """
     from unimib_simpss_spark.operators.curation import source_cap
     from unimib_simpss_spark.operators.sampling import mix_keep
@@ -305,7 +325,23 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "rk",
     )
-    return mix.unionAll(cap)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    norm = counts.agg(
+        F.sum(F.pow("n_docs", F.lit(_MIX_ALPHA))).alias("norm")
+    )
+    alpha = counts.crossJoin(F.broadcast(norm)).select(
+        F.lit("alpha").alias("section"),
+        "source",
+        "n_docs",
+        F.lit(None).cast("long").alias("n_kept"),
+        F.lit(None).cast("long").alias("kept_tokens"),
+        F.round(
+            F.pow("n_docs", F.lit(_MIX_ALPHA)) / F.col("norm"), 6
+        ).alias("achieved_frac"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("rk"),
+    )
+    return mix.unionAll(cap).unionAll(alpha)
 
 
 _PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence
@@ -353,33 +389,86 @@ _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 def _split_oracle() -> str:
+    from unimib_simpss_spark.functions.text import token_fingerprint_sql
     from unimib_simpss_spark.operators.sampling import split_assignment_sql
 
     case = split_assignment_sql("doc_id", _SPLIT_FRACS)
     return f"""
-    SELECT source, {case} AS split,
+    WITH s AS (
+        SELECT source, n_chars, text, {case} AS split FROM documents
+    )
+    SELECT 'split' AS section, source, split,
            count(*)               AS n_docs,
-           round(avg(n_chars), 2) AS avg_chars
-    FROM documents
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(NULL AS VARCHAR)  AS group_key,
+           CAST(NULL AS BIGINT)   AS n_splits
+    FROM s
     GROUP BY source, split
+    UNION ALL
+    SELECT 'leak' AS section,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS VARCHAR) AS split,
+           n_docs, CAST(NULL AS DOUBLE) AS avg_chars, group_key, n_splits
+    FROM (
+        SELECT {token_fingerprint_sql('text')} AS group_key,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+        FROM s
+        GROUP BY 1
+        HAVING count(*) > 1 AND count(DISTINCT split) > 1
+    )
     """
 
 
 @query("q58_hash_split", oracle=_split_oracle())
 def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test split (operators/sampling.py):
-    membership is a pure function of hash(doc_id), so the split is
-    identical on every rerun/retry/engine and append-stable — the
-    reproducible alternative to RNG df.sample() for training data.
-    Summarized per (source, split) for the oracle compare."""
+    """Deterministic train/val/test split AND the leakage audit it
+    needs, tagged by section:
+
+    - 'split' — membership is a pure function of hash(doc_id), so the
+      split is identical on every rerun/retry/engine and append-stable
+      (the reproducible alternative to RNG df.sample()); summarized per
+      (source, split).
+    - 'leak' — cross-split contamination: token-fingerprint duplicate
+      groups that span more than one split (an eval doc whose exact/
+      reordered copy sits in train — the leakage dedup must remove
+      BEFORE splitting; Lee et al. 2022's train-test overlap finding).
+      One combinable groupBy on the fingerprint; splits ride the same
+      scan, so the audit adds no extra corpus pass.
+    """
+    from unimib_simpss_spark.functions.text import token_fingerprint
     from unimib_simpss_spark.operators.sampling import hash_split
 
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        hash_split(docs, key="doc_id", fractions=_SPLIT_FRACS)
-        .groupBy("source", "split")
+    s = hash_split(docs, key="doc_id", fractions=_SPLIT_FRACS)
+    split = s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    ).select(
+        F.lit("split").alias("section"),
+        "source",
+        "split",
+        "n_docs",
+        "avg_chars",
+        F.lit(None).cast("string").alias("group_key"),
+        F.lit(None).cast("long").alias("n_splits"),
+    )
+    leak = (
+        s.select(token_fingerprint("text").alias("group_key"), "split")
+        .groupBy("group_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.count_distinct("split").alias("n_splits"),
+        )
+        .where((F.col("n_docs") > 1) & (F.col("n_splits") > 1))
+        .select(
+            F.lit("leak").alias("section"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("string").alias("split"),
+            "n_docs",
+            F.lit(None).cast("double").alias("avg_chars"),
+            "group_key",
+            "n_splits",
         )
     )
+    return split.unionAll(leak)
