@@ -262,3 +262,35 @@ def test_dup_spans_bounds(spark, strings, n):
         # every span covers at least n tokens and at most the document
         assert n * r.n_spans <= r.dup_tokens
         assert r.dup_tokens <= max(tokn[r.doc_id], n)
+
+
+# ------------------------------------------------------------------ bpe
+
+word_corpora = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(words=word_corpora)
+def test_bpe_fold_matches_reference_on_random_corpora(spark, words):
+    """The distributed BPE loop (vocab-sized pair counts, Column-fold
+    merge apply) must agree with the reference algorithm's while-loop
+    merge on arbitrary small corpora — including the adversarial cases
+    hypothesis likes: repeated single letters ('aaaa', overlap
+    counting + greedy non-overlapping apply) and tie-heavy count
+    tables (lexicographic tie-break)."""
+    from unimib_simpss_spark.operators.curation import bpe_merges
+    from tests.test_curation import _ref_bpe
+
+    docs = spark.createDataFrame([(" ".join(words),)], ["text"])
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    assert got == _ref_bpe(wc, n_merges=3)
