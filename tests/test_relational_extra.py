@@ -182,3 +182,28 @@ def test_source_cap_single_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_bm25_plan_shape_broadcast_sides_and_combine(spark, sf_dir):
+    """The BM25 leg's physical plan must keep all three small sides on
+    the broadcast path (bench terms, df, 1-row stats) and reach the
+    scoring groupBy with a partial (map-side) aggregate — the shape
+    that bounds the shuffle by query-term postings at scale."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators.curation import bm25_decontam_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bm25_decontam_topk(
+        docs, is_benchmark=(F.col("doc_id") % 97 == 0), materialize=False
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # bench-terms join + df join are broadcast hash joins; the 1-row
+    # stats ride a broadcast nested-loop cross — never a shuffle join
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # scoring agg has a map-side partial before the exchange
+    assert "partial_sum" in plan
+    # top-k is rank-limited before the final window, not a full sort
+    assert "WindowGroupLimit" in plan

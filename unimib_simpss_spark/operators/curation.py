@@ -406,6 +406,7 @@ def bm25_decontam_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     ndigits: int = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """Retrieval-based decontamination: BM25 top-``k`` TRAINING
     documents for every BENCHMARK document (``is_benchmark`` splits the
@@ -434,9 +435,11 @@ def bm25_decontam_topk(
       per-bench window.
 
     The tf relation is persisted (four consumers) and released via the
-    operators/caching.py contract. At 100 TB the bench side is tiny by
-    construction (eval suites), df/stats stay vocabulary-sized, and
-    the scoring shuffle is bounded by query-term postings — the same
+    operators/caching.py contract (``materialize=False`` returns the
+    lazy plan for inspection; the caller then owns the tf cache — the
+    q64 convention). At 100 TB the bench side is tiny by construction
+    (eval suites), df/stats stay vocabulary-sized, and the scoring
+    shuffle is bounded by query-term postings — the same
     inverted-index scaling as q33/q38.
     """
     from unimib_simpss_spark.operators.caching import materialize_release
@@ -491,6 +494,8 @@ def bm25_decontam_topk(
         .where(F.col("rank") <= k)
         .select("bench_id", "doc_id", "score", "rank")
     )
+    if not materialize:
+        return out
     return materialize_release(out, tf)
 
 
