@@ -35,3 +35,17 @@ def test_events_ts_is_timestamp_not_bigint(spark, sf_dir):
 def test_all_tables_load(spark, sf_dir):
     for name in TABLES:
         assert load_table(spark, sf_dir, name).columns
+
+
+def test_cli_list_and_unknown_query(capsys):
+    """--list prints the full inventory without touching Spark; an
+    unknown query name is a usage error (rc=2), not a traceback."""
+    from unimib_simpss_spark.__main__ import main
+    from unimib_simpss_spark.plans import registry
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    for name in registry.queries():
+        assert name in out
+    assert "oracle-paired" in out and "rows-only" in out
+    assert main(["definitely_not_a_query"]) == 2
