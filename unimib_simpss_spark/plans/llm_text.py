@@ -285,8 +285,8 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'alpha' — temperature-scaled mixture weights, p(s) ∝ n_s^α with
       α=0.3 (the multilingual up-sampling rule of XLM-R / mT5:
       down-weight head sources, up-weight tail sources relative to raw
-      share). One combinable per-source count + a broadcast 1-row
-      normalizer — no extra pass over the corpus at any scale.
+      share). One combinable per-source count over a scan pruned to
+      the source column alone, plus a broadcast 1-row normalizer.
     """
     from unimib_simpss_spark.operators.curation import source_cap
     from unimib_simpss_spark.operators.sampling import mix_keep
@@ -433,8 +433,10 @@ def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       groups that span more than one split (an eval doc whose exact/
       reordered copy sits in train — the leakage dedup must remove
       BEFORE splitting; Lee et al. 2022's train-test overlap finding).
-      One combinable groupBy on the fingerprint; splits ride the same
-      scan, so the audit adds no extra corpus pass.
+      One combinable groupBy on the fingerprint, over its own
+      column-pruned scan of (doc_id, text) — the split summary's scan
+      never reads the text column, so the two legs each read only what
+      they need.
     """
     from unimib_simpss_spark.functions.text import token_fingerprint
     from unimib_simpss_spark.operators.sampling import hash_split
