@@ -471,3 +471,87 @@ def test_cross_split_leak_audit_flags_planted_dup(spark):
         .collect()
     )
     assert len(leak) == 1 and leak[0].n == 2 and leak[0].ns == 2
+
+
+# ------------------------------------------------------------------ pca
+
+
+def test_pca_spectrum_and_reconstruction_bounds(spark, sf_dir):
+    """PCA contract: orthonormal basis, descending non-negative
+    spectrum, and the optimality identity — mean squared reconstruction
+    error with k components equals total variance minus the top-k
+    eigenvalue mass (within float tolerance); full rank reconstructs
+    exactly."""
+    import numpy as np
+
+    from unimib_simpss_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = len(emb.select("embedding").first()[0])
+    k = 8
+    mean, evals, comps = S.pca_model(emb, n_components=d)
+    assert np.allclose(comps @ comps.T, np.eye(d), atol=1e-8)
+    assert (np.diff(evals) <= 1e-12).all() and (evals >= 0).all()
+    from pyspark.sql import functions as F
+
+    err_k = (
+        S.pca_project(emb, mean, comps[:k], with_error=True)
+        .agg(F.avg("sq_err"))
+        .first()[0]
+    )
+    expected = float(evals.sum() - evals[:k].sum())
+    assert abs(err_k - expected) < 1e-8 * max(1.0, expected)
+    err_full = (
+        S.pca_project(emb, mean, comps, with_error=True)
+        .agg(F.max("sq_err"))
+        .first()[0]
+    )
+    assert err_full < 1e-16
+
+
+def test_pca_model_bit_deterministic(spark, sf_dir):
+    """Same data + partitioning → bit-identical model (partials are
+    summed in partition order on the driver; eigenvector sign is
+    fixed)."""
+    import numpy as np
+
+    from unimib_simpss_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m1, e1, c1 = S.pca_model(emb, n_components=6)
+    m2, e2, c2 = S.pca_model(emb, n_components=6)
+    assert np.array_equal(m1, m2) and np.array_equal(e1, e2)
+    assert np.array_equal(c1, c2)
+
+
+def test_pca_projection_feeds_ann_at_reduced_width(spark):
+    """The reduced relation composes with the ANN stack. On a corpus
+    with genuine low-rank structure (rank-4 signal in 64 dims + small
+    noise — the driver's synthetic embeddings are isotropic, where NO
+    8-dim projection can preserve neighbors), PCA-8 must capture almost
+    all variance and cosine top-k over the projections must agree with
+    top-k over the raw vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators import similarity as S
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(200, 4)
+    b = rng.randn(4, 64)
+    x = z @ b + 0.01 * rng.randn(200, 64)
+    emb = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(200)], ["vec_id", "embedding"]
+    )
+    mean, evals, comps = S.pca_model(emb, n_components=8)
+    assert evals[:4].sum() / evals.sum() > 0.99  # rank-4 signal captured
+    red = S.pca_project(emb, mean, comps).withColumnRenamed("reduced", "embedding")
+    pred = F.col("vec_id") < 4
+    raw_sets = {}
+    for r in S.cosine_topk(emb, k=10, query_pred=pred).collect():
+        raw_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = tot = 0
+    for r in S.cosine_topk(red, k=10, query_pred=pred).collect():
+        tot += 1
+        hit += r.neighbor_id in raw_sets.get(r.query_id, set())
+    assert tot > 0 and hit / tot >= 0.9, (hit, tot)

@@ -948,3 +948,127 @@ def ivfpq_topk(
     out = materialize_release(out)
     release_result(cells)
     return out
+
+
+# -------------------------------------------------------------------- PCA
+def pca_model(
+    emb: DataFrame,
+    n_components: int = 16,
+    vec_col: str = "embedding",
+):
+    """Distributed PCA fit over an ``array<float>`` column: returns
+    ``(mean, eigvals, components)`` as NumPy arrays (``components`` is
+    ``n_components × d``, rows orthonormal, eigvals descending — the
+    population-covariance spectrum).
+
+    The standard pre-ANN reduction step (project 768→64 before
+    IVF/PQ): PCA needs only the d-vector mean and the d×d Gram matrix,
+    both of which accumulate ASSOCIATIVELY — so the cluster pass is one
+    ``mapInPandas`` that folds each partition into a single
+    ``(count, sum, gram)`` row, and the driver sums per-partition
+    partials and eigendecomposes d×d. Driver memory is
+    ``partitions × d²`` doubles (bounded by configuration, never by
+    corpus size); no vector ever leaves its executor.
+
+    Determinism: partials carry their partition id and the driver sums
+    them in partition order, so the same data + partitioning gives
+    bit-identical models; eigenvector sign is fixed by making each
+    component's largest-magnitude coefficient positive.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def partials(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            n += m.shape[0]
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            g = m.T @ m if g is None else g + m.T @ m
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"pid": [pid], "n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+        )
+
+    parts = rows.mapInPandas(
+        partials, "pid int, n long, s array<double>, g array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_model: empty input")
+    parts.sort(key=lambda r: r.pid)
+    n = sum(r.n for r in parts)
+    d = len(parts[0].s)
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in parts:
+        s += np.array(r.s)
+        g += np.array(r.g).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    evals = np.maximum(evals[order], 0.0)
+    comps = evecs[:, order].T                    # k × d
+    # deterministic sign: largest-|coef| entry of each component > 0
+    flips = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flips[:, None]
+    return mean, evals, comps
+
+
+def pca_project(
+    emb: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "reduced",
+    with_error: bool = False,
+) -> DataFrame:
+    """Project vectors onto a fitted PCA basis: ``(id, reduced)`` with
+    ``reduced`` a length-k ``array<double>``; ``with_error=True`` adds
+    the per-vector squared reconstruction error.
+
+    Map-only ``mapInPandas`` GEMM — the k×d basis ships in the closure
+    (k·d doubles, broadcast-sized), partitioning is preserved, nothing
+    shuffles; the reduced relation then feeds IVF/LSH/PQ exactly like
+    the raw one, at d/k of the scan width.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=np.float64)
+    c = np.asarray(components, dtype=np.float64)
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["v"].tolist(), dtype=np.float64) - mu
+            red = m @ c.T
+            out = {"__id": pdf["__id"], out_col: [r.tolist() for r in red]}
+            if with_error:
+                resid = m - red @ c
+                out["sq_err"] = (resid * resid).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    schema = f"__id long, {out_col} array<double>"
+    if with_error:
+        schema += ", sq_err double"
+    return (
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .mapInPandas(project, schema)
+        .withColumnRenamed("__id", id_col)
+    )

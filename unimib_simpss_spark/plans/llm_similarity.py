@@ -250,3 +250,30 @@ def x66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = materialize_release(pq.unionAll(ivfpq))
     release_result(ivfpq_raw)
     return out
+
+
+@query("x69_pca_spectrum")  # iterative eigendecomposition → rows-only
+def x69_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus (operators/similarity.py
+    pca_model): the top-16 population-covariance eigenvalues with
+    cumulative explained-variance share — the dimensionality-reduction
+    diagnostic an ANN pipeline reads before deciding how hard it can
+    compress (project, then feed IVF/LSH/PQ at d/k scan width).
+    Rows-only: the fit is a partition-wise associative Gram
+    accumulation + driver eigendecomposition, not SQL-expressible;
+    orthonormality, spectrum ordering, reconstruction bounds, and
+    bit-determinism are property-tested in tests/test_llm_ops.py."""
+    import numpy as np
+
+    from unimib_simpss_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, evals, _ = S.pca_model(emb, n_components=16)
+    cum = np.cumsum(evals)
+    rows = [
+        (int(i + 1), round(float(v), 6), round(float(c), 6))
+        for i, (v, c) in enumerate(zip(evals, cum))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, cum_eigenvalue double"
+    )
