@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
         "--explain", action="store_true", help="print the physical plan, don't run"
     )
     ap.add_argument(
+        "--check",
+        action="store_true",
+        help="run the DuckDB oracle alongside and compare (rc=1 on mismatch)",
+    )
+    ap.add_argument(
         "--out", default=None, help="write result parquet here instead of showing"
     )
     ap.add_argument("--show", type=int, default=20, help="rows to show (default 20)")
@@ -59,6 +64,25 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"simpss-{args.query}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.check:
+        from unimib_simpss_spark.testing import compare_query, duckdb_connection
+
+        if args.query not in oracles:
+            print(f"{args.query} is rows-only (no oracle); run its pytest "
+                  "invariants instead", file=sys.stderr)
+            return 2
+        r = compare_query(
+            spark, duckdb_connection(args.sf_dir), args.query,
+            qs[args.query], oracles[args.query], args.sf_dir,
+        )
+        print(f"{args.query}: {'OK' if r.ok else 'MISMATCH'} "
+              f"({r.spark_rows} rows vs oracle {r.oracle_rows})")
+        if not r.ok:
+            for m in r.mismatches[:5]:
+                print(" ", m)
+        return 0 if r.ok else 1
+
     t0 = time.perf_counter()
     df = qs[args.query](spark, args.sf_dir)
     if args.explain:
