@@ -585,10 +585,9 @@ def bpe_merges(
     from unimib_simpss_spark.operators.caching import release_result
 
     spark = docs.sparkSession
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
-    )
+    # split on the empty pattern = one linear pass to chars (the
+    # substr-per-position formulation is O(len²) per word in codegen)
+    chars = F.split("word", "")
     vocab = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.col("word") != "")

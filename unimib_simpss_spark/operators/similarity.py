@@ -978,7 +978,9 @@ def pca_model(
     import numpy as np
     import pandas as pd
 
-    rows = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    rows = emb.select(F.col(vec_col).cast("array<double>").alias("v")).where(
+        F.col("v").isNotNull()
+    )
 
     def partials(batches):
         from pyspark import TaskContext
