@@ -555,3 +555,76 @@ def test_pca_projection_feeds_ann_at_reduced_width(spark):
         tot += 1
         hit += r.neighbor_id in raw_sets.get(r.query_id, set())
     assert tot > 0 and hit / tot >= 0.9, (hit, tot)
+
+
+# ----------------------------------------------------------- classifier
+
+
+def _toy_corpus(spark):
+    rows = []
+    for i in range(60):
+        rows.append((i, "clean prose well formed sentence " + ("clean " * (i % 3)), 1))
+    for i in range(60, 120):
+        rows.append((i, "spam junk noise garbage token " + ("junk " * (i % 3)), 0))
+    return spark.createDataFrame(rows, ["doc_id", "text", "y"])
+
+
+def test_logistic_train_converges_and_separates(spark):
+    """Full-batch GD on a separable corpus: loss starts at ln(2)
+    (w = 0), decreases STRICTLY every step, and the trained scores
+    separate the classes perfectly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators import classifier as CL
+
+    docs = _toy_corpus(spark)
+    w, losses = CL.logistic_train(
+        docs, label=F.col("y") == 1, n_features=64, iters=6, lr=2.0
+    )
+    assert abs(losses[0] - math.log(2)) < 1e-9
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+    acc = (
+        CL.logistic_score(docs, w, n_features=64)
+        .join(docs.select("doc_id", "y"), "doc_id")
+        .select(
+            F.avg(((F.col("score") > 0.5).cast("int") == F.col("y")).cast("double"))
+        )
+        .first()[0]
+    )
+    assert acc == 1.0
+
+
+def test_logistic_train_deterministic(spark):
+    """Two trainings on the same data give identical weights: the
+    collected gradient is rounded per step, so shuffle-order float
+    noise cannot compound across iterations."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators import classifier as CL
+
+    docs = _toy_corpus(spark)
+    w1, l1 = CL.logistic_train(docs, label=F.col("y") == 1, n_features=64, iters=4)
+    w2, l2 = CL.logistic_train(docs, label=F.col("y") == 1, n_features=64, iters=4)
+    assert w1 == w2
+    assert [round(x, 9) for x in l1] == [round(x, 9) for x in l2]
+
+
+def test_logistic_score_unseen_tokens_fall_back_to_bias(spark):
+    """A doc whose tokens hit only untrained buckets scores σ(bias):
+    the left join defaults absent weights to zero instead of dropping
+    feature rows."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators import classifier as CL
+
+    docs = _toy_corpus(spark)
+    w, _ = CL.logistic_train(docs, label=F.col("y") == 1, n_features=64, iters=4)
+    # zero every non-bias weight: any doc must then score exactly σ(bias)
+    bias_only = {-1: w.get(-1, 0.0)}
+    out = CL.logistic_score(docs.limit(3), bias_only, n_features=64).collect()
+    expect = round(1.0 / (1.0 + math.exp(-bias_only[-1])), 6)
+    assert all(r.score == expect for r in out)

@@ -1,0 +1,183 @@
+"""Hashed-feature logistic-regression quality classifier, trained
+in-engine (SURVEY.md §2.7 [EXT]).
+
+The learned counterpart of the heuristic quality filters: large-scale
+pipelines train a lightweight linear classifier (CCNet/fastText shape —
+hashed n-gram bag, logistic loss) on "good vs raw" labels and filter by
+its score. This module trains one with NOTHING but DataFrame ops:
+
+- the hashed-feature relation ``(doc_id, bucket, x)`` is built ONCE
+  (one combinable shuffle) and persisted across iterations — features
+  are token frequencies hashed into ``n_features`` buckets (+ a bias
+  bucket), so the relation is corpus-tokens-sized pre-agg and
+  (docs × distinct-buckets)-sized after;
+- each full-batch gradient-descent step is pure relational algebra:
+  broadcast-join the D-row weight relation onto the feature relation,
+  per-doc margin via one combinable groupBy, logistic gradient back
+  onto buckets via a second combinable groupBy, and a D-row collect —
+  the driver holds only the weight vector (D+1 floats), never a row
+  of data;
+- the collected gradient is rounded to 1e-9 per step, so float
+  sum-order noise (last-ulp, partition-arrival-dependent) cannot
+  accumulate across iterations: training is deterministic in practice
+  at any partitioning.
+
+At 100 TB: the feature mine is one shuffle; per step the weight
+relation (D rows) broadcasts and both aggregates are map-side
+combinable. Steps × 2 shuffles total, bounded driver. The reference
+(PCampi/unimib-simpss) has no ML surface; this extends its per-message
+validity gate (kafka_consumer/consumer.py:60-75) to a learned
+admission score, the way production corpus pipelines do.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BIAS = -1  # bucket id reserved for the intercept
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket, x): token-frequency bag hashed into ``n_features``
+    buckets plus a constant bias feature (bucket −1, x=1). Frequencies
+    (counts / doc token count) keep every feature in [0, 1], bounding
+    the logistic gradient so a fixed step size is safe."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = (
+        tok.select(
+            id_col, (F.pmod(F.xxhash64("token"), F.lit(n_features))).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.groupBy(id_col).agg(F.sum("cnt").alias("tot"))
+    feat = counts.join(tot, id_col).select(
+        id_col, "bucket", (F.col("cnt") / F.col("tot")).alias("x")
+    )
+    bias = docs.select(
+        F.col(id_col), F.lit(_BIAS).cast("long").alias("bucket"), F.lit(1.0).alias("x")
+    )
+    return feat.unionAll(bias)
+
+
+def logistic_train(
+    docs: DataFrame,
+    label: Column,
+    n_features: int = 1024,
+    iters: int = 8,
+    lr: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Full-batch logistic regression on hashed token features.
+
+    Returns ``(weights, losses)``: ``weights`` maps bucket → weight
+    (bias under bucket −1), ``losses`` is the per-iteration mean log
+    loss (strictly decreasing for convex full-batch GD at a safe step
+    — property-tested). Driver memory: D+1 floats + iters losses.
+    """
+    spark = docs.sparkSession
+    labeled = docs.select(F.col(id_col), label.cast("double").alias("y"))
+    feats = hashed_features(
+        docs, n_features=n_features, id_col=id_col, text_col=text_col
+    ).persist()
+    n_docs = labeled.count()
+    w: dict[int, float] = {}
+    losses: list[float] = []
+    try:
+        for _ in range(iters):
+            if w:
+                wdf = F.broadcast(
+                    spark.createDataFrame(
+                        [(int(k), float(v)) for k, v in sorted(w.items())],
+                        "bucket long, w double",
+                    )
+                )
+                scored = feats.join(wdf, "bucket", "left").select(
+                    id_col, "bucket", "x",
+                    (F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("wx"),
+                )
+            else:
+                scored = feats.select(
+                    id_col, "bucket", "x", F.lit(0.0).alias("wx")
+                )
+            z = scored.groupBy(id_col).agg(F.sum("wx").alias("z"))
+            p = z.join(labeled, id_col).select(
+                id_col,
+                "y",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p"),
+            )
+            # one pass: mean log loss + the per-doc residual for the grad
+            ll = -(
+                F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                + (1.0 - F.col("y"))
+                * F.log(F.greatest(1.0 - F.col("p"), F.lit(1e-12)))
+            )
+            resid = p.select(
+                id_col,
+                (F.col("p") - F.col("y")).alias("r"),
+                ll.alias("ll"),
+            ).persist()
+            losses.append(resid.agg(F.avg("ll")).first()[0])
+            grad_rows = (
+                feats.join(resid.select(id_col, "r"), id_col)
+                .groupBy("bucket")
+                .agg((F.sum(F.col("r") * F.col("x")) / n_docs).alias("g"))
+                .collect()
+            )
+            resid.unpersist()
+            for row in grad_rows:
+                # round: sum-order noise must not compound across iters
+                w[row.bucket] = round(
+                    w.get(row.bucket, 0.0) - lr * row.g, 9
+                )
+    finally:
+        feats.unpersist()
+    return w, losses
+
+
+def logistic_score(
+    docs: DataFrame,
+    weights: dict[int, float],
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Score documents under a trained model: ``(id, score)`` with
+    score = σ(w·x) rounded. Map + one combinable groupBy; the weight
+    relation broadcasts (D rows)."""
+    spark = docs.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), float(v)) for k, v in sorted(weights.items())],
+            "bucket long, w double",
+        )
+    )
+    z = (
+        hashed_features(docs, n_features=n_features, id_col=id_col, text_col=text_col)
+        .join(wdf, "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("z"))
+    )
+    return z.select(
+        id_col,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), ndigits).alias(
+            "score"
+        ),
+    )
+
+
+def _sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))

@@ -261,3 +261,24 @@ def x68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-implementation on the same corpus; see
     operators/curation.py bpe_merges for the vocabulary-sized plan."""
     return C.bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+@query("x70_quality_classifier")  # iterative GD loop → rows-only
+def x70_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training (CCNet/fastText shape):
+    full-batch logistic regression on hashed token-frequency features,
+    y = (lang = 'en'), 6 steps — returns the per-iteration mean log
+    loss curve. On this corpus lang is independent of the token stream
+    (no learnable signal), so the curve descends only toward the
+    base-rate entropy — separability, convergence, and determinism are
+    property-tested on constructed corpora in tests/test_llm_ops.py;
+    see operators/classifier.py for the all-relational GD plan."""
+    from unimib_simpss_spark.operators.classifier import logistic_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, losses = logistic_train(
+        docs, label=F.col("lang") == "en", n_features=1024, iters=6, lr=1.0
+    )
+    return spark.createDataFrame(
+        [(i + 1, round(float(l), 6)) for i, l in enumerate(losses)],
+        "iter int, logloss double",
+    )
