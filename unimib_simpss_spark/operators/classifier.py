@@ -32,8 +32,6 @@ admission score, the way production corpus pipelines do.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -177,7 +175,3 @@ def logistic_score(
             "score"
         ),
     )
-
-
-def _sigmoid(x: float) -> float:
-    return 1.0 / (1.0 + math.exp(-x))
