@@ -628,3 +628,34 @@ def test_logistic_score_unseen_tokens_fall_back_to_bias(spark):
     out = CL.logistic_score(docs.limit(3), bias_only, n_features=64).collect()
     expect = round(1.0 / (1.0 + math.exp(-bias_only[-1])), 6)
     assert all(r.score == expect for r in out)
+
+
+def test_logistic_train_eval_split_discipline(spark):
+    """Composing the classifier with the deterministic hash split:
+    train ONLY on the train partition, evaluate on held-out docs the
+    model never saw — generalization on a separable corpus is still
+    perfect, and no eval doc contributed a gradient."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators import classifier as CL
+    from unimib_simpss_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        _toy_corpus(spark), key="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    train = docs.where(F.col("split") == "train")
+    held = docs.where(F.col("split") != "train")
+    assert held.count() > 0
+    w, _ = CL.logistic_train(
+        train, label=F.col("y") == 1, n_features=64, iters=6, lr=2.0
+    )
+    acc = (
+        CL.logistic_score(held, w, n_features=64)
+        .join(held.select("doc_id", "y"), "doc_id")
+        .select(
+            F.avg(((F.col("score") > 0.5).cast("int") == F.col("y")).cast("double"))
+        )
+        .first()[0]
+    )
+    assert acc == 1.0

@@ -529,3 +529,49 @@ def test_streaming_decontam_gate_stream_static(spark, tmp_path):
     bench_grams.unpersist()
     assert (1, 900) in hits              # planted contamination collides
     assert all(t != 2 for t, _ in hits)  # the clean doc passes the gate
+
+
+def test_streaming_learned_quality_gate_foreachbatch(spark, tmp_path):
+    """Ingestion-time quality gate with a LEARNED admission score: a
+    pretrained hashed-feature logistic model scores each incoming
+    micro-batch inside foreachBatch (scoring needs a per-doc groupBy,
+    so it runs batch-side — the standard pattern for per-batch
+    relational work), and only docs above threshold land in the
+    accepted sink. The learned generalization of the reference's
+    per-message validity gate (kafka_consumer/consumer.py:60-75)."""
+    from unimib_simpss_spark.operators import classifier as CL
+
+    train = spark.createDataFrame(
+        [(i, "clean prose well formed sentence", 1) for i in range(30)]
+        + [(i, "spam junk noise garbage token", 0) for i in range(30, 60)],
+        ["doc_id", "text", "y"],
+    )
+    w, _ = CL.logistic_train(
+        train, label=F.col("y") == 1, n_features=64, iters=6, lr=2.0
+    )
+    src = tmp_path / "quality_in"
+    src.mkdir()
+    out = tmp_path / "accepted"
+    _write_log(
+        src,
+        "batch0.json",
+        [
+            {"doc_id": 100, "text": "clean prose well formed sentence again"},
+            {"doc_id": 101, "text": "spam junk noise garbage token stream"},
+        ],
+    )
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(str(src))
+
+    def admit(batch, _bid):
+        scored = CL.logistic_score(batch, w, n_features=64)
+        (
+            batch.join(scored, "doc_id")
+            .where(F.col("score") > 0.5)
+            .write.mode("append")
+            .parquet(str(out))
+        )
+
+    q = stream.writeStream.foreachBatch(admit).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    accepted = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert accepted == {100}
