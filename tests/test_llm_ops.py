@@ -659,3 +659,41 @@ def test_logistic_train_eval_split_discipline(spark):
         .first()[0]
     )
     assert acc == 1.0
+
+
+def test_random_projection_jl_distance_preservation(spark, sf_dir):
+    """A seeded JL basis preserves pairwise squared distances in
+    expectation after d/k rescaling: check the empirical distortion on
+    real embedding pairs stays within a generous JL band, and that the
+    same seed reproduces the basis exactly."""
+    import numpy as np
+
+    from unimib_simpss_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    vecs = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    d = vecs.shape[1]
+    k = 24
+    basis = S.random_projection_basis(d, k, seed=7)
+    assert np.array_equal(basis, S.random_projection_basis(d, k, seed=7))
+    assert np.allclose(basis @ basis.T, np.eye(k), atol=1e-10)
+    red = np.array(
+        [
+            r.reduced
+            for r in S.pca_project(emb, np.zeros(d), basis)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    scale = d / k
+    ratios = []
+    for i in range(0, 20):
+        for j in range(i + 1, 20):
+            orig = ((vecs[i] - vecs[j]) ** 2).sum()
+            proj = ((red[i] - red[j]) ** 2).sum() * scale
+            ratios.append(proj / orig)
+    ratios = np.array(ratios)
+    assert 0.5 < ratios.mean() < 1.5       # unbiased up to sampling noise
+    assert (ratios > 0.2).all() and (ratios < 3.0).all()  # no collapse

@@ -1074,3 +1074,18 @@ def pca_project(
         .mapInPandas(project, schema)
         .withColumnRenamed("__id", id_col)
     )
+
+
+def random_projection_basis(d: int, k: int, seed: int = 0):
+    """Seeded Johnson-Lindenstrauss basis: ``k`` orthonormalized
+    Gaussian directions in ``R^d`` (NumPy RandomState(seed) on the
+    driver — deterministic, k×d floats). The fit-free alternative to
+    :func:`pca_model` at extreme scale: no corpus pass at all, distance
+    preservation within the JL bound instead of variance-optimal.
+    Apply with ``pca_project(emb, np.zeros(d), basis)`` — the same
+    map-only GEMM."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    q, _ = np.linalg.qr(rng.randn(d, k))
+    return q.T  # k × d, orthonormal rows
