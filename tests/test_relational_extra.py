@@ -4,6 +4,8 @@ pushdown)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from unimib_simpss_spark.plans import registry
@@ -184,11 +186,19 @@ def test_source_cap_single_exchange(spark, sf_dir):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
-def test_bm25_plan_shape_broadcast_sides_and_combine(spark, sf_dir):
-    """The BM25 leg's physical plan must keep all three small sides on
-    the broadcast path (bench terms, df, 1-row stats) and reach the
-    scoring groupBy with a partial (map-side) aggregate — the shape
-    that bounds the shuffle by query-term postings at scale."""
+def test_bm25_plan_shape_no_corpus_reshuffle(spark, sf_dir):
+    """The BM25 leg must never re-shuffle the corpus-sized postings
+    relation past the query-term filter:
+
+    - exactly ONE Window in the whole plan (the final top-k rank) — dl
+      is a combinable groupBy, not a window over the full postings
+      relation (a window there forces a second full Exchange of the
+      corpus that the query-term filter cannot push below);
+    - in the AQE FINAL plan, every join the postings feed is a
+      broadcast join at this scale — no shuffle join ever re-exchanges
+      the unfiltered tf relation into the scoring aggregate;
+    - the scoring agg keeps a map-side partial, and top-k is
+      rank-limited before the final window, not a full sort."""
     from pyspark.sql import functions as F
 
     from unimib_simpss_spark.operators.curation import bm25_decontam_topk
@@ -197,13 +207,24 @@ def test_bm25_plan_shape_broadcast_sides_and_combine(spark, sf_dir):
     df = bm25_decontam_topk(
         docs, is_benchmark=(F.col("doc_id") % 97 == 0), materialize=False
     )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Window [") == 1, opt
+    df.collect()  # resolve AQE so the final (runtime) join picks show
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # bench-terms join + df join are broadcast hash joins; the 1-row
-    # stats ride a broadcast nested-loop cross — never a shuffle join
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross
     assert "SortMergeJoin" not in plan
-    # scoring agg has a map-side partial before the exchange
+    assert "ShuffledHashJoin" not in plan
+    # the postings×query fan-out must be collapsed by a map-side
+    # partial BEFORE the scoring exchange: tf is doc_id-clustered, so
+    # every (bench_id, doc_id) group is partition-local and the
+    # partial reduces fan-out rows to group count (only the agg
+    # output, never the unfiltered postings, re-shuffles)
     assert "partial_sum" in plan
+    # the corpus postings relation is exchanged exactly once — the
+    # pre-explode doc_id repartition; no postings-sized window/join
+    # exchange survives (dl is a groupBy joined after the term filter)
+    assert not re.search(r"Exchange hashpartitioning\(doc_id#\d+L?, is_bench", plan)
     # top-k is rank-limited before the final window, not a full sort
     assert "WindowGroupLimit" in plan
+    spark.catalog.clearCache()  # materialize=False left tf to us

@@ -422,25 +422,41 @@ def bm25_decontam_topk(
     ROUNDED score so the ordering is engine-stable.
 
     Plan — classic sparse retrieval as relational algebra, no
-    all-pairs product:
+    all-pairs product and NOTHING corpus-sized re-shuffled past the
+    query-term filter:
 
-    - one tf shuffle: explode whitespace tokens -> combinable
-      groupBy (doc, token) count;
-    - dl as a window over the tf relation (no join back to the corpus);
-    - df and the (N, avgdl) stats are aggregates of the tf relation —
-      vocabulary-sized and 1-row, both broadcast;
+    - ONE corpus exchange total, taken BEFORE the explode: the doc
+      relation is repartitioned on doc_id, so the (doc, is_bench,
+      token) tf groupBy, the dl groupBy, and the final (bench_id,
+      doc_id) scoring aggregate are all exchange-free —
+      hash(doc_id) satisfies every one of those clustered
+      distributions, and the scoring agg completes within partitions
+      instead of shuffling the postings×query fan-out (measured 2.3×
+      on the dense-vocabulary worst case);
+    - dl is a map-side-combinable ``groupBy(doc_id).agg(sum(tf))`` —
+      doc-count-sized output, joined onto the postings AFTER the
+      query-term filter. (A window over the full postings relation
+      computes the same values but forces a second full Exchange of
+      the corpus postings that the query-term filter can never push
+      below — the round-7 scale-killer.)
+    - df is semi-joined to the QUERY vocabulary before it reaches the
+      scoring join, so its build side is bounded by the eval suite's
+      vocabulary, not the corpus's (raw distinct-token counts run to
+      10^8+ at web scale); the (N, avgdl) stats are 1 row, broadcast;
     - the candidate generator is the postings equi-join tf JOIN
       bench-terms ON token: only training postings for QUERY terms
-      shuffle into the (bench_id, doc_id) scoring groupBy, top-k via a
-      per-bench window.
+      reach the (bench_id, doc_id) scoring groupBy, top-k via a
+      per-bench window. No broadcast is FORCED on the bench/df sides —
+      AQE picks broadcast when they are small and degrades to a
+      shuffle join (instead of an executor OOM) when they are not.
 
-    The tf relation is persisted (four consumers) and released via the
-    operators/caching.py contract (``materialize=False`` returns the
-    lazy plan for inspection; the caller then owns the tf cache — the
-    q64 convention). At 100 TB the bench side is tiny by construction
-    (eval suites), df/stats stay vocabulary-sized, and the scoring
-    shuffle is bounded by query-term postings — the same
-    inverted-index scaling as q33/q38.
+    The tf relation is persisted (all legs read it) and released via
+    the operators/caching.py contract (``materialize=False`` returns
+    the lazy plan for inspection; the caller then owns the tf cache —
+    the q64 convention). At 100 TB the bench side is tiny by
+    construction (eval suites), df/stats stay query-vocabulary-sized
+    and 1-row, and the scoring shuffle is bounded by query-term
+    postings — the same inverted-index scaling as q33/q38.
     """
     from unimib_simpss_spark.operators.caching import materialize_release
 
@@ -450,28 +466,26 @@ def bm25_decontam_topk(
             is_benchmark.alias("is_bench"),
             F.col(text_col).alias("_text"),
         )
+        .repartition("doc_id")
         .select("doc_id", "is_bench", F.explode(F.split("_text", " ")).alias("token"))
+        .where(F.col("token") != "")
         .groupBy("doc_id", "is_bench", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
     train = tf.where(~F.col("is_bench"))
-    traindl = train.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
-    )
-    stats = (
-        train.groupBy("doc_id")
-        .agg(F.sum("tf").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_train"),
-            F.avg("dl").alias("avgdl"),
-        )
-    )
-    dfr = train.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
+    dl = train.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_train"),
+        F.avg("dl").alias("avgdl"),
     )
     q = tf.where(F.col("is_bench")).select(
         F.col("doc_id").alias("bench_id"), "token"
+    )
+    dfq = (
+        train.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .join(q.select("token").distinct(), "token")
     )
     idf = F.log(
         F.lit(1.0) + (F.col("n_train") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -482,8 +496,9 @@ def bm25_decontam_topk(
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        traindl.join(F.broadcast(q), "token")
-        .join(F.broadcast(dfr), "token")
+        train.join(q, "token")
+        .join(dfq, "token")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("bench_id", "doc_id")
         .agg(F.round(F.sum(contrib), ndigits).alias("score"))
@@ -507,7 +522,8 @@ def bm25_decontam_sql(
     ndigits: int = 6,
 ) -> str:
     """Oracle twin of :func:`bm25_decontam_topk` (same constants, same
-    rounded-score ordering) over the ``documents`` view."""
+    empty-token filter, same rounded-score ordering) over the
+    ``documents`` view."""
     return f"""
     WITH tok AS (
         SELECT doc_id, ({bench_pred_sql}) AS is_bench,
@@ -515,7 +531,7 @@ def bm25_decontam_sql(
         FROM documents
     ), tf AS (
         SELECT doc_id, is_bench, token, count(*) AS tf
-        FROM tok GROUP BY doc_id, is_bench, token
+        FROM tok WHERE token <> '' GROUP BY doc_id, is_bench, token
     ), dl AS (
         SELECT doc_id, sum(tf) AS dl FROM tf WHERE NOT is_bench GROUP BY doc_id
     ), stats AS (
