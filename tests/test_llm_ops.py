@@ -661,6 +661,90 @@ def test_logistic_train_eval_split_discipline(spark):
     assert acc == 1.0
 
 
+def test_logistic_train_one_action_per_iteration(spark, monkeypatch):
+    """Each GD iteration launches exactly ONE action: the mean log loss
+    rides the gradient collect (bias-bucket avg), so there is no
+    separate loss job. Observable: across a 4-iter training, collect()
+    fires 4 times, first() never, count() once (n_docs)."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators import classifier as CL
+
+    calls = {"collect": 0, "first": 0, "count": 0}
+    docs = _toy_corpus(spark)
+    # patch the CONCRETE class (pyspark 4 splits the API base from the
+    # classic implementation; instances carry the methods there)
+    cls = type(docs)
+    real_collect, real_count = cls.collect, cls.count
+
+    def spy_collect(self):
+        calls["collect"] += 1
+        return real_collect(self)
+
+    def spy_first(self):
+        calls["first"] += 1
+        return real_collect(self.limit(1))[0]
+
+    def spy_count(self):
+        calls["count"] += 1
+        return real_count(self)
+
+    monkeypatch.setattr(cls, "collect", spy_collect)
+    monkeypatch.setattr(cls, "first", spy_first)
+    monkeypatch.setattr(cls, "count", spy_count)
+    _, losses = CL.logistic_train(docs, label=F.col("y") == 1, n_features=64, iters=4)
+    assert len(losses) == 4
+    assert calls == {"collect": 4, "first": 0, "count": 1}
+
+
+def test_logistic_train_null_labels_dropped_from_divisor(spark):
+    """Rows whose label evaluates to NULL contribute nothing — not to
+    the gradient, not to the loss, and NOT to the divisor: training on
+    a corpus with NULL-label rows gives bit-identical weights and
+    losses to training with those rows' labels pre-filtered."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators import classifier as CL
+
+    base = _toy_corpus(spark)
+    # lang-style label column that is NULL on a third of the rows
+    docs = base.withColumn(
+        "lab", F.when(F.col("doc_id") % 3 != 0, F.col("y"))
+    )
+    w1, l1 = CL.logistic_train(docs, label=F.col("lab") == 1, n_features=64, iters=4)
+    clean = docs.where(F.col("lab").isNotNull())
+    w2, l2 = CL.logistic_train(clean, label=F.col("lab") == 1, n_features=64, iters=4)
+    assert w1 == w2
+    assert [round(x, 9) for x in l1] == [round(x, 9) for x in l2]
+
+
+def test_logistic_score_expr_matches_relational_path(spark):
+    """The fixed-weight Column-fold inference path (q29's cls_score)
+    agrees with the relational join/groupBy scorer to 1e-6 when both
+    use the portable hash and the tokenizers coincide (lowercase alnum
+    single-spaced text)."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.functions.text import tokens
+    from unimib_simpss_spark.operators import classifier as CL
+
+    docs = _toy_corpus(spark)
+    w, _ = CL.logistic_train(
+        docs, label=F.col("y") == 1, n_features=32, iters=4, portable=True
+    )
+    dense = [w.get(i, 0.0) for i in range(32)]
+    bias = w.get(-1, 0.0)
+    rel = {r.doc_id: r.score for r in CL.logistic_score(
+        docs, w, n_features=32, portable=True
+    ).collect()}
+    expr = {r.doc_id: r.score for r in docs.select(
+        "doc_id",
+        CL.logistic_score_expr(tokens("text"), dense, bias).alias("score"),
+    ).collect()}
+    assert rel.keys() == expr.keys()
+    assert all(abs(rel[k] - expr[k]) <= 1e-6 for k in rel)
+
+
 def test_random_projection_jl_distance_preservation(spark, sf_dir):
     """A seeded JL basis preserves pairwise squared distances in
     expectation after d/k rescaling: check the empirical distortion on

@@ -43,19 +43,30 @@ def hashed_features(
     n_features: int = 1024,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, bucket, x): token-frequency bag hashed into ``n_features``
     buckets plus a constant bias feature (bucket −1, x=1). Frequencies
     (counts / doc token count) keep every feature in [0, 1], bounding
-    the logistic gradient so a fixed step size is safe."""
+    the logistic gradient so a fixed step size is safe.
+
+    ``portable=True`` buckets with the engine-agnostic md5 hash
+    (functions/hashing.py) instead of xxhash64 — slower, but the
+    trained weights then score identically in any engine exposing md5
+    (the shared-hash-space recipe the dedup miners use), which is what
+    lets :func:`logistic_score_expr` carry a DuckDB oracle."""
+    from unimib_simpss_spark.functions.hashing import hash64
+
     tok = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).where(F.col("token") != "")
+    bucket = F.pmod(
+        hash64(F.col("token")) if portable else F.xxhash64("token"),
+        F.lit(n_features),
+    )
     counts = (
-        tok.select(
-            id_col, (F.pmod(F.xxhash64("token"), F.lit(n_features))).alias("bucket")
-        )
+        tok.select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -77,6 +88,7 @@ def logistic_train(
     lr: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ):
     """Full-batch logistic regression on hashed token features.
 
@@ -84,13 +96,30 @@ def logistic_train(
     (bias under bucket −1), ``losses`` is the per-iteration mean log
     loss (strictly decreasing for convex full-batch GD at a safe step
     — property-tested). Driver memory: D+1 floats + iters losses.
+
+    ONE action per iteration: the mean log loss rides the gradient
+    aggregate as the bias bucket's ``avg(ll)`` — the bias feature
+    (bucket −1, x=1) appears exactly once per labeled doc in the
+    feats⋈resid join, so its group averages the per-doc log loss with
+    no second job over the residuals (and no resid persist at all).
+
+    Rows whose label expression is NULL are dropped BEFORE counting,
+    so the gradient divisor matches the rows that actually contribute
+    to the aggregates (a NULL-heavy label would otherwise silently
+    shrink the effective step and skew the reported loss denominator).
     """
     spark = docs.sparkSession
-    labeled = docs.select(F.col(id_col), label.cast("double").alias("y"))
+    labeled = docs.select(F.col(id_col), label.cast("double").alias("y")).where(
+        F.col("y").isNotNull()
+    )
     feats = hashed_features(
-        docs, n_features=n_features, id_col=id_col, text_col=text_col
+        docs, n_features=n_features, id_col=id_col, text_col=text_col,
+        portable=portable,
     ).persist()
     n_docs = labeled.count()
+    if n_docs == 0:
+        feats.unpersist()
+        raise ValueError("logistic_train: no rows with a non-NULL label")
     w: dict[int, float] = {}
     losses: list[float] = []
     try:
@@ -126,16 +155,22 @@ def logistic_train(
                 id_col,
                 (F.col("p") - F.col("y")).alias("r"),
                 ll.alias("ll"),
-            ).persist()
-            losses.append(resid.agg(F.avg("ll")).first()[0])
-            grad_rows = (
-                feats.join(resid.select(id_col, "r"), id_col)
+            )
+            # single action: gradient per bucket + mean log loss (read
+            # off the bias bucket, which joins exactly once per doc)
+            agg_rows = (
+                feats.join(resid, id_col)
                 .groupBy("bucket")
-                .agg((F.sum(F.col("r") * F.col("x")) / n_docs).alias("g"))
+                .agg(
+                    (F.sum(F.col("r") * F.col("x")) / n_docs).alias("g"),
+                    F.avg("ll").alias("mll"),
+                )
                 .collect()
             )
-            resid.unpersist()
-            for row in grad_rows:
+            losses.append(
+                next(row.mll for row in agg_rows if row.bucket == _BIAS)
+            )
+            for row in agg_rows:
                 # round: sum-order noise must not compound across iters
                 w[row.bucket] = round(
                     w.get(row.bucket, 0.0) - lr * row.g, 9
@@ -152,10 +187,12 @@ def logistic_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     ndigits: int = 6,
+    portable: bool = False,
 ) -> DataFrame:
     """Score documents under a trained model: ``(id, score)`` with
     score = σ(w·x) rounded. Map + one combinable groupBy; the weight
-    relation broadcasts (D rows)."""
+    relation broadcasts (D rows). ``portable`` must match how the
+    model was trained (see :func:`hashed_features`)."""
     spark = docs.sparkSession
     wdf = F.broadcast(
         spark.createDataFrame(
@@ -164,7 +201,10 @@ def logistic_score(
         )
     )
     z = (
-        hashed_features(docs, n_features=n_features, id_col=id_col, text_col=text_col)
+        hashed_features(
+            docs, n_features=n_features, id_col=id_col, text_col=text_col,
+            portable=portable,
+        )
         .join(wdf, "bucket", "left")
         .groupBy(id_col)
         .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("z"))
@@ -175,3 +215,63 @@ def logistic_score(
             "score"
         ),
     )
+
+
+def logistic_score_expr(
+    tokens_col: Column,
+    weights,
+    bias: float,
+    ndigits: int = 6,
+) -> Column:
+    """Score under a FIXED pre-trained model as ONE pure Column
+    expression over an already-bound token-array column:
+    ``σ(bias + Σ_t w[h(t) mod D] / n_tokens)`` with the portable md5
+    bucket hash and ``weights`` a dense D-float list.
+
+    This is the inference fast path — no explode, no join, no shuffle:
+    scoring rides whatever projection already tokenized the doc (q29's
+    one-scan profile), so a 100 TB scoring pass is map-only. The D
+    weights travel as an array literal in the plan; the left-to-right
+    ``F.aggregate`` fold matches DuckDB's ``list_reduce`` in
+    :func:`logistic_score_sql` exactly, so scores are oracle-checkable.
+    Empty docs fall back to ``σ(bias)``.
+    """
+    from unimib_simpss_spark.functions.hashing import hash64
+
+    n_features = len(weights)
+    warr = F.array(*[F.lit(float(v)) for v in weights])
+    tsum = F.aggregate(
+        tokens_col,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(
+            warr, (F.pmod(hash64(t), F.lit(n_features)) + 1).cast("int")
+        ),
+    )
+    n = F.size(tokens_col)
+    z = F.lit(float(bias)) + F.when(n > 0, tsum / n).otherwise(F.lit(0.0))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), ndigits)
+
+
+def logistic_score_sql(
+    tokens_expr: str,
+    weights,
+    bias: float,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`logistic_score_expr` — same bucket hash,
+    same dense weight list (1-based list literal), same sequential
+    left-to-right fold (``list_reduce`` with a prepended 0.0 seed, so
+    float addition order is bit-identical to Spark's ``F.aggregate``)."""
+    from unimib_simpss_spark.functions.hashing import hash64_sql
+
+    n_features = len(weights)
+    wlist = "[" + ", ".join(repr(float(v)) for v in weights) + "]"
+    tsum = (
+        f"list_reduce(list_prepend(0.0, list_transform({tokens_expr}, "
+        f"t -> ({wlist})[({hash64_sql('t')} % {n_features}) + 1])), "
+        "(a, x) -> a + x)"
+    )
+    n = f"len({tokens_expr})"
+    z = f"({bias!r} + CASE WHEN {n} > 0 THEN {tsum} / {n} ELSE 0.0 END)"
+    return f"round(1.0 / (1.0 + exp(-{z})), {ndigits})"

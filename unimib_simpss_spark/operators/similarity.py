@@ -1044,6 +1044,11 @@ def pca_project(
     (k·d doubles, broadcast-sized), partitioning is preserved, nothing
     shuffles; the reduced relation then feeds IVF/LSH/PQ exactly like
     the raw one, at d/k of the scan width.
+
+    NULL vectors are filtered, mirroring :func:`pca_model` — without
+    the filter a single NULL embedding turns the Arrow batch into an
+    object array and the executor task dies, so fit would succeed on
+    data that projection then crashes on.
     """
     import numpy as np
     import pandas as pd
@@ -1071,6 +1076,7 @@ def pca_project(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
+        .where(F.col("v").isNotNull())
         .mapInPandas(project, schema)
         .withColumnRenamed("__id", id_col)
     )

@@ -135,9 +135,27 @@ def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _qc_sql = A.quality_components_sql("text")
 
+# Learned quality score (q29's 'cls_score' column): 32-bucket portable-
+# hash logistic model TRAINED IN-ENGINE by operators/classifier.py
+# logistic_train(portable=True, n_features=32, iters=8, lr=1.0) on the
+# sf0.01 documents table with y = (lang = 'en'), then frozen here —
+# the fixed-weight inference path is pure relational algebra, so it
+# carries a DuckDB oracle (the dedup miners' shared-hash-space recipe).
+_CLS_BIAS = -0.221618
+_CLS_WEIGHTS = [
+    -0.01254, -0.009897, -0.038937, 0.0, -0.019642, 0.0, 0.0, -0.015289,
+    0.0, -0.017801, -0.007421, 0.0, -0.013065, -0.009799, -0.013908, 0.0,
+    0.0, -0.018215, -0.012947, -0.007819, 0.001187, 0.0, 0.0, -0.003621,
+    0.004915, -0.008539, -0.01038, 0.0, 0.0, -0.009577, -0.000241, 0.001917,
+]
+
 
 def _doc_profile_oracle() -> str:
+    from unimib_simpss_spark.functions.text import tokens_sql
+    from unimib_simpss_spark.operators.classifier import logistic_score_sql
+
     rc = A.repetition_components_sql("text")
+    cls = logistic_score_sql(tokens_sql("text"), _CLS_WEIGHTS, _CLS_BIAS)
     return f"""
     WITH m AS (
         SELECT doc_id,
@@ -149,12 +167,13 @@ def _doc_profile_oracle() -> str:
                {A.rolling_fingerprint_sql('text')} AS fingerprint,
                {rc['top_token_frac']} AS top_token_frac,
                {rc['dup_2gram_frac']} AS dup_2gram_frac,
-               {rc['dup_3gram_frac']} AS dup_3gram_frac
+               {rc['dup_3gram_frac']} AS dup_3gram_frac,
+               {cls} AS cls_score
         FROM documents
     )
     SELECT doc_id, n_tokens, stop_ratio, punct_ratio, mean_tok_len,
            quality, fingerprint, top_token_frac, dup_2gram_frac,
-           dup_3gram_frac,
+           dup_3gram_frac, cls_score,
            CAST(CASE WHEN top_token_frac <= {A.REPETITION_MAX_TOP_TOKEN_FRAC}
                       AND dup_2gram_frac <= {A.REPETITION_MAX_DUP_2GRAM_FRAC}
                       AND dup_3gram_frac <= {A.REPETITION_MAX_DUP_3GRAM_FRAC}
@@ -167,9 +186,13 @@ def _doc_profile_oracle() -> str:
 def q29_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile in ONE scan and one projection: quality
     heuristics (length/stopword/punct ratios + composite score), the
-    order-sensitive rolling-hash fingerprint, and the Gopher-style
+    order-sensitive rolling-hash fingerprint, the Gopher-style
     repetition metrics with their corpus-calibrated pass gate (merged
-    q29+q30 — every metric shares the same per-doc grain).
+    q29+q30 — every metric shares the same per-doc grain), and the
+    LEARNED quality score: a frozen in-engine-trained logistic model
+    scored as a pure Column fold over the same bound token array
+    (operators/classifier.py logistic_score_expr — map-only inference,
+    no explode/join/shuffle added to the profile scan).
 
     Plan shape: tokenize ONCE into a column, then an exchange barrier
     (repartition on doc_id — also spreads single-split files across the
@@ -178,6 +201,7 @@ def q29_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer expression per invocation (lambda scoping defeats CSE —
     measured 12× slower at sf0.1)."""
     from unimib_simpss_spark.functions.text import tokens
+    from unimib_simpss_spark.operators.classifier import logistic_score_expr
 
     docs = load_table(spark, sf_dir, "documents")
     pre = docs.select(
@@ -196,6 +220,9 @@ def q29_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rc["top_token_frac"].alias("top_token_frac"),
         rc["dup_2gram_frac"].alias("dup_2gram_frac"),
         rc["dup_3gram_frac"].alias("dup_3gram_frac"),
+        logistic_score_expr(F.col("tk"), _CLS_WEIGHTS, _CLS_BIAS).alias(
+            "cls_score"
+        ),
     )
     passes = (
         (F.col("top_token_frac") <= A.REPETITION_MAX_TOP_TOKEN_FRAC)
