@@ -296,6 +296,47 @@ def test_bpe_matches_reference_algorithm(spark, sf_dir):
     assert got == expect
 
 
+def test_bpe_batched_matches_reference_algorithm(spark, sf_dir):
+    """batch>1 must stay EXACTLY sequential-equivalent: the selected
+    prefix is guarded by the created-pair count bound, so the merge
+    table equals the pure-Python reference's on the real corpus."""
+    import duckdb
+
+    wc = dict(
+        duckdb.sql(
+            f"""SELECT w, count(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS w
+                  FROM read_parquet('{sf_dir}/documents.parquet'))
+                WHERE w <> '' GROUP BY w"""
+        ).fetchall()
+    )
+    expect = _ref_bpe(wc, n_merges=10)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in C.bpe_merges(docs, n_merges=10, batch=4).orderBy("step").collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_batched_stops_at_conflicts_and_ties(spark):
+    """A corpus engineered so the top candidates share symbols and tie
+    on counts: batching must emit exactly what sequential BPE emits
+    (conflicting/tied pairs roll to later rounds, never get skipped)."""
+    # 'ab' dominates; (b,c) conflicts with (a,b) via b; (c,d) ties with
+    # created pairs — the guard must cut the batch, not reorder it.
+    docs = spark.createDataFrame(
+        [("abc abc abd cd cd cd",), ("abc abd ab cd",)], ["text"]
+    )
+    wc = {"abc": 3, "abd": 2, "ab": 1, "cd": 4}
+    expect = _ref_bpe(wc, n_merges=6)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in C.bpe_merges(docs, n_merges=6, batch=6).orderBy("step").collect()
+    ]
+    assert got == expect
+
+
 def test_bpe_greedy_merge_and_tiebreak(spark):
     # 'aaa' under the (a,a) winner merges greedily left-to-right: one
     # merged pair plus a lone 'a', never an overlapping double-count on

@@ -571,6 +571,7 @@ def bpe_merges(
     n_merges: int = 8,
     text_col: str = "text",
     eow: str = "</w>",
+    batch: int = 1,
 ) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
     Translation of Rare Words with Subword Units"): learn ``n_merges``
@@ -584,15 +585,39 @@ def bpe_merges(
 
     - pair counting is explode(adjacent symbol pairs) → one combinable
       groupBy, weighted by the word count;
-    - the winner is TakeOrdered(1) (count DESC, pair lexicographic —
-      deterministic tie-break), a ONE-ROW collect per round (the
-      bounded-driver contract: R rounds → R rows total);
-    - applying the merge is a pure Column fold over each word's symbol
-      array (``F.aggregate`` carrying (out, pending) state — greedy
-      left-to-right, so "aaa" under (a,a) merges once, matching the
-      reference algorithm) — NO shuffle; the vocab relation is
-      localCheckpoint'd per round to truncate lineage, previous round
-      released eagerly (the q59 connected-components recipe).
+    - the winner is TakeOrdered (count DESC, pair lexicographic —
+      deterministic tie-break), a ≤``batch``-row collect per round
+      (the bounded-driver contract);
+    - applying the round's merges is a pure Column fold over each
+      word's symbol array (``F.aggregate`` carrying (out, pending)
+      state — greedy left-to-right, so "aaa" under (a,a) merges once,
+      matching the reference algorithm) — NO shuffle; the vocab
+      relation is localCheckpoint'd per round to truncate lineage,
+      previous round released eagerly (the q59 connected-components
+      recipe).
+
+    MERGE-COUNT CEILING: rounds are sequential Spark jobs over the
+    vocabulary relation, so R merges cost ~R/batch job rounds — fine
+    for demo/eval vocabularies (tens of merges), but a production 32k-
+    merge vocabulary at ``batch=1`` means 32k sequential rounds. Raise
+    ``batch`` for that regime (or train merges offline and keep the
+    engine for corpus-sized apply/coverage passes, the common split).
+
+    ``batch > 1`` selects up to ``batch`` merges per round and stays
+    EXACTLY sequential-equivalent (parity-tested against the pure-
+    Python reference): a pair created by merging (l, r) can only occur
+    where an existing (•, l) or (r, •) pair occurred, so its count is
+    bounded by the max current count over those pairs. The round
+    therefore takes the top-``batch`` candidates in order and keeps
+    the longest prefix in which each pair (i) shares no symbol with an
+    earlier selection (disjoint merges commute and one fold applies
+    them all) and (ii) has count STRICTLY above the accumulated
+    created-pair bound of the earlier selections (so no created pair
+    could have outranked or tied it in the sequential order; old
+    non-selected pairs only lose count, and equal-count old pairs sort
+    earlier and stop the prefix at the conflict). Two extra
+    vocabulary-sized aggregates per round fetch those bounds
+    (≤2·batch rows collected).
 
     At 100 TB the corpus pass is one map-side-combinable count; a 10M-
     type vocabulary iterates in seconds per round. Returns a driver-
@@ -616,48 +641,104 @@ def bpe_merges(
         .localCheckpoint()
     )
     merges = []
-    for step in range(1, n_merges + 1):
-        pairs = vocab.select(
-            "wcount",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
-                    F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                )
-            ).alias("p"),
-        )
-        top = (
-            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    while len(merges) < n_merges:
+        take = min(batch, n_merges - len(merges))
+        pair_counts = (
+            vocab.select(
+                "wcount",
+                F.explode(
+                    F.zip_with(
+                        F.slice(
+                            F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))
+                        ),
+                        F.slice(
+                            F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))
+                        ),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("wcount").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+        )
+        if take > 1:
+            pair_counts = pair_counts.persist()
+        top = (
+            pair_counts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(take)
             .collect()
         )
         if not top:
+            if take > 1:
+                pair_counts.unpersist()
             break
-        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
-        merged = l + r
-        merges.append((step, l, r, merged, cnt))
-        la, ra, ma = F.lit(l), F.lit(r), F.lit(merged)
+        if take == 1 or len(top) == 1:
+            sel = top[:1]
+        else:
+            # created-pair bounds: a pair born of merging (l, r) only
+            # occurs where an existing (•, l) or (r, •) pair occurred,
+            # so max current counts over those bound everything a
+            # selected merge can create (≤2·batch rows collected)
+            cand_l = sorted({t.l for t in top})
+            cand_r = sorted({t.r for t in top})
+            rmax = {
+                row.r: int(row.m)
+                for row in pair_counts.where(F.col("r").isin(cand_l))
+                .groupBy("r")
+                .agg(F.max("cnt").alias("m"))
+                .collect()
+            }
+            lmax = {
+                row.l: int(row.m)
+                for row in pair_counts.where(F.col("l").isin(cand_r))
+                .groupBy("l")
+                .agg(F.max("cnt").alias("m"))
+                .collect()
+            }
+            sel = []
+            used: set = set()
+            bound = 0
+            for t in top:
+                # stop (never skip) at the first conflict or non-strict
+                # count — skipping would break sequential equivalence
+                if sel and (t.l in used or t.r in used or t.cnt <= bound):
+                    break
+                sel.append(t)
+                used.update((t.l, t.r))
+                bound = max(bound, rmax.get(t.l, 0), lmax.get(t.r, 0))
+        if take > 1:
+            pair_counts.unpersist()
+        pairs_lit = []
+        for t in sel:
+            merges.append((len(merges) + 1, t.l, t.r, t.l + t.r, int(t.cnt)))
+            pairs_lit.append((F.lit(t.l), F.lit(t.r), F.lit(t.l + t.r)))
         empty = F.array().cast("array<string>")
+
+        def make_step(_pairs):
+            def step_fn(acc, s):
+                hit = None
+                for la, ra, ma in _pairs:
+                    cond = (acc["pend"] == la) & (s == ra)
+                    res = F.struct(
+                        F.concat(acc["out"], F.array(ma)).alias("out"),
+                        F.lit(None).cast("string").alias("pend"),
+                    )
+                    hit = F.when(cond, res) if hit is None else hit.when(cond, res)
+                return hit.otherwise(
+                    F.struct(
+                        F.when(acc["pend"].isNull(), acc["out"])
+                        .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                        .alias("out"),
+                        s.alias("pend"),
+                    )
+                )
+
+            return step_fn
+
         folded = F.aggregate(
             F.col("syms"),
             F.struct(empty.alias("out"), F.lit(None).cast("string").alias("pend")),
-            lambda acc, s: F.when(
-                (acc["pend"] == la) & (s == ra),
-                F.struct(
-                    F.concat(acc["out"], F.array(ma)).alias("out"),
-                    F.lit(None).cast("string").alias("pend"),
-                ),
-            ).otherwise(
-                F.struct(
-                    F.when(acc["pend"].isNull(), acc["out"])
-                    .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
-                    .alias("out"),
-                    s.alias("pend"),
-                )
-            ),
+            make_step(pairs_lit),
             lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
                 F.concat(acc["out"], F.array(acc["pend"]))
             ),
