@@ -557,6 +557,40 @@ def test_pca_projection_feeds_ann_at_reduced_width(spark):
     assert tot > 0 and hit / tot >= 0.9, (hit, tot)
 
 
+def test_pca_ivf_composed_path_recall(spark):
+    """The x50 'pca_ivf' leg end-to-end: pca_model → pca_project →
+    kmeans_cells → ivf_topk, all in the 8-dim reduced space. On a
+    low-rank corpus the composed index must recover most of the raw
+    brute-force top-k even though (a) scans touch 8 doubles instead of
+    64 and (b) IVF restricts candidates to the query's learned cell."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    z = rng.randn(200, 4)
+    b = rng.randn(4, 64)
+    x = z @ b + 0.01 * rng.randn(200, 64)
+    emb = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(200)], ["vec_id", "embedding"]
+    )
+    mean, _, comps = S.pca_model(emb, n_components=8)
+    red = S.pca_project(emb, mean, comps)
+    rcells = S.kmeans_cells(red, k=4, iters=3, vec_col="reduced")
+    rindexed = red.join(rcells, "vec_id")
+    got = S.ivf_topk(rindexed, k=5, vec_col="reduced", cell_col="cell").collect()
+    raw_sets = {}
+    for r in S.cosine_topk(emb, k=5).collect():
+        raw_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = tot = 0
+    for r in got:
+        tot += 1
+        hit += r.neighbor_id in raw_sets.get(r.query_id, set())
+    assert tot >= 5 * 190, tot  # nearly every query keeps a full top-5
+    assert hit / tot >= 0.6, (hit, tot)
+
+
 # ----------------------------------------------------------- classifier
 
 

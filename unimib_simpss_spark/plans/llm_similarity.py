@@ -109,7 +109,7 @@ def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x50_ann_learned_index")  # iterative build + approx recall → rows-only
 def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both LEARNED-index ANN paths in one tagged union (merged from the
+    """The LEARNED-index ANN paths in one tagged union (merged from the
     former x50/x51 so every rows-only query fits the driver's 50-query
     verification window):
 
@@ -119,6 +119,15 @@ def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'lsh': random-hyperplane LSH cosine ANN (6 planes × 12 tables) —
       bucket equi-join candidates, exact cosine within buckets. Recall
       is bounds-tested against brute force in tests/test_llm_ops.py.
+    - 'pca_ivf': the end-to-end dimensionality-reduced index — PCA fit
+      (pca_model), map-only projection 64→16 (pca_project), THEN the
+      same k-means + cell-probed top-3 entirely in the reduced space.
+      Every post-projection scan touches 16 doubles per vector instead
+      of 64 — the d/k scan-width claim, recall-bounds-tested against
+      the raw-dimension run on a low-rank corpus in
+      tests/test_llm_ops.py (these isotropic synthetic embeddings are
+      the no-structure worst case, so the leg here proves plumbing and
+      determinism, not recall).
 
     The union is checkpointed and the legs' internal checkpoints
     released before returning — release_result on a lazy union cannot
@@ -150,9 +159,22 @@ def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rank",
     )
-    out = materialize_release(ivf.unionAll(lsh))
+    mean, _, comps = S.pca_model(emb, n_components=16)
+    red = S.pca_project(emb, mean, comps)
+    rcells = S.kmeans_cells(red, k=8, iters=3, vec_col="reduced")
+    rindexed = red.join(rcells, "vec_id")
+    pca_ivf = S.ivf_topk(rindexed, k=3, vec_col="reduced", cell_col="cell").select(
+        F.lit("pca_ivf").alias("method"),
+        "query_id",
+        F.col("cell").cast("long").alias("cell"),
+        "neighbor_id",
+        "cosine",
+        F.lit(None).cast("long").alias("rank"),
+    )
+    out = materialize_release(ivf.unionAll(lsh).unionAll(pca_ivf))
     release_result(cells)
     release_result(lsh_raw)
+    release_result(rcells)
     return out
 
 
