@@ -70,3 +70,46 @@ def test_heavy_hitters_no_false_negatives(tokens):
     assert set(exact_top) <= set(got)
     ranks = [r.rank for r in hh.collect()]
     assert ranks == sorted(ranks)
+
+
+# ------------------------------------------------------------------ hll
+
+
+def test_hll_accuracy_and_partitioning_invariance(spark, sf_dir):
+    """The portable HLL estimate lands within ~3 standard errors of the
+    exact distinct count, and — because the harmonic sum is an integer
+    sum of exact powers of two — is BIT-identical under any
+    repartitioning (no float-sum-order nondeterminism)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = {
+        r.event_type: r.hll_est
+        for r in SK.hll_distinct(e, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    se = 3 * 1.04 / (1 << SK.HLL_P) ** 0.5
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n <= se, (k, est[k], n)
+    again = {
+        r.event_type: r.hll_est
+        for r in SK.hll_distinct(e.repartition(13), ["event_type"], "user_id").collect()
+    }
+    assert est == again
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """Register relations are the mergeable state: union two shards'
+    registers and re-max — the estimate equals the whole-corpus run
+    (the shard/day rollup pattern at 100 TB)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = SK.hll_registers(e.where(F.col("event_id") % 2 == 0), ["event_type"], "user_id")
+    b = SK.hll_registers(e.where(F.col("event_id") % 2 == 1), ["event_type"], "user_id")
+    merged_regs = a.unionAll(b).groupBy("event_type", "b").agg(F.max("M").alias("M"))
+    whole_regs = SK.hll_registers(e, ["event_type"], "user_id")
+    m = {(r.event_type, r.b): r.M for r in merged_regs.collect()}
+    w = {(r.event_type, r.b): r.M for r in whole_regs.collect()}
+    assert m == w

@@ -581,25 +581,47 @@ def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A1/A4: distinct + count distinct
 # --------------------------------------------------------------------------
-@query(
-    "q17_distinct_counts",
-    oracle="""
-    SELECT o_orderstatus,
-           count(DISTINCT o_custkey)  AS n_customers,
-           count(*)                   AS n_orders,
-           round(avg(o_totalprice), 4) AS avg_price
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-)
+def _q17_oracle() -> str:
+    from unimib_simpss_spark.functions.sketches import hll_distinct_sql
+
+    hll = hll_distinct_sql("orders", "o_orderstatus", "o_custkey")
+    return f"""
+    WITH exact AS (
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey)  AS n_customers,
+               count(*)                   AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY o_orderstatus
+    ), hll AS ({hll})
+    SELECT o_orderstatus, n_customers, n_orders, avg_price,
+           hll_est AS hll_customers
+    FROM exact JOIN hll USING (o_orderstatus)
+    """
+
+
+@query("q17_distinct_counts", oracle=_q17_oracle())
 def q17_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count(DISTINCT) with expand-based partial aggregation."""
+    """count(DISTINCT) with expand-based partial aggregation, next to
+    the PORTABLE deterministic HyperLogLog estimate of the same
+    cardinality (functions/sketches.py hll_distinct: md5-bucketed
+    registers, integer-exact harmonic sum — unlike
+    approx_count_distinct's engine-private HLL++ sketch, this one is
+    value-checkable against the DuckDB oracle bit-for-bit). The HLL
+    side is the 100 TB cardinality path: one map-side-combinable
+    shuffle to (status × 512) register rows, no distinct expand."""
+    from unimib_simpss_spark.functions.sketches import hll_distinct
+
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    exact = o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
     )
+    hll = hll_distinct(o, ["o_orderstatus"], "o_custkey").withColumnRenamed(
+        "hll_est", "hll_customers"
+    )
+    return exact.join(hll, "o_orderstatus")
 
 
 # --------------------------------------------------------------------------
@@ -844,9 +866,11 @@ def q44_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A4 (approx count distinct): HLL sketch — engines use different sketch
-# implementations, so no value-level oracle; accuracy is bounded in
-# tests/test_relational_extra.py against the exact count.
+# A4 (approx count distinct): HLL sketch — Spark's built-in HLL++ sketch
+# is engine-private, so THIS entry has no value-level oracle (accuracy is
+# bounded in tests/test_relational_extra.py against the exact count).
+# The portable in-engine HLL (functions/sketches.py hll_distinct) IS
+# oracle-checked, as q17's hll_customers column.
 # --------------------------------------------------------------------------
 @query("x45_approx_distinct")
 def x45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
