@@ -113,3 +113,83 @@ def test_hll_registers_merge_by_max(spark, sf_dir):
     m = {(r.event_type, r.b): r.M for r in merged_regs.collect()}
     w = {(r.event_type, r.b): r.M for r in whole_regs.collect()}
     assert m == w
+
+
+# --------------------------------------------------- portable CMS + bloom
+
+
+def test_portable_cms_matches_stream_sketch_and_bounds(tokens):
+    """The grid built FROM the aggregated count relation equals the
+    conceptual stream sketch cell-for-cell (counter addition is
+    associative), and its estimates obey the CMS bound."""
+    depth, width = 4, 512
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = SK.cms_cells_from_counts(counts, "token", "cnt", depth, width)
+    # stream form: one row per token occurrence, cnt=1
+    stream = SK.cms_cells_from_counts(
+        tokens.select("token", F.lit(1).alias("cnt")), "token", "cnt", depth, width
+    )
+    a = {(r.j, r.c): r.cell_cnt for r in cells.collect()}
+    b = {(r.j, r.c): r.cell_cnt for r in stream.collect()}
+    assert a == b
+    exact = {r.token: r.cnt for r in counts.collect()}
+    n = sum(exact.values())
+    est = {
+        r.token: r.cms_est
+        for r in SK.cms_estimate_portable(
+            cells, counts.select("token"), "token", depth, width
+        ).collect()
+    }
+    eps_n = math.e / width * n
+    for t, e in est.items():
+        assert exact[t] <= e <= exact[t] + eps_n, (t, e, exact[t])
+
+
+def test_portable_cms_partitioning_invariance(tokens):
+    """Integer cell counts + min: the estimates are bit-identical under
+    repartitioning (the determinism the value-level oracle relies on)."""
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    one = {
+        r.token: r.cms_est
+        for r in SK.cms_estimate_portable(
+            SK.cms_cells_from_counts(counts), counts.select("token")
+        ).collect()
+    }
+    re = counts.repartition(13)
+    two = {
+        r.token: r.cms_est
+        for r in SK.cms_estimate_portable(
+            SK.cms_cells_from_counts(re), re.select("token")
+        ).collect()
+    }
+    assert one == two
+
+
+def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
+    """Every member probes to hit=1 (one-sided error), non-members are
+    mostly 0 at this fill rate, and sharded bit relations merged by
+    union+distinct equal the whole-set build."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.concat(F.lit("fp:"), F.col("doc_id")).alias("fp")
+    )
+    members = docs.where(F.col("doc_id") % 2 == 0)
+    others = docs.where(F.col("doc_id") % 2 != 0)
+    bits = SK.bloom_bits(members, "fp")
+    hits = {
+        r.doc_id: r.bloom_hit
+        for r in SK.bloom_probe(bits, docs, "fp").collect()
+    }
+    member_ids = {r.doc_id for r in members.collect()}
+    for did in member_ids:
+        assert hits[did] == 1, did            # no false negatives, ever
+    other_ids = [r.doc_id for r in others.collect()]
+    fp_rate = sum(hits[d] for d in other_ids) / max(len(other_ids), 1)
+    n, m, k = len(member_ids), SK.BLOOM_M, SK.BLOOM_K
+    expected = (1.0 - math.exp(-k * n / m)) ** k
+    assert fp_rate <= max(5 * expected, 0.05), (fp_rate, expected)
+    # shard merge: union of the two halves' bit relations == whole build
+    half1 = SK.bloom_bits(members.where(F.col("doc_id") % 4 == 0), "fp")
+    half2 = SK.bloom_bits(members.where(F.col("doc_id") % 4 != 0), "fp")
+    merged = {r.pos for r in half1.unionAll(half2).distinct().collect()}
+    whole = {r.pos for r in bits.collect()}
+    assert merged == whole

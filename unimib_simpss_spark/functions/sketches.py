@@ -259,3 +259,186 @@ def cms_heavy_hitters(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+# ------------------------------------------------- portable CMS + Bloom
+# Same move as the HLL above: the engine-fast xxhash64 CMS has no
+# value-level oracle (xxhash64 is Spark-private), so these twins hash
+# with the shared md5-based hash64 — Spark and DuckDB land every token
+# in the SAME cell/bit, and the driver's value-hash compare verifies the
+# sketch ESTIMATES themselves, not just their bounds. Production swaps
+# the hash back to xxhash64 (one Column expression); the sketch algebra
+# is identical.
+
+
+def portable_cell(col, j: int, width: int):
+    """Hash-row ``j``'s cell index for a value: hash64("j:" || v) % width.
+
+    hash64 is non-negative (60 bits), so ``pmod`` here and DuckDB's
+    ``%`` agree — no negative-modulus divergence between engines."""
+    from unimib_simpss_spark.functions.hashing import hash64
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(hash64(F.concat(F.lit(f"{j}:"), c)), F.lit(width))
+
+
+def portable_cell_sql(expr: str, j: int, width: int) -> str:
+    """DuckDB twin of :func:`portable_cell`."""
+    from unimib_simpss_spark.functions.hashing import hash64_sql
+
+    salted = f"'{j}:' || {expr}"
+    return f"({hash64_sql(salted)} % {width})"
+
+
+def cms_cells_from_counts(
+    counts: DataFrame,
+    token_col: str = "token",
+    cnt_col: str = "cnt",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Portable-hash CMS grid built from an ALREADY-AGGREGATED
+    ``(token, cnt)`` relation: cell (j, c) = Σ cnt over tokens hashing
+    there. Cell-wise identical to sketching the raw token stream
+    (counter addition is associative), but the input is the
+    vocabulary-sized count relation — when that relation already exists
+    (q66's coverage curve), the sketch costs one vocab-sized combinable
+    rollup and ZERO extra corpus passes, and Spark's ReusedExchange
+    serves all consumers of the count shuffle."""
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        portable_cell(F.col(token_col), j, width).alias("c"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jc"),
+        F.col(cnt_col).alias("_cnt"),
+    )
+    return rows.groupBy(F.col("jc.j").alias("j"), F.col("jc.c").alias("c")).agg(
+        F.sum("_cnt").alias("cell_cnt")
+    )
+
+
+def cms_estimate_portable(
+    cells: DataFrame,
+    tokens: DataFrame,
+    col: str = "token",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Point estimates against a :func:`cms_cells_from_counts` grid:
+    ``(col, est_col)``, est = MIN over the value's depth cells. The
+    grid is ≤ depth×width rows — broadcast by construction."""
+    probes = tokens.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        portable_cell(F.col(col), j, width).alias("c"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jc"),
+    ).select(col, F.col("jc.j").alias("j"), F.col("jc.c").alias("c"))
+    return (
+        probes.join(F.broadcast(cells), ["j", "c"], "left")
+        .fillna(0, subset=["cell_cnt"])
+        .groupBy(col)
+        .agg(F.min("cell_cnt").cast("long").alias(est_col))
+    )
+
+
+# Bloom filter (Bloom 1970): the membership twin of the CMS — k hash
+# rows over an m-bit space, a value is "possibly present" iff ALL k of
+# its bits are set, DEFINITELY absent otherwise (one-sided error: false
+# positives at rate ~(1-e^{-kn/m})^k, never false negatives). The
+# relational form keeps the bit-set as a ≤m-row (pos) relation:
+# build = one combinable distinct over k narrow hashes per member;
+# probe = a broadcast join counting matched bits. Mergeable by UNION
+# (bitwise OR). At 100 TB the gate runs per ingest batch against a
+# persisted corpus bit relation — the cheap first stage in front of the
+# exact/near-dup machinery (q61), which only sees bloom survivors.
+
+BLOOM_M = 8192
+BLOOM_K = 4
+
+
+def bloom_bits(
+    df: DataFrame, col, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Build the bit-set relation ``(pos)`` for a member column: the
+    DISTINCT positions hash64("j:" || v) % m for j < k. ≤ m rows no
+    matter the member count; shards merge by union+distinct."""
+    c = F.col(col) if isinstance(col, str) else col
+    src = df.select(c.alias("_v"))
+    rows = src.select(
+        F.explode(
+            F.array(*[portable_cell(F.col("_v"), j, m) for j in range(k)])
+        ).alias("pos")
+    )
+    return rows.distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    col,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test: ``probes`` + a ``hit_col`` long (1 = possibly
+    present — all k bits set; 0 = definitely absent). One broadcast
+    join against the ≤m-row bit relation, then a per-probe-row count;
+    the probe relation's other columns ride through untouched."""
+    c = F.col(col) if isinstance(col, str) else col
+    with_pos = probes.withColumn(
+        "_pos",
+        F.explode(F.array(*[portable_cell(c, j, m) for j in range(k)])),
+    )
+    marked = (
+        with_pos.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))),
+            with_pos["_pos"] == bits["pos"],
+            "left",
+        )
+        .drop("pos", "_pos")
+        .groupBy(*probes.columns)
+        .agg(
+            (F.count("_set") == F.lit(k)).cast("long").alias(hit_col)
+        )
+    )
+    return marked
+
+
+def bloom_sql(
+    member_expr: str,
+    member_from: str,
+    probe_expr: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB boolean-int SQL fragment: 1 iff every bloom bit of
+    ``probe_expr`` is set by the members (``member_expr`` over
+    ``member_from``). Correlated form for use inside a SELECT list."""
+    probes = " UNION ALL ".join(
+        f"SELECT {portable_cell_sql(probe_expr, j, m)} AS pos" for j in range(k)
+    )
+    member_bits = " UNION ALL ".join(
+        f"SELECT {portable_cell_sql(member_expr, j, m)} AS pos FROM {member_from}"
+        for j in range(k)
+    )
+    return (
+        f"(CASE WHEN (SELECT count(*) FROM ({probes}) p"
+        f" WHERE p.pos IN ({member_bits})) = {k}"
+        f" THEN 1 ELSE 0 END)"
+    )

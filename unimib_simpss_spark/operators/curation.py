@@ -235,6 +235,9 @@ def vocab_coverage(
     topk: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_cms: bool = False,
+    cms_depth: int = 4,
+    cms_width: int = 512,
 ) -> DataFrame:
     """Tokenizer-prep vocabulary stats: the corpus's top-``topk`` tokens
     with rank and cumulative corpus-coverage share.
@@ -249,6 +252,17 @@ def vocab_coverage(
     single partition by construction). The corpus token total rides
     along as a broadcast 1-row cross join over the already-aggregated
     counts — never a second pass over the corpus.
+
+    ``with_cms=True`` rides a ``cms_est`` column along: each top-k
+    token's count as a portable-hash count-min-sketch would report it
+    (functions/sketches.py). The grid is built FROM the count relation
+    (cell = Σ cnt over colliding tokens — cell-wise identical to
+    sketching the raw stream, counter addition being associative), so
+    the sketch costs one vocab-sized combinable rollup off the SAME
+    count shuffle (ReusedExchange serves all three consumers) and zero
+    extra corpus passes. The exact/estimate pairing on one row is the
+    sketch-accuracy diagnostic: est ≥ cnt always, est − cnt = the
+    token's collision mass.
     """
     tok = _bound_tokens(docs, id_col, text_col).select(
         F.explode("toks").alias("token")
@@ -260,7 +274,7 @@ def vocab_coverage(
         Window.orderBy(F.desc("cnt"), "token")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         top.crossJoin(F.broadcast(total))
         .select(
             "token",
@@ -274,6 +288,20 @@ def vocab_coverage(
             ).alias("cum_share"),
         )
     )
+    if not with_cms:
+        return out
+    from unimib_simpss_spark.functions.sketches import (
+        cms_cells_from_counts,
+        cms_estimate_portable,
+    )
+
+    cells = cms_cells_from_counts(
+        counts, "token", "cnt", depth=cms_depth, width=cms_width
+    )
+    est = cms_estimate_portable(
+        cells, top.select("token"), "token", depth=cms_depth, width=cms_width
+    )
+    return out.join(est, "token")
 
 
 def source_cap(

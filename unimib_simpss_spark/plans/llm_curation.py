@@ -150,32 +150,70 @@ def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VOCAB_TOPK = 50
-
-_VOCAB_ORACLE = f"""
-WITH counts AS (
-    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-    GROUP BY tok
-),
-tot AS (SELECT sum(cnt) AS total FROM counts),
-topk AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {_VOCAB_TOPK})
-SELECT tok AS token,
-       cnt,
-       CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
-       round(sum(cnt) OVER (ORDER BY cnt DESC, tok
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / (SELECT total FROM tot), 6) AS cum_share
-FROM topk
-"""
+_VOCAB_CMS_DEPTH = 4
+_VOCAB_CMS_WIDTH = 512
 
 
-@query("q66_vocab_coverage", oracle=_VOCAB_ORACLE)
+def _vocab_oracle() -> str:
+    from unimib_simpss_spark.functions.sketches import portable_cell_sql
+
+    cell = [
+        portable_cell_sql("tok", j, _VOCAB_CMS_WIDTH)
+        for j in range(_VOCAB_CMS_DEPTH)
+    ]
+    grid_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {cell[j]} AS c, cnt FROM counts"
+        for j in range(_VOCAB_CMS_DEPTH)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, {j} AS j, {cell[j]} AS c FROM topk"
+        for j in range(_VOCAB_CMS_DEPTH)
+    )
+    return f"""
+    WITH counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    topk AS (
+        SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {_VOCAB_TOPK}
+    ),
+    cells AS (
+        SELECT j, c, sum(cnt) AS cell_cnt FROM ({grid_rows}) GROUP BY j, c
+    ),
+    probe AS (
+        SELECT tok, CAST(min(cell_cnt) AS BIGINT) AS cms_est
+        FROM ({probe_rows}) p JOIN cells USING (j, c)
+        GROUP BY tok
+    )
+    SELECT t.tok AS token,
+           t.cnt,
+           CAST(row_number() OVER (ORDER BY t.cnt DESC, t.tok) AS BIGINT)
+               AS rank,
+           round(sum(t.cnt) OVER (ORDER BY t.cnt DESC, t.tok
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                 / (SELECT total FROM tot), 6) AS cum_share,
+           probe.cms_est
+    FROM topk t JOIN probe ON t.tok = probe.tok
+    """
+
+
+@query("q66_vocab_coverage", oracle=_vocab_oracle())
 def q66_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-prep vocabulary curve: top-50 tokens with rank and
-    cumulative corpus-coverage share. See operators/curation.py
-    vocab_coverage for the plan shape and 100 TB notes."""
+    """Tokenizer-prep vocabulary curve: top-50 tokens with rank,
+    cumulative corpus-coverage share, and the portable count-min-sketch
+    estimate of the same count on the same row (exact vs fixed-memory
+    estimate, value-level oracle-checked — the x67 sketch graduating to
+    a hash-verified column). See operators/curation.py vocab_coverage
+    for the plan shape and 100 TB notes."""
     return C.vocab_coverage(
-        load_table(spark, sf_dir, "documents"), topk=_VOCAB_TOPK
+        load_table(spark, sf_dir, "documents"),
+        topk=_VOCAB_TOPK,
+        with_cms=True,
+        cms_depth=_VOCAB_CMS_DEPTH,
+        cms_width=_VOCAB_CMS_WIDTH,
     )
 
 

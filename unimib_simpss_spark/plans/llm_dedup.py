@@ -205,17 +205,89 @@ def q59_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters
 
 
-@query("q61_incremental_dedup", oracle=D.incremental_dedup_sql(threshold=0.8))
-def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingestion dedup: treat every 5th doc as the incoming
-    batch and report which of them near-duplicate (Jaccard >= 0.8) the
-    existing corpus — the per-batch dedup gate of an append-only
-    training-data pipeline, composed from the same verified pair miner
-    as q33."""
-    docs = _docs(spark, sf_dir)
-    return D.incremental_dedup_pairs(
-        docs, is_new=(F.col("doc_id") % 5 == 0), threshold=0.8
+def _q61_oracle() -> str:
+    from unimib_simpss_spark.functions.sketches import bloom_sql
+    from unimib_simpss_spark.functions.text import token_fingerprint_sql
+
+    pairs = D.incremental_dedup_sql(threshold=0.8)
+    fp = token_fingerprint_sql("text")
+    hit = bloom_sql(
+        member_expr=fp,
+        member_from="documents WHERE NOT (doc_id % 5 = 0)",
+        probe_expr="fp",
     )
+    return f"""
+    WITH pairs AS ({pairs}),
+    newdocs AS (
+        SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT 'pairs' AS section, new_doc, corpus_doc, jaccard,
+           CAST(NULL AS BIGINT) AS bloom_hit
+    FROM pairs
+    UNION ALL
+    SELECT 'bloom' AS section, doc_id AS new_doc,
+           CAST(NULL AS BIGINT) AS corpus_doc,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           CAST({hit} AS BIGINT) AS bloom_hit
+    FROM newdocs
+    """
+
+
+@query("q61_incremental_dedup", oracle=_q61_oracle())
+def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup, two gates over the same batch split
+    (every 5th doc = the incoming batch):
+
+    - 'pairs': which new docs near-duplicate (Jaccard >= 0.8) the
+      existing corpus — the exact verdict, composed from the same
+      verified pair miner as q33;
+    - 'bloom': the fixed-memory membership pre-gate — every new doc's
+      content fingerprint probed against a Bloom filter of the CORPUS
+      fingerprints (functions/sketches.py: bloom_bits/bloom_probe,
+      portable md5 bit positions so the estimate itself is
+      oracle-checked). bloom_hit=0 is DEFINITELY-new (no false
+      negatives): at 100 TB the persisted ≤m-row bit relation screens
+      each ingest batch first, and only possible-dup survivors reach
+      the shingle-join machinery above.
+    """
+    from unimib_simpss_spark.functions.sketches import bloom_bits, bloom_probe
+    from unimib_simpss_spark.functions.text import token_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 0
+    pairs = D.incremental_dedup_pairs(docs, is_new=is_new, threshold=0.8)
+    bits = bloom_bits(
+        docs.where(~is_new).select(token_fingerprint("text").alias("fp")), "fp"
+    )
+    probed = bloom_probe(
+        bits,
+        docs.where(is_new).select(
+            F.col("doc_id").alias("new_doc"), token_fingerprint("text").alias("fp")
+        ),
+        "fp",
+    )
+    pairs_leg = pairs.select(
+        F.lit("pairs").alias("section"),
+        "new_doc",
+        "corpus_doc",
+        "jaccard",
+        F.lit(None).cast("long").alias("bloom_hit"),
+    )
+    bloom_leg = probed.select(
+        F.lit("bloom").alias("section"),
+        "new_doc",
+        F.lit(None).cast("long").alias("corpus_doc"),
+        F.lit(None).cast("double").alias("jaccard"),
+        "bloom_hit",
+    )
+    from unimib_simpss_spark.operators.caching import (
+        materialize_release,
+        release_result,
+    )
+
+    out = materialize_release(pairs_leg.unionAll(bloom_leg))
+    release_result(pairs)  # the union is checkpointed; the leg handle is spent
+    return out
 
 
 _P_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
