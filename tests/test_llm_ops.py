@@ -815,3 +815,35 @@ def test_random_projection_jl_distance_preservation(spark, sf_dir):
     ratios = np.array(ratios)
     assert 0.5 < ratios.mean() < 1.5       # unbiased up to sampling noise
     assert (ratios > 0.2).all() and (ratios < 3.0).all()  # no collapse
+
+
+def test_pps_keep_integer_exact_and_proportional(spark, sf_dir):
+    """PPS Bernoulli sampling: keep-rate tracks E[min(1, w/full)], rows
+    at/over full weight are ALWAYS kept, zero-weight rows never, and
+    membership is a pure hash function (stable under repartitioning)."""
+    from unimib_simpss_spark.catalog import load_table
+    from unimib_simpss_spark.operators.sampling import pps_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = 500
+    kept = docs.select(
+        "doc_id", "n_chars", pps_keep("n_chars", "doc_id", full).alias("k")
+    )
+    rows = kept.collect()
+    rate = sum(r.k for r in rows) / len(rows)
+    expect = sum(min(1.0, r.n_chars / full) for r in rows) / len(rows)
+    assert abs(rate - expect) < 0.05, (rate, expect)
+    for r in rows:
+        if r.n_chars >= full:
+            assert r.k, r.doc_id          # certainty region
+    z = docs.select(pps_keep("n_chars", "doc_id", 500_000_000).alias("k")).agg(
+        F.sum(F.col("k").cast("long")).alias("s")
+    ).collect()[0]
+    assert z.s == 0 or z.s < len(rows) * 0.01  # tiny weights ⇒ ~never kept
+    again = {
+        r.doc_id: r.k
+        for r in docs.repartition(17)
+        .select("doc_id", pps_keep("n_chars", "doc_id", full).alias("k"))
+        .collect()
+    }
+    assert {r.doc_id: r.k for r in rows} == again

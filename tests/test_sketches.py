@@ -193,3 +193,64 @@ def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
     merged = {r.pos for r in half1.unionAll(half2).distinct().collect()}
     whole = {r.pos for r in bits.collect()}
     assert merged == whole
+
+
+# --------------------------------------------- histogram quantile sketch
+
+
+def test_hist_quantile_error_bound_and_invariance(spark, sf_dir):
+    """Estimates land within one bin-width of the exact discrete
+    percentile, and — integer bin counts + a single fixed float
+    expression — are bit-identical under repartitioning."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bins = 128
+    qs = {"p50": 0.5, "p90": 0.9}
+    est = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in SK.hist_quantile(
+            l, ["l_returnflag"], "l_extendedprice", qs, bins=bins, ndigits=4
+        ).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.e50, r.e90, r.vmin, r.vmax)
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("e50"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("e90"),
+            F.min("l_extendedprice").alias("vmin"),
+            F.max("l_extendedprice").alias("vmax"),
+        )
+        .collect()
+    }
+    for g, (p50, p90) in est.items():
+        e50, e90, vmin, vmax = exact[g]
+        bw = (vmax - vmin) / bins
+        assert abs(p50 - e50) <= bw + 1e-6, (g, p50, e50, bw)
+        assert abs(p90 - e90) <= bw + 1e-6, (g, p90, e90, bw)
+    again = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in SK.hist_quantile(
+            l.repartition(13), ["l_returnflag"], "l_extendedprice", qs,
+            bins=bins, ndigits=4,
+        ).collect()
+    }
+    assert est == again
+
+
+def test_hist_quantile_degenerate_group(spark):
+    """A constant-valued group has zero span: every row lands in bin 0
+    and every quantile estimate equals the constant."""
+    df = spark.createDataFrame(
+        [("a", 7.0)] * 10 + [("b", float(i)) for i in range(100)],
+        "g string, v double",
+    )
+    out = {
+        r.g: (r.p50, r.p90)
+        for r in SK.hist_quantile(df, ["g"], "v", {"p50": 0.5, "p90": 0.9}).collect()
+    }
+    assert out["a"] == (7.0, 7.0)
+    assert 40.0 <= out["b"][0] <= 60.0 and 85.0 <= out["b"][1] <= 95.0

@@ -420,6 +420,131 @@ def bloom_probe(
     return marked
 
 
+def hist_quantile(
+    df: DataFrame,
+    group_cols: list,
+    val_col: str,
+    quantiles: dict[str, float],
+    bins: int = 128,
+    ndigits: int = 2,
+) -> DataFrame:
+    """Fixed-memory quantile estimates from an equi-width histogram:
+    one row per group with a rounded estimate column per requested
+    quantile (estimate = upper edge of the first bin whose cumulative
+    count reaches p·n; error ≤ (max−min)/bins by construction).
+
+    This is the mergeable-sketch answer to percentiles at scale: exact
+    ``percentile_disc`` must materialize each group's sorted values
+    (q53's exact columns — fine when groups fit an executor), while the
+    histogram is two combinable aggregate passes (min/max/count, then
+    bin counts) with ``bins`` longs of state per group — mergeable
+    cell-wise like the CMS, so it drops into shard rollups and
+    streaming state where a sort cannot. The classic equi-width variant
+    of the quantile-sketch family (t-digest/GK/KLL are the
+    variable-width refinements; this one is chosen for value-level
+    cross-engine verifiability: integer bin counts + one fixed
+    float expression per estimate, identical operation order in Spark
+    and DuckDB).
+
+    Plan: groups-sized stats relation broadcast back onto the rows
+    (second pass computes each row's bin), combinable (group, bin)
+    count, per-group cumulative window over ≤ ``bins`` rows, then one
+    conditional-min aggregate per quantile. Nothing wider than the
+    histogram ever shuffles after the bin count."""
+    v = F.col(val_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = F.col("vmax") - F.col("vmin")
+    bin_ = F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(bins - 1).cast("long"),
+            F.floor((v - F.col("vmin")) / span * F.lit(bins)),
+        )
+    )
+    hist = (
+        df.join(F.broadcast(stats), group_cols)
+        .select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("bc"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("bc").over(w))
+    edge = F.col("vmin") + (F.col("bin") + 1) * (
+        F.col("vmax") - F.col("vmin")
+    ) / F.lit(float(bins))
+    return (
+        cum.join(F.broadcast(stats), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                F.round(
+                    F.min(F.when(F.col("cum") >= F.lit(p) * F.col("n"), edge)),
+                    ndigits,
+                ).alias(name)
+                for name, p in quantiles.items()
+            ]
+        )
+    )
+
+
+def hist_quantile_sql(
+    table: str,
+    group_col: str,
+    val_expr: str,
+    quantiles: dict[str, float],
+    bins: int = 128,
+    ndigits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`hist_quantile` — identical bin arithmetic
+    and estimate expression (same operation order, so the doubles match
+    bit-for-bit)."""
+    est_cols = ",\n           ".join(
+        f"round(min(CASE WHEN cum >= {p!r} * n THEN"
+        f" vmin + (bin + 1) * (vmax - vmin) / {float(bins)!r} END),"
+        f" {ndigits}) AS {name}"
+        for name, p in quantiles.items()
+    )
+    return f"""
+    WITH hq_stats AS (
+        SELECT {group_col} AS g,
+               min(CAST({val_expr} AS DOUBLE)) AS vmin,
+               max(CAST({val_expr} AS DOUBLE)) AS vmax,
+               count(*) AS n
+        FROM {table} GROUP BY {group_col}
+    ),
+    hq_hist AS (
+        SELECT g, bin, count(*) AS bc FROM (
+            SELECT s.g,
+                   CASE WHEN s.vmax = s.vmin THEN CAST(0 AS BIGINT)
+                        ELSE least(CAST({bins - 1} AS BIGINT),
+                                   CAST(floor((CAST({val_expr} AS DOUBLE) - s.vmin)
+                                              / (s.vmax - s.vmin) * {bins})
+                                        AS BIGINT))
+                   END AS bin
+            FROM {table} t JOIN hq_stats s ON t.{group_col} = s.g
+        ) GROUP BY g, bin
+    ),
+    hq_cum AS (
+        SELECT g, bin, sum(bc) OVER (
+            PARTITION BY g ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hq_hist
+    )
+    SELECT c.g AS {group_col}, {est_cols}
+    FROM hq_cum c JOIN hq_stats s ON c.g = s.g
+    GROUP BY c.g
+    """
+
+
 def bloom_sql(
     member_expr: str,
     member_from: str,

@@ -125,6 +125,47 @@ def mix_keep_sql(
     return f"({h} < CASE {group_expr} {whens} ELSE {default_t} END)"
 
 
+def pps_keep(
+    weight_col: str,
+    key: str,
+    full_weight: int,
+    buckets: int = 1_000_000,
+) -> Column:
+    """Boolean keep-flag implementing deterministic PPS (probability-
+    proportional-to-size) Bernoulli sampling: row ``i`` is kept with
+    probability ``min(1, weight_i / full_weight)`` — the size-biased
+    sampling step of corpus curation (sample long/high-quality docs
+    preferentially; Poisson-PPS survey sampling, Hansen-Hurwitz 1943
+    estimator family).
+
+    INTEGER-exact membership: keep iff
+    ``(hash64(key) % buckets) * full_weight < weight * buckets`` —
+    every quantity is a long, no float ratio ever materializes, so the
+    decision is bit-identical across engines/reruns and append-stable
+    (the same reasons as :func:`mix_keep`, which this generalizes from
+    per-GROUP constant fractions to a per-ROW weight). Per-row, no
+    shuffle. Weights must be non-negative; weight >= full_weight keeps
+    the row always. Unbiased totals re-weight kept rows by
+    ``max(1, full_weight/weight)`` (Horvitz-Thompson), which stays
+    exact in the same integer space.
+    """
+    if full_weight <= 0:
+        raise ValueError(f"full_weight must be positive, got {full_weight}")
+    h = hash64(F.col(key).cast("string")) % buckets
+    return (h * F.lit(full_weight)) < (F.col(weight_col) * F.lit(buckets))
+
+
+def pps_keep_sql(
+    weight_expr: str,
+    key_expr: str,
+    full_weight: int,
+    buckets: int = 1_000_000,
+) -> str:
+    """DuckDB SQL text twin of :func:`pps_keep`."""
+    h = f"({hash64_sql(f'CAST({key_expr} AS VARCHAR)')} % {buckets})"
+    return f"({h} * {full_weight} < ({weight_expr}) * {buckets})"
+
+
 def corpus_mix(
     df: DataFrame,
     group_col: str,

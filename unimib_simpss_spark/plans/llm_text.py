@@ -236,14 +236,16 @@ _MIX_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIX_DEFAULT = 0.75
 _SOURCE_CAP_QUOTA = 10
 _MIX_ALPHA = 0.3
+_PPS_FULL_CHARS = 500  # docs at/over this length are always kept
 
 
 def _corpus_mix_oracle() -> str:
-    from unimib_simpss_spark.operators.sampling import mix_keep_sql
+    from unimib_simpss_spark.operators.sampling import mix_keep_sql, pps_keep_sql
 
     keep = mix_keep_sql(
         "source", "doc_id", _MIX_FRACS, default_fraction=_MIX_DEFAULT
     )
+    pps = pps_keep_sql("n_chars", "doc_id", _PPS_FULL_CHARS)
     return f"""
     WITH m AS (
         SELECT source, {keep} AS keep, {_ws} AS ws FROM documents
@@ -290,6 +292,19 @@ def _corpus_mix_oracle() -> str:
            CAST(NULL AS BIGINT) AS rk
     FROM documents
     GROUP BY source
+    UNION ALL
+    SELECT 'pps' AS section,
+           source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {pps} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN {pps} THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           round(sum(CASE WHEN {pps} THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4)
+               AS achieved_frac,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS rk
+    FROM documents
+    GROUP BY source
     """
 
 
@@ -314,9 +329,16 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       down-weight head sources, up-weight tail sources relative to raw
       share). One combinable per-source count over a scan pruned to
       the source column alone, plus a broadcast 1-row normalizer.
+    - 'pps' — probability-proportional-to-size Bernoulli sampling
+      (operators/sampling.py pps_keep): each doc kept with probability
+      min(1, n_chars/500) — the size-biased per-ROW generalization of
+      the per-group 'mix' fractions, with INTEGER-exact hash
+      membership. For this leg kept_tokens carries the kept CHAR mass
+      (the PPS weight), and the leg's scan reads only (doc_id, source,
+      n_chars) — never the text column.
     """
     from unimib_simpss_spark.operators.curation import source_cap
-    from unimib_simpss_spark.operators.sampling import mix_keep
+    from unimib_simpss_spark.operators.sampling import mix_keep, pps_keep
 
     docs = load_table(spark, sf_dir, "documents")
     keep = mix_keep("source", "doc_id", _MIX_FRACS, default_fraction=_MIX_DEFAULT)
@@ -368,7 +390,32 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(None).cast("long").alias("rk"),
     )
-    return mix.unionAll(cap).unionAll(alpha)
+    pk = pps_keep("n_chars", "doc_id", _PPS_FULL_CHARS)
+    pps = (
+        docs.select("source", pk.alias("keep"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep"), F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+            F.round(
+                F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 4
+            ).alias("achieved_frac"),
+        )
+        .select(
+            F.lit("pps").alias("section"),
+            "source",
+            "n_docs",
+            "n_kept",
+            "kept_tokens",
+            "achieved_frac",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("long").alias("rk"),
+        )
+    )
+    return mix.unionAll(cap).unionAll(alpha).unionAll(pps)
 
 
 _PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence

@@ -1039,32 +1039,54 @@ def q52_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single-pass partial-aggregatable moments; exact percentiles need a
 # per-group sort but stay distributed (one shuffle on the group key).
 # --------------------------------------------------------------------------
-@query(
-    "q53_stat_profile",
-    oracle="""
+_Q53_QUANTILES = {"p50_hist": 0.5, "p90_hist": 0.9}
+
+
+def _q53_oracle() -> str:
+    from unimib_simpss_spark.functions.sketches import hist_quantile_sql
+
+    hq = hist_quantile_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", _Q53_QUANTILES
+    )
+    return f"""
     -- + 0 on the signed moments normalizes DuckDB's -0.0 (round of a
     -- tiny negative corr/covar) to +0.0 to match Spark's BigDecimal round
-    SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 4)                 AS sd_qty,
-           round(var_samp(l_quantity), 4)                    AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 4) + 0   AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2) + 0
-                                                             AS covar_qty_price,
-           round(quantile_disc(l_extendedprice, 0.5), 2)     AS median_price,
-           round(quantile_disc(l_extendedprice, 0.9), 2)     AS p90_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
+    WITH base AS (
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+               round(var_samp(l_quantity), 4)                    AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4) + 0   AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) + 0
+                                                                 AS covar_qty_price,
+               round(quantile_disc(l_extendedprice, 0.5), 2)     AS median_price,
+               round(quantile_disc(l_extendedprice, 0.9), 2)     AS p90_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    ),
+    hq AS ({hq})
+    SELECT base.*, hq.p50_hist, hq.p90_hist
+    FROM base JOIN hq USING (l_returnflag)
+    """
+
+
+@query("q53_stat_profile", oracle=_q53_oracle())
 def q53_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-moment aggregates (stddev/var/corr/covar) + exact
     percentiles, grouped. All moments are map-side combinable.
     Percentiles are DISCRETE (percentile_disc = SQL-standard smallest
     value with cum. distribution >= p): both engines then return an
     actual data element, dodging the last-ulp interpolation arithmetic
-    that makes quantile_cont round differently across engines."""
+    that makes quantile_cont round differently across engines.
+
+    p50_hist/p90_hist put the fixed-memory histogram-quantile sketch
+    (functions/sketches.py: hist_quantile) on the same rows as the
+    exact percentiles — the mergeable estimate the 100 TB path uses
+    where per-group sorts don't fit, with its error visible against
+    the exact column it approximates. Value-level oracle-checked."""
+    from unimib_simpss_spark.functions.sketches import hist_quantile
+
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    base = l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
@@ -1078,6 +1100,8 @@ def q53_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 2
         ).alias("p90_price"),
     )
+    hq = hist_quantile(l, ["l_returnflag"], "l_extendedprice", _Q53_QUANTILES)
+    return base.join(hq, "l_returnflag")
 
 
 # --------------------------------------------------------------------------
