@@ -228,3 +228,41 @@ def test_bm25_plan_shape_no_corpus_reshuffle(spark, sf_dir):
     # top-k is rank-limited before the final window, not a full sort
     assert "WindowGroupLimit" in plan
     spark.catalog.clearCache()  # materialize=False left tf to us
+
+
+def test_q30_pps_leg_scan_prunes_text(spark, sf_dir):
+    """The 'pps' (and 'alpha') legs must read only the columns they
+    use — at least one of q30's parquet scans omits the text column
+    entirely while carrying n_chars (the PPS weight)."""
+    df = registry.queries()["q30_corpus_mix"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    assert any("n_chars" in s and "text" not in s for s in schemas), schemas
+
+
+def test_hist_quantile_plan_broadcasts_stats(spark, sf_dir):
+    """hist_quantile's two stats joins are broadcasts of the
+    groups-sized relation (never a shuffle join against the rows), the
+    bin count keeps its map-side partial, and no sort-merge join
+    appears anywhere."""
+    from unimib_simpss_spark.functions.sketches import hist_quantile
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = hist_quantile(
+        l, ["l_returnflag"], "l_extendedprice", {"p50": 0.5, "p90": 0.9}
+    )
+    df.collect()  # resolve AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q66_cms_grid_reuses_count_exchange(spark, sf_dir):
+    """The CMS grid is built FROM the vocabulary count relation: the
+    count shuffle must be computed once and re-served (ReusedExchange),
+    not re-aggregated from a second corpus scan."""
+    df = registry.queries()["q66_vocab_coverage"](spark, sf_dir)
+    df.collect()  # resolve AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:1500]

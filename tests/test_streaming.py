@@ -575,3 +575,53 @@ def test_streaming_learned_quality_gate_foreachbatch(spark, tmp_path):
     q.awaitTermination(120)
     accepted = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
     assert accepted == {100}
+
+
+def test_streaming_bloom_gate_flags_reoccurrences(spark, tmp_path):
+    """The Bloom bitset lives in applyInPandasWithState state: a
+    fingerprint seen in batch 0 must flag possible_dup=1 when it
+    reappears in batch 1 (state carried), re-occurrences WITHIN a batch
+    flag too (probe-then-insert), and first occurrences of distinct
+    fingerprints pass (no collisions at this tiny fill)."""
+    from unimib_simpss_spark.streaming.stateful import streaming_bloom_gate
+
+    src = tmp_path / "bloom_in"
+    src.mkdir()
+    _write_log(
+        src,
+        "b0.json",
+        [
+            {"src": "a", "fp": "d1"},
+            {"src": "a", "fp": "d2"},
+            {"src": "a", "fp": "d2"},   # within-batch dup
+            {"src": "b", "fp": "d1"},   # other key: separate bitset
+        ],
+    )
+    _write_log(
+        src,
+        "b1.json",
+        [
+            {"src": "a", "fp": "d1"},   # cross-batch dup
+            {"src": "a", "fp": "d3"},   # novel
+        ],
+    )
+    stream = spark.readStream.schema("src STRING, fp STRING").json(str(src))
+    out = streaming_bloom_gate(stream, "src", "fp")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("update")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM bloom_stream").collect()
+    verdicts = [(r.group_key, r.doc_key, r.possible_dup) for r in rows]
+    assert verdicts.count(("a", "d2", 1)) == 1   # within-batch re-occurrence
+    assert verdicts.count(("a", "d2", 0)) == 1   # its first occurrence passed
+    assert ("a", "d1", 1) in verdicts            # cross-batch re-occurrence
+    assert ("a", "d3", 0) in verdicts            # novel doc passes
+    assert ("b", "d1", 0) in verdicts            # per-key isolation
+    n_seen = {r.group_key: r.n_seen for r in rows}
+    assert n_seen["a"] == 5 and n_seen["b"] == 1

@@ -212,3 +212,103 @@ def streaming_token_cms(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------ streaming Bloom gate
+BLOOM_BITS = 8192
+BLOOM_HASHES = 4
+_BLOOM_WORDS = BLOOM_BITS // 64
+
+_BLOOM_STATE_SCHEMA = StructType(
+    [StructField("words", ArrayType(LongType())), StructField("n_seen", LongType())]
+)
+
+_BLOOM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("doc_key", StringType()),
+        StructField("possible_dup", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _bloom_pos(value: str, j: int) -> int:
+    """Deterministic bit position for (value, hash row j) — md5-salted
+    like the batch twin (stable across workers/restarts, unlike
+    PYTHONHASHSEED-dependent hash())."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{value}".encode()).digest()
+    return int.from_bytes(h[:8], "big") % BLOOM_BITS
+
+
+def _bloom_track(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Probe-then-insert each document fingerprint against this key's
+    Bloom bitset held in Spark-managed state: emit possible_dup=1 when
+    every bit was ALREADY set (seen before, modulo the one-sided FP
+    rate), 0 when definitely new, then set the bits. State is a packed
+    ``BLOOM_BITS``-bit array — FIXED memory however many documents the
+    key ever sees, versus dropDuplicates state that grows per key."""
+    if state.exists:
+        words, n_seen = state.get
+        words = list(words)
+    else:
+        words, n_seen = [0] * _BLOOM_WORDS, 0
+    out_doc: list[str] = []
+    out_dup: list[int] = []
+    for pdf in batches:
+        for doc in pdf["doc_key"]:
+            doc = str(doc)
+            pos = [_bloom_pos(doc, j) for j in range(BLOOM_HASHES)]
+            hit = all(words[p >> 6] & (1 << (p & 63)) for p in pos)
+            for p in pos:
+                words[p >> 6] |= 1 << (p & 63)
+            n_seen += 1
+            out_doc.append(doc)
+            out_dup.append(int(hit))
+    state.update((words, n_seen))
+    (group_key,) = key
+    yield pd.DataFrame(
+        {
+            "group_key": [group_key] * len(out_doc),
+            "doc_key": out_doc,
+            "possible_dup": out_dup,
+            "n_seen": [n_seen] * len(out_doc),
+        }
+    )
+
+
+def streaming_bloom_gate(
+    stream: DataFrame, group_col: str, doc_col: str
+) -> DataFrame:
+    """Streaming ingest-dedup pre-gate: per-group Bloom bitset carried
+    across micro-batches in ``applyInPandasWithState``; every incoming
+    document fingerprint is probed BEFORE insertion, so re-occurrences
+    are always flagged (no false negatives — within a batch too) and
+    novel docs pass with at most the one-sided FP rate.
+
+    The streaming twin of q61's batch 'bloom' leg
+    (``functions/sketches.py: bloom_bits/bloom_probe``): same
+    fixed-memory contract — ``BLOOM_BITS`` bits per key forever, where
+    exact streaming dedup state grows with the distinct-key count. At
+    100 TB ingest the gate drops definite-new docs straight through and
+    only possible-dups pay the expensive batch-side near-dup join.
+    """
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(doc_col).cast("string").alias("doc_key"),
+    )
+    return src.groupBy("group_key").applyInPandasWithState(
+        _bloom_track,
+        outputStructType=_BLOOM_OUTPUT_SCHEMA,
+        stateStructType=_BLOOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
