@@ -242,10 +242,13 @@ def test_hist_quantile_error_bound_and_invariance(spark, sf_dir):
 
 
 def test_hist_quantile_degenerate_group(spark):
-    """A constant-valued group has zero span: every row lands in bin 0
-    and every quantile estimate equals the constant."""
+    """A constant-valued group has zero span (every row lands in bin 0,
+    every estimate equals the constant), and NULL values are dropped
+    before binning instead of poisoning the window order."""
     df = spark.createDataFrame(
-        [("a", 7.0)] * 10 + [("b", float(i)) for i in range(100)],
+        [("a", 7.0)] * 10
+        + [("a", None)] * 3
+        + [("b", float(i)) for i in range(100)],
         "g string, v double",
     )
     out = {

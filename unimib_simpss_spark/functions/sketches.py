@@ -450,8 +450,14 @@ def hist_quantile(
     (second pass computes each row's bin), combinable (group, bin)
     count, per-group cumulative window over ≤ ``bins`` rows, then one
     conditional-min aggregate per quantile. Nothing wider than the
-    histogram ever shuffles after the bin count."""
+    histogram ever shuffles after the bin count.
+
+    NULL values are dropped up front (both engines): a NULL would bin
+    to a NULL row whose window position differs across engines (Spark
+    sorts nulls first, DuckDB last) — and a quantile of the non-null
+    population is what the exact percentile computes anyway."""
     v = F.col(val_col).cast("double")
+    df = df.where(v.isNotNull())
     stats = df.groupBy(*group_cols).agg(
         F.min(v).alias("vmin"),
         F.max(v).alias("vmax"),
@@ -514,23 +520,24 @@ def hist_quantile_sql(
         for name, p in quantiles.items()
     )
     return f"""
-    WITH hq_stats AS (
-        SELECT {group_col} AS g,
-               min(CAST({val_expr} AS DOUBLE)) AS vmin,
-               max(CAST({val_expr} AS DOUBLE)) AS vmax,
-               count(*) AS n
-        FROM {table} GROUP BY {group_col}
+    WITH hq_src AS (
+        SELECT {group_col} AS g, CAST({val_expr} AS DOUBLE) AS v
+        FROM {table} WHERE {val_expr} IS NOT NULL
+    ),
+    hq_stats AS (
+        SELECT g, min(v) AS vmin, max(v) AS vmax, count(*) AS n
+        FROM hq_src GROUP BY g
     ),
     hq_hist AS (
         SELECT g, bin, count(*) AS bc FROM (
             SELECT s.g,
                    CASE WHEN s.vmax = s.vmin THEN CAST(0 AS BIGINT)
                         ELSE least(CAST({bins - 1} AS BIGINT),
-                                   CAST(floor((CAST({val_expr} AS DOUBLE) - s.vmin)
+                                   CAST(floor((t.v - s.vmin)
                                               / (s.vmax - s.vmin) * {bins})
                                         AS BIGINT))
                    END AS bin
-            FROM {table} t JOIN hq_stats s ON t.{group_col} = s.g
+            FROM hq_src t JOIN hq_stats s ON t.g = s.g
         ) GROUP BY g, bin
     ),
     hq_cum AS (
