@@ -349,3 +349,28 @@ def test_bpe_greedy_merge_and_tiebreak(spark):
     assert [
         (r.step, r.left, r.right, r.merged, r.pair_count) for r in out
     ] == _ref_bpe(wc, n_merges=2)
+
+
+def test_bpe_batched_survives_symbol_aliasing(spark):
+    """Symbols are strings: over a binary alphabet, different merges
+    birth IDENTICAL strings ('ab'+'a' and 'a'+'ba' both make 'aba') and
+    merge concats collide with symbols older rounds already created —
+    the aliasing that voids the created-pair bound. Batched selection
+    must still equal the sequential reference exactly."""
+    words = [
+        "ab", "ba", "aba", "bab", "abab", "baba", "aabb", "bbaa",
+        "abba", "baab", "aaab", "bbba", "abaa", "babb",
+    ]
+    text = " ".join(w for i, w in enumerate(words) for _ in range(17 - i))
+    docs = spark.createDataFrame([(text,)], ["text"])
+    wc = {w: 17 - i for i, w in enumerate(words)}
+    for n in (6, 12):
+        expect = _ref_bpe(wc, n_merges=n)
+        for batch in (3, 5):
+            got = [
+                (r.step, r.left, r.right, r.merged, r.pair_count)
+                for r in C.bpe_merges(docs, n_merges=n, batch=batch)
+                .orderBy("step")
+                .collect()
+            ]
+            assert got == expect, (n, batch)

@@ -625,3 +625,61 @@ def test_streaming_bloom_gate_flags_reoccurrences(spark, tmp_path):
     assert ("b", "d1", 0) in verdicts            # per-key isolation
     n_seen = {r.group_key: r.n_seen for r in rows}
     assert n_seen["a"] == 5 and n_seen["b"] == 1
+
+
+def test_streaming_bloom_positions_match_batch_twin_and_pack_safely(
+    spark, tmp_path
+):
+    """The streaming gate must address the SAME bit positions as the
+    batch bloom (so batch-built bit relations can seed streaming state
+    and vice versa), and the packed bitset must accept the highest bit
+    offset its words can carry (a 64-bit packing would overflow the
+    signed LongType state array at offset 63 — the regression this
+    pins)."""
+    from unimib_simpss_spark.functions import sketches as SK
+    from unimib_simpss_spark.streaming import stateful as ST
+
+    assert ST.BLOOM_BITS == SK.BLOOM_M and ST.BLOOM_HASHES == SK.BLOOM_K
+    vals = [f"v{i}" for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    rows = df.select(
+        "v",
+        *[
+            SK.portable_cell(F.col("v"), j, SK.BLOOM_M).alias(f"p{j}")
+            for j in range(SK.BLOOM_K)
+        ],
+    ).collect()
+    for r in rows:
+        for j in range(SK.BLOOM_K):
+            assert ST._bloom_pos(r.v, j) == r[f"p{j}"], (r.v, j)
+    # find a fingerprint landing on the top in-word bit offset and push
+    # it through the live gate twice — state.update must survive and
+    # the re-occurrence must flag
+    top = ST._BLOOM_WORD_BITS - 1
+    probe = next(
+        v
+        for i in range(100_000)
+        for v in (f"x{i}",)
+        if any(ST._bloom_pos(v, j) % ST._BLOOM_WORD_BITS == top
+               for j in range(ST.BLOOM_HASHES))
+    )
+    src = tmp_path / "bloom_top"
+    src.mkdir()
+    _write_log(src, "b0.json", [{"src": "a", "fp": probe}])
+    _write_log(src, "b1.json", [{"src": "a", "fp": probe}])
+    stream = spark.readStream.schema("src STRING, fp STRING").json(str(src))
+    out = ST.streaming_bloom_gate(stream, "src", "fp")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_top_stream")
+        .outputMode("update")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    verdicts = sorted(
+        r.possible_dup
+        for r in spark.sql("SELECT * FROM bloom_top_stream").collect()
+    )
+    assert verdicts == [0, 1]

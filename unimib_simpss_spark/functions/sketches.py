@@ -133,10 +133,7 @@ def cms_estimate(
 # rows — no distinct shuffle, fixed memory per group. Standard error
 # ~1.04/sqrt(2^p) (~4.6% at p=9).
 
-HLL_P = 9
-_HLL_REST_BITS = 60 - HLL_P                 # md5 hash60 is 60 bits
-_HLL_MASK = (1 << _HLL_REST_BITS) - 1
-_HLL_SCALE = 1 << 52                        # rank ∈ [1, 52]
+HLL_P = 9  # default precision; all geometry derives from the p in use
 
 
 def _hll_alpha(m: int) -> float:
@@ -145,19 +142,24 @@ def _hll_alpha(m: int) -> float:
 
 def hll_registers(df: DataFrame, group_cols: list, col, p: int = HLL_P) -> DataFrame:
     """(group..., b, M): max-rank register relation — the mergeable
-    sketch state (union + re-max merges shards)."""
+    sketch state (union + re-max merges shards). All register geometry
+    (mask width, max rank) derives from ``p`` — any precision works,
+    not just the default."""
     from unimib_simpss_spark.functions.hashing import hash64
 
+    rest_bits = 60 - p
+    mask = (1 << rest_bits) - 1
+    rmax = rest_bits + 1
     c = F.col(col) if isinstance(col, str) else col
     h = hash64(c.cast("string"))
-    rest = h.bitwiseAND(F.lit(_HLL_MASK))
-    rank = F.when(rest == 0, F.lit(52)).otherwise(
-        F.lit(52) - F.length(F.bin(rest))
+    rest = h.bitwiseAND(F.lit(mask))
+    rank = F.when(rest == 0, F.lit(rmax)).otherwise(
+        F.lit(rmax) - F.length(F.bin(rest))
     )
     return (
         df.select(
             *group_cols,
-            F.shiftright(h, 60 - p).alias("b"),
+            F.shiftright(h, rest_bits).alias("b"),
             rank.alias("r"),
         )
         .groupBy(*group_cols, "b")
@@ -175,14 +177,16 @@ def hll_distinct(
     """(group..., hll_est): deterministic HLL cardinality estimate with
     the standard small-range (linear-counting) correction."""
     m = 1 << p
+    rmax = 60 - p + 1
+    scale = 1 << rmax
     regs = hll_registers(df, group_cols, col, p)
     gs = regs.groupBy(*group_cols).agg(
-        F.sum(F.expr("CAST(pow(2.0, 52 - M) AS BIGINT)")).alias("s_present"),
+        F.sum(F.expr(f"CAST(pow(2.0, {rmax} - M) AS BIGINT)")).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
     zeros = F.lit(m) - F.col("n_present")
-    inv = (F.col("s_present") + zeros * F.lit(_HLL_SCALE)).cast("double") / F.lit(
-        float(_HLL_SCALE)
+    inv = (F.col("s_present") + zeros * F.lit(scale)).cast("double") / F.lit(
+        float(scale)
     )
     e_raw = F.lit(_hll_alpha(m) * m * m) / inv
     est = F.when(
@@ -206,22 +210,24 @@ def hll_distinct_sql(
     m = 1 << p
     rest_bits = 60 - p
     mask = (1 << rest_bits) - 1
+    rmax = rest_bits + 1
+    scale = 1 << rmax
     hsql = hash64_sql(f"CAST({col_expr} AS VARCHAR)")
     e_raw = (
         f"({_hll_alpha(m) * m * m!r} / "
-        f"(CAST(s_present + ({m} - n_present) * {_HLL_SCALE} AS DOUBLE)"
-        f" / {float(_HLL_SCALE)!r}))"
+        f"(CAST(s_present + ({m} - n_present) * {scale} AS DOUBLE)"
+        f" / {float(scale)!r}))"
     )
     return f"""
     WITH hll_h AS (
         SELECT {group_col} AS g, {hsql} AS h FROM {table}
     ), hll_reg AS (
         SELECT g, h // {1 << rest_bits} AS b,
-               max(CASE WHEN (h & {mask}) = 0 THEN 52
-                        ELSE 52 - length(bin(h & {mask})) END) AS M
+               max(CASE WHEN (h & {mask}) = 0 THEN {rmax}
+                        ELSE {rmax} - length(bin(h & {mask})) END) AS M
         FROM hll_h GROUP BY g, b
     ), hll_g AS (
-        SELECT g, sum(CAST(pow(2.0, 52 - M) AS BIGINT)) AS s_present,
+        SELECT g, sum(CAST(pow(2.0, {rmax} - M) AS BIGINT)) AS s_present,
                count(*) AS n_present
         FROM hll_reg GROUP BY g
     )
@@ -397,27 +403,20 @@ def bloom_probe(
     hit_col: str = "bloom_hit",
 ) -> DataFrame:
     """Membership test: ``probes`` + a ``hit_col`` long (1 = possibly
-    present — all k bits set; 0 = definitely absent). One broadcast
-    join against the ≤m-row bit relation, then a per-probe-row count;
-    the probe relation's other columns ride through untouched."""
+    present — all k bits set; 0 = definitely absent). k broadcast
+    left joins against the (deduplicated, ≤m-row) bit relation, hit =
+    every probe bit matched. Row-preserving: duplicate probe rows each
+    get their own verdict (no groupBy collapses the batch — a replayed
+    record must still count once per occurrence downstream)."""
     c = F.col(col) if isinstance(col, str) else col
-    with_pos = probes.withColumn(
-        "_pos",
-        F.explode(F.array(*[portable_cell(c, j, m) for j in range(k)])),
-    )
-    marked = (
-        with_pos.join(
-            F.broadcast(bits.withColumn("_set", F.lit(1))),
-            with_pos["_pos"] == bits["pos"],
-            "left",
-        )
-        .drop("pos", "_pos")
-        .groupBy(*probes.columns)
-        .agg(
-            (F.count("_set") == F.lit(k)).cast("long").alias(hit_col)
-        )
-    )
-    return marked
+    uniq = bits.select("pos").distinct()
+    out = probes
+    hit = F.lit(True)
+    for j in range(k):
+        bj = F.broadcast(uniq.select(F.col("pos").alias(f"_p{j}")))
+        out = out.join(bj, portable_cell(c, j, m) == F.col(f"_p{j}"), "left")
+        hit = hit & F.col(f"_p{j}").isNotNull()
+    return out.select(*probes.columns, hit.cast("long").alias(hit_col))
 
 
 def hist_quantile(

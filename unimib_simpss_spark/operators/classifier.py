@@ -103,17 +103,20 @@ def logistic_train(
     feats⋈resid join, so its group averages the per-doc log loss with
     no second job over the residuals (and no resid persist at all).
 
-    Rows whose label expression is NULL are dropped BEFORE counting,
-    so the gradient divisor matches the rows that actually contribute
-    to the aggregates (a NULL-heavy label would otherwise silently
-    shrink the effective step and skew the reported loss denominator).
+    Rows whose label expression is NULL are dropped BEFORE the feature
+    mine AND before counting: the tokenize-explode shuffle, the
+    persisted feature relation, and every iteration's join only ever
+    carry rows that contribute to the aggregates (a NULL-heavy label
+    would otherwise pay the mine for dead rows and silently shrink the
+    effective step / skew the loss denominator).
     """
     spark = docs.sparkSession
-    labeled = docs.select(F.col(id_col), label.cast("double").alias("y")).where(
-        F.col("y").isNotNull()
+    train_docs = docs.where(label.cast("double").isNotNull())
+    labeled = train_docs.select(
+        F.col(id_col), label.cast("double").alias("y")
     )
     feats = hashed_features(
-        docs, n_features=n_features, id_col=id_col, text_col=text_col,
+        train_docs, n_features=n_features, id_col=id_col, text_col=text_col,
         portable=portable,
     ).persist()
     n_docs = labeled.count()

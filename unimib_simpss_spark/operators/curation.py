@@ -638,14 +638,21 @@ def bpe_merges(
     bounded by the max current count over those pairs. The round
     therefore takes the top-``batch`` candidates in order and keeps
     the longest prefix in which each pair (i) shares no symbol with an
-    earlier selection (disjoint merges commute and one fold applies
-    them all) and (ii) has count STRICTLY above the accumulated
-    created-pair bound of the earlier selections (so no created pair
-    could have outranked or tied it in the sequential order; old
-    non-selected pairs only lose count, and equal-count old pairs sort
-    earlier and stop the prefix at the conflict). Two extra
-    vocabulary-sized aggregates per round fetch those bounds
-    (≤2·batch rows collected).
+    earlier selection OR its concat (disjoint merges commute and one
+    fold applies them all) and (ii) has count STRICTLY above the
+    accumulated created-pair bound of the earlier selections (so no
+    created pair could have outranked or tied it in the sequential
+    order; old non-selected pairs only lose count, and equal-count old
+    pairs sort earlier and stop the prefix at the conflict). Symbols
+    are STRINGS, so the bound argument additionally requires no
+    aliasing: the prefix stops after any selection whose concat
+    already exists as a vocabulary symbol (old pairs over that symbol
+    would GAIN count, breaking "non-selected pairs only lose"), and
+    before any candidate whose concat an earlier selection already
+    created (two distinct merges birthing the same string double the
+    created mass past the max-based bound). Three extra
+    vocabulary-sized aggregates per round fetch the bounds and the
+    alias set (≤3·batch rows collected).
 
     At 100 TB the corpus pass is one map-side-combinable count; a 10M-
     type vocabulary iterates in seconds per round. Returns a driver-
@@ -723,17 +730,39 @@ def bpe_merges(
                 .agg(F.max("cnt").alias("m"))
                 .collect()
             }
+            # alias set: candidate concats already present as symbols
+            # (merging into such a symbol makes OLD pairs gain count,
+            # invalidating the bound for everything after it)
+            concats = sorted({t.l + t.r for t in top})
+            present = {
+                row.s
+                for row in vocab.select(F.explode("syms").alias("s"))
+                .where(F.col("s").isin(concats))
+                .distinct()
+                .collect()
+            }
             sel = []
             used: set = set()
+            created: set = set()
             bound = 0
             for t in top:
-                # stop (never skip) at the first conflict or non-strict
-                # count — skipping would break sequential equivalence
-                if sel and (t.l in used or t.r in used or t.cnt <= bound):
+                m = t.l + t.r
+                # stop (never skip) at the first conflict, non-strict
+                # count, or concat collision — skipping would break
+                # sequential equivalence
+                if sel and (
+                    t.l in used
+                    or t.r in used
+                    or t.cnt <= bound
+                    or m in created
+                ):
                     break
                 sel.append(t)
-                used.update((t.l, t.r))
+                used.update((t.l, t.r, m))
+                created.add(m)
                 bound = max(bound, rmax.get(t.l, 0), lmax.get(t.r, 0))
+                if m in present:
+                    break  # later bounds are void once aliasing begins
         if take > 1:
             pair_counts.unpersist()
         pairs_lit = []

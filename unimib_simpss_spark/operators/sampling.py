@@ -152,7 +152,11 @@ def pps_keep(
     if full_weight <= 0:
         raise ValueError(f"full_weight must be positive, got {full_weight}")
     h = hash64(F.col(key).cast("string")) % buckets
-    return (h * F.lit(full_weight)) < (F.col(weight_col) * F.lit(buckets))
+    # widen the weight first: an IntegerType weight would otherwise
+    # overflow 32-bit at weight*buckets (silently, with ANSI off) and
+    # flip keep decisions in the certainty region
+    w = F.col(weight_col).cast("long")
+    return (h * F.lit(full_weight)) < (w * F.lit(buckets))
 
 
 def pps_keep_sql(
@@ -163,7 +167,7 @@ def pps_keep_sql(
 ) -> str:
     """DuckDB SQL text twin of :func:`pps_keep`."""
     h = f"({hash64_sql(f'CAST({key_expr} AS VARCHAR)')} % {buckets})"
-    return f"({h} * {full_weight} < ({weight_expr}) * {buckets})"
+    return f"({h} * {full_weight} < CAST({weight_expr} AS BIGINT) * {buckets})"
 
 
 def corpus_mix(

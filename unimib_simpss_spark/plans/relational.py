@@ -1064,8 +1064,10 @@ def _q53_oracle() -> str:
         GROUP BY l_returnflag
     ),
     hq AS ({hq})
+    -- LEFT join: a group whose values are all NULL has no histogram
+    -- row (the sketch drops NULLs) but must keep its exact-stats row
     SELECT base.*, hq.p50_hist, hq.p90_hist
-    FROM base JOIN hq USING (l_returnflag)
+    FROM base LEFT JOIN hq USING (l_returnflag)
     """
 
 
@@ -1101,7 +1103,7 @@ def q53_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_price"),
     )
     hq = hist_quantile(l, ["l_returnflag"], "l_extendedprice", _Q53_QUANTILES)
-    return base.join(hq, "l_returnflag")
+    return base.join(hq, "l_returnflag", "left")
 
 
 # --------------------------------------------------------------------------

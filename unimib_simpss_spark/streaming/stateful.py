@@ -215,9 +215,17 @@ def streaming_token_cms(
 
 
 # ------------------------------------------------ streaming Bloom gate
+# Same m/k and the same md5 bit mapping as the batch twin
+# (functions/sketches.py BLOOM_M/BLOOM_K/portable_cell), so a persisted
+# batch bit relation and this state address IDENTICAL positions — the
+# two forms can seed/merge each other.
 BLOOM_BITS = 8192
 BLOOM_HASHES = 4
-_BLOOM_WORDS = BLOOM_BITS // 64
+# 63 bits per signed long: a fully-set word is 2^63 - 1 == int64 max,
+# so bit 63 is never addressed and state.update never overflows the
+# LongType array (packing 64 bits/word would need 1 << 63, which does).
+_BLOOM_WORD_BITS = 63
+_BLOOM_WORDS = -(-BLOOM_BITS // _BLOOM_WORD_BITS)
 
 _BLOOM_STATE_SCHEMA = StructType(
     [StructField("words", ArrayType(LongType())), StructField("n_seen", LongType())]
@@ -234,13 +242,14 @@ _BLOOM_OUTPUT_SCHEMA = StructType(
 
 
 def _bloom_pos(value: str, j: int) -> int:
-    """Deterministic bit position for (value, hash row j) — md5-salted
-    like the batch twin (stable across workers/restarts, unlike
-    PYTHONHASHSEED-dependent hash())."""
+    """Bit position for (value, hash row j): the EXACT math of the
+    batch twin's ``portable_cell`` — 60-bit int from the first 15 md5
+    hex chars of "j:value", mod BLOOM_BITS. (Stable across
+    workers/restarts, unlike PYTHONHASHSEED-dependent hash().)"""
     import hashlib
 
-    h = hashlib.md5(f"{j}:{value}".encode()).digest()
-    return int.from_bytes(h[:8], "big") % BLOOM_BITS
+    h = hashlib.md5(f"{j}:{value}".encode()).hexdigest()
+    return int(h[:15], 16) % BLOOM_BITS
 
 
 def _bloom_track(
@@ -265,9 +274,10 @@ def _bloom_track(
         for doc in pdf["doc_key"]:
             doc = str(doc)
             pos = [_bloom_pos(doc, j) for j in range(BLOOM_HASHES)]
-            hit = all(words[p >> 6] & (1 << (p & 63)) for p in pos)
-            for p in pos:
-                words[p >> 6] |= 1 << (p & 63)
+            wb = [(p // _BLOOM_WORD_BITS, p % _BLOOM_WORD_BITS) for p in pos]
+            hit = all(words[w] & (1 << b) for w, b in wb)
+            for w, b in wb:
+                words[w] |= 1 << b
             n_seen += 1
             out_doc.append(doc)
             out_dup.append(int(hit))
