@@ -450,13 +450,16 @@ def test_streaming_cms_state_accumulates_across_batches(spark, tmp_path):
         "b1.json",
         [{"src": "a", "tok": t} for t in ["x", "y", "y", "w"]],
     )
-    stream = spark.readStream.schema("src STRING, tok STRING").json(str(src))
+    stream = (
+        spark.readStream.schema("src STRING, tok STRING")
+        .option("maxFilesPerTrigger", 1)  # source option: one file per batch
+        .json(str(src))
+    )
     out = streaming_token_cms(stream, "src", "tok")
     q = (
         out.writeStream.format("memory")
         .queryName("cms_stream")
         .outputMode("update")
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -605,13 +608,16 @@ def test_streaming_bloom_gate_flags_reoccurrences(spark, tmp_path):
             {"src": "a", "fp": "d3"},   # novel
         ],
     )
-    stream = spark.readStream.schema("src STRING, fp STRING").json(str(src))
+    stream = (
+        spark.readStream.schema("src STRING, fp STRING")
+        .option("maxFilesPerTrigger", 1)  # source option: one file per batch
+        .json(str(src))
+    )
     out = streaming_bloom_gate(stream, "src", "fp")
     q = (
         out.writeStream.format("memory")
         .queryName("bloom_stream")
         .outputMode("update")
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -667,13 +673,16 @@ def test_streaming_bloom_positions_match_batch_twin_and_pack_safely(
     src.mkdir()
     _write_log(src, "b0.json", [{"src": "a", "fp": probe}])
     _write_log(src, "b1.json", [{"src": "a", "fp": probe}])
-    stream = spark.readStream.schema("src STRING, fp STRING").json(str(src))
+    stream = (
+        spark.readStream.schema("src STRING, fp STRING")
+        .option("maxFilesPerTrigger", 1)  # source option: one file per batch
+        .json(str(src))
+    )
     out = ST.streaming_bloom_gate(stream, "src", "fp")
     q = (
         out.writeStream.format("memory")
         .queryName("bloom_top_stream")
         .outputMode("update")
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -683,3 +692,55 @@ def test_streaming_bloom_positions_match_batch_twin_and_pack_safely(
         for r in spark.sql("SELECT * FROM bloom_top_stream").collect()
     )
     assert verdicts == [0, 1]
+
+
+def test_streaming_hll_snapshot_equals_batch_estimate(spark, tmp_path):
+    """HLL registers fold by max in Spark-managed state, and the
+    arithmetic is the batch twin's — so the stream's final per-key
+    snapshot must equal functions/sketches.hll_distinct over the same
+    rows BIT FOR BIT, and mid-stream estimates must already include
+    earlier batches (state carried, not reset)."""
+    from unimib_simpss_spark.functions import sketches as SK
+    from unimib_simpss_spark.streaming.stateful import streaming_hll_distinct
+
+    rows0 = [{"src": "a", "uid": f"u{i}"} for i in range(40)] + [
+        {"src": "b", "uid": f"v{i}"} for i in range(5)
+    ]
+    rows1 = [{"src": "a", "uid": f"u{i}"} for i in range(20, 70)]  # 30 new
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    _write_log(src, "b0.json", rows0)
+    _write_log(src, "b1.json", rows1)
+    stream = (
+        spark.readStream.schema("src STRING, uid STRING")
+        .option("maxFilesPerTrigger", 1)  # source option: one file per batch
+        .json(str(src))
+    )
+    out = streaming_hll_distinct(stream, "src", "uid")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hll_stream").collect()
+    final = {}
+    for r in rows:
+        if r.n_seen >= final.get(r.group_key, (0, 0))[0]:
+            final[r.group_key] = (r.n_seen, r.hll_est)
+    assert final["a"][0] == 90 and final["b"][0] == 5
+    # bit-exact parity with the batch sketch over the same rows
+    batch = spark.createDataFrame(
+        [(r["src"], r["uid"]) for r in rows0 + rows1], "src string, uid string"
+    )
+    expect = {
+        r.src: r.hll_est
+        for r in SK.hll_distinct(batch, ["src"], "uid").collect()
+    }
+    assert final["a"][1] == expect["a"]
+    assert final["b"][1] == expect["b"]
+    # the 'a' estimate grew across batches (state carried)
+    a_ests = sorted(r.hll_est for r in rows if r.group_key == "a")
+    assert len(a_ests) == 2 and a_ests[0] < a_ests[1]

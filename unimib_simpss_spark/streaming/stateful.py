@@ -322,3 +322,109 @@ def streaming_bloom_gate(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------------------------------------------- streaming HLL state
+HLL_P = 9  # same default precision as the batch twin
+_HLL_M = 1 << HLL_P
+_HLL_RMAX = 60 - HLL_P + 1
+
+_HLL_STATE_SCHEMA = StructType(
+    [StructField("regs", ArrayType(LongType())), StructField("n_seen", LongType())]
+)
+
+_HLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("hll_est", DoubleType()),
+    ]
+)
+
+
+def _hll_bucket_rank(value: str) -> tuple[int, int]:
+    """(bucket, rank) for a value — the EXACT math of the batch twin
+    (functions/sketches.py hll_registers): 60-bit md5 int, top p bits
+    bucket, rank = leading-zero count of the rest + 1."""
+    import hashlib
+
+    h = int(hashlib.md5(value.encode()).hexdigest()[:15], 16)
+    rest = h & ((1 << (60 - HLL_P)) - 1)
+    rank = _HLL_RMAX if rest == 0 else _HLL_RMAX - rest.bit_length()
+    return h >> (60 - HLL_P), rank
+
+
+def _hll_estimate(regs: list) -> float:
+    """Integer-exact harmonic sum + the standard small-range correction
+    — identical arithmetic to the batch hll_distinct, so a streaming
+    snapshot equals the batch estimate over the same rows."""
+    import math
+
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    scale = 1 << _HLL_RMAX
+    s_present = sum(1 << (_HLL_RMAX - m) for m in regs if m > 0)
+    zeros = sum(1 for m in regs if m == 0)
+    inv = (s_present + zeros * scale) / float(scale)
+    e_raw = alpha * _HLL_M * _HLL_M / inv
+    if e_raw <= 2.5 * _HLL_M and zeros > 0:
+        return float(_HLL_M) * math.log(float(_HLL_M) / zeros)
+    return e_raw
+
+
+def _hll_track(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        regs, n_seen = state.get
+        regs = list(regs)
+    else:
+        regs, n_seen = [0] * _HLL_M, 0
+    for pdf in batches:
+        for v in pdf["value"]:
+            b, r = _hll_bucket_rank(str(v))
+            if r > regs[b]:
+                regs[b] = r
+            n_seen += 1
+    state.update((regs, n_seen))
+    (group_key,) = key
+    yield pd.DataFrame(
+        {
+            "group_key": [group_key],
+            "n_seen": [n_seen],
+            "hll_est": [round(_hll_estimate(regs), 4)],
+        }
+    )
+
+
+def streaming_hll_distinct(
+    stream: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group streaming distinct-count estimate under fixed memory:
+    2^p max-rank registers per key carried across micro-batches in
+    ``applyInPandasWithState``; each batch emits the group's current
+    estimate. Registers fold by MAX, so batch boundaries, restarts, and
+    arrival order are invisible — and because the arithmetic is the
+    batch twin's (functions/sketches.py hll_distinct: same md5 hash,
+    same integer harmonic sum), a snapshot after N batches EQUALS the
+    batch estimate over the same rows, bit for bit.
+
+    The third member of the sketch-state family (count-min = frequency,
+    Bloom = membership, HLL = cardinality): per-key state is 2^p longs
+    forever, where exact streaming countDistinct state grows with the
+    distinct-value count.
+    """
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return src.groupBy("group_key").applyInPandasWithState(
+        _hll_track,
+        outputStructType=_HLL_OUTPUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
