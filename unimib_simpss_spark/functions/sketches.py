@@ -151,6 +151,9 @@ def hll_registers(df: DataFrame, group_cols: list, col, p: int = HLL_P) -> DataF
     mask = (1 << rest_bits) - 1
     rmax = rest_bits + 1
     c = F.col(col) if isinstance(col, str) else col
+    # NULL values carry no identity: drop them rather than let a NULL
+    # hash produce a (NULL, NULL) register row that inflates n_present
+    df = df.where(c.isNotNull())
     h = hash64(c.cast("string"))
     rest = h.bitwiseAND(F.lit(mask))
     rank = F.when(rest == 0, F.lit(rmax)).otherwise(
@@ -213,6 +216,7 @@ def hll_distinct_sql(
     rmax = rest_bits + 1
     scale = 1 << rmax
     hsql = hash64_sql(f"CAST({col_expr} AS VARCHAR)")
+    null_guard = f"WHERE {col_expr} IS NOT NULL"
     e_raw = (
         f"({_hll_alpha(m) * m * m!r} / "
         f"(CAST(s_present + ({m} - n_present) * {scale} AS DOUBLE)"
@@ -220,7 +224,7 @@ def hll_distinct_sql(
     )
     return f"""
     WITH hll_h AS (
-        SELECT {group_col} AS g, {hsql} AS h FROM {table}
+        SELECT {group_col} AS g, {hsql} AS h FROM {table} {null_guard}
     ), hll_reg AS (
         SELECT g, h // {1 << rest_bits} AS b,
                max(CASE WHEN (h & {mask}) = 0 THEN {rmax}
@@ -520,8 +524,13 @@ def hist_quantile_sql(
     )
     return f"""
     WITH hq_src AS (
-        SELECT {group_col} AS g, CAST({val_expr} AS DOUBLE) AS v
-        FROM {table} WHERE {val_expr} IS NOT NULL
+        -- TRY_CAST + filter on the CAST result mirrors Spark's
+        -- non-ANSI cast-to-NULL + isNotNull on the cast: both engines
+        -- drop exactly the rows whose value doesn't cast to a double
+        SELECT g, v FROM (
+            SELECT {group_col} AS g, TRY_CAST({val_expr} AS DOUBLE) AS v
+            FROM {table}
+        ) WHERE v IS NOT NULL
     ),
     hq_stats AS (
         SELECT g, min(v) AS vmin, max(v) AS vmax, count(*) AS n

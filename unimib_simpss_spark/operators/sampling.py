@@ -144,18 +144,23 @@ def pps_keep(
     decision is bit-identical across engines/reruns and append-stable
     (the same reasons as :func:`mix_keep`, which this generalizes from
     per-GROUP constant fractions to a per-ROW weight). Per-row, no
-    shuffle. Weights must be non-negative; weight >= full_weight keeps
-    the row always. Unbiased totals re-weight kept rows by
+    shuffle. Weights must be non-negative; fractional weights are
+    FLOORED before the comparison (identically in both engines — the
+    membership stays integer-only); weight >= full_weight keeps the
+    row always. Unbiased totals re-weight kept rows by
     ``max(1, full_weight/weight)`` (Horvitz-Thompson), which stays
     exact in the same integer space.
     """
     if full_weight <= 0:
         raise ValueError(f"full_weight must be positive, got {full_weight}")
     h = hash64(F.col(key).cast("string")) % buckets
-    # widen the weight first: an IntegerType weight would otherwise
-    # overflow 32-bit at weight*buckets (silently, with ANSI off) and
-    # flip keep decisions in the certainty region
-    w = F.col(weight_col).cast("long")
+    # floor-then-widen the weight: floor makes fractional weights
+    # behave identically in both engines (Spark's bare long cast
+    # truncates where DuckDB's rounds — a parity break), and the long
+    # widening stops an IntegerType weight from overflowing 32-bit at
+    # weight*buckets (silently, with ANSI off) and flipping keep
+    # decisions in the certainty region
+    w = F.floor(F.col(weight_col)).cast("long")
     return (h * F.lit(full_weight)) < (w * F.lit(buckets))
 
 
@@ -165,9 +170,12 @@ def pps_keep_sql(
     full_weight: int,
     buckets: int = 1_000_000,
 ) -> str:
-    """DuckDB SQL text twin of :func:`pps_keep`."""
+    """DuckDB SQL text twin of :func:`pps_keep` (same floor)."""
     h = f"({hash64_sql(f'CAST({key_expr} AS VARCHAR)')} % {buckets})"
-    return f"({h} * {full_weight} < CAST({weight_expr} AS BIGINT) * {buckets})"
+    return (
+        f"({h} * {full_weight} < CAST(floor({weight_expr}) AS BIGINT)"
+        f" * {buckets})"
+    )
 
 
 def corpus_mix(

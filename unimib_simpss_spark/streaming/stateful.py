@@ -218,9 +218,12 @@ def streaming_token_cms(
 # Same m/k and the same md5 bit mapping as the batch twin
 # (functions/sketches.py BLOOM_M/BLOOM_K/portable_cell), so a persisted
 # batch bit relation and this state address IDENTICAL positions — the
-# two forms can seed/merge each other.
-BLOOM_BITS = 8192
-BLOOM_HASHES = 4
+# two forms can seed/merge each other. Imported, not re-declared, so
+# they cannot drift.
+from unimib_simpss_spark.functions.sketches import (  # noqa: E402
+    BLOOM_K as BLOOM_HASHES,
+    BLOOM_M as BLOOM_BITS,
+)
 # 63 bits per signed long: a fully-set word is 2^63 - 1 == int64 max,
 # so bit 63 is never addressed and state.update never overflows the
 # LongType array (packing 64 bits/word would need 1 << 63, which does).
@@ -266,6 +269,14 @@ def _bloom_track(
     if state.exists:
         words, n_seen = state.get
         words = list(words)
+        if len(words) != _BLOOM_WORDS:
+            raise ValueError(
+                f"restored Bloom state has {len(words)} words, expected "
+                f"{_BLOOM_WORDS} (m={BLOOM_BITS}, {_BLOOM_WORD_BITS} "
+                "bits/word) — the bit layout changed across a checkpoint; "
+                "restart with a fresh checkpoint dir (reinterpreting old "
+                "words would silently drop re-occurrence flags)"
+            )
     else:
         words, n_seen = [0] * _BLOOM_WORDS, 0
     out_doc: list[str] = []
@@ -325,7 +336,10 @@ def streaming_bloom_gate(
 
 
 # -------------------------------------------------- streaming HLL state
-HLL_P = 9  # same default precision as the batch twin
+# Import the precision from the batch twin so the two cannot drift —
+# the bit-for-bit parity contract depends on identical geometry.
+from unimib_simpss_spark.functions.sketches import HLL_P  # noqa: E402
+
 _HLL_M = 1 << HLL_P
 _HLL_RMAX = 60 - HLL_P + 1
 
@@ -371,6 +385,19 @@ def _hll_estimate(regs: list) -> float:
     return e_raw
 
 
+def _round_half_up(x: float, ndigits: int) -> float:
+    """Spark's F.round on a double: BigDecimal over the shortest
+    decimal repr, HALF_UP. Python's builtin round() is half-even on the
+    binary value and can disagree at .5 boundaries — this twin keeps
+    the streaming estimate bit-identical to the batch column."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-ndigits)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def _hll_track(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
@@ -379,10 +406,18 @@ def _hll_track(
     if state.exists:
         regs, n_seen = state.get
         regs = list(regs)
+        if len(regs) != _HLL_M:
+            raise ValueError(
+                f"restored HLL state has {len(regs)} registers, expected "
+                f"{_HLL_M} (p={HLL_P}) — precision changed across a "
+                "checkpoint; restart with a fresh checkpoint dir"
+            )
     else:
         regs, n_seen = [0] * _HLL_M, 0
     for pdf in batches:
         for v in pdf["value"]:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue  # NULLs carry no identity — the batch twin drops them
             b, r = _hll_bucket_rank(str(v))
             if r > regs[b]:
                 regs[b] = r
@@ -393,7 +428,7 @@ def _hll_track(
         {
             "group_key": [group_key],
             "n_seen": [n_seen],
-            "hll_est": [round(_hll_estimate(regs), 4)],
+            "hll_est": [_round_half_up(_hll_estimate(regs), 4)],
         }
     )
 
