@@ -430,6 +430,7 @@ def hist_quantile(
     quantiles: dict[str, float],
     bins: int = 128,
     ndigits: int = 2,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-memory quantile estimates from an equi-width histogram:
     one row per group with a rounded estimate column per requested
@@ -458,14 +459,23 @@ def hist_quantile(
     NULL values are dropped up front (both engines): a NULL would bin
     to a NULL row whose window position differs across engines (Spark
     sorts nulls first, DuckDB last) — and a quantile of the non-null
-    population is what the exact percentile computes anyway."""
+    population is what the exact percentile computes anyway.
+
+    ``stats``: optionally supply the per-group ``(group..., vmin,
+    vmax, n)`` relation instead of letting this function aggregate it —
+    when the caller's plan already aggregates the same rows (q53's
+    moments), riding min/max/count on that aggregate saves one full
+    scan (the histogram then costs exactly ONE extra pass: the bin
+    count). The supplied stats MUST describe the non-null double-cast
+    population (``n`` = count of non-null values)."""
     v = F.col(val_col).cast("double")
     df = df.where(v.isNotNull())
-    stats = df.groupBy(*group_cols).agg(
-        F.min(v).alias("vmin"),
-        F.max(v).alias("vmax"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    if stats is None:
+        stats = df.groupBy(*group_cols).agg(
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+            F.count(F.lit(1)).alias("n"),
+        )
     span = F.col("vmax") - F.col("vmin")
     bin_ = F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long")).otherwise(
         F.least(

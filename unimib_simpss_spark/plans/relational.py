@@ -1088,6 +1088,7 @@ def q53_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unimib_simpss_spark.functions.sketches import hist_quantile
 
     l = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
     base = l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
@@ -1101,9 +1102,20 @@ def q53_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 2
         ).alias("p90_price"),
+        # histogram stats ride the SAME aggregate (one scan serves the
+        # moments and the sketch; ReusedExchange feeds both consumers)
+        F.min(price).alias("vmin"),
+        F.max(price).alias("vmax"),
+        F.count("l_extendedprice").alias("n"),
     )
-    hq = hist_quantile(l, ["l_returnflag"], "l_extendedprice", _Q53_QUANTILES)
-    return base.join(hq, "l_returnflag", "left")
+    hq = hist_quantile(
+        l,
+        ["l_returnflag"],
+        "l_extendedprice",
+        _Q53_QUANTILES,
+        stats=base.select("l_returnflag", "vmin", "vmax", "n"),
+    )
+    return base.drop("vmin", "vmax", "n").join(hq, "l_returnflag", "left")
 
 
 # --------------------------------------------------------------------------
