@@ -257,3 +257,43 @@ def test_hist_quantile_degenerate_group(spark):
     }
     assert out["a"] == (7.0, 7.0)
     assert 40.0 <= out["b"][0] <= 60.0 and 85.0 <= out["b"][1] <= 95.0
+
+
+def test_hist_quantile_bins_merge_like_a_sketch(spark, sf_dir):
+    """The histogram's state is (group, bin) integer counts — shard
+    histograms merged by cell-wise addition must equal the whole-data
+    histogram (the same mergeability contract as CMS cells), which is
+    what makes it the shard-rollup/streaming percentile path."""
+    from pyspark.sql import functions as F2
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    v = F.col("l_extendedprice").cast("double")
+    bins = 64
+    stats = l.groupBy("l_returnflag").agg(
+        F.min(v).alias("vmin"), F.max(v).alias("vmax")
+    )
+    bin_ = F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(bins - 1).cast("long"),
+            F.floor((v - F.col("vmin")) / (F.col("vmax") - F.col("vmin")) * bins),
+        )
+    )
+
+    def hist_of(df):
+        return {
+            (r.l_returnflag, r.bin): r.bc
+            for r in df.join(F2.broadcast(stats), "l_returnflag")
+            .select("l_returnflag", bin_.alias("bin"))
+            .groupBy("l_returnflag", "bin")
+            .agg(F.count(F.lit(1)).alias("bc"))
+            .collect()
+        }
+
+    whole = hist_of(l)
+    h1 = hist_of(l.where(F.col("l_orderkey") % 2 == 0))
+    h2 = hist_of(l.where(F.col("l_orderkey") % 2 == 1))
+    merged: dict = {}
+    for h in (h1, h2):
+        for k, c in h.items():
+            merged[k] = merged.get(k, 0) + c
+    assert merged == whole

@@ -255,7 +255,11 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     is_new = F.col("doc_id") % 5 == 0
-    pairs = D.incremental_dedup_pairs(docs, is_new=is_new, threshold=0.8)
+    # materialize=False: the union below is checkpointed ONCE for both
+    # legs — materializing the pairs leg separately would double-write
+    pairs, pairs_cache = D.incremental_dedup_pairs(
+        docs, is_new=is_new, threshold=0.8, materialize=False
+    )
     bits = bloom_bits(
         docs.where(~is_new).select(token_fingerprint("text").alias("fp")), "fp"
     )
@@ -286,7 +290,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = materialize_release(pairs_leg.unionAll(bloom_leg))
-    release_result(pairs)  # the union is checkpointed; the leg handle is spent
+    release_result(pairs_cache)  # union checkpointed; the miner cache is spent
     return out
 
 
