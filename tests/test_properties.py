@@ -294,3 +294,61 @@ def test_bpe_fold_matches_reference_on_random_corpora(spark, words):
     for w in words:
         wc[w] = wc.get(w, 0) + 1
     assert got == _ref_bpe(wc, n_merges=3)
+
+
+@SETTINGS
+@given(
+    weights=st.lists(
+        st.one_of(st.integers(0, 5000), st.floats(0, 5000, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    ),
+    full=st.integers(1, 2000),
+)
+def test_pps_keep_matches_python_model(spark, weights, full):
+    """pps_keep's integer membership equals the driver-side model
+    floor(w)*buckets > (hash%buckets)*full — for integer AND fractional
+    weights (floored identically), including the certainty region
+    (floor(w) >= full always kept) and zero weight (never kept)."""
+    import hashlib
+
+    from unimib_simpss_spark.operators.sampling import pps_keep
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {
+        r.id: r.k
+        for r in df.select("id", pps_keep("w", "id", full).alias("k")).collect()
+    }
+    for i, w in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1_000_000
+        import math
+
+        expect = h * full < math.floor(w) * 1_000_000
+        assert got[i] == expect, (i, w, full, h)
+        if math.floor(w) >= full:
+            assert got[i]
+        if w < 1.0:
+            assert not got[i]
+
+
+@SETTINGS
+@given(strings=texts, j=st.integers(0, 7), width=st.sampled_from([64, 512, 8192]))
+def test_portable_cell_range_and_python_parity(spark, strings, j, width):
+    """portable_cell lands every value in [0, width) and equals the
+    driver-side md5 model — the bridge that lets the streaming state
+    operators and the DuckDB oracles share one hash space."""
+    import hashlib
+
+    from unimib_simpss_spark.functions.sketches import portable_cell
+
+    df = spark.createDataFrame([(s,) for s in strings], ["text"])
+    rows = df.select(
+        "text", portable_cell(F.col("text"), j, width).alias("c")
+    ).collect()
+    for r in rows:
+        assert 0 <= r.c < width
+        h = int(
+            hashlib.md5(f"{j}:{r.text}".encode()).hexdigest()[:15], 16
+        ) % width
+        assert r.c == h, (r.text, j, width)
