@@ -744,3 +744,63 @@ def test_streaming_hll_snapshot_equals_batch_estimate(spark, tmp_path):
     # the 'a' estimate grew across batches (state carried)
     a_ests = sorted(r.hll_est for r in rows if r.group_key == "a")
     assert len(a_ests) == 2 and a_ests[0] < a_ests[1]
+
+
+def test_streaming_bloom_generational_rotation(spark, tmp_path):
+    """rotate_after bounds the FP rate on unbounded streams: anything
+    seen within the last rotate_after inserts is still flagged (it
+    lives in the active or previous generation), while items older than
+    two generations age out and are re-admitted as novel — the
+    sliding dedup horizon under fixed memory."""
+    from unimib_simpss_spark.streaming.stateful import streaming_bloom_gate
+
+    src = tmp_path / "bloom_rot"
+    src.mkdir()
+    # rotate_after equals the batch size, so every batch ends exactly
+    # one rotation regardless of intra-batch arrival order:
+    # after b0: prev = {d0, x1, x2, x3}, active = {}
+    _write_log(
+        src, "b0.json",
+        [{"src": "a", "fp": f} for f in ["d0", "x1", "x2", "x3"]],
+    )
+    # b1: d0 is one generation old -> still flagged; after b1:
+    # prev = {d0, y1, y2, y3} (the x's rotate out of existence)
+    _write_log(
+        src, "b1.json",
+        [{"src": "a", "fp": f} for f in ["d0", "y1", "y2", "y3"]],
+    )
+    # b2: x1 is two generations old -> forgotten, re-admitted as novel;
+    # d0 (re-inserted in b1) is one generation old -> still flagged
+    _write_log(
+        src, "b2.json",
+        [{"src": "a", "fp": "x1"}, {"src": "a", "fp": "d0"}],
+    )
+    # FileStreamSource orders by modification time: same-ms writes tie
+    # and can process out of order — force a strict mtime sequence
+    import os
+
+    for i, name in enumerate(("b0.json", "b1.json", "b2.json")):
+        t = 1_700_000_000 + i
+        os.utime(src / name, (t, t))
+    stream = (
+        spark.readStream.schema("src STRING, fp STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_bloom_gate(stream, "src", "fp", rotate_after=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_rot_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM bloom_rot_stream").collect()
+    by_key: dict = {}
+    for r in sorted(rows, key=lambda r: r.n_seen):
+        by_key.setdefault(r.doc_key, []).append(r.possible_dup)
+    assert by_key["d0"] == [0, 1, 1]   # within-horizon re-occurrences flagged
+    assert by_key["x1"] == [0, 0]      # two generations old: aged out
+    for f in ("x2", "x3", "y1", "y2", "y3"):
+        assert by_key[f] == [0]        # first occurrences pass

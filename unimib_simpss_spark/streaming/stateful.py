@@ -231,7 +231,12 @@ _BLOOM_WORD_BITS = 63
 _BLOOM_WORDS = -(-BLOOM_BITS // _BLOOM_WORD_BITS)
 
 _BLOOM_STATE_SCHEMA = StructType(
-    [StructField("words", ArrayType(LongType())), StructField("n_seen", LongType())]
+    [
+        StructField("words", ArrayType(LongType())),      # active generation
+        StructField("prev", ArrayType(LongType())),       # previous generation
+        StructField("n_active", LongType()),              # inserts into active
+        StructField("n_seen", LongType()),
+    ]
 )
 
 _BLOOM_OUTPUT_SCHEMA = StructType(
@@ -255,59 +260,89 @@ def _bloom_pos(value: str, j: int) -> int:
     return int(h[:15], 16) % BLOOM_BITS
 
 
-def _bloom_track(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Probe-then-insert each document fingerprint against this key's
-    Bloom bitset held in Spark-managed state: emit possible_dup=1 when
-    every bit was ALREADY set (seen before, modulo the one-sided FP
-    rate), 0 when definitely new, then set the bits. State is a packed
-    ``BLOOM_BITS``-bit array — FIXED memory however many documents the
-    key ever sees, versus dropDuplicates state that grows per key."""
-    if state.exists:
-        words, n_seen = state.get
-        words = list(words)
-        if len(words) != _BLOOM_WORDS:
-            raise ValueError(
-                f"restored Bloom state has {len(words)} words, expected "
-                f"{_BLOOM_WORDS} (m={BLOOM_BITS}, {_BLOOM_WORD_BITS} "
-                "bits/word) — the bit layout changed across a checkpoint; "
-                "restart with a fresh checkpoint dir (reinterpreting old "
-                "words would silently drop re-occurrence flags)"
-            )
-    else:
-        words, n_seen = [0] * _BLOOM_WORDS, 0
-    out_doc: list[str] = []
-    out_dup: list[int] = []
-    for pdf in batches:
-        for doc in pdf["doc_key"]:
-            doc = str(doc)
-            pos = [_bloom_pos(doc, j) for j in range(BLOOM_HASHES)]
-            wb = [(p // _BLOOM_WORD_BITS, p % _BLOOM_WORD_BITS) for p in pos]
-            hit = all(words[w] & (1 << b) for w, b in wb)
-            for w, b in wb:
-                words[w] |= 1 << b
-            n_seen += 1
-            out_doc.append(doc)
-            out_dup.append(int(hit))
-    state.update((words, n_seen))
-    (group_key,) = key
-    yield pd.DataFrame(
-        {
-            "group_key": [group_key] * len(out_doc),
-            "doc_key": out_doc,
-            "possible_dup": out_dup,
-            "n_seen": [n_seen] * len(out_doc),
-        }
-    )
+def _make_bloom_track(rotate_after: int | None):
+    """Build the state-fold for :func:`streaming_bloom_gate`.
+
+    Probe-then-insert each document fingerprint against this key's
+    Bloom state: emit possible_dup=1 when every bit was ALREADY set in
+    the active OR previous generation, 0 when definitely new, then set
+    the active bits. State is two packed ``BLOOM_BITS``-bit arrays —
+    FIXED memory however many documents the key ever sees, versus
+    dropDuplicates state that grows per key.
+
+    ``rotate_after``: on an UNBOUNDED stream a single bitset fills up
+    and its FP rate climbs toward 1 — generational rotation bounds it
+    forever: when the active generation has absorbed ``rotate_after``
+    inserts it becomes the previous generation and a fresh active
+    starts. Anything seen within the last ``rotate_after`` inserts is
+    GUARANTEED still flagged (it is in active or previous); items older
+    than two generations may be forgotten and re-admitted — a sliding
+    dedup horizon, the standard production trade for bounded-memory
+    streaming dedup. ``None`` never rotates (exact one-sided gate for
+    bounded streams)."""
+
+    def _bloom_track(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            words, prev, n_active, n_seen = state.get
+            words, prev = list(words), list(prev)
+            if len(words) != _BLOOM_WORDS or len(prev) != _BLOOM_WORDS:
+                raise ValueError(
+                    f"restored Bloom state has {len(words)}/{len(prev)} "
+                    f"words, expected {_BLOOM_WORDS} (m={BLOOM_BITS}, "
+                    f"{_BLOOM_WORD_BITS} bits/word) — the bit layout "
+                    "changed across a checkpoint; restart with a fresh "
+                    "checkpoint dir (reinterpreting old words would "
+                    "silently drop re-occurrence flags)"
+                )
+        else:
+            words, prev = [0] * _BLOOM_WORDS, [0] * _BLOOM_WORDS
+            n_active, n_seen = 0, 0
+        out_doc: list[str] = []
+        out_dup: list[int] = []
+        for pdf in batches:
+            for doc in pdf["doc_key"]:
+                doc = str(doc)
+                pos = [_bloom_pos(doc, j) for j in range(BLOOM_HASHES)]
+                wb = [
+                    (p // _BLOOM_WORD_BITS, p % _BLOOM_WORD_BITS) for p in pos
+                ]
+                hit = all(words[w] & (1 << b) for w, b in wb) or all(
+                    prev[w] & (1 << b) for w, b in wb
+                )
+                for w, b in wb:
+                    words[w] |= 1 << b
+                n_active += 1
+                n_seen += 1
+                out_doc.append(doc)
+                out_dup.append(int(hit))
+                if rotate_after and n_active >= rotate_after:
+                    prev, words = words, [0] * _BLOOM_WORDS
+                    n_active = 0
+        state.update((words, prev, n_active, n_seen))
+        (group_key,) = key
+        yield pd.DataFrame(
+            {
+                "group_key": [group_key] * len(out_doc),
+                "doc_key": out_doc,
+                "possible_dup": out_dup,
+                "n_seen": [n_seen] * len(out_doc),
+            }
+        )
+
+    return _bloom_track
 
 
 def streaming_bloom_gate(
-    stream: DataFrame, group_col: str, doc_col: str
+    stream: DataFrame,
+    group_col: str,
+    doc_col: str,
+    rotate_after: int | None = None,
 ) -> DataFrame:
-    """Streaming ingest-dedup pre-gate: per-group Bloom bitset carried
+    """Streaming ingest-dedup pre-gate: per-group Bloom state carried
     across micro-batches in ``applyInPandasWithState``; every incoming
     document fingerprint is probed BEFORE insertion, so re-occurrences
     are always flagged (no false negatives — within a batch too) and
@@ -315,10 +350,15 @@ def streaming_bloom_gate(
 
     The streaming twin of q61's batch 'bloom' leg
     (``functions/sketches.py: bloom_bits/bloom_probe``): same
-    fixed-memory contract — ``BLOOM_BITS`` bits per key forever, where
-    exact streaming dedup state grows with the distinct-key count. At
-    100 TB ingest the gate drops definite-new docs straight through and
-    only possible-dups pay the expensive batch-side near-dup join.
+    fixed-memory contract — two ``BLOOM_BITS``-bit generations per key
+    forever, where exact streaming dedup state grows with the
+    distinct-key count. ``rotate_after`` bounds the FP rate on
+    UNBOUNDED streams by generational rotation (see
+    :func:`_make_bloom_track`): dedup-within-the-last-``rotate_after``
+    -inserts is guaranteed, older items age out — the sliding-horizon
+    trade every fixed-memory streaming dedup makes. At 100 TB ingest
+    the gate drops definite-new docs straight through and only
+    possible-dups pay the expensive batch-side near-dup join.
     """
     from pyspark.sql import functions as F
 
@@ -327,7 +367,7 @@ def streaming_bloom_gate(
         F.col(doc_col).cast("string").alias("doc_key"),
     )
     return src.groupBy("group_key").applyInPandasWithState(
-        _bloom_track,
+        _make_bloom_track(rotate_after),
         outputStructType=_BLOOM_OUTPUT_SCHEMA,
         stateStructType=_BLOOM_STATE_SCHEMA,
         outputMode="update",
