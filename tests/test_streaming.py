@@ -804,3 +804,56 @@ def test_streaming_bloom_generational_rotation(spark, tmp_path):
     assert by_key["x1"] == [0, 0]      # two generations old: aged out
     for f in ("x2", "x3", "y1", "y2", "y3"):
         assert by_key[f] == [0]        # first occurrences pass
+
+
+def test_streaming_cms_cells_match_batch_grid(spark, tmp_path):
+    """The streaming CMS state and the batch portable grid share one
+    cell space: replaying the same tokens through the stream must leave
+    state cells EQUAL to cms_cells_from_counts over the same tokens —
+    which is what makes batch grids and streaming snapshots mergeable
+    by cell-wise addition across the boundary."""
+    from unimib_simpss_spark.functions import sketches as SK
+    from unimib_simpss_spark.streaming import stateful as ST
+
+    assert ST.CMS_DEPTH == SK.DEFAULT_DEPTH
+    assert ST.CMS_WIDTH == SK.DEFAULT_WIDTH
+    toks = ["alpha", "beta", "beta", "gamma", "gamma", "gamma", "delta"]
+    # fold through the state function directly (no query needed for
+    # cell-level equality)
+    import pandas as pd
+
+    class _FakeState:
+        def __init__(self):
+            self._s = None
+
+        @property
+        def exists(self):
+            return self._s is not None
+
+        @property
+        def get(self):
+            return self._s
+
+        def update(self, v):
+            self._s = v
+
+    st = _FakeState()
+    list(ST._cms_track(("g",), iter([pd.DataFrame({"token": toks})]), st))
+    cells, total = st.get
+    assert total == len(toks)
+    counts = (
+        spark.createDataFrame([(t,) for t in toks], ["token"])
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    batch = {
+        (r.j, r.c): r.cell_cnt
+        for r in SK.cms_cells_from_counts(counts, "token", "cnt").collect()
+    }
+    stream = {
+        (j, c): cells[j * ST.CMS_WIDTH + c]
+        for j in range(ST.CMS_DEPTH)
+        for c in range(ST.CMS_WIDTH)
+        if cells[j * ST.CMS_WIDTH + c]
+    }
+    assert stream == batch

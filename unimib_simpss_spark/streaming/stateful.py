@@ -116,8 +116,15 @@ def sensor_health(
 
 
 # -------------------------------------------------- streaming CMS state
-CMS_DEPTH = 4
-CMS_WIDTH = 256
+# Same depth/width and the same md5 cell mapping as the batch portable
+# grid (functions/sketches.py DEFAULT_DEPTH/DEFAULT_WIDTH/portable_cell)
+# — imported, not re-declared — so a streaming state snapshot and a
+# batch cms_cells_from_counts grid address IDENTICAL cells and merge by
+# cell-wise addition across the batch/stream boundary.
+from unimib_simpss_spark.functions.sketches import (  # noqa: E402
+    DEFAULT_DEPTH as CMS_DEPTH,
+    DEFAULT_WIDTH as CMS_WIDTH,
+)
 
 _CMS_STATE_SCHEMA = StructType(
     [StructField("cells", ArrayType(LongType())), StructField("total", LongType())]
@@ -134,13 +141,14 @@ _CMS_OUTPUT_SCHEMA = StructType(
 
 
 def _cms_probe(token: str, j: int) -> int:
-    """Deterministic cell for (token, row j) — engine-portable enough
-    for state (md5 is stable across workers/restarts, unlike PYTHONHASHSEED-
-    dependent hash())."""
+    """Cell for (token, hash row j): the EXACT math of the batch twin's
+    ``portable_cell`` — 60-bit int from the first 15 md5 hex chars of
+    "j:token", mod width. (md5 is stable across workers/restarts,
+    unlike PYTHONHASHSEED-dependent hash().)"""
     import hashlib
 
-    h = hashlib.md5(f"{j}:{token}".encode()).digest()
-    return int.from_bytes(h[:8], "big") % CMS_WIDTH
+    h = hashlib.md5(f"{j}:{token}".encode()).hexdigest()
+    return int(h[:15], 16) % CMS_WIDTH
 
 
 def _cms_track(
@@ -160,6 +168,12 @@ def _cms_track(
     if state.exists:
         cells, total = state.get
         cells = list(cells)
+        if len(cells) != CMS_DEPTH * CMS_WIDTH:
+            raise ValueError(
+                f"restored CMS state has {len(cells)} cells, expected "
+                f"{CMS_DEPTH * CMS_WIDTH} — the grid geometry changed "
+                "across a checkpoint; restart with a fresh checkpoint dir"
+            )
     else:
         cells, total = [0] * (CMS_DEPTH * CMS_WIDTH), 0
     seen: set[str] = set()
