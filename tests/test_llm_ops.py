@@ -847,3 +847,27 @@ def test_pps_keep_integer_exact_and_proportional(spark, sf_dir):
         .collect()
     }
     assert {r.doc_id: r.k for r in rows} == again
+
+
+def test_weighted_sample_size_bias_determinism(spark, sf_dir):
+    """Efraimidis-Spirakis fixed-size sampling: exact size, no
+    replacement, hash-deterministic under repartitioning, and heavier
+    rows are strongly over-represented (100x weight ratio between two
+    equal-count strata must dominate the sample)."""
+    from unimib_simpss_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample(df, 50, "w", "id").collect()
+    ids = [r.id for r in out]
+    assert len(ids) == 50 and len(set(ids)) == 50          # exact, no dup
+    heavy = sum(1 for i in ids if i < 100)
+    assert heavy >= 40, heavy                              # weight bias
+    again = [r.id for r in weighted_sample(df.repartition(13), 50, "w", "id").collect()]
+    assert sorted(ids) == sorted(again)                    # pure hash fn
+    # degenerate inputs: zero/NULL weights never sampled; n > eligible
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 2.0)], "id long, w double"
+    )
+    picked = [r.id for r in weighted_sample(df2, 10, "w", "id").collect()]
+    assert picked == [3]

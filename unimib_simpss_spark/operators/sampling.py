@@ -178,6 +178,48 @@ def pps_keep_sql(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key: str,
+    buckets: int = 1 << 60,
+) -> DataFrame:
+    """Deterministic fixed-SIZE weighted sampling without replacement
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"): keep the ``n`` rows with the largest
+    ``ln(u_i) / w_i``, where ``u_i ∈ (0, 1]`` derives from the row's
+    hash — each row's inclusion probability is proportional to its
+    weight among competitors, and the draw is a pure function of
+    ``hash(key)`` (rerun/append-stable, like every sampler here).
+
+    The fixed-size complement of :func:`pps_keep` (which is Bernoulli:
+    expected size only). Rows with NULL or non-positive weight are
+    excluded. Plan: one narrow projection + global top-``n`` via
+    ``TakeOrderedAndProject`` (per-partition heaps, no full sort) —
+    ``n`` bounds the result by contract, the caller's sample size.
+
+    No DuckDB oracle by design: the selector crosses ``ln`` (libm,
+    not guaranteed identically rounded across engines), so this one is
+    verified by property tests (size, determinism, weight bias,
+    no-replacement) rather than a value-level hash compare — the same
+    policy as the iterative/approximate x-queries.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    h = hash64(F.col(key).cast("string"))
+    u = (h % F.lit(buckets) + F.lit(1)).cast("double") / F.lit(float(buckets))
+    w = F.col(weight_col).cast("double")
+    es_key = F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("_es", es_key)
+        .orderBy(F.desc("_es"), F.col(key))
+        .limit(n)
+        .drop("_es")
+    )
+
+
 def corpus_mix(
     df: DataFrame,
     group_col: str,
