@@ -865,9 +865,13 @@ def test_weighted_sample_size_bias_determinism(spark, sf_dir):
     assert heavy >= 40, heavy                              # weight bias
     again = [r.id for r in weighted_sample(df.repartition(13), 50, "w", "id").collect()]
     assert sorted(ids) == sorted(again)                    # pure hash fn
-    # degenerate inputs: zero/NULL weights never sampled; n > eligible
+    # degenerate inputs: zero/NULL/NaN weights never sampled (Spark
+    # orders NaN above every number, so an unguarded NaN > 0 passes the
+    # filter AND sorts first — the sample-hijack regression this pins);
+    # n > eligible returns just the eligible rows
     df2 = spark.createDataFrame(
-        [(1, 0.0), (2, None), (3, 2.0)], "id long, w double"
+        [(1, 0.0), (2, None), (3, 2.0), (4, float("nan"))],
+        "id long, w double",
     )
     picked = [r.id for r in weighted_sample(df2, 10, "w", "id").collect()]
     assert picked == [3]

@@ -211,8 +211,11 @@ def weighted_sample(
     u = (h % F.lit(buckets) + F.lit(1)).cast("double") / F.lit(float(buckets))
     w = F.col(weight_col).cast("double")
     es_key = F.log(u) / w
+    # NaN must be excluded explicitly: Spark orders NaN ABOVE every
+    # number, so `NaN > 0` is true and a NaN ES-key would sort first
+    # and hijack the whole sample
     return (
-        df.where(w.isNotNull() & (w > 0))
+        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("_es", es_key)
         .orderBy(F.desc("_es"), F.col(key))
         .limit(n)

@@ -295,15 +295,31 @@ def _make_bloom_track(rotate_after: int | None):
     streaming dedup. ``None`` never rotates (exact one-sided gate for
     bounded streams)."""
 
+    if rotate_after is not None and rotate_after <= 0:
+        raise ValueError(
+            f"rotate_after must be positive or None, got {rotate_after}"
+        )
+
     def _bloom_track(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            words, prev, n_active, n_seen = state.get
+            try:
+                words, prev, n_active, n_seen = state.get
+            except (ValueError, TypeError) as exc:
+                raise ValueError(
+                    "restored Bloom state does not match the current "
+                    "4-field (words, prev, n_active, n_seen) schema — "
+                    "checkpointed under an older layout; restart with a "
+                    "fresh checkpoint dir"
+                ) from exc
             words, prev = list(words), list(prev)
-            if len(words) != _BLOOM_WORDS or len(prev) != _BLOOM_WORDS:
+            # prev is [] until the first rotation (kept empty so the
+            # non-rotating default never serializes or probes a
+            # permanently-zero second generation)
+            if len(words) != _BLOOM_WORDS or len(prev) not in (0, _BLOOM_WORDS):
                 raise ValueError(
                     f"restored Bloom state has {len(words)}/{len(prev)} "
                     f"words, expected {_BLOOM_WORDS} (m={BLOOM_BITS}, "
@@ -313,7 +329,7 @@ def _make_bloom_track(rotate_after: int | None):
                     "silently drop re-occurrence flags)"
                 )
         else:
-            words, prev = [0] * _BLOOM_WORDS, [0] * _BLOOM_WORDS
+            words, prev = [0] * _BLOOM_WORDS, []
             n_active, n_seen = 0, 0
         out_doc: list[str] = []
         out_dup: list[int] = []
@@ -324,8 +340,9 @@ def _make_bloom_track(rotate_after: int | None):
                 wb = [
                     (p // _BLOOM_WORD_BITS, p % _BLOOM_WORD_BITS) for p in pos
                 ]
-                hit = all(words[w] & (1 << b) for w, b in wb) or all(
-                    prev[w] & (1 << b) for w, b in wb
+                hit = all(words[w] & (1 << b) for w, b in wb) or (
+                    bool(prev)
+                    and all(prev[w] & (1 << b) for w, b in wb)
                 )
                 for w, b in wb:
                     words[w] |= 1 << b
@@ -358,9 +375,12 @@ def streaming_bloom_gate(
 ) -> DataFrame:
     """Streaming ingest-dedup pre-gate: per-group Bloom state carried
     across micro-batches in ``applyInPandasWithState``; every incoming
-    document fingerprint is probed BEFORE insertion, so re-occurrences
-    are always flagged (no false negatives — within a batch too) and
-    novel docs pass with at most the one-sided FP rate.
+    document fingerprint is probed BEFORE insertion, and novel docs
+    pass with at most the one-sided FP rate. Without rotation
+    (``rotate_after=None``) re-occurrences are ALWAYS flagged (no
+    false negatives — within a batch too); with rotation the guarantee
+    holds for re-occurrences within the last ``rotate_after`` inserts,
+    and OLDER duplicates deliberately age out (see below).
 
     The streaming twin of q61's batch 'bloom' leg
     (``functions/sketches.py: bloom_bits/bloom_probe``): same
