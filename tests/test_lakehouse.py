@@ -111,3 +111,25 @@ def test_write_sharded_even_and_deterministic(spark, sf_dir, tmp_path):
         ids1 = {r.doc_id for r in spark.read.parquet(d1).collect()}
         ids2 = {r.doc_id for r in spark.read.parquet(d2).collect()}
         assert ids1 == ids2
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, tmp_path):
+    """ANALYZE TABLE populates table and column statistics the
+    cost-based optimizer reads (row count table-level; NDV/min/max
+    column-level, visible via DESCRIBE EXTENDED)."""
+    from unimib_simpss_spark.sources.lakehouse import analyze_table
+
+    df = spark.range(1000).withColumn("k", F.pmod(F.col("id"), F.lit(10)))
+    df.write.mode("overwrite").saveAsTable("t_analyze")
+    try:
+        analyze_table(spark, "t_analyze", columns=("id", "k"))
+        det = spark.sql("DESCRIBE TABLE EXTENDED t_analyze").collect()
+        stats = next(
+            r.data_type for r in det if r.col_name == "Statistics"
+        )
+        assert "1000 rows" in stats, stats
+        col = spark.sql("DESCRIBE EXTENDED t_analyze k").collect()
+        info = {r.info_name: r.info_value for r in col}
+        assert info.get("distinct_count") == "10", info
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_analyze")

@@ -297,3 +297,43 @@ def test_hist_quantile_bins_merge_like_a_sketch(spark, sf_dir):
         for k, c in h.items():
             merged[k] = merged.get(k, 0) + c
     assert merged == whole
+
+
+def test_hll_intersection_estimate(spark, sf_dir):
+    """Register set algebra: |A ∩ B| by inclusion-exclusion over the
+    max-merged union sketch lands within the compounded error band of
+    the exact overlap, and needs no second pass over the data."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a_rows = e.where(F.col("event_type") == "click")
+    b_rows = e.where(F.col("event_type") == "purchase")
+    a = SK.hll_registers(a_rows.withColumn("g", F.lit("x")), ["g"], "user_id")
+    b = SK.hll_registers(b_rows.withColumn("g", F.lit("x")), ["g"], "user_id")
+    est = SK.hll_intersect_est(a, b, ["g"]).collect()[0].hll_intersect_est
+    exact = (
+        a_rows.select("user_id")
+        .intersect(b_rows.select("user_id"))
+        .count()
+    )
+    # three ±1.04/sqrt(m) estimates compound; allow 3×3 standard errors
+    tol = 9 * 1.04 / (1 << SK.HLL_P) ** 0.5 * max(
+        a_rows.select("user_id").distinct().count(),
+        b_rows.select("user_id").distinct().count(),
+    )
+    assert abs(est - exact) <= max(tol, 5), (est, exact, tol)
+    assert est >= 0.0
+
+
+def test_hll_estimate_from_registers_matches_direct(spark, sf_dir):
+    """The split-out register estimator is THE estimator: composing
+    hll_registers + hll_distinct_from_registers equals hll_distinct."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = {
+        r.event_type: r.hll_est
+        for r in SK.hll_distinct(e, ["event_type"], "user_id").collect()
+    }
+    regs = SK.hll_registers(e, ["event_type"], "user_id")
+    split = {
+        r.event_type: r.hll_est
+        for r in SK.hll_distinct_from_registers(regs, ["event_type"]).collect()
+    }
+    assert direct == split

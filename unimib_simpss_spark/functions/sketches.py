@@ -179,24 +179,8 @@ def hll_distinct(
 ) -> DataFrame:
     """(group..., hll_est): deterministic HLL cardinality estimate with
     the standard small-range (linear-counting) correction."""
-    m = 1 << p
-    rmax = 60 - p + 1
-    scale = 1 << rmax
     regs = hll_registers(df, group_cols, col, p)
-    gs = regs.groupBy(*group_cols).agg(
-        F.sum(F.expr(f"CAST(pow(2.0, {rmax} - M) AS BIGINT)")).alias("s_present"),
-        F.count(F.lit(1)).alias("n_present"),
-    )
-    zeros = F.lit(m) - F.col("n_present")
-    inv = (F.col("s_present") + zeros * F.lit(scale)).cast("double") / F.lit(
-        float(scale)
-    )
-    e_raw = F.lit(_hll_alpha(m) * m * m) / inv
-    est = F.when(
-        (e_raw <= 2.5 * m) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(e_raw)
-    return gs.select(*group_cols, F.round(est, ndigits).alias("hll_est"))
+    return hll_distinct_from_registers(regs, group_cols, p, ndigits)
 
 
 def hll_distinct_sql(
@@ -592,3 +576,77 @@ def bloom_sql(
         f" WHERE p.pos IN ({member_bits})) = {k}"
         f" THEN 1 ELSE 0 END)"
     )
+
+
+def hll_intersect_est(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list,
+    p: int = HLL_P,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Distinct-overlap estimate between two register relations
+    (:func:`hll_registers` outputs) by inclusion-exclusion:
+    ``|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)``, where the union sketch
+    is the max-merge of the registers (the HLL merge identity — no
+    second data pass, only register algebra).
+
+    The cross-shard/source overlap question ("how many users appear in
+    BOTH event streams?") answered from already-built sketch state:
+    at 100 TB the register relations are the persisted per-shard
+    artifact, and this costs three register-sized aggregates. Error
+    compounds over the three estimates (inclusion-exclusion is the
+    weak spot of HLL algebra — a small intersection under two large
+    sets can even go negative; clamped at 0), which the accuracy test
+    bounds."""
+    est_a = hll_distinct_from_registers(a, group_cols, p, ndigits=12).withColumnRenamed(
+        "hll_est", "_ea"
+    )
+    est_b = hll_distinct_from_registers(b, group_cols, p, ndigits=12).withColumnRenamed(
+        "hll_est", "_eb"
+    )
+    union_regs = (
+        a.unionAll(b).groupBy(*group_cols, "b").agg(F.max("M").alias("M"))
+    )
+    est_u = hll_distinct_from_registers(
+        union_regs, group_cols, p, ndigits=12
+    ).withColumnRenamed("hll_est", "_eu")
+    joined = est_a.join(est_b, group_cols).join(est_u, group_cols)
+    return joined.select(
+        *group_cols,
+        F.round(
+            F.greatest(
+                F.col("_ea") + F.col("_eb") - F.col("_eu"), F.lit(0.0)
+            ),
+            ndigits,
+        ).alias("hll_intersect_est"),
+    )
+
+
+def hll_distinct_from_registers(
+    regs: DataFrame,
+    group_cols: list,
+    p: int = HLL_P,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Estimate from an EXISTING register relation (the second half of
+    :func:`hll_distinct`, split out so merged/unioned register state —
+    shard rollups, streaming snapshots, set algebra — can be estimated
+    without re-hashing any data)."""
+    m = 1 << p
+    rmax = 60 - p + 1
+    scale = 1 << rmax
+    gs = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"CAST(pow(2.0, {rmax} - M) AS BIGINT)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    inv = (F.col("s_present") + zeros * F.lit(scale)).cast("double") / F.lit(
+        float(scale)
+    )
+    e_raw = F.lit(_hll_alpha(m) * m * m) / inv
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return gs.select(*group_cols, F.round(est, ndigits).alias("hll_est"))

@@ -96,3 +96,25 @@ def write_sharded(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: tuple[str, ...] = ()
+) -> None:
+    """Collect table- and column-level statistics for Catalyst's
+    cost-based optimizer (``ANALYZE TABLE``): row counts and size feed
+    join-strategy selection; per-column NDV/min/max/null counts feed
+    join REORDERING (``spark.sql.cbo.enabled`` +
+    ``spark.sql.cbo.joinReorder.enabled``).
+
+    The 100 TB practice this packages: AQE fixes plans at runtime from
+    observed shuffle sizes, but it cannot reorder a five-way star join
+    — only CBO's cardinality estimates can, and they only exist if
+    something runs ANALYZE after each load. One stats pass per
+    ingest/compaction cycle is the going rate for sane plans on big
+    managed tables.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
