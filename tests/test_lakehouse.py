@@ -113,12 +113,14 @@ def test_write_sharded_even_and_deterministic(spark, sf_dir, tmp_path):
         assert ids1 == ids2
 
 
-def test_analyze_table_feeds_cbo_statistics(spark, tmp_path):
+def test_analyze_table_feeds_cbo_statistics(warehouse_spark):
     """ANALYZE TABLE populates table and column statistics the
     cost-based optimizer reads (row count table-level; NDV/min/max
     column-level, visible via DESCRIBE EXTENDED)."""
     from unimib_simpss_spark.sources.lakehouse import analyze_table
 
+    spark = warehouse_spark
+    _drop_table_and_location(spark, "t_analyze")
     df = spark.range(1000).withColumn("k", F.pmod(F.col("id"), F.lit(10)))
     df.write.mode("overwrite").saveAsTable("t_analyze")
     try:
@@ -132,4 +134,4 @@ def test_analyze_table_feeds_cbo_statistics(spark, tmp_path):
         info = {r.info_name: r.info_value for r in col}
         assert info.get("distinct_count") == "10", info
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_analyze")
+        _drop_table_and_location(spark, "t_analyze")

@@ -337,3 +337,39 @@ def test_hll_estimate_from_registers_matches_direct(spark, sf_dir):
         for r in SK.hll_distinct_from_registers(regs, ["event_type"]).collect()
     }
     assert direct == split
+
+
+def test_hll_estimator_heals_raw_unions_and_keeps_lone_groups(spark, sf_dir):
+    """The register estimator re-maxes defensively, so a RAW union of
+    shard register relations (duplicate (group, b) rows) estimates
+    identically to the properly max-merged state; and the intersection
+    estimate reports a true 0-overlap row for a group present on only
+    one side instead of dropping it."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = SK.hll_registers(e.where(F.col("event_id") % 2 == 0), ["event_type"], "user_id")
+    b = SK.hll_registers(e.where(F.col("event_id") % 2 == 1), ["event_type"], "user_id")
+    raw = {
+        r.event_type: r.hll_est
+        for r in SK.hll_distinct_from_registers(a.unionAll(b), ["event_type"]).collect()
+    }
+    merged_regs = a.unionAll(b).groupBy("event_type", "b").agg(F.max("M").alias("M"))
+    merged = {
+        r.event_type: r.hll_est
+        for r in SK.hll_distinct_from_registers(merged_regs, ["event_type"]).collect()
+    }
+    assert raw == merged
+    # lone-group semantics: restrict b to one event type; every type in
+    # a must still appear in the intersection output
+    types = sorted(raw)
+    b_one = SK.hll_registers(
+        e.where((F.col("event_id") % 2 == 1) & (F.col("event_type") == types[0])),
+        ["event_type"],
+        "user_id",
+    )
+    inter = {
+        r.event_type: r.hll_intersect_est
+        for r in SK.hll_intersect_est(a, b_one, ["event_type"]).collect()
+    }
+    assert set(inter) == set(types)
+    for t in types[1:]:
+        assert inter[t] == 0.0, (t, inter[t])

@@ -605,18 +605,23 @@ def hll_intersect_est(
     est_b = hll_distinct_from_registers(b, group_cols, p, ndigits=12).withColumnRenamed(
         "hll_est", "_eb"
     )
-    union_regs = (
-        a.unionAll(b).groupBy(*group_cols, "b").agg(F.max("M").alias("M"))
-    )
     est_u = hll_distinct_from_registers(
-        union_regs, group_cols, p, ndigits=12
+        a.unionAll(b), group_cols, p, ndigits=12
     ).withColumnRenamed("hll_est", "_eu")
-    joined = est_a.join(est_b, group_cols).join(est_u, group_cols)
+    # outer from the union estimate (it covers every group either side
+    # has): a group present on one side only is a true 0-overlap row,
+    # not a silently-dropped one
+    joined = est_u.join(est_a, group_cols, "left").join(
+        est_b, group_cols, "left"
+    )
     return joined.select(
         *group_cols,
         F.round(
             F.greatest(
-                F.col("_ea") + F.col("_eb") - F.col("_eu"), F.lit(0.0)
+                F.coalesce(F.col("_ea"), F.lit(0.0))
+                + F.coalesce(F.col("_eb"), F.lit(0.0))
+                - F.col("_eu"),
+                F.lit(0.0),
             ),
             ndigits,
         ).alias("hll_intersect_est"),
@@ -632,10 +637,17 @@ def hll_distinct_from_registers(
     """Estimate from an EXISTING register relation (the second half of
     :func:`hll_distinct`, split out so merged/unioned register state —
     shard rollups, streaming snapshots, set algebra — can be estimated
-    without re-hashing any data)."""
+    without re-hashing any data).
+
+    Re-maxes defensively first: a RAW union of shard register relations
+    has duplicate (group, b) rows, which would double-count buckets in
+    n_present (zeros goes negative, the estimate is garbage) — the
+    max-merge makes any such input correct and is a no-op on
+    already-merged state."""
     m = 1 << p
     rmax = 60 - p + 1
     scale = 1 << rmax
+    regs = regs.groupBy(*group_cols, "b").agg(F.max("M").alias("M"))
     gs = regs.groupBy(*group_cols).agg(
         F.sum(F.expr(f"CAST(pow(2.0, {rmax} - M) AS BIGINT)")).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),

@@ -322,11 +322,13 @@ def _make_bloom_track(rotate_after: int | None):
             if len(words) != _BLOOM_WORDS or len(prev) not in (0, _BLOOM_WORDS):
                 raise ValueError(
                     f"restored Bloom state has {len(words)}/{len(prev)} "
-                    f"words, expected {_BLOOM_WORDS} (m={BLOOM_BITS}, "
-                    f"{_BLOOM_WORD_BITS} bits/word) — the bit layout "
-                    "changed across a checkpoint; restart with a fresh "
-                    "checkpoint dir (reinterpreting old words would "
-                    "silently drop re-occurrence flags)"
+                    f"words, expected {_BLOOM_WORDS} for the active "
+                    f"generation and 0 or {_BLOOM_WORDS} for the "
+                    f"previous (m={BLOOM_BITS}, {_BLOOM_WORD_BITS} "
+                    "bits/word) — the bit layout changed across a "
+                    "checkpoint; restart with a fresh checkpoint dir "
+                    "(reinterpreting old words would silently drop "
+                    "re-occurrence flags)"
                 )
         else:
             words, prev = [0] * _BLOOM_WORDS, []
