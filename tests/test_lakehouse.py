@@ -135,3 +135,21 @@ def test_analyze_table_feeds_cbo_statistics(warehouse_spark):
         assert info.get("distinct_count") == "10", info
     finally:
         _drop_table_and_location(spark, "t_analyze")
+
+
+def test_analyze_table_quotes_reserved_identifiers(warehouse_spark):
+    """ADVICE r8: reserved-word column names (e.g. `order`) must be
+    backtick-quoted in the generated ANALYZE statements."""
+    from unimib_simpss_spark.sources.lakehouse import analyze_table
+
+    spark = warehouse_spark
+    _drop_table_and_location(spark, "t_quoted")
+    df = spark.range(100).withColumn("order", F.pmod(F.col("id"), F.lit(5)))
+    df.write.mode("overwrite").saveAsTable("t_quoted")
+    try:
+        analyze_table(spark, "t_quoted", columns=("order",))
+        col = spark.sql("DESCRIBE EXTENDED t_quoted `order`").collect()
+        info = {r.info_name: r.info_value for r in col}
+        assert info.get("distinct_count") == "5", info
+    finally:
+        _drop_table_and_location(spark, "t_quoted")

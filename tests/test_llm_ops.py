@@ -875,3 +875,22 @@ def test_weighted_sample_size_bias_determinism(spark, sf_dir):
     )
     picked = [r.id for r in weighted_sample(df2, 10, "w", "id").collect()]
     assert picked == [3]
+
+
+def test_pps_keep_overflow_guard_and_clamp(spark):
+    """ADVICE r8: full_weight past (2^63-1)//buckets raises instead of
+    silently wrapping int64; and the weight clamp keeps huge weights in
+    the certainty region exactly (w*buckets no longer overflows)."""
+    import pytest as _pytest
+
+    from unimib_simpss_spark.operators.sampling import pps_keep
+
+    with _pytest.raises(ValueError, match="overflow"):
+        pps_keep("w", "id", (2**63 - 1) // 1_000_000 + 1)
+    # near-bound full_weight + weights far above it: pre-clamp,
+    # w*buckets wrapped negative and certainty rows were dropped
+    full = (2**63 - 1) // 1_000_000
+    rows = [(i, float(full) * 17) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    kept = df.select(pps_keep("w", "id", full).alias("k")).collect()
+    assert all(r.k for r in kept)

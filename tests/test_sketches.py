@@ -373,3 +373,49 @@ def test_hll_estimator_heals_raw_unions_and_keeps_lone_groups(spark, sf_dir):
     assert set(inter) == set(types)
     for t in types[1:]:
         assert inter[t] == 0.0, (t, inter[t])
+
+
+def test_hll_intersect_est_column_order_independent(spark, sf_dir):
+    """ADVICE r8: a register relation whose columns arrive in a
+    different physical order must merge by NAME, not position — the
+    scrambled-b estimate equals the in-order estimate exactly."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = SK.hll_registers(
+        e.where(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
+    )
+    b = SK.hll_registers(
+        e.where(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+    )
+    ordered = {
+        r.event_type: r.hll_intersect_est
+        for r in SK.hll_intersect_est(a, b, ["event_type"]).collect()
+    }
+    scrambled = {
+        r.event_type: r.hll_intersect_est
+        for r in SK.hll_intersect_est(
+            a, b.select("M", "b", "event_type"), ["event_type"]
+        ).collect()
+    }
+    assert ordered == scrambled
+
+
+def test_bloom_bits_drops_null_members(spark):
+    """ADVICE r8: NULL members must not leave a NULL pos row in the bit
+    relation — the build over a column with NULLs equals the build over
+    its non-NULL subset, and probes are unaffected."""
+    rows = [(i, f"fp:{i}" if i % 3 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, fp string")
+    bits = SK.bloom_bits(df, "fp")
+    got = {r.pos for r in bits.collect()}
+    assert None not in got
+    clean = {
+        r.pos
+        for r in SK.bloom_bits(df.where(F.col("fp").isNotNull()), "fp").collect()
+    }
+    assert got == clean
+    hits = {
+        r.id: r.bloom_hit for r in SK.bloom_probe(bits, df, "fp").collect()
+    }
+    for i in range(60):
+        if i % 3:
+            assert hits[i] == 1, i

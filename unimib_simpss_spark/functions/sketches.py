@@ -373,7 +373,10 @@ def bloom_bits(
     DISTINCT positions hash64("j:" || v) % m for j < k. ≤ m rows no
     matter the member count; shards merge by union+distinct."""
     c = F.col(col) if isinstance(col, str) else col
-    src = df.select(c.alias("_v"))
+    # NULL members hash to NULL positions — harmless to probes (NULL
+    # never equi-joins) but a meaningless row polluting merged or
+    # persisted bit relations; drop them, matching hll_registers
+    src = df.select(c.alias("_v")).where(F.col("_v").isNotNull())
     rows = src.select(
         F.explode(
             F.array(*[portable_cell(F.col("_v"), j, m) for j in range(k)])
@@ -605,8 +608,17 @@ def hll_intersect_est(
     est_b = hll_distinct_from_registers(b, group_cols, p, ndigits=12).withColumnRenamed(
         "hll_est", "_eb"
     )
+    # union BY NAME (via an explicit shared projection): the two
+    # register relations may carry the same columns in a different
+    # order (group_cols listed differently at build time), and a
+    # positional unionAll would silently scramble registers into the
+    # wrong buckets — garbage estimates with no error
+    reg_cols = [*group_cols, "b", "M"]
     est_u = hll_distinct_from_registers(
-        a.unionAll(b), group_cols, p, ndigits=12
+        a.select(*reg_cols).unionByName(b.select(*reg_cols)),
+        group_cols,
+        p,
+        ndigits=12,
     ).withColumnRenamed("hll_est", "_eu")
     # outer from the union estimate (it covers every group either side
     # has): a group present on one side only is a true 0-overlap row,

@@ -153,14 +153,30 @@ def pps_keep(
     """
     if full_weight <= 0:
         raise ValueError(f"full_weight must be positive, got {full_weight}")
+    if full_weight > (2**63 - 1) // buckets:
+        # h < buckets, so h*full_weight stays under 2^63 iff
+        # full_weight*buckets does; past that the product wraps int64
+        # (silently, with ANSI off) and keep decisions flip — including
+        # in the certainty region
+        raise ValueError(
+            f"full_weight {full_weight} would overflow int64 at "
+            f"buckets={buckets}; keep full_weight <= "
+            f"{(2**63 - 1) // buckets}"
+        )
     h = hash64(F.col(key).cast("string")) % buckets
     # floor-then-widen the weight: floor makes fractional weights
     # behave identically in both engines (Spark's bare long cast
     # truncates where DuckDB's rounds — a parity break), and the long
     # widening stops an IntegerType weight from overflowing 32-bit at
     # weight*buckets (silently, with ANSI off) and flipping keep
-    # decisions in the certainty region
-    w = F.floor(F.col(weight_col)).cast("long")
+    # decisions in the certainty region. Clamp w to full_weight: any
+    # w >= full_weight already keeps unconditionally (h < buckets ⇒
+    # h*full_weight < buckets*full_weight <= w*buckets), so the clamp
+    # preserves every decision while capping w*buckets at the same
+    # overflow-checked bound as h*full_weight.
+    w = F.least(
+        F.floor(F.col(weight_col)).cast("long"), F.lit(full_weight)
+    )
     return (h * F.lit(full_weight)) < (w * F.lit(buckets))
 
 
@@ -170,10 +186,11 @@ def pps_keep_sql(
     full_weight: int,
     buckets: int = 1_000_000,
 ) -> str:
-    """DuckDB SQL text twin of :func:`pps_keep` (same floor)."""
+    """DuckDB SQL text twin of :func:`pps_keep` (same floor + clamp)."""
     h = f"({hash64_sql(f'CAST({key_expr} AS VARCHAR)')} % {buckets})"
     return (
-        f"({h} * {full_weight} < CAST(floor({weight_expr}) AS BIGINT)"
+        f"({h} * {full_weight} < "
+        f"least(CAST(floor({weight_expr}) AS BIGINT), {full_weight})"
         f" * {buckets})"
     )
 

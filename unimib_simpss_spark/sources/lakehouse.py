@@ -114,7 +114,12 @@ def analyze_table(
     ingest/compaction cycle is the going rate for sane plans on big
     managed tables.
     """
-    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    # backtick-quote each identifier part: reserved words and
+    # dotted/hyphenated names must not break (or reshape) the statement
+    qtable = ".".join(f"`{p}`" for p in table.split("."))
+    spark.sql(f"ANALYZE TABLE {qtable} COMPUTE STATISTICS")
     if columns:
-        cols = ", ".join(columns)
-        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        cols = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(
+            f"ANALYZE TABLE {qtable} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
