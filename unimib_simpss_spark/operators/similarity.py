@@ -33,6 +33,29 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+# Bounded-driver contract for every query-side materialization in this
+# module: the query set is small by construction (a handful of probe
+# vectors), and each function ENFORCES that instead of assuming it —
+# a broad query_pred must fail fast or degrade to a shuffle plan, never
+# OOM an executor (forced broadcast) or the driver (unbounded collect).
+QUERY_SIDE_CAP = 10_000
+
+
+def _bounded_query_collect(df: DataFrame, cap: int) -> list:
+    """Collect the query side under the bounded-driver contract: fetch
+    at most ``cap + 1`` rows and raise if the cap is exceeded, so a
+    too-broad ``query_pred`` is a loud error, not a silent driver OOM.
+    At or under the cap, ``limit`` returns every matching row."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query side exceeds the bounded-driver cap ({cap} rows); "
+            "tighten query_pred or use the distributed paths "
+            "(ivf_topk / cosine_topk with the hint off)"
+        )
+    return rows
+
+
 def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Cast to double and attach the L2 norm (cosine denominators)."""
     v = F.col(vec_col).cast("array<double>")
@@ -45,16 +68,26 @@ def cosine_topk(
     query_pred: Column | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = QUERY_SIDE_CAP,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: broadcast queries × corpus scan.
+    """Exact brute-force cosine top-k: queries × corpus scan.
 
     Output: (query_id, neighbor_id, cosine) with deterministic ordering
     (rounded cosine desc, neighbor id asc). Self-matches excluded.
+
+    The broadcast hint on the query side is SIZE-GATED, not forced:
+    with ``max_query_rows`` set (default), the query side is counted
+    (one cheap limit-bounded job against the pruned scan) and hinted
+    only when it fits — a broad ``query_pred`` degrades to a shuffled
+    cartesian plan instead of OOMing executors past AQE's size check.
+    ``max_query_rows=None`` skips both the count and the hint and lets
+    AQE/Catalyst choose from its own statistics.
     """
     base = with_unit_vectors(emb, vec_col).select(
         F.col(id_col).alias("_id"), "_v", "_norm"
     )
-    queries = base.where(query_pred if query_pred is not None else F.lit(True)).select(
+    pred = query_pred if query_pred is not None else F.lit(True)
+    queries = base.where(pred).select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qn"),
@@ -64,9 +97,21 @@ def cosine_topk(
         F.col("_v").alias("_cv"),
         F.col("_norm").alias("_cn"),
     )
+    qside = queries
+    if max_query_rows is not None:
+        # count off the raw scan (id column only — no norm computation,
+        # filters pushed to parquet), capped by limit so the gate job
+        # never scans more than it must
+        nq = (
+            emb.where(pred)
+            .select(F.col(id_col))
+            .limit(max_query_rows + 1)
+            .count()
+        )
+        if nq <= max_query_rows:
+            qside = F.broadcast(queries)
     scored = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
+        qside.crossJoin(corpus)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -234,21 +279,23 @@ def cosine_topk_pandas(
     query_pred: Column | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = QUERY_SIDE_CAP,
 ) -> DataFrame:
     """Arrow/NumPy variant of brute-force top-k for the bench path.
 
-    Queries are collected to a broadcast numpy matrix (bounded: the
-    query set is small by contract); the corpus streams through
-    mapInPandas, each Arrow batch doing one GEMM against the query
-    matrix. Same output contract as :func:`cosine_topk`.
+    Queries are collected to a broadcast numpy matrix — the collect is
+    ENFORCED under ``max_query_rows`` (:func:`_bounded_query_collect`),
+    not assumed small; the corpus streams through mapInPandas, each
+    Arrow batch doing one GEMM against the query matrix. Same output
+    contract as :func:`cosine_topk`.
     """
     import numpy as np
     import pandas as pd
 
-    qrows = (
+    qrows = _bounded_query_collect(
         emb.where(query_pred if query_pred is not None else F.lit(True))
-        .select(id_col, vec_col)
-        .collect()
+        .select(id_col, vec_col),
+        max_query_rows,
     )
     q_ids = np.array([r[0] for r in qrows])
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -651,6 +698,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks=None,
+    max_query_rows: int = QUERY_SIDE_CAP,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: exact queries scored against the
     compressed corpus, optionally exact-re-ranked.
@@ -696,10 +744,11 @@ def pq_topk(
         else pq_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
     )
     _, _, dsub = books.shape
-    qrows = (
-        emb.where(query_pred)
-        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
+    qrows = _bounded_query_collect(
+        emb.where(query_pred).select(
+            id_col, F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        max_query_rows,
     )
     q_ids = np.array([r[0] for r in qrows])
     q_mat = np.array([r.v for r in qrows], dtype=np.float64)
@@ -804,6 +853,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     materialize: bool = True,
     codebooks=None,
+    max_query_rows: int = QUERY_SIDE_CAP,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """IVF-PQ top-k: the composed production ANN architecture (what a
     FAISS ``IVFx,PQy`` index is) — a learned coarse quantizer prunes
@@ -863,10 +913,11 @@ def ivfpq_topk(
         F.col("vec_id") == F.col("_cid"),
     ).select("vec_id", F.col("_cell").alias("cell"), "codes")
 
-    qrows = (
-        emb.where(query_pred)
-        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .collect()
+    qrows = _bounded_query_collect(
+        emb.where(query_pred).select(
+            id_col, F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        max_query_rows,
     )
     q_ids = np.array([r[0] for r in qrows])
     q_mat = np.array([r.v for r in qrows], dtype=np.float64)
