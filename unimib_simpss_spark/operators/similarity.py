@@ -394,6 +394,44 @@ def cosine_pairs_sql(threshold: float = 0.35) -> str:
 
 
 # ------------------------------------------------------------ index builds
+def _kmeans_partials(base: DataFrame, centroids) -> DataFrame:
+    """One Lloyd iteration's sufficient statistics as a partition-wise
+    partial fold: each Arrow batch assigns its vectors to the nearest
+    broadcast centroid (one GEMM) and folds them to ≤k rows of
+    ``(cell, cnt, s)`` — count and element-wise sum-vector. The job
+    moves O(batches × k × d) numbers instead of the n×d exploded rows a
+    ``posexplode + groupBy(cell, pos)`` update would shuffle every
+    iteration (the same associative-partials shape as PCA's Gram fold
+    below). The caller merges partials driver-side: sum of sums / sum
+    of counts is exactly the per-cell mean."""
+    import numpy as np
+    import pandas as pd
+
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def fold(batches):
+        c = bc.value
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            d2 = (
+                -2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+                + (mat * mat).sum(axis=1)[:, None]
+            )
+            cells = np.argmin(np.round(d2, 9), axis=1)
+            present = np.unique(cells)
+            yield pd.DataFrame(
+                {
+                    "cell": present.astype("int32"),
+                    "cnt": [int((cells == c_).sum()) for c_ in present],
+                    "s": [mat[cells == c_].sum(axis=0) for c_ in present],
+                }
+            )
+
+    return base.mapInPandas(fold, "cell int, cnt long, s array<double>")
+
+
 def kmeans_cells(
     emb: DataFrame,
     k: int = 8,
@@ -406,11 +444,15 @@ def kmeans_cells(
 
     Deterministic throughout: seeds are the k lowest-id vectors, and
     assignment breaks distance ties by centroid index. Per iteration:
-    one mapInPandas pass assigns every vector to its nearest centroid
-    (one GEMM per Arrow batch against the broadcast k×d matrix), one
-    groupBy recomputes means. Only the k×d centroid matrix ever touches
-    the driver — bounded regardless of corpus size, which is what makes
-    this the 100 TB index-build path.
+    ONE mapInPandas pass both assigns vectors (one GEMM per Arrow batch
+    against the broadcast k×d matrix) and folds them to per-cell
+    ``(cnt, sum-vector)`` partials (:func:`_kmeans_partials`) — no
+    posexplode, no shuffle: the collected job output is
+    O(partitions × k × d) numbers, and the driver's sum-of-sums /
+    sum-of-counts merge IS the per-cell mean. Only the k×d centroid
+    matrix (plus those bounded partials) ever touches the driver —
+    bounded regardless of corpus size, which is what makes this the
+    100 TB index-build path.
 
     Returns (vec_id, cell) — the input for :func:`ivf_topk` /
     :func:`cosine_pairs` in place of a precomputed label.
@@ -425,41 +467,19 @@ def kmeans_cells(
     centroids = np.array([r.v for r in seeds], dtype=np.float64)
     sc = emb.sparkSession.sparkContext
 
-    out_schema = "vec_id long, cell int, v array<double>"
-
     for _ in range(iters):
-        bc = sc.broadcast(centroids)
-
-        def assign(batches):
-            c = bc.value
-            for pdf in batches:
-                mat = np.array(list(pdf["v"]), dtype=np.float64)
-                # squared L2 via GEMM: |x-c|^2 = |x|^2 - 2 x·c + |c|^2
-                d2 = (
-                    -2.0 * (mat @ c.T)
-                    + (c * c).sum(axis=1)[None, :]
-                    + (mat * mat).sum(axis=1)[:, None]
-                )
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "cell": np.argmin(np.round(d2, 9), axis=1).astype("int32"),
-                        "v": pdf["v"],
-                    }
-                )
-
-        assigned = base.mapInPandas(assign, out_schema)
-        # element-wise mean per cell, computed distributed; only k×d
-        # aggregated means are collected
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
+        parts = _kmeans_partials(base, centroids).collect()
+        cnt = np.zeros(k, dtype=np.int64)
+        s = np.zeros_like(centroids)
+        # collect order is partition order (deterministic for a
+        # persisted relation), so the float summation order — and with
+        # it the run-to-run bit pattern — is stable
+        for r in parts:
+            cnt[r.cell] += r.cnt
+            s[r.cell] += np.asarray(r.s, dtype=np.float64)
         new_c = centroids.copy()
-        for r in means:
-            new_c[r.cell][r.pos] = r.m
+        nz = cnt > 0
+        new_c[nz] = s[nz] / cnt[nz, None]  # empty cells keep their seed
         if np.allclose(new_c, centroids, atol=1e-12):
             centroids = new_c
             break
