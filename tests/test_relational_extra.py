@@ -12,7 +12,9 @@ from unimib_simpss_spark.plans import registry
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    rows = registry.queries()["x45_approx_distinct"](spark, sf_dir).collect()
+    from unimib_simpss_spark.plans.relational import approx_distinct_builtin
+
+    rows = approx_distinct_builtin(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.1 * r.exact_users), (

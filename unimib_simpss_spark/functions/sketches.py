@@ -114,7 +114,7 @@ def cms_estimate(
 # --------------------------------------------------------------- HLL
 # Portable HyperLogLog (Flajolet et al. 2007): unlike
 # F.approx_count_distinct (whose HLL++ sketch is engine-private, so no
-# value-level oracle can exist — x45's caveat), this one is built from
+# value-level oracle can exist — approx_distinct_builtin's caveat), this one is built from
 # the shared md5 hash space and INTEGER-EXACT register arithmetic, so
 # Spark and DuckDB produce bit-identical estimates:
 #
