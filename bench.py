@@ -66,6 +66,8 @@ HEADLINE = [
     "q64_bigram_lm_score",
     "q66_vocab_coverage",
     "q67_dup_spans",
+    # round 9: BPE encode (codegen'd replace-chain tokenizer)
+    "q68_bpe_encode",
 ]
 
 

@@ -374,3 +374,128 @@ def test_bpe_batched_survives_symbol_aliasing(spark):
                 .collect()
             ]
             assert got == expect, (n, batch)
+
+
+def _ref_bpe_encode(text, table, eow="</w>"):
+    """Pure-Python canonical BPE encode (Sennrich apply_bpe): per word,
+    merge the lowest-rank pair present (greedy left-to-right within a
+    pass) until none remains."""
+    ranks = {(l, r): i for i, (l, r, *_) in enumerate(table)}
+    merged = {(l, r): (m[0] if m else l + r) for l, r, *m in table}
+    out = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w) + [eow]
+        while len(syms) > 1:
+            cand = [
+                (ranks[(syms[i], syms[i + 1])], (syms[i], syms[i + 1]))
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cand:
+                break
+            a, b = min(cand)[1]
+            new, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    new.append(merged[(a, b)])
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        out.extend(syms)
+    return out
+
+
+def test_bpe_encode_canonical_matches_pure_python(spark, sf_dir):
+    """VERDICT r8 #1: the Arrow-batched encoder applies a TRAINED merge
+    table exactly like the canonical per-word min-rank algorithm, doc
+    by doc across the real corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges_df = C.bpe_merges(docs, n_merges=10)
+    table = [
+        (r.left, r.right, r.merged)
+        for r in merges_df.orderBy("step").collect()
+    ]
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in C.bpe_encode(docs, merges_df).select("doc_id", "bpe_tokens").collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r.doc_id] == _ref_bpe_encode(r.text, table), r.doc_id
+
+
+def test_bpe_encode_portable_equals_canonical(spark, sf_dir):
+    """The Column-expression encode (merges in learned order, one
+    greedy replace pass each) equals the canonical min-rank encode on
+    an alias-free trained table — the equivalence the oracle surface
+    (q68) rests on."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = [
+        (r.left, r.right, r.merged)
+        for r in C.bpe_merges(docs, n_merges=10).orderBy("step").collect()
+    ]
+    # alias-freedom: no merge's output equals another merge's operand
+    # that could newly appear, and outputs are unique
+    outs = [m for _, _, m in table]
+    assert len(set(outs)) == len(outs)
+    operands = {l for l, _, _ in table} | {r for _, r, _ in table}
+    assert not (set(outs) & operands) or all(
+        outs.index(m) < min(
+            i for i, (l, r, _) in enumerate(table) if m in (l, r)
+        )
+        for m in (set(outs) & operands)
+    )
+    got = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", C.bpe_encode_expr("text", table).alias("s")
+        ).collect()
+    }
+    canon = {
+        r.doc_id: " ".join(r.bpe_tokens)
+        for r in C.bpe_encode(docs, table).select("doc_id", "bpe_tokens").collect()
+    }
+    assert got == canon
+    cnt = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", C.bpe_token_count_expr("text", table).alias("n")
+        ).collect()
+    }
+    for did, s in canon.items():
+        assert cnt[did] == (len(s.split(" ")) if s else 0), did
+
+
+def test_bpe_encode_edge_cases(spark):
+    """Empty text, repeated spaces, sentinel-char injection, and the
+    self-overlap pair (a,a) all encode identically across the Arrow
+    encoder, the Column expression, and the pure-Python canon."""
+    table = [("a", "a", "aa"), ("aa", "aa", "aaaa"), ("b", "</w>", "b</w>")]
+    rows = [
+        (1, "aaaa aaa b"),
+        (2, ""),
+        (3, "  a  "),
+        (4, "ab\x01\x02ba"),
+        (5, "aaaaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in C.bpe_encode(df, table).collect()
+    }
+    col = {
+        r.doc_id: (r.s.split(" ") if r.s else [])
+        for r in df.select(
+            "doc_id", C.bpe_encode_expr("text", table).alias("s")
+        ).collect()
+    }
+    for did, txt in rows:
+        # the Arrow encoder takes text verbatim (no sentinel machinery);
+        # the Column form strips the two sentinel chars by contract
+        assert arrow[did] == _ref_bpe_encode(txt, table), did
+        clean = txt.replace("\x01", "").replace("\x02", "")
+        expect = _ref_bpe_encode(clean, table)
+        assert col[did] == expect, (did, col[did], expect)

@@ -810,3 +810,224 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
+
+
+# --------------------------------------------------------------- BPE encode
+# The second half of the tokenizer story: :func:`bpe_merges` trains the
+# merge table; these apply it to tokenize the corpus (the pipeline step
+# every training-data run actually executes — reference analog: the
+# per-row transform discipline of data_mapping/data_mapper.py:4-32,
+# done vectorized).
+
+_BPE_S = "\x01"  # symbol-start sentinel (portable encode)
+_BPE_E = "\x02"  # symbol-end sentinel
+
+BPE_TABLE_CAP = 65_536  # driver-side bound for a collected merge table
+
+
+def _merge_table(merges) -> list[tuple[str, str, str]]:
+    """Normalize a merge table to an ordered [(left, right, merged)]
+    list. Accepts the :func:`bpe_merges` DataFrame (ordered by step,
+    collect bounded by BPE_TABLE_CAP — merge tables are vocab-sized by
+    construction, never corpus-sized) or a pre-built list of
+    (left, right[, merged]) tuples in learned order."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("step").limit(BPE_TABLE_CAP + 1).collect()
+        if len(rows) > BPE_TABLE_CAP:
+            raise ValueError(
+                f"merge table exceeds BPE_TABLE_CAP ({BPE_TABLE_CAP})"
+            )
+        return [(r.left, r.right, r.merged) for r in rows]
+    out = []
+    for t in merges:
+        l, r = t[0], t[1]
+        out.append((l, r, t[2] if len(t) > 2 else l + r))
+    return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Canonical BPE encoding (Sennrich et al. 2016 apply_bpe): each
+    word becomes chars + ``eow``, then the LOWEST-RANK pair present is
+    merged greedily left-to-right, repeated until no pair is in the
+    table. Appends ``out_col`` (array<string> — the document's subword
+    tokens, words in order).
+
+    Scale shape: map-only. The ranks dict is a broadcast variable
+    (≤ BPE_TABLE_CAP entries by :func:`_merge_table`'s contract), the
+    corpus streams through ``mapInPandas`` Arrow batches, and a
+    per-task word cache collapses the Zipfian repetition of natural
+    text (each distinct word is encoded once per task, not once per
+    occurrence). No shuffle, no driver traffic beyond the table.
+
+    A data-dependent while-loop per word is exactly the semantics
+    Column expressions can't express (§2.7 UDF policy: Arrow only for
+    vectors/state) — for a FIXED table the single-pass-per-merge
+    :func:`bpe_encode_expr` stays JVM-side and oracle-pairable, and the
+    two agree whenever no merge's output string aliases another
+    merge's operand (alias-free tables; parity-tested).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    table = _merge_table(merges)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(table)}
+    merged_of = {(l, r): m for l, r, m in table}
+    bc = docs.sparkSession.sparkContext.broadcast((ranks, merged_of))
+    out_fields = docs.schema.fieldNames() + [out_col]
+    out_schema = StructType(
+        docs.schema.fields
+        + [StructField(out_col, ArrayType(StringType()), True)]
+    )
+
+    def enc(batches):
+        rk, mo = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w) + [eow]
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    r = rk.get(p)
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, p)
+                if best is None:
+                    break
+                a, b = best[1]
+                m = mo[(a, b)]
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        for pdf in batches:
+            toks = [
+                [t for w in txt.split(" ") if w for t in enc_word(w)]
+                if txt is not None
+                else None
+                for txt in pdf[text_col]
+            ]
+            yield pdf.assign(**{out_col: pd.Series(toks, index=pdf.index)})
+
+    return docs.mapInPandas(enc, out_schema).select(*out_fields)
+
+
+def _bpe_wrapped(col: Column, merges, eow: str) -> Column:
+    """Sentinel-wrapped symbol string with the merge chain applied:
+    every symbol rides as ``\\x01sym\\x02``, so ``replace`` of
+    ``\\x01l\\x02\\x01r\\x02`` → ``\\x01lr\\x02`` is EXACTLY one
+    greedy left-to-right non-overlapping merge pass (both engines'
+    ``replace`` resumes scanning after the substitution — adjacent
+    pairs like "a a a a" merge pairwise, never overlapping). Sentinel
+    chars are stripped from the input first so hostile text cannot
+    forge symbol boundaries."""
+    clean = F.replace(
+        F.replace(col, F.lit(_BPE_S), F.lit("")), F.lit(_BPE_E), F.lit("")
+    )
+    wrap = lambda w: F.concat(  # noqa: E731
+        F.lit(_BPE_S),
+        F.array_join(
+            F.concat(F.split(w, ""), F.array(F.lit(eow))), _BPE_E + _BPE_S
+        ),
+        F.lit(_BPE_E),
+    )
+    s = F.array_join(
+        F.transform(
+            F.filter(F.split(clean, " "), lambda w: w != F.lit("")), wrap
+        ),
+        "",
+    )
+    for l, r, m in _merge_table(merges):
+        s = F.replace(
+            s,
+            F.lit(_BPE_S + l + _BPE_E + _BPE_S + r + _BPE_E),
+            F.lit(_BPE_S + m + _BPE_E),
+        )
+    return s
+
+
+def bpe_encode_expr(col, merges, eow: str = "</w>") -> Column:
+    """Portable single-pass-per-merge BPE encode as a pure Column
+    expression: merges applied IN LEARNED ORDER, one greedy pass each
+    (equal to the canonical min-rank encode for alias-free tables —
+    :func:`bpe_encode`'s docstring). Returns the space-joined subword
+    token string. Entirely JVM-side (codegen'd string replaces), with
+    a DuckDB text twin (:func:`bpe_encode_sql`) — the oracle-pairable
+    tokenizer surface.
+
+    The merge chain is R fixed ``replace`` calls, so this fits DEMO /
+    eval tables (tens of merges — same ceiling note as
+    :func:`bpe_merges`); a production 32k-merge vocabulary goes
+    through :func:`bpe_encode`'s broadcast table instead."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = _bpe_wrapped(c, merges, eow)
+    joined = F.replace(s, F.lit(_BPE_E + _BPE_S), F.lit(" "))
+    n = F.length(joined)
+    return F.when(n >= F.lit(2), F.substring(joined, 2, n - 2)).otherwise(
+        F.lit("")
+    )
+
+
+def bpe_token_count_expr(col, merges, eow: str = "</w>") -> Column:
+    """Subword token count under a learned/fixed merge table — the
+    portable ``len(tokenize(text))`` every packing/budget operator
+    wants, as one Column expression (count of symbol-end sentinels
+    left after the merge chain)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = _bpe_wrapped(c, merges, eow)
+    return (
+        F.length(s) - F.length(F.replace(s, F.lit(_BPE_E), F.lit("")))
+    ).cast("long")
+
+
+def _bpe_wrapped_sql(expr: str, merges, eow: str) -> str:
+    """DuckDB text twin of :func:`_bpe_wrapped` (sentinels via chr())."""
+    S, E = "chr(1)", "chr(2)"
+    clean = f"replace(replace({expr}, {S}, ''), {E}, '')"
+    s = (
+        "array_to_string(list_transform("
+        f"list_filter(string_split({clean}, ' '), w -> w <> ''), "
+        f"w -> {S} || array_to_string("
+        f"list_append(string_split(w, ''), '{eow}'), {E}||{S}) || {E}"
+        "), '')"
+    )
+    for l, r, m in _merge_table(merges):
+        s = (
+            f"replace({s}, {S}||'{l}'||{E}||{S}||'{r}'||{E}, "
+            f"{S}||'{m}'||{E})"
+        )
+    return s
+
+
+def bpe_encode_sql(expr: str, merges, eow: str = "</w>") -> str:
+    """DuckDB text twin of :func:`bpe_encode_expr`."""
+    s = _bpe_wrapped_sql(expr, merges, eow)
+    joined = f"replace({s}, chr(2)||chr(1), ' ')"
+    return (
+        f"(CASE WHEN length({joined}) >= 2 THEN "
+        f"substring({joined}, 2, length({joined}) - 2) ELSE '' END)"
+    )
+
+
+def bpe_token_count_sql(expr: str, merges, eow: str = "</w>") -> str:
+    """DuckDB text twin of :func:`bpe_token_count_expr`."""
+    s = _bpe_wrapped_sql(expr, merges, eow)
+    return f"CAST(length({s}) - length(replace({s}, chr(2), '')) AS BIGINT)"
