@@ -382,7 +382,19 @@ def q68_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the final per-source aggregate, identical at any corpus
     size. The Arrow-batched canonical encoder (bpe_encode) carries
     production-sized tables; this Column form IS the oracle surface."""
+    # repartition BEFORE the replace chain: the corpus often arrives as
+    # few large files (sf0.1 = one), and the per-row string work would
+    # otherwise run on as many tasks as input splits (measured 1 task /
+    # 4.1 s → 32 tasks; the _bound_tokens contract). leg1's pushdown
+    # predicate stays on the un-repartitioned scan.
+    # explicit partition count: with a bare repartition(col) AQE sees a
+    # byte-small shuffle and coalesces back to 1 task, re-serializing
+    # the CPU-bound replace chain; the explicit count pins the fan-out
+    # to the cluster's parallelism (compute-bound, not byte-bound)
     docs = load_table(spark, sf_dir, "documents")
+    spread = docs.select("doc_id", "source", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     enc = C.bpe_encode_expr("text", _BPE_DEMO_MERGES)
     cnt = C.bpe_token_count_expr("text", _BPE_DEMO_MERGES)
     leg1 = docs.where(F.col("doc_id") < 40).select(
@@ -396,7 +408,7 @@ def q68_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_bpe"),
     )
     leg2 = (
-        docs.select("source", cnt.alias("n"))
+        spread.select("source", cnt.alias("n"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
