@@ -31,9 +31,20 @@ Checkpoint modes (:func:`set_checkpoint_mode`):
   storage, e.g. an HDFS/S3 path). Survives executor churn — the right
   mode for a 1000-executor 100 TB run where losing a block mid-job
   would otherwise fail the lineage-free plan.
+- ``"table"``: an explicit CHECKPOINT TABLE — the relation is written
+  to parquet under :func:`set_checkpoint_table_dir`'s path and re-read
+  (PLANS.md's "at 100 TB the persist becomes an explicit checkpoint
+  table", as code). Unlike executor-memory blocks, the table survives
+  executor churn AND session restarts, gets real file statistics +
+  column pruning on the re-read, and its lifecycle is visible storage,
+  not CacheManager state. :func:`materialize_release` /
+  :func:`release_result` delete the backing directory (any Hadoop
+  filesystem) — same deterministic release points as the block modes.
 """
 
 from __future__ import annotations
+
+import itertools
 
 from pyspark.sql import DataFrame
 
@@ -43,7 +54,12 @@ except ImportError:  # pragma: no cover
     Py4JError = RuntimeError  # type: ignore[assignment,misc]
 
 _CHECKPOINT_MODE = "local"
-_VALID_MODES = ("local", "durable")
+_VALID_MODES = ("local", "durable", "table")
+_TABLE_DIR: str | None = None
+_TABLE_SEQ = itertools.count()
+# path attribute stashed on table-backed DataFrames so the release
+# helpers can find the storage to delete
+_TABLE_PATH_ATTR = "_simpss_checkpoint_table_path"
 
 
 def set_checkpoint_mode(mode: str) -> None:
@@ -57,25 +73,82 @@ def set_checkpoint_mode(mode: str) -> None:
     global _CHECKPOINT_MODE
     if mode not in _VALID_MODES:
         raise ValueError(f"checkpoint mode {mode!r} not in {_VALID_MODES}")
+    if mode == "table" and _TABLE_DIR is None:
+        raise ValueError(
+            "set_checkpoint_table_dir(path) must be called before "
+            "selecting the 'table' mode"
+        )
     _CHECKPOINT_MODE = mode
+
+
+def set_checkpoint_table_dir(path: str | None) -> None:
+    """Root directory (any Hadoop-filesystem URI — local path, hdfs://,
+    s3a://) under which ``"table"``-mode checkpoints are written. Each
+    checkpoint gets its own ``ckpt-N`` subdirectory."""
+    global _TABLE_DIR
+    _TABLE_DIR = path
 
 
 def checkpoint_mode() -> str:
     return _CHECKPOINT_MODE
 
 
+def _delete_path(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for
+    whatever scheme the table dir uses, not just the local FS."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def _write_table(df: DataFrame) -> DataFrame:
+    path = f"{_TABLE_DIR}/ckpt-{next(_TABLE_SEQ)}"
+    df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    setattr(out, _TABLE_PATH_ATTR, path)
+    return out
+
+
 def _checkpoint(df: DataFrame) -> DataFrame:
+    if _CHECKPOINT_MODE == "table":
+        return _write_table(df)
     if _CHECKPOINT_MODE == "durable":
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
 
+def cache_intermediate(df: DataFrame) -> DataFrame:
+    """Cache a shared intermediate relation under the current mode:
+    block modes ``persist()`` it (lazy — first action populates), the
+    ``"table"`` mode materializes it as a checkpoint table and returns
+    the re-read (which also acts as the plan barrier the persist was
+    providing). Release through :func:`materialize_release`'s cache
+    list or :func:`release_intermediate` — never raw ``unpersist`` —
+    so the table-backed form is cleaned identically."""
+    if _CHECKPOINT_MODE == "table":
+        return _write_table(df)
+    return df.persist()
+
+
+def release_intermediate(df: DataFrame) -> None:
+    """Free an intermediate from :func:`cache_intermediate` (unpersist
+    or checkpoint-table delete, per how it was created)."""
+    path = getattr(df, _TABLE_PATH_ATTR, None)
+    if path is not None:
+        _delete_path(df.sparkSession, path)
+    else:
+        df.unpersist()
+
+
 def materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
-    """Compute ``result`` now (while ``caches`` back it), then unpersist
-    every cache. Returns the checkpointed, input-independent result."""
+    """Compute ``result`` now (while ``caches`` back it), then release
+    every cache (unpersist, or directory delete for table-backed
+    intermediates). Returns the checkpointed, input-independent
+    result."""
     out = _checkpoint(result)
     for c in caches:
-        c.unpersist()
+        release_intermediate(c)
     return out
 
 
@@ -100,7 +173,15 @@ def release_result(df: DataFrame) -> None:
     and the ContextCleaner remains the GC-driven fallback for those.
     Anything else propagates — a real unpersist failure should be seen,
     not swallowed.
+
+    Table-backed results (``"table"`` mode) release by deleting their
+    backing directory — the same irrecoverability contract, only the
+    storage is files instead of blocks.
     """
+    path = getattr(df, _TABLE_PATH_ATTR, None)
+    if path is not None:
+        _delete_path(df.sparkSession, path)
+        return
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except (Py4JError, AttributeError):

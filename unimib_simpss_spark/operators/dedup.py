@@ -31,7 +31,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from unimib_simpss_spark.functions.hashing import COMBO_BASE, MERSENNE_31
-from unimib_simpss_spark.operators.caching import materialize_release, release_result
+from unimib_simpss_spark.operators.caching import (
+    cache_intermediate,
+    materialize_release,
+    release_intermediate,
+    release_result,
+)
 from unimib_simpss_spark.functions.text import (
     combo_shingle_hashes_sql,
     normalized_text,
@@ -243,9 +248,9 @@ def jaccard_pairs(
     """
     caches: list[DataFrame] = []
     if verify_on == "text":
-        sh = _shingle_docs(docs, text_col, id_col).persist()
+        sh = cache_intermediate(_shingle_docs(docs, text_col, id_col))
         caches.append(sh)
-    hsd = _combo_shingle_docs(docs, text_col, id_col).persist()
+    hsd = cache_intermediate(_combo_shingle_docs(docs, text_col, id_col))
     caches.append(hsd)
     p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
     prefix = hsd.select(
@@ -373,7 +378,7 @@ def minhash_dedup_pairs(
     build, so callers running several miners pass it via ``_hsd`` (they
     own its lifecycle) and the corpus is shingled exactly once."""
     owns = _hsd is None
-    hsd = _combo_shingle_docs(docs, text_col, id_col).persist() if owns else _hsd
+    hsd = cache_intermediate(_combo_shingle_docs(docs, text_col, id_col)) if owns else _hsd
     bands = minhash_bands(docs, text_col, id_col, _hsd=hsd)
     cand = (
         bands.alias("a")
@@ -472,7 +477,7 @@ def simhash_pairs(
     here.
     """
     owns = _hsd is None
-    d = _combo_shingle_docs(docs, text_col, id_col).persist() if owns else _hsd
+    d = cache_intermediate(_combo_shingle_docs(docs, text_col, id_col)) if owns else _hsd
     sh = d.select("doc_id", simhash_col(F.col("hs")).alias("simhash"))
     bands = sh.select(
         "doc_id",
@@ -549,7 +554,7 @@ def connected_components(
     ).union(
         edges.select(F.col(dst).cast("long").alias("node"), F.col(src).cast("long").alias("nbr"))
     )
-    sym = sym.repartition("node").persist()
+    sym = cache_intermediate(sym.repartition("node"))
     labels = (
         sym.select("node").distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
@@ -577,7 +582,7 @@ def connected_components(
         labels = proposed
         if changed == 0:
             break
-    sym.unpersist()
+    release_intermediate(sym)
     return labels
 
 
@@ -763,8 +768,8 @@ def decontaminate(
         .select(
             "doc_id", "is_bench", shingles_from_tokens(F.col("tk"), n).alias("sg")
         )
-        .persist()
     )
+    sg = cache_intermediate(sg)
     bench = sg.where(F.col("is_bench")).select(
         F.explode("sg").alias("g"), F.col("doc_id").alias("bench_id")
     )
