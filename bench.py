@@ -66,8 +66,10 @@ HEADLINE = [
     "q64_bigram_lm_score",
     "q66_vocab_coverage",
     "q67_dup_spans",
-    # round 9: BPE encode (codegen'd replace-chain tokenizer)
+    # round 9: BPE encode (codegen'd replace-chain tokenizer) and the
+    # mixture diagnostics (entropy/KL/JS per source)
     "q68_bpe_encode",
+    "q69_source_divergence",
 ]
 
 

@@ -499,3 +499,20 @@ def test_bpe_encode_edge_cases(spark):
         clean = txt.replace("\x01", "").replace("\x02", "")
         expect = _ref_bpe_encode(clean, table)
         assert col[did] == expect, (did, col[did], expect)
+
+
+def test_source_divergence_information_bounds(spark, sf_dir):
+    """Entropy ≤ ln(n_types); KL ≥ 0 (Gibbs); 0 ≤ JS ≤ ln 2; and a
+    single-source corpus has KL = JS = 0 exactly (p ≡ q)."""
+    import math
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = C.source_divergence(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.entropy <= math.log(r.n_types) + 1e-9, r
+        assert r.kl_corpus >= 0.0, r
+        assert -1e-9 <= r.js_corpus <= math.log(2) + 1e-9, r
+    one = C.source_divergence(docs.where(F.col("source") == rows[0].source))
+    r1 = one.collect()[0]
+    assert r1.kl_corpus == 0.0 and r1.js_corpus == 0.0

@@ -1031,3 +1031,153 @@ def bpe_token_count_sql(expr: str, merges, eow: str = "</w>") -> str:
     """DuckDB text twin of :func:`bpe_token_count_expr`."""
     s = _bpe_wrapped_sql(expr, merges, eow)
     return f"CAST(length({s}) - length(replace({s}, chr(2), '')) AS BIGINT)"
+
+
+# ------------------------------------------------- mixture diagnostics
+# Data-mixing needs distribution-level instruments, not just counts:
+# how far does each source's token distribution sit from the corpus
+# mix (KL), how far symmetrically (Jensen-Shannon), and how much
+# internal diversity does it carry (entropy)? These drive domain
+# re-weighting decisions (the q30 α-temperature knob chooses WEIGHTS;
+# this measures what the weights did to the mixture).
+
+DIV_SCALE = 10**12  # per-term fixed-point quantization (exact_avg doctrine)
+
+
+def source_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-source token-distribution diagnostics vs the corpus mixture:
+    ``(source, n_tokens, n_types, entropy, kl_corpus, js_corpus)``.
+
+    - ``entropy`` = −Σ p·ln p over the source's unigram distribution;
+    - ``kl_corpus`` = Σ p·ln(p/q) against the corpus distribution q
+      (well-defined: every source token is a corpus token);
+    - ``js_corpus`` = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2,
+      summed over the CORPUS support (p = 0 terms contribute only the
+      q half) — symmetric, bounded by ln 2.
+
+    Scale shape: ONE corpus-sized shuffle builds the (source, token)
+    count relation; every later relation (source totals, corpus
+    distribution, the sources × vocab grid) derives from it and is
+    VOCABULARY-sized, served by ReusedExchange (the q66 CMS recipe).
+
+    Cross-engine determinism (the exact_avg doctrine, analysis.py):
+    each float term is quantized to a long at ``DIV_SCALE`` and the
+    per-source sums run on exact integers, so accumulation order can't
+    move the hash; the final half-up rounding to ``ndigits`` is done in
+    integer space too. ``ln`` itself is the one libm-vs-JVM raw-double
+    op — an ulp there only matters within an ulp of a quantization
+    boundary, the same accepted exposure as exact_avg's input round.
+    """
+    div = DIV_SCALE // 10**ndigits
+    g, t = F.col("g"), F.col("t")
+    tok = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).where(t != "")
+    counts = tok.groupBy("g", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    src_tot = counts.groupBy("g").agg(
+        F.sum("cnt").alias("st"), F.count(F.lit(1)).alias("n_types")
+    )
+    corpus = counts.groupBy("t").agg(F.sum("cnt").alias("qc"))
+    corpus_tot = corpus.agg(F.sum("qc").alias("ct"))
+    grid = (
+        src_tot.join(F.broadcast(corpus), how="cross")
+        .join(counts, ["g", "t"], "left")
+        .join(F.broadcast(corpus_tot), how="cross")
+        .select(
+            "g",
+            "st",
+            "n_types",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt0"),
+            (F.col("qc").cast("double") / F.col("ct")).alias("q"),
+            (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("st")).alias("p"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    m = (p + q) / 2
+    quant = lambda e: F.round(e * F.lit(float(DIV_SCALE))).cast("long")  # noqa: E731
+    present = F.col("cnt0") > 0
+    ent_t = F.when(present, -(p * F.log(p))).otherwise(F.lit(0.0))
+    kl_t = F.when(present, p * F.log(p / q)).otherwise(F.lit(0.0))
+    js_t = (
+        F.when(present, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + 0.5 * q * F.log(q / m)
+    )
+    sums = grid.groupBy("g").agg(
+        F.max("st").alias("n_tokens"),
+        F.max("n_types").alias("n_types"),
+        F.sum(quant(ent_t)).alias("se"),
+        F.sum(quant(kl_t)).alias("sk"),
+        F.sum(quant(js_t)).alias("sj"),
+    )
+    fix = lambda c: (  # noqa: E731  half-up in integer space, then scale
+        F.floor((F.col(c).cast("double") + div / 2) / div).cast("double")
+        / 10**ndigits
+    )
+    return sums.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        fix("se").alias("entropy"),
+        fix("sk").alias("kl_corpus"),
+        fix("sj").alias("js_corpus"),
+    )
+
+
+def source_divergence_sql(
+    group_expr: str = "source",
+    text_expr: str = "text",
+    ndigits: int = 6,
+) -> str:
+    """DuckDB text twin of :func:`source_divergence` — identical
+    quantization constants and operation order."""
+    div = DIV_SCALE // 10**ndigits
+    return f"""
+    WITH tok AS (
+        SELECT {group_expr} AS g, unnest(string_split({text_expr}, ' ')) AS t
+        FROM documents
+    ), counts AS (
+        SELECT g, t, count(*) AS cnt FROM tok WHERE t <> '' GROUP BY g, t
+    ), src_tot AS (
+        SELECT g, sum(cnt) AS st, count(*) AS n_types FROM counts GROUP BY g
+    ), corpus AS (
+        SELECT t, sum(cnt) AS qc FROM counts GROUP BY t
+    ), corpus_tot AS (
+        SELECT sum(qc) AS ct FROM corpus
+    ), grid AS (
+        SELECT s.g, s.st, s.n_types,
+               coalesce(c.cnt, 0) AS cnt0,
+               CAST(co.qc AS DOUBLE) / ct.ct AS q,
+               CAST(coalesce(c.cnt, 0) AS DOUBLE) / s.st AS p
+        FROM src_tot s
+        CROSS JOIN corpus co
+        LEFT JOIN counts c ON c.g = s.g AND c.t = co.t
+        CROSS JOIN corpus_tot ct
+    ), terms AS (
+        SELECT g, st, n_types,
+               CAST(round((CASE WHEN cnt0 > 0 THEN -(p * ln(p)) ELSE 0.0 END)
+                    * {float(DIV_SCALE)}) AS BIGINT) AS ent_q,
+               CAST(round((CASE WHEN cnt0 > 0 THEN p * ln(p / q) ELSE 0.0 END)
+                    * {float(DIV_SCALE)}) AS BIGINT) AS kl_q,
+               CAST(round(((CASE WHEN cnt0 > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+                             ELSE 0.0 END)
+                    + 0.5 * q * ln(q / ((p + q) / 2)))
+                    * {float(DIV_SCALE)}) AS BIGINT) AS js_q
+        FROM grid
+    )
+    SELECT g AS source,
+           CAST(max(st) AS BIGINT)       AS n_tokens,
+           CAST(max(n_types) AS BIGINT)  AS n_types,
+           CAST(floor((CAST(sum(ent_q) AS DOUBLE) + {div / 2}) / {div}) AS DOUBLE)
+               / {10**ndigits}           AS entropy,
+           CAST(floor((CAST(sum(kl_q) AS DOUBLE) + {div / 2}) / {div}) AS DOUBLE)
+               / {10**ndigits}           AS kl_corpus,
+           CAST(floor((CAST(sum(js_q) AS DOUBLE) + {div / 2}) / {div}) AS DOUBLE)
+               / {10**ndigits}           AS js_corpus
+    FROM terms GROUP BY g
+    """

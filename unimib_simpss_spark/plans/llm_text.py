@@ -548,3 +548,22 @@ def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return split.unionAll(leak)
+
+
+@query(
+    "q69_source_divergence",
+    oracle=__import__(
+        "unimib_simpss_spark.operators.curation", fromlist=["x"]
+    ).source_divergence_sql(),
+)
+def q69_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture diagnostics: per-source unigram entropy, KL divergence
+    to the corpus distribution, and Jensen-Shannon distance — the
+    instrument a data-mixing run reads after re-weighting (q30 sets
+    the weights; this measures the resulting mixture). One corpus
+    shuffle, then vocabulary-sized algebra; per-term fixed-point
+    quantization keeps the float sums hash-identical across engines
+    (operators/curation.py source_divergence)."""
+    from unimib_simpss_spark.operators.curation import source_divergence
+
+    return source_divergence(load_table(spark, sf_dir, "documents"))
