@@ -70,6 +70,7 @@ HEADLINE = [
     # mixture diagnostics (entropy/KL/JS per source)
     "q68_bpe_encode",
     "q69_source_divergence",
+    "q70_skew_profile",
 ]
 
 

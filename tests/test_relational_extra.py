@@ -268,3 +268,23 @@ def test_q66_cms_grid_reuses_count_exchange(spark, sf_dir):
     df.collect()  # resolve AQE
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan[:1500]
+
+
+def test_key_skew_profile_values_and_nulls(spark):
+    """Constructed skew: key 'a' holds 60 of 100 rows (skew_factor =
+    60/mean), NULL keys surface as the 'NULL' key, ties break key-asc."""
+    from unimib_simpss_spark.operators.skew import key_skew_profile
+
+    rows = (
+        [("a",)] * 60 + [("b",)] * 20 + [("c",)] * 10 + [(None,)] * 10
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top_n=3).collect()
+    hot = {r.rank: (r.key, r.cnt, r.share) for r in out if r.section == "hot"}
+    assert hot[1] == ("a", 60, 0.6)
+    assert hot[2] == ("b", 20, 0.2)
+    # c and NULL tie at 10 — 'NULL' < 'c' lexicographically
+    assert hot[3] == ("NULL", 10, 0.1)
+    s = next(r for r in out if r.section == "summary")
+    assert (s.n_rows, s.n_keys) == (100, 4)
+    assert s.skew_factor == 2.4  # 60 / (100/4)

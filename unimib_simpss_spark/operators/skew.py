@@ -24,7 +24,7 @@ can't diverge.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,3 +102,107 @@ def binned_range_join(
     if how_residual is not None:
         pred = pred & how_residual
     return joined.where(pred).drop("_bin", "_rbin")
+
+
+def key_skew_profile(
+    df: DataFrame, key, top_n: int = 10, ndigits: int = 4
+) -> DataFrame:
+    """Join/agg-key skew PROFILER — the measurement that decides when
+    the two rewrites above are worth their cost: before salting a key
+    or splitting a range join, something has to quantify how hot the
+    hot keys actually are.
+
+    Two tagged legs (union-compatible):
+
+    - ``'hot'``: the ``top_n`` heaviest keys — rank, key (as string),
+      row count, and the key's share of all rows;
+    - ``'summary'``: one row — total rows, distinct keys, the max
+      per-key count, and ``skew_factor`` = max count / mean count
+      (1.0 = perfectly uniform; the classic rule of thumb salts keys
+      whose factor exceeds the per-task budget).
+
+    Scale shape: one combinable groupBy on the key (map-side partial
+    aggregation collapses the hot key BEFORE the shuffle — profiling a
+    skewed key does not itself skew), then ``TakeOrderedAndProject``
+    for the top-N and a 1-row rollup; nothing after the first
+    aggregate is larger than the key cardinality. Deterministic ties:
+    count desc, key asc. NULL keys count as a key (rendered as the
+    string 'NULL') — a null-heavy join column is the most common skew
+    in the wild and must show up in the profile, not vanish from it.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    counts = (
+        df.select(F.coalesce(k.cast("string"), F.lit("NULL")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("k"))
+    tot = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    hot = (
+        counts.orderBy(F.desc("cnt"), F.asc("k"))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(tot.select("n_rows")), how="cross")
+        .select(
+            F.lit("hot").alias("section"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("k").alias("key"),
+            F.col("cnt").alias("cnt"),
+            F.round(F.col("cnt") / F.col("n_rows"), ndigits).alias("share"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("n_keys"),
+            F.lit(None).cast("double").alias("skew_factor"),
+        )
+    )
+    summary = tot.select(
+        F.lit("summary").alias("section"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("share"),
+        "n_rows",
+        "n_keys",
+        # cast-first: max_cnt × n_keys as a long product overflows at
+        # extreme cardinalities (DuckDB would error, Spark would wrap);
+        # the double product is the same expression order both engines
+        F.round(
+            F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"),
+            ndigits,
+        ).alias("skew_factor"),
+    )
+    return hot.unionAll(summary)
+
+
+def key_skew_profile_sql(
+    table: str, key_expr: str, top_n: int = 10, ndigits: int = 4
+) -> str:
+    """DuckDB text twin of :func:`key_skew_profile`."""
+    return f"""
+    WITH counts AS (
+        SELECT coalesce(CAST({key_expr} AS VARCHAR), 'NULL') AS k,
+               count(*) AS cnt
+        FROM {table} GROUP BY 1
+    ), tot AS (
+        SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt
+        FROM counts
+    ), hot AS (
+        SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rank
+        FROM counts ORDER BY cnt DESC, k LIMIT {top_n}
+    )
+    SELECT 'hot' AS section, CAST(rank AS BIGINT) AS rank, k AS key,
+           CAST(cnt AS BIGINT) AS cnt,
+           round(cnt / CAST(n_rows AS DOUBLE), {ndigits}) AS share,
+           CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS n_keys,
+           CAST(NULL AS DOUBLE) AS skew_factor
+    FROM hot CROSS JOIN tot
+    UNION ALL
+    SELECT 'summary', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(n_rows AS BIGINT), CAST(n_keys AS BIGINT),
+           round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, {ndigits})
+    FROM tot
+    """

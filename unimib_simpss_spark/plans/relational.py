@@ -1196,3 +1196,26 @@ def q60_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skew diagnostics: the profiler that justifies q48/q49's rewrites.
+# --------------------------------------------------------------------------
+def _skew_profile_oracle() -> str:
+    from unimib_simpss_spark.operators.skew import key_skew_profile_sql
+
+    return key_skew_profile_sql("events", "user_id", top_n=10)
+
+
+@query("q70_skew_profile", oracle=_skew_profile_oracle())
+def q70_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of ``events.user_id`` — the measurement
+    behind the q48 (binned range join) and q49 (salted join) rewrites:
+    top-10 hot keys with their row share, plus a summary row carrying
+    ``skew_factor`` = max key count / mean key count. One combinable
+    groupBy (map-side partials collapse the hot key BEFORE the
+    shuffle), then key-cardinality-sized algebra
+    (operators/skew.py key_skew_profile)."""
+    from unimib_simpss_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "events"), "user_id", top_n=10)
