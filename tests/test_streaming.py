@@ -857,3 +857,90 @@ def test_streaming_cms_cells_match_batch_grid(spark, tmp_path):
         if cells[j * ST.CMS_WIDTH + c]
     }
     assert stream == batch
+
+
+def test_streaming_reservoir_equals_batch_sample(spark, tmp_path):
+    """The streaming weighted reservoir is BIT-IDENTICAL to the batch
+    weighted_sample of the same prefix: after each micro-batch the
+    emitted reservoir equals weighted_sample() over the union of all
+    rows seen so far (same ES priorities — shared es_priority
+    expression), per group, in the same rank order; and state stays
+    fixed at n entries while n_seen grows."""
+    from unimib_simpss_spark.operators.sampling import weighted_sample
+    from unimib_simpss_spark.streaming.stateful import streaming_reservoir
+
+    n = 4
+    batch_rows = [
+        [{"g": g, "k": f"doc{g}{i}", "w": float(1 + (i * 7) % 13)}
+         for g in ("a", "b") for i in range(6)],
+        [{"g": g, "k": f"doc{g}{i}", "w": float(1 + (i * 5) % 11)}
+         for g in ("a", "b") for i in range(6, 12)],
+        [{"g": "a", "k": "heavy", "w": 1e6},
+         {"g": "a", "k": "zero", "w": 0.0},
+         {"g": "b", "k": "nanrow", "w": float("nan")}],
+    ]
+    src = tmp_path / "reservoir_in"
+    src.mkdir()
+    import os as _os
+    import time as _time
+
+    t0 = _time.time() - 100
+    for i, rows in enumerate(batch_rows):
+        _write_log(src, f"b{i}.json", rows)
+        # the file source orders batches by modification time — make it
+        # unambiguous so the prefix replay below matches the stream
+        _os.utime(src / f"b{i}.json", (t0 + 10 * i, t0 + 10 * i))
+    stream = (
+        spark.readStream.schema("g STRING, k STRING, w DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_reservoir(stream, n, "w", "k", group_col="g")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reservoir_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM reservoir_stream").collect()
+
+    # group emissions by (group, n_seen) — each is one micro-batch's
+    # snapshot of that group's reservoir
+    snaps: dict = {}
+    for r in emitted:
+        snaps.setdefault((r.group_key, r.n_seen), []).append(r)
+
+    # replay the same prefixes in batch and compare exactly
+    for g in ("a", "b"):
+        prefix = []
+        for rows in batch_rows:
+            valid = [
+                r for r in rows
+                if r["g"] == g and r["w"] and r["w"] == r["w"] and r["w"] > 0
+            ]
+            if not valid:
+                continue
+            prefix.extend(r2 for r2 in rows if r2["g"] == g)
+            df = spark.createDataFrame(
+                [(r2["k"], r2["w"]) for r2 in prefix], "k string, w double"
+            )
+            # weighted_sample's collect preserves the priority order
+            # (TakeOrderedAndProject) — exactly the reservoir's ranks
+            expect = [r2.k for r2 in weighted_sample(df, n, "w", "k").collect()]
+            n_valid = len([r2 for r2 in prefix
+                           if r2["w"] and r2["w"] == r2["w"] and r2["w"] > 0])
+            snap = sorted(snaps[(g, n_valid)], key=lambda r2: r2.rank)
+            got = [r2.sample_key for r2 in snap]
+            assert got == expect, (g, n_valid, got, expect)
+            assert len(snap) <= n
+    # the heavy row must have entered a's final reservoir at rank 1...
+    final_a = sorted(
+        snaps[max(k2 for k2 in snaps if k2[0] == "a")],
+        key=lambda r2: r2.rank,
+    )
+    assert final_a[0].sample_key == "heavy"
+    # ...and the zero/NaN rows never entered anything
+    all_keys = {r.sample_key for r in emitted}
+    assert "zero" not in all_keys and "nanrow" not in all_keys

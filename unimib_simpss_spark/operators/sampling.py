@@ -224,20 +224,38 @@ def weighted_sample(
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    h = hash64(F.col(key).cast("string"))
-    u = (h % F.lit(buckets) + F.lit(1)).cast("double") / F.lit(float(buckets))
     w = F.col(weight_col).cast("double")
-    es_key = F.log(u) / w
     # NaN must be excluded explicitly: Spark orders NaN ABOVE every
     # number, so `NaN > 0` is true and a NaN ES-key would sort first
     # and hijack the whole sample
     return (
         df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
-        .withColumn("_es", es_key)
+        .withColumn("_es", es_priority(weight_col, key, buckets))
         .orderBy(F.desc("_es"), F.col(key))
         .limit(n)
         .drop("_es")
     )
+
+
+def es_priority(weight_col: str, key: str, buckets: int = 1 << 60) -> Column:
+    """The Efraimidis-Spirakis selection priority ``ln(u)/w`` with
+    ``u ∈ (0, 1]`` derived from ``hash64(key)`` — shared verbatim by
+    :func:`weighted_sample` and the streaming reservoir
+    (streaming/stateful.py streaming_reservoir), which is what makes
+    their samples BIT-IDENTICAL on the same rows: the only float ops
+    (``ln``, the division) run JVM-side in both, the stream merely
+    maintains the running top-n of the same priorities.
+
+    ``u > 0`` is guaranteed because :func:`hash64` is non-negative by
+    construction (60-bit md5 prefix); pmod keeps that true even if the
+    hash is ever swapped for a signed one (a signed ``%`` would send
+    negative-hash rows through ``ln(u ≤ 0) = NULL`` and silently drop
+    them from every sample)."""
+    h = hash64(F.col(key).cast("string"))
+    u = (F.pmod(h, F.lit(buckets)) + F.lit(1)).cast("double") / F.lit(
+        float(buckets)
+    )
+    return F.log(u) / F.col(weight_col).cast("double")
 
 
 def corpus_mix(

@@ -539,3 +539,124 @@ def streaming_hll_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------- streaming weighted reservoir
+# The streaming twin of operators/sampling.py weighted_sample
+# (Efraimidis & Spirakis 2006): keep the n rows with the largest
+# ln(u)/w priority seen SO FAR, where the priority column is computed
+# JVM-side by the SAME es_priority expression the batch sampler uses —
+# so after any prefix of the stream the reservoir equals the batch
+# sample of that prefix, bit for bit (the property the parity test
+# asserts). State per group is exactly n (key, priority, weight)
+# triples — fixed memory forever, the defining reservoir property.
+#
+# Scale shape: one group = one reservoir = one task. For corpus-wide
+# sampling at 100 TB, shard first (group_col = a hash bucket), then
+# merge the ≤ n-per-shard reservoirs by the same top-n rule — the
+# priorities are globally comparable because they depend only on
+# (key, weight), not on which shard scored them.
+
+_RESERVOIR_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("es", ArrayType(DoubleType())),
+        StructField("weights", ArrayType(DoubleType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_RESERVOIR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("rank", LongType()),
+        StructField("sample_key", StringType()),
+        StructField("es", DoubleType()),
+        StructField("weight", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _make_reservoir_track(n: int):
+    def _track_reservoir(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, es, weights, n_seen = state.get
+            pool = list(zip(list(keys), list(es), list(weights)))
+        else:
+            pool, n_seen = [], 0
+        for pdf in batches:
+            n_seen += len(pdf)
+            pool.extend(
+                zip(pdf["sample_key"], pdf["es"], pdf["weight"])
+            )
+            # truncate within the batch loop too: the pool never holds
+            # more than n + batch rows
+            pool.sort(key=lambda t: (-t[1], t[0]))
+            del pool[n:]
+        state.update(
+            (
+                [t[0] for t in pool],
+                [float(t[1]) for t in pool],
+                [float(t[2]) for t in pool],
+                n_seen,
+            )
+        )
+        (group_key,) = key
+        yield pd.DataFrame(
+            {
+                "group_key": group_key,
+                "rank": range(1, len(pool) + 1),
+                "sample_key": [t[0] for t in pool],
+                "es": [float(t[1]) for t in pool],
+                "weight": [float(t[2]) for t in pool],
+                "n_seen": n_seen,
+            }
+        )
+
+    return _track_reservoir
+
+
+def streaming_reservoir(
+    src: DataFrame,
+    n: int,
+    weight_col: str,
+    key: str,
+    group_col: str | None = None,
+    buckets: int = 1 << 60,
+) -> DataFrame:
+    """Fixed-size weighted reservoir sample over a stream: emits each
+    group's current top-``n`` (by the deterministic ES priority) every
+    micro-batch, with ``n_seen`` counting rows admitted so far.
+
+    Rows with NULL/NaN/non-positive weight are excluded (the batch
+    twin's rule). ``group_col=None`` samples the whole stream as one
+    group; pass a hash-bucket column to shard (merge shard reservoirs
+    downstream by the same top-n rule). Tie-break on equal priorities
+    is the STRING form of the key — ties require an xxhash64 collision
+    between distinct keys, so this is theoretical."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators.sampling import es_priority
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col).cast("double")
+    g = (F.col(group_col) if group_col else F.lit("all")).cast("string")
+    rows = src.where(w.isNotNull() & ~F.isnan(w) & (w > 0)).select(
+        g.alias("group_key"),
+        F.col(key).cast("string").alias("sample_key"),
+        es_priority(weight_col, key, buckets).alias("es"),
+        w.alias("weight"),
+    )
+    return rows.groupBy("group_key").applyInPandasWithState(
+        _make_reservoir_track(n),
+        outputStructType=_RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=_RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
