@@ -66,11 +66,9 @@ HEADLINE = [
     "q64_bigram_lm_score",
     "q66_vocab_coverage",
     "q67_dup_spans",
-    # round 9: BPE encode (codegen'd replace-chain tokenizer) and the
-    # mixture diagnostics (entropy/KL/JS per source)
-    "q68_bpe_encode",
-    "q69_source_divergence",
-    "q70_skew_profile",
+    # round 9's additions ride existing entries: BPE encode legs on
+    # q27, mixture-divergence sections on q30, the key-skew profile on
+    # q49 — all inside the driver's 50-slot verification window.
 ]
 
 

@@ -431,7 +431,7 @@ def test_bpe_encode_portable_equals_canonical(spark, sf_dir):
     """The Column-expression encode (merges in learned order, one
     greedy replace pass each) equals the canonical min-rank encode on
     an alias-free trained table — the equivalence the oracle surface
-    (q68) rests on."""
+    (q27's bpe legs) rests on."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     table = [
         (r.left, r.right, r.merged)

@@ -824,6 +824,28 @@ _BPE_E = "\x02"  # symbol-end sentinel
 
 BPE_TABLE_CAP = 65_536  # driver-side bound for a collected merge table
 
+# Fixed demo merge table for the oracle-paired encode surface: the
+# driver's oracle SQL is a static string, so it cannot embed a
+# corpus-trained table (training output differs per sf) — instead the
+# query legs demonstrate the encode machinery under a constant,
+# ALIAS-FREE table (no merge's output string equals another merge's
+# operand, so the portable in-order encode equals the canonical
+# min-rank encode — :func:`bpe_encode` docstring). Corpus-TRAINED
+# tables go through the same operators and are parity-tested in
+# tests/test_curation.py against a pure-Python canonical encoder.
+BPE_DEMO_MERGES = [
+    ("t", "h", "th"),
+    ("th", "e", "the"),
+    ("the", "</w>", "the</w>"),
+    ("a", "n", "an"),
+    ("an", "d", "and"),
+    ("and", "</w>", "and</w>"),
+    ("i", "n", "in"),
+    ("e", "r", "er"),
+    ("o", "n", "on"),
+    ("e", "</w>", "e</w>"),
+]
+
 
 def _merge_table(merges) -> list[tuple[str, str, str]]:
     """Normalize a merge table to an ordered [(left, right, merged)]

@@ -298,7 +298,8 @@ def x68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     2016) is asserted in tests/test_curation.py against a pure-Python
     re-implementation on the same corpus; see
     operators/curation.py bpe_merges for the vocabulary-sized plan.
-    The learned table's APPLY side is q68_bpe_encode (oracle-paired)."""
+    The learned table's APPLY side is q27's oracle-paired
+    bpe_docs / bpe_source legs (operators/curation.py bpe_encode_expr)."""
     return C.bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
 
 @query("x70_quality_classifier")  # iterative GD loop → rows-only
@@ -321,110 +322,3 @@ def x70_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, round(float(l), 6)) for i, l in enumerate(losses)],
         "iter int, logloss double",
     )
-
-
-# Fixed demo merge table for the oracle-paired encode surface: the
-# driver's oracle SQL is a static string, so it cannot embed a
-# corpus-trained table (training output differs per sf) — instead the
-# query demonstrates the encode machinery under a constant, ALIAS-FREE
-# table (no merge's output string equals another merge's operand, so
-# the portable in-order encode equals the canonical min-rank encode —
-# operators/curation.py bpe_encode docstring). Corpus-TRAINED tables go
-# through the same operators and are parity-tested in
-# tests/test_curation.py against a pure-Python canonical encoder.
-_BPE_DEMO_MERGES = [
-    ("t", "h", "th"),
-    ("th", "e", "the"),
-    ("the", "</w>", "the</w>"),
-    ("a", "n", "an"),
-    ("an", "d", "and"),
-    ("and", "</w>", "and</w>"),
-    ("i", "n", "in"),
-    ("e", "r", "er"),
-    ("o", "n", "on"),
-    ("e", "</w>", "e</w>"),
-]
-
-
-def _bpe_encode_oracle() -> str:
-    enc = C.bpe_encode_sql("text", _BPE_DEMO_MERGES)
-    cnt = C.bpe_token_count_sql("text", _BPE_DEMO_MERGES)
-    return f"""
-    SELECT 'docs' AS section, doc_id, source,
-           {enc} AS bpe_text, {cnt} AS n_bpe,
-           CAST(NULL AS BIGINT) AS n_docs,
-           CAST(NULL AS BIGINT) AS sum_bpe,
-           CAST(NULL AS DOUBLE) AS avg_bpe
-    FROM documents WHERE doc_id < 40
-    UNION ALL
-    SELECT 'by_source' AS section,
-           CAST(NULL AS BIGINT)  AS doc_id, source,
-           CAST(NULL AS VARCHAR) AS bpe_text,
-           CAST(NULL AS BIGINT)  AS n_bpe,
-           count(*)              AS n_docs,
-           CAST(sum(n) AS BIGINT) AS sum_bpe,
-           round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS avg_bpe
-    FROM (SELECT source, {cnt} AS n FROM documents)
-    GROUP BY source
-    """
-
-
-@query("q68_bpe_encode", oracle=_bpe_encode_oracle())
-def q68_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE ENCODE — apply a merge table to tokenize the corpus (the
-    half of the tokenizer story x68_bpe_merges doesn't cover): per-doc
-    encoded subword strings + token counts for a bounded sample, and
-    per-source corpus token totals under the trained-vocab counter.
-
-    Entirely JVM-side: the encode is a codegen'd chain of string
-    replaces over a sentinel-wrapped symbol string
-    (operators/curation.py bpe_encode_expr) — map-only, no shuffle
-    beyond the final per-source aggregate, identical at any corpus
-    size. The Arrow-batched canonical encoder (bpe_encode) carries
-    production-sized tables; this Column form IS the oracle surface."""
-    # repartition BEFORE the replace chain: the corpus often arrives as
-    # few large files (sf0.1 = one), and the per-row string work would
-    # otherwise run on as many tasks as input splits (measured 1 task /
-    # 4.1 s → 32 tasks; the _bound_tokens contract). leg1's pushdown
-    # predicate stays on the un-repartitioned scan.
-    # explicit partition count: with a bare repartition(col) AQE sees a
-    # byte-small shuffle and coalesces back to 1 task, re-serializing
-    # the CPU-bound replace chain; the explicit count pins the fan-out
-    # to the cluster's parallelism (compute-bound, not byte-bound)
-    docs = load_table(spark, sf_dir, "documents")
-    spread = docs.select("doc_id", "source", "text").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    enc = C.bpe_encode_expr("text", _BPE_DEMO_MERGES)
-    cnt = C.bpe_token_count_expr("text", _BPE_DEMO_MERGES)
-    leg1 = docs.where(F.col("doc_id") < 40).select(
-        F.lit("docs").alias("section"),
-        "doc_id",
-        "source",
-        enc.alias("bpe_text"),
-        cnt.alias("n_bpe"),
-        F.lit(None).cast("long").alias("n_docs"),
-        F.lit(None).cast("long").alias("sum_bpe"),
-        F.lit(None).cast("double").alias("avg_bpe"),
-    )
-    leg2 = (
-        spread.select("source", cnt.alias("n"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n").alias("sum_bpe"),
-        )
-        .select(
-            F.lit("by_source").alias("section"),
-            F.lit(None).cast("long").alias("doc_id"),
-            "source",
-            F.lit(None).cast("string").alias("bpe_text"),
-            F.lit(None).cast("long").alias("n_bpe"),
-            "n_docs",
-            "sum_bpe",
-            F.round(
-                F.col("sum_bpe").cast("double") / F.col("n_docs"), 4
-            ).alias("avg_bpe"),
-        )
-    )
-    return leg1.unionAll(leg2)

@@ -25,6 +25,14 @@ _pred_sql, _best_sql = A.lang_id_sql("text")
 
 
 def _text_profile_oracle() -> str:
+    from unimib_simpss_spark.operators.curation import (
+        BPE_DEMO_MERGES,
+        bpe_encode_sql,
+        bpe_token_count_sql,
+    )
+
+    enc = bpe_encode_sql("text", BPE_DEMO_MERGES)
+    cnt = bpe_token_count_sql("text", BPE_DEMO_MERGES)
     return f"""
     SELECT 'tokens' AS family, source AS key1, CAST(NULL AS VARCHAR) AS key2,
            count(*)                    AS n_docs,
@@ -58,6 +66,23 @@ def _text_profile_oracle() -> str:
         ORDER BY n_docs DESC, tok
         LIMIT 20
     )
+    UNION ALL
+    SELECT 'bpe_docs' AS family, CAST(doc_id AS VARCHAR) AS key1,
+           {enc} AS key2,
+           CAST(NULL AS BIGINT) AS n_docs,
+           {cnt} AS sum_a,
+           CAST(NULL AS BIGINT) AS sum_b,
+           CAST(NULL AS DOUBLE) AS avg_chars
+    FROM documents WHERE doc_id < 40
+    UNION ALL
+    SELECT 'bpe_source' AS family, source AS key1,
+           CAST(NULL AS VARCHAR) AS key2,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_a,
+           CAST(NULL AS BIGINT) AS sum_b,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS avg_chars
+    FROM (SELECT source, {cnt} AS n FROM documents)
+    GROUP BY source
     """
 
 
@@ -70,7 +95,24 @@ def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion counts, ``top_tokens`` = the UDTF-shape explode → filter →
     count → global top-20 (Generate streams into a partial HashAggregate;
     the order-by-limit is TakeOrderedAndProject — per-partition heaps, no
-    full sort). Per-row Column exprs + small aggs — scales."""
+    full sort). Per-row Column exprs + small aggs — scales.
+
+    Round 9 adds the BPE ENCODE surface (the apply side of
+    x68_bpe_merges' trained table): ``bpe_docs`` = per-doc encoded
+    subword strings + token counts for a bounded sample, ``bpe_source``
+    = per-source corpus token totals under the demo merge table —
+    entirely JVM-side (a codegen'd chain of string replaces over
+    sentinel-wrapped symbols, operators/curation.py bpe_encode_expr;
+    fan-out pinned against AQE's byte-based coalescing because the
+    stage is compute-bound). The Arrow-batched canonical encoder
+    (bpe_encode) carries production-sized tables; this Column form IS
+    the oracle surface."""
+    from unimib_simpss_spark.operators.curation import (
+        BPE_DEMO_MERGES,
+        bpe_encode_expr,
+        bpe_token_count_expr,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -130,7 +172,41 @@ def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("avg_chars"),
         )
     )
-    return tok.unionAll(lng).unionAll(top)
+    enc = bpe_encode_expr("text", BPE_DEMO_MERGES)
+    cnt = bpe_token_count_expr("text", BPE_DEMO_MERGES)
+    bpe_docs = docs.where(F.col("doc_id") < 40).select(
+        F.lit("bpe_docs").alias("family"),
+        F.col("doc_id").cast("string").alias("key1"),
+        enc.alias("key2"),
+        F.lit(None).cast("long").alias("n_docs"),
+        cnt.alias("sum_a"),
+        F.lit(None).cast("long").alias("sum_b"),
+        F.lit(None).cast("double").alias("avg_chars"),
+    )
+    # repartition with a pinned count: the corpus often arrives as few
+    # large files, and the per-row replace chain is compute-bound — a
+    # bare repartition(col) would be coalesced back to ~1 task by AQE's
+    # byte-based sizing (measured 1 task / 4.1 s → 32 tasks)
+    spread = docs.select("doc_id", "source", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bpe_src = (
+        spread.select("source", cnt.alias("n"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("sum_bpe"))
+        .select(
+            F.lit("bpe_source").alias("family"),
+            F.col("source").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            "n_docs",
+            F.col("sum_bpe").alias("sum_a"),
+            F.lit(None).cast("long").alias("sum_b"),
+            F.round(
+                F.col("sum_bpe").cast("double") / F.col("n_docs"), 4
+            ).alias("avg_chars"),
+        )
+    )
+    return tok.unionAll(lng).unionAll(top).unionAll(bpe_docs).unionAll(bpe_src)
 
 
 _qc_sql = A.quality_components_sql("text")
@@ -240,12 +316,14 @@ _PPS_FULL_CHARS = 500  # docs at/over this length are always kept
 
 
 def _corpus_mix_oracle() -> str:
+    from unimib_simpss_spark.operators.curation import source_divergence_sql
     from unimib_simpss_spark.operators.sampling import mix_keep_sql, pps_keep_sql
 
     keep = mix_keep_sql(
         "source", "doc_id", _MIX_FRACS, default_fraction=_MIX_DEFAULT
     )
     pps = pps_keep_sql("n_chars", "doc_id", _PPS_FULL_CHARS)
+    div = source_divergence_sql()
     return f"""
     WITH m AS (
         SELECT source, {keep} AS keep, {_ws} AS ws FROM documents
@@ -305,6 +383,18 @@ def _corpus_mix_oracle() -> str:
            CAST(NULL AS BIGINT) AS rk
     FROM documents
     GROUP BY source
+    UNION ALL
+    SELECT m.section, d.source,
+           d.n_tokens AS n_docs,
+           d.n_types  AS n_kept,
+           CAST(NULL AS BIGINT) AS kept_tokens,
+           CASE m.section WHEN 'entropy' THEN d.entropy
+                          WHEN 'kl' THEN d.kl_corpus
+                          ELSE d.js_corpus END AS achieved_frac,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS rk
+    FROM ({div}) d
+    CROSS JOIN (VALUES ('entropy'), ('kl'), ('js')) AS m(section)
     """
 
 
@@ -336,8 +426,20 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       membership. For this leg kept_tokens carries the kept CHAR mass
       (the PPS weight), and the leg's scan reads only (doc_id, source,
       n_chars) — never the text column.
+    - 'entropy' / 'kl' / 'js' (round 9) — mixture DIAGNOSTICS
+      (operators/curation.py source_divergence): per-source unigram
+      entropy, KL divergence to the corpus distribution, and
+      Jensen-Shannon distance, each riding achieved_frac (n_docs =
+      token count, n_kept = type count). One corpus shuffle builds the
+      (source, token) count relation; everything after is
+      vocabulary-sized; per-term fixed-point quantization keeps the
+      float sums hash-identical across engines. q30 both SETS the mix
+      (weights, caps, samplers) and now MEASURES it.
     """
-    from unimib_simpss_spark.operators.curation import source_cap
+    from unimib_simpss_spark.operators.curation import (
+        source_cap,
+        source_divergence,
+    )
     from unimib_simpss_spark.operators.sampling import mix_keep, pps_keep
 
     docs = load_table(spark, sf_dir, "documents")
@@ -415,7 +517,31 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("rk"),
         )
     )
-    return mix.unionAll(cap).unionAll(alpha).unionAll(pps)
+    div = source_divergence(docs)
+    div_leg = div.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("entropy").alias("s"), F.col("entropy").alias("v")
+                ),
+                F.struct(F.lit("kl").alias("s"), F.col("kl_corpus").alias("v")),
+                F.struct(F.lit("js").alias("s"), F.col("js_corpus").alias("v")),
+            )
+        ).alias("m"),
+        "source",
+        "n_tokens",
+        "n_types",
+    ).select(
+        F.col("m.s").alias("section"),
+        "source",
+        F.col("n_tokens").alias("n_docs"),
+        F.col("n_types").alias("n_kept"),
+        F.lit(None).cast("long").alias("kept_tokens"),
+        F.col("m.v").alias("achieved_frac"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("rk"),
+    )
+    return mix.unionAll(cap).unionAll(alpha).unionAll(pps).unionAll(div_leg)
 
 
 _PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence
@@ -548,22 +674,3 @@ def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return split.unionAll(leak)
-
-
-@query(
-    "q69_source_divergence",
-    oracle=__import__(
-        "unimib_simpss_spark.operators.curation", fromlist=["x"]
-    ).source_divergence_sql(),
-)
-def q69_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixture diagnostics: per-source unigram entropy, KL divergence
-    to the corpus distribution, and Jensen-Shannon distance — the
-    instrument a data-mixing run reads after re-weighting (q30 sets
-    the weights; this measures the resulting mixture). One corpus
-    shuffle, then vocabulary-sized algebra; per-term fixed-point
-    quantization keeps the float sums hash-identical across engines
-    (operators/curation.py source_divergence)."""
-    from unimib_simpss_spark.operators.curation import source_divergence
-
-    return source_divergence(load_table(spark, sf_dir, "documents"))

@@ -973,32 +973,82 @@ def q48_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned_leg.unionAll(bnl_leg)
 
 
-@query(
-    "q49_salted_join",
-    oracle="""
-    SELECT o_orderpriority,
-           count(*)                 AS n_orders,
-           count(DISTINCT c_nationkey) AS n_nations
+def _salted_join_oracle() -> str:
+    from unimib_simpss_spark.operators.skew import key_skew_profile_sql
+
+    profile = key_skew_profile_sql("orders", "o_custkey", top_n=10)
+    return f"""
+    SELECT 'join' AS section,
+           o_orderpriority AS key,
+           count(*) AS n1,
+           count(DISTINCT c_nationkey) AS n2,
+           CAST(NULL AS DOUBLE) AS ratio
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY o_orderpriority
-    """,
-)
+    UNION ALL
+    SELECT section, key,
+           CASE section WHEN 'hot' THEN cnt ELSE n_rows END AS n1,
+           CASE section WHEN 'hot' THEN rank ELSE n_keys END AS n2,
+           CASE section WHEN 'hot' THEN share ELSE skew_factor END AS ratio
+    FROM ({profile})
+    """
+
+
+@query("q49_salted_join", oracle=_salted_join_oracle())
 def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted equi-join (operators/skew.py): the fact side is
-    salted into 8 sub-keys, the dim side replicated 8x — identical rows
-    to the plain join (the oracle proves it), with hot keys spread
-    across 8 tasks instead of one. The explicit-salt tool for when AQE
-    can't split (single giant key, stateful streaming aggs)."""
-    from unimib_simpss_spark.operators.skew import salted_join
+    """Skew-salted equi-join next to the skew PROFILE of the very key
+    being salted (merged q49+q70 to stay inside the driver's 50-slot
+    window):
+
+    - 'join' — the fact side is salted into 8 sub-keys, the dim side
+      replicated 8× — identical rows to the plain join (the oracle
+      proves it), with hot keys spread across 8 tasks instead of one.
+      The explicit-salt tool for when AQE can't split (single giant
+      key, stateful streaming aggs).
+    - 'hot' / 'summary' — the measurement that justifies the rewrite
+      (operators/skew.py key_skew_profile over orders.o_custkey): the
+      top-10 heaviest keys with their row shares, plus total rows /
+      distinct keys / skew_factor = max count over mean count. One
+      combinable groupBy — map-side partials collapse the hot key
+      BEFORE the shuffle, so profiling a skewed key does not itself
+      skew; NULL keys surface as the string 'NULL' instead of
+      vanishing."""
+    from unimib_simpss_spark.operators.skew import key_skew_profile, salted_join
 
     o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
     c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
     joined = salted_join(o, c.select("custkey", "c_nationkey"), on="custkey",
                          salt_buckets=8, salt_by="o_orderkey")
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("c_nationkey").alias("n_nations"),
+    join_leg = (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.countDistinct("c_nationkey").alias("n2"),
+        )
+        .select(
+            F.lit("join").alias("section"),
+            F.col("o_orderpriority").alias("key"),
+            "n1",
+            "n2",
+            F.lit(None).cast("double").alias("ratio"),
+        )
     )
+    prof = key_skew_profile(
+        _t(spark, sf_dir, "orders"), "o_custkey", top_n=10
+    ).select(
+        "section",
+        "key",
+        F.when(F.col("section") == "hot", F.col("cnt"))
+        .otherwise(F.col("n_rows"))
+        .alias("n1"),
+        F.when(F.col("section") == "hot", F.col("rank"))
+        .otherwise(F.col("n_keys"))
+        .alias("n2"),
+        F.when(F.col("section") == "hot", F.col("share"))
+        .otherwise(F.col("skew_factor"))
+        .alias("ratio"),
+    )
+    return join_leg.unionAll(prof)
 
 
 # --------------------------------------------------------------------------
@@ -1196,26 +1246,3 @@ def q60_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
-
-
-# --------------------------------------------------------------------------
-# Skew diagnostics: the profiler that justifies q48/q49's rewrites.
-# --------------------------------------------------------------------------
-def _skew_profile_oracle() -> str:
-    from unimib_simpss_spark.operators.skew import key_skew_profile_sql
-
-    return key_skew_profile_sql("events", "user_id", top_n=10)
-
-
-@query("q70_skew_profile", oracle=_skew_profile_oracle())
-def q70_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-key skew profile of ``events.user_id`` — the measurement
-    behind the q48 (binned range join) and q49 (salted join) rewrites:
-    top-10 hot keys with their row share, plus a summary row carrying
-    ``skew_factor`` = max key count / mean key count. One combinable
-    groupBy (map-side partials collapse the hot key BEFORE the
-    shuffle), then key-cardinality-sized algebra
-    (operators/skew.py key_skew_profile)."""
-    from unimib_simpss_spark.operators.skew import key_skew_profile
-
-    return key_skew_profile(_t(spark, sf_dir, "events"), "user_id", top_n=10)
