@@ -181,11 +181,21 @@ def test_checkpoint_table_mode(spark, tmp_path):
 
     from unimib_simpss_spark.operators.caching import (
         cache_intermediate,
+        live_checkpoint_tables,
         materialize_release,
         release_intermediate,
         set_checkpoint_mode,
         set_checkpoint_table_dir,
+        sweep_checkpoint_tables,
     )
+
+    def ckpt_dirs():
+        return sorted(
+            os.path.join(root, d)
+            for root, dirs, _ in os.walk(tdir)
+            for d in dirs
+            if d.startswith("ckpt-")
+        )
 
     tdir = str(tmp_path / "ckpt_tables")
     # mode requires a dir first
@@ -193,16 +203,32 @@ def test_checkpoint_table_mode(spark, tmp_path):
         set_checkpoint_mode("table")
     set_checkpoint_table_dir(tdir)
     set_checkpoint_mode("table")
+    # clearing the dir while table mode is active must be loud, not a
+    # silent write to the relative path 'None/ckpt-N'
+    with pytest.raises(ValueError, match="table"):
+        set_checkpoint_table_dir(None)
     before = persistent_rdd_ids(spark)
     try:
         # round-trip: a cached intermediate is written + re-read intact
         src = _docs(spark).select("doc_id", "source")
         inter = cache_intermediate(src)
-        assert sorted(os.listdir(tdir)) != []
+        assert ckpt_dirs() != []
+        assert live_checkpoint_tables() != frozenset()
         assert {r.doc_id for r in inter.collect()} == {
             r.doc_id for r in src.collect()
         }
         release_intermediate(inter)
+        assert live_checkpoint_tables() == frozenset()
+
+        # releasing a TRANSFORMED handle (which loses the stashed path
+        # attribute) still finds and deletes the backing directory via
+        # the live-path registry (ADVICE r9)
+        inter2 = cache_intermediate(src)
+        n_live = len(live_checkpoint_tables())
+        derived = inter2.select("doc_id").where("doc_id IS NOT NULL")
+        assert not hasattr(derived, "_simpss_checkpoint_table_path")
+        release_intermediate(derived)
+        assert len(live_checkpoint_tables()) == n_live - 1
 
         # the heavy query: identical pairs via table-backed caches
         expect = {
@@ -222,9 +248,13 @@ def test_checkpoint_table_mode(spark, tmp_path):
         # removes the result's backing directory
         out = materialize_release(_docs(spark).select("doc_id"))
         assert persistent_rdd_ids(spark) - before == set()
-        n_dirs = len(os.listdir(tdir))
+        n_dirs = len(ckpt_dirs())
         release_result(out)
-        assert len(os.listdir(tdir)) == n_dirs - 1
+        assert len(ckpt_dirs()) == n_dirs - 1
+
+        # end-of-job sweep removes anything still live
+        sweep_checkpoint_tables(spark)
+        assert live_checkpoint_tables() == frozenset()
     finally:
         set_checkpoint_mode("local")
         set_checkpoint_table_dir(None)

@@ -288,3 +288,50 @@ def test_key_skew_profile_values_and_nulls(spark):
     s = next(r for r in out if r.section == "summary")
     assert (s.n_rows, s.n_keys) == (100, 4)
     assert s.skew_factor == 2.4  # 60 / (100/4)
+
+
+def test_skew_profile_plan_shape(spark, sf_dir):
+    """VERDICT r9 #6/#8 — the profiler's scale contract, as a plan
+    assertion: the full relation is exchanged exactly ONCE (the
+    combinable key-groupBy, with a map-side partial that collapses the
+    hot key before the shuffle), every other consumer REUSES that
+    exchange, and there is NO window operator at all — the hot-row rank
+    is a broadcast self-join over the limited top-N, so the old
+    partition-less WindowExec (and its scary 'moving all data to a
+    single partition' warning) cannot reappear."""
+    from unimib_simpss_spark.operators.skew import key_skew_profile
+
+    prof = key_skew_profile(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_custkey", top_n=10
+    )
+    prof.collect()  # resolve AQE
+    final = (
+        prof._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert len(re.findall(r"\+- Exchange hashpartitioning", final)) == 1, final
+    assert final.count("ReusedExchange") >= 2, final
+    assert "partial_count" in final, final
+    assert "Window [" not in final, final
+
+
+def test_bpe_source_leg_repartition_survives_aqe(spark, sf_dir):
+    """VERDICT r9 #6 — q27's bpe_source leg pins repartition(N, col)
+    so the compute-bound encode chain runs wide. A bare
+    repartition(col) is origin REPARTITION_BY_COL, which AQE's
+    byte-based coalescing collapses to ~1 task on this small-bytes/
+    high-cpu relation (measured 1 task / 4.1 s); the pinned count is
+    origin REPARTITION_BY_NUM, which AQE must preserve. Guard both the
+    origin tag and the runtime partition count."""
+    df = registry.queries()["q27_text_profile"](spark, sf_dir)
+    df.collect()  # resolve AQE
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "REPARTITION_BY_NUM" in final, final
+    # the pinned exchange must not be wrapped in a coalesced read
+    m = re.search(
+        r"(AQEShuffleRead coalesced\s*\n[^\n]*\n?[^\n]*REPARTITION_BY_NUM)", final
+    )
+    assert m is None, m.group(0) if m else None

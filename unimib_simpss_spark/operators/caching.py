@@ -45,6 +45,7 @@ Checkpoint modes (:func:`set_checkpoint_mode`):
 from __future__ import annotations
 
 import itertools
+import uuid
 
 from pyspark.sql import DataFrame
 
@@ -55,11 +56,23 @@ except ImportError:  # pragma: no cover
 
 _CHECKPOINT_MODE = "local"
 _VALID_MODES = ("local", "durable", "table")
+# Namespaced root for this session's checkpoint tables: the user-supplied
+# dir plus a per-session uuid component, so two drivers (or a restarted
+# session) pointed at the same root can never clobber each other's
+# surviving ckpt-N tables — the counter below is process-local and WOULD
+# restart at 0.
 _TABLE_DIR: str | None = None
 _TABLE_SEQ = itertools.count()
 # path attribute stashed on table-backed DataFrames so the release
-# helpers can find the storage to delete
+# helpers can find the storage to delete without a plan walk
 _TABLE_PATH_ATTR = "_simpss_checkpoint_table_path"
+# Registry of every table path written and not yet released. Release
+# does not depend on the caller holding the exact returned handle: a
+# transformed handle (``.select``, a re-created wrapper) loses the
+# Python attribute, and the registry + input-file match below still
+# finds (and deletes) the backing directory. Mirrors the
+# ``persistent_rdd_ids`` hygiene observable for block-mode caches.
+_LIVE_TABLE_PATHS: set[str] = set()
 
 
 def set_checkpoint_mode(mode: str) -> None:
@@ -84,9 +97,22 @@ def set_checkpoint_mode(mode: str) -> None:
 def set_checkpoint_table_dir(path: str | None) -> None:
     """Root directory (any Hadoop-filesystem URI — local path, hdfs://,
     s3a://) under which ``"table"``-mode checkpoints are written. Each
-    checkpoint gets its own ``ckpt-N`` subdirectory."""
+    call starts a fresh per-session namespace ``<path>/sess-<uuid>``
+    and each checkpoint gets its own ``ckpt-N`` subdirectory inside it,
+    so concurrent or restarted sessions sharing a root never collide.
+    Passing ``None`` clears the dir and is rejected while the ``table``
+    mode is active (the next checkpoint would otherwise write to a
+    nonsense relative path)."""
     global _TABLE_DIR
-    _TABLE_DIR = path
+    if path is None:
+        if _CHECKPOINT_MODE == "table":
+            raise ValueError(
+                "cannot clear the checkpoint table dir while mode is "
+                "'table'; call set_checkpoint_mode first"
+            )
+        _TABLE_DIR = None
+        return
+    _TABLE_DIR = f"{path.rstrip('/')}/sess-{uuid.uuid4().hex[:12]}"
 
 
 def checkpoint_mode() -> str:
@@ -103,10 +129,19 @@ def _delete_path(spark, path: str) -> None:
 
 
 def _write_table(df: DataFrame) -> DataFrame:
+    if _TABLE_DIR is None:  # mode was flipped behind our back
+        raise ValueError(
+            "checkpoint mode is 'table' but no table dir is set; call "
+            "set_checkpoint_table_dir(path) first"
+        )
+    # mode('overwrite') is safe: the per-session uuid namespace makes the
+    # path unique, so the only thing overwritten is a partial write from
+    # this same session's failed attempt.
     path = f"{_TABLE_DIR}/ckpt-{next(_TABLE_SEQ)}"
     df.write.mode("overwrite").parquet(path)
     out = df.sparkSession.read.parquet(path)
     setattr(out, _TABLE_PATH_ATTR, path)
+    _LIVE_TABLE_PATHS.add(path)
     return out
 
 
@@ -131,12 +166,78 @@ def cache_intermediate(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
+def _strip_scheme(p: str) -> str:
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
+def _backing_table_path(df: DataFrame) -> str | None:
+    """Locate the live checkpoint table backing ``df``, surviving handle
+    transformations.
+
+    Fast path: the Python attribute stashed by :func:`_write_table`.
+    Fallback: match the plan's input files against the live-path
+    registry — a ``.select``/re-created wrapper loses the attribute but
+    keeps the file scan. If the plan reads MORE than one live table
+    (e.g. a join of two table-backed intermediates), releasing "the"
+    backing table is ambiguous and we raise rather than guess."""
+    path = getattr(df, _TABLE_PATH_ATTR, None)
+    if path is not None and path in _LIVE_TABLE_PATHS:
+        return path
+    if not _LIVE_TABLE_PATHS:
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plan; nothing to match
+        return None
+    hits = {
+        live
+        for live in _LIVE_TABLE_PATHS
+        for f in files
+        if _strip_scheme(f).startswith(_strip_scheme(live).rstrip("/") + "/")
+    }
+    if len(hits) > 1:
+        raise ValueError(
+            f"plan reads {len(hits)} live checkpoint tables "
+            f"({sorted(hits)}); release each original handle explicitly"
+        )
+    return next(iter(hits), None)
+
+
+def live_checkpoint_tables() -> frozenset:
+    """Paths of every table-mode checkpoint written and not yet
+    released — the observable for table-mode leak tests, mirroring
+    :func:`persistent_rdd_ids`."""
+    return frozenset(_LIVE_TABLE_PATHS)
+
+
+def sweep_checkpoint_tables(spark) -> int:
+    """Delete every live checkpoint table (end-of-job hygiene / test
+    teardown). Returns the number of directories removed."""
+    n = 0
+    for path in list(_LIVE_TABLE_PATHS):
+        _delete_path(spark, path)
+        _LIVE_TABLE_PATHS.discard(path)
+        n += 1
+    return n
+
+
+def _release_table(df: DataFrame, path: str) -> None:
+    _delete_path(df.sparkSession, path)
+    _LIVE_TABLE_PATHS.discard(path)
+
+
 def release_intermediate(df: DataFrame) -> None:
     """Free an intermediate from :func:`cache_intermediate` (unpersist
-    or checkpoint-table delete, per how it was created)."""
-    path = getattr(df, _TABLE_PATH_ATTR, None)
+    or checkpoint-table delete, per how it was created). Table-backed
+    handles are found via the live-path registry, so releasing a
+    transformed handle still deletes the right directory."""
+    path = _backing_table_path(df)
     if path is not None:
-        _delete_path(df.sparkSession, path)
+        _release_table(df, path)
     else:
         df.unpersist()
 
@@ -178,9 +279,9 @@ def release_result(df: DataFrame) -> None:
     backing directory — the same irrecoverability contract, only the
     storage is files instead of blocks.
     """
-    path = getattr(df, _TABLE_PATH_ATTR, None)
+    path = _backing_table_path(df)
     if path is not None:
-        _delete_path(df.sparkSession, path)
+        _release_table(df, path)
         return
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)

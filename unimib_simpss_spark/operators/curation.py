@@ -828,9 +828,10 @@ BPE_TABLE_CAP = 65_536  # driver-side bound for a collected merge table
 # driver's oracle SQL is a static string, so it cannot embed a
 # corpus-trained table (training output differs per sf) — instead the
 # query legs demonstrate the encode machinery under a constant,
-# ALIAS-FREE table (no merge's output string equals another merge's
-# operand, so the portable in-order encode equals the canonical
-# min-rank encode — :func:`bpe_encode` docstring). Corpus-TRAINED
+# ORDERED table (a merge's output string may feed LATER merges — e.g.
+# merge 0's "th" is merge 1's operand — but never an EARLIER one, so
+# the portable in-order encode equals the canonical min-rank encode —
+# :func:`bpe_encode` docstring). Corpus-TRAINED
 # tables go through the same operators and are parity-tested in
 # tests/test_curation.py against a pure-Python canonical encoder.
 BPE_DEMO_MERGES = [

@@ -99,11 +99,15 @@ def cosine_topk(
     )
     qside = queries
     if max_query_rows is not None:
-        # count off the raw scan (id column only — no norm computation,
-        # filters pushed to parquet), capped by limit so the gate job
-        # never scans more than it must
+        # Count off the SAME relation the queries are built from (the
+        # with_unit_vectors projection), so a pred referencing derived
+        # columns (_v/_norm) resolves identically on the gate and the
+        # plan. Selecting only the id after the filter still lets
+        # Catalyst prune _v/_norm from the scan when pred doesn't touch
+        # them; the limit caps the gate job either way.
         nq = (
-            emb.where(pred)
+            with_unit_vectors(emb, vec_col)
+            .where(pred)
             .select(F.col(id_col))
             .limit(max_query_rows + 1)
             .count()

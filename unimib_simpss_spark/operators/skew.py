@@ -24,7 +24,7 @@ can't diverge.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -136,16 +136,26 @@ def key_skew_profile(
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("k"))
     tot = counts.agg(
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("cnt").alias("max_cnt"),
     )
+    # Rank the ≤ top_n hot rows with a broadcast self-join (rank = 1 +
+    # number of rows sorting strictly before) instead of a global
+    # row_number window: same deterministic result, but no
+    # partition-less WindowExec — which logs a "Moving all data to a
+    # single partition" warning that reads as a scale-killer even
+    # though it would only ever see the limited top_n rows.
+    hot10 = counts.orderBy(F.desc("cnt"), F.asc("k")).limit(top_n)
+    prior = hot10.select(F.col("k").alias("k2"), F.col("cnt").alias("cnt2"))
+    before_me = (F.col("cnt2") > F.col("cnt")) | (
+        (F.col("cnt2") == F.col("cnt")) & (F.col("k2") < F.col("k"))
+    )
     hot = (
-        counts.orderBy(F.desc("cnt"), F.asc("k"))
-        .limit(top_n)
-        .withColumn("rank", F.row_number().over(w))
+        hot10.join(F.broadcast(prior), before_me, "left")
+        .groupBy("k", "cnt")
+        .agg((F.count("k2") + 1).cast("int").alias("rank"))
         .join(F.broadcast(tot.select("n_rows")), how="cross")
         .select(
             F.lit("hot").alias("section"),
