@@ -1,7 +1,10 @@
 """Multimodal operator tests: the Spark-side plumbing (schemas, Arrow
-batch shapes, partition behavior) is real and verified; the codec step
-itself is a deterministic fake (real decode is stubbed — no media libs
-in this container)."""
+batch shapes, partition behavior) is real and verified. The codec step
+has two modes: ``decoder="fake"`` (deterministic byte-level stand-in
+for arbitrary bytes) and ``decoder="real"`` — pure-NumPy parsers for
+one UNCOMPRESSED format per modality (PCM WAV, PPM/PGM/BMP, ppm-stream
+video; VERDICT r9 #2). Compressed codecs still need libs absent from
+this container, and the real decoder must reject them loudly."""
 
 from __future__ import annotations
 
@@ -67,7 +70,11 @@ def test_decode_preserves_partitioning(media):
     assert out.rdd.getNumPartitions() == 5
 
 
-def test_real_decoder_is_stubbed(media):
+def test_real_decode_rejects_unparseable_payloads(media):
+    """The raw-bytes media table's payloads are utf-8 text, not valid
+    WAV/PPM/BMP — decoder='real' must refuse them with the
+    NotImplementedError that names the missing compressed-codec libs,
+    never silently fall back to the fake path."""
     with pytest.raises(Exception) as ei:
         M.decode_media(media.limit(1), decoder="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
@@ -136,15 +143,15 @@ class TestResize:
         again = M.resize_media(media, width=8, height=8).collect()[0]
         assert list(again.pixels) == list(r.pixels)
 
-    def test_real_decoder_is_an_honest_stub(self, spark, sf_dir):
+    def test_real_decoder_rejects_unparseable_payloads(self, spark, sf_dir):
         import pytest as _pytest
 
         from unimib_simpss_spark.catalog import load_table
         from unimib_simpss_spark.operators import multimodal as M
 
         media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
-        with _pytest.raises(NotImplementedError):
-            M.resize_media(media, decoder="real")
+        with _pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+            M.resize_media(media, decoder="real").collect()
 
     def test_source_smaller_than_target_grid_is_finite(self, spark):
         """Upscaling (src < dst) repeats pooling-bin boundaries →
@@ -194,15 +201,15 @@ class TestResample:
         r2 = M.resample_audio(media, target_rate=8_000).collect()[0]
         assert list(r1.features) == list(r2.features)
 
-    def test_real_decoder_is_an_honest_stub(self, spark, sf_dir):
+    def test_real_decoder_rejects_unparseable_payloads(self, spark, sf_dir):
         import pytest as _pytest
 
         from unimib_simpss_spark.catalog import load_table
         from unimib_simpss_spark.operators import multimodal as M
 
         media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
-        with _pytest.raises(NotImplementedError):
-            M.resample_audio(media, decoder="real")
+        with _pytest.raises(Exception, match="NotImplementedError|RIFF"):
+            M.resample_audio(media, decoder="real").collect()
 
     def test_zero_duration_clip_is_finite(self, spark):
         """duration_ms=0 → n_src=2 → n_dst=2 < N_FEATURES: most envelope
@@ -219,3 +226,180 @@ class TestResample:
         r = M.resample_audio(media, target_rate=8_000).collect()[0]
         assert len(r.features) == M.N_FEATURES
         assert all(math.isfinite(f) for f in r.features)
+
+
+class TestRealCodecs:
+    """VERDICT r9 #2 — the pure-NumPy uncompressed decoders, both as
+    units (exact roundtrips) and end-to-end through the Spark
+    mapInPandas plumbing with decoder='real'."""
+
+    def test_wav_roundtrip_16_and_8_bit(self):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        sig = np.sin(np.linspace(0, 20 * np.pi, 1600))
+        dec, rate = C.decode_wav(C.encode_wav(sig, 16_000, bits=16))
+        assert rate == 16_000 and len(dec) == 1600
+        assert np.abs(dec - sig).max() < 1 / 32000
+        d8, r8 = C.decode_wav(C.encode_wav(sig, 8_000, bits=8))
+        assert r8 == 8_000 and np.abs(d8 - sig).max() < 1 / 250
+
+    def test_wav_multichannel_averages_to_mono(self):
+        import struct
+
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        # hand-build a 2-channel PCM16 WAV: L = ramp, R = -ramp → mono 0
+        n, rate = 64, 8_000
+        ramp = (np.arange(n) * 100).astype("<i2")
+        inter = np.empty(2 * n, dtype="<i2")
+        inter[0::2], inter[1::2] = ramp, -ramp
+        data = inter.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        sig, r = C.decode_wav(payload)
+        assert r == rate and len(sig) == n
+        assert np.abs(sig).max() < 1e-9
+
+    def test_pnm_roundtrip_and_comment_header(self):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        g = np.random.default_rng(3).random((13, 17))
+        gq = np.round(g * 255) / 255
+        assert np.abs(C.decode_pnm(C.encode_ppm(g)) - gq).max() < 1e-9
+        assert np.abs(C.decode_pnm(C.encode_pgm(g)) - gq).max() < 1e-9
+        with_comment = (
+            b"P5\n# netpbm allows comments\n17 13\n255\n"
+            + (gq * 255).round().astype(np.uint8).tobytes()
+        )
+        assert np.abs(C.decode_pnm(with_comment) - gq).max() < 1e-9
+
+    def test_bmp_roundtrip_with_row_padding(self):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        # width 7 → 21 raster bytes/row, padded to 24: exercises the
+        # 4-byte alignment and the bottom-up row flip
+        g = np.random.default_rng(5).random((9, 7))
+        out = C.decode_bmp(C.encode_bmp(g))
+        assert out.shape == (9, 7)
+        assert np.abs(out - np.round(g * 255) / 255).max() < 1e-9
+        assert C.decode_image(C.encode_bmp(g)).shape == (9, 7)
+
+    def test_ppm_stream_frames(self):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        rng = np.random.default_rng(11)
+        frames = [rng.random((5, 6)) for _ in range(3)]
+        got = C.decode_ppm_frames(b"".join(C.encode_ppm(f) for f in frames))
+        assert len(got) == 3
+        for gf, f in zip(got, frames):
+            assert np.abs(gf - np.round(f * 255) / 255).max() < 1e-9
+
+    def test_real_decode_end_to_end(self, spark, sf_dir):
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators import multimodal as M
+
+        docs = load_table(spark, sf_dir, "documents").limit(30)
+        rmedia = M.media_with_real_payloads(docs)
+        out = M.decode_media(rmedia, decoder="real").collect()
+        assert len(out) == 30
+        for r in out:
+            assert len(r.features) == M.N_FEATURES
+            assert abs(sum(r.features) - 1.0) < 1e-3  # L1-normalized
+        # deterministic
+        again = M.decode_media(rmedia, decoder="real").collect()
+        assert {r.media_id: r.features for r in out} == {
+            r.media_id: r.features for r in again
+        }
+
+    def test_real_resize_mean_preservation_and_parsed_dims(self, spark):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+        from unimib_simpss_spark.operators import multimodal as M
+
+        # 16x16 PPM → 8x8: blocks tile evenly → pooled mean == source
+        # mean exactly; src dims must come from the PARSED header, not
+        # the (deliberately wrong) metadata
+        grid = np.arange(256).reshape(16, 16) / 255.0
+        payload = C.encode_ppm(grid)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(payload), (99, 99, None, None, "ppm"))],
+            M.MEDIA_SCHEMA,
+        )
+        r = M.resize_media(media, width=8, height=8, decoder="real").collect()[0]
+        assert (r.src_w, r.src_h) == (16, 16)  # parsed, not meta's 99
+        gq = np.round(grid * 255) / 255
+        assert abs(float(np.mean(r.pixels)) - float(gq.mean())) < 1e-6
+
+    def test_real_resize_video_uses_first_frame(self, spark):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+        from unimib_simpss_spark.operators import multimodal as M
+
+        f0 = np.zeros((6, 8))  # all-black first frame
+        f1 = np.ones((6, 8))  # all-white second
+        payload = C.encode_ppm(f0) + C.encode_ppm(f1)
+        media = spark.createDataFrame(
+            [(2, "video", bytearray(payload), (8, 6, None, 750, "ppm_stream"))],
+            M.MEDIA_SCHEMA,
+        )
+        r = M.resize_media(media, width=4, height=3, decoder="real").collect()[0]
+        assert (r.src_w, r.src_h) == (8, 6)
+        assert max(r.pixels) < 1e-9  # frame 0 (black), not frame 1
+
+    def test_real_resample_sample_count_and_parsed_rate(self, spark):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+        from unimib_simpss_spark.operators import multimodal as M
+
+        sig = np.sin(np.linspace(0, 40 * np.pi, 2000))
+        payload = C.encode_wav(sig, 16_000, bits=16)
+        # metadata lies about the rate; the parsed RIFF rate must win
+        media = spark.createDataFrame(
+            [(3, "audio", bytearray(payload), (None, None, 44_100, 125, "pcm16"))],
+            M.MEDIA_SCHEMA,
+        )
+        r = M.resample_audio(media, target_rate=8_000, decoder="real").collect()[0]
+        assert r.src_rate == 16_000  # parsed from the file
+        assert r.n_samples == 1000  # 2000 @16k → 1000 @8k
+        assert len(r.features) == M.N_FEATURES
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+        # |sin| mean-envelope ≈ 2/π in every full bin
+        assert abs(float(np.mean(r.features)) - 2 / np.pi) < 0.05
+
+    def test_real_media_builder_metadata_is_truthful(self, spark, sf_dir):
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators import codecs as C
+        from unimib_simpss_spark.operators import multimodal as M
+
+        docs = load_table(spark, sf_dir, "documents").limit(12)
+        rows = M.media_with_real_payloads(docs).collect()
+        assert {r.kind for r in rows} == {"image", "audio", "video"}
+        for r in rows:
+            if r.kind == "image":
+                g = C.decode_image(bytes(r.payload))
+                assert g.shape == (r.meta.height, r.meta.width)
+            elif r.kind == "audio":
+                sig, rate = C.decode_wav(bytes(r.payload))
+                assert rate == r.meta.sample_rate
+                assert len(sig) * 1000 // rate == r.meta.duration_ms
+            else:
+                frames = C.decode_ppm_frames(bytes(r.payload))
+                assert len(frames) == 3
+                assert frames[0].shape == (r.meta.height, r.meta.width)

@@ -84,16 +84,24 @@ def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the former x41/x42 so every rows-only query fits the driver's
     50-query verification window):
 
-    - 'decode': Arrow-batched decode (deterministic fake decoder) →
-      per-media feature digests.
-    - 'topk': decode → cosine top-3 over decoded features (multimodal
-      ANN; media_id carries the query id).
-    - 'resize': metadata-pruned decode-and-resize of the visual rows to
-      an 8×8 area-averaged grid (n_dims carries the grid size, the
-      digest folds the pixel vector).
-    - 'audio': metadata-pruned decode-and-resample of the audio rows to
-      8 kHz with envelope pooling (n_bytes carries the resampled sample
-      count, the digest folds the envelope bins).
+    The decode/resize/audio legs run the REAL uncompressed-format
+    decoders (VERDICT r9 #2) over payloads that are actual encoded
+    PPM / WAV / ppm-stream bytes
+    (:func:`~unimib_simpss_spark.operators.multimodal.media_with_real_payloads`);
+    the topk leg keeps the byte-level fake decoder over the raw-bytes
+    media table, so BOTH plumbing variants stay exercised.
+
+    - 'decode': Arrow-batched REAL decode (WAV envelope / image+video
+      intensity histograms) → per-media feature digests.
+    - 'topk': fake decode → cosine top-3 over decoded features
+      (multimodal ANN; media_id carries the query id).
+    - 'resize': metadata-pruned REAL decode-and-resize of the visual
+      rows to an 8×8 area-averaged grid (n_dims carries the grid size,
+      the digest folds the pixel vector; videos resize their first
+      frame).
+    - 'audio': metadata-pruned REAL WAV decode-and-resample of the
+      audio rows to 8 kHz with envelope pooling (n_bytes carries the
+      resampled sample count, the digest folds the envelope bins).
 
     The registered contract surface is SCALAR columns only — the raw
     ``features array<float>`` crashes hash canonicalizers that sort rows
@@ -102,7 +110,8 @@ def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly for the full array.
     """
     media = _media(spark, sf_dir)
-    feats = M.decode_media(media)
+    real_media = M.media_with_real_payloads(load_table(spark, sf_dir, "documents"))
+    feats = M.decode_media(real_media, decoder="real")
     # Position-weighted checksum of the feature vector: deterministic,
     # order-stable (fold-left over the array), scalar.
     weighted = F.zip_with(
@@ -138,7 +147,7 @@ def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "cosine",
     )
-    resized = M.resize_media(media, width=8, height=8)
+    resized = M.resize_media(real_media, width=8, height=8, decoder="real")
     px_weighted = F.zip_with(
         "pixels",
         F.sequence(F.lit(1), F.size("pixels")),
@@ -158,7 +167,7 @@ def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("neighbor_id"),
         F.lit(None).cast("double").alias("cosine"),
     )
-    resampled = M.resample_audio(media, target_rate=8_000)
+    resampled = M.resample_audio(real_media, target_rate=8_000, decoder="real")
     au_weighted = F.zip_with(
         "features",
         F.sequence(F.lit(1), F.size("features")),
