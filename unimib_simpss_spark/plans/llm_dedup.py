@@ -441,6 +441,11 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unimib_simpss_spark.operators.curation import source_cap
 
     surv = source_cap(surv, quota=_P_SOURCE_QUOTA, project=False)
+    # Packing budget counts WHITESPACE tokens (token_count_ws), matching
+    # this oracle's portable twin; the trained-tokenizer budget variant
+    # (bpe_token_count_expr) is exercised and oracle-paired as q32's
+    # 'bpe' counter leg — swap the expression here when the production
+    # tokenizer is the trained BPE.
     t = surv.select(
         "doc_id",
         split_assignment("doc_id", _P_SPLITS),

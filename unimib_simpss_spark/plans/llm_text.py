@@ -548,19 +548,26 @@ _PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence
 
 
 def _packing_oracle() -> str:
+    from unimib_simpss_spark.operators.curation import (
+        BPE_DEMO_MERGES,
+        bpe_token_count_sql,
+    )
     from unimib_simpss_spark.operators.sampling import greedy_pack_sql
 
     sb = greedy_pack_sql("source", "doc_id", "ws", _PACK_BUDGET)
-    return f"""
-    WITH t AS (SELECT doc_id, source, {_ws} AS ws FROM documents),
-    p AS (SELECT source, ws, {sb} AS seq_bin FROM t)
-    SELECT source, seq_bin,
+    bpe_cnt = bpe_token_count_sql("text", BPE_DEMO_MERGES)
+    legs = []
+    for tag, cnt in (("ws", _ws), ("bpe", bpe_cnt)):
+        legs.append(f"""
+    SELECT '{tag}' AS counter, source, seq_bin,
            count(*)                  AS n_docs,
            CAST(sum(ws) AS BIGINT)   AS sum_tokens,
            round(sum(ws) / {_PACK_BUDGET}.0, 4) AS fill_ratio
-    FROM p
+    FROM (SELECT source, ws, {sb} AS seq_bin
+          FROM (SELECT doc_id, source, {cnt} AS ws FROM documents))
     GROUP BY source, seq_bin
-    """
+    """)
+    return " UNION ALL ".join(legs)
 
 
 @query("q32_sequence_packing", oracle=_packing_oracle())
@@ -569,20 +576,48 @@ def q32_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 512-token training sequences per source (operators/sampling.py
     greedy_pack — deterministic doc_id order, window prefix-sum), then
     per-sequence fill stats. The parallel unit is the partition key, so
-    the plan is one shuffle at any scale."""
+    the plan is one shuffle at any scale.
+
+    Two counter legs (VERDICT r9 #3): 'ws' budgets by the whitespace
+    token count; 'bpe' budgets by the TRAINED-tokenizer count the
+    engine actually ships (bpe_token_count_expr under the fixed demo
+    merge table — a packer that budgets with a different tokenizer than
+    training mis-sizes every sequence). Both legs are oracle-paired."""
+    from unimib_simpss_spark.operators.curation import (
+        BPE_DEMO_MERGES,
+        bpe_token_count_expr,
+    )
     from unimib_simpss_spark.operators.sampling import greedy_pack
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "source", A.token_count_ws("text").alias("ws"))
-    packed = greedy_pack(
-        t, partition_col="source", order_col="doc_id", token_col="ws",
-        budget=_PACK_BUDGET,
-    )
-    return packed.groupBy("source", "seq_bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("ws").alias("sum_tokens"),
-        F.round(F.sum("ws") / F.lit(float(_PACK_BUDGET)), 4).alias("fill_ratio"),
-    )
+    counters = [
+        ("ws", A.token_count_ws("text")),
+        ("bpe", bpe_token_count_expr("text", BPE_DEMO_MERGES)),
+    ]
+    legs = []
+    for tag, cnt in counters:
+        t = docs.select("doc_id", "source", cnt.alias("ws"))
+        packed = greedy_pack(
+            t, partition_col="source", order_col="doc_id", token_col="ws",
+            budget=_PACK_BUDGET,
+        )
+        legs.append(
+            packed.groupBy("source", "seq_bin").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("ws").alias("sum_tokens"),
+                F.round(F.sum("ws") / F.lit(float(_PACK_BUDGET)), 4).alias(
+                    "fill_ratio"
+                ),
+            ).select(
+                F.lit(tag).alias("counter"),
+                "source",
+                "seq_bin",
+                "n_docs",
+                "sum_tokens",
+                "fill_ratio",
+            )
+        )
+    return legs[0].unionAll(legs[1])
 
 
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
