@@ -153,6 +153,16 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def checkpoint_result(df: DataFrame) -> DataFrame:
+    """Eagerly checkpoint ``df`` under the current mode — the
+    mode-switchable form of ``df.localCheckpoint(eager=True)`` that
+    iterative operators (connected components' per-round label
+    relation) must use so the ``"table"`` mode really covers the heavy
+    lineage-truncation path, not just the shared-intermediate caches.
+    Pair with :func:`release_result`."""
+    return _checkpoint(df)
+
+
 def cache_intermediate(df: DataFrame) -> DataFrame:
     """Cache a shared intermediate relation under the current mode:
     block modes ``persist()`` it (lazy — first action populates), the

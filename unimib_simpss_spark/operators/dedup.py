@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from unimib_simpss_spark.functions.hashing import COMBO_BASE, MERSENNE_31
 from unimib_simpss_spark.operators.caching import (
     cache_intermediate,
+    checkpoint_result,
     materialize_release,
     release_intermediate,
     release_result,
@@ -555,9 +556,9 @@ def connected_components(
         edges.select(F.col(dst).cast("long").alias("node"), F.col(src).cast("long").alias("nbr"))
     )
     sym = cache_intermediate(sym.repartition("node"))
-    labels = (
+    labels = checkpoint_result(
         sym.select("node").distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(max_iters):
         nbr_labels = labels.select(
             F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
@@ -568,7 +569,8 @@ def connected_components(
             .union(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        )
+        proposed = checkpoint_result(proposed)
         changed = (
             proposed.alias("new")
             .join(labels.alias("old"), "node")
@@ -612,7 +614,7 @@ def dedup_clusters(
     # comp is checkpointed (CC must truncate lineage) — materialize the
     # tagged output now so comp's blocks can be dropped deterministically;
     # the caller owns exactly one handle, freed with release_result().
-    out = out.localCheckpoint(eager=True)
+    out = checkpoint_result(out)
     release_result(comp)
     return out
 
