@@ -674,3 +674,93 @@ def hll_distinct_from_registers(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(e_raw)
     return gs.select(*group_cols, F.round(est, ndigits).alias("hll_est"))
+
+
+# ----------------------------------------------------------- KLL quantiles
+def kll_quantiles(
+    df: DataFrame,
+    group_cols: list,
+    val_col: str,
+    quantiles: dict[str, float],
+    k: int = 200,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Mergeable rank-error quantile estimates per group via the KLL
+    sketch (``functions/kll.py``; VERDICT r9 #7) — the heavy-tail-proof
+    companion to :func:`hist_quantile`, whose equi-width error bound
+    ``span/bins`` degrades when one outlier stretches the span. KLL's
+    bound is on RANK (±O(1/k) of true rank, any distribution) with
+    ``O(k·log(n/k))`` items of state.
+
+    The 100 TB shape — a two-stage partial-aggregate fold, the same
+    pattern as kmeans_cells' centroid update:
+
+    1. ``mapInPandas`` builds ONE partial sketch per (partition, group):
+       executor state is a dict of small sketches, never the values;
+       output is |partitions| × |groups| sketch rows (bytes).
+    2. ``groupBy(group).applyInPandas`` merges each group's ≤
+       |partitions| partial sketches and reads the estimates — the only
+       shuffle moves serialized sketches (~KB each), never data rows.
+
+    NULLs are dropped up front (the quantile of the non-null population,
+    matching ``hist_quantile`` / exact ``percentile_disc`` semantics).
+    No portable DuckDB twin exists (compaction order is engine-local),
+    so the query surface is rows-only; accuracy is property-tested
+    against exact sorts in tests/test_sketches.py.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from unimib_simpss_spark.functions.kll import KLL
+
+    v = F.col(val_col).cast("double")
+    src = df.where(v.isNotNull()).select(*group_cols, v.alias("_v"))
+
+    partial_schema = StructType(
+        [src.schema[c] for c in group_cols]
+        + [StructField("_sk", BinaryType(), False)]
+    )
+
+    def build_partials(batches):
+        import pandas as pd
+
+        sketches: dict[tuple, KLL] = {}
+        for pdf in batches:
+            keys = list(zip(*(pdf[c] for c in group_cols)))
+            for key, val in zip(keys, pdf["_v"]):
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = KLL(k)
+                sk.add(float(val))
+        if sketches:
+            rows = [(*key, sk.to_bytes()) for key, sk in sketches.items()]
+            yield pd.DataFrame(rows, columns=[*group_cols, "_sk"])
+
+    partials = src.mapInPandas(build_partials, partial_schema)
+
+    out_schema = StructType(
+        [src.schema[c] for c in group_cols]
+        + [StructField("n", LongType(), False)]
+        + [StructField(name, DoubleType(), True) for name in quantiles]
+    )
+    names = list(quantiles)
+    ps = [quantiles[n] for n in names]
+
+    def merge_group(pdf):
+        import pandas as pd
+
+        merged = KLL.from_bytes(pdf["_sk"].iloc[0])
+        for raw in pdf["_sk"].iloc[1:]:
+            merged.merge(KLL.from_bytes(raw))
+        ests = [round(e, ndigits) for e in merged.quantiles(ps)]
+        key_vals = [pdf[c].iloc[0] for c in group_cols]
+        return pd.DataFrame(
+            [[*key_vals, merged.n, *ests]], columns=[*group_cols, "n", *names]
+        )
+
+    return partials.groupBy(*group_cols).applyInPandas(merge_group, out_schema)

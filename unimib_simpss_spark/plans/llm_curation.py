@@ -233,6 +233,41 @@ def x67_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(toks, "token", k=20)
 
 
+@query("x71_kll_quantiles")  # engine-local compaction order → rows-only
+def x71_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL rank-error quantiles (VERDICT r9 #7) over two
+    deliberately different shapes in one tagged union:
+
+    - 'price': lineitem.l_extendedprice per returnflag — the bounded,
+      benign distribution (cross-checked against q53's exact
+      percentiles by the test suite);
+    - 'chars': documents.n_chars per source — the skewed text-length
+      distribution where the equi-width histogram's span/bins error
+      (hist_quantile, q53) degrades and the rank bound does not.
+
+    Rank-error + merge-order properties live in tests/test_sketches.py;
+    no DuckDB twin exists because compaction order is engine-local."""
+    from unimib_simpss_spark.functions.sketches import kll_quantiles
+
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    price = kll_quantiles(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"], "l_extendedprice", qs,
+    ).select(
+        F.lit("price").alias("section"),
+        F.col("l_returnflag").alias("key"),
+        "n", "p50", "p90", "p99",
+    )
+    chars = kll_quantiles(
+        load_table(spark, sf_dir, "documents"), ["source"], "n_chars", qs
+    ).select(
+        F.lit("chars").alias("section"),
+        F.col("source").alias("key"),
+        "n", "p50", "p90", "p99",
+    )
+    return price.unionAll(chars)
+
+
 _DUP_N = 6
 
 
