@@ -944,3 +944,65 @@ def test_streaming_reservoir_equals_batch_sample(spark, tmp_path):
     # ...and the zero/NaN rows never entered anything
     all_keys = {r.sample_key for r in emitted}
     assert "zero" not in all_keys and "nanrow" not in all_keys
+
+
+def test_streaming_kll_snapshot_matches_sequential_fold(spark, tmp_path):
+    """KLL's compaction coins are deterministic, so the streaming
+    state after N micro-batches must EQUAL a sequential fold of the
+    same rows in the same order — snapshot estimates identical, and the
+    final estimates within the rank bound of the exact quantiles."""
+    import bisect
+    import random
+
+    from unimib_simpss_spark.functions.kll import KLL
+    from unimib_simpss_spark.streaming.stateful import (
+        _KLL_PS,
+        streaming_kll_quantiles,
+    )
+
+    rng = random.Random(13)
+    batches = [
+        [{"g": "a", "v": rng.gauss(100, 25)} for _ in range(400)]
+        for _ in range(3)
+    ]
+    src = tmp_path / "kll_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        _write_log(src, f"b{i}.json", rows)
+    stream = (
+        spark.readStream.schema("g STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .json(str(src))
+    )
+    out = streaming_kll_quantiles(stream, "g", "v", k=200)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kll_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = sorted(
+        spark.sql("SELECT * FROM kll_stream").collect(),
+        key=lambda r: r.n_seen,
+    )
+    assert [r.n_seen for r in snaps] == [400, 800, 1200]
+
+    # sequential fold over the same prefix, same order → same estimates
+    sk = KLL(200)
+    vals: list[float] = []
+    for snap, rows in zip(snaps, batches):
+        for row in rows:
+            sk.add(row["v"])
+            vals.append(row["v"])
+        for name, p in _KLL_PS.items():
+            assert getattr(snap, name) == round(sk.quantile(p), 4), (
+                snap.n_seen, name,
+            )
+    # final snapshot is within the rank bound of the exact quantiles
+    sv = sorted(vals)
+    for name, p in _KLL_PS.items():
+        est = getattr(snaps[-1], name)
+        rk = bisect.bisect_right(sv, est) / len(sv)
+        assert abs(rk - p) < 0.02, (name, rk)

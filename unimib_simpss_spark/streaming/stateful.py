@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -657,6 +658,107 @@ def streaming_reservoir(
         _make_reservoir_track(n),
         outputStructType=_RESERVOIR_OUTPUT_SCHEMA,
         stateStructType=_RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------- streaming KLL quantiles
+# The streaming twin of functions/sketches.py kll_quantiles: one KLL
+# sketch per group key carried across micro-batches in Spark-managed
+# state. Because the sketch's compaction coins are DETERMINISTIC
+# (functions/kll.py), the state after any prefix of the stream is
+# bit-identical to a sequential fold of the same rows in the same order
+# — the property the parity test asserts — and estimates carry KLL's
+# distribution-free ±O(1/k) rank bound at every snapshot.
+#
+# State per key is the serialized sketch: O(k·log(n/k)) items no matter
+# how many rows stream through — the fixed-memory contract shared by
+# the CMS (frequency), Bloom (membership), HLL (cardinality), and
+# reservoir (sampling) members of this family; KLL adds QUANTILES.
+
+_KLL_STATE_SCHEMA = StructType(
+    [
+        StructField("sk", BinaryType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_KLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("p50", DoubleType()),
+        StructField("p90", DoubleType()),
+        StructField("p99", DoubleType()),
+    ]
+)
+
+_KLL_PS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def _make_kll_track(k: int):
+    def track(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from unimib_simpss_spark.functions.kll import KLL
+
+        if state.exists:
+            raw, n_seen = state.get
+            sk = KLL.from_bytes(bytes(raw))
+            if sk.k != k:
+                raise ValueError(
+                    f"restored KLL state has k={sk.k}, expected {k} — "
+                    "parameter changed across a checkpoint; restart "
+                    "with a fresh checkpoint dir"
+                )
+        else:
+            sk = KLL(k)
+        for pdf in batches:
+            for v in pdf["value"]:
+                if v is None or pd.isna(v):
+                    continue  # batch twin drops NULLs
+                sk.add(float(v))
+        state.update((sk.to_bytes(), sk.n))
+        (group_key,) = key
+        ests = (
+            sk.quantiles(list(_KLL_PS.values()))
+            if sk.n
+            else [None] * len(_KLL_PS)
+        )
+        yield pd.DataFrame(
+            {
+                "group_key": [group_key],
+                "n_seen": [sk.n],
+                **{
+                    name: [round(e, 4) if e is not None else None]
+                    for name, e in zip(_KLL_PS, ests)
+                },
+            }
+        )
+
+    return track
+
+
+def streaming_kll_quantiles(
+    stream: DataFrame, group_col: str, value_col: str, k: int = 200
+) -> DataFrame:
+    """Per-group streaming quantile estimates under fixed memory: a KLL
+    sketch per key carried across micro-batches; each batch emits the
+    group's current p50/p90/p99 with ``n_seen``. See the module-level
+    note above for the determinism/parity and state-size contracts."""
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return src.groupBy("group_key").applyInPandasWithState(
+        _make_kll_track(k),
+        outputStructType=_KLL_OUTPUT_SCHEMA,
+        stateStructType=_KLL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
