@@ -1,0 +1,108 @@
+"""Plan-lint tests: the 100 TB design review as CI.
+
+Two halves: (1) constructed-bad plans must trigger the right findings;
+(2) EVERY registered query's plan must pass ``assert_scale_clean`` —
+no cartesian products, no row-at-a-time Python, no unbounded global
+window/sort — with a per-query allowlist naming each intentional
+BroadcastNestedLoopJoin (all of them broadcast-tiny stats crosses or
+gated theta residuals)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.operators.plan_lint import (
+    assert_scale_clean,
+    lint_plan,
+)
+from unimib_simpss_spark.plans import registry
+
+
+def _rules(findings, severity=None):
+    return [
+        f.rule
+        for f in findings
+        if severity is None or f.severity == severity
+    ]
+
+
+class TestDetectors:
+    def test_cartesian_product_is_an_error(self, spark):
+        a = spark.range(10)
+        b = spark.range(10).withColumnRenamed("id", "id2")
+        # crossJoin without broadcast at disabled-AQE thresholds plans a
+        # CartesianProduct; force it by disabling auto-broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = a.crossJoin(b)
+            rules = _rules(lint_plan(df), "error")
+            assert "cartesian-product" in rules
+            with pytest.raises(AssertionError, match="cartesian-product"):
+                assert_scale_clean(df)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    def test_row_python_udf_is_an_error(self, spark):
+        from pyspark.sql.types import LongType
+
+        plus_one = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+        df = spark.range(10).select(plus_one("id").alias("y"))
+        assert "python-row-udf" in _rules(lint_plan(df), "error")
+
+    def test_arrow_python_is_only_info(self, spark):
+        def ident(it):
+            yield from it
+
+        df = spark.range(10).mapInPandas(ident, "id long")
+        findings = lint_plan(df)
+        assert "arrow-python" in _rules(findings, "info")
+        assert not _rules(findings, "error")
+        assert_scale_clean(df)  # info never fails the gate
+
+    def test_global_window_is_a_warn(self, spark):
+        from pyspark.sql import Window
+
+        df = spark.range(100).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        assert "global-window" in _rules(lint_plan(df), "warn")
+        with pytest.raises(AssertionError, match="global-window"):
+            assert_scale_clean(df)
+        # partitioned windows pass
+        ok = spark.range(100).withColumn(
+            "rn", F.row_number().over(Window.partitionBy(F.col("id") % 10).orderBy("id"))
+        )
+        assert "global-window" not in _rules(lint_plan(ok))
+
+    def test_global_sort_warns_but_topk_fusion_passes(self, spark):
+        # NB: orderBy("id") on a range would be ELIMINATED by Catalyst
+        # (already ordered) — sort on a derived key instead
+        df = spark.range(1000).orderBy(F.col("id") % 7)
+        assert "global-sort" in _rules(lint_plan(df), "warn")
+        topk = spark.range(1000).orderBy(F.col("id") % 7).limit(5)
+        assert "global-sort" not in _rules(lint_plan(topk))
+
+    def test_exchange_count_reported(self, spark):
+        df = spark.range(100).groupBy((F.col("id") % 7).alias("g")).count()
+        info = [f for f in lint_plan(df) if f.rule == "exchange-count"]
+        assert len(info) == 1 and info[0].detail.startswith("1 ")
+
+
+# Intentional BroadcastNestedLoopJoins, each a broadcast-tiny build side:
+_ALLOW: dict[str, set] = {
+    "q30_corpus_mix": {"bnl-join"},        # 1-row totals for alpha/divergence
+    "q36_cosine_topk": {"bnl-join"},       # size-gated query-side broadcast
+    "q48_binned_range_join": {"bnl-join"}, # the BNL leg IS the theta baseline
+    "q49_salted_join": {"bnl-join"},       # 1-row n_rows cross in the profile
+    "q55_gapfill_rollup": {"bnl-join"},    # per-key bounds grid cross
+    "q66_vocab_coverage": {"bnl-join"},    # 1-row token-total cross
+    "x41_media_pipeline": {"bnl-join"},    # cosine gate over decoded feats
+    "x67_cms_heavy_hitters": {"bnl-join"}, # rank self-join over ≤k rows
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_registered_query_plans_are_scale_clean(spark, sf_dir, name):
+    df = registry.queries()[name](spark, sf_dir)
+    assert_scale_clean(df, allow=_ALLOW.get(name, set()))

@@ -242,16 +242,21 @@ def cms_heavy_hitters(
     overestimates, so every TRUE heavy hitter survives the cut —
     CMS trades false positives, never false negatives.
     """
-    from pyspark.sql import Window
-
     sketch = cms_build(df, col, depth, width)
     distinct = df.select(F.col(col)).distinct()
     est = cms_estimate(sketch, distinct, col, depth, width)
-    w = Window.orderBy(F.desc("est"), "token")
+    # rank = 1 + #rows sorting strictly before, via a broadcast
+    # self-join over the limited top-k rows — no partition-less window
+    # (the q49 pattern)
+    top = est.orderBy(F.desc("est"), "token").limit(k)
+    prior = top.select(F.col("token").alias("t2"), F.col("est").alias("e2"))
+    before = (F.col("e2") > F.col("est")) | (
+        (F.col("e2") == F.col("est")) & (F.col("t2") < F.col("token"))
+    )
     return (
-        est.orderBy(F.desc("est"), "token")
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        top.join(F.broadcast(prior), before, "left")
+        .groupBy("token", "est")
+        .agg((F.count("t2") + 1).cast("long").alias("rank"))
     )
 
 

@@ -248,8 +248,9 @@ def vocab_coverage(
     attribute → one map-side-combinable count shuffle (output = the
     vocabulary relation, far smaller than the corpus) → global top-k
     via ``TakeOrderedAndProject`` (never a full sort of the vocabulary)
-    → rank + running-share window over just ``topk`` rows (driver-size,
-    single partition by construction). The corpus token total rides
+    → rank + running share via a broadcast self-join over just ``topk``
+    rows (≤ topk² joined rows, no single-partition window — the q49
+    pattern). The corpus token total rides
     along as a broadcast 1-row cross join over the already-aggregated
     counts — never a second pass over the corpus.
 
@@ -270,22 +271,28 @@ def vocab_coverage(
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total_tokens"))
     top = counts.orderBy(F.desc("cnt"), "token").limit(topk)
-    w = (
-        Window.orderBy(F.desc("cnt"), "token")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Rank + running share via a broadcast self-join over the limited
+    # top-K rows (rank = #rows sorting before-or-equal; cum = their cnt
+    # sum) instead of partition-less windows — same values (long sums
+    # are order-free), no single-partition WindowExec in the plan (the
+    # q49 pattern; keeps the plan-lint sweep warning-free).
+    prior = top.select(F.col("token").alias("token2"), F.col("cnt").alias("cnt2"))
+    before_eq = (F.col("cnt2") > F.col("cnt")) | (
+        (F.col("cnt2") == F.col("cnt")) & (F.col("token2") <= F.col("token"))
     )
     out = (
-        top.crossJoin(F.broadcast(total))
+        top.join(F.broadcast(prior), before_eq)
+        .groupBy("token", "cnt")
+        .agg(
+            F.count("token2").cast("long").alias("rank"),
+            F.sum("cnt2").alias("cum"),
+        )
+        .crossJoin(F.broadcast(total))
         .select(
             "token",
             "cnt",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cnt"), "token"))
-            .cast("long")
-            .alias("rank"),
-            F.round(
-                F.sum("cnt").over(w) / F.col("total_tokens"), 6
-            ).alias("cum_share"),
+            "rank",
+            F.round(F.col("cum") / F.col("total_tokens"), 6).alias("cum_share"),
         )
     )
     if not with_cms:
