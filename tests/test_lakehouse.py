@@ -153,3 +153,91 @@ def test_analyze_table_quotes_reserved_identifiers(warehouse_spark):
         assert info.get("distinct_count") == "5", info
     finally:
         _drop_table_and_location(spark, "t_quoted")
+
+
+class TestCompaction:
+    """file_stats / compaction_plan / compact_to: the small-files
+    diagnosis and rewrite (metadata-only planning; shuffle-free
+    coalesce rewrite)."""
+
+    def _fragmented_table(self, spark, root):
+        # 2 partition dirs; p=0 fragmented into many tiny files, p=1
+        # written as a single file (already compact)
+        df = spark.range(2000).selectExpr("id", "id % 2 AS p")
+        (
+            df.where("p = 0").repartition(20)
+            .write.mode("overwrite").parquet(f"{root}/p=0")
+        )
+        (
+            df.where("p = 1").coalesce(1)
+            .write.mode("overwrite").parquet(f"{root}/p=1")
+        )
+
+    def test_file_stats_lists_data_files_only(self, spark, tmp_path):
+        from unimib_simpss_spark.sources.lakehouse import file_stats
+
+        root = str(tmp_path / "frag")
+        self._fragmented_table(spark, root)
+        rows = file_stats(spark, root).collect()
+        assert all(not r.file.startswith(("_", ".")) for r in rows)
+        by_dir = {}
+        for r in rows:
+            by_dir.setdefault(r.partition_dir, []).append(r)
+            assert r.size_bytes > 0
+        assert len(by_dir["p=0"]) == 20
+        assert len(by_dir["p=1"]) == 1
+
+    def test_plan_flags_fragmented_partition_only(self, spark, tmp_path):
+        from unimib_simpss_spark.sources.lakehouse import compaction_plan
+
+        root = str(tmp_path / "frag")
+        self._fragmented_table(spark, root)
+        # tiny target so the fragmented dir still plans >1 output file
+        plan = {
+            r.partition_dir: r
+            for r in compaction_plan(
+                spark, root, target_bytes=64 * 1024
+            ).collect()
+        }
+        assert plan["p=0"].action == "compact"
+        assert plan["p=0"].n_files == 20
+        assert 1 <= plan["p=0"].n_target_files < 20
+        assert plan["p=1"].action == "ok"
+
+    def test_compact_to_rewrites_to_planned_count_and_preserves_rows(
+        self, spark, tmp_path
+    ):
+        from unimib_simpss_spark.sources.lakehouse import (
+            compaction_plan,
+            compact_to,
+        )
+
+        root = str(tmp_path / "frag")
+        out = str(tmp_path / "compacted")
+        self._fragmented_table(spark, root)
+        plan = compact_to(spark, root, out, target_bytes=64 * 1024)
+        want = {
+            r.partition_dir: int(r.n_target_files)
+            for r in plan.where("action = 'compact'").collect()
+        }
+        assert set(want) == {"p=0"}
+        import os
+
+        got_files = [
+            f for f in os.listdir(f"{out}/p=0") if f.endswith(".parquet")
+        ]
+        assert len(got_files) == want["p=0"]
+        # row-level parity on the rewritten partition
+        a = sorted(r.id for r in spark.read.parquet(f"{root}/p=0").collect())
+        b = sorted(r.id for r in spark.read.parquet(f"{out}/p=0").collect())
+        assert a == b
+        # untouched partition was not rewritten
+        assert not os.path.exists(f"{out}/p=1")
+        # and the rewritten layout now audits clean
+        after = {
+            r.partition_dir: r.action
+            for r in compaction_plan(
+                spark, out, target_bytes=64 * 1024
+            ).collect()
+        }
+        assert after["p=0"] == "ok"

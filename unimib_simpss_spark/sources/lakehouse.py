@@ -123,3 +123,126 @@ def analyze_table(
         spark.sql(
             f"ANALYZE TABLE {qtable} COMPUTE STATISTICS FOR COLUMNS {cols}"
         )
+
+
+# --------------------------------------------------------- compaction
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file metadata of a parquet table: one row per data file with
+    its hive-partition directory (relative to ``path``), name, and
+    size. Hidden/marker files (``_SUCCESS``, ``.crc``) are skipped.
+
+    The listing walks the Hadoop FileSystem recursively — a METADATA
+    operation, O(#files) driver rows, which is the same inventory any
+    compactor (Delta OPTIMIZE, Iceberg rewrite_data_files) must hold;
+    table formats keep it in their metadata layer, plain parquet pays a
+    listing. The rows become a DataFrame so the planning aggregation
+    itself runs on the cluster."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    root_str = fs.makeQualified(root).toString().rstrip("/")
+    rows = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith(("_", ".")):
+            continue
+        full = p.toString()
+        rel = full[len(root_str):].lstrip("/")
+        part_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        rows.append((part_dir, name, int(st.getLen())))
+    return spark.createDataFrame(
+        rows, "partition_dir string, file string, size_bytes long"
+    )
+
+
+def compaction_plan(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_fraction: float = 0.5,
+) -> DataFrame:
+    """The small-files diagnosis + prescription, per partition
+    directory: how many files exist, how many are 'small' (under
+    ``small_fraction × target_bytes``), total bytes, the file count a
+    compaction should produce (``ceil(total/target)``), and the
+    recommended action —
+
+    - ``'compact'``: more files than the target count AND at least two
+      small ones (the rewrite would genuinely reduce file count);
+    - ``'ok'``: layout already within budget.
+
+    Why this matters at 100 TB: every file under ~a task's worth of
+    bytes costs a full task-scheduling + footer-read + open/close
+    overhead; a partition with 10k × 1 MB files reads ~50× slower than
+    the same bytes in 80 × 128 MB files, and the driver pays the
+    listing on every query. Streaming sinks and over-partitioned
+    shuffles are the usual culprits. One combinable groupBy over the
+    metadata relation — never touches data bytes."""
+    from pyspark.sql import functions as F
+
+    small = F.lit(int(target_bytes * small_fraction))
+    agg = (
+        file_stats(spark, path)
+        .groupBy("partition_dir")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum((F.col("size_bytes") < small).cast("long")).alias("n_small"),
+            F.sum("size_bytes").alias("total_bytes"),
+        )
+        .withColumn(
+            "n_target_files",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("total_bytes") / F.lit(target_bytes)).cast("long"),
+            ),
+        )
+    )
+    return agg.withColumn(
+        "action",
+        F.when(
+            (F.col("n_files") > F.col("n_target_files"))
+            & (F.col("n_small") >= 2),
+            F.lit("compact"),
+        ).otherwise(F.lit("ok")),
+    )
+
+
+def compact_to(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_fraction: float = 0.5,
+) -> DataFrame:
+    """Execute a :func:`compaction_plan`: rewrite each
+    ``action='compact'`` partition directory of ``src_path`` into its
+    planned file count under ``dst_path`` (same relative directory);
+    ``'ok'`` directories are NOT rewritten (copy/link them, or leave
+    the table split across generations the way Delta's OPTIMIZE leaves
+    untouched files in place). Returns the plan that was executed.
+
+    Rewrites to a NEW root rather than in place: in-place compaction
+    of plain parquet cannot be atomic (a reader between delete and
+    rename sees a torn table) — table formats solve this with metadata
+    swaps; plain parquet solves it with a directory swap after the
+    write finishes. ``coalesce(n)`` (not repartition) does each
+    rewrite: no shuffle, just task merging — the bytes stream through
+    once."""
+    plan = compaction_plan(spark, src_path, target_bytes, small_fraction)
+    todo = [
+        (r.partition_dir, int(r.n_target_files))
+        for r in plan.where("action = 'compact'").collect()
+    ]
+    for part_dir, n_files in todo:
+        src = f"{src_path}/{part_dir}" if part_dir else src_path
+        dst = f"{dst_path}/{part_dir}" if part_dir else dst_path
+        (
+            spark.read.parquet(src)
+            .coalesce(n_files)
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    return plan
