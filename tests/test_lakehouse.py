@@ -241,3 +241,107 @@ class TestCompaction:
             ).collect()
         }
         assert after["p=0"] == "ok"
+
+
+class TestZOrder:
+    """write_zordered: every output file must cover a bounded hypercube
+    of the clustered columns' value space, measured from the actual
+    parquet footer min/max stats — the property that makes min/max file
+    skipping work on EITHER column, which a linear sort only provides
+    for its leading key."""
+
+    @staticmethod
+    def _file_spans(path, col):
+        import os
+
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            assert lo is not None, (f, col)
+            spans.append((lo, hi))
+        return spans
+
+    def test_zordered_files_bound_both_columns(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.sources.lakehouse import write_zordered
+
+        # 64x64 grid: x and y independent, both uniform on [0, 63]
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        zpath = str(tmp_path / "zorder")
+        lpath = str(tmp_path / "linear")
+        write_zordered(df, zpath, ("x", "y"), n_files=16)
+        # linear comparison: same file count, sorted by x only
+        (
+            df.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+        # parity first: same rows
+        a = sorted((r.x, r.y) for r in spark.read.parquet(zpath).collect())
+        b = sorted((r.x, r.y) for r in df.collect())
+        assert a == b
+
+        def avg_span(path, col):
+            spans = self._file_spans(path, col)
+            return sum(hi - lo for lo, hi in spans) / len(spans) / 63.0
+
+        # z-order: BOTH columns bounded per file (16 files over a 2-D
+        # grid → each covers ~1/4 of each axis; allow slack)
+        assert avg_span(zpath, "x") < 0.5
+        assert avg_span(zpath, "y") < 0.5
+        # linear: leading key tightly bounded, second key spans ~all
+        assert avg_span(lpath, "x") < 0.2
+        assert avg_span(lpath, "y") > 0.9
+
+    def test_zorder_prunes_files_on_the_second_column(self, spark, tmp_path):
+        """The operational payoff: a selective y predicate overlaps few
+        z-ordered files (min/max skipping) but EVERY x-sorted file."""
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.sources.lakehouse import write_zordered
+
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        zpath = str(tmp_path / "zorder2")
+        lpath = str(tmp_path / "linear2")
+        write_zordered(df, zpath, ("x", "y"), n_files=16)
+        (
+            df.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+
+        def overlapping(path, lo, hi):
+            spans = self._file_spans(path, "y")
+            return sum(1 for mn, mx in spans if not (mx < lo or mn > hi))
+
+        assert overlapping(zpath, 10, 13) <= 8   # skips at least half
+        assert overlapping(lpath, 10, 13) == 16  # linear skips nothing
+
+    def test_zorder_validates_inputs(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.sources.lakehouse import zorder_value
+
+        with _pytest.raises(ValueError, match="at least 2"):
+            zorder_value(("x",))

@@ -246,3 +246,86 @@ def compact_to(
             .parquet(dst)
         )
     return plan
+
+
+# ---------------------------------------------------------- Z-ordering
+def zorder_value(cols: tuple[str, ...], bits: int = 16):
+    """Morton (Z-order) key over 2+ columns as a pure Column
+    expression: each column's value is min-max normalized to a
+    ``bits``-bit bucket rank (against ``<col>__min``/``<col>__max``
+    companion columns the caller must attach — one broadcast stats
+    row), then the bucket bits are interleaved.
+
+    Why: single-key clustering (``write_clustered``) gives perfect
+    min/max file pruning on ONE column and none on the others; the
+    space-filling curve bounds every file's span on EVERY participating
+    column (each file covers a small hypercube of the value space), so
+    parquet min/max stats skip files for predicates on ANY of them —
+    Delta's ``OPTIMIZE ZORDER BY``, restated as a sort key. All integer
+    Column arithmetic; no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    ranks = []
+    max_rank = (1 << bits) - 1
+    for c in cols:
+        v = F.col(c).cast("double")
+        lo = F.col(f"{c}__min").cast("double")
+        hi = F.col(f"{c}__max").cast("double")
+        span = hi - lo
+        r = F.when(span <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(max_rank).cast("long"),
+                F.floor((v - lo) / span * F.lit(1 << bits)),
+            )
+        )
+        ranks.append(r.cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, r in enumerate(ranks):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + j)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned AND
+    sorted by the Morton key over ``cols`` — every output file covers a
+    bounded hypercube of the (col1, col2, ...) space, so min/max footer
+    stats prune files for a selective predicate on ANY of the columns.
+
+    Cost: one stats aggregate (min/max per column, a 1-row broadcast),
+    then ONE range shuffle on the z key — the same bill as a plain
+    sorted write. The curve does the multi-dimensional work."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[
+            agg
+            for c in cols
+            for agg in (
+                F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+                F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+            )
+        ]
+    )
+    helper = [f"{c}__min" for c in cols] + [f"{c}__max" for c in cols]
+    (
+        df.join(F.broadcast(stats), how="cross")
+        .withColumn("__z", zorder_value(cols, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *helper)
+        .write.mode(mode)
+        .parquet(path)
+    )
