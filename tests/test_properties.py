@@ -352,3 +352,142 @@ def test_portable_cell_range_and_python_parity(spark, strings, j, width):
             hashlib.md5(f"{j}:{r.text}".encode()).hexdigest()[:15], 16
         ) % width
         assert r.c == h, (r.text, j, width)
+
+
+# ---------------------------------------------------------------- codecs
+# Pure-NumPy, no Spark job per example — generous example counts.
+_CODEC_SETTINGS = settings(max_examples=40, deadline=None)
+
+grids = st.integers(min_value=1, max_value=24).flatmap(
+    lambda h: st.integers(min_value=1, max_value=24).flatmap(
+        lambda w: st.lists(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            min_size=h * w,
+            max_size=h * w,
+        ).map(lambda vals: (h, w, vals))
+    )
+)
+
+
+@_CODEC_SETTINGS
+@given(g=grids)
+def test_ppm_pgm_bmp_roundtrip_property(g):
+    import numpy as np
+
+    from unimib_simpss_spark.operators import codecs as C
+
+    h, w, vals = g
+    grid = np.array(vals).reshape(h, w)
+    want = np.round(grid * 255) / 255  # 8-bit quantization is the codec floor
+    for enc, dec in (
+        (C.encode_ppm, C.decode_pnm),
+        (C.encode_pgm, C.decode_pnm),
+        (C.encode_bmp, C.decode_bmp),
+    ):
+        out = dec(enc(grid))
+        assert out.shape == (h, w)
+        assert np.abs(out - want).max() < 1e-9
+
+
+@_CODEC_SETTINGS
+@given(
+    sig=st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=400,
+    ),
+    rate=st.sampled_from([8_000, 16_000, 44_100]),
+    bits=st.sampled_from([8, 16]),
+)
+def test_wav_roundtrip_property(sig, rate, bits):
+    import numpy as np
+
+    from unimib_simpss_spark.operators import codecs as C
+
+    arr = np.array(sig)
+    dec, got_rate = C.decode_wav(C.encode_wav(arr, rate, bits=bits))
+    assert got_rate == rate
+    assert len(dec) == len(arr)
+    tol = 1 / 250 if bits == 8 else 1 / 32000
+    assert np.abs(dec - arr).max() < tol
+
+
+@_CODEC_SETTINGS
+@given(
+    frames=st.lists(grids, min_size=1, max_size=4),
+)
+def test_ppm_stream_roundtrip_property(frames):
+    import numpy as np
+
+    from unimib_simpss_spark.operators import codecs as C
+
+    arrs = [np.array(v).reshape(h, w) for h, w, v in frames]
+    got = C.decode_ppm_frames(b"".join(C.encode_ppm(a) for a in arrs))
+    assert len(got) == len(arrs)
+    for g, a in zip(got, arrs):
+        assert np.abs(g - np.round(a * 255) / 255).max() < 1e-9
+
+
+# ------------------------------------------------------------------- KLL
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=3000,
+    ),
+    k=st.sampled_from([8, 32, 200]),
+)
+def test_kll_quantile_is_always_a_seen_value_with_bounded_rank(vals, k):
+    """Two distribution-free invariants: every estimate is a value that
+    was actually inserted, and its TRUE rank error is within the
+    documented envelope for the sketch size (loose 3/sqrt(k) guard —
+    measured error is far smaller; exact when nothing compacted)."""
+    import bisect
+
+    from unimib_simpss_spark.functions.kll import KLL
+
+    sk = KLL(k)
+    for v in vals:
+        sk.add(v)
+    sv = sorted(vals)
+    n = len(vals)
+    exact = sk.size() == n  # nothing compacted yet → rank-exact
+    for p in (0.0, 0.25, 0.5, 0.75, 1.0):
+        est = sk.quantile(p)
+        assert est in vals
+        lo = bisect.bisect_left(sv, est) / n
+        hi = bisect.bisect_right(sv, est) / n
+        dist = 0.0 if lo <= p <= hi else min(abs(lo - p), abs(hi - p))
+        if exact:
+            assert dist <= 1.0 / n + 1e-12
+        else:
+            assert dist <= 3.0 / (k ** 0.5)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=1000,
+    ),
+    n_shards=st.integers(min_value=2, max_value=5),
+)
+def test_kll_merge_n_is_exact_and_wire_stable(vals, n_shards):
+    from unimib_simpss_spark.functions.kll import KLL
+
+    shards = [KLL(64) for _ in range(n_shards)]
+    for i, v in enumerate(vals):
+        shards[i % n_shards].add(v)
+    merged = shards[0]
+    for s in shards[1:]:
+        merged.merge(s)
+    assert merged.n == len(vals)
+    clone = KLL.from_bytes(merged.to_bytes())
+    assert clone.to_bytes() == merged.to_bytes()
+    assert clone.quantile(0.5) == merged.quantile(0.5)
