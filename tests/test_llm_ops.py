@@ -979,3 +979,50 @@ def test_kmeans_update_is_partial_fold_no_posexplode(spark, sf_dir):
         assert cnt[c] == len(sel)
         if len(sel):
             assert np.allclose(s[c] / cnt[c], sel.mean(axis=0))
+
+
+def test_dedup_clusters_quality_ranked_survivor(spark):
+    """The survivor column must pick the BEST-quality member of each
+    cluster (ties → min id) — constructed so the best doc is NOT the
+    min-id doc, proving it differs from the canonical min-id rule."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators import dedup as D
+
+    dup = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing"
+    )
+    rows = [
+        # cluster {1, 2}: doc 2 is a much longer (higher-quality) copy
+        (1, dup),
+        (2, dup + " and the sun was shining over the green valley all "
+             "morning as the children played outside with their friends "
+             "in the warm light of a perfect summer day full of joy"),
+        (3, "completely unrelated text about engines and thermodynamics"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # jaccard on the near-identical prefix: lower the threshold so the
+    # pair (1,2) mines despite the appended tail
+    from unimib_simpss_spark.functions.analysis import quality_score
+
+    pairs = D.jaccard_pairs(docs, threshold=0.3)
+    out = {
+        r.doc_id: r
+        for r in D.dedup_clusters(
+            docs, pairs, score=quality_score("text")
+        ).collect()
+    }
+    assert out[1].component == 1 and out[2].component == 1  # min-id label
+    assert out[1].cluster_size == 2
+    # quality-ranked survivor is doc 2 (longer → higher score), not the
+    # component id
+    q = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", quality_score("text").alias("q")
+        ).collect()
+    }
+    assert q[2] > q[1]
+    assert out[1].survivor == 2 and out[2].survivor == 2
+    assert out[3].survivor == 3  # singleton keeps itself

@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
         "--explain", action="store_true", help="print the physical plan, don't run"
     )
     ap.add_argument(
+        "--lint",
+        action="store_true",
+        help="run the scale linter on the query's plan (rc=1 on error-"
+        "severity findings), don't run the query",
+    )
+    ap.add_argument(
         "--check",
         action="store_true",
         help="run the DuckDB oracle alongside and compare (rc=1 on mismatch)",
@@ -85,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     df = qs[args.query](spark, args.sf_dir)
+    if args.lint:
+        from unimib_simpss_spark.operators.plan_lint import lint_plan
+
+        findings = lint_plan(df)
+        for f in findings:
+            print(f"[{f.severity}] {f.rule}: {f.detail}")
+        return 1 if any(f.severity == "error" for f in findings) else 0
     if args.explain:
         df.explain("formatted")
         return 0

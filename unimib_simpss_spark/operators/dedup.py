@@ -589,28 +589,46 @@ def connected_components(
 
 
 def dedup_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    score: Column | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: every document tagged with
     its component id (min doc id of the cluster; singletons are their
     own component) and the cluster size. Downstream "keep one per
     cluster" is ``where(doc_id == component)`` — the canonical-survivor
-    rule is deterministic and needs no extra pass."""
+    rule is deterministic and needs no extra pass.
+
+    ``score``: optional quality expression over ``docs``' columns —
+    when given, a ``survivor`` column names the doc each cluster should
+    KEEP under quality-ranked selection (max score, ties → min id):
+    real pipelines keep the best duplicate, not the lexicographically
+    first. The rank window shares the cluster_size window's partition
+    key, so it reuses the same exchange — one extra in-partition sort,
+    no new shuffle."""
     from pyspark.sql import Window
 
     comp = connected_components(pairs, src="doc1", dst="doc2")
+    score_cols = [] if score is None else [score.alias("_score")]
     out = (
-        docs.select(F.col(id_col).cast("long").alias(id_col))
+        docs.select(F.col(id_col).cast("long").alias(id_col), *score_cols)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .select(
             id_col,
             F.coalesce("label", F.col(id_col)).alias("component"),
+            *(["_score"] if score is not None else []),
         )
         .withColumn(
             "cluster_size",
             F.count(F.lit(1)).over(Window.partitionBy("component")),
         )
     )
+    if score is not None:
+        w_best = Window.partitionBy("component").orderBy(
+            F.desc("_score"), F.asc(id_col)
+        )
+        out = out.withColumn("survivor", F.first(id_col).over(w_best)).drop(
+            "_score"
+        )
     # comp is checkpointed (CC must truncate lineage) — materialize the
     # tagged output now so comp's blocks can be dropped deterministically;
     # the caller owns exactly one handle, freed with release_result().
@@ -620,13 +638,24 @@ def dedup_clusters(
 
 
 def dedup_clusters_sql(
-    threshold: float = 0.8, text_expr: str = "text", where_sql: str = "TRUE"
+    threshold: float = 0.8, text_expr: str = "text", where_sql: str = "TRUE",
+    score_sql: str | None = None,
 ) -> str:
     """Oracle twin of :func:`dedup_clusters` over Jaccard pairs: the
     transitive closure as a recursive CTE (fine at oracle scale; the
-    Spark side is the distributed formulation)."""
+    Spark side is the distributed formulation). ``score_sql`` mirrors
+    the ``score`` parameter: adds the quality-ranked ``survivor``
+    column (max score, ties → min id) via a first_value window."""
     jp = jaccard_pairs_sql(
         threshold=threshold, text_expr=text_expr, where_sql=where_sql
+    )
+    survivor = (
+        ""
+        if score_sql is None
+        else f""",
+           first_value(d.doc_id) OVER (
+               PARTITION BY coalesce(c.component, d.doc_id)
+               ORDER BY {score_sql} DESC, d.doc_id ASC) AS survivor"""
     )
     return f"""
     WITH RECURSIVE
@@ -648,7 +677,7 @@ def dedup_clusters_sql(
     SELECT d.doc_id,
            coalesce(c.component, d.doc_id) AS component,
            count(*) OVER (
-               PARTITION BY coalesce(c.component, d.doc_id)) AS cluster_size
+               PARTITION BY coalesce(c.component, d.doc_id)) AS cluster_size{survivor}
     FROM (SELECT * FROM documents WHERE {where_sql}) d
     LEFT JOIN comp c ON d.doc_id = c.doc_id
     """

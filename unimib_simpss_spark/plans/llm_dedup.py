@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unimib_simpss_spark.catalog import load_table
+from unimib_simpss_spark.functions.analysis import quality_score_sql as _qsf
 from unimib_simpss_spark.operators import dedup as D
 from unimib_simpss_spark.plans.registry import query
 
@@ -189,18 +190,29 @@ def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("q59_dedup_clusters", oracle=D.dedup_clusters_sql(threshold=0.8))
+@query(
+    "q59_dedup_clusters",
+    oracle=D.dedup_clusters_sql(
+        threshold=0.8, score_sql=_qsf("d.text")
+    ),
+)
 def q59_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: connected components over the exact Jaccard
     ≥ 0.8 pair graph (iterative min-label propagation, lineage
     checkpointed per round), every doc tagged with component id +
-    cluster size. The missing last step of dedup: q33-q35 mine pairs,
-    this picks the survivors (keep = doc_id == component)."""
+    cluster size, plus the QUALITY-RANKED ``survivor`` — the doc each
+    cluster keeps under best-duplicate selection (max quality_score,
+    ties → min id; real pipelines keep the best copy, not the
+    lexicographically first). The rank window shares the cluster_size
+    window's exchange — no extra shuffle. q33-q35 mine the pairs; this
+    picks the keepers (min-id rule: ``doc_id == component``;
+    quality rule: ``doc_id == survivor``)."""
+    from unimib_simpss_spark.functions.analysis import quality_score
     from unimib_simpss_spark.operators.caching import release_result
 
     docs = _docs(spark, sf_dir)
     pairs = D.jaccard_pairs(docs, threshold=0.8)
-    clusters = D.dedup_clusters(docs, pairs)
+    clusters = D.dedup_clusters(docs, pairs, score=quality_score("text"))
     release_result(pairs)  # clusters is materialized; the pair graph is spent
     return clusters
 
