@@ -1026,3 +1026,66 @@ def test_dedup_clusters_quality_ranked_survivor(spark):
     assert q[2] > q[1]
     assert out[1].survivor == 2 and out[2].survivor == 2
     assert out[3].survivor == 3  # singleton keeps itself
+
+
+class TestEditDistancePairs:
+    """edit_distance_pairs: the prefix-filtered approximate string join
+    must be EXACT — identical to naive all-pairs levenshtein — across
+    the long-string (gram-filtered), short-string (banded all-pairs),
+    and cross-length legs."""
+
+    def _naive(self, rows, d):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(id BIGINT, s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        return sorted(
+            tuple(r)
+            for r in con.sql(
+                f"""SELECT a.id, b.id, CAST(levenshtein(a.s, b.s) AS BIGINT)
+                FROM t a JOIN t b ON a.id < b.id
+                WHERE levenshtein(a.s, b.s) <= {d}"""
+            ).fetchall()
+        )
+
+    def _spark_pairs(self, spark, rows, d):
+        from unimib_simpss_spark.operators import dedup as D
+
+        df = spark.createDataFrame(rows, "id long, s string")
+        return sorted(
+            (r.doc1, r.doc2, r.dist)
+            for r in D.edit_distance_pairs(df, "s", "id", max_dist=d).collect()
+        )
+
+    def test_matches_naive_on_mixed_lengths(self, spark):
+        rows = [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fix"),       # d=1 from 1
+            (3, "the quick brawn fix!"),      # d=2 from 2
+            (4, "a completely different one"),
+            (5, "cat"),                        # short leg
+            (6, "cut"),                        # d=1 from 5 (short-short)
+            (7, "cart"),                       # d=1 from 5 via insert
+            (8, "the quick brown fox"),        # exact dup of 1 (d=0)
+            (9, "tiny"),
+            (10, None),                        # NULLs drop
+        ]
+        data = [r for r in rows if r[1] is not None]
+        assert self._spark_pairs(spark, rows, 2) == self._naive(data, 2)
+
+    def test_cross_length_boundary_pairs_found(self, spark):
+        # min_len for q=3, d=2 is 9: "12345678" (8, short) vs
+        # "123456789" (9, long) at distance 1 crosses the class split
+        rows = [(1, "12345678"), (2, "123456789"), (3, "123456789x")]
+        assert self._spark_pairs(spark, rows, 2) == self._naive(rows, 2)
+
+    def test_matches_naive_on_corpus_prefixes(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.substring("text", 1, 40).alias("s"))
+        )
+        rows = [(r.doc_id, r.s) for r in docs.collect()]
+        assert self._spark_pairs(spark, rows, 2) == self._naive(rows, 2)

@@ -844,3 +844,150 @@ def decontaminate_sql(
     GROUP BY train.doc_id
     HAVING count(DISTINCT train.g) >= {min_shared}
     """
+
+
+# ------------------------------------------------- edit-distance pairs
+def edit_distance_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Approximate-string-similarity self-join (entity resolution /
+    fuzzy key matching): all pairs with ``levenshtein ≤ max_dist``,
+    EXACTLY, without the naive |n|² comparison.
+
+    The scalable shape is candidate generation + verification, same as
+    the Jaccard/MinHash miners but with the edit-distance filter
+    stack (Gravano et al. 2001 q-grams; Chaudhuri et al. 2006 prefix
+    filtering):
+
+    - **length band**: ``| |a|-|b| | ≤ d`` — an edit changes length by
+      at most 1.
+    - **q-gram prefix filter**: ``d`` edits destroy at most ``d·q`` of
+      a string's ``|s|-q+1`` positional q-grams, so two strings within
+      distance ``d`` must share a gram among their ``d·q+1`` GLOBALLY
+      RAREST grams (rarest-first ordering makes the index buckets as
+      small as possible — frequency ranking is one combinable gram
+      count, the classic prefix-filtering trick). Candidates =
+      equi-join on those prefix grams: cost tracks bucket sizes, never
+      |n|².
+    - **verification**: exact ``levenshtein`` (JVM built-in) on the
+      candidates; output is exact, the filters only prune.
+
+    Strings shorter than ``q·(d+1)`` can lose every gram to ``d``
+    edits, so the gram filter is not exact for them — they route
+    through a SHORT-STRING leg joined all-pairs within the (tiny,
+    length-banded) short subset instead. The split keeps the operator
+    exact at every length.
+
+    Output: (``doc1``, ``doc2``, ``dist``) with doc1 < doc2, both
+    directions deduplicated. Oracle twin: :func:`edit_distance_sql`
+    (naive n² verify — fine at oracle scale).
+    """
+    from pyspark.sql import Window
+
+    d = max_dist
+    min_len = q * (d + 1)
+    s = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(str_col).alias("s"),
+    ).where(F.col("s").isNotNull())
+    s_long = s.where(F.length("s") >= min_len)
+    s_short = s.where(F.length("s") < min_len)
+
+    grams = s_long.select(
+        "id",
+        "s",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - q + 1),
+                    lambda i: F.col("s").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gf"))
+    pi = d * q + 1
+    w = Window.partitionBy("id").orderBy(F.asc("gf"), F.asc("g"))
+    prefix = (
+        grams.join(freq, "g")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= pi)
+        .select("id", "s", "g")
+    )
+    a = prefix.select(
+        F.col("id").alias("doc1"), F.col("s").alias("s1"), "g"
+    )
+    b = prefix.select(
+        F.col("id").alias("doc2"), F.col("s").alias("s2"), "g"
+    )
+    cand = (
+        a.join(b, "g")
+        .where(
+            (F.col("doc1") < F.col("doc2"))
+            & (
+                F.abs(F.length("s1") - F.length("s2")) <= d
+            )
+        )
+        .select("doc1", "doc2", "s1", "s2")
+        .distinct()
+    )
+    long_pairs = cand.where(
+        F.levenshtein("s1", "s2") <= d
+    ).select("doc1", "doc2", F.levenshtein("s1", "s2").cast("long").alias("dist"))
+
+    # short strings: all-pairs within the short subset only (bounded by
+    # the short-string count, which a length histogram should keep tiny)
+    sa = s_short.select(F.col("id").alias("doc1"), F.col("s").alias("s1"))
+    sb = s_short.select(F.col("id").alias("doc2"), F.col("s").alias("s2"))
+    short_pairs = (
+        sa.join(sb, F.col("doc1") < F.col("doc2"))
+        .where(
+            (F.abs(F.length("s1") - F.length("s2")) <= d)
+            & (F.levenshtein("s1", "s2") <= d)
+        )
+        .select(
+            "doc1", "doc2", F.levenshtein("s1", "s2").cast("long").alias("dist")
+        )
+    )
+    # cross-length-class pairs: a short string within d of a long one
+    # requires len ≥ min_len - d — join the short side against the
+    # shortest long strings only (length band applies)
+    xa = s_short.select(F.col("id").alias("doc1"), F.col("s").alias("s1"))
+    xb = s_long.where(F.length("s") < min_len + d).select(
+        F.col("id").alias("doc2"), F.col("s").alias("s2")
+    )
+    cross_pairs = (
+        xa.join(xb, F.col("doc1") != F.col("doc2"))
+        .where(
+            (F.abs(F.length("s1") - F.length("s2")) <= d)
+            & (F.levenshtein("s1", "s2") <= d)
+        )
+        .select(
+            F.least("doc1", "doc2").alias("doc1"),
+            F.greatest("doc1", "doc2").alias("doc2"),
+            F.levenshtein("s1", "s2").cast("long").alias("dist"),
+        )
+    )
+    return long_pairs.unionAll(short_pairs).unionAll(cross_pairs)
+
+
+def edit_distance_sql(
+    str_expr: str, max_dist: int = 2, table: str = "documents",
+    id_expr: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`edit_distance_pairs`: naive all-pairs
+    levenshtein (quadratic — fine at oracle scale; the Spark side is
+    the filtered formulation)."""
+    return f"""
+    WITH s AS (SELECT {id_expr} AS id, {str_expr} AS s FROM {table}
+               WHERE {str_expr} IS NOT NULL)
+    SELECT a.id AS doc1, b.id AS doc2,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM s a JOIN s b ON a.id < b.id
+    WHERE abs(length(a.s) - length(b.s)) <= {max_dist}
+      AND levenshtein(a.s, b.s) <= {max_dist}
+    """

@@ -63,24 +63,31 @@ def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hash_band_pairs_oracle() -> str:
+    edit = D.edit_distance_sql("substr(text, 1, 40)", max_dist=2)
     return f"""
     SELECT 'minhash' AS family, doc1, doc2, jaccard AS score
     FROM ({D.minhash_dedup_sql(threshold=0.8)})
     UNION ALL
     SELECT 'simhash' AS family, doc1, doc2, CAST(hamming AS DOUBLE) AS score
     FROM ({D.simhash_sql(max_hamming=3)})
+    UNION ALL
+    SELECT 'edit' AS family, doc1, doc2, CAST(dist AS DOUBLE) AS score
+    FROM ({edit})
     """
 
 
 @query("q34_hash_band_pairs", oracle=_hash_band_pairs_oracle())
 def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two hash-band near-dup miners, tagged by family (merged from
-    the former q34/q35 to fit the driver's 50-query window): ``minhash``
-    = MinHash+LSH candidates (4 bands × 4 rows) verified by exact
-    Jaccard (score = jaccard), ``simhash`` = SimHash pigeonhole band
-    join, exact for hamming ≤ 3 (score = hamming). Both generate
-    candidates via band-bucket equi-joins — the sub-quadratic 100 TB
-    dedup paths, never an all-pairs product."""
+    """The candidate-generation near-dup miners, tagged by family
+    (merged from the former q34/q35 to fit the driver's 50-query
+    window): ``minhash`` = MinHash+LSH candidates (4 bands × 4 rows)
+    verified by exact Jaccard (score = jaccard), ``simhash`` = SimHash
+    pigeonhole band join, exact for hamming ≤ 3 (score = hamming), and
+    ``edit`` = the approximate-string-similarity join over each doc's
+    40-char prefix (entity-resolution / fuzzy-title matching; prefix-
+    filtered q-gram candidates + levenshtein verify, score = distance).
+    All three generate candidates via equi-joins on derived keys — the
+    sub-quadratic 100 TB dedup paths, never an all-pairs product."""
     from unimib_simpss_spark.operators.caching import (
         materialize_release,
         release_result,
@@ -96,6 +103,10 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hsd = D._combo_shingle_docs(docs, "text", "doc_id").persist()
     mh = D.minhash_dedup_pairs(docs, threshold=0.8, _hsd=hsd)
     sh = D.simhash_pairs(docs, max_hamming=3, _hsd=hsd)
+    ed = D.edit_distance_pairs(
+        docs.select("doc_id", F.substring("text", 1, 40).alias("s")),
+        "s", "doc_id", max_dist=2,
+    )
     out = materialize_release(
         mh.select(
             F.lit("minhash").alias("family"),
@@ -108,6 +119,13 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc1",
                 "doc2",
                 F.col("hamming").cast("double").alias("score"),
+            )
+        ).unionAll(
+            ed.select(
+                F.lit("edit").alias("family"),
+                "doc1",
+                "doc2",
+                F.col("dist").cast("double").alias("score"),
             )
         ),
         hsd,
