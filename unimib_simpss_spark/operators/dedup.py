@@ -1,6 +1,6 @@
 """Document deduplication operators for LLM-data pipelines.
 
-Four families, each designed for 100 TB (no driver-side collect, no
+Six families, each designed for 100 TB (no driver-side collect, no
 all-pairs comparison except inside LSH buckets):
 
 - **exact**: hash-groupBy on normalized text — one shuffle.
@@ -15,6 +15,9 @@ all-pairs comparison except inside LSH buckets):
 - **SimHash**: 32-bit signature over shingle hashes; pairs via pigeonhole
   band join (hamming ≤ 3 ⇒ one of 4 bytes equal — EXACT, not
   approximate), verified by bit_count(xor).
+- **edit distance**: positional prefix-filtered q-gram candidates +
+  banded levenshtein verify — the entity-resolution / fuzzy-key join,
+  exact at every string length.
 
 Every operator has a DuckDB-oracle twin generated from the SAME constants
 (``*_sql``), so correctness is checked bit-for-bit.

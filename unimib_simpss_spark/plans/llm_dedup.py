@@ -1,10 +1,11 @@
 """Deduplication queries over ``documents`` (SURVEY.md §2.7 [EXT]).
 
-Five dedup families from :mod:`unimib_simpss_spark.operators.dedup`:
+Six dedup families from :mod:`unimib_simpss_spark.operators.dedup`:
 exact hash-groupBy, token-set fingerprint, inverted-index n-gram
-Jaccard, MinHash+LSH band join, and SimHash pigeonhole band join. The
-LSH/band variants are the 100 TB scale paths — candidate generation is
-a bucket equi-join, never an all-pairs product. Oracles are generated
+Jaccard, MinHash+LSH band join, SimHash pigeonhole band join, and the
+positional prefix-filtered edit-distance join. The LSH/band/prefix
+variants are the 100 TB scale paths — candidate generation is a bucket
+equi-join, never an all-pairs product. Oracles are generated
 from the same constants, so thresholds/coefficients can't drift.
 """
 
