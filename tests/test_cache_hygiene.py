@@ -259,3 +259,36 @@ def test_checkpoint_table_mode(spark, tmp_path):
         set_checkpoint_mode("local")
         set_checkpoint_table_dir(None)
     assert persistent_rdd_ids(spark) - before == set()
+
+
+def test_block_persisted_handle_never_releases_upstream_table(spark, tmp_path):
+    """CODE-REVIEW r10 — the mode-flip trap: a block-persisted handle
+    built OVER a table-backed intermediate must release by unpersist,
+    never by deleting the upstream table other handles still read."""
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        live_checkpoint_tables,
+        release_intermediate,
+        set_checkpoint_mode,
+        set_checkpoint_table_dir,
+        sweep_checkpoint_tables,
+    )
+
+    set_checkpoint_table_dir(str(tmp_path / "ckpt"))
+    set_checkpoint_mode("table")
+    try:
+        a = cache_intermediate(_docs(spark).select("doc_id", "source"))
+        n_live = len(live_checkpoint_tables())
+        set_checkpoint_mode("local")
+        d = cache_intermediate(a.where("doc_id % 2 = 0"))  # block persist
+        d.count()
+        release_intermediate(d)  # must unpersist d, NOT delete a's table
+        assert len(live_checkpoint_tables()) == n_live
+        # a is still readable
+        assert a.count() > 0
+        release_intermediate(a)
+        assert len(live_checkpoint_tables()) == n_live - 1
+    finally:
+        set_checkpoint_mode("local")
+        sweep_checkpoint_tables(spark)
+        set_checkpoint_table_dir(None)

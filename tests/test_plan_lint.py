@@ -74,6 +74,21 @@ class TestDetectors:
             "rn", F.row_number().over(Window.partitionBy(F.col("id") % 10).orderBy("id"))
         )
         assert "global-window" not in _rules(lint_plan(ok))
+        # partitioned-but-UNORDERED windows also pass: the plan printer
+        # elides the empty orderSpec, so this prints the same two
+        # bracket groups as a global window — the detector must read
+        # the windowspecdefinition args, not count brackets
+        ok2 = spark.range(100).withColumn(
+            "c",
+            F.count(F.lit(1)).over(Window.partitionBy(F.col("id") % 10)),
+        )
+        assert "global-window" not in _rules(lint_plan(ok2))
+        # ...and an ordered-AND-partitioned frame still passes while a
+        # frame-only global window (count over ()) is flagged
+        glob = spark.range(100).withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        assert "global-window" in _rules(lint_plan(glob), "warn")
 
     def test_global_sort_warns_but_topk_fusion_passes(self, spark):
         # NB: orderBy("id") on a range would be ELIMINATED by Catalyst

@@ -549,3 +549,23 @@ class TestKLL:
         r = kll_quantiles(df, ["g"], "v", {"p50": 0.5}).collect()[0]
         assert r.n == 100
         assert 40.0 <= r.p50 <= 60.0
+
+
+def test_kll_quantiles_output_deterministic_across_runs(spark, sf_dir):
+    """CODE-REVIEW r10 — applyInPandas delivers a group's partial
+    sketches in no guaranteed order and KLL merge is order-sensitive;
+    the sorted-bytes fold must make repeated runs identical."""
+    from unimib_simpss_spark.functions.sketches import kll_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in kll_quantiles(
+                li.repartition(16), ["l_returnflag"], "l_extendedprice",
+                {"p50": 0.5, "p90": 0.9}, k=64,
+            ).collect()
+        )
+
+    assert run() == run()

@@ -242,22 +242,13 @@ def cms_heavy_hitters(
     overestimates, so every TRUE heavy hitter survives the cut —
     CMS trades false positives, never false negatives.
     """
+    from unimib_simpss_spark.operators.ranking import broadcast_topk_rank
+
     sketch = cms_build(df, col, depth, width)
     distinct = df.select(F.col(col)).distinct()
     est = cms_estimate(sketch, distinct, col, depth, width)
-    # rank = 1 + #rows sorting strictly before, via a broadcast
-    # self-join over the limited top-k rows — no partition-less window
-    # (the q49 pattern)
-    top = est.orderBy(F.desc("est"), "token").limit(k)
-    prior = top.select(F.col("token").alias("t2"), F.col("est").alias("e2"))
-    before = (F.col("e2") > F.col("est")) | (
-        (F.col("e2") == F.col("est")) & (F.col("t2") < F.col("token"))
-    )
-    return (
-        top.join(F.broadcast(prior), before, "left")
-        .groupBy("token", "est")
-        .agg((F.count("t2") + 1).cast("long").alias("rank"))
-    )
+    # window-free top-k rank (shared broadcast_topk_rank pattern)
+    return broadcast_topk_rank(est, k, "est", "token")
 
 
 # ------------------------------------------------- portable CMS + Bloom
@@ -759,8 +750,13 @@ def kll_quantiles(
     def merge_group(pdf):
         import pandas as pd
 
-        merged = KLL.from_bytes(pdf["_sk"].iloc[0])
-        for raw in pdf["_sk"].iloc[1:]:
+        # KLL merge is deterministic but ORDER-SENSITIVE, and Spark does
+        # not guarantee row order within an applyInPandas group (shuffle
+        # fetch order varies run to run) — fold in sorted-bytes order so
+        # the same partials always produce the same merged sketch.
+        raws = sorted(bytes(r) for r in pdf["_sk"])
+        merged = KLL.from_bytes(raws[0])
+        for raw in raws[1:]:
             merged.merge(KLL.from_bytes(raw))
         ests = [round(e, ndigits) for e in merged.quantiles(ps)]
         key_vals = [pdf[c].iloc[0] for c in group_cols]

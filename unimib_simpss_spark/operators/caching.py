@@ -191,14 +191,31 @@ def _backing_table_path(df: DataFrame) -> str | None:
     Fast path: the Python attribute stashed by :func:`_write_table`.
     Fallback: match the plan's input files against the live-path
     registry — a ``.select``/re-created wrapper loses the attribute but
-    keeps the file scan. If the plan reads MORE than one live table
-    (e.g. a join of two table-backed intermediates), releasing "the"
-    backing table is ambiguous and we raise rather than guess."""
+    keeps the file scan. Two guards on the fallback:
+
+    - a BLOCK-persisted handle (its own ``persist()``/cache) is never
+      resolved to a table it merely READS — releasing it must
+      unpersist its blocks, not delete upstream storage another handle
+      still needs (the mode-flip trap: ``cache_intermediate`` in local
+      mode over a table-backed input);
+    - if the plan reads MORE than one live table (e.g. a join of two
+      table-backed intermediates), releasing "the" backing table is
+      ambiguous and we raise rather than guess.
+
+    Contract note: any non-persisted handle whose scan reads a live
+    table IS that table for release purposes — releasing one view
+    releases the storage for every view (the same irrecoverability
+    contract as ``release_result``)."""
     path = getattr(df, _TABLE_PATH_ATTR, None)
     if path is not None and path in _LIVE_TABLE_PATHS:
         return path
     if not _LIVE_TABLE_PATHS:
         return None
+    try:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return None  # block-persisted: release = unpersist, always
+    except Exception:
+        pass
     try:
         files = df.inputFiles()
     except Exception:  # non-file-backed plan; nothing to match

@@ -85,6 +85,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     tag, n_ch, rate, _, _, bits = fmt_fields
     if tag != 1:
         raise ValueError(f"only PCM WAV supported (format tag {tag})")
+    if rate <= 0 or n_ch <= 0:
+        raise ValueError(
+            f"degenerate WAV fmt chunk (rate={rate}, channels={n_ch})"
+        )
     if bits == 16:
         sig = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
     elif bits == 8:

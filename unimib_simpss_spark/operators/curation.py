@@ -270,29 +270,22 @@ def vocab_coverage(
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total_tokens"))
-    top = counts.orderBy(F.desc("cnt"), "token").limit(topk)
-    # Rank + running share via a broadcast self-join over the limited
-    # top-K rows (rank = #rows sorting before-or-equal; cum = their cnt
-    # sum) instead of partition-less windows — same values (long sums
-    # are order-free), no single-partition WindowExec in the plan (the
-    # q49 pattern; keeps the plan-lint sweep warning-free).
-    prior = top.select(F.col("token").alias("token2"), F.col("cnt").alias("cnt2"))
-    before_eq = (F.col("cnt2") > F.col("cnt")) | (
-        (F.col("cnt2") == F.col("cnt")) & (F.col("token2") <= F.col("token"))
-    )
+    # Rank + running share window-free via the shared
+    # broadcast_topk_rank pattern (TakeOrderedAndProject + broadcast
+    # self-join over the limited top-K rows) — same values (long sums
+    # are order-free), no single-partition WindowExec in the plan.
+    from unimib_simpss_spark.operators.ranking import broadcast_topk_rank
+
     out = (
-        top.join(F.broadcast(prior), before_eq)
-        .groupBy("token", "cnt")
-        .agg(
-            F.count("token2").cast("long").alias("rank"),
-            F.sum("cnt2").alias("cum"),
-        )
+        broadcast_topk_rank(counts, topk, "cnt", "token", cum=True)
         .crossJoin(F.broadcast(total))
         .select(
             "token",
             "cnt",
             "rank",
-            F.round(F.col("cum") / F.col("total_tokens"), 6).alias("cum_share"),
+            F.round(
+                F.col("cum_val") / F.col("total_tokens"), 6
+            ).alias("cum_share"),
         )
     )
     if not with_cms:
@@ -306,7 +299,7 @@ def vocab_coverage(
         counts, "token", "cnt", depth=cms_depth, width=cms_width
     )
     est = cms_estimate_portable(
-        cells, top.select("token"), "token", depth=cms_depth, width=cms_width
+        cells, out.select("token"), "token", depth=cms_depth, width=cms_width
     )
     return out.join(est, "token")
 

@@ -888,6 +888,13 @@ def edit_distance_pairs(
     Output: (``doc1``, ``doc2``, ``dist``) with doc1 < doc2, both
     directions deduplicated. Oracle twin: :func:`edit_distance_sql`
     (naive n² verify — fine at oracle scale).
+
+    The gram relation feeds three consumers (frequency count, prefix
+    ranking, probe side), so it is cached via ``cache_intermediate``
+    and the result returned EAGER through ``materialize_release`` —
+    without the cache, Catalyst plans three independent scan+posexplode
+    subtrees (the module's standard shared-relation pattern; see
+    ``_combo_shingle_docs``). Free the result with ``release_result``.
     """
     from pyspark.sql import Window
 
@@ -907,15 +914,17 @@ def edit_distance_pairs(
     # and every string shares its common grams — the degeneration that
     # makes a bare-gram index collapse toward all-pairs on low-entropy
     # corpora (measured 3.8M candidates → ~10k on the synthetic docs).
-    grams = s_long.select(
-        "id",
-        "s",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("s") - q + 1),
-                lambda i: F.col("s").substr(i, F.lit(q)),
-            )
-        ).alias("pos", "g"),
+    grams = cache_intermediate(
+        s_long.select(
+            "id",
+            "s",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - q + 1),
+                    lambda i: F.col("s").substr(i, F.lit(q)),
+                )
+            ).alias("pos", "g"),
+        )
     )
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gf"))
     pi = d * q + 1
@@ -1000,7 +1009,9 @@ def edit_distance_pairs(
         )
         .where(F.col("dist") >= 0)
     )
-    return long_pairs.unionAll(short_pairs).unionAll(cross_pairs)
+    return materialize_release(
+        long_pairs.unionAll(short_pairs).unionAll(cross_pairs), grams
+    )
 
 
 def edit_distance_sql(

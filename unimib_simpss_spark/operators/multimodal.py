@@ -276,6 +276,12 @@ def _real_decode(payload: bytes, kind: str) -> dict[str, Any]:
             px = np.concatenate([f.ravel() for f in frames])
         elif kind == "audio":
             sig, _rate = codecs.decode_wav(bytes(payload))
+            if sig.size == 0:
+                # valid-but-empty data chunk: zero envelope, not a crash
+                return {
+                    "n_bytes": len(payload),
+                    "features": [0.0] * N_FEATURES,
+                }
             b = (np.arange(N_FEATURES) * len(sig)) // N_FEATURES
             env = np.add.reduceat(np.abs(sig), b) / np.maximum(
                 np.diff(np.append(b, len(sig))), 1

@@ -63,7 +63,66 @@ def _plan_strings(df: DataFrame, executed: bool = True) -> tuple[str, str]:
     return phys, qe.optimizedPlan().toString()
 
 
-_WINDOW_RE = re.compile(r"Window (\[.*?\])(,\s*\[.*?\])?(,\s*\[.*?\])?\n")
+def _balanced(s: str, start: int) -> str:
+    """Contents of the paren group opening at ``s[start] == '('``."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start + 1 : i]
+    return s[start + 1 :]
+
+
+def _top_level_args(s: str) -> list[str]:
+    args: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "(" or ch == "[":
+            depth += 1
+        elif ch == ")" or ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+_ORDER_MARK = re.compile(r" (ASC|DESC)\b")
+
+
+def _global_window_specs(phys: str) -> list[str]:
+    """Unique ``windowspecdefinition`` argument lists with NO partition
+    expression. The plan printer elides empty arg lists on the Window
+    node itself (a partition-only window and an order-only window both
+    print two bracket groups), so bracket counting cannot distinguish
+    them — the spec args can: order expressions carry an ASC/DESC
+    marker, partition expressions never do, and the frame is the
+    trailing ``specifiedwindowframe(...)``."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        i = phys.find("windowspecdefinition(", pos)
+        if i < 0:
+            break
+        body = _balanced(phys, i + len("windowspecdefinition"))
+        pos = i + len("windowspecdefinition") + len(body)
+        exprs = [
+            a
+            for a in _top_level_args(body)
+            if not a.startswith("specifiedwindowframe")
+        ]
+        has_partition = any(not _ORDER_MARK.search(a) for a in exprs)
+        if not has_partition and body not in out:
+            out.append(body)
+    return out
 
 
 def lint_plan(df: DataFrame) -> list[Finding]:
@@ -102,20 +161,16 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                 "is bounded",
             )
         )
-    # Window nodes print `Window [exprs], [partition], [order]`; with no
-    # partition spec only two bracket groups appear.
-    for m in _WINDOW_RE.finditer(phys + "\n"):
-        groups = [g for g in m.groups() if g]
-        if len(groups) < 3:
-            out.append(
-                Finding(
-                    "global-window",
-                    "warn",
-                    "Window with no partition spec: every row moves to one "
-                    "task — partition the window or bound its input first "
-                    f"({m.group(0).strip()[:90]}...)",
-                )
+    for spec in _global_window_specs(phys):
+        out.append(
+            Finding(
+                "global-window",
+                "warn",
+                "Window with no partition spec: every row moves to one "
+                "task — partition the window or bound its input first "
+                f"(windowspecdefinition({spec[:80]}...))",
             )
+        )
     # global Sort not fused into TakeOrderedAndProject and with no limit
     # above it anywhere
     if (

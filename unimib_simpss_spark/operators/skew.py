@@ -25,6 +25,8 @@ can't diverge.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from unimib_simpss_spark.operators.ranking import broadcast_topk_rank
 from pyspark.sql import functions as F
 
 
@@ -141,21 +143,13 @@ def key_skew_profile(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("cnt").alias("max_cnt"),
     )
-    # Rank the ≤ top_n hot rows with a broadcast self-join (rank = 1 +
-    # number of rows sorting strictly before) instead of a global
-    # row_number window: same deterministic result, but no
-    # partition-less WindowExec — which logs a "Moving all data to a
-    # single partition" warning that reads as a scale-killer even
-    # though it would only ever see the limited top_n rows.
-    hot10 = counts.orderBy(F.desc("cnt"), F.asc("k")).limit(top_n)
-    prior = hot10.select(F.col("k").alias("k2"), F.col("cnt").alias("cnt2"))
-    before_me = (F.col("cnt2") > F.col("cnt")) | (
-        (F.col("cnt2") == F.col("cnt")) & (F.col("k2") < F.col("k"))
-    )
+    # Rank the ≤ top_n hot rows window-free (broadcast_topk_rank —
+    # the shared TakeOrderedAndProject + broadcast-self-join pattern):
+    # same deterministic result as a global row_number window, without
+    # the partition-less WindowExec and its "moving all data to a
+    # single partition" warning.
     hot = (
-        hot10.join(F.broadcast(prior), before_me, "left")
-        .groupBy("k", "cnt")
-        .agg((F.count("k2") + 1).cast("int").alias("rank"))
+        broadcast_topk_rank(counts, top_n, "cnt", "k")
         .join(F.broadcast(tot.select("n_rows")), how="cross")
         .select(
             F.lit("hot").alias("section"),

@@ -133,6 +133,7 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_result(mh)
     release_result(sh)
+    release_result(ed)
     return out
 
 

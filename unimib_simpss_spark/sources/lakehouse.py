@@ -147,10 +147,14 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
         st = it.next()
         p = st.getPath()
         name = p.getName()
-        if name.startswith(("_", ".")):
-            continue
         full = p.toString()
         rel = full[len(root_str):].lstrip("/")
+        # exclude hidden/marker paths by ANY component, not just the
+        # basename: a failed/concurrent write leaves real-looking
+        # part files under _temporary/..., and table formats keep
+        # _delta_log/ — none of it is table data
+        if any(part.startswith(("_", ".")) for part in rel.split("/")):
+            continue
         part_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
         rows.append((part_dir, name, int(st.getLen())))
     return spark.createDataFrame(
