@@ -569,3 +569,71 @@ def test_kll_quantiles_output_deterministic_across_runs(spark, sf_dir):
         )
 
     assert run() == run()
+
+
+class TestJoinSize:
+    """Join-cardinality estimation: the exact per-key-count form and
+    the CMS inner-product form (fixed-size, mergeable, works from
+    pre-aggregated sketch state)."""
+
+    def test_exact_matches_actual_join(self, spark, sf_dir):
+        from unimib_simpss_spark.functions.sketches import (
+            join_cardinality_exact,
+        )
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        est = join_cardinality_exact(
+            o, "o_orderkey", li, "l_orderkey"
+        ).collect()[0]
+        actual = o.join(
+            li, o.o_orderkey == li.l_orderkey
+        ).count()
+        assert est.join_rows == actual
+        assert est.max_key_product >= 1
+
+    def test_cms_inner_product_bounds(self, spark):
+        """est >= exact always (collisions only add), and within the
+        epsilon*|A|*|B| CMS bound at the default grid."""
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.functions.sketches import (
+            DEFAULT_WIDTH,
+            cms_build,
+            cms_join_size,
+            join_cardinality_exact,
+        )
+
+        import math
+
+        a = spark.range(3000).select((F.col("id") % 500).alias("k"))
+        b = spark.range(2000).select((F.col("id") % 300).alias("k"))
+        exact = join_cardinality_exact(a, "k", b, "k").collect()[0].join_rows
+        est = cms_join_size(
+            cms_build(a, "k"), cms_build(b, "k")
+        ).collect()[0].est_join_rows
+        assert est >= exact
+        eps = math.e / DEFAULT_WIDTH
+        assert est <= exact + eps * 3000 * 2000
+
+    def test_cms_join_size_from_merged_shards(self, spark):
+        """The mergeable-state story: sketches of two shards merged
+        cell-wise give the same estimate as sketching the union."""
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.functions.sketches import (
+            cms_build,
+            cms_join_size,
+            cms_merge,
+        )
+
+        a1 = spark.range(1000).select((F.col("id") % 100).alias("k"))
+        a2 = spark.range(1000, 2500).select((F.col("id") % 100).alias("k"))
+        b = spark.range(800).select((F.col("id") % 90).alias("k"))
+        merged = cms_merge(cms_build(a1, "k"), cms_build(a2, "k"))
+        whole = cms_build(a1.unionAll(a2), "k")
+        sb = cms_build(b, "k")
+        assert (
+            cms_join_size(merged, sb).collect()[0].est_join_rows
+            == cms_join_size(whole, sb).collect()[0].est_join_rows
+        )

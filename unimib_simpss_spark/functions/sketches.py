@@ -765,3 +765,49 @@ def kll_quantiles(
         )
 
     return partials.groupBy(*group_cols).applyInPandas(merge_group, out_schema)
+
+
+# ------------------------------------------------- join-size estimation
+def join_cardinality_exact(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str
+) -> DataFrame:
+    """Exact inner-equi-join output size WITHOUT running the join:
+    ``|A ⋈ B| = Σ_k cntA(k) · cntB(k)`` — two combinable per-key
+    counts joined on the key (cost bounded by key cardinality, never
+    the join's output size, which is the whole point: a skewed join
+    can be orders of magnitude larger than either input). Returns one
+    row ``(join_rows, n_shared_keys, max_key_product)`` — the third
+    column is the single hottest key's contribution, the number that
+    decides whether to salt."""
+    ca = a.groupBy(F.col(a_key).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    cb = b.groupBy(F.col(b_key).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    return ca.join(cb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("join_rows"),
+        F.count(F.lit(1)).alias("n_shared_keys"),
+        F.max(F.col("ca") * F.col("cb")).alias("max_key_product"),
+    )
+
+
+def cms_join_size(a_sketch: DataFrame, b_sketch: DataFrame) -> DataFrame:
+    """Join-size estimate from two count-min sketches of the join keys
+    (same depth/width): the CMS INNER PRODUCT —
+    ``est_j = Σ_c cntA(j,c) · cntB(j,c)`` per hash row, min over rows
+    (Cormode & Muthukrishnan 2005 §4.3). Always an OVERESTIMATE of
+    Σ_k cntA(k)·cntB(k) (colliding keys only add cross terms), within
+    ``ε·|A|·|B|`` at the sketch's usual confidence.
+
+    Why it exists next to the exact form: the sketches are fixed-size
+    (depth×width cells) and mergeable, so the estimate works from
+    PRE-AGGREGATED state — per-day/per-shard key sketches a pipeline
+    already maintains — without touching either input again; the exact
+    form needs a pass over both. Returns one row ``(est_join_rows)``.
+    """
+    j = (
+        a_sketch.select("j", "c", F.col("cnt").alias("ca"))
+        .join(
+            b_sketch.select("j", "c", F.col("cnt").alias("cb")), ["j", "c"]
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return j.agg(F.min("ip").alias("est_join_rows"))
