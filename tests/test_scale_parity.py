@@ -85,3 +85,29 @@ def test_q59_table_checkpoint_mode_parity(spark, tmp_path):
     assert len(leaked) <= 1, leaked
     sweep_checkpoint_tables(spark)
     assert live_checkpoint_tables() == frozenset()
+
+
+def _hashable(v):
+    if isinstance(v, list):
+        return tuple(_hashable(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+    return v
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in registry.queries() if n not in registry.oracle_sql())
+)
+def test_rows_only_queries_are_run_deterministic(spark, name):
+    """Rows-only entries have no oracle hash to pin them, so nothing
+    else would catch run-to-run nondeterminism (the failure mode the
+    KLL merge-order bug had) — run each twice and require identical
+    row multisets. Runs at sf0.001 inside the opt-in sweep."""
+    fn = registry.queries()[name]
+
+    def run():
+        return sorted(
+            tuple(_hashable(v) for v in r) for r in fn(spark, "/root/testdata/sf0.001").collect()
+        )
+
+    assert run() == run()
