@@ -1089,3 +1089,29 @@ class TestEditDistancePairs:
         )
         rows = [(r.doc_id, r.s) for r in docs.collect()]
         assert self._spark_pairs(spark, rows, 2) == self._naive(rows, 2)
+
+
+def test_ewma_fold_and_operator(spark):
+    """Batch EWMA: explicit-fold parity, ts ordering, NULL drops,
+    alpha validation."""
+    import pytest as _pytest
+
+    from unimib_simpss_spark.operators.timeseries import ewma, ewma_fold
+
+    # hand fold: y = .5x + .5y
+    assert ewma_fold([4.0, 2.0, 8.0], 0.5) == (0.5 * 8.0 + 0.5 * (0.5 * 2.0 + 0.5 * 4.0))
+    rows = [
+        ("a", 3.0, 8.0),
+        ("a", 1.0, 4.0),   # out of order on purpose: sorts first
+        ("a", 2.0, 2.0),
+        ("a", 2.5, None),  # dropped
+        ("b", 1.0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    out = {r.key: r for r in ewma(df, "k", "ts", "v", alpha=0.5).collect()}
+    assert out["a"].n == 3
+    assert out["a"].ewma == round(ewma_fold([4.0, 2.0, 8.0], 0.5), 6)
+    assert out["a"].last_ts == 3.0
+    assert out["b"].ewma == 7.0 and out["b"].n == 1
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma(df, "k", "ts", "v", alpha=0.0)

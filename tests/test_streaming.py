@@ -20,8 +20,23 @@ from unimib_simpss_spark.streaming.pipeline import (
 DIM_CSV = "sensor_id,group_id\n120,g1\n121,g1\n122,g2\n123,g2\n"
 
 
+_LOG_SEQ = [0]
+
+
 def _write_log(dirpath, name, rows):
-    (dirpath / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    """Write one micro-batch file with a STRICTLY INCREASING mtime:
+    Spark's FileStreamSource orders files by modification timestamp, so
+    files written within the same clock tick can be picked up out of
+    order under maxFilesPerTrigger — which breaks every
+    sequential-parity test in this module. Stamp mtimes 2s apart."""
+    import os
+    import time
+
+    p = dirpath / name
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    _LOG_SEQ[0] += 1
+    t = time.time() + 2.0 * _LOG_SEQ[0]
+    os.utime(p, (t, t))
 
 
 @pytest.fixture()
@@ -1006,3 +1021,72 @@ def test_streaming_kll_snapshot_matches_sequential_fold(spark, tmp_path):
         est = getattr(snaps[-1], name)
         rk = bisect.bisect_right(sv, est) / len(sv)
         assert abs(rk - p) < 0.02, (name, rk)
+
+
+def test_streaming_ewma_snapshot_equals_batch_prefix(spark, tmp_path):
+    """The EWMA fold order and arithmetic are identical in batch and
+    streaming, so each micro-batch snapshot of an in-order stream must
+    equal operators/timeseries.ewma over the rows seen so far — bit for
+    bit, including the running mean."""
+    from unimib_simpss_spark.operators.timeseries import ewma
+    from unimib_simpss_spark.streaming.stateful import streaming_ewma
+
+    batches = [
+        [
+            {"k": "a", "ts": 1.0, "v": 10.0},
+            {"k": "a", "ts": 2.0, "v": 12.5},
+            {"k": "b", "ts": 1.5, "v": -3.0},
+        ],
+        [
+            {"k": "a", "ts": 3.0, "v": 11.25},
+            {"k": "b", "ts": 2.5, "v": 0.125},
+            {"k": "b", "ts": 3.5, "v": 7.75},
+        ],
+        [
+            {"k": "a", "ts": 4.0, "v": 9.0},
+        ],
+    ]
+    src = tmp_path / "ewma_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        _write_log(src, f"b{i}.json", rows)
+    stream = (
+        spark.readStream.schema("k STRING, ts DOUBLE, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_ewma(stream, "k", "ts", "v", alpha=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.sql("SELECT * FROM ewma_stream").collect()
+
+    # group streaming snapshots by how many batches they had consumed
+    seen: list[dict] = []
+    prefix: list[dict] = []
+    snap_by_key_n = {(r.key, r.n): r for r in snaps}
+    for rows in batches:
+        prefix = prefix + rows
+        bdf = spark.createDataFrame(
+            [(r["k"], r["ts"], r["v"]) for r in prefix],
+            "k string, ts double, v double",
+        )
+        batch = {
+            (r.key, r.n): r
+            for r in ewma(bdf, "k", "ts", "v", alpha=0.3).collect()
+        }
+        for key_n, want in batch.items():
+            got = snap_by_key_n.get(key_n)
+            if got is None:
+                continue  # key unchanged this batch → no update row
+            assert got.ewma == want.ewma, (key_n, got.ewma, want.ewma)
+            assert got.mean == want.mean
+            assert got.last_ts == want.last_ts
+            seen.append(key_n)
+    # every emitted snapshot was checked against its batch twin
+    assert set(snap_by_key_n) == set(seen)

@@ -122,3 +122,18 @@ def q55_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop="2024-01-30 23:00:00",
         bucket="hour",
     )
+
+
+@query("x72_ewma")  # sequential float fold → rows-only (bit-parity tested)
+def x72_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the event value series (α=0.3, ts
+    order) — the sensor-telemetry filter the reference's monitoring
+    stack implies, as a per-key applyInPandas fold (keys are the
+    parallel unit; O(series) memory within one task). The streaming
+    twin (streaming_ewma) carries O(1) state and is bit-identical on
+    stream prefixes — parity + determinism tests in
+    tests/test_streaming.py / test_llm_ops.py."""
+    from unimib_simpss_spark.operators.timeseries import ewma
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma(events, "user_id", "ts", "value", alpha=0.3)

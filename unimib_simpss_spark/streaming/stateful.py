@@ -762,3 +762,97 @@ def streaming_kll_quantiles(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------ streaming EWMA
+# The streaming twin of operators/timeseries.py ewma: per-key state is
+# (last_ewma, sum, n, last_ts) — O(1) floats forever. The fold arithmetic
+# and order are the batch form's (alpha*x + (1-alpha)*y, left to right),
+# so after any prefix of an in-order stream the snapshot is BIT-IDENTICAL
+# to the batch EWMA of those rows — the parity the test asserts.
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("y", DoubleType()),
+        StructField("s", DoubleType()),
+        StructField("n", LongType()),
+        StructField("last_ts", DoubleType()),
+    ]
+)
+
+_EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n", LongType()),
+        StructField("last_ts", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("mean", DoubleType()),
+    ]
+)
+
+
+def _make_ewma_track(alpha: float, ndigits: int):
+    def track(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            y, s, n, last_ts = state.get
+        else:
+            y, s, n, last_ts = None, 0.0, 0, None
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "v"], kind="mergesort")
+            for ts, v in zip(pdf["ts"], pdf["v"]):
+                if v is None or pd.isna(v) or ts is None or pd.isna(ts):
+                    continue
+                v = float(v)
+                y = v if y is None else alpha * v + (1.0 - alpha) * y
+                s += v
+                n += 1
+                last_ts = float(ts)
+        state.update((y, s, n, last_ts))
+        (group_key,) = key
+        yield pd.DataFrame(
+            {
+                "key": [group_key],
+                "n": [n],
+                "last_ts": [last_ts],
+                "ewma": [round(y, ndigits) if y is not None else None],
+                "mean": [round(s / n, ndigits) if n else None],
+            }
+        )
+
+    return track
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key streaming EWMA under O(1) state; each micro-batch emits
+    the key's current ``(n, last_ts, ewma, mean)`` snapshot. See the
+    module note above for the batch-parity contract. Rows are folded in
+    (ts, value) order WITHIN each batch (matching the batch sort);
+    cross-batch order is arrival order — pair with a watermark upstream
+    if the source can deliver late data."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(val_col).cast("double").alias("v"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _make_ewma_track(alpha, ndigits),
+        outputStructType=_EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
