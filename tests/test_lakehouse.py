@@ -345,3 +345,64 @@ class TestZOrder:
 
         with _pytest.raises(ValueError, match="at least 2"):
             zorder_value(("x",))
+
+
+def test_compact_with_zorder_clusters_both_columns(spark, tmp_path):
+    """compact_to(zorder_cols=...) = compaction + clustering in one
+    byte pass (the OPTIMIZE-ZORDER shape): the rewritten partition has
+    the planned file count AND bounded per-file spans on both z
+    columns."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.sources.lakehouse import (
+        compact_to,
+        compaction_plan,
+    )
+
+    root = str(tmp_path / "zfrag")
+    out = str(tmp_path / "zcompact")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    df.repartition(24).write.mode("overwrite").parquet(f"{root}/p=0")
+    plan = compact_to(
+        spark, root, out, target_bytes=64 * 1024, zorder_cols=("x", "y")
+    )
+    want = int(
+        plan.where("partition_dir = 'p=0'").collect()[0].n_target_files
+    )
+    import os
+
+    files = [f for f in os.listdir(f"{out}/p=0") if f.endswith(".parquet")]
+    assert len(files) == want
+    a = sorted((r.x, r.y) for r in spark.read.parquet(f"{out}/p=0").collect())
+    b = sorted((r.x, r.y) for r in df.collect())
+    assert a == b
+    spans = TestZOrder._file_spans(f"{out}/p=0", "y")
+    if len(spans) >= 4:  # clustering only observable with several files
+        avg = sum(hi - lo for lo, hi in spans) / len(spans) / 63.0
+        assert avg < 0.7
+
+
+def test_zorder_three_columns(spark, tmp_path):
+    """The Morton key generalizes past 2-D: with 3 clustered columns
+    every file bounds all three."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.sources.lakehouse import write_zordered
+
+    df = spark.range(4096).select(
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") / 16) % 16).cast("long").alias("y"),
+        (F.col("id") / 256).cast("long").alias("z"),
+    )
+    path = str(tmp_path / "z3")
+    write_zordered(df, path, ("x", "y", "z"), n_files=8)
+    assert sorted(
+        (r.x, r.y, r.z) for r in spark.read.parquet(path).collect()
+    ) == sorted((r.x, r.y, r.z) for r in df.collect())
+    for col in ("x", "y", "z"):
+        spans = TestZOrder._file_spans(path, col)
+        avg = sum(hi - lo for lo, hi in spans) / len(spans) / 15.0
+        assert avg < 0.75, (col, avg)

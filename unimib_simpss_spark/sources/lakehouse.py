@@ -220,6 +220,7 @@ def compact_to(
     dst_path: str,
     target_bytes: int = 128 * 1024 * 1024,
     small_fraction: float = 0.5,
+    zorder_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Execute a :func:`compaction_plan`: rewrite each
     ``action='compact'`` partition directory of ``src_path`` into its
@@ -243,12 +244,17 @@ def compact_to(
     for part_dir, n_files in todo:
         src = f"{src_path}/{part_dir}" if part_dir else src_path
         dst = f"{dst_path}/{part_dir}" if part_dir else dst_path
-        (
-            spark.read.parquet(src)
-            .coalesce(n_files)
-            .write.mode("overwrite")
-            .parquet(dst)
-        )
+        if zorder_cols:
+            write_zordered(
+                spark.read.parquet(src), dst, zorder_cols, n_files
+            )
+        else:
+            (
+                spark.read.parquet(src)
+                .coalesce(n_files)
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
     return plan
 
 
