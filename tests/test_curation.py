@@ -516,3 +516,71 @@ def test_source_divergence_information_bounds(spark, sf_dir):
     one = C.source_divergence(docs.where(F.col("source") == rows[0].source))
     r1 = one.collect()[0]
     assert r1.kl_corpus == 0.0 and r1.js_corpus == 0.0
+
+
+class TestChunking:
+    """chunk_documents: overlap/stride semantics, the min-token tail
+    rule, and value-level parity with the DuckDB twin through the same
+    compare harness the driver uses."""
+
+    def test_stride_overlap_and_tail_rule(self, spark):
+        from unimib_simpss_spark.operators.curation import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+        docs = spark.createDataFrame(
+            [(1, text), (2, "a b c")], "doc_id long, text string"
+        )
+        rows = {
+            (r.doc_id, r.chunk_id): r
+            for r in chunk_documents(
+                docs, chunk_tokens=64, stride=48, min_tokens=8
+            ).collect()
+        }
+        # doc 1: starts 0 and 48 (start 96 would add a 4-token stub < 8)
+        d1 = [rows[(1, i)] for i in range(rows[(1, 0)].n_chunks)]
+        assert [r.start_tok for r in d1] == [0, 48]
+        assert [r.n_tok for r in d1] == [64, 52]
+        # overlap: chunk 1 re-covers tokens 48..63
+        assert d1[0].chunk_text.split()[48:] == d1[1].chunk_text.split()[:16]
+        # short doc: exactly one whole-doc chunk
+        d2 = rows[(2, 0)]
+        assert d2.n_chunks == 1 and d2.n_tok == 3
+        assert d2.chunk_text == "a b c"
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.curation import chunk_documents
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="stride"):
+            chunk_documents(docs, chunk_tokens=8, stride=0)
+        with _pytest.raises(ValueError, match="stride"):
+            chunk_documents(docs, chunk_tokens=8, stride=9)
+
+    def test_oracle_parity_via_compare_harness(self, spark, sf_dir):
+        from unimib_simpss_spark.operators.curation import (
+            chunk_documents,
+            chunk_documents_sql,
+        )
+        from unimib_simpss_spark.testing import (
+            compare_query,
+            duckdb_connection,
+        )
+
+        con = duckdb_connection(sf_dir)
+        r = compare_query(
+            spark,
+            con,
+            "chunking",
+            lambda sp, sf: chunk_documents(
+                sp.read.parquet(f"{sf}/documents.parquet"),
+                chunk_tokens=64,
+                stride=48,
+                min_tokens=8,
+            ),
+            chunk_documents_sql(chunk_tokens=64, stride=48, min_tokens=8),
+            sf_dir,
+        )
+        assert r.ok, r.mismatches[:3]
+        assert r.spark_rows > 0

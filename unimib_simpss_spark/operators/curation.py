@@ -1204,3 +1204,115 @@ def source_divergence_sql(
                / {10**ndigits}           AS js_corpus
     FROM terms GROUP BY g
     """
+
+
+# ------------------------------------------------------------- chunking
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count chunks — the
+    standard unit-of-work prep for RAG indexing and long-doc
+    pretraining (window ``chunk_tokens``, step ``stride`` < window ⇒
+    overlap ``chunk_tokens - stride`` tokens carries context across
+    boundaries).
+
+    Output: one row per chunk — ``(doc_id, chunk_id, n_chunks,
+    start_tok, n_tok, chunk_text)`` with deterministic 0-based ids in
+    token order. The FINAL window is never truncated below
+    ``min_tokens``: a tail shorter than that merges into the previous
+    chunk's window instead of emitting a fragment (the rule real
+    chunkers apply so no training example is a 3-token stub). Documents
+    shorter than ``chunk_tokens`` yield exactly one chunk.
+
+    Entirely Column expressions — tokens bound once behind an Exchange
+    (:func:`_bound_tokens`'s perf contract), chunk starts generated
+    with ``sequence``, text re-joined with ``array_join`` over
+    ``slice`` — so the explode is the only row-count change and no
+    Python touches the hot path. DuckDB twin:
+    :func:`chunk_documents_sql` (value-level parity in
+    tests/test_curation.py via the standard compare harness).
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}"
+        )
+    toks = _bound_tokens(docs, id_col, text_col)
+    n = F.size("toks")
+    # starts: 0, stride, 2*stride, ... while a FULL-or-final window
+    # beginning there adds >= min_tokens new tokens; the last start is
+    # the largest multiple of stride with n - start >= min_tokens
+    # (except start 0, always kept)
+    last_start = F.greatest(
+        F.lit(0),
+        (F.floor((n - F.lit(min_tokens)) / F.lit(stride))).cast("long")
+        * F.lit(stride),
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.slice("toks", s + 1, F.lit(chunk_tokens)).alias("ctoks"),
+        ),
+    )
+    out = toks.select(
+        F.col(id_col),
+        F.size(chunks).alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_id", "ch"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("ch.start_tok").cast("long").alias("start_tok"),
+        F.size("ch.ctoks").cast("long").alias("n_tok"),
+        F.array_join("ch.ctoks", " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    min_tokens: int = 8,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` — same start grid, same
+    slice/join semantics (DuckDB list slices are 1-based inclusive like
+    Spark's ``slice``)."""
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM {table}
+    ),
+    g AS (
+        SELECT doc_id, toks, n,
+               generate_series(
+                   0,
+                   greatest(0, CAST(floor((n - {min_tokens}) / {stride}.0)
+                                AS BIGINT) * {stride}),
+                   {stride}) AS starts
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, toks, n, len(starts) AS n_chunks,
+               unnest(starts) AS start_tok,
+               generate_subscripts(starts, 1) - 1 AS chunk_id
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT)  AS chunk_id,
+           CAST(n_chunks AS BIGINT)  AS n_chunks,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({chunk_tokens}, n - start_tok) AS BIGINT) AS n_tok,
+           array_to_string(
+               toks[CAST(start_tok + 1 AS BIGINT):
+                    CAST(start_tok + {chunk_tokens} AS BIGINT)], ' ')
+               AS chunk_text
+    FROM e
+    """
