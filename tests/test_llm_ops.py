@@ -1115,3 +1115,31 @@ def test_ewma_fold_and_operator(spark):
     assert out["b"].ewma == 7.0 and out["b"].n == 1
     with _pytest.raises(ValueError, match="alpha"):
         ewma(df, "k", "ts", "v", alpha=0.0)
+
+
+def test_ewma_duckdb_value_parity(spark, sf_dir):
+    """x72's fold vs the DuckDB list_reduce twin through the driver's
+    own compare harness — bit-level value parity on the events table
+    (both engines run the identical left-to-right IEEE fold)."""
+    from unimib_simpss_spark.operators.timeseries import ewma, ewma_sql
+    from unimib_simpss_spark.testing import compare_query, duckdb_connection
+
+    from unimib_simpss_spark.catalog import load_table
+
+    con = duckdb_connection(sf_dir)
+    # ts: load_table normalizes the NTZ parquet timestamp to a session
+    # timestamp (castable to epoch-seconds double); the oracle uses
+    # epoch(ts) — the same microseconds/1e6 arithmetic
+    r = compare_query(
+        spark,
+        con,
+        "ewma",
+        lambda sp, sf: ewma(
+            load_table(sp, sf, "events"),
+            "user_id", "ts", "value", alpha=0.3,
+        ),
+        ewma_sql("user_id", "epoch(ts)", "value", alpha=0.3),
+        sf_dir,
+    )
+    assert r.ok, r.mismatches[:3]
+    assert r.spark_rows > 0

@@ -102,3 +102,45 @@ def ewma(
         )
 
     return src.groupBy("key").applyInPandas(fold, EWMA_SCHEMA)
+
+
+def ewma_sql(
+    key_expr: str,
+    ts_expr: str,
+    val_expr: str,
+    alpha: float = 0.3,
+    ndigits: int = 6,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`ewma` — the identical sequential fold via
+    ``list_reduce`` over the (ts, value)-ordered list, so the IEEE
+    float sequence matches the batch operator bit for bit (the mean is
+    also a list_reduce, mirroring Python's strictly left-to-right
+    ``sum``). Pass a NUMERIC ``ts_expr`` — for timestamp columns use
+    ``epoch(ts)``, which matches Spark's timestamp→double cast
+    (microseconds / 1e6) on the operator side. Value-level parity is
+    asserted through the standard compare harness in
+    tests/test_llm_ops.py."""
+    return f"""
+    WITH s AS (
+        SELECT CAST({key_expr} AS VARCHAR) AS key,
+               CAST({ts_expr} AS DOUBLE)   AS ts,
+               CAST({val_expr} AS DOUBLE)  AS v
+        FROM {table}
+        WHERE {val_expr} IS NOT NULL AND {ts_expr} IS NOT NULL
+    ),
+    g AS (
+        SELECT key,
+               count(*)       AS n,
+               max(ts)        AS last_ts,
+               list(v ORDER BY ts, v) AS vs
+        FROM s GROUP BY key
+    )
+    SELECT key, CAST(n AS BIGINT) AS n, last_ts,
+           round(list_reduce(vs,
+               (acc, x) -> {alpha!r} * x + {1.0 - alpha!r} * acc),
+               {ndigits}) AS ewma,
+           round(list_reduce(vs, (acc, x) -> acc + x) / n, {ndigits})
+               AS mean
+    FROM g
+    """
