@@ -584,3 +584,97 @@ class TestChunking:
         )
         assert r.ok, r.mismatches[:3]
         assert r.spark_rows > 0
+
+
+class TestCorpusDiff:
+    def test_statuses_and_churn_only_output(self, spark):
+        from unimib_simpss_spark.operators.curation import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma CHANGED"), (4, "zeta")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+        assert set(rows) == {2, 3, 4}  # unchanged doc 1 excluded
+        assert rows[2].status == "changed"
+        assert rows[2].old_hash != rows[2].new_hash
+        assert rows[3].status == "removed" and rows[3].new_hash is None
+        assert rows[4].status == "added" and rows[4].old_hash is None
+
+    def test_duckdb_value_parity(self, spark, sf_dir):
+        """Old = full documents; new = drop every 7th, mutate every
+        5th, append shifted copies — value parity via the driver's
+        compare harness."""
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.operators.curation import (
+            corpus_diff,
+            corpus_diff_sql,
+        )
+        from unimib_simpss_spark.testing import (
+            compare_query,
+            duckdb_connection,
+        )
+
+        def new_snapshot_spark(docs):
+            kept = docs.where("doc_id % 7 != 0").select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text")).alias("text"),
+            )
+            appended = docs.select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            ).limit(10)
+            return kept.unionAll(appended)
+
+        new_sql = """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 != 0
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text
+            FROM documents ORDER BY ALL LIMIT NULL
+        """
+        # NB: the appended leg must be DETERMINISTIC — use the 10
+        # lowest ids on both sides instead of an arbitrary limit
+        new_sql = """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 != 0
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+        """
+
+        def spark_fn(sp, sf):
+            docs = sp.read.parquet(f"{sf}/documents.parquet")
+            appended = (
+                docs.orderBy("doc_id").limit(10)
+                .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+            )
+            kept = docs.where("doc_id % 7 != 0").select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text")).alias("text"),
+            )
+            return corpus_diff(docs, kept.unionAll(appended))
+
+        r = compare_query(
+            spark,
+            duckdb_connection(sf_dir),
+            "corpus_diff",
+            spark_fn,
+            corpus_diff_sql("SELECT * FROM documents", new_sql),
+            sf_dir,
+        )
+        assert r.ok, r.mismatches[:3]
+        assert r.spark_rows > 0

@@ -1316,3 +1316,73 @@ def chunk_documents_sql(
                AS chunk_text
     FROM e
     """
+
+
+# --------------------------------------------------------- corpus diff
+from unimib_simpss_spark.functions.text import (  # noqa: E402
+    normalized_text,
+    normalized_text_sql,
+)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two corpus snapshots by content: one row per document whose
+    membership or normalized-text hash changed — ``(status, doc_id,
+    old_hash, new_hash)`` with status ``added`` / ``removed`` /
+    ``changed``. Unchanged documents (the bulk of any incremental
+    ingest) are filtered OUT before anything widens, so the output is
+    proportional to the churn, not the corpus.
+
+    The audit a versioned training corpus needs between releases: what
+    entered, what left, what silently mutated (the 'changed' class is
+    the one that invalidates cached dedup/decontamination state for
+    those ids). One full-outer equi-join on the id over two hash
+    projections — each side is (id, md5) wide, never the text.
+    """
+    oh = old.select(
+        F.col(id_col).alias("_id"),
+        F.md5(normalized_text(text_col)).alias("old_hash"),
+    )
+    nh = new.select(
+        F.col(id_col).alias("_id"),
+        F.md5(normalized_text(text_col)).alias("new_hash"),
+    )
+    j = oh.join(nh, "_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("status", F.col("_id").alias(id_col), "old_hash", "new_hash")
+    )
+
+
+def corpus_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`corpus_diff` over two FROM-able snapshot
+    bodies (same normalized-text md5 both engines share)."""
+    h = normalized_text_sql(text_expr)
+    return f"""
+    WITH o AS (SELECT {id_expr} AS id, md5({h}) AS old_hash FROM ({old_sql})),
+    n AS (SELECT {id_expr} AS id, md5({h}) AS new_hash FROM ({new_sql})),
+    j AS (SELECT coalesce(o.id, n.id) AS id, old_hash, new_hash
+          FROM o FULL OUTER JOIN n ON o.id = n.id)
+    SELECT CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           id AS {id_expr}, old_hash, new_hash
+    FROM j
+    WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+    """
