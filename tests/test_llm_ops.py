@@ -1143,3 +1143,55 @@ def test_ewma_duckdb_value_parity(spark, sf_dir):
     )
     assert r.ok, r.mismatches[:3]
     assert r.spark_rows > 0
+
+
+class TestPatternTopK:
+    """Sliding-window z-normalized pattern search: planted-pattern
+    recovery, scale/offset invariance (the point of z-normalization),
+    and value parity with the DuckDB twin."""
+
+    def test_planted_pattern_found_at_rank_one(self, spark):
+        from unimib_simpss_spark.operators.timeseries import pattern_topk
+
+        pat = [0.0, 1.0, 0.0, -1.0, 0.0, 1.0]
+        rows = []
+        # key 'noise': a slow ramp; key 'hit': the pattern planted at
+        # position 10, scaled x5 and offset +100 (z-norm must still
+        # match it exactly)
+        for i in range(40):
+            rows.append(("noise", float(i), float(i) * 0.5))
+        base = [3.0, 2.0, 6.0, 4.0, 5.0, 2.5, 3.5, 4.5, 2.0, 6.5]
+        series = base + [100 + 5 * x for x in pat] + base
+        for i, v in enumerate(series):
+            rows.append(("hit", float(i), float(v)))
+        df = spark.createDataFrame(rows, "k string, ts double, v double")
+        top = pattern_topk(df, pat, "k", "ts", "v", k=3).collect()
+        best = next(r for r in top if r.rank == 1)
+        assert (best.key, best.start_pos) == ("hit", 10)
+        assert best.dist == 0.0  # z-normalization kills scale + offset
+
+    def test_duckdb_value_parity(self, spark, sf_dir):
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.timeseries import (
+            pattern_topk,
+            pattern_topk_sql,
+        )
+        from unimib_simpss_spark.testing import (
+            compare_query,
+            duckdb_connection,
+        )
+
+        pat = [1.0, 3.0, 2.0, 5.0, 4.0]
+        r = compare_query(
+            spark,
+            duckdb_connection(sf_dir),
+            "pattern_topk",
+            lambda sp, sf: pattern_topk(
+                load_table(sp, sf, "events"), pat, "user_id", "ts", "value",
+                k=10,
+            ),
+            pattern_topk_sql(pat, "user_id", "epoch(ts)", "value", k=10),
+            sf_dir,
+        )
+        assert r.ok, r.mismatches[:3]
+        assert r.spark_rows == 10

@@ -144,3 +144,167 @@ def ewma_sql(
                AS mean
     FROM g
     """
+
+
+# ------------------------------------------------ pattern similarity
+def pattern_topk(
+    df: DataFrame,
+    pattern: list,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    k: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top-k most similar sliding windows to a query ``pattern`` across
+    every key's value series — z-normalized Euclidean distance, the
+    similarity measure of UCR-suite-style subsequence search (the
+    shape-matching primitive behind 'find me sensors that did THIS';
+    PAPERS.md: Time Series Similarity Search for Streaming Data, EDBT
+    2019). No DTW: z-normalized ED is the standard first-line measure
+    and is exactly computable as Column expressions.
+
+    Output: ``(key, start_pos, dist, rank)`` — ``start_pos`` 0-based in
+    the key's (ts, value)-sorted series; deterministic ties (dist, key,
+    start). Constant-variance windows (σ=0) z-normalize to zeros, the
+    usual convention.
+
+    Scale shape: the per-key series is assembled ONCE with
+    ``array_sort`` over collected (ts, v) structs — one combinable
+    collect per key, state bounded by the key's own series (the same
+    per-key contract as :func:`ewma`); each window's μ/σ/distance folds
+    over an array SLICE inside whole-stage codegen (O(n·m) per key, no
+    Python); the global top-k is ``TakeOrderedAndProject`` + the
+    window-free broadcast rank. DuckDB twin: :func:`pattern_topk_sql`
+    (same sequential folds → bit-identical doubles; value parity via
+    the compare harness in tests)."""
+    from unimib_simpss_spark.operators.ranking import broadcast_topk_rank
+
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs at least 2 points")
+    mu_q = sum(pattern) / m
+    var_q = sum((x - mu_q) ** 2 for x in pattern) / m
+    sd_q = var_q**0.5
+    qz = [0.0 if sd_q == 0 else (x - mu_q) / sd_q for x in pattern]
+
+    series = (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).cast("double").alias("ts"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .where(F.col("v").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("v")))
+            ).alias("pts")
+        )
+        .select("key", F.transform("pts", lambda p: p["v"]).alias("vs"))
+        .where(F.size("vs") >= m)
+    )
+
+    def win_dist(s):
+        w = F.slice("vs", s + 1, F.lit(m))
+        mu = F.aggregate(w, F.lit(0.0), lambda a, x: a + x) / F.lit(float(m))
+        var = F.aggregate(
+            w, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu)
+        ) / F.lit(float(m))
+        sd = F.sqrt(var)
+        qarr = F.array(*[F.lit(float(q)) for q in qz])
+        diff = F.zip_with(
+            w,
+            qarr,
+            lambda x, q: (
+                F.when(sd == 0, F.lit(0.0)).otherwise((x - mu) / sd) - q
+            )
+            ** 2,
+        )
+        return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x))
+
+    wins = series.select(
+        "key",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("vs") - m), lambda s: win_dist(s)
+            )
+        ).alias("start_pos", "dist"),
+    ).select(
+        "key",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.round("dist", ndigits).alias("dist"),
+    )
+    # total order for the rank helper: one unique asc key per row
+    keyed = wins.withColumn(
+        "_ord", F.concat_ws("\x00", "key", F.lpad(F.col("start_pos"), 12, "0"))
+    ).withColumn("_negd", -F.col("dist"))
+    return (
+        broadcast_topk_rank(keyed, k, "_negd", "_ord")
+        .select("key", "start_pos", "dist", "rank")
+    )
+
+
+def pattern_topk_sql(
+    pattern: list,
+    key_expr: str,
+    ts_expr: str,
+    val_expr: str,
+    k: int = 5,
+    ndigits: int = 6,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`pattern_topk` — identical sequential folds
+    (list_reduce) for μ/σ/distance, same rounding, same tie order."""
+    m = len(pattern)
+    mu_q = sum(pattern) / m
+    var_q = sum((x - mu_q) ** 2 for x in pattern) / m
+    sd_q = var_q**0.5
+    qz = [0.0 if sd_q == 0 else (x - mu_q) / sd_q for x in pattern]
+    qlist = "[" + ", ".join(repr(float(q)) for q in qz) + "]"
+    return f"""
+    WITH s AS (
+        SELECT CAST({key_expr} AS VARCHAR) AS key,
+               {ts_expr} AS ts, CAST({val_expr} AS DOUBLE) AS v
+        FROM {table}
+        WHERE {val_expr} IS NOT NULL AND {ts_expr} IS NOT NULL
+    ),
+    g AS (
+        SELECT key, list(v ORDER BY ts, v) AS vs FROM s GROUP BY key
+        HAVING count(*) >= {m}
+    ),
+    w AS (
+        SELECT key, start_pos,
+               vs[start_pos + 1 : start_pos + {m}] AS win
+        FROM g, unnest(generate_series(0, len(vs) - {m})) AS t(start_pos)
+    ),
+    d AS (
+        SELECT key, CAST(start_pos AS BIGINT) AS start_pos,
+               list_reduce(win, (a, x) -> a + x) / {float(m)!r} AS mu,
+               sqrt(list_reduce(
+                   list_transform(win, x ->
+                       (x - list_reduce(win, (a, y) -> a + y) / {float(m)!r})
+                     * (x - list_reduce(win, (a, y) -> a + y) / {float(m)!r})),
+                   (a, x) -> a + x) / {float(m)!r}) AS sd,
+               win
+        FROM w
+    ),
+    z AS (
+        SELECT key, start_pos,
+               round(sqrt(list_reduce(
+                   list_transform(
+                       list_zip(win, {qlist}),
+                       p -> (CASE WHEN sd = 0 THEN 0.0
+                                  ELSE (p[1] - mu) / sd END - p[2])
+                            * (CASE WHEN sd = 0 THEN 0.0
+                                    ELSE (p[1] - mu) / sd END - p[2])),
+                   (a, x) -> a + x)), {ndigits}) AS dist
+        FROM d
+    )
+    SELECT key, start_pos, dist,
+           CAST(row_number() OVER (
+               ORDER BY dist, key, start_pos) AS BIGINT) AS rank
+    FROM z
+    ORDER BY dist, key, start_pos
+    LIMIT {k}
+    """
