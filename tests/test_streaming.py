@@ -1090,3 +1090,58 @@ def test_streaming_ewma_snapshot_equals_batch_prefix(spark, tmp_path):
             seen.append(key_n)
     # every emitted snapshot was checked against its batch twin
     assert set(snap_by_key_n) == set(seen)
+
+
+def test_streaming_pattern_match_across_batch_boundary(spark, tmp_path):
+    """CEP-style live pattern match: a planted shape SPLIT ACROSS two
+    micro-batches must still be detected (the state carries the window
+    tail), at the same start position and distance the batch operator
+    reports; near-uniform noise must not fire."""
+    from unimib_simpss_spark.operators.timeseries import pattern_topk
+    from unimib_simpss_spark.streaming.stateful import (
+        streaming_pattern_match,
+    )
+
+    pat = [0.0, 2.0, 0.0, -2.0, 0.0, 2.0]
+    planted = [50 + 3 * x for x in pat]
+    noise1 = [5.0, 9.0, 4.0, 8.5, 3.0, 7.0, 2.0]
+    noise2 = [6.0, 2.5, 9.5, 3.5, 8.0]
+    series = noise1 + planted + noise2
+    # split INSIDE the planted window: batch 1 ends 3 points into it
+    split = len(noise1) + 3
+    b0 = [{"k": "s1", "ts": float(i), "v": v} for i, v in enumerate(series[:split])]
+    b1 = [
+        {"k": "s1", "ts": float(split + i), "v": v}
+        for i, v in enumerate(series[split:])
+    ]
+    src = tmp_path / "pat_in"
+    src.mkdir()
+    _write_log(src, "b0.json", b0)
+    _write_log(src, "b1.json", b1)
+    stream = (
+        spark.readStream.schema("k STRING, ts DOUBLE, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_pattern_match(stream, pat, "k", "ts", "v", threshold=0.25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pat_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = spark.sql("SELECT * FROM pat_stream").collect()
+    assert len(hits) == 1, hits
+    assert (hits[0].key, hits[0].start_pos) == ("s1", len(noise1))
+    assert hits[0].dist == 0.0
+    # batch twin agrees on position and distance
+    bdf = spark.createDataFrame(
+        [("s1", float(i), v) for i, v in enumerate(series)],
+        "k string, ts double, v double",
+    )
+    best = next(
+        r for r in pattern_topk(bdf, pat, "k", "ts", "v", k=1).collect()
+    )
+    assert (best.start_pos, best.dist) == (hits[0].start_pos, hits[0].dist)

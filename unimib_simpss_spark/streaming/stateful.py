@@ -856,3 +856,112 @@ def streaming_ewma(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------------------------------------- streaming pattern match
+# The streaming twin of operators/timeseries.py pattern_topk, CEP
+# flavor: per-key state is the last m-1 values (plus a running row
+# counter) — O(pattern) floats forever — and each arriving value
+# completes one window, scored with the SAME z-normalized Euclidean
+# fold as the batch operator. A hit whose window straddles a
+# micro-batch boundary is still detected, because the state carries the
+# tail of the previous batch — the property the test plants.
+
+_PATTERN_STATE_SCHEMA = StructType(
+    [
+        StructField("tail", ArrayType(DoubleType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_PATTERN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("start_pos", LongType()),
+        StructField("dist", DoubleType()),
+    ]
+)
+
+
+def _make_pattern_track(qz: list, m: int, threshold: float, ndigits: int):
+    def track(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tail, n_seen = state.get
+            tail = list(tail)
+        else:
+            tail, n_seen = [], 0
+        (group_key,) = key
+        hits: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "v"], kind="mergesort")
+            for v in pdf["v"]:
+                if v is None or pd.isna(v):
+                    continue
+                tail.append(float(v))
+                n_seen += 1
+                if len(tail) > m:
+                    tail.pop(0)
+                if len(tail) == m:
+                    mu = 0.0
+                    for x in tail:
+                        mu += x
+                    mu /= m
+                    var = 0.0
+                    for x in tail:
+                        var += (x - mu) * (x - mu)
+                    var /= m
+                    sd = var**0.5
+                    acc = 0.0
+                    for x, q in zip(tail, qz):
+                        z = 0.0 if sd == 0 else (x - mu) / sd
+                        acc += (z - q) * (z - q)
+                    dist = round(acc**0.5, ndigits)
+                    if dist <= threshold:
+                        hits.append((group_key, n_seen - m, dist))
+        state.update((tail, n_seen))
+        if hits:
+            yield pd.DataFrame(
+                hits, columns=["key", "start_pos", "dist"]
+            )
+
+    return track
+
+
+def streaming_pattern_match(
+    stream: DataFrame,
+    pattern: list,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    threshold: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Emit ``(key, start_pos, dist)`` whenever a key's latest window
+    z-normalizes within ``threshold`` of ``pattern`` — the live form of
+    the batch subsequence search, under O(pattern) state per key. See
+    the module note above for the boundary-straddling contract."""
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern needs at least 2 points")
+    mu_q = sum(pattern) / m
+    var_q = sum((x - mu_q) ** 2 for x in pattern) / m
+    sd_q = var_q**0.5
+    qz = [0.0 if sd_q == 0 else (x - mu_q) / sd_q for x in pattern]
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(val_col).cast("double").alias("v"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _make_pattern_track(qz, m, threshold, ndigits),
+        outputStructType=_PATTERN_OUTPUT_SCHEMA,
+        stateStructType=_PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
