@@ -1145,3 +1145,51 @@ def test_streaming_pattern_match_across_batch_boundary(spark, tmp_path):
         r for r in pattern_topk(bdf, pat, "k", "ts", "v", k=1).collect()
     )
     assert (best.start_pos, best.dist) == (hits[0].start_pos, hits[0].dist)
+
+
+def test_streaming_anomalies_match_batch_and_catch_planted_spike(
+    spark, tmp_path
+):
+    """EWMA-residual alarm: a planted spike fires (once — the state
+    absorbs it afterward), steady noise does not, and the streaming
+    alarm flags EXACTLY the rows the batch fold flags even when the
+    spike arrives in a later micro-batch."""
+    from unimib_simpss_spark.operators.timeseries import anomalies
+    from unimib_simpss_spark.streaming.stateful import streaming_anomalies
+
+    steady = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 10.3]
+    with_spike = [10.0, 9.7, 80.0, 10.2, 9.9]  # spike at global pos 10
+    rows_a = [("s1", float(i), v) for i, v in enumerate(steady)]
+    rows_b = [
+        ("s1", float(len(steady) + i), v) for i, v in enumerate(with_spike)
+    ]
+    src = tmp_path / "anom_in"
+    src.mkdir()
+    _write_log(src, "b0.json", [dict(k=k, ts=t, v=v) for k, t, v in rows_a])
+    _write_log(src, "b1.json", [dict(k=k, ts=t, v=v) for k, t, v in rows_b])
+    stream = (
+        spark.readStream.schema("k STRING, ts DOUBLE, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_anomalies(stream, "k", "ts", "v", alpha=0.3, k=4.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.key, r.ts, r.value, r.resid)
+        for r in spark.sql("SELECT * FROM anom_stream").collect()
+    )
+    bdf = spark.createDataFrame(rows_a + rows_b, "k string, ts double, v double")
+    want = sorted(
+        (r.key, r.ts, r.value, r.resid)
+        for r in anomalies(bdf, "k", "ts", "v", alpha=0.3, k=4.0).collect()
+    )
+    assert got == want
+    assert len(got) == 1
+    assert got[0][1] == 10.0 and got[0][2] == 80.0  # the spike, once

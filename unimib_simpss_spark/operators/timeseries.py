@@ -308,3 +308,83 @@ def pattern_topk_sql(
     ORDER BY dist, key, start_pos
     LIMIT {k}
     """
+
+
+# -------------------------------------------------- anomaly detection
+def anomaly_fold(
+    rows: list, alpha: float = 0.3, k: float = 4.0, min_n: int = 5
+) -> list:
+    """The shared residual-anomaly fold (batch and streaming run THIS
+    exact sequence): maintain an exponentially-weighted mean ``y`` and
+    EW second central moment ``v`` (the EW analogue of variance); a
+    point is anomalous when its residual against the PRE-UPDATE state
+    exceeds ``k·sqrt(v)``, after a ``min_n`` warmup. Anomalous points
+    STILL update the state (a level shift eventually becomes the new
+    normal — the standard monitoring behavior). Returns one
+    ``(value, is_anomaly, resid)`` triple per input value."""
+    y = None
+    v = 0.0
+    n = 0
+    out = []
+    for x in rows:
+        x = float(x)
+        if y is None:
+            out.append((x, False, 0.0))
+            y = x
+        else:
+            resid = abs(x - y)
+            sd = v**0.5
+            flag = n >= min_n and resid > k * sd
+            out.append((x, bool(flag), resid))
+            v = alpha * (x - y) * (x - y) + (1.0 - alpha) * v
+            y = alpha * x + (1.0 - alpha) * y
+        n += 1
+    return out
+
+
+def anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.3,
+    k: float = 4.0,
+    min_n: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key EWMA-residual anomaly flags — the monitoring alarm the
+    reference's Grafana stack implies over its temperature/pressure
+    series: one output row per ANOMALOUS point ``(key, ts, value,
+    resid)``. Same per-key applyInPandas shape (and the same fold) as
+    :func:`ewma`; the streaming twin
+    (:mod:`..streaming.stateful` ``streaming_anomalies``) carries
+    ``(y, v, n)`` per key — O(1) state — and flags the identical points
+    on any in-order prefix."""
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(val_col).cast("double").alias("v"),
+    ).where(F.col("v").isNotNull() & F.col("ts").isNotNull())
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("ts", DoubleType()),
+            StructField("value", DoubleType()),
+            StructField("resid", DoubleType()),
+        ]
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "v"], kind="mergesort")
+        flags = anomaly_fold(pdf["v"].tolist(), alpha, k, min_n)
+        rows = [
+            [pdf["key"].iloc[0], float(t), x, round(r, ndigits)]
+            for t, (x, bad, r) in zip(pdf["ts"], flags)
+            if bad
+        ]
+        return pd.DataFrame(rows, columns=["key", "ts", "value", "resid"])
+
+    return src.groupBy("key").applyInPandas(fold, out_schema)

@@ -965,3 +965,96 @@ def streaming_pattern_match(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------- streaming anomaly alarm
+# The streaming twin of operators/timeseries.py anomalies: per-key
+# state is (y, v, n) — the EW mean, EW second moment, and row count —
+# and the per-point decision is the SAME pre-update residual test, so
+# an in-order stream flags exactly the points the batch fold flags.
+
+_ANOM_STATE_SCHEMA = StructType(
+    [
+        StructField("y", DoubleType()),
+        StructField("v", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_ANOM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("resid", DoubleType()),
+    ]
+)
+
+
+def _make_anomaly_track(alpha: float, k: float, min_n: int, ndigits: int):
+    def track(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            y, v, n = state.get
+        else:
+            y, v, n = None, 0.0, 0
+        (group_key,) = key
+        hits: list = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "v"], kind="mergesort")
+            for ts, x in zip(pdf["ts"], pdf["v"]):
+                if x is None or pd.isna(x) or ts is None or pd.isna(ts):
+                    continue
+                x = float(x)
+                if y is None:
+                    y = x
+                else:
+                    resid = abs(x - y)
+                    sd = v**0.5
+                    if n >= min_n and resid > k * sd:
+                        hits.append(
+                            (group_key, float(ts), x, round(resid, ndigits))
+                        )
+                    v = alpha * (x - y) * (x - y) + (1.0 - alpha) * v
+                    y = alpha * x + (1.0 - alpha) * y
+                n += 1
+        state.update((y, v, n))
+        if hits:
+            yield pd.DataFrame(
+                hits, columns=["key", "ts", "value", "resid"]
+            )
+
+    return track
+
+
+def streaming_anomalies(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.3,
+    k: float = 4.0,
+    min_n: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Live EWMA-residual anomaly alarm under O(1) per-key state; emits
+    one row per anomalous point as it arrives. Identical decisions to
+    the batch :func:`~unimib_simpss_spark.operators.timeseries.anomalies`
+    on any in-order prefix (asserted in tests)."""
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(val_col).cast("double").alias("v"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _make_anomaly_track(alpha, k, min_n, ndigits),
+        outputStructType=_ANOM_OUTPUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
