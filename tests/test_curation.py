@@ -678,3 +678,21 @@ class TestCorpusDiff:
         )
         assert r.ok, r.mismatches[:3]
         assert r.spark_rows > 0
+
+
+    def test_null_text_uses_presence_not_hash(self, spark):
+        """CODE-REVIEW r10 — membership must come from presence flags:
+        a NULL-text doc present in both snapshots diffs as changed (or
+        not at all), never as 'added'; NULL-text docs can be removed."""
+        from unimib_simpss_spark.operators.curation import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, None), (2, "x"), (3, None)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, "now real"), (2, None)], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+        assert rows[1].status == "changed"  # NULL -> text
+        assert rows[2].status == "changed"  # text -> NULL
+        assert rows[3].status == "removed"  # NULL-text doc dropped

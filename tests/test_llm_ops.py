@@ -1168,7 +1168,9 @@ class TestPatternTopK:
         top = pattern_topk(df, pat, "k", "ts", "v", k=3).collect()
         best = next(r for r in top if r.rank == 1)
         assert (best.key, best.start_pos) == ("hit", 10)
-        assert best.dist == 0.0  # z-normalization kills scale + offset
+        # z-normalization kills scale + offset (up to the closed form's
+        # float residue, ~1e-6 after rounding)
+        assert best.dist <= 1e-5
 
     def test_duckdb_value_parity(self, spark, sf_dir):
         from unimib_simpss_spark.catalog import load_table

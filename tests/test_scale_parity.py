@@ -98,16 +98,17 @@ def _hashable(v):
 @pytest.mark.parametrize(
     "name", sorted(n for n in registry.queries() if n not in registry.oracle_sql())
 )
-def test_rows_only_queries_are_run_deterministic(spark, name):
+def test_rows_only_queries_are_run_deterministic(spark, sf_dir, name):
     """Rows-only entries have no oracle hash to pin them, so nothing
     else would catch run-to-run nondeterminism (the failure mode the
     KLL merge-order bug had) — run each twice and require identical
-    row multisets. Runs at sf0.001 inside the opt-in sweep."""
+    row multisets. Runs at the conftest sf_dir (sf0.001) inside the
+    opt-in sweep."""
     fn = registry.queries()[name]
 
     def run():
         return sorted(
-            tuple(_hashable(v) for v in r) for r in fn(spark, "/root/testdata/sf0.001").collect()
+            tuple(_hashable(v) for v in r) for r in fn(spark, sf_dir).collect()
         )
 
     assert run() == run()

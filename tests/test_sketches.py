@@ -637,3 +637,20 @@ class TestJoinSize:
             cms_join_size(merged, sb).collect()[0].est_join_rows
             == cms_join_size(whole, sb).collect()[0].est_join_rows
         )
+
+
+def test_cms_join_size_disjoint_keys_estimates_zero_or_small(spark):
+    """CODE-REVIEW r10 — a hash row with no overlapping cells proves
+    the join is empty; its 0 must enter the min (no silent row drop),
+    and fully-disjoint sketches must yield 0, never NULL."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.functions.sketches import (
+        cms_build,
+        cms_join_size,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(5)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(5)], "k string")
+    est = cms_join_size(cms_build(a, "k"), cms_build(b, "k")).collect()[0]
+    assert est.est_join_rows == 0

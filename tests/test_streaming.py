@@ -1135,7 +1135,7 @@ def test_streaming_pattern_match_across_batch_boundary(spark, tmp_path):
     hits = spark.sql("SELECT * FROM pat_stream").collect()
     assert len(hits) == 1, hits
     assert (hits[0].key, hits[0].start_pos) == ("s1", len(noise1))
-    assert hits[0].dist == 0.0
+    assert hits[0].dist <= 1e-5
     # batch twin agrees on position and distance
     bdf = spark.createDataFrame(
         [("s1", float(i), v) for i, v in enumerate(series)],

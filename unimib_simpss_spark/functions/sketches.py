@@ -788,7 +788,9 @@ def join_cardinality_exact(
     )
 
 
-def cms_join_size(a_sketch: DataFrame, b_sketch: DataFrame) -> DataFrame:
+def cms_join_size(
+    a_sketch: DataFrame, b_sketch: DataFrame, depth: int = DEFAULT_DEPTH
+) -> DataFrame:
     """Join-size estimate from two count-min sketches of the join keys
     (same depth/width): the CMS INNER PRODUCT —
     ``est_j = Σ_c cntA(j,c) · cntB(j,c)`` per hash row, min over rows
@@ -801,6 +803,11 @@ def cms_join_size(a_sketch: DataFrame, b_sketch: DataFrame) -> DataFrame:
     PRE-AGGREGATED state — per-day/per-shard key sketches a pipeline
     already maintains — without touching either input again; the exact
     form needs a pass over both. Returns one row ``(est_join_rows)``.
+
+    A hash row where the two sketches share NO populated cell has a
+    TRUE inner product of 0 — exactly the row that proves the join is
+    empty — so missing rows must enter the min as 0, not silently drop
+    from it (left-join against the full 0..depth-1 row ids).
     """
     j = (
         a_sketch.select("j", "c", F.col("cnt").alias("ca"))
@@ -810,4 +817,11 @@ def cms_join_size(a_sketch: DataFrame, b_sketch: DataFrame) -> DataFrame:
         .groupBy("j")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
-    return j.agg(F.min("ip").alias("est_join_rows"))
+    all_rows = a_sketch.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("j")
+    )
+    return (
+        all_rows.join(j, "j", "left")
+        .select(F.coalesce("ip", F.lit(0)).alias("ip"))
+        .agg(F.min("ip").alias("est_join_rows"))
+    )

@@ -1237,9 +1237,16 @@ def chunk_documents(
     :func:`chunk_documents_sql` (value-level parity in
     tests/test_curation.py via the standard compare harness).
     """
-    if not 0 < stride <= chunk_tokens:
+    if not 0 < stride <= chunk_tokens - min_tokens:
+        # stride > chunk_tokens - min_tokens can leave a tail of up to
+        # min_tokens + stride - 1 tokens past the last window's end —
+        # silently LOST from the corpus. The bound guarantees the last
+        # window always reaches the end of the document.
         raise ValueError(
-            f"need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}"
+            f"need 0 < stride <= chunk_tokens - min_tokens "
+            f"(else the final tail can exceed the last window), got "
+            f"stride={stride}, chunk_tokens={chunk_tokens}, "
+            f"min_tokens={min_tokens}"
         )
     toks = _bound_tokens(docs, id_col, text_col)
     n = F.size("toks")
@@ -1344,19 +1351,27 @@ def corpus_diff(
     those ids). One full-outer equi-join on the id over two hash
     projections — each side is (id, md5) wide, never the text.
     """
+    # membership comes from EXPLICIT presence flags, never from hash
+    # nullability — a document with NULL text has a NULL hash while
+    # being fully present, and must diff as changed/removed, not
+    # vanish into 'added'
     oh = old.select(
         F.col(id_col).alias("_id"),
         F.md5(normalized_text(text_col)).alias("old_hash"),
+        F.lit(True).alias("_in_old"),
     )
     nh = new.select(
         F.col(id_col).alias("_id"),
         F.md5(normalized_text(text_col)).alias("new_hash"),
+        F.lit(True).alias("_in_new"),
     )
     j = oh.join(nh, "_id", "full_outer")
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("changed")
+        )
     )
     return (
         j.withColumn("status", status)
@@ -1375,14 +1390,18 @@ def corpus_diff_sql(
     bodies (same normalized-text md5 both engines share)."""
     h = normalized_text_sql(text_expr)
     return f"""
-    WITH o AS (SELECT {id_expr} AS id, md5({h}) AS old_hash FROM ({old_sql})),
-    n AS (SELECT {id_expr} AS id, md5({h}) AS new_hash FROM ({new_sql})),
-    j AS (SELECT coalesce(o.id, n.id) AS id, old_hash, new_hash
+    WITH o AS (SELECT {id_expr} AS id, md5({h}) AS old_hash, TRUE AS in_old
+               FROM ({old_sql})),
+    n AS (SELECT {id_expr} AS id, md5({h}) AS new_hash, TRUE AS in_new
+          FROM ({new_sql})),
+    j AS (SELECT coalesce(o.id, n.id) AS id, old_hash, new_hash,
+                 in_old, in_new
           FROM o FULL OUTER JOIN n ON o.id = n.id)
-    SELECT CASE WHEN old_hash IS NULL THEN 'added'
-                WHEN new_hash IS NULL THEN 'removed'
+    SELECT CASE WHEN in_old IS NULL THEN 'added'
+                WHEN in_new IS NULL THEN 'removed'
                 ELSE 'changed' END AS status,
            id AS {id_expr}, old_hash, new_hash
     FROM j
-    WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+    WHERE in_old IS NULL OR in_new IS NULL
+       OR old_hash IS DISTINCT FROM new_hash
     """

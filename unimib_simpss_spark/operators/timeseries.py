@@ -15,7 +15,7 @@ scalable shape is the per-key fold:
   deterministic IEEE-754 sequence — bit-identical across engines,
   reruns, and the streaming twin.
 - **streaming** (:mod:`..streaming.stateful` ``streaming_ewma``):
-  ``applyInPandasWithState`` carrying ``(last_ewma, n_seen)`` — O(1)
+  ``applyInPandasWithState`` carrying ``(y, sum, n, last_ts)`` — O(1)
   state per key forever, and because the fold order and arithmetic are
   IDENTICAL to the batch form, the snapshot after any prefix of the
   stream EQUALS the batch EWMA of that prefix bit for bit (the same
@@ -40,6 +40,17 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def _valid_point():
+    """Shared row filter: NULL *and NaN* drop, on both value and ts —
+    the streaming twins skip NaN via pd.isna, so the batch side must
+    apply the identical convention or prefix parity breaks on NaN
+    inputs."""
+    v, ts = F.col("v"), F.col("ts")
+    return (
+        v.isNotNull() & ~F.isnan(v) & ts.isNotNull() & ~F.isnan(ts)
+    )
+
 
 EWMA_SCHEMA = StructType(
     [
@@ -81,7 +92,7 @@ def ewma(
         F.col(key_col).cast("string").alias("key"),
         F.col(ts_col).cast("double").alias("ts"),
         F.col(val_col).cast("double").alias("v"),
-    ).where(F.col("v").isNotNull() & F.col("ts").isNotNull())
+    ).where(_valid_point())
 
     def fold(pdf):
         import pandas as pd
@@ -127,7 +138,8 @@ def ewma_sql(
                CAST({ts_expr} AS DOUBLE)   AS ts,
                CAST({val_expr} AS DOUBLE)  AS v
         FROM {table}
-        WHERE {val_expr} IS NOT NULL AND {ts_expr} IS NOT NULL
+        WHERE {val_expr} IS NOT NULL AND NOT isnan(CAST({val_expr} AS DOUBLE))
+          AND {ts_expr} IS NOT NULL AND NOT isnan(CAST({ts_expr} AS DOUBLE))
     ),
     g AS (
         SELECT key,
@@ -194,7 +206,7 @@ def pattern_topk(
             F.col(ts_col).cast("double").alias("ts"),
             F.col(val_col).cast("double").alias("v"),
         )
-        .where(F.col("v").isNotNull() & F.col("ts").isNotNull())
+        .where(_valid_point())
         .groupBy("key")
         .agg(
             F.array_sort(
@@ -205,23 +217,35 @@ def pattern_topk(
         .where(F.size("vs") >= m)
     )
 
+    # Per-window cost is a CONSTANT number of O(m) folds (sum, sum of
+    # squares, pattern cross-product) — naively folding (x-mu)²  with mu
+    # itself an aggregate re-evaluates the mu fold per element inside
+    # the HOF lambda (no CSE across lambda scopes), turning each window
+    # into O(m²)-O(m³). The closed form: with the pattern z-normalized,
+    # dist² = Σz² - 2Σz·q + Σq² = m - 2·(SXQ - mu·Σq)/sd + Σq²
+    # (σ=0 windows z-normalize to zeros → dist² = Σq²). Identical
+    # operation order in the DuckDB twin keeps bit parity.
+    mf = float(m)
+    qsum = sum(qz)
+    qss = sum(q * q for q in qz)
+    qarr = F.array(*[F.lit(float(q)) for q in qz])
+
     def win_dist(s):
         w = F.slice("vs", s + 1, F.lit(m))
-        mu = F.aggregate(w, F.lit(0.0), lambda a, x: a + x) / F.lit(float(m))
-        var = F.aggregate(
-            w, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu)
-        ) / F.lit(float(m))
-        sd = F.sqrt(var)
-        qarr = F.array(*[F.lit(float(q)) for q in qz])
-        diff = F.zip_with(
-            w,
-            qarr,
-            lambda x, q: (
-                F.when(sd == 0, F.lit(0.0)).otherwise((x - mu) / sd) - q
-            )
-            ** 2,
+        S = F.aggregate(w, F.lit(0.0), lambda a, x: a + x)
+        SS = F.aggregate(w, F.lit(0.0), lambda a, x: a + x * x)
+        SXQ = F.aggregate(
+            F.zip_with(w, qarr, lambda x, q: x * q),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
-        return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x))
+        mu = S / F.lit(mf)
+        var = SS / F.lit(mf) - mu * mu
+        sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+        d2 = F.when(sd == 0, F.lit(qss)).otherwise(
+            F.lit(mf) - 2.0 * (SXQ - mu * F.lit(qsum)) / sd + F.lit(qss)
+        )
+        return F.sqrt(F.greatest(d2, F.lit(0.0)))
 
     wins = series.select(
         "key",
@@ -262,12 +286,16 @@ def pattern_topk_sql(
     sd_q = var_q**0.5
     qz = [0.0 if sd_q == 0 else (x - mu_q) / sd_q for x in pattern]
     qlist = "[" + ", ".join(repr(float(q)) for q in qz) + "]"
+    mf = float(m)
+    qsum = sum(qz)
+    qss = sum(q * q for q in qz)
     return f"""
     WITH s AS (
         SELECT CAST({key_expr} AS VARCHAR) AS key,
                {ts_expr} AS ts, CAST({val_expr} AS DOUBLE) AS v
         FROM {table}
-        WHERE {val_expr} IS NOT NULL AND {ts_expr} IS NOT NULL
+        WHERE {val_expr} IS NOT NULL AND NOT isnan(CAST({val_expr} AS DOUBLE))
+          AND {ts_expr} IS NOT NULL AND NOT isnan(CAST({ts_expr} AS DOUBLE))
     ),
     g AS (
         SELECT key, list(v ORDER BY ts, v) AS vs FROM s GROUP BY key
@@ -280,25 +308,29 @@ def pattern_topk_sql(
     ),
     d AS (
         SELECT key, CAST(start_pos AS BIGINT) AS start_pos,
-               list_reduce(win, (a, x) -> a + x) / {float(m)!r} AS mu,
-               sqrt(list_reduce(
-                   list_transform(win, x ->
-                       (x - list_reduce(win, (a, y) -> a + y) / {float(m)!r})
-                     * (x - list_reduce(win, (a, y) -> a + y) / {float(m)!r})),
-                   (a, x) -> a + x) / {float(m)!r}) AS sd,
-               win
+               list_reduce(win, (a, x) -> a + x)                    AS s1,
+               list_reduce(list_transform(win, x -> x * x),
+                           (a, x) -> a + x)                          AS ss,
+               list_reduce(list_transform(list_zip(win, {qlist}),
+                                          p -> p[1] * p[2]),
+                           (a, x) -> a + x)                          AS sxq
         FROM w
     ),
     z AS (
         SELECT key, start_pos,
-               round(sqrt(list_reduce(
-                   list_transform(
-                       list_zip(win, {qlist}),
-                       p -> (CASE WHEN sd = 0 THEN 0.0
-                                  ELSE (p[1] - mu) / sd END - p[2])
-                            * (CASE WHEN sd = 0 THEN 0.0
-                                    ELSE (p[1] - mu) / sd END - p[2])),
-                   (a, x) -> a + x)), {ndigits}) AS dist
+               round(sqrt(greatest(
+                   CASE WHEN sqrt(greatest(
+                            ss / {mf!r} - (s1 / {mf!r}) * (s1 / {mf!r}),
+                            0.0)) = 0
+                        THEN {qss!r}
+                        ELSE {mf!r}
+                             - 2.0 * (sxq - (s1 / {mf!r}) * {qsum!r})
+                               / sqrt(greatest(
+                                   ss / {mf!r}
+                                     - (s1 / {mf!r}) * (s1 / {mf!r}),
+                                   0.0))
+                             + {qss!r} END,
+                   0.0)), {ndigits}) AS dist
         FROM d
     )
     SELECT key, start_pos, dist,
@@ -364,7 +396,7 @@ def anomalies(
         F.col(key_col).cast("string").alias("key"),
         F.col(ts_col).cast("double").alias("ts"),
         F.col(val_col).cast("double").alias("v"),
-    ).where(F.col("v").isNotNull() & F.col("ts").isNotNull())
+    ).where(_valid_point())
 
     out_schema = StructType(
         [

@@ -884,6 +884,10 @@ _PATTERN_OUTPUT_SCHEMA = StructType(
 
 
 def _make_pattern_track(qz: list, m: int, threshold: float, ndigits: int):
+    mf = float(m)
+    qsum = sum(qz)
+    qss = sum(q * q for q in qz)
+
     def track(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
@@ -898,28 +902,36 @@ def _make_pattern_track(qz: list, m: int, threshold: float, ndigits: int):
         hits: list[tuple] = []
         for pdf in batches:
             pdf = pdf.sort_values(["ts", "v"], kind="mergesort")
-            for v in pdf["v"]:
-                if v is None or pd.isna(v):
+            for ts, v in zip(pdf["ts"], pdf["v"]):
+                # the batch twin filters NULL/NaN ts AND value; mirror
+                # it exactly or start_pos drifts off the batch answer
+                if v is None or pd.isna(v) or ts is None or pd.isna(ts):
                     continue
                 tail.append(float(v))
                 n_seen += 1
                 if len(tail) > m:
                     tail.pop(0)
                 if len(tail) == m:
-                    mu = 0.0
-                    for x in tail:
-                        mu += x
-                    mu /= m
-                    var = 0.0
-                    for x in tail:
-                        var += (x - mu) * (x - mu)
-                    var /= m
-                    sd = var**0.5
-                    acc = 0.0
+                    # the EXACT closed-form arithmetic of the batch
+                    # operator (sum / sum-of-squares / cross-product
+                    # folds), same operation order — near-threshold
+                    # windows must score identically in both forms
+                    s1 = 0.0
+                    ss = 0.0
+                    sxq = 0.0
                     for x, q in zip(tail, qz):
-                        z = 0.0 if sd == 0 else (x - mu) / sd
-                        acc += (z - q) * (z - q)
-                    dist = round(acc**0.5, ndigits)
+                        s1 += x
+                        ss += x * x
+                        sxq += x * q
+                    mu = s1 / mf
+                    var = ss / mf - mu * mu
+                    sd = max(var, 0.0) ** 0.5
+                    d2 = (
+                        qss
+                        if sd == 0
+                        else mf - 2.0 * (sxq - mu * qsum) / sd + qss
+                    )
+                    dist = round(max(d2, 0.0) ** 0.5, ndigits)
                     if dist <= threshold:
                         hits.append((group_key, n_seen - m, dist))
         state.update((tail, n_seen))
