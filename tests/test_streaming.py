@@ -1193,3 +1193,58 @@ def test_streaming_anomalies_match_batch_and_catch_planted_spike(
     assert got == want
     assert len(got) == 1
     assert got[0][1] == 10.0 and got[0][2] == 80.0  # the spike, once
+
+
+def test_additive_rollup_sink_totals_and_replay_protection(spark, tmp_path):
+    """Storage-resident additive rollup: after three micro-batches of
+    RAW rows the table equals a full batch groupBy (the streaming job
+    itself holds no aggregation state), and a checkpoint-replayed batch
+    id is skipped instead of double-counting."""
+    from unimib_simpss_spark.streaming.sinks import (
+        additive_merge_parquet,
+        foreach_batch_additive,
+    )
+
+    batches = [
+        [("a", 10.0), ("a", 2.0), ("b", 1.0)],
+        [("a", 5.0), ("c", 7.0)],
+        [("b", 4.0), ("c", 1.0), ("c", 2.0)],
+    ]
+    src = tmp_path / "roll_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        _write_log(src, f"b{i}.json", [dict(k=k, v=v) for k, v in rows])
+    table = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.schema("k STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    body = foreach_batch_additive(table, ("k",), {"sum_v": "v"})
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
+    flat = [r for rows in batches for r in rows]
+    want = {}
+    for k, v in flat:
+        n, sv = want.get(k, (0, 0.0))
+        want[k] = (n + 1, sv + v)
+    assert got == want
+    # replaying an already-applied batch id must be a no-op
+    replay = spark.createDataFrame([("a", 999.0)], "k string, v double")
+    body(replay, 0)
+    after = {
+        r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()
+    }
+    assert after == want
+    # a NEW batch id still applies
+    body(replay, 99)
+    final = {
+        r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()
+    }
+    assert final["a"] == (want["a"][0] + 1, want["a"][1] + 999.0)

@@ -95,3 +95,73 @@ def foreach_batch_upsert(
 
 def read_keyed_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ------------------------------------------------- additive agg sink
+def additive_merge_parquet(
+    batch: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    sums: dict,
+) -> None:
+    """Merge a RAW micro-batch into a storage-resident rollup: per key,
+    stored sums grow by the batch's partial sums (plus an ``n_rows``
+    count). The batch collapses to one partial row per key BEFORE the
+    merge touches storage, so the rewrite is proportional to the key
+    space, never the stream volume.
+
+    This is the additive complement to :func:`upsert_keyed_parquet`
+    (replace-by-PK): Spark's own streaming aggregation keeps per-key
+    state in the STATE STORE, which is the wrong home when the key
+    space is unbounded and the job must survive re-provisioning — here
+    the rollup LIVES IN THE TABLE and the streaming job is stateless.
+    At 100 TB the body becomes a Delta/Iceberg MERGE; this portable
+    parquet form is the tested analog (same staging discipline as the
+    upsert sink).
+    """
+    spark = batch.sparkSession
+    partial = batch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(src).alias(out) for out, src in sums.items()],
+    )
+    if os.path.exists(path):
+        old = spark.read.parquet(path).select(*partial.columns)
+        merged = (
+            old.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[F.sum(out).alias(out) for out in sums],
+            )
+        )
+    else:
+        merged = partial
+    tmp = path.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+
+def foreach_batch_additive(path: str, keys: tuple[str, ...], sums: dict):
+    """``foreachBatch`` body for the additive rollup, with REPLAY
+    PROTECTION: additive merges are not idempotent (a checkpoint-
+    replayed batch would double-count), so the applied batch id is
+    recorded next to the table and already-applied ids are skipped —
+    the standard foreachBatch exactly-once-effect recipe for
+    non-idempotent sinks."""
+    applied_marker = path.rstrip("/") + ".__applied__"
+
+    def _read_last() -> int:
+        try:
+            with open(applied_marker) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _read_last():
+            return  # replayed batch: already folded into the table
+        additive_merge_parquet(batch, path, keys, sums)
+        with open(applied_marker, "w") as f:
+            f.write(str(batch_id))
+
+    return _apply
