@@ -360,7 +360,9 @@ def _corpus_pipeline_oracle() -> str:
     )
 
     gate = _gate_sql()
-    clusters = D.dedup_clusters_sql(threshold=0.8, where_sql=gate)
+    clusters = D.dedup_clusters_sql(
+        threshold=0.8, where_sql=gate, score_sql=quality_score_sql("d.text")
+    )
     hits = D.decontaminate_sql(bench_pred_sql=_P_BENCH_PRED)
     mix = mix_keep_sql(
         "p.source", "p.doc_id", _P_MIX, default_fraction=_P_MIX_DEFAULT
@@ -375,7 +377,7 @@ def _corpus_pipeline_oracle() -> str:
     surv AS (
         SELECT p.doc_id, p.text, p.source
         FROM documents p JOIN cl c ON p.doc_id = c.doc_id
-        WHERE c.doc_id = c.component
+        WHERE c.doc_id = c.survivor
           AND NOT (p.{_P_BENCH_PRED})
           AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = p.doc_id)
           AND {mix}
@@ -410,8 +412,9 @@ def _corpus_pipeline_oracle() -> str:
 def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone documents-in → training-corpus-out pipeline, composed
     entirely from verified operators: quality + Gopher-repetition
-    admission gate → exact near-dup clustering → canonical-survivor
-    selection → benchmark holdout + n-gram decontamination → per-source
+    admission gate → exact near-dup clustering → QUALITY-RANKED
+    survivor selection (each cluster keeps its best copy, not its
+    min-id one) → benchmark holdout + n-gram decontamination → per-source
     corpus mixing → per-source domain cap (hash-ordered top-8) →
     deterministic train/val/test split → 512-token sequence packing →
     per-split corpus stats. Every stage is
@@ -454,12 +457,18 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (rc["dup_3gram_frac"] <= A.REPETITION_MAX_DUP_3GRAM_FRAC)
     ).select("doc_id", "text", "source")
     pairs = D.jaccard_pairs(docs_q, threshold=0.8)
-    clusters = D.dedup_clusters(docs_q, pairs)
+    # Keep the BEST copy of each near-dup cluster (max quality score,
+    # ties → min id — dedup_clusters' survivor column), not the min-id
+    # one: the whole point of an admission-gated corpus is that the
+    # highest-quality duplicate survives.
+    clusters = D.dedup_clusters(
+        docs_q, pairs, score=A.quality_score("text")
+    )
     release_result(pairs)  # clusters is materialized; the pair graph is spent
     hits = D.decontaminate(docs, is_benchmark=F.expr(_P_BENCH_PRED))
     surv = (
         docs_q.join(
-            clusters.where(F.col("doc_id") == F.col("component")).select("doc_id"),
+            clusters.where(F.col("doc_id") == F.col("survivor")).select("doc_id"),
             "doc_id",
         )
         .where(~F.expr(_P_BENCH_PRED))
