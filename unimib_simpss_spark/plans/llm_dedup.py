@@ -455,15 +455,21 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (rc["top_token_frac"] <= A.REPETITION_MAX_TOP_TOKEN_FRAC)
         & (rc["dup_2gram_frac"] <= A.REPETITION_MAX_DUP_2GRAM_FRAC)
         & (rc["dup_3gram_frac"] <= A.REPETITION_MAX_DUP_3GRAM_FRAC)
-    ).select("doc_id", "text", "source")
+    ).select(
+        "doc_id",
+        "text",
+        "source",
+        # computed off the PERSISTED token attribute — passing raw
+        # quality_score("text") into dedup_clusters would re-tokenize
+        # the gated corpus a second time just to rank survivors
+        A.quality_score_from_components(qc).alias("q"),
+    )
     pairs = D.jaccard_pairs(docs_q, threshold=0.8)
     # Keep the BEST copy of each near-dup cluster (max quality score,
     # ties → min id — dedup_clusters' survivor column), not the min-id
     # one: the whole point of an admission-gated corpus is that the
     # highest-quality duplicate survives.
-    clusters = D.dedup_clusters(
-        docs_q, pairs, score=A.quality_score("text")
-    )
+    clusters = D.dedup_clusters(docs_q, pairs, score=F.col("q"))
     release_result(pairs)  # clusters is materialized; the pair graph is spent
     hits = D.decontaminate(docs, is_benchmark=F.expr(_P_BENCH_PRED))
     surv = (
