@@ -491,3 +491,89 @@ def test_kll_merge_n_is_exact_and_wire_stable(vals, n_shards):
     clone = KLL.from_bytes(merged.to_bytes())
     assert clone.to_bytes() == merged.to_bytes()
     assert clone.quantile(0.5) == merged.quantile(0.5)
+
+
+# ------------------------------------------------------------- chunking
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    n_toks=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=8),
+    params=st.sampled_from([(64, 48, 8), (32, 16, 4), (16, 8, 8), (10, 2, 2)]),
+)
+def test_chunking_covers_every_token_with_correct_overlap(spark, n_toks, params):
+    """The reviewed invariant, fuzzed: with the enforced stride bound,
+    every token of every document appears in at least one chunk, chunk
+    ids are dense in start order, and consecutive windows overlap by
+    chunk_tokens - stride (where both are full)."""
+    from unimib_simpss_spark.operators.curation import chunk_documents
+
+    ct, stride, mn = params
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(n_toks)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(
+        docs, chunk_tokens=ct, stride=stride, min_tokens=mn
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(n_toks):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert chunks[0].n_chunks == len(chunks)
+        covered = set()
+        for c in chunks:
+            assert c.n_tok == len(c.chunk_text.split())
+            assert c.n_tok <= ct
+            covered.update(range(c.start_tok, c.start_tok + c.n_tok))
+        assert covered == set(range(n)), (i, n, sorted(covered)[-5:])
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok - a.start_tok == stride
+
+
+# ------------------------------------------------------ edit-distance
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    strs=st.lists(
+        st.text(alphabet="abcdexyz ", min_size=0, max_size=24),
+        min_size=2,
+        max_size=14,
+    ),
+    d=st.sampled_from([1, 2]),
+)
+def test_edit_distance_pairs_exact_on_random_strings(spark, strs, d):
+    """Fuzzed exactness of the prefix-filtered join: identical pair set
+    and distances as a reference DP Levenshtein over all pairs —
+    including empty/short strings that route through the short-string
+    and cross-length legs."""
+    from unimib_simpss_spark.operators import dedup as D
+
+    rows = [(i, s) for i, s in enumerate(strs)]
+    got = sorted(
+        (r.doc1, r.doc2, r.dist)
+        for r in D.edit_distance_pairs(
+            spark.createDataFrame(rows, "id long, s string"), "s", "id",
+            max_dist=d,
+        ).collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and _lev(a, b) <= d
+    )
+    assert got == want
