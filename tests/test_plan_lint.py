@@ -114,6 +114,7 @@ _ALLOW: dict[str, set] = {
     "q66_vocab_coverage": {"bnl-join"},    # 1-row token-total cross
     "x41_media_pipeline": {"bnl-join"},    # cosine gate over decoded feats
     "x67_cms_heavy_hitters": {"bnl-join"}, # rank self-join over ≤k rows
+    "x73_pattern_topk": {"bnl-join"},      # rank self-join over ≤k rows
 }
 
 

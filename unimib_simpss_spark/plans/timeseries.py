@@ -137,3 +137,21 @@ def x72_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return ewma(events, "user_id", "ts", "value", alpha=0.3)
+
+
+@query("x73_pattern_topk")  # engine-local float folds → rows-only
+def x73_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 sliding windows most similar to a fixed query shape
+    across every user's event-value series — UCR-style z-normalized
+    Euclidean subsequence search (operators/timeseries.py pattern_topk;
+    scale/offset invariant, O(n·m)-per-key codegen folds, window-free
+    global rank). Bit-level value parity vs the DuckDB list_reduce twin
+    is asserted through the compare harness in tests/test_llm_ops.py;
+    the streaming CEP twin shares the identical closed-form
+    arithmetic."""
+    from unimib_simpss_spark.operators.timeseries import pattern_topk
+
+    events = load_table(spark, sf_dir, "events")
+    return pattern_topk(
+        events, [1.0, 3.0, 2.0, 5.0, 4.0], "user_id", "ts", "value", k=10
+    )
