@@ -350,6 +350,7 @@ def _gate_sql() -> str:
 
 def _corpus_pipeline_oracle() -> str:
     from unimib_simpss_spark.functions.analysis import (
+        exact_avg_sql,
         quality_score_sql,
         token_count_ws_sql,
     )
@@ -402,7 +403,7 @@ def _corpus_pipeline_oracle() -> str:
            count(*) AS n_docs,
            CAST(count(DISTINCT seq_bin) AS BIGINT) AS n_seqs,
            CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
-           round(avg(q), 4) AS avg_quality
+           {exact_avg_sql('q')} AS avg_quality
     FROM packed
     GROUP BY split
     """
@@ -503,11 +504,17 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, partition_col="split", order_col="doc_id", token_col="ws",
         budget=_P_PACK_BUDGET,
     )
+    # avg over doubles is float summation in ACCUMULATION ORDER — with
+    # the survivor rule shifting which docs flow here, the mean landed
+    # near a 4-digit rounding boundary and the plain round(avg(q), 4)
+    # flipped its last digit between runs/partitionings (the exact
+    # q23/q55 trap). exact_avg sums quantized integers instead:
+    # order-independent and engine-identical.
     out = packed.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("seq_bin").alias("n_seqs"),
         F.sum("ws").alias("sum_ws_tokens"),
-        F.round(F.avg("q"), 4).alias("avg_quality"),
+        A.exact_avg("q").alias("avg_quality"),
     )
     out = materialize_release(out, pre)
     release_result(clusters)  # spent once the 3-row result is owned
