@@ -1197,3 +1197,78 @@ class TestPatternTopK:
         )
         assert r.ok, r.mismatches[:3]
         assert r.spark_rows == 10
+
+
+class TestEditDistanceJoin:
+    """Cross-relation fuzzy join (record linkage): exact vs naive DP
+    Levenshtein across two different tables, at every length class."""
+
+    def _naive(self, lrows, rrows, d):
+        from tests.test_llm_ops import TestEditDistancePairs  # reuse _lev?
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        return sorted(
+            (i, j, lev(a, b))
+            for i, a in lrows
+            for j, b in rrows
+            if a is not None and b is not None and lev(a, b) <= d
+        )
+
+    def test_matches_naive_cross_tables(self, spark):
+        from unimib_simpss_spark.operators import dedup as D
+
+        lrows = [
+            (1, "acme corporation ltd"),
+            (2, "zenith systems inc"),
+            (3, "cat"),
+            (4, "12345678"),
+        ]
+        rrows = [
+            (10, "acme corpration ltd"),   # 1 deletion from 1
+            (11, "zenith system inc"),     # 1 deletion from 2
+            (12, "cut"),                   # short-short, d=1 from 3
+            (13, "totally different name"),
+            (14, "123456789"),             # short-left vs boundary-right
+            (15, "cat"),                   # exact short match
+        ]
+        got = sorted(
+            (r.left_id, r.right_id, r.dist)
+            for r in D.edit_distance_join(
+                spark.createDataFrame(lrows, "doc_id long, s string"),
+                spark.createDataFrame(rrows, "doc_id long, s string"),
+                "s",
+                max_dist=2,
+            ).collect()
+        )
+        assert got == self._naive(lrows, rrows, 2)
+        assert (1, 10, 1) in got and (3, 12, 1) in got and (4, 14, 1) in got
+
+    def test_matches_naive_on_corpus_prefixes_cross(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.operators import dedup as D
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.substring("text", 1, 30).alias("s")
+        )
+        left = docs.where("doc_id % 2 = 0")
+        right = docs.where("doc_id % 2 = 1")
+        got = sorted(
+            (r.left_id, r.right_id, r.dist)
+            for r in D.edit_distance_join(
+                left, right, "s", max_dist=2
+            ).collect()
+        )
+        lrows = [(r.doc_id, r.s) for r in left.collect()]
+        rrows = [(r.doc_id, r.s) for r in right.collect()]
+        assert got == self._naive(lrows, rrows, 2)

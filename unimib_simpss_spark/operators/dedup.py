@@ -1030,3 +1030,132 @@ def edit_distance_sql(
     WHERE abs(length(a.s) - length(b.s)) <= {max_dist}
       AND levenshtein(a.s, b.s) <= {max_dist}
     """
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    str_col: str,
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """CROSS-relation approximate string join — the record-linkage form
+    of :func:`edit_distance_pairs` (match table A's keys against table
+    B's, e.g. vendor names vs master records): all (left, right) pairs
+    with ``levenshtein ≤ max_dist``, exactly.
+
+    Same filter stack, asymmetric roles: the LEFT side indexes only its
+    ``d·q+1`` globally-rarest positional grams (frequencies counted
+    over BOTH relations so 'rare' means rare in the join, not in one
+    side); the RIGHT side probes with ALL its grams. ≤ d·q of the left
+    string's gram occurrences can be destroyed by ``d`` edits, so every
+    true pair survives the prefix join. Short strings (< ``q·(d+1)``)
+    on either side route through banded small-side legs, keeping the
+    join exact at every length.
+
+    Output: (``left_id``, ``right_id``, ``dist``) — one row per
+    matching pair (both ids always reported, no dedup across sides).
+    """
+    d = max_dist
+    min_len = q * (d + 1)
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("long").alias(f"{tag}_id"),
+            F.col(str_col).alias(f"{tag}_s"),
+        ).where(F.col(f"{tag}_s").isNotNull())
+
+    L, R = prep(left, "left"), prep(right, "right")
+    L_long = L.where(F.length("left_s") >= min_len)
+    R_long = R.where(F.length("right_s") >= min_len)
+
+    def grams_of(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            f"{tag}_id",
+            f"{tag}_s",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(f"{tag}_s") - q + 1),
+                    lambda i: F.col(f"{tag}_s").substr(i, F.lit(q)),
+                )
+            ).alias("pos", "g"),
+        )
+
+    lg = cache_intermediate(grams_of(L_long, "left"))
+    rg = cache_intermediate(grams_of(R_long, "right"))
+    # rarity over BOTH relations: a gram common on one side but absent
+    # on the other still makes a cheap bucket
+    freq = (
+        lg.select("g").unionAll(rg.select("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gf"))
+    )
+    from pyspark.sql import Window
+
+    pi = d * q + 1
+    bw = d + 1
+    w = Window.partitionBy("left_id").orderBy(
+        F.asc("gf"), F.asc("g"), F.asc("pos")
+    )
+    prefix = (
+        lg.join(freq, "g")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= pi)
+    )
+    a = prefix.select(
+        "left_id",
+        "left_s",
+        "g",
+        F.col("pos").alias("p1"),
+        F.explode(
+            F.sequence(
+                F.floor((F.col("pos") - d) / bw), F.floor((F.col("pos") + d) / bw)
+            )
+        ).alias("bkt"),
+    )
+    b = rg.select(
+        "right_id",
+        "right_s",
+        "g",
+        F.col("pos").alias("p2"),
+        F.floor(F.col("pos") / bw).alias("bkt"),
+    )
+    cand = (
+        a.join(b, ["g", "bkt"])
+        .where(
+            (F.abs(F.col("p1") - F.col("p2")) <= d)
+            & (F.abs(F.length("left_s") - F.length("right_s")) <= d)
+        )
+        .select("left_id", "right_id", "left_s", "right_s")
+        .distinct()
+    )
+    lev = F.levenshtein("left_s", "right_s", d)
+    long_pairs = (
+        cand.select("left_id", "right_id", lev.cast("long").alias("dist"))
+        .where(F.col("dist") >= 0)
+    )
+    # small-side legs: short-left × (short+boundary right) and
+    # vice versa — each bounded by a short-string subset
+    def banded(a_df, b_df):
+        lv = F.levenshtein("left_s", "right_s", d)
+        return (
+            a_df.join(
+                b_df,
+                F.abs(F.length("left_s") - F.length("right_s")) <= d,
+            )
+            .select("left_id", "right_id", lv.cast("long").alias("dist"))
+            .where(F.col("dist") >= 0)
+        )
+
+    L_short = L.where(F.length("left_s") < min_len)
+    R_short = R.where(F.length("right_s") < min_len)
+    R_boundary = R_long.where(F.length("right_s") < min_len + d)
+    L_boundary = L_long.where(F.length("left_s") < min_len + d)
+    out = (
+        long_pairs
+        .unionAll(banded(L_short, R_short))
+        .unionAll(banded(L_short, R_boundary))
+        .unionAll(banded(L_boundary, R_short))
+    )
+    return materialize_release(out, lg, rg)
