@@ -346,6 +346,30 @@ class TestZOrder:
         with _pytest.raises(ValueError, match="at least 2"):
             zorder_value(("x",))
 
+    def test_zorder_many_columns_stays_out_of_sign_bit(self, spark):
+        """ADVICE r10 — 4 columns at the default bits=16 would
+        interleave into bit 63 (the sign bit), inverting the range
+        order for the high half of the key space; the resolution must
+        scale down so the key stays a nonnegative, order-correct
+        long."""
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.sources.lakehouse import zorder_value
+
+        cols = ("a", "b", "c", "d")
+        df = spark.range(256).select(
+            *[F.col("id").cast("double").alias(c) for c in cols],
+            *[F.lit(0.0).alias(f"{c}__min") for c in cols],
+            *[F.lit(255.0).alias(f"{c}__max") for c in cols],
+        )
+        z = df.select(F.col("a"), zorder_value(cols).alias("z")).collect()
+        assert all(r.z >= 0 for r in z)
+        # order correctness along the diagonal: monotone in the value
+        # (sign-bit overflow would flip the high half below the low)
+        ordered = [r.z for r in sorted(z, key=lambda r: r.a)]
+        assert ordered == sorted(ordered)
+        assert ordered[-1] > ordered[0]
+
 
 def test_compact_with_zorder_clusters_both_columns(spark, tmp_path):
     """compact_to(zorder_cols=...) = compaction + clustering in one

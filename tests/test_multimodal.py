@@ -211,6 +211,25 @@ class TestResample:
         with _pytest.raises(Exception, match="NotImplementedError|RIFF"):
             M.resample_audio(media, decoder="real").collect()
 
+    def test_truncated_payload_with_valid_magic_raises_valueerror(self):
+        """ADVICE r10 — a payload whose magic sniffs fine but whose
+        header is cut off must raise ValueError (the decoders' contract,
+        what _real_decode wraps), not leak struct.error from
+        unpack_from as a raw executor exception."""
+        import numpy as np
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        wav = C.encode_wav(np.linspace(-1, 1, 64), 8_000)
+        bmp = C.encode_bmp(np.linspace(0, 1, 64).reshape(8, 8))
+        for trunc in (wav[:14], wav[:20]):
+            with _pytest.raises(ValueError):
+                C.decode_wav(trunc)
+        for trunc in (bmp[:16], bmp[:10]):
+            with _pytest.raises(ValueError):
+                C.decode_image(trunc)
+
     def test_zero_duration_clip_is_finite(self, spark):
         """duration_ms=0 → n_src=2 → n_dst=2 < N_FEATURES: most envelope
         bins are zero-width; the divisor clamp must keep every feature

@@ -550,6 +550,21 @@ class TestKLL:
         assert r.n == 100
         assert 40.0 <= r.p50 <= 60.0
 
+    def test_spark_nans_dropped_like_nulls(self, spark):
+        """ADVICE r10 — NaN must share NULL's convention (as in the
+        streaming twin's pd.isna skip): a NaN reaching KLL.add's insort
+        would corrupt the sorted-level invariant silently."""
+        from unimib_simpss_spark.functions.sketches import kll_quantiles
+
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(100)]
+            + [("a", float("nan"))] * 10,
+            "g string, v double",
+        )
+        r = kll_quantiles(df, ["g"], "v", {"p50": 0.5}).collect()[0]
+        assert r.n == 100
+        assert 40.0 <= r.p50 <= 60.0
+
 
 def test_kll_quantiles_output_deterministic_across_runs(spark, sf_dir):
     """CODE-REVIEW r10 — applyInPandas delivers a group's partial
@@ -591,6 +606,21 @@ class TestJoinSize:
         ).count()
         assert est.join_rows == actual
         assert est.max_key_product >= 1
+
+    def test_exact_disjoint_keys_report_zero_not_null(self, spark):
+        """ADVICE r10 — fully disjoint key sets mean an EMPTY join,
+        which is a real answer: 0 rows, 0 shared keys, 0 hottest-key
+        product — not NULL."""
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.functions.sketches import (
+            join_cardinality_exact,
+        )
+
+        a = spark.range(100).select(F.col("id").alias("k"))
+        b = spark.range(100, 200).select(F.col("id").alias("k"))
+        r = join_cardinality_exact(a, "k", b, "k").collect()[0]
+        assert (r.join_rows, r.n_shared_keys, r.max_key_product) == (0, 0, 0)
 
     def test_cms_inner_product_bounds(self, spark):
         """est >= exact always (collisions only add), and within the

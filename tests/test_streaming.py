@@ -1248,3 +1248,73 @@ def test_additive_rollup_sink_totals_and_replay_protection(spark, tmp_path):
         r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()
     }
     assert final["a"] == (want["a"][0] + 1, want["a"][1] + 999.0)
+
+
+def test_additive_rollup_crash_safety_generation_swap(spark, tmp_path):
+    """ADVICE r10 — the additive sink's table state and applied batch
+    id must advance ATOMICALLY (one symlink rename), a crash that
+    leaves a half-written generation must neither tear the table nor
+    advance the replay cursor, and no staging/stale directories may
+    accumulate."""
+    import os
+
+    from unimib_simpss_spark.streaming.sinks import (
+        _current_generation,
+        _generations_root,
+        foreach_batch_additive,
+    )
+
+    table = str(tmp_path / "rollup")
+    body = foreach_batch_additive(table, ("k",), {"sum_v": "v"})
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v double")
+
+    body(mk([("a", 1.0), ("b", 2.0)]), 0)
+    # the applied id is readable from the committed generation alone
+    gen0, last = _current_generation(table)
+    assert os.path.islink(table) and last == 0
+
+    # simulate a crash AFTER the generation write but BEFORE the swap:
+    # a stray half-generation for batch 1 exists, but the symlink (and
+    # therefore the applied id) still says 0 → batch 1 must re-apply
+    # exactly once, and the stray directory must be cleaned up
+    stray = os.path.join(_generations_root(table), "gen.1.deadbeef")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "part-torn.parquet"), "wb") as f:
+        f.write(b"torn")
+    assert _current_generation(table)[1] == 0  # cursor did NOT advance
+    body(mk([("a", 10.0)]), 1)
+    got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
+    assert got == {"a": (2, 11.0), "b": (1, 2.0)}
+    assert not os.path.exists(stray)
+    # exactly one live generation, no staging leftovers anywhere
+    assert len(os.listdir(_generations_root(table))) == 1
+    assert not [
+        p for p in os.listdir(tmp_path) if "__staging__" in p or "__lnk__" in p
+    ]
+    # replaying batch 1 after the crash-recovery apply is still a no-op
+    body(mk([("a", 100.0)]), 1)
+    again = {
+        r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()
+    }
+    assert again == got
+
+
+def test_additive_rollup_migrates_legacy_plain_directory(spark, tmp_path):
+    """A pre-swap plain parquet directory at the table path is folded
+    into the first new generation and converted to the symlink layout
+    (its rows preserved, the directory retired)."""
+    import os
+
+    from unimib_simpss_spark.streaming.sinks import foreach_batch_additive
+
+    table = str(tmp_path / "rollup")
+    spark.createDataFrame(
+        [("a", 3, 30.0)], "k string, n_rows long, sum_v double"
+    ).write.parquet(table)
+    assert not os.path.islink(table)
+    body = foreach_batch_additive(table, ("k",), {"sum_v": "v"})
+    body(spark.createDataFrame([("a", 5.0)], "k string, v double"), 7)
+    assert os.path.islink(table)
+    got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
+    assert got == {"a": (4, 35.0)}
+    assert not [p for p in os.listdir(tmp_path) if "__legacy__" in p]

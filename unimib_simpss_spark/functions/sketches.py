@@ -715,7 +715,12 @@ def kll_quantiles(
     from unimib_simpss_spark.functions.kll import KLL
 
     v = F.col(val_col).cast("double")
-    src = df.where(v.isNotNull()).select(*group_cols, v.alias("_v"))
+    # NULL AND NaN are skipped (one convention for both twins: the
+    # streaming form drops NaN via pd.isna; a NaN reaching KLL.add's
+    # insort would corrupt the sorted-level invariant silently).
+    src = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        *group_cols, v.alias("_v")
+    )
 
     partial_schema = StructType(
         [src.schema[c] for c in group_cols]
@@ -781,10 +786,18 @@ def join_cardinality_exact(
     decides whether to salt."""
     ca = a.groupBy(F.col(a_key).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
     cb = b.groupBy(F.col(b_key).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    # Disjoint key sets → empty inner join → sum/max aggregate to NULL;
+    # an empty join is a REAL answer (0 rows, 0 hottest key), so
+    # coalesce — same silent-NULL fix cms_join_size applies to
+    # non-overlapping sketch rows.
     return ca.join(cb, "k").agg(
-        F.sum(F.col("ca") * F.col("cb")).alias("join_rows"),
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias(
+            "join_rows"
+        ),
         F.count(F.lit(1)).alias("n_shared_keys"),
-        F.max(F.col("ca") * F.col("cb")).alias("max_key_product"),
+        F.coalesce(F.max(F.col("ca") * F.col("cb")), F.lit(0)).alias(
+            "max_key_product"
+        ),
     )
 
 

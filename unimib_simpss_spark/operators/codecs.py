@@ -39,6 +39,24 @@ import numpy as np
 _LUMA = np.array([0.299, 0.587, 0.114])
 
 
+def _malformed_raises_valueerror(fn):
+    """Decoder contract: malformed/truncated payloads raise ValueError,
+    never a parser internal (a payload with a valid magic but a cut-off
+    header raises struct.error from ``unpack_from`` — callers like
+    multimodal._real_decode wrap ValueError only, so anything else would
+    escape as a raw executor exception)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError) as exc:
+            raise ValueError(f"malformed payload: {exc}") from exc
+
+    return wrapped
+
+
 # ------------------------------------------------------------------- WAV
 def encode_wav(signal: np.ndarray, rate: int, bits: int = 16) -> bytes:
     """Minimal canonical RIFF/WAVE writer: mono PCM, 8 or 16 bit.
@@ -63,6 +81,7 @@ def encode_wav(signal: np.ndarray, rate: int, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+@_malformed_raises_valueerror
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF chunk walk → (mono float64 signal in [-1, 1], sample_rate).
     Supports PCM (format tag 1) at 8 or 16 bits, any channel count."""
@@ -166,12 +185,14 @@ def _decode_pnm_at(payload: bytes, pos: int) -> tuple[np.ndarray, int]:
     return grid, rpos + n
 
 
+@_malformed_raises_valueerror
 def decode_pnm(payload: bytes) -> np.ndarray:
     """Single P5/P6 image → grayscale float64 grid in [0, 1]."""
     grid, _ = _decode_pnm_at(payload, 0)
     return grid
 
 
+@_malformed_raises_valueerror
 def decode_ppm_frames(payload: bytes) -> list[np.ndarray]:
     """Concatenated-P6 stream (ffmpeg image2pipe ppm) → list of
     grayscale grids, one per frame."""
@@ -207,6 +228,7 @@ def encode_bmp(grid01: np.ndarray) -> bytes:
     return header + info + data
 
 
+@_malformed_raises_valueerror
 def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bpp BI_RGB BMP → grayscale float64 grid in [0, 1]."""
     if payload[:2] != b"BM":
@@ -228,6 +250,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ sniff
+@_malformed_raises_valueerror
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniff-and-decode a single image payload (P5/P6/BMP) to a
     grayscale [0,1] grid."""

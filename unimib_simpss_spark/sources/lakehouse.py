@@ -279,6 +279,16 @@ def zorder_value(cols: tuple[str, ...], bits: int = 16):
     n = len(cols)
     if n < 2:
         raise ValueError("zorder needs at least 2 columns")
+    # The interleaved key must fit a signed 64-bit long: bits landing in
+    # the sign bit would invert the range-partition order for the high
+    # half of the key space and silently destroy the per-file hypercube
+    # bound. Scale per-column resolution down to what 63 bits afford
+    # (4 cols → 15 bits each), which preserves correctness at slightly
+    # coarser pruning granularity.
+    if bits * n > 63:
+        bits = 63 // n
+        if bits < 1:
+            raise ValueError(f"zorder cannot interleave {n} columns")
     ranks = []
     max_rank = (1 << bits) - 1
     for c in cols:

@@ -25,9 +25,77 @@ storage-native MERGE, not a rewrite.
 from __future__ import annotations
 
 import os
+import re
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# ------------------------------------------------ generation-swap layout
+# Read-merge-write sinks on plain parquet cannot rewrite a table in
+# place atomically (a crash mid-write tears it — the failure mode table
+# formats solve with metadata swaps; see compact_to's directory-swap
+# note in sources/lakehouse.py). The portable discipline here: each
+# merge writes a FRESH generation directory under
+# ``<path>.__generations__/gen-<batch_id>-<nonce>`` and ``<path>``
+# itself is a SYMLINK swapped to the new generation with one atomic
+# ``os.replace`` — readers (``spark.read.parquet(path)``) always see a
+# complete table, and because the applied batch id is part of the
+# generation NAME, table state and replay cursor advance in the same
+# atomic rename (no window where one moved and the other didn't).
+
+_GEN_RE = re.compile(r"^gen\.(-?\d+)\.")
+
+
+def _generations_root(path: str) -> str:
+    return path.rstrip("/") + ".__generations__"
+
+
+def _current_generation(path: str) -> tuple[str | None, int]:
+    """(current generation dir, applied batch id) — both derived from
+    the one symlink, so they can never disagree. A legacy plain
+    directory (pre-swap layout) reads as batch id -1: state exists but
+    no batch is recorded as applied, which errs toward re-applying —
+    the caller must migrate before relying on replay protection."""
+    p = path.rstrip("/")
+    if os.path.islink(p):
+        target = os.path.realpath(p)
+        m = _GEN_RE.match(os.path.basename(target))
+        return target, int(m.group(1)) if m else -1
+    if os.path.exists(p):
+        return p, -1
+    return None, -1
+
+
+def _swap_in_generation(path: str, write_fn, batch_id: int) -> None:
+    """Run ``write_fn(generation_dir)`` to produce a new generation,
+    then atomically point ``path`` at it; retire every older generation
+    afterwards. A crash before the ``os.replace`` leaves the old
+    generation live and the old batch id applied (the batch replays
+    cleanly); a crash after it leaves at worst stale directories,
+    cleaned on the next call."""
+    p = path.rstrip("/")
+    root = _generations_root(p)
+    os.makedirs(root, exist_ok=True)
+    gen = os.path.join(root, f"gen.{batch_id}.{uuid.uuid4().hex[:8]}")
+    write_fn(gen)
+    legacy = None
+    if os.path.exists(p) and not os.path.islink(p):
+        # migrate a pre-swap plain directory out of the way; its bytes
+        # were already folded into `merged` via the read above
+        legacy = p + f".__legacy__{uuid.uuid4().hex[:8]}"
+        os.rename(p, legacy)
+    tmp_link = p + f".__lnk__{uuid.uuid4().hex[:8]}"
+    os.symlink(gen, tmp_link)
+    os.replace(tmp_link, p)  # the atomic commit point
+    # retire superseded state (stale generations from crashes included)
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if full != gen:
+            shutil.rmtree(full, ignore_errors=True)
+    if legacy:
+        shutil.rmtree(legacy, ignore_errors=True)
 
 
 def upsert_keyed_parquet(
@@ -46,9 +114,10 @@ def upsert_keyed_parquet(
     new = batch.withColumn("_src", F.lit(1)).withColumn(
         "_seq", F.monotonically_increasing_id()
     )
-    if os.path.exists(path):
+    cur, _ = _current_generation(path)
+    if cur is not None:
         old = (
-            spark.read.parquet(path)
+            spark.read.parquet(cur)
             .select(*batch.columns)
             .withColumn("_src", F.lit(0))
             .withColumn("_seq", F.lit(0).cast("long"))
@@ -65,17 +134,18 @@ def upsert_keyed_parquet(
         .drop("_rn", "_src", "_seq")
     )
 
-    def _write(df: DataFrame, target: str) -> None:
-        writer = df.write.mode("overwrite")
+    def _write(target: str) -> None:
+        writer = result.write.mode("overwrite")
         if partition_col:
             writer = writer.partitionBy(partition_col)
         writer.parquet(target)
 
-    # Stage first: `result` reads from `path`, so write-through would
-    # clobber its own input mid-job.
-    tmp = path.rstrip("/") + ".__staging__"
-    _write(result, tmp)
-    _write(spark.read.parquet(tmp), path)
+    # Generation swap (module docstring above): `result` reads from the
+    # live generation, the write lands in a NEW one, and the symlink
+    # flip is the atomic commit — no torn-table window, no staging
+    # double-write. Upserts are idempotent by PK so the batch id is
+    # advisory here (replays are absorbed either way).
+    _swap_in_generation(path, _write, batch_id=-1)
 
 
 def foreach_batch_upsert(
@@ -103,6 +173,7 @@ def additive_merge_parquet(
     path: str,
     keys: tuple[str, ...],
     sums: dict,
+    batch_id: int = -1,
 ) -> None:
     """Merge a RAW micro-batch into a storage-resident rollup: per key,
     stored sums grow by the batch's partial sums (plus an ``n_rows``
@@ -116,16 +187,18 @@ def additive_merge_parquet(
     space is unbounded and the job must survive re-provisioning — here
     the rollup LIVES IN THE TABLE and the streaming job is stateless.
     At 100 TB the body becomes a Delta/Iceberg MERGE; this portable
-    parquet form is the tested analog (same staging discipline as the
-    upsert sink).
+    parquet form is the tested analog (same generation-swap discipline
+    as the upsert sink — the write is crash-atomic and carries the
+    applied ``batch_id`` in the committed generation's name).
     """
     spark = batch.sparkSession
     partial = batch.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[F.sum(src).alias(out) for out, src in sums.items()],
     )
-    if os.path.exists(path):
-        old = spark.read.parquet(path).select(*partial.columns)
+    cur, _ = _current_generation(path)
+    if cur is not None:
+        old = spark.read.parquet(cur).select(*partial.columns)
         merged = (
             old.unionByName(partial)
             .groupBy(*keys)
@@ -136,32 +209,27 @@ def additive_merge_parquet(
         )
     else:
         merged = partial
-    tmp = path.rstrip("/") + ".__staging__"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    _swap_in_generation(
+        path, lambda gen: merged.write.mode("overwrite").parquet(gen), batch_id
+    )
 
 
 def foreach_batch_additive(path: str, keys: tuple[str, ...], sums: dict):
-    """``foreachBatch`` body for the additive rollup, with REPLAY
-    PROTECTION: additive merges are not idempotent (a checkpoint-
-    replayed batch would double-count), so the applied batch id is
-    recorded next to the table and already-applied ids are skipped —
-    the standard foreachBatch exactly-once-effect recipe for
-    non-idempotent sinks."""
-    applied_marker = path.rstrip("/") + ".__applied__"
-
-    def _read_last() -> int:
-        try:
-            with open(applied_marker) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
+    """``foreachBatch`` body for the additive rollup, with CRASH-SAFE
+    REPLAY PROTECTION: additive merges are not idempotent (a
+    checkpoint-replayed batch would double-count), so already-applied
+    ids must be skipped — and the applied id must advance ATOMICALLY
+    with the table state, or a crash between the two double-counts on
+    replay. Here the id is embedded in the generation-directory name
+    the table symlink points at (see the generation-swap layout above):
+    one ``os.replace`` commits both, the standard foreachBatch
+    exactly-once-effect recipe for non-idempotent sinks done without a
+    separate marker file to fall out of sync."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_last():
+        _, last = _current_generation(path)
+        if batch_id <= last:
             return  # replayed batch: already folded into the table
-        additive_merge_parquet(batch, path, keys, sums)
-        with open(applied_marker, "w") as f:
-            f.write(str(batch_id))
+        additive_merge_parquet(batch, path, keys, sums, batch_id=batch_id)
 
     return _apply
