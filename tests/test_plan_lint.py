@@ -122,3 +122,60 @@ _ALLOW: dict[str, set] = {
 def test_registered_query_plans_are_scale_clean(spark, sf_dir, name):
     df = registry.queries()[name](spark, sf_dir)
     assert_scale_clean(df, allow=_ALLOW.get(name, set()))
+
+
+# ------------------------------------------------ pre-checkpoint sweep
+# VERDICT r10 #1: the registry sweep above lints what the registry
+# RETURNS — but the dedup/ANN/capstone family returns eagerly-
+# checkpointed handles, so it certifies post-checkpoint scans while the
+# candidate joins, CC iterations, and GEMM stages go unchecked. This
+# sweep captures a lint of every plan ENTERING the caching layer
+# (lineage intact, pre-materialization) and holds it to the same
+# standard, with the same named-allowlist discipline keyed by the
+# operator the plan came from.
+
+# Intentional warns in operator INTERIORS, each bounded by construction:
+_INTERIOR_ALLOW: dict[str, set] = {
+    # short-subset all-pairs + cross-length-band legs: inequality joins
+    # over the (histogram-bounded) short-string subset only — the
+    # documented exactness floor below the positional-gram filter
+    "dedup.edit_distance_pairs": {"bnl-join"},
+    "dedup.edit_distance_join": {"bnl-join"},  # same two legs, 2-relation
+    # 1-row corpus-totals cross feeding the BM25 idf terms
+    "curation.bm25_decontam_topk": {"bnl-join"},
+}
+
+# The heavy operator family the sweep must cover (checkpoint users).
+_HEAVY = [
+    "q33_jaccard_pairs",
+    "q34_hash_band_pairs",
+    "q38_decontamination",
+    "q46_embedding_cosine_pairs",
+    "q59_dedup_clusters",
+    "q61_incremental_dedup",
+    "q62_corpus_pipeline",
+    "x50_ann_learned_index",
+    "x66_pq_topk",
+]
+
+
+@pytest.mark.parametrize("name", _HEAVY)
+def test_pre_checkpoint_interior_plans_are_scale_clean(spark, sf_dir, name):
+    from unimib_simpss_spark.operators.caching import (
+        capture_checkpoint_lints,
+    )
+
+    with capture_checkpoint_lints() as sink:
+        registry.queries()[name](spark, sf_dir)
+    # the heavy family must actually route through the caching layer —
+    # a raw .persist() would silently drop out of this sweep
+    assert sink, f"{name} never hit the checkpoint/cache layer"
+    for label, findings in sink:
+        allow = _INTERIOR_ALLOW.get(label, set())
+        bad = [
+            f
+            for f in findings
+            if f.severity == "error"
+            or (f.severity == "warn" and f.rule not in allow)
+        ]
+        assert not bad, f"{name} interior plan from {label}: {bad}"

@@ -45,13 +45,18 @@ def test_scale_parity(spark, duck, name):
     assert r.ok, r.mismatches[:3]
 
 
-def test_q59_table_checkpoint_mode_parity(spark, tmp_path):
-    """VERDICT r9 #4 — the 'table' checkpoint mode on the heavy
-    iterative path at bench scale: q59's connected-components loop
-    re-run with every per-round checkpoint routed through parquet
-    CHECKPOINT TABLES must produce the exact local-mode result, leave
-    zero live table directories after the run, and hold zero persisted
-    RDD blocks while in table mode."""
+@pytest.mark.parametrize(
+    "qname", ["q59_dedup_clusters", "q62_corpus_pipeline"]
+)
+def test_table_checkpoint_mode_parity(spark, tmp_path, qname):
+    """VERDICT r9 #4 / r10 #2 — the 'table' checkpoint mode on the
+    heavy paths at bench scale: q59's connected-components loop and the
+    q62 capstone (whose shingle barrier and tokenize-once admission
+    gate now route through cache_intermediate too) re-run with every
+    checkpoint/cache routed through parquet CHECKPOINT TABLES must
+    produce the exact local-mode result, leave zero live table
+    directories after the run, and hold zero persisted RDD blocks while
+    in table mode."""
     from unimib_simpss_spark.operators.caching import (
         live_checkpoint_tables,
         persistent_rdd_ids,
@@ -60,12 +65,10 @@ def test_q59_table_checkpoint_mode_parity(spark, tmp_path):
         sweep_checkpoint_tables,
     )
 
-    q59 = registry.queries()["q59_dedup_clusters"]
+    q = registry.queries()[qname]
 
     def run():
-        return sorted(
-            tuple(r) for r in q59(spark, SF_BENCH).collect()
-        )
+        return sorted(tuple(r) for r in q(spark, SF_BENCH).collect())
 
     local = run()
     set_checkpoint_table_dir(str(tmp_path / "ckpt"))
@@ -85,6 +88,16 @@ def test_q59_table_checkpoint_mode_parity(spark, tmp_path):
     assert len(leaked) <= 1, leaked
     sweep_checkpoint_tables(spark)
     assert live_checkpoint_tables() == frozenset()
+    # zero leaked ckpt-*/sess-* directories on disk after release
+    import os as _os
+
+    stray = [
+        _os.path.join(dp, d)
+        for dp, dns, _ in _os.walk(tmp_path / "ckpt")
+        for d in dns
+        if d.startswith("ckpt-")
+    ]
+    assert not stray, stray
 
 
 def _hashable(v):

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import itertools
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -73,6 +74,50 @@ _TABLE_PATH_ATTR = "_simpss_checkpoint_table_path"
 # finds (and deletes) the backing directory. Mirrors the
 # ``persistent_rdd_ids`` hygiene observable for block-mode caches.
 _LIVE_TABLE_PATHS: set[str] = set()
+
+
+# ------------------------------------------------ pre-checkpoint lint
+# VERDICT r10 #1: the registry hands out eagerly-checkpointed handles,
+# so the 60-query scale-clean sweep lints post-checkpoint SCANS — the
+# candidate joins, CC iterations, and GEMM stages the linter exists to
+# police are exactly the plans it never saw. The capture hook below
+# records a lint of every DataFrame ENTERING this layer (i.e. the
+# pre-materialization plan, lineage intact) while a capture context is
+# open; tests/test_plan_lint.py sweeps the heavy operator family under
+# it with the same named-allowlist discipline as the registry sweep.
+# Zero cost when no capture is active (one None check per checkpoint).
+_LINT_SINK: list | None = None
+
+
+@contextmanager
+def capture_checkpoint_lints():
+    """Collect ``(label, findings)`` for every plan checkpointed or
+    cached while open; ``label`` is the nearest non-caching caller
+    (``module.function``), so findings map back to the operator whose
+    interior plan they describe. Nestable; inner captures shadow."""
+    global _LINT_SINK
+    prev, sink = _LINT_SINK, []
+    _LINT_SINK = sink
+    try:
+        yield sink
+    finally:
+        _LINT_SINK = prev
+
+
+def _lint_incoming(df: DataFrame) -> None:
+    if _LINT_SINK is None:
+        return
+    import inspect
+
+    from unimib_simpss_spark.operators.plan_lint import lint_plan
+
+    label = "?"
+    for fr in inspect.stack()[1:]:
+        mod = fr.frame.f_globals.get("__name__", "")
+        if not mod.endswith("operators.caching"):
+            label = f"{mod.rsplit('.', 1)[-1]}.{fr.function}"
+            break
+    _LINT_SINK.append((label, lint_plan(df)))
 
 
 def set_checkpoint_mode(mode: str) -> None:
@@ -146,6 +191,7 @@ def _write_table(df: DataFrame) -> DataFrame:
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
+    _lint_incoming(df)
     if _CHECKPOINT_MODE == "table":
         return _write_table(df)
     if _CHECKPOINT_MODE == "durable":
@@ -171,6 +217,7 @@ def cache_intermediate(df: DataFrame) -> DataFrame:
     providing). Release through :func:`materialize_release`'s cache
     list or :func:`release_intermediate` — never raw ``unpersist`` —
     so the table-backed form is cleaned identically."""
+    _lint_incoming(df)
     if _CHECKPOINT_MODE == "table":
         return _write_table(df)
     return df.persist()

@@ -90,6 +90,7 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three generate candidates via equi-joins on derived keys — the
     sub-quadratic 100 TB dedup paths, never an all-pairs product."""
     from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
         materialize_release,
         release_result,
     )
@@ -100,8 +101,10 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # legs are eagerly materialized before the releases below). The
     # tagged union is then materialized into ONE self-owned handle so
     # the legs' checkpoint blocks can be freed here — release_result on
-    # a lazy union cannot reach its children.
-    hsd = D._combo_shingle_docs(docs, "text", "doc_id").persist()
+    # a lazy union cannot reach its children. cache_intermediate (not a
+    # raw persist) so the "table" checkpoint mode covers this barrier
+    # too (VERDICT r10 #2).
+    hsd = cache_intermediate(D._combo_shingle_docs(docs, "text", "doc_id"))
     mh = D.minhash_dedup_pairs(docs, threshold=0.8, _hsd=hsd)
     sh = D.simhash_pairs(docs, max_hamming=3, _hsd=hsd)
     ed = D.edit_distance_pairs(
@@ -427,6 +430,7 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unimib_simpss_spark.functions import analysis as A
     from unimib_simpss_spark.functions.text import tokens
     from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
         materialize_release,
         release_result,
     )
@@ -437,17 +441,19 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    # Admission gate over a tokenize-once projection. The persist is a
+    # Admission gate over a tokenize-once projection. The cache is a
     # PUSHDOWN BARRIER, not just a compute cache: cache substitution
     # happens before optimization, so the gate filter stays above the
     # InMemoryRelation — un-persisted, PushDownPredicates substitutes
     # the tk alias into the gate and shoves it below the exchange, and
     # the repetition HOF lambdas then re-tokenize per position ON EVERY
     # CONSUMER of this relation (measured: 2.8 s → 24 s at sf0.1).
-    pre = (
+    # cache_intermediate keeps the barrier under the mode-switchable
+    # layer: in "table" mode the tokens are STORED and every consumer
+    # scans them (the same no-re-tokenize guarantee, durable form).
+    pre = cache_intermediate(
         docs.select("doc_id", "text", "source", tokens("text").alias("tk"))
         .repartition("doc_id")
-        .persist()
     )
     qc = A.quality_components_from_tokens(F.col("tk"), F.col("text"))
     rc = A.repetition_components_from_tokens(F.col("tk"))
