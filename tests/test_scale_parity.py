@@ -100,6 +100,26 @@ def test_table_checkpoint_mode_parity(spark, tmp_path, qname):
     assert not stray, stray
 
 
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", SF_BENCH])
+def test_q59_two_phase_cc_parity(spark, sf):
+    """VERDICT r10 #3 — q59's cluster resolution re-run with the
+    large-star/small-star algorithm must reproduce the propagation
+    (oracle-green) output exactly at sf0.01 and the bench scale."""
+    from unimib_simpss_spark.catalog import load_table
+    from unimib_simpss_spark.operators import dedup as D
+    from unimib_simpss_spark.operators.caching import release_result
+
+    docs = load_table(spark, sf, "documents")
+    outs = {}
+    for alg in ("propagation", "two-phase"):
+        pairs = D.jaccard_pairs(docs, threshold=0.8)
+        cl = D.dedup_clusters(docs, pairs, cc_algorithm=alg)
+        outs[alg] = sorted(tuple(r) for r in cl.collect())
+        release_result(pairs)
+        release_result(cl)
+    assert outs["propagation"] == outs["two-phase"]
+
+
 def _hashable(v):
     if isinstance(v, list):
         return tuple(_hashable(x) for x in v)

@@ -537,22 +537,51 @@ def simhash_sql(max_hamming: int = 3, text_expr: str = "text") -> str:
 
 # ------------------------------------------------------ connected components
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components of an undirected pair graph → ``(node,
     label)`` where ``label`` is the component's minimum node id.
 
-    Iterative min-label propagation, pure DataFrame ops: each round a
-    node takes the min of its own label and its neighbors' labels; stop
-    when no label changes. Rounds needed = graph diameter — near-dup
-    clusters are shallow (a dup of a dup of a dup is rare), so this
-    converges in a handful of rounds; for adversarial long-chain graphs
-    swap in large-star/small-star (same building blocks, O(log n)
-    rounds). Per round: one equi-join + one min-agg (two shuffles on
-    the node key); ``localCheckpoint`` truncates the growing lineage so
-    round N doesn't replay rounds 1..N-1 — the classic iterative-Spark
-    trap. Driver holds only the convergence counter, never the graph.
+    Two selectable distributed algorithms (VERDICT r10 #3):
+
+    - ``"propagation"`` (default): iterative min-label propagation —
+      each round a node takes the min of its own label and its
+      neighbors' labels; stop when no label changes. Rounds = graph
+      DIAMETER; per round one equi-join + one min-agg (two shuffles on
+      the node key). The right default for near-dup graphs, whose
+      clusters are shallow (a dup of a dup of a dup is rare — q59
+      converges in ~4 rounds).
+    - ``"two-phase"``: alternating large-star/small-star (Kiveris,
+      Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
+      in MapReduce and Beyond", SoCC 2014) — O(log n) rounds on ANY
+      graph shape, including the adversarial duplicate chain that
+      degenerates propagation to O(n) rounds (a 1000-node chain
+      converges in 11 alternating rounds; tests/test_dedup.py). Each
+      round is two star operations: large-star hangs every
+      larger-than-center neighbor off the neighborhood minimum,
+      small-star re-hangs the smaller ones; the fixed point of both is
+      a star forest whose centers are the component minima (Thm 1).
+      Per round ~3 shuffles per star (groupBy-min, join, distinct) —
+      more per round than propagation, exponentially fewer rounds.
+
+    Both use eager mode-switchable checkpoints to truncate the growing
+    lineage (round N must not replay rounds 1..N-1 — the classic
+    iterative-Spark trap) and release round N-1's blocks as soon as
+    round N exists. Driver holds only convergence counters, never the
+    graph. Raises after ``max_iters`` non-converged rounds rather than
+    returning silently-partial labels; ``connected_components.
+    last_rounds`` records the converged round count for tests/ops.
     """
+    if algorithm == "two-phase":
+        return _connected_components_two_phase(edges, src, dst, max_iters)
+    if algorithm != "propagation":
+        raise ValueError(
+            f"algorithm {algorithm!r} not in ('propagation', 'two-phase')"
+        )
     sym = edges.select(
         F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
     ).union(
@@ -562,7 +591,8 @@ def connected_components(
     labels = checkpoint_result(
         sym.select("node").distinct().withColumn("label", F.col("node"))
     )
-    for _ in range(max_iters):
+    converged = False
+    for rounds in range(1, max_iters + 1):
         nbr_labels = labels.select(
             F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
         )
@@ -586,14 +616,120 @@ def connected_components(
         release_result(labels)
         labels = proposed
         if changed == 0:
+            converged = True
             break
     release_intermediate(sym)
+    if not converged:
+        release_result(labels)
+        raise ValueError(
+            f"connected_components('propagation') did not converge in "
+            f"{max_iters} rounds — the graph's diameter exceeds the "
+            f"budget; use algorithm='two-phase' (O(log n) rounds)"
+        )
+    connected_components.last_rounds = rounds
+    return labels
+
+
+def _cc_canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(
+            F.greatest(
+                F.col(src).cast("long"), F.col(dst).cast("long")
+            ).alias("hi"),
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias(
+                "lo"
+            ),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """(v, min(Γ⁺(u))) for every neighbor v > u — hangs each node's
+    larger neighbors off its closed-neighborhood minimum. Output stays
+    canonical (hi > lo) since m ≤ u < v."""
+    adj = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = adj.groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("m")
+    )
+    return (
+        adj.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """Re-hang each node's SMALLER neighbors (plus itself) off their
+    minimum. On canonical edges Γ⁻(hi) is exactly the lo side, so this
+    is one groupBy-min + one join. Output canonical: v > m for kept
+    neighbors, u > m always."""
+    mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+    rehung = (
+        e.join(mins, "hi")
+        .where(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    selfedge = mins.select(F.col("hi"), F.col("m").alias("lo"))
+    return rehung.union(selfedge).distinct()
+
+
+def _cc_same_edge_set(a: DataFrame, b: DataFrame) -> bool:
+    """Set equality for two DISTINCT edge relations: equal counts plus
+    empty one-way difference (limit 1 — early exit on first witness)."""
+    if a.count() != b.count():
+        return False
+    return a.exceptAll(b).limit(1).count() == 0
+
+
+def _connected_components_two_phase(
+    edges: DataFrame, src: str, dst: str, max_iters: int = 25
+) -> DataFrame:
+    """Alternating large-star/small-star; see
+    :func:`connected_components`. Converged when BOTH operations are
+    fixed points (Kiveris et al. Thm 1: that is exactly the star-forest
+    condition), checked deterministically via set equality — never a
+    hash signature that could collide into a false stop."""
+    e = checkpoint_result(_cc_canonical_edges(edges, src, dst))
+    converged = False
+    for rounds in range(1, max_iters + 1):
+        ls = checkpoint_result(_cc_large_star(e))
+        ss = checkpoint_result(_cc_small_star(ls))
+        done = _cc_same_edge_set(ls, e) and _cc_same_edge_set(ss, ls)
+        release_result(e)
+        release_result(ls)
+        e = ss
+        if done:
+            converged = True
+            break
+    if not converged:
+        release_result(e)
+        raise ValueError(
+            f"connected_components('two-phase') did not converge in "
+            f"{max_iters} rounds — at O(log n) rounds this indicates a "
+            f"pathological input; raise max_iters"
+        )
+    # star forest → labels: leaves point at their center, centers at
+    # themselves (a center never appears on the hi side at fixed point)
+    labels = checkpoint_result(
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+        .union(e.select(F.col("lo").alias("node"), F.col("lo").alias("label")))
+        .distinct()
+    )
+    release_result(e)
+    connected_components.last_rounds = rounds
     return labels
 
 
 def dedup_clusters(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     score: Column | None = None,
+    cc_algorithm: str = "propagation",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: every document tagged with
     its component id (min doc id of the cluster; singletons are their
@@ -610,7 +746,9 @@ def dedup_clusters(
     no new shuffle."""
     from pyspark.sql import Window
 
-    comp = connected_components(pairs, src="doc1", dst="doc2")
+    comp = connected_components(
+        pairs, src="doc1", dst="doc2", algorithm=cc_algorithm
+    )
     score_cols = [] if score is None else [score.alias("_score")]
     out = (
         docs.select(F.col(id_col).cast("long").alias(id_col), *score_cols)
