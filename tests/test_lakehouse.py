@@ -434,3 +434,40 @@ def test_zorder_three_columns(spark, tmp_path):
         spans = TestZOrder._file_spans(path, col)
         avg = sum(hi - lo for lo, hi in spans) / len(spans) / 15.0
         assert avg < 0.8, (col, avg)
+
+
+def test_pruned_file_count_and_x74_invariants(spark, sf_dir, tmp_path):
+    """The driver-visible pruning proof (x74): pruned_file_count runs
+    the data-skipping arithmetic on real footers, and the z-ordered
+    layout never touches MORE files than the linear sort for a
+    two-column band predicate — while both layouts return the same
+    rows (layout changes cost, never answers)."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.plans.lakehouse import x74_zorder_pruning
+    from unimib_simpss_spark.sources.lakehouse import (
+        pruned_file_count,
+        write_zordered,
+    )
+
+    # unit level: a hand-built grid where the answer is known
+    df = spark.range(4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("long").cast("double").alias("y"),
+    )
+    path = str(tmp_path / "grid")
+    write_zordered(df, path, ("x", "y"), n_files=16)
+    total, read = pruned_file_count(path, {"x": (10.0, 20.0), "y": (10.0, 20.0)})
+    assert total == 16 and 1 <= read < 16
+    # a band outside the domain touches nothing
+    _, read0 = pruned_file_count(path, {"x": (1e9, 2e9), "y": (10.0, 20.0)})
+    assert read0 == 0
+
+    # entry level: the registered query's invariants
+    out = {r.layout: r for r in x74_zorder_pruning(spark, sf_dir).collect()}
+    assert set(out) == {"zorder", "linear"}
+    z, lin = out["zorder"], out["linear"]
+    # range partitioning may leave a few empty partitions at tiny scale
+    assert 1 <= z.files_total <= 16 and 1 <= lin.files_total <= 16
+    assert z.rows == lin.rows  # layout never changes the answer
+    assert z.files_read <= lin.files_read  # ...only the files touched

@@ -1215,6 +1215,44 @@ def test_ewma_fold_and_operator(spark):
         ewma(df, "k", "ts", "v", alpha=0.0)
 
 
+def test_per_key_series_state_bound(spark):
+    """The per-key state contract fails LOUDLY, not by OOM: a key whose
+    series exceeds max_points raises with the key named, in all three
+    per-key series operators (ewma / anomalies via the pandas fold,
+    pattern_topk via the in-plan raise_error assertion); a bound at the
+    exact series length passes."""
+    import pytest as _pytest
+
+    from unimib_simpss_spark.operators.timeseries import (
+        anomalies,
+        ewma,
+        pattern_topk,
+    )
+
+    rows = [("hot", float(i), float(i % 7)) for i in range(50)] + [
+        ("cold", 1.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+
+    with _pytest.raises(Exception, match="max_points"):
+        ewma(df, "k", "ts", "v", max_points=10).collect()
+    with _pytest.raises(Exception, match="max_points"):
+        anomalies(df, "k", "ts", "v", max_points=10).collect()
+    with _pytest.raises(Exception, match="max_points"):
+        pattern_topk(
+            df, [1.0, 2.0, 3.0], "k", "ts", "v", max_points=10
+        ).collect()
+
+    # at-the-bound passes and results are unaffected by the guard
+    assert ewma(df, "k", "ts", "v", max_points=50).count() == 2
+    assert (
+        pattern_topk(
+            df, [1.0, 2.0, 3.0], "k", "ts", "v", k=2, max_points=50
+        ).count()
+        == 2
+    )
+
+
 def test_ewma_duckdb_value_parity(spark, sf_dir):
     """x72's fold vs the DuckDB list_reduce twin through the driver's
     own compare harness — bit-level value parity on the events table

@@ -1170,6 +1170,31 @@ def edit_distance_sql(
     """
 
 
+def edit_distance_join_sql(
+    str_expr: str,
+    left_pred_sql: str,
+    right_pred_sql: str,
+    max_dist: int = 2,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`edit_distance_join`: naive cross-join
+    levenshtein between the two predicate-defined sides (quadratic —
+    fine at oracle scale; the Spark side is the prefix-filtered
+    formulation). Mirrors :func:`edit_distance_sql` for the
+    cross-relation form."""
+    return f"""
+    WITH l AS (SELECT {id_expr} AS left_id, {str_expr} AS s FROM {table}
+               WHERE ({left_pred_sql}) AND {str_expr} IS NOT NULL),
+         r AS (SELECT {id_expr} AS right_id, {str_expr} AS s FROM {table}
+               WHERE ({right_pred_sql}) AND {str_expr} IS NOT NULL)
+    SELECT l.left_id, r.right_id,
+           CAST(levenshtein(l.s, r.s) AS BIGINT) AS dist
+    FROM l JOIN r ON abs(length(l.s) - length(r.s)) <= {max_dist}
+    WHERE levenshtein(l.s, r.s) <= {max_dist}
+    """
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,

@@ -41,6 +41,28 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Per-key series operators assemble ONE key's full series in ONE task
+# (the documented state contract). Fine for sensor-sized keys; a single
+# multi-billion-point hot key at 100× the test scale would OOM that task
+# SILENTLY (executor lost, stage retry loop). The guard below makes the
+# failure loud and actionable instead: default 50M points/key ≈ 400 MB
+# of doubles — well inside an executor task, far above any sane sensor
+# cardinality. Callers with genuinely larger keys must either raise the
+# bound deliberately or pre-aggregate (downsample) before folding.
+MAX_POINTS_PER_KEY = 50_000_000
+
+
+def _check_series_bound(n: int, key: Any, max_points: int | None) -> None:
+    """Loud per-key state-bound check shared by the applyInPandas folds."""
+    if max_points is not None and n > max_points:
+        raise ValueError(
+            f"per-key series for key={key!r} has {n} points, exceeding "
+            f"max_points={max_points}; one task would hold the whole "
+            "series (documented per-key state contract) — downsample or "
+            "raise max_points deliberately"
+        )
+
+
 def _valid_point():
     """Shared row filter: NULL *and NaN* drop, on both value and ts —
     the streaming twins skip NaN via pd.isna, so the batch side must
@@ -81,11 +103,16 @@ def ewma(
     val_col: str,
     alpha: float = 0.3,
     ndigits: int = 6,
+    max_points: int | None = MAX_POINTS_PER_KEY,
 ) -> DataFrame:
     """Per-key EWMA of ``val_col`` in ``ts_col`` order → one row per
     key: ``(key, n, last_ts, ewma, mean)`` (the plain mean rides along
     as the smoothing diagnostic). NULL values are dropped; ties in ts
-    break by value then arrival to stay deterministic."""
+    break by value then arrival to stay deterministic.
+
+    State bound: one key's whole series folds in one task; a key longer
+    than ``max_points`` (default :data:`MAX_POINTS_PER_KEY`) raises
+    loudly instead of OOMing the task silently."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     src = df.select(
@@ -97,6 +124,7 @@ def ewma(
     def fold(pdf):
         import pandas as pd
 
+        _check_series_bound(len(pdf), pdf["key"].iloc[0], max_points)
         pdf = pdf.sort_values(["ts", "v"], kind="mergesort")
         vals = pdf["v"].tolist()
         return pd.DataFrame(
@@ -167,6 +195,7 @@ def pattern_topk(
     val_col: str,
     k: int = 5,
     ndigits: int = 6,
+    max_points: int | None = MAX_POINTS_PER_KEY,
 ) -> DataFrame:
     """Top-k most similar sliding windows to a query ``pattern`` across
     every key's value series — z-normalized Euclidean distance, the
@@ -184,7 +213,9 @@ def pattern_topk(
     Scale shape: the per-key series is assembled ONCE with
     ``array_sort`` over collected (ts, v) structs — one combinable
     collect per key, state bounded by the key's own series (the same
-    per-key contract as :func:`ewma`); each window's μ/σ/distance folds
+    per-key contract as :func:`ewma`; keys longer than ``max_points``
+    raise loudly in-plan instead of OOMing the collect); each window's
+    μ/σ/distance folds
     over an array SLICE inside whole-stage codegen (O(n·m) per key, no
     Python); the global top-k is ``TakeOrderedAndProject`` + the
     window-free broadcast rank. DuckDB twin: :func:`pattern_topk_sql`
@@ -216,6 +247,28 @@ def pattern_topk(
         .select("key", F.transform("pts", lambda p: p["v"]).alias("vs"))
         .where(F.size("vs") >= m)
     )
+    if max_points is not None:
+        # In-plan state-bound assertion (same contract as ewma's): a key
+        # whose series exceeds max_points fails the stage loudly with the
+        # offending key named, instead of silently OOMing the task.
+        series = series.select(
+            "key",
+            F.when(
+                F.size("vs") > max_points,
+                F.raise_error(
+                    F.concat(
+                        F.lit("per-key series for key="),
+                        F.col("key"),
+                        F.lit(
+                            f" exceeds max_points={max_points}; downsample"
+                            " or raise max_points deliberately"
+                        ),
+                    )
+                ).cast("array<double>"),
+            )
+            .otherwise(F.col("vs"))
+            .alias("vs"),
+        )
 
     # Per-window cost is a CONSTANT number of O(m) folds (sum, sum of
     # squares, pattern cross-product) — naively folding (x-mu)²  with mu
@@ -383,6 +436,7 @@ def anomalies(
     k: float = 4.0,
     min_n: int = 5,
     ndigits: int = 6,
+    max_points: int | None = MAX_POINTS_PER_KEY,
 ) -> DataFrame:
     """Per-key EWMA-residual anomaly flags — the monitoring alarm the
     reference's Grafana stack implies over its temperature/pressure
@@ -410,6 +464,7 @@ def anomalies(
     def fold(pdf):
         import pandas as pd
 
+        _check_series_bound(len(pdf), pdf["key"].iloc[0], max_points)
         pdf = pdf.sort_values(["ts", "v"], kind="mergesort")
         flags = anomaly_fold(pdf["v"].tolist(), alpha, k, min_n)
         rows = [

@@ -251,27 +251,41 @@ def _q61_oracle() -> str:
         member_from="documents WHERE NOT (doc_id % 5 = 0)",
         probe_expr="fp",
     )
+    edit = D.edit_distance_join_sql(
+        "substr(text, 1, 40)",
+        left_pred_sql="doc_id % 5 = 0",
+        right_pred_sql="NOT (doc_id % 5 = 0)",
+        max_dist=2,
+    )
     return f"""
     WITH pairs AS ({pairs}),
     newdocs AS (
         SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 5 = 0
     )
     SELECT 'pairs' AS section, new_doc, corpus_doc, jaccard,
-           CAST(NULL AS BIGINT) AS bloom_hit
+           CAST(NULL AS BIGINT) AS bloom_hit,
+           CAST(NULL AS BIGINT) AS edit_dist
     FROM pairs
     UNION ALL
     SELECT 'bloom' AS section, doc_id AS new_doc,
            CAST(NULL AS BIGINT) AS corpus_doc,
            CAST(NULL AS DOUBLE) AS jaccard,
-           CAST({hit} AS BIGINT) AS bloom_hit
+           CAST({hit} AS BIGINT) AS bloom_hit,
+           CAST(NULL AS BIGINT) AS edit_dist
     FROM newdocs
+    UNION ALL
+    SELECT 'edit' AS section, left_id AS new_doc, right_id AS corpus_doc,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           CAST(NULL AS BIGINT) AS bloom_hit,
+           dist AS edit_dist
+    FROM ({edit})
     """
 
 
 @query("q61_incremental_dedup", oracle=_q61_oracle())
 def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingestion dedup, two gates over the same batch split
-    (every 5th doc = the incoming batch):
+    """Incremental ingestion dedup, three gates over the same batch
+    split (every 5th doc = the incoming batch):
 
     - 'pairs': which new docs near-duplicate (Jaccard >= 0.8) the
       existing corpus — the exact verdict, composed from the same
@@ -283,7 +297,14 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle-checked). bloom_hit=0 is DEFINITELY-new (no false
       negatives): at 100 TB the persisted ≤m-row bit relation screens
       each ingest batch first, and only possible-dup survivors reach
-      the shingle-join machinery above.
+      the shingle-join machinery above;
+    - 'edit': the record-linkage fuzzy link — each new doc's 40-char
+      title prefix joined against the corpus's at levenshtein ≤ 2 via
+      the CROSS-relation prefix-filtered q-gram join
+      (operators/dedup.py: edit_distance_join — the asymmetric form the
+      q34 self-join can't express), oracle-twinned by a naive
+      cross-join levenshtein. Catches near-identical keys whose shingle
+      sets already diverged (typos in titles/ids).
     """
     from unimib_simpss_spark.functions.sketches import bloom_bits, bloom_probe
     from unimib_simpss_spark.functions.text import token_fingerprint
@@ -305,12 +326,20 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "fp",
     )
+    ed = D.edit_distance_join(
+        docs.where(is_new).select("doc_id", F.substring("text", 1, 40).alias("s")),
+        docs.where(~is_new).select("doc_id", F.substring("text", 1, 40).alias("s")),
+        "s",
+        "doc_id",
+        max_dist=2,
+    )
     pairs_leg = pairs.select(
         F.lit("pairs").alias("section"),
         "new_doc",
         "corpus_doc",
         "jaccard",
         F.lit(None).cast("long").alias("bloom_hit"),
+        F.lit(None).cast("long").alias("edit_dist"),
     )
     bloom_leg = probed.select(
         F.lit("bloom").alias("section"),
@@ -318,14 +347,24 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("corpus_doc"),
         F.lit(None).cast("double").alias("jaccard"),
         "bloom_hit",
+        F.lit(None).cast("long").alias("edit_dist"),
+    )
+    edit_leg = ed.select(
+        F.lit("edit").alias("section"),
+        F.col("left_id").alias("new_doc"),
+        F.col("right_id").alias("corpus_doc"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("long").alias("bloom_hit"),
+        F.col("dist").alias("edit_dist"),
     )
     from unimib_simpss_spark.operators.caching import (
         materialize_release,
         release_result,
     )
 
-    out = materialize_release(pairs_leg.unionAll(bloom_leg))
+    out = materialize_release(pairs_leg.unionAll(bloom_leg).unionAll(edit_leg))
     release_result(pairs_cache)  # union checkpointed; the miner cache is spent
+    release_result(ed)
     return out
 
 

@@ -28,6 +28,7 @@ _QUERY_MODULES = (
     "unimib_simpss_spark.plans.llm_similarity",
     "unimib_simpss_spark.plans.llm_multimodal",
     "unimib_simpss_spark.plans.llm_curation",
+    "unimib_simpss_spark.plans.lakehouse",
 )
 
 

@@ -162,6 +162,65 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def file_span_stats(path: str, cols: tuple[str, ...]) -> list[dict]:
+    """Per-file parquet footer min/max spans for ``cols`` — the exact
+    statistics a stats-aware reader (Delta/Iceberg data skipping, or
+    Spark's parquet row-group filters) consults to decide which files a
+    predicate must touch. One dict per data file:
+    ``{"file": name, "<col>_min": lo, "<col>_max": hi, ...}``.
+
+    Footer-only reads — O(#files) metadata, no data pages; a table
+    format would serve the same numbers from its metadata layer without
+    touching storage. Local-path form (the container's test surface);
+    the spans logic is storage-agnostic."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        row: dict = {"file": f}
+        for col in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            row[f"{col}_min"], row[f"{col}_max"] = lo, hi
+        out.append(row)
+    return out
+
+
+def pruned_file_count(
+    path: str, predicate_bands: dict[str, tuple[float, float]]
+) -> tuple[int, int]:
+    """(files_total, files_a_stats_aware_reader_must_touch) for a
+    conjunctive band predicate ``{col: (lo, hi)}`` — a file is touched
+    iff its footer span overlaps EVERY band (NULL stats → must touch).
+    This is the pruning arithmetic data-skipping readers run; returning
+    it as numbers makes layout quality (Z-order vs linear sort)
+    driver-checkable."""
+    spans = file_span_stats(path, tuple(predicate_bands))
+    must = 0
+    for row in spans:
+        touch = True
+        for col, (lo, hi) in predicate_bands.items():
+            mn, mx = row[f"{col}_min"], row[f"{col}_max"]
+            if mn is None or mx is None:
+                continue  # no stats → cannot skip
+            if mx < lo or mn > hi:
+                touch = False
+                break
+        must += int(touch)
+    return len(spans), must
+
+
 def compaction_plan(
     spark: SparkSession,
     path: str,
