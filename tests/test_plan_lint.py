@@ -111,6 +111,7 @@ _ALLOW: dict[str, set] = {
     "q48_binned_range_join": {"bnl-join"}, # the BNL leg IS the theta baseline
     "q49_salted_join": {"bnl-join"},       # 1-row n_rows cross in the profile
     "q55_gapfill_rollup": {"bnl-join"},    # per-key bounds grid cross
+    "q63_pii_pipeline": {"bnl-join"},      # 1-row total × 1-row FK-orphan count
     "q66_vocab_coverage": {"bnl-join"},    # 1-row token-total cross
     "x41_media_pipeline": {"bnl-join"},    # cosine gate over decoded feats
     "x67_cms_heavy_hitters": {"bnl-join"}, # rank self-join over ≤k rows

@@ -1,0 +1,132 @@
+"""Declarative constraint verification (operators/validation.py) —
+the Deequ-shaped audit gate. Semantics under NULLs, empties, and
+violations; plan shape (one aggregate pass for all row rules; broadcast
+anti-join for FKs). The oracle-paired surface is q63's 'audit' section.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unimib_simpss_spark.operators.validation import (
+    audit_union,
+    check_foreign_key,
+    check_row_rules,
+    check_unique,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", 30),
+            (2, "bob", -5),
+            (3, None, 41),
+            (3, "carol", None),  # duplicate id + NULL age
+        ],
+        "id long, name string, age long",
+    )
+
+
+def test_row_rules_single_pass_and_null_semantics(spark, people):
+    out = {
+        r.rule: r
+        for r in check_row_rules(
+            people,
+            {
+                "age_nonneg": F.col("age") >= 0,
+                "name_not_null": F.col("name").isNotNull(),
+                "id_positive": F.col("id") > 0,
+            },
+        ).collect()
+    }
+    assert set(out) == {"age_nonneg", "name_not_null", "id_positive"}
+    assert all(r.n_rows == 4 for r in out.values())
+    # NULL predicate result counts as a violation (un-evaluable ≠ held)
+    assert out["age_nonneg"].n_violations == 2  # -5 and NULL age
+    assert out["name_not_null"].n_violations == 1
+    assert out["id_positive"].n_violations == 0
+    assert out["id_positive"].passed == 1
+    assert out["age_nonneg"].passed == 0
+
+
+def test_row_rules_one_aggregate_pass(spark, people):
+    """All row rules share ONE scan + ONE aggregate: the physical plan
+    must contain exactly one pair of (partial, final) aggregates over
+    the input — rules are columns, not passes."""
+    df = check_row_rules(
+        people,
+        {f"r{i}": F.col("age") > i for i in range(8)},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 8 rules → ONE input scan and ONE aggregation; rules are columns
+    # of the partial aggregate, not passes over the data
+    assert plan.count("Scan ExistingRDD") == 1
+    assert plan.count("HashAggregate") <= 2  # partial + final
+    assert df.count() == 8
+
+
+def test_row_rules_empty_input_and_empty_rules(spark):
+    empty = spark.createDataFrame([], "id long")
+    out = check_row_rules(empty, {"id_pos": F.col("id") > 0}).collect()
+    assert [(r.n_rows, r.n_violations, r.passed) for r in out] == [(0, 0, 1)]
+    with pytest.raises(ValueError, match="at least one rule"):
+        check_row_rules(empty, {})
+
+
+def test_unique(spark, people):
+    r = check_unique(people, "id_unique", ["id"]).first()
+    assert (r.rule, r.n_rows, r.n_violations, r.passed) == (
+        "id_unique", 4, 1, 0,
+    )
+    r2 = check_unique(people, "id_name_unique", ["id", "name"]).first()
+    assert (r2.n_violations, r2.passed) == (0, 1)
+
+
+def test_foreign_key_null_exempt_and_broadcast(spark):
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, dept long"
+    )
+    dims = spark.createDataFrame([(10,), (20,)], "dept long")
+    df = check_foreign_key(facts, "dept_fk", ["dept"], dims, ["dept"])
+    r = df.first()
+    # 99 is an orphan; the NULL FK is exempt (SQL FK semantics)
+    assert (r.rule, r.n_rows, r.n_violations, r.passed) == ("dept_fk", 4, 1, 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_audit_union_schema_gate(spark, people):
+    a = check_row_rules(people, {"id_pos": F.col("id") > 0})
+    b = check_unique(people, "id_unique", ["id"])
+    out = audit_union(a, b).collect()
+    assert {r.rule for r in out} == {"id_pos", "id_unique"}
+    with pytest.raises(ValueError, match="not an audit relation"):
+        audit_union(people)
+    with pytest.raises(ValueError, match="at least one"):
+        audit_union()
+
+
+def test_q63_audit_section_matches_handwritten_counts(spark, sf_dir):
+    """The registered surface: q63's 'audit' section reports the same
+    counts a direct computation gives (the DuckDB hash parity is
+    covered by the oracle sweep; this pins the semantics readably)."""
+    from unimib_simpss_spark.catalog import load_table
+    from unimib_simpss_spark.plans.llm_curation import q63_pii_pipeline
+
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    neg = cust.where(F.col("c_acctbal") < 0).count()
+    out = {
+        r.rule: r
+        for r in q63_pii_pipeline(spark, sf_dir)
+        .where("section = 'audit'")
+        .collect()
+    }
+    assert out["acctbal_nonnegative"].n_violations == neg
+    assert out["acctbal_nonnegative"].n_rows == n
+    assert out["custkey_unique"].audit_pass == 1
+    assert out["nationkey_fk"].audit_pass == 1
+    assert len(out) == 6

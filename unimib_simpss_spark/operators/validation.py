@@ -1,0 +1,152 @@
+"""Declarative data-quality constraint verification (SURVEY.md §2.7
+[EXT] — the Deequ/Great-Expectations-shaped validation gate every
+large-scale ingest runs before data is allowed downstream).
+
+The reference validates its one dimension CSV imperatively — a pandas
+loop raising on NaN / duplicate ids (utils.py:21-40, restated in
+sources/csv_dim.py). This module is the general, engine-level form:
+a rule set declared as data, verified in a CONSTANT number of bounded
+aggregation passes, reported as one tiny relation (rule, n_rows,
+n_violations, passed) that a pipeline gate can join, alert on, or
+persist as an audit trail.
+
+Rule classes and their 100 TB cost model:
+
+- **row rules** (not-null, range, set-membership, regex, any boolean
+  predicate): ALL of them fold into ONE aggregate over ONE scan — each
+  rule is a conditional count (``sum(pred violated)``), map-side
+  combined, output = one row per rule. Adding a rule adds a column to
+  the partial aggregate, never a pass over the data.
+- **uniqueness rules**: exact ``count - count(DISTINCT cols)`` — one
+  expand-based aggregate per rule set, same bill as any distinct.
+- **referential rules** (FK containment): LEFT ANTI join against the
+  referenced key set, broadcast when the dimension is small (the usual
+  case — the 100 TB side streams, the key side broadcasts).
+
+Everything is pure Column arithmetic — no UDFs, no collects; the
+result relation is O(#rules) rows regardless of input scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA_COLS = ("rule", "n_rows", "n_violations", "passed")
+
+
+def check_row_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Verify row-level predicates in ONE aggregation pass.
+
+    ``rules`` maps rule name → Column predicate that must hold for
+    every row (NULL predicate results count as violations — a rule
+    that cannot evaluate did not hold). Returns one row per rule:
+    ``(rule, n_rows, n_violations, passed)``, ``passed`` = 1 iff zero
+    violations. Deterministic output order is the caller's sort.
+    """
+    if not rules:
+        raise ValueError("check_row_rules needs at least one rule")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules.items():
+        # violated when the predicate is false OR null (three-valued
+        # logic: un-evaluable is not "held")
+        aggs.append(
+            F.sum(
+                F.when(pred.isNull() | ~pred, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    # Unpivot the single aggregate row into long format with ONE
+    # explode — a union of per-rule projections would re-plan the
+    # aggregate (and the input scan) once per rule.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.coalesce(F.col(f"__v_{name}"), F.lit(0))
+                .cast("long")
+                .alias("v"),
+            )
+            for name in rules
+        ]
+    )
+    return (
+        one.select(
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_rows"),
+            F.explode(pairs).alias("p"),
+        )
+        .select(
+            F.col("p.rule").alias("rule"),
+            "n_rows",
+            F.col("p.v").alias("n_violations"),
+        )
+        .withColumn("passed", (F.col("n_violations") == 0).cast("long"))
+    )
+
+
+def check_unique(df: DataFrame, rule: str, cols: list[str]) -> DataFrame:
+    """Uniqueness constraint over ``cols``: violations = rows beyond
+    the first per key (``count - countDistinct``; NULL keys count as a
+    key value, matching SQL ``count(DISTINCT)`` over the struct)."""
+    key = F.struct(*[F.col(c) for c in cols])
+    one = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(key).alias("__d"),
+    )
+    return one.select(
+        F.lit(rule).alias("rule"),
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.col("__n") - F.col("__d"), F.lit(0)).alias(
+            "n_violations"
+        ),
+    ).withColumn("passed", (F.col("n_violations") == 0).cast("long"))
+
+
+def check_foreign_key(
+    left: DataFrame,
+    rule: str,
+    fk_cols: list[str],
+    dim: DataFrame,
+    pk_cols: list[str],
+) -> DataFrame:
+    """Referential-integrity constraint: every non-NULL ``fk_cols``
+    tuple in ``left`` must exist in ``dim``'s ``pk_cols``. Violations
+    via LEFT ANTI join with a broadcast dimension side — the fact side
+    streams, only O(#rules) counts come back. NULL FKs are exempt (SQL
+    FK semantics)."""
+    fk_present = left
+    for c in fk_cols:
+        fk_present = fk_present.where(F.col(c).isNotNull())
+    cond = None
+    for fc, pc in zip(fk_cols, pk_cols):
+        c = F.col(f"__l.{fc}") == F.col(f"__d.{pc}")
+        cond = c if cond is None else (cond & c)
+    orphans = (
+        fk_present.alias("__l")
+        .join(F.broadcast(dim.alias("__d")), cond, "left_anti")
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    total = left.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        total.crossJoin(orphans)
+        .select(
+            F.lit(rule).alias("rule"),
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.col("__v"), F.lit(0)).alias("n_violations"),
+        )
+        .withColumn("passed", (F.col("n_violations") == 0).cast("long"))
+    )
+
+
+def audit_union(*checks: DataFrame) -> DataFrame:
+    """Union check relations into one audit table (schema asserted)."""
+    out = None
+    for c in checks:
+        if tuple(c.columns) != _SCHEMA_COLS:
+            raise ValueError(f"not an audit relation: {c.columns}")
+        out = c if out is None else out.unionAll(c)
+    if out is None:
+        raise ValueError("audit_union needs at least one check")
+    return out

@@ -26,6 +26,57 @@ from unimib_simpss_spark.plans.registry import query
 
 _KANON_K = 5
 
+# Data-quality audit rules over customer (the 'audit' section of q63):
+# one name → (DuckDB predicate SQL, Spark Column builder). Row rules
+# fold into ONE aggregate pass (operators/validation.py); uniqueness
+# and referential rules are separate bounded checks.
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+_AUDIT_ROW_RULES_SQL = {
+    "acctbal_nonnegative": "c_acctbal >= 0",
+    "custkey_not_null": "c_custkey IS NOT NULL",
+    "mktsegment_domain": "c_mktsegment IN ('"
+    + "', '".join(_SEGMENTS)
+    + "')",
+    "name_format": "regexp_matches(c_name, '^Customer#[0-9]{9}$')",
+}
+
+
+def _audit_oracle() -> str:
+    rule_rows = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, rr.n AS n_rows,"
+        f" rr.v_{name} AS n_violations FROM rr"
+        for name in _AUDIT_ROW_RULES_SQL
+    )
+    v_cols = ",\n".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT)"
+        f" AS v_{name}"
+        for name, pred in _AUDIT_ROW_RULES_SQL.items()
+    )
+    return f"""
+    WITH rr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+                   AS v_unique,
+               {v_cols}
+        FROM customer
+    ),
+    fk AS (
+        SELECT CAST(count(*) AS BIGINT) AS v FROM customer c
+        WHERE c_nationkey IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    )
+    SELECT rule, n_rows, n_violations,
+           CAST(n_violations = 0 AS BIGINT) AS audit_pass
+    FROM (
+        {rule_rows}
+        UNION ALL
+        SELECT 'custkey_unique' AS rule, rr.n, rr.v_unique FROM rr
+        UNION ALL
+        SELECT 'nationkey_fk' AS rule, rr.n, fk.v FROM rr, fk
+    )
+    """
+
+
 _PII_ORACLE = f"""
 SELECT 'redact' AS section,
        c_custkey,
@@ -37,7 +88,11 @@ SELECT 'redact' AS section,
        CAST(NULL AS VARCHAR) AS c_mktsegment,
        CAST(NULL AS INT)     AS c_nationkey,
        CAST(NULL AS BIGINT)  AS group_n,
-       CAST(NULL AS BIGINT)  AS suppressed
+       CAST(NULL AS BIGINT)  AS suppressed,
+       CAST(NULL AS VARCHAR) AS rule,
+       CAST(NULL AS BIGINT)  AS n_rows,
+       CAST(NULL AS BIGINT)  AS n_violations,
+       CAST(NULL AS BIGINT)  AS audit_pass
 FROM customer
 UNION ALL
 SELECT 'kanon' AS section,
@@ -48,22 +103,53 @@ SELECT 'kanon' AS section,
        c_mktsegment,
        c_nationkey,
        CAST(count(*) AS BIGINT)                           AS group_n,
-       CAST(count(*) < {_KANON_K} AS BIGINT)              AS suppressed
+       CAST(count(*) < {_KANON_K} AS BIGINT)              AS suppressed,
+       CAST(NULL AS VARCHAR) AS rule,
+       CAST(NULL AS BIGINT)  AS n_rows,
+       CAST(NULL AS BIGINT)  AS n_violations,
+       CAST(NULL AS BIGINT)  AS audit_pass
 FROM customer
 GROUP BY c_mktsegment, c_nationkey
+UNION ALL
+SELECT 'audit' AS section,
+       CAST(NULL AS BIGINT)  AS c_custkey,
+       CAST(NULL AS VARCHAR) AS pseudonym,
+       CAST(NULL AS VARCHAR) AS redacted_name,
+       CAST(NULL AS BIGINT)  AS n_digits,
+       CAST(NULL AS VARCHAR) AS c_mktsegment,
+       CAST(NULL AS INT)     AS c_nationkey,
+       CAST(NULL AS BIGINT)  AS group_n,
+       CAST(NULL AS BIGINT)  AS suppressed,
+       rule, n_rows, n_violations, audit_pass
+FROM ({_audit_oracle()})
 """
 
 
 @query("q63_pii_pipeline", oracle=_PII_ORACLE)
 def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub + k-anonymity audit, tagged by section.
+    """PII scrub + k-anonymity + declarative data-quality audit, tagged
+    by section.
 
     'redact' pseudonymizes and redacts the direct identifier (pure
     Column exprs, codegen'd, no shuffle); 'kanon' sizes every
     quasi-identifier group and flags those below k=5 for suppression
-    (one combinable shuffle). See functions/privacy.py for the 100 TB
-    notes."""
+    (one combinable shuffle); 'audit' is the Deequ-shaped constraint
+    gate (operators/validation.py): four row rules verified in ONE
+    aggregate pass (not-null, range, set-membership, regex), a
+    uniqueness rule, and a referential rule against the broadcast
+    nation dimension — one (rule, n_rows, n_violations, audit_pass)
+    row each, value-checked against the DuckDB oracle. See
+    functions/privacy.py for the 100 TB notes."""
+    from unimib_simpss_spark.operators import validation as V
+
     cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pad_audit = [
+        F.lit(None).cast("string").alias("rule"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_violations"),
+        F.lit(None).cast("long").alias("audit_pass"),
+    ]
     redact = cust.select(
         F.lit("redact").alias("section"),
         "c_custkey",
@@ -74,6 +160,7 @@ def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("c_nationkey"),
         F.lit(None).cast("long").alias("group_n"),
         F.lit(None).cast("long").alias("suppressed"),
+        *pad_audit,
     )
     kanon = P.kanon_groups(cust, ["c_mktsegment", "c_nationkey"], k=_KANON_K).select(
         F.lit("kanon").alias("section"),
@@ -85,8 +172,39 @@ def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "group_n",
         "suppressed",
+        *pad_audit,
     )
-    return redact.unionAll(kanon)
+    audit_rel = V.audit_union(
+        V.check_row_rules(
+            cust,
+            {
+                "acctbal_nonnegative": F.col("c_acctbal") >= 0,
+                "custkey_not_null": F.col("c_custkey").isNotNull(),
+                "mktsegment_domain": F.col("c_mktsegment").isin(*_SEGMENTS),
+                "name_format": F.col("c_name").rlike("^Customer#[0-9]{9}$"),
+            },
+        ),
+        V.check_unique(cust, "custkey_unique", ["c_custkey"]),
+        V.check_foreign_key(
+            cust, "nationkey_fk", ["c_nationkey"], nation, ["n_nationkey"]
+        ),
+    )
+    audit = audit_rel.select(
+        F.lit("audit").alias("section"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(None).cast("string").alias("pseudonym"),
+        F.lit(None).cast("string").alias("redacted_name"),
+        F.lit(None).cast("long").alias("n_digits"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("long").alias("group_n"),
+        F.lit(None).cast("long").alias("suppressed"),
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.col("passed").alias("audit_pass"),
+    )
+    return redact.unionAll(kanon).unionAll(audit)
 
 
 _DSIR_TARGET_SOURCE = "src0"
