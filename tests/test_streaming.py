@@ -1318,3 +1318,61 @@ def test_additive_rollup_migrates_legacy_plain_directory(spark, tmp_path):
     got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
     assert got == {"a": (4, 35.0)}
     assert not [p for p in os.listdir(tmp_path) if "__legacy__" in p]
+
+
+def test_streaming_audit_equals_batch_gate(spark, tmp_path):
+    """Streaming constraint gate (operators/validation.py
+    foreach_batch_audit): rule outcomes folded additively into the
+    crash-safe rollup table per micro-batch — after the stream drains,
+    the table EQUALS the batch check_row_rules over the concatenated
+    rows (the batch/streaming parity contract), and a replayed batch id
+    is a no-op."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.operators.validation import (
+        check_row_rules,
+        foreach_batch_audit,
+        read_audit,
+    )
+
+    rules = {
+        "v_nonneg": F.col("v") >= 0,
+        "k_not_null": F.col("k").isNotNull(),
+    }
+    batches = [
+        [dict(k="a", v=1.0), dict(k="b", v=-2.0)],
+        [dict(k=None, v=3.0), dict(k="c", v=None)],  # NULLs: k rule + v rule
+        [dict(k="d", v=4.0)],
+    ]
+    src = tmp_path / "audit_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        _write_log(src, f"b{i}.json", rows)
+    table = str(tmp_path / "audit_rollup")
+    stream = (
+        spark.readStream.schema("k STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    body = foreach_batch_audit(table, rules)
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "audit_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in read_audit(spark, table).collect())
+    all_rows = spark.createDataFrame(
+        [(r["k"], r["v"]) for rows in batches for r in rows],
+        "k string, v double",
+    )
+    want = sorted(tuple(r) for r in check_row_rules(all_rows, rules).collect())
+    assert got == want
+    assert got == sorted(
+        [("k_not_null", 5, 1, 0), ("v_nonneg", 5, 2, 0)]
+    )
+    # replay protection: re-applying batch 0 must not change the table
+    body(all_rows, 0)
+    assert sorted(tuple(r) for r in read_audit(spark, table).collect()) == got

@@ -86,6 +86,68 @@ def check_row_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     )
 
 
+def row_rule_indicators(
+    df: DataFrame, rules: Mapping[str, Column]
+) -> DataFrame:
+    """Per-row rule outcomes in long format: ``(rule, violated)`` — one
+    output row per input row per rule, produced by the same
+    array+explode unpivot as :func:`check_row_rules` (a map-only
+    projection, no shuffle). This is the streaming-ingestible form:
+    grouped by ``rule`` with ``sum(violated)`` it reproduces
+    :func:`check_row_rules` exactly, and because both counts are
+    ADDITIVE it feeds the storage-resident rollup sink
+    (:func:`foreach_batch_audit`) without any stream-side state."""
+    if not rules:
+        raise ValueError("row_rule_indicators needs at least one rule")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.when(pred.isNull() | ~pred, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("violated"),
+            )
+            for name, pred in rules.items()
+        ]
+    )
+    return df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.rule").alias("rule"), F.col("p.violated").alias("violated")
+    )
+
+
+def foreach_batch_audit(path: str, rules: Mapping[str, Column]):
+    """Streaming twin of :func:`check_row_rules`: a ``foreachBatch``
+    body that folds every micro-batch's rule outcomes into a
+    storage-resident audit rollup at ``path`` (one row per rule:
+    ``n_rows``, ``n_violations`` — both additive), reusing the
+    crash-safe, replay-protected generation-swap sink
+    (:mod:`..streaming.sinks` ``foreach_batch_additive``). The
+    streaming job holds NO state: after any prefix of the stream the
+    table equals the batch gate over the same rows
+    (:func:`read_audit`), the house batch/streaming parity contract."""
+    from unimib_simpss_spark.streaming.sinks import foreach_batch_additive
+
+    inner = foreach_batch_additive(path, ("rule",), {"n_violations": "violated"})
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        inner(row_rule_indicators(batch, rules), batch_id)
+
+    return _apply
+
+
+def read_audit(spark, path: str) -> DataFrame:
+    """Read the audit rollup :func:`foreach_batch_audit` maintains,
+    restoring the :func:`check_row_rules` schema (``passed`` derived
+    from the merged violation count)."""
+    return spark.read.parquet(path).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("long").alias("passed"),
+    )
+
+
 def check_unique(df: DataFrame, rule: str, cols: list[str]) -> DataFrame:
     """Uniqueness constraint over ``cols``: violations = rows beyond
     the first per key (``count - countDistinct``; NULL keys count as a
