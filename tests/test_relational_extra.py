@@ -335,3 +335,51 @@ def test_bpe_source_leg_repartition_survives_aqe(spark, sf_dir):
         r"(AQEShuffleRead coalesced\s*\n[^\n]*\n?[^\n]*REPARTITION_BY_NUM)", final
     )
     assert m is None, m.group(0) if m else None
+
+
+def test_bloom_pruned_semi_join_exact_and_pruning(spark, sf_dir):
+    """The runtime-filter rewrite returns EXACTLY the plain semi join
+    (bloom FPs removed by the real join, NULL keys dropped on both
+    paths), and the pruned intermediate actually shrinks the probe
+    side: bloom-hit rows < all rows at a selective build filter."""
+    from unimib_simpss_spark.functions.sketches import bloom_bits, bloom_probe
+    from unimib_simpss_spark.operators.skew import bloom_pruned_semi_join
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_totalprice") > 450000  # highly selective build side
+    )
+    plain = sorted(
+        r.c_custkey
+        for r in c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey").collect()
+    )
+    pruned = sorted(
+        r.c_custkey
+        for r in bloom_pruned_semi_join(c, big, "c_custkey", "o_custkey")
+        .select("c_custkey").collect()
+    )
+    assert plain == pruned
+    # the map-side gate really prunes: hits ≤ a small multiple of the
+    # true match count, and strictly below the full probe relation
+    bits = bloom_bits(big.select("o_custkey"), "o_custkey")
+    n_hits = (
+        bloom_probe(bits, c, "c_custkey").where("bloom_hit = 1").count()
+    )
+    assert len(plain) <= n_hits < c.count()
+
+
+def test_bloom_pruned_semi_join_null_probe_keys(spark):
+    """NULL probe keys: dropped by the semi join AND by the bloom gate
+    — both paths agree."""
+    from unimib_simpss_spark.operators.skew import bloom_pruned_semi_join
+
+    probe = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k long, v string"
+    )
+    build = spark.createDataFrame([(1,), (3,)], "k long")
+    got = sorted(
+        (r.k, r.v)
+        for r in bloom_pruned_semi_join(probe, build, "k", "k").collect()
+    )
+    assert got == [(1, "a")]

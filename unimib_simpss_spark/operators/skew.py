@@ -1,6 +1,7 @@
-"""Skew-mitigation operators: salted joins and binned range joins.
+"""Join-strategy rewrites: salted joins, binned range joins, and
+bloom-pruned semi joins.
 
-Two techniques Spark doesn't apply automatically in every case, written
+Techniques Spark doesn't apply automatically in every case, written
 as plan-level rewrites that preserve exact semantics:
 
 - **Salted equi-join** — for a shuffle join where a handful of hot keys
@@ -16,6 +17,19 @@ as plan-level rewrites that preserve exact semantics:
   fixed-width bins + residual predicate: cost drops from |A|·|B| to
   Σ co-binned pairs. This is the standard open-source answer to
   Databricks' range-join optimization.
+- **Bloom-pruned semi join** — the runtime-filter pattern: build a
+  Bloom bit relation from the (filtered) build side's keys, probe it
+  MAP-SIDE on the probe side (broadcast joins against the ≤m-row bit
+  relation, no shuffle), and only bloom-hit rows enter the real semi
+  join. False positives are removed by the join, so the result is
+  EXACTLY the plain semi join; the win is shuffle volume — at 100 TB
+  the probe side's exchange shrinks to near the true match rate.
+  Spark's own runtime bloom filter (spark.sql.optimizer.runtime.
+  bloomFilter) covers inner joins when stats line up; this explicit
+  form works on any build relation, composes with the portable
+  oracle-checkable sketch (functions/sketches.py), and makes the
+  pruning observable (the pre-filtered relation is a first-class
+  DataFrame).
 
 Salting uses a DETERMINISTIC salt (hash of a unique column, not
 ``rand()``) so results are reproducible and retries/speculative tasks
@@ -210,3 +224,50 @@ def key_skew_profile_sql(
            round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, {ndigits})
     FROM tot
     """
+
+
+def bloom_pruned_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """LEFT SEMI join with a Bloom runtime filter on the probe side —
+    exactly the rows of ``probe.join(build, key, "left_semi")``, but
+    the probe relation is pre-filtered MAP-SIDE against a Bloom bit
+    relation of the build keys before any shuffle.
+
+    Cost model: the bit relation is ≤ m rows (built with one combinable
+    aggregate over the build keys, broadcast to the probe scan), so the
+    probe side's shuffle exchange carries only bloom-hit rows — true
+    matches plus the Bloom false-positive rate — instead of the whole
+    relation. The final semi join removes false positives, so the
+    rewrite is semantics-preserving at ANY m/k: sizing only tunes how
+    much shuffle is saved. NULL probe keys never match a semi join and
+    never pass the bloom gate — identical drop on both paths.
+
+    This is the manual form of the runtime-filter optimization
+    (Spark's spark.sql.optimizer.runtime.bloomFilter covers inner
+    equi-joins when stats qualify); explicit, so it applies to any
+    build relation and the pruned intermediate stays observable.
+    """
+    from unimib_simpss_spark.functions.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bits,
+        bloom_probe,
+    )
+
+    m = BLOOM_M if m is None else m
+    k = BLOOM_K if k is None else k
+    bits = bloom_bits(build.select(build_key), build_key, m=m, k=k)
+    pre = (
+        bloom_probe(bits, probe, probe_key, m=m, k=k, hit_col="__bloom_hit")
+        .where(F.col("__bloom_hit") == 1)
+        .drop("__bloom_hit")
+    )
+    return pre.join(
+        build, pre[probe_key] == build[build_key], "left_semi"
+    )

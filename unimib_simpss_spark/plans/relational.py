@@ -348,6 +348,14 @@ def q08_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
     )
+    UNION ALL
+    SELECT 'bloom_semi' AS tag, c_custkey, c_name,
+           CAST(NULL AS VARCHAR) AS c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
     """,
 )
 def q09_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,11 +364,21 @@ def q09_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-query verification window). The semi leg NULL-pads the anti
     leg's extra column so each side keeps its exact projection.
 
+    The 'bloom_semi' leg runs the SAME existence check through the
+    bloom-pruned rewrite (operators/skew.py bloom_pruned_semi_join):
+    the probe side is map-side-filtered against a Bloom bit relation of
+    the build keys before the shuffle semi join — the runtime-filter
+    pattern, semantics-preserving by construction, so its oracle is the
+    identical EXISTS (the driver hash proves the rewrite changes
+    nothing but the plan).
+
     Reference parity: the strict lookup-join failure branch
     (mqtt_kafka_producer.py:203-209 — unknown sensor id raises KeyError)
     is exactly the anti-join leg routed to a dead-letter side (see
     operators/sensor_pipeline.py).
     """
+    from unimib_simpss_spark.operators.skew import bloom_pruned_semi_join
+
     c = _t(spark, sf_dir, "customer")
     big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     urgent = _t(spark, sf_dir, "orders").where(
@@ -375,7 +393,15 @@ def q09_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
         F.lit("anti").alias("tag"), "c_custkey", "c_name", "c_mktsegment"
     )
-    return semi.unionAll(anti)
+    bsemi = bloom_pruned_semi_join(
+        c, big, "c_custkey", "o_custkey"
+    ).select(
+        F.lit("bloom_semi").alias("tag"),
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    return semi.unionAll(anti).unionAll(bsemi)
 
 
 # --------------------------------------------------------------------------
