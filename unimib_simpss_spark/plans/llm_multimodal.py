@@ -190,3 +190,41 @@ def x41_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_leg.unionAll(topk_leg).unionAll(resize_leg).unionAll(audio_leg)
     )
+
+
+@query("x75_perceptual_dedup")  # NumPy decode in the hash → rows-only
+def x75_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate detection: 64-bit perceptual aHash per
+    media row (image grid / video keyframe / audio envelope — REAL
+    uncompressed decoders, operators/multimodal.py ahash64), then the
+    generic pigeonhole hamming band join (operators/dedup.py
+    hamming_band_pairs, exact for hamming ≤ 3 over 4×16-bit bands)
+    restricted to same-kind pairs.
+
+    The corpus is the real-payload media table PLUS planted perceptual
+    near-duplicates: every 7th row re-encoded after a positive affine
+    content transform (brightness/volume — every payload byte changes,
+    the perception doesn't; media_affine_variants). The miner links
+    each original to its re-encoded copy THROUGH the codec roundtrip
+    (recall ≥95%: 8-bit re-quantization can flip threshold-adjacent
+    blocks on near-constant payloads past the hamming gate; precision
+    is exact) — the multimodal analog of the text SimHash miner, and
+    the case md5/fingerprint dedup provably misses. Rows-only (NumPy
+    decode is engine-local); exactness vs brute-force hamming, affine
+    invariance, and recall on the planted copies are tested in
+    tests/test_multimodal.py + the run-determinism sweep."""
+    from unimib_simpss_spark.operators.dedup import hamming_band_pairs
+
+    media = M.media_with_real_payloads(load_table(spark, sf_dir, "documents"))
+    corpus = media.select("media_id", "kind", "payload").unionAll(
+        M.media_affine_variants(media)
+    )
+    sigs = M.perceptual_hash_media(corpus)
+    return hamming_band_pairs(
+        sigs,
+        id_col="media_id",
+        hash_col="phash",
+        max_hamming=3,
+        bits=64,
+        group_col="kind",
+    )
