@@ -240,6 +240,20 @@ def q59_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters
 
 
+# The 'diff' section's simulated next-release snapshot, shared verbatim
+# by both engines: every 5th doc leaves (the q61 batch re-staged),
+# every 7th survivor's text mutates (appended marker), every 11th doc
+# re-enters under a fresh id — all three diff classes present.
+_Q61_NEW_SNAPSHOT_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE NOT (doc_id % 5 = 0)
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+
 def _q61_oracle() -> str:
     from unimib_simpss_spark.functions.sketches import bloom_sql
     from unimib_simpss_spark.functions.text import token_fingerprint_sql
@@ -257,6 +271,12 @@ def _q61_oracle() -> str:
         right_pred_sql="NOT (doc_id % 5 = 0)",
         max_dist=2,
     )
+    from unimib_simpss_spark.operators.curation import corpus_diff_sql
+
+    diff = corpus_diff_sql(
+        old_sql="SELECT doc_id, text FROM documents",
+        new_sql=_Q61_NEW_SNAPSHOT_SQL,
+    )
     return f"""
     WITH pairs AS ({pairs}),
     newdocs AS (
@@ -264,21 +284,38 @@ def _q61_oracle() -> str:
     )
     SELECT 'pairs' AS section, new_doc, corpus_doc, jaccard,
            CAST(NULL AS BIGINT) AS bloom_hit,
-           CAST(NULL AS BIGINT) AS edit_dist
+           CAST(NULL AS BIGINT) AS edit_dist,
+           CAST(NULL AS VARCHAR) AS status,
+           CAST(NULL AS VARCHAR) AS old_hash,
+           CAST(NULL AS VARCHAR) AS new_hash
     FROM pairs
     UNION ALL
     SELECT 'bloom' AS section, doc_id AS new_doc,
            CAST(NULL AS BIGINT) AS corpus_doc,
            CAST(NULL AS DOUBLE) AS jaccard,
            CAST({hit} AS BIGINT) AS bloom_hit,
-           CAST(NULL AS BIGINT) AS edit_dist
+           CAST(NULL AS BIGINT) AS edit_dist,
+           CAST(NULL AS VARCHAR) AS status,
+           CAST(NULL AS VARCHAR) AS old_hash,
+           CAST(NULL AS VARCHAR) AS new_hash
     FROM newdocs
     UNION ALL
     SELECT 'edit' AS section, left_id AS new_doc, right_id AS corpus_doc,
            CAST(NULL AS DOUBLE) AS jaccard,
            CAST(NULL AS BIGINT) AS bloom_hit,
-           dist AS edit_dist
+           dist AS edit_dist,
+           CAST(NULL AS VARCHAR) AS status,
+           CAST(NULL AS VARCHAR) AS old_hash,
+           CAST(NULL AS VARCHAR) AS new_hash
     FROM ({edit})
+    UNION ALL
+    SELECT 'diff' AS section, doc_id AS new_doc,
+           CAST(NULL AS BIGINT) AS corpus_doc,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           CAST(NULL AS BIGINT) AS bloom_hit,
+           CAST(NULL AS BIGINT) AS edit_dist,
+           status, old_hash, new_hash
+    FROM ({diff})
     """
 
 
@@ -304,7 +341,14 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators/dedup.py: edit_distance_join — the asymmetric form the
       q34 self-join can't express), oracle-twinned by a naive
       cross-join levenshtein. Catches near-identical keys whose shingle
-      sets already diverged (typos in titles/ids).
+      sets already diverged (typos in titles/ids);
+    - 'diff': the release audit — corpus_diff between the current
+      corpus and a simulated next release (every 5th doc removed, every
+      7th survivor mutated, every 11th re-ingested under a fresh id),
+      one row per added/removed/changed doc with its content hashes
+      (operators/curation.py: corpus_diff — churn-proportional, one
+      full-outer join over (id, md5) projections; the 'changed' class
+      is what invalidates cached dedup state for those ids).
     """
     from unimib_simpss_spark.functions.sketches import bloom_bits, bloom_probe
     from unimib_simpss_spark.functions.text import token_fingerprint
@@ -333,6 +377,27 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         max_dist=2,
     )
+    from unimib_simpss_spark.operators.curation import corpus_diff
+
+    survivors = docs.where(~is_new).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    reingested = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    diff = corpus_diff(
+        docs.select("doc_id", "text"), survivors.unionAll(reingested)
+    )
+    pad = [
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("string").alias("old_hash"),
+        F.lit(None).cast("string").alias("new_hash"),
+    ]
     pairs_leg = pairs.select(
         F.lit("pairs").alias("section"),
         "new_doc",
@@ -340,6 +405,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.lit(None).cast("long").alias("bloom_hit"),
         F.lit(None).cast("long").alias("edit_dist"),
+        *pad,
     )
     bloom_leg = probed.select(
         F.lit("bloom").alias("section"),
@@ -348,6 +414,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("jaccard"),
         "bloom_hit",
         F.lit(None).cast("long").alias("edit_dist"),
+        *pad,
     )
     edit_leg = ed.select(
         F.lit("edit").alias("section"),
@@ -356,13 +423,27 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("jaccard"),
         F.lit(None).cast("long").alias("bloom_hit"),
         F.col("dist").alias("edit_dist"),
+        *pad,
+    )
+    diff_leg = diff.select(
+        F.lit("diff").alias("section"),
+        F.col("doc_id").alias("new_doc"),
+        F.lit(None).cast("long").alias("corpus_doc"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("long").alias("bloom_hit"),
+        F.lit(None).cast("long").alias("edit_dist"),
+        "status",
+        "old_hash",
+        "new_hash",
     )
     from unimib_simpss_spark.operators.caching import (
         materialize_release,
         release_result,
     )
 
-    out = materialize_release(pairs_leg.unionAll(bloom_leg).unionAll(edit_leg))
+    out = materialize_release(
+        pairs_leg.unionAll(bloom_leg).unionAll(edit_leg).unionAll(diff_leg)
+    )
     release_result(pairs_cache)  # union checkpointed; the miner cache is spent
     release_result(ed)
     return out

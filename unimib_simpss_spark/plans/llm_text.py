@@ -547,6 +547,9 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence
 
 
+_CHUNK_TOKENS, _CHUNK_STRIDE, _CHUNK_MIN = 64, 48, 8
+
+
 def _packing_oracle() -> str:
     from unimib_simpss_spark.operators.curation import (
         BPE_DEMO_MERGES,
@@ -562,10 +565,29 @@ def _packing_oracle() -> str:
     SELECT '{tag}' AS counter, source, seq_bin,
            count(*)                  AS n_docs,
            CAST(sum(ws) AS BIGINT)   AS sum_tokens,
-           round(sum(ws) / {_PACK_BUDGET}.0, 4) AS fill_ratio
+           round(sum(ws) / {_PACK_BUDGET}.0, 4) AS fill_ratio,
+           CAST(NULL AS BIGINT)  AS doc_id,
+           CAST(NULL AS BIGINT)  AS chunk_id,
+           CAST(NULL AS BIGINT)  AS start_tok,
+           CAST(NULL AS BIGINT)  AS n_tok,
+           CAST(NULL AS VARCHAR) AS chunk_md5
     FROM (SELECT source, ws, {sb} AS seq_bin
           FROM (SELECT doc_id, source, {cnt} AS ws FROM documents))
     GROUP BY source, seq_bin
+    """)
+    from unimib_simpss_spark.operators.curation import chunk_documents_sql
+
+    legs.append(f"""
+    SELECT 'chunk' AS counter, CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS seq_bin,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS sum_tokens,
+           CAST(NULL AS DOUBLE) AS fill_ratio,
+           doc_id, chunk_id, start_tok, n_tok,
+           md5(chunk_text) AS chunk_md5
+    FROM ({chunk_documents_sql(chunk_tokens=_CHUNK_TOKENS,
+                               stride=_CHUNK_STRIDE,
+                               min_tokens=_CHUNK_MIN)})
     """)
     return " UNION ALL ".join(legs)
 
@@ -582,10 +604,16 @@ def q32_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count; 'bpe' budgets by the TRAINED-tokenizer count the
     engine actually ships (bpe_token_count_expr under the fixed demo
     merge table — a packer that budgets with a different tokenizer than
-    training mis-sizes every sequence). Both legs are oracle-paired."""
+    training mis-sizes every sequence). The 'chunk' leg is the OTHER
+    way text becomes training units: overlapping fixed-token windows
+    per document (operators/curation.py chunk_documents — RAG/long-doc
+    prep; stride 48 under a 64-token window = 16 tokens of carried
+    context, min-tail merge so no fragment ships), one row per chunk
+    with its content md5. All legs are oracle-paired."""
     from unimib_simpss_spark.operators.curation import (
         BPE_DEMO_MERGES,
         bpe_token_count_expr,
+        chunk_documents,
     )
     from unimib_simpss_spark.operators.sampling import greedy_pack
 
@@ -593,6 +621,13 @@ def q32_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = [
         ("ws", A.token_count_ws("text")),
         ("bpe", bpe_token_count_expr("text", BPE_DEMO_MERGES)),
+    ]
+    pad_chunk = [
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.lit(None).cast("long").alias("start_tok"),
+        F.lit(None).cast("long").alias("n_tok"),
+        F.lit(None).cast("string").alias("chunk_md5"),
     ]
     legs = []
     for tag, cnt in counters:
@@ -615,9 +650,26 @@ def q32_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_docs",
                 "sum_tokens",
                 "fill_ratio",
+                *pad_chunk,
             )
         )
-    return legs[0].unionAll(legs[1])
+    chunks = chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE,
+        min_tokens=_CHUNK_MIN,
+    ).select(
+        F.lit("chunk").alias("counter"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("seq_bin"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("sum_tokens"),
+        F.lit(None).cast("double").alias("fill_ratio"),
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        "n_tok",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+    return legs[0].unionAll(legs[1]).unionAll(chunks)
 
 
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
