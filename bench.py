@@ -88,7 +88,8 @@ def main() -> None:
     def loadavg() -> float:
         try:
             return round(os.getloadavg()[0], 2)
-        except OSError:  # pragma: no cover - non-POSIX
+        except (OSError, AttributeError):  # pragma: no cover - non-POSIX
+            # AttributeError: os.getloadavg doesn't exist off-POSIX
             return -1.0
 
     load_markers: dict[str, list[float]] = {}

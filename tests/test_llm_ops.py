@@ -302,6 +302,17 @@ class TestTwoPhaseCC:
         with _pytest.raises(ValueError, match="did not converge"):
             self._labels(spark, chain, "propagation", max_iters=20)
 
+    def test_self_loop_only_nodes_kept_by_both_algorithms(self, spark):
+        """Review r11: the canonicalization filter (hi != lo) erased
+        nodes whose ONLY edge is a self-loop from the two-phase output
+        while propagation labeled them — the algorithms must return the
+        same node set on any input."""
+        edges = [(1, 1), (2, 3), (4, 4), (4, 5)]
+        two = self._labels(spark, edges, "two-phase")
+        prop = self._labels(spark, edges, "propagation")
+        assert two == prop
+        assert two == {1: 1, 2: 2, 3: 2, 4: 4, 5: 4}
+
     def test_dedup_clusters_algorithm_parity(self, spark, sf_dir):
         from unimib_simpss_spark.catalog import load_table
         from unimib_simpss_spark.operators import dedup as D

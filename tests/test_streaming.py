@@ -1286,8 +1286,11 @@ def test_additive_rollup_crash_safety_generation_swap(spark, tmp_path):
     got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
     assert got == {"a": (2, 11.0), "b": (1, 2.0)}
     assert not os.path.exists(stray)
-    # exactly one live generation, no staging leftovers anywhere
-    assert len(os.listdir(_generations_root(table))) == 1
+    # the new generation plus the one-swap reader-grace copy (review
+    # r11: the previous generation survives until the NEXT swap so an
+    # in-flight reader can finish); the torn stray was still cleaned
+    gens = sorted(os.listdir(_generations_root(table)))
+    assert len(gens) == 2 and gens[0].startswith("gen.0.")
     assert not [
         p for p in os.listdir(tmp_path) if "__staging__" in p or "__lnk__" in p
     ]
@@ -1376,3 +1379,111 @@ def test_streaming_audit_equals_batch_gate(spark, tmp_path):
     # replay protection: re-applying batch 0 must not change the table
     body(all_rows, 0)
     assert sorted(tuple(r) for r in read_audit(spark, table).collect()) == got
+
+
+class TestGenerationSwapEdges:
+    """Round-11 review findings on the generation-swap sink: relative
+    table paths, the legacy-migration crash window, the pre-swap replay
+    cursor, and in-flight-reader grace retirement."""
+
+    def test_relative_table_path_with_directory_component(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A cwd-relative table path like 'out/rollup' must stay
+        readable after the swap — the symlink target is absolute, so it
+        cannot resolve to 'out/out/rollup...' (the round-11 confirmed
+        bug)."""
+        import os
+
+        from unimib_simpss_spark.streaming.sinks import (
+            additive_merge_parquet,
+        )
+
+        monkeypatch.chdir(tmp_path)
+        os.makedirs("out")
+        batch = spark.createDataFrame([("a", 2.0)], "k string, v double")
+        additive_merge_parquet(batch, "out/rollup", ("k",), {"sum_v": "v"})
+        assert os.path.exists("out/rollup")  # broken symlink → False
+        got = spark.read.parquet(str(tmp_path / "out" / "rollup")).collect()
+        assert [(r.k, r.n_rows, r.sum_v) for r in got] == [("a", 1, 2.0)]
+        # second merge exercises the read-back of generation 1
+        additive_merge_parquet(batch, "out/rollup", ("k",), {"sum_v": "v"})
+        got = spark.read.parquet(str(tmp_path / "out" / "rollup")).collect()
+        assert [(r.k, r.n_rows, r.sum_v) for r in got] == [("a", 2, 4.0)]
+
+    def test_legacy_migration_crash_window_self_heals(self, spark, tmp_path):
+        """Crash between 'plain dir renamed to .__legacy__*' and the
+        symlink commit: the next reader restores the legacy directory
+        as the live table — no accumulated state is lost."""
+        import os
+
+        from unimib_simpss_spark.streaming.sinks import _current_generation
+
+        table = str(tmp_path / "rollup")
+        spark.createDataFrame(
+            [("a", 3, 30.0)], "k string, n_rows long, sum_v double"
+        ).write.parquet(table)
+        with open(table + ".__applied__", "w") as f:
+            f.write("41")
+        os.rename(table, table + ".__legacy__deadbeef")  # simulated crash
+        assert not os.path.exists(table)
+        cur, last = _current_generation(table)
+        assert cur == table and os.path.isdir(table)  # restored
+        assert last == 41  # legacy cursor honored too
+        got = spark.read.parquet(table).collect()
+        assert [(r.k, r.n_rows, r.sum_v) for r in got] == [("a", 3, 30.0)]
+
+    def test_legacy_applied_marker_prevents_double_count(self, spark, tmp_path):
+        """A pre-swap table whose .__applied__ marker says batch 41 was
+        folded must SKIP a checkpoint-replayed batch 41 after the layout
+        upgrade — and the marker file is retired once the name carries
+        the cursor."""
+        import os
+
+        from unimib_simpss_spark.streaming.sinks import foreach_batch_additive
+
+        table = str(tmp_path / "rollup")
+        spark.createDataFrame(
+            [("a", 3, 30.0)], "k string, n_rows long, sum_v double"
+        ).write.parquet(table)
+        with open(table + ".__applied__", "w") as f:
+            f.write("41")
+        body = foreach_batch_additive(table, ("k",), {"sum_v": "v"})
+        replay = spark.createDataFrame([("a", 999.0)], "k string, v double")
+        body(replay, 41)  # replayed: must be a no-op
+        got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
+        assert got == {"a": (3, 30.0)}
+        body(replay, 42)  # genuinely new: folds, upgrades layout
+        got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
+        assert got == {"a": (4, 1029.0)}
+        assert os.path.islink(table)
+        assert not os.path.exists(table + ".__applied__")
+
+    def test_previous_generation_survives_one_swap(self, spark, tmp_path):
+        """In-flight-reader grace: after swap N the generation of swap
+        N-1 is still on disk; after swap N+1 it is retired."""
+        import os
+
+        from unimib_simpss_spark.streaming.sinks import (
+            _generations_root,
+            additive_merge_parquet,
+        )
+
+        table = str(tmp_path / "rollup")
+        batch = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        root = _generations_root(table)
+
+        def gens():
+            return sorted(os.listdir(root))
+
+        additive_merge_parquet(batch, table, ("k",), {"sum_v": "v"}, batch_id=1)
+        g1 = gens()
+        assert len(g1) == 1
+        additive_merge_parquet(batch, table, ("k",), {"sum_v": "v"}, batch_id=2)
+        g2 = gens()
+        assert len(g2) == 2 and g1[0] in g2  # grace copy survives
+        additive_merge_parquet(batch, table, ("k",), {"sum_v": "v"}, batch_id=3)
+        g3 = gens()
+        assert len(g3) == 2 and g1[0] not in g3  # retired one swap later
+        got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
+        assert got == {"a": (3, 3.0)}

@@ -85,6 +85,26 @@ def test_unique(spark, people):
     assert (r2.n_violations, r2.passed) == (0, 1)
 
 
+def test_unique_null_keys_count_as_one_distinct_value(spark):
+    """Pin the documented NULL semantics: all-NULL keys form ONE
+    distinct value, so every NULL-keyed row past the first is a
+    violation — matching the coalesce form q63's oracle uses, NOT bare
+    count(DISTINCT) which would skip NULLs and report 2 here."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (None,)], "id long"
+    )
+    r = check_unique(df, "id_unique", ["id"]).first()
+    assert (r.n_rows, r.n_violations, r.passed) == (5, 1, 0)
+    # and the exact SQL convention the docstring prescribes agrees
+    import duckdb
+
+    v = duckdb.connect().execute(
+        "SELECT count(*) - count(DISTINCT coalesce(CAST(id AS VARCHAR),"
+        " '__null__')) FROM (VALUES (1),(2),(3),(NULL),(NULL)) t(id)"
+    ).fetchone()[0]
+    assert v == r.n_violations
+
+
 def test_foreign_key_null_exempt_and_broadcast(spark):
     facts = spark.createDataFrame(
         [(1, 10), (2, 20), (3, 99), (4, None)], "id long, dept long"

@@ -715,12 +715,23 @@ def _connected_components_two_phase(
             f"pathological input; raise max_iters"
         )
     # star forest → labels: leaves point at their center, centers at
-    # themselves (a center never appears on the hi side at fixed point)
-    labels = checkpoint_result(
-        e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
-        .union(e.select(F.col("lo").alias("node"), F.col("lo").alias("label")))
+    # themselves (a center never appears on the hi side at fixed point).
+    # Nodes whose only edges were SELF-LOOPS were erased by the
+    # canonicalization filter (hi != lo) — re-attach them as their own
+    # singleton components so both algorithms return the same node set
+    # (propagation labels them; review r11).
+    nodes = (
+        edges.select(F.col(src).cast("long").alias("node"))
+        .union(edges.select(F.col(dst).cast("long").alias("node")))
         .distinct()
     )
+    star = e.select(F.col("hi").alias("node"), F.col("lo").alias("label")).union(
+        e.select(F.col("lo").alias("node"), F.col("lo").alias("label"))
+    ).distinct()
+    loners = nodes.join(star, "node", "left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+    labels = checkpoint_result(star.union(loners))
     release_result(e)
     connected_components.last_rounds = rounds
     return labels

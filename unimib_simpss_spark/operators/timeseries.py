@@ -53,7 +53,8 @@ MAX_POINTS_PER_KEY = 50_000_000
 
 
 def _check_series_bound(n: int, key: Any, max_points: int | None) -> None:
-    """Loud per-key state-bound check shared by the applyInPandas folds."""
+    """Pandas-side backstop of the per-key state bound (second line of
+    defense — the in-plan gate below fires first)."""
     if max_points is not None and n > max_points:
         raise ValueError(
             f"per-key series for key={key!r} has {n} points, exceeding "
@@ -61,6 +62,40 @@ def _check_series_bound(n: int, key: Any, max_points: int | None) -> None:
             "series (documented per-key state contract) — downsample or "
             "raise max_points deliberately"
         )
+
+
+def _with_series_bound_gate(src, max_points: int | None):
+    """In-plan per-key count gate, evaluated BEFORE any per-key series
+    materializes: a pandas-side check alone fires only after
+    applyInPandas has already built the whole group in memory, so the
+    multi-billion-point hot key it exists to catch would OOM the task
+    before the check runs (review r11). The gate is one map-side
+    combinable count aggregate (tiny: one row per key) joined back on
+    the key — the count evaluates during the gate's aggregate, raising
+    with the offending key named while only (key, count) partials are
+    in flight; the join then shares the fold's own key exchange."""
+    if max_points is None:
+        return src
+    counts = src.groupBy("key").agg(F.count(F.lit(1)).alias("__n"))
+    gate = counts.select(
+        "key",
+        F.when(
+            F.col("__n") > max_points,
+            F.raise_error(
+                F.concat(
+                    F.lit("per-key series for key="),
+                    F.col("key"),
+                    F.lit(
+                        f" exceeds max_points={max_points}; downsample or"
+                        " raise max_points deliberately"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("__n"))
+        .alias("__n_checked"),
+    )
+    return src.join(gate, "key").drop("__n_checked")
 
 
 def _valid_point():
@@ -115,11 +150,14 @@ def ewma(
     loudly instead of OOMing the task silently."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    src = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(ts_col).cast("double").alias("ts"),
-        F.col(val_col).cast("double").alias("v"),
-    ).where(_valid_point())
+    src = _with_series_bound_gate(
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).cast("double").alias("ts"),
+            F.col(val_col).cast("double").alias("v"),
+        ).where(_valid_point()),
+        max_points,
+    )
 
     def fold(pdf):
         import pandas as pd
@@ -446,11 +484,14 @@ def anomalies(
     (:mod:`..streaming.stateful` ``streaming_anomalies``) carries
     ``(y, v, n)`` per key — O(1) state — and flags the identical points
     on any in-order prefix."""
-    src = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(ts_col).cast("double").alias("ts"),
-        F.col(val_col).cast("double").alias("v"),
-    ).where(_valid_point())
+    src = _with_series_bound_gate(
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).cast("double").alias("ts"),
+            F.col(val_col).cast("double").alias("v"),
+        ).where(_valid_point()),
+        max_points,
+    )
 
     out_schema = StructType(
         [

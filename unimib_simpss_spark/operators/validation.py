@@ -150,8 +150,16 @@ def read_audit(spark, path: str) -> DataFrame:
 
 def check_unique(df: DataFrame, rule: str, cols: list[str]) -> DataFrame:
     """Uniqueness constraint over ``cols``: violations = rows beyond
-    the first per key (``count - countDistinct``; NULL keys count as a
-    key value, matching SQL ``count(DISTINCT)`` over the struct)."""
+    the first per key (``count - countDistinct`` over the key STRUCT).
+
+    NULL-key semantics — stated because they diverge from bare SQL
+    ``count(DISTINCT col)``: the struct is never NULL, so all-NULL keys
+    form ONE distinct value and every NULL-keyed row past the first
+    counts as a violation. That is the conservative reading for a
+    uniqueness gate (two unknown keys are not provably distinct); a SQL
+    oracle must mirror it with ``count(DISTINCT coalesce(CAST(k AS
+    VARCHAR), '__null__'))``, as q63's does — bare ``count(DISTINCT
+    k)`` skips NULLs and under-counts violations."""
     key = F.struct(*[F.col(c) for c in cols])
     one = df.agg(
         F.count(F.lit(1)).alias("__n"),

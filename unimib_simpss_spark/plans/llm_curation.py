@@ -55,8 +55,13 @@ def _audit_oracle() -> str:
     return f"""
     WITH rr AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
-                   AS v_unique,
+               -- coalesce mirrors the operator's struct semantics:
+               -- NULL keys form ONE distinct value (every NULL-keyed
+               -- row past the first is a violation) instead of being
+               -- skipped by bare count(DISTINCT)
+               CAST(count(*) - count(DISTINCT
+                        coalesce(CAST(c_custkey AS VARCHAR), '__null__'))
+                    AS BIGINT) AS v_unique,
                {v_cols}
         FROM customer
     ),

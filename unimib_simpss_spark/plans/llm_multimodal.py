@@ -213,18 +213,33 @@ def x75_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode is engine-local); exactness vs brute-force hamming, affine
     invariance, and recall on the planted copies are tested in
     tests/test_multimodal.py + the run-determinism sweep."""
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        materialize_release,
+    )
     from unimib_simpss_spark.operators.dedup import hamming_band_pairs
 
-    media = M.media_with_real_payloads(load_table(spark, sf_dir, "documents"))
-    corpus = media.select("media_id", "kind", "payload").unionAll(
-        M.media_affine_variants(media)
+    # Encode ONCE behind a cache barrier: the corpus union feeds the
+    # encoded payloads to BOTH legs (originals hashed directly, every
+    # 7th decoded/re-encoded as its affine variant) — uncached, each
+    # union leg would re-run the full per-row encode mapInPandas, and
+    # the %7 filter can't push through the opaque Python stage
+    # (review r11).
+    media = cache_intermediate(
+        M.media_with_real_payloads(
+            load_table(spark, sf_dir, "documents")
+        ).select("media_id", "kind", "payload")
     )
+    corpus = media.unionAll(M.media_affine_variants(media))
     sigs = M.perceptual_hash_media(corpus)
-    return hamming_band_pairs(
-        sigs,
-        id_col="media_id",
-        hash_col="phash",
-        max_hamming=3,
-        bits=64,
-        group_col="kind",
+    return materialize_release(
+        hamming_band_pairs(
+            sigs,
+            id_col="media_id",
+            hash_col="phash",
+            max_hamming=3,
+            bits=64,
+            group_col="kind",
+        ),
+        media,
     )

@@ -24,6 +24,7 @@ storage-native MERGE, not a rewrite.
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 import shutil
@@ -52,50 +53,100 @@ def _generations_root(path: str) -> str:
     return path.rstrip("/") + ".__generations__"
 
 
+def _legacy_applied_id(path: str) -> int:
+    """Replay cursor of the PRE-SWAP layout (a ``.__applied__`` marker
+    file beside the plain table directory). Honoring it across the
+    layout upgrade is what keeps an old checkpoint's replayed batch
+    from double-counting into the migrated table."""
+    marker = path.rstrip("/") + ".__applied__"
+    try:
+        with open(marker) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
 def _current_generation(path: str) -> tuple[str | None, int]:
     """(current generation dir, applied batch id) — both derived from
     the one symlink, so they can never disagree. A legacy plain
-    directory (pre-swap layout) reads as batch id -1: state exists but
-    no batch is recorded as applied, which errs toward re-applying —
-    the caller must migrate before relying on replay protection."""
+    directory (pre-swap layout) reads its old ``.__applied__`` marker
+    as the cursor, so replay protection survives the layout upgrade.
+
+    Self-healing: if ``path`` is missing but a ``.__legacy__*``
+    migration directory exists, a crash hit the one non-atomic window
+    of the first post-upgrade swap (plain dir renamed away, symlink not
+    yet committed) — restore the legacy directory as the live table
+    before reporting, so no state is ever lost to that window."""
     p = path.rstrip("/")
+    if not os.path.lexists(p):
+        for cand in sorted(glob.glob(p + ".__legacy__*")):
+            if os.path.isdir(cand):
+                try:
+                    os.rename(cand, p)
+                except OSError:
+                    continue
+                break
     if os.path.islink(p):
         target = os.path.realpath(p)
         m = _GEN_RE.match(os.path.basename(target))
         return target, int(m.group(1)) if m else -1
     if os.path.exists(p):
-        return p, -1
+        return p, _legacy_applied_id(p)
     return None, -1
 
 
 def _swap_in_generation(path: str, write_fn, batch_id: int) -> None:
     """Run ``write_fn(generation_dir)`` to produce a new generation,
-    then atomically point ``path`` at it; retire every older generation
-    afterwards. A crash before the ``os.replace`` leaves the old
-    generation live and the old batch id applied (the batch replays
-    cleanly); a crash after it leaves at worst stale directories,
-    cleaned on the next call."""
+    then atomically point ``path`` at it. A crash before the
+    ``os.replace`` leaves the old state live and the old batch id
+    applied (the batch replays cleanly; the one legacy-migration rename
+    window self-heals in :func:`_current_generation`); a crash after it
+    leaves at worst stale directories, cleaned on the next call.
+
+    Retirement is DEFERRED BY ONE GENERATION: the generation the
+    symlink pointed at before this swap survives until the NEXT swap,
+    so a reader that resolved the symlink just before the flip can
+    finish its scan — without the grace generation, 'readers always
+    see a complete table' would only hold for reads that both start
+    and end between swaps."""
     p = path.rstrip("/")
     root = _generations_root(p)
     os.makedirs(root, exist_ok=True)
-    gen = os.path.join(root, f"gen.{batch_id}.{uuid.uuid4().hex[:8]}")
+    gen = os.path.abspath(
+        os.path.join(root, f"gen.{batch_id}.{uuid.uuid4().hex[:8]}")
+    )
     write_fn(gen)
+    prev_target = os.path.realpath(p) if os.path.islink(p) else None
     legacy = None
     if os.path.exists(p) and not os.path.islink(p):
         # migrate a pre-swap plain directory out of the way; its bytes
-        # were already folded into `merged` via the read above
+        # were already folded into `merged` via the read above, and a
+        # crash between this rename and the replace below is recovered
+        # by _current_generation's legacy-restore path
         legacy = p + f".__legacy__{uuid.uuid4().hex[:8]}"
         os.rename(p, legacy)
     tmp_link = p + f".__lnk__{uuid.uuid4().hex[:8]}"
+    # abspath target: a relative target would resolve relative to the
+    # SYMLINK's directory and break any table path with a dir component
     os.symlink(gen, tmp_link)
     os.replace(tmp_link, p)  # the atomic commit point
-    # retire superseded state (stale generations from crashes included)
+    # retire superseded state: everything except the new generation and
+    # the immediately-previous one (the in-flight-reader grace copy)
+    keep = {gen, prev_target} - {None}
     for d in os.listdir(root):
-        full = os.path.join(root, d)
-        if full != gen:
+        full = os.path.abspath(os.path.join(root, d))
+        if full not in keep:
             shutil.rmtree(full, ignore_errors=True)
-    if legacy:
-        shutil.rmtree(legacy, ignore_errors=True)
+    # sweep ALL stray legacy dirs (incl. ones a prior crash left after
+    # its commit point) — p is a healthy symlink here, so none is live
+    for stray in glob.glob(p + ".__legacy__*"):
+        shutil.rmtree(stray, ignore_errors=True)
+    marker = p + ".__applied__"
+    if os.path.exists(marker):  # legacy cursor superseded by the name
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
 
 
 def upsert_keyed_parquet(
