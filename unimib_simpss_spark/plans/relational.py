@@ -517,13 +517,21 @@ def q12_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_suppkey, s_nationkey, s_acctbal,
            CAST(rank() OVER w AS BIGINT)        AS bal_rank,
            CAST(dense_rank() OVER w AS BIGINT)  AS bal_dense_rank,
-           lag(s_acctbal) OVER w                AS prev_bal
+           lag(s_acctbal) OVER w                AS prev_bal,
+           round(percent_rank() OVER w, 6)      AS bal_pct_rank,
+           round(cume_dist() OVER w, 6)         AS bal_cume_dist,
+           CAST(ntile(4) OVER w AS BIGINT)      AS bal_quartile
     FROM supplier
     WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
     """,
 )
 def q14_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank/lag over a per-nation window."""
+    """The full ranking-function family over a per-nation window:
+    rank / dense_rank / lag plus the distribution forms —
+    percent_rank, cume_dist, and ntile(4) quartile bucketing (the
+    remaining W4 analytic functions; all share ONE window spec so
+    Spark evaluates them in a single WindowExec pass over one
+    exchange)."""
     s = _t(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy(
         F.desc("s_acctbal"), F.asc("s_suppkey")
@@ -535,6 +543,9 @@ def q14_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("bal_rank"),
         F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
         F.lag("s_acctbal").over(w).alias("prev_bal"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
     )
 
 
