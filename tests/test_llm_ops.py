@@ -313,6 +313,17 @@ class TestTwoPhaseCC:
         assert two == prop
         assert two == {1: 1, 2: 2, 3: 2, 4: 4, 5: 4}
 
+    def test_null_endpoints_dropped_identically(self, spark):
+        """Review r11 pass 2: an edge with a NULL endpoint contributes
+        only its non-NULL node, and BOTH algorithms agree (propagation
+        previously labeled the NULL node via min-skips-NULL while
+        two-phase's loner join emitted a (NULL, NULL) row)."""
+        edges = [(None, 5), (7, None), (8, 9)]
+        two = self._labels(spark, edges, "two-phase")
+        prop = self._labels(spark, edges, "propagation")
+        assert two == prop
+        assert two == {5: 5, 7: 7, 8: 8, 9: 8}
+
     def test_dedup_clusters_algorithm_parity(self, spark, sf_dir):
         from unimib_simpss_spark.catalog import load_table
         from unimib_simpss_spark.operators import dedup as D
@@ -1262,6 +1273,37 @@ def test_per_key_series_state_bound(spark):
         ).count()
         == 2
     )
+
+
+def test_series_bound_gate_null_keys_and_plan_survival(spark):
+    """Review r11 pass 2, both CONFIRMED bugs pinned: (a) the gate's
+    key join must be NULL-SAFE — a plain inner join silently dropped
+    NULL-key groups from ewma/anomalies output; (b) the in-plan
+    raise_error must ride a CONSUMED column — in a dropped column,
+    Catalyst prunes it into dead code and the pre-materialization
+    protection never runs."""
+    from unimib_simpss_spark.operators.timeseries import anomalies, ewma
+
+    rows = [(None, 1.0, 5.0), (None, 2.0, 6.0), ("k", 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    gated = sorted(
+        (r.key or "", r.n, r.ewma) for r in ewma(df, "k", "ts", "v").collect()
+    )
+    plain = sorted(
+        (r.key or "", r.n, r.ewma)
+        for r in ewma(df, "k", "ts", "v", max_points=None).collect()
+    )
+    assert gated == plain  # NULL-key group survives the gate
+    assert ("", 2, 5.3) in gated  # the NULL-key fold itself
+    assert anomalies(df, "k", "ts", "v").count() == 0  # runs, no drop-crash
+    # the guard expression must survive optimization (dead-code check)
+    opt = (
+        ewma(df, "k", "ts", "v", max_points=10)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "raise_error" in opt
 
 
 def test_ewma_duckdb_value_parity(spark, sf_dir):

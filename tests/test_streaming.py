@@ -1320,7 +1320,13 @@ def test_additive_rollup_migrates_legacy_plain_directory(spark, tmp_path):
     assert os.path.islink(table)
     got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
     assert got == {"a": (4, 35.0)}
+    # the migrated plain dir survives ONE swap (reader grace, review
+    # r11 pass 2), then is swept by the next one
+    assert len([p for p in os.listdir(tmp_path) if "__legacy__" in p]) == 1
+    body(spark.createDataFrame([("a", 1.0)], "k string, v double"), 8)
     assert not [p for p in os.listdir(tmp_path) if "__legacy__" in p]
+    got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
+    assert got == {"a": (5, 36.0)}
 
 
 def test_streaming_audit_equals_batch_gate(spark, tmp_path):

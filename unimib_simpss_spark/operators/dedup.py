@@ -568,6 +568,11 @@ def connected_components(
       Per round ~3 shuffles per star (groupBy-min, join, distinct) —
       more per round than propagation, exponentially fewer rounds.
 
+    NULL endpoints are dropped on BOTH paths (a NULL node id is
+    meaningless): an edge with one NULL endpoint contributes only its
+    non-NULL node (as a singleton unless other edges connect it), and
+    the two algorithms return identical labelings on such inputs.
+
     Both use eager mode-switchable checkpoints to truncate the growing
     lineage (round N must not replay rounds 1..N-1 — the classic
     iterative-Spark trap) and release round N-1's blocks as soon as
@@ -586,7 +591,7 @@ def connected_components(
         F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
     ).union(
         edges.select(F.col(dst).cast("long").alias("node"), F.col(src).cast("long").alias("nbr"))
-    )
+    ).where(F.col("node").isNotNull())  # NULL endpoints dropped (contract)
     sym = cache_intermediate(sym.repartition("node"))
     labels = checkpoint_result(
         sym.select("node").distinct().withColumn("label", F.col("node"))
@@ -695,6 +700,17 @@ def _connected_components_two_phase(
     fixed points (Kiveris et al. Thm 1: that is exactly the star-forest
     condition), checked deterministically via set equality — never a
     hash signature that could collide into a false stop."""
+    # node set captured ONCE up front (NULL endpoints dropped, matching
+    # propagation's contract) and checkpointed: deriving it lazily after
+    # convergence would re-execute the full upstream edges plan twice —
+    # expensive when `edges` is a lazy pair-mining lineage (review r11
+    # pass 2)
+    nodes = checkpoint_result(
+        edges.select(F.col(src).cast("long").alias("node"))
+        .union(edges.select(F.col(dst).cast("long").alias("node")))
+        .where(F.col("node").isNotNull())
+        .distinct()
+    )
     e = checkpoint_result(_cc_canonical_edges(edges, src, dst))
     converged = False
     for rounds in range(1, max_iters + 1):
@@ -709,6 +725,7 @@ def _connected_components_two_phase(
             break
     if not converged:
         release_result(e)
+        release_result(nodes)
         raise ValueError(
             f"connected_components('two-phase') did not converge in "
             f"{max_iters} rounds — at O(log n) rounds this indicates a "
@@ -720,11 +737,6 @@ def _connected_components_two_phase(
     # canonicalization filter (hi != lo) — re-attach them as their own
     # singleton components so both algorithms return the same node set
     # (propagation labels them; review r11).
-    nodes = (
-        edges.select(F.col(src).cast("long").alias("node"))
-        .union(edges.select(F.col(dst).cast("long").alias("node")))
-        .distinct()
-    )
     star = e.select(F.col("hi").alias("node"), F.col("lo").alias("label")).union(
         e.select(F.col("lo").alias("node"), F.col("lo").alias("label"))
     ).distinct()
@@ -733,6 +745,7 @@ def _connected_components_two_phase(
     )
     labels = checkpoint_result(star.union(loners))
     release_result(e)
+    release_result(nodes)
     connected_components.last_rounds = rounds
     return labels
 

@@ -69,33 +69,41 @@ def _with_series_bound_gate(src, max_points: int | None):
     materializes: a pandas-side check alone fires only after
     applyInPandas has already built the whole group in memory, so the
     multi-billion-point hot key it exists to catch would OOM the task
-    before the check runs (review r11). The gate is one map-side
-    combinable count aggregate (tiny: one row per key) joined back on
-    the key — the count evaluates during the gate's aggregate, raising
-    with the offending key named while only (key, count) partials are
-    in flight; the join then shares the fold's own key exchange."""
+    before the check runs (review r11). One map-side combinable count
+    aggregate (one row per key) is joined back NULL-SAFELY on the key,
+    and the raise_error rides INSIDE the consumed ``v`` column — both
+    lessons from the second review pass: a plain inner join silently
+    dropped NULL-key groups, and a raise_error in a column that is
+    immediately ``.drop()``-ed is pruned by Catalyst into dead code
+    (pattern_topk's gate survives precisely because it REPLACES the
+    consumed array). The raise fires as the first row of an oversized
+    key streams through the join — before the fold's group buffers."""
     if max_points is None:
         return src
     counts = src.groupBy("key").agg(F.count(F.lit(1)).alias("__n"))
-    gate = counts.select(
-        "key",
-        F.when(
-            F.col("__n") > max_points,
-            F.raise_error(
-                F.concat(
-                    F.lit("per-key series for key="),
-                    F.col("key"),
-                    F.lit(
-                        f" exceeds max_points={max_points}; downsample or"
-                        " raise max_points deliberately"
-                    ),
-                )
-            ).cast("long"),
+    gate = counts.select(F.col("key").alias("__gk"), "__n")
+    return (
+        src.join(gate, F.col("key").eqNullSafe(F.col("__gk")))
+        .select(
+            "key",
+            "ts",
+            F.when(
+                F.col("__n") > max_points,
+                F.raise_error(
+                    F.concat(
+                        F.lit("per-key series for key="),
+                        F.coalesce(F.col("key"), F.lit("NULL")),
+                        F.lit(
+                            f" exceeds max_points={max_points}; downsample"
+                            " or raise max_points deliberately"
+                        ),
+                    )
+                ).cast("double"),
+            )
+            .otherwise(F.col("v"))
+            .alias("v"),
         )
-        .otherwise(F.col("__n"))
-        .alias("__n_checked"),
     )
-    return src.join(gate, "key").drop("__n_checked")
 
 
 def _valid_point():

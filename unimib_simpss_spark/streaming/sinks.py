@@ -79,7 +79,9 @@ def _current_generation(path: str) -> tuple[str | None, int]:
     before reporting, so no state is ever lost to that window."""
     p = path.rstrip("/")
     if not os.path.lexists(p):
-        for cand in sorted(glob.glob(p + ".__legacy__*")):
+        # glob.escape: a table path containing [, ? or * must not be
+        # treated as a pattern, or recovery/sweeps silently match nothing
+        for cand in sorted(glob.glob(glob.escape(p) + ".__legacy__*")):
             if os.path.isdir(cand):
                 try:
                     os.rename(cand, p)
@@ -112,8 +114,13 @@ def _swap_in_generation(path: str, write_fn, batch_id: int) -> None:
     p = path.rstrip("/")
     root = _generations_root(p)
     os.makedirs(root, exist_ok=True)
-    gen = os.path.abspath(
-        os.path.join(root, f"gen.{batch_id}.{uuid.uuid4().hex[:8]}")
+    # realpath (not abspath) EVERYWHERE path identities are compared or
+    # stored: with a symlinked ancestor in the table path (mounted data
+    # dirs, macOS /tmp), abspath and realpath forms of the same
+    # directory differ, and a mixed comparison would retire the reader-
+    # grace generation immediately (review r11 pass 2)
+    gen = os.path.join(
+        os.path.realpath(root), f"gen.{batch_id}.{uuid.uuid4().hex[:8]}"
     )
     write_fn(gen)
     prev_target = os.path.realpath(p) if os.path.islink(p) else None
@@ -134,13 +141,16 @@ def _swap_in_generation(path: str, write_fn, batch_id: int) -> None:
     # the immediately-previous one (the in-flight-reader grace copy)
     keep = {gen, prev_target} - {None}
     for d in os.listdir(root):
-        full = os.path.abspath(os.path.join(root, d))
+        full = os.path.realpath(os.path.join(root, d))
         if full not in keep:
             shutil.rmtree(full, ignore_errors=True)
-    # sweep ALL stray legacy dirs (incl. ones a prior crash left after
-    # its commit point) — p is a healthy symlink here, so none is live
-    for stray in glob.glob(p + ".__legacy__*"):
-        shutil.rmtree(stray, ignore_errors=True)
+    # sweep stray legacy dirs from PRIOR swaps (a crash after an earlier
+    # commit point can leave them) — but NOT the one this swap created:
+    # like prev_target above, it survives one swap so a reader that
+    # opened the pre-swap plain table can finish its scan
+    for stray in glob.glob(glob.escape(p) + ".__legacy__*"):
+        if stray != legacy:
+            shutil.rmtree(stray, ignore_errors=True)
     marker = p + ".__applied__"
     if os.path.exists(marker):  # legacy cursor superseded by the name
         try:
