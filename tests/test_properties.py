@@ -577,3 +577,67 @@ def test_edit_distance_pairs_exact_on_random_strings(spark, strs, d):
         if i < j and _lev(a, b) <= d
     )
     assert got == want
+
+
+# ------------------------------------------------ round-11 operators
+_rule_tables = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-50, 50)),   # id
+        st.one_of(st.none(), st.integers(-5, 5)),     # v
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=_rule_tables, bound=st.integers(-3, 3))
+def test_check_row_rules_matches_python_recount(spark, rows, bound):
+    """Property: for ANY table and threshold rule, the one-pass gate's
+    violation count equals a direct Python recount under three-valued
+    logic (NULL predicate result = violation)."""
+    from unimib_simpss_spark.operators.validation import check_row_rules
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = {
+        r.rule: r
+        for r in check_row_rules(
+            df,
+            {
+                "v_over": F.col("v") > bound,
+                "id_not_null": F.col("id").isNotNull(),
+            },
+        ).collect()
+    }
+    want_v = sum(1 for _, v in rows if v is None or not (v > bound))
+    want_id = sum(1 for i, _ in rows if i is None)
+    assert out["v_over"].n_rows == len(rows)
+    assert out["v_over"].n_violations == want_v
+    assert out["id_not_null"].n_violations == want_id
+    assert out["v_over"].passed == int(want_v == 0)
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.one_of(st.none(), st.integers(0, 40)), max_size=25),
+    right=st.lists(st.integers(0, 40), max_size=15),
+)
+def test_bloom_pruned_semi_join_equals_plain_semi(spark, left, right):
+    """Property: the bloom-pruned rewrite returns EXACTLY the plain
+    left-semi join on any inputs (NULL probe keys, empty sides,
+    duplicate rows)."""
+    from unimib_simpss_spark.operators.skew import bloom_pruned_semi_join
+
+    probe = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(left)], "k long, pos long"
+    )
+    build = spark.createDataFrame([(k,) for k in right], "k long")
+    plain = sorted(
+        (r.k, r.pos)
+        for r in probe.join(build, probe.k == build.k, "left_semi").collect()
+    )
+    pruned = sorted(
+        (r.k, r.pos)
+        for r in bloom_pruned_semi_join(probe, build, "k", "k").collect()
+    )
+    assert pruned == plain
