@@ -1493,3 +1493,61 @@ class TestGenerationSwapEdges:
         assert len(g3) == 2 and g1[0] not in g3  # retired one swap later
         got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
         assert got == {"a": (3, 3.0)}
+
+
+def test_streaming_cell_assignment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static ANN ingest: embeddings arriving as micro-batches
+    are cell-routed against a frozen quantizer (similarity.assign_cells
+    — broadcast k×d matrix, stateless GEMM per Arrow batch) and the
+    assignments agree EXACTLY with a batch run over the same rows —
+    the index stays consistent whether vectors arrive in bulk or on a
+    stream."""
+    from unimib_simpss_spark.operators.caching import release_result
+    from unimib_simpss_spark.operators.similarity import (
+        assign_cells,
+        kmeans_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels, centroids = kmeans_cells(emb, k=4, iters=2, return_centroids=True)
+    release_result(labels)
+    batch = {
+        r.vec_id: r.cell for r in assign_cells(emb, centroids).collect()
+    }
+
+    # replay the same embeddings as 3 micro-batch parquet files
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    import os
+    import time
+
+    for i in range(3):
+        part = emb.where(F.col("vec_id") % 3 == i)
+        pdir = str(src / f"b{i}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        t = time.time() + 2.0 * (i + 1)
+        os.utime(pdir, (t, t))
+        for f in os.listdir(pdir):
+            os.utime(os.path.join(pdir, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    got: dict[int, int] = {}
+
+    def sink(bdf, bid):
+        for r in assign_cells(bdf, centroids).collect():
+            got[r.vec_id] = r.cell
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "emb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch
+    assert len(got) == emb.count()

@@ -469,7 +469,6 @@ def kmeans_cells(
     ).persist()
     seeds = base.orderBy("vec_id").limit(k).collect()
     centroids = np.array([r.v for r in seeds], dtype=np.float64)
-    sc = emb.sparkSession.sparkContext
 
     for _ in range(iters):
         parts = _kmeans_partials(base, centroids).collect()
@@ -489,26 +488,11 @@ def kmeans_cells(
             break
         centroids = new_c
 
-    bc = sc.broadcast(centroids)
-
-    def final_assign(batches):
-        c = bc.value
-        for pdf in batches:
-            mat = np.array(list(pdf["v"]), dtype=np.float64)
-            d2 = (
-                -2.0 * (mat @ c.T)
-                + (c * c).sum(axis=1)[None, :]
-                + (mat * mat).sum(axis=1)[:, None]
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cell": np.argmin(np.round(d2, 9), axis=1).astype("int32"),
-                }
-            )
-
+    # final assignment = the shared frozen-quantizer inference operator
+    # (assign_cells), so the batch build, ad-hoc batch inference, and
+    # the streaming ingest path all run ONE arithmetic
     out = materialize_release(
-        base.mapInPandas(final_assign, "vec_id long, cell int"), base
+        assign_cells(base, centroids, id_col="vec_id", vec_col="v"), base
     )
     if return_centroids:
         # the k×d quantizer itself — already driver-resident by the
@@ -516,6 +500,62 @@ def kmeans_cells(
         # for query-side probing
         return out, centroids
     return out
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment under a FROZEN quantizer — the
+    inference half of :func:`kmeans_cells`, factored out so the same
+    arithmetic runs over a batch corpus or a STRUCTURED STREAM of
+    arriving embeddings (``mapInPandas`` is stateless, so the operator
+    is streaming-legal as-is): one Arrow-batched GEMM per batch against
+    the broadcast k×d matrix, distance ties broken by lowest centroid
+    index via the identical ``argmin(round(d2, 9))`` — batch and
+    streaming assignments of the same rows agree exactly (the
+    stream-static parity test in tests/test_streaming.py).
+
+    This is the 100 TB ingest path for a serving ANN index: embeddings
+    stream in, get cell-routed at arrival (no shuffle, no state — the
+    quantizer is a broadcast constant), and land partition-aligned with
+    the IVF index :func:`ivf_topk` probes. Retraining the quantizer is
+    a periodic batch job (:func:`kmeans_cells`); this operator is the
+    cheap continuous half between retrains.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(c)
+    src = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def batches(it):
+        cm = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            d2 = (
+                -2.0 * (mat @ cm.T)
+                + (cm * cm).sum(axis=1)[None, :]
+                + (mat * mat).sum(axis=1)[:, None]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": np.argmin(np.round(d2, 9), axis=1).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return src.mapInPandas(batches, "vec_id long, cell int")
 
 
 def hyperplane_lsh_topk(
