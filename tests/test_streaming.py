@@ -1551,3 +1551,64 @@ def test_streaming_cell_assignment_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     assert got == batch
     assert len(got) == emb.count()
+
+
+def test_streaming_hll_rollup_equals_batch_estimate(spark, tmp_path):
+    """Storage-resident cardinality rollup (foreach_batch_hll): after
+    the stream drains, per-group estimates from the register table are
+    BIT-IDENTICAL to batch hll_distinct over the concatenated rows
+    (same portable register arithmetic; merge = per-register max). A
+    replayed batch id is a no-op, and re-merging the full input again
+    changes nothing (max-merge idempotence)."""
+    from unimib_simpss_spark.functions.sketches import hll_distinct
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_hll,
+        read_hll_estimates,
+    )
+
+    batches = [
+        [dict(g="a", u=f"u{i}") for i in range(40)],
+        [dict(g="a", u=f"u{i}") for i in range(20, 60)]  # overlap with b0
+        + [dict(g="b", u=f"v{i}") for i in range(10)],
+        [dict(g="b", u=f"v{i}") for i in range(5, 25)],
+    ]
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        _write_log(src, f"b{i}.json", rows)
+    table = str(tmp_path / "hll_rollup")
+    stream = (
+        spark.readStream.schema("g STRING, u STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    body = foreach_batch_hll(table, ("g",), "u")
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [(r["g"], r["u"]) for rows in batches for r in rows], "g string, u string"
+    )
+    want = sorted(
+        tuple(r) for r in hll_distinct(all_rows, ["g"], "u").collect()
+    )
+    got = sorted(
+        tuple(r) for r in read_hll_estimates(spark, table, ("g",)).collect()
+    )
+    assert got == want
+    # replayed id: no-op; idempotence: re-merging everything changes nothing
+    body(all_rows, 0)
+    assert sorted(
+        tuple(r) for r in read_hll_estimates(spark, table, ("g",)).collect()
+    ) == got
+    from unimib_simpss_spark.streaming.sinks import register_merge_parquet
+
+    register_merge_parquet(all_rows, table, ("g",), "u", batch_id=99)
+    assert sorted(
+        tuple(r) for r in read_hll_estimates(spark, table, ("g",)).collect()
+    ) == got

@@ -294,3 +294,87 @@ def foreach_batch_additive(path: str, keys: tuple[str, ...], sums: dict):
         additive_merge_parquet(batch, path, keys, sums, batch_id=batch_id)
 
     return _apply
+
+
+# ------------------------------------------- sketch-register rollup sink
+def register_merge_parquet(
+    batch: DataFrame,
+    path: str,
+    group_cols: tuple[str, ...],
+    col: str,
+    p: int | None = None,
+    batch_id: int = -1,
+) -> None:
+    """MAX-merge a micro-batch's HyperLogLog registers into a
+    storage-resident register table — the CARDINALITY complement of
+    :func:`additive_merge_parquet` (sum) on the same generation-swap
+    layout: per-key distinct counts that survive re-provisioning with
+    the table, not a state store.
+
+    The batch collapses to its register relation
+    (``functions.sketches.hll_registers`` — ≤ groups×2^p rows) BEFORE
+    the merge touches storage, and merging is per-register ``max`` —
+    idempotent AND commutative, so shard rollups, replays, and
+    out-of-order applies all converge to the same table. Estimates read
+    back via :func:`read_hll_estimates` equal the batch
+    ``hll_distinct`` over every row ever folded (bit-identical — same
+    portable register arithmetic both ways)."""
+    from unimib_simpss_spark.functions.sketches import HLL_P, hll_registers
+
+    p = HLL_P if p is None else p
+    spark = batch.sparkSession
+    gcols = list(group_cols)
+    regs = hll_registers(batch, gcols, col, p)
+    cur, _ = _current_generation(path)
+    if cur is not None:
+        old = spark.read.parquet(cur).select(*regs.columns)
+        merged = (
+            old.unionByName(regs)
+            .groupBy(*gcols, "b")
+            .agg(F.max("M").alias("M"))
+        )
+    else:
+        merged = regs
+
+    def _write(target: str) -> None:
+        merged.write.mode("overwrite").parquet(target)
+
+    _swap_in_generation(path, _write, batch_id=batch_id)
+
+
+def foreach_batch_hll(
+    path: str, group_cols: tuple[str, ...], col: str, p: int | None = None
+):
+    """``foreachBatch`` body for the register rollup. Max-merge is
+    idempotent, so a replayed batch could not corrupt the table even
+    without the cursor — the applied-id skip below just avoids paying
+    the merge twice."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        _, last = _current_generation(path)
+        if batch_id <= last:
+            return
+        register_merge_parquet(batch, path, group_cols, col, p, batch_id)
+
+    return _apply
+
+
+def read_hll_estimates(
+    spark: SparkSession,
+    path: str,
+    group_cols: tuple[str, ...],
+    p: int | None = None,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-group cardinality estimates from the rollup table
+    :func:`foreach_batch_hll` maintains (same estimator as the batch
+    ``hll_distinct``)."""
+    from unimib_simpss_spark.functions.sketches import (
+        HLL_P,
+        hll_distinct_from_registers,
+    )
+
+    p = HLL_P if p is None else p
+    return hll_distinct_from_registers(
+        spark.read.parquet(path), list(group_cols), p, ndigits
+    )
