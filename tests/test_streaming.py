@@ -1612,3 +1612,48 @@ def test_streaming_hll_rollup_equals_batch_estimate(spark, tmp_path):
     assert sorted(
         tuple(r) for r in read_hll_estimates(spark, table, ("g",)).collect()
     ) == got
+
+
+def test_hll_rollup_precision_mismatch_is_loud(spark, tmp_path):
+    """Review r11 pass 3: the register table stores its precision —
+    merging or reading at a different p raises instead of silently
+    corrupting registers / mis-scaling the zeros correction."""
+    import pytest as _pytest
+
+    from unimib_simpss_spark.streaming.sinks import (
+        read_hll_estimates,
+        register_merge_parquet,
+    )
+
+    table = str(tmp_path / "hll_p")
+    rows = spark.createDataFrame([("a", "u1"), ("a", "u2")], "g string, u string")
+    register_merge_parquet(rows, table, ("g",), "u", p=9, batch_id=1)
+    with _pytest.raises(ValueError, match="p=9"):
+        register_merge_parquet(rows, table, ("g",), "u", p=10, batch_id=2)
+    with _pytest.raises(ValueError, match="p=9"):
+        read_hll_estimates(spark, table, ("g",), p=10)
+    # matching / unstated p both fine
+    assert read_hll_estimates(spark, table, ("g",), p=9).count() == 1
+    assert abs(read_hll_estimates(spark, table, ("g",)).first().hll_est - 2.0) < 0.1
+
+
+def test_assign_cells_null_dropped_ragged_raises(spark):
+    """Review r11 pass 3: NULL embeddings are dropped (no identity),
+    ragged ones raise with the offending id named — a single bad
+    arrival must not kill a streaming ingest with a raw NumPy error."""
+    import pytest as _pytest
+
+    from unimib_simpss_spark.operators.similarity import assign_cells
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    ok = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, None), (3, [9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.cell for r in assign_cells(ok, cents).collect()}
+    assert got == {1: 0, 3: 1}  # NULL row dropped, not fatal
+    ragged = spark.createDataFrame(
+        [(7, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="dimension"):
+        assign_cells(ragged, cents).collect()

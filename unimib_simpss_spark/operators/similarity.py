@@ -502,6 +502,24 @@ def kmeans_cells(
     return out
 
 
+# One broadcast per (Spark context, centroid matrix): a foreachBatch
+# body calling assign_cells per micro-batch must reuse the shipped k×d
+# copy, not create-and-leak a new broadcast every batch. Keyed by a
+# content digest; retrains produce a new matrix → a new (rare) entry.
+_CENTROID_BC_CACHE: dict = {}
+
+
+def _centroid_broadcast(sc, c):
+    import hashlib
+
+    key = (sc.applicationId, c.shape, hashlib.md5(c.tobytes()).hexdigest())
+    bc = _CENTROID_BC_CACHE.get(key)
+    if bc is None:
+        bc = sc.broadcast(c)
+        _CENTROID_BC_CACHE[key] = bc
+    return bc
+
+
 def assign_cells(
     df: DataFrame,
     centroids,
@@ -520,26 +538,45 @@ def assign_cells(
 
     This is the 100 TB ingest path for a serving ANN index: embeddings
     stream in, get cell-routed at arrival (no shuffle, no state — the
-    quantizer is a broadcast constant), and land partition-aligned with
-    the IVF index :func:`ivf_topk` probes. Retraining the quantizer is
-    a periodic batch job (:func:`kmeans_cells`); this operator is the
+    quantizer broadcast is cached per (context, matrix), so per-batch
+    ``foreachBatch`` calls reuse one shipped copy instead of
+    accumulating broadcasts), and land partition-aligned with the IVF
+    index :func:`ivf_topk` probes. Retraining the quantizer is a
+    periodic batch job (:func:`kmeans_cells`); this operator is the
     cheap continuous half between retrains.
+
+    Malformed arrivals (review r11 pass 3 — one bad record must not
+    kill a long-running ingest query with an inscrutable NumPy error):
+    NULL embeddings carry no identity and are DROPPED (the
+    ``hll_registers`` convention); a wrong-dimension vector is data
+    corruption and raises a clear error naming the offending ids.
     """
     import numpy as np
     import pandas as pd
 
     c = np.asarray(centroids, dtype=np.float64)
-    bc = df.sparkSession.sparkContext.broadcast(c)
+    bc = _centroid_broadcast(df.sparkSession.sparkContext, c)
+    dim = c.shape[1]
     src = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).where(F.col("v").isNotNull())
 
     def batches(it):
         cm = bc.value
         for pdf in it:
             if not len(pdf):
                 continue
+            bad = [
+                i for i, v in zip(pdf["vec_id"], pdf["v"]) if len(v) != dim
+            ]
+            if bad:
+                raise ValueError(
+                    f"assign_cells: vectors with dimension != {dim} for "
+                    f"{id_col} in {bad[:10]} — corrupt input, not missing "
+                    "data (NULL embeddings are dropped; ragged ones are "
+                    "not silently skippable)"
+                )
             mat = np.array(list(pdf["v"]), dtype=np.float64)
             d2 = (
                 -2.0 * (mat @ cm.T)

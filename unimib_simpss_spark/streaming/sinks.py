@@ -324,13 +324,25 @@ def register_merge_parquet(
     p = HLL_P if p is None else p
     spark = batch.sparkSession
     gcols = list(group_cols)
-    regs = hll_registers(batch, gcols, col, p)
+    # precision is STORED IN THE TABLE (a constant column): registers
+    # built at different p have incompatible bucket ids and rank
+    # geometry, so a mismatched merge would silently corrupt the sketch
+    # and a mismatched read would inflate the linear-counting zeros
+    # term — both must be loud (review r11 pass 3)
+    regs = hll_registers(batch, gcols, col, p).withColumn("p", F.lit(p))
     cur, _ = _current_generation(path)
     if cur is not None:
-        old = spark.read.parquet(cur).select(*regs.columns)
+        old = spark.read.parquet(cur)
+        stored_p = old.select("p").first()
+        if stored_p is not None and stored_p.p != p:
+            raise ValueError(
+                f"register table at {path} was built with p={stored_p.p}; "
+                f"merging p={p} registers would corrupt the sketch"
+            )
         merged = (
-            old.unionByName(regs)
-            .groupBy(*gcols, "b")
+            old.select(*regs.columns)
+            .unionByName(regs)
+            .groupBy(*gcols, "b", "p")
             .agg(F.max("M").alias("M"))
         )
     else:
@@ -368,13 +380,22 @@ def read_hll_estimates(
 ) -> DataFrame:
     """Per-group cardinality estimates from the rollup table
     :func:`foreach_batch_hll` maintains (same estimator as the batch
-    ``hll_distinct``)."""
+    ``hll_distinct``). The estimator runs at the precision STORED in
+    the table; passing an explicit ``p`` merely asserts it (a mismatch
+    raises rather than silently mis-scaling the zeros correction)."""
     from unimib_simpss_spark.functions.sketches import (
-        HLL_P,
         hll_distinct_from_registers,
     )
 
-    p = HLL_P if p is None else p
+    regs = spark.read.parquet(path)
+    stored = regs.select("p").first()
+    if stored is None:
+        raise ValueError(f"register table at {path} is empty")
+    if p is not None and p != stored.p:
+        raise ValueError(
+            f"register table at {path} was built with p={stored.p}, "
+            f"caller asked for p={p}"
+        )
     return hll_distinct_from_registers(
-        spark.read.parquet(path), list(group_cols), p, ndigits
+        regs, list(group_cols), stored.p, ndigits
     )
