@@ -1657,3 +1657,10 @@ def test_assign_cells_null_dropped_ragged_raises(spark):
     )
     with _pytest.raises(Exception, match="dimension"):
         assign_cells(ragged, cents).collect()
+    # a null ELEMENT coerces to NaN in NumPy — must raise loudly, not
+    # silently land in cell 0 via argmin-over-NaN
+    nully = spark.createDataFrame(
+        [(8, [1.0, None])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="NaN"):
+        assign_cells(nully, cents).collect()

@@ -578,6 +578,20 @@ def assign_cells(
                     "not silently skippable)"
                 )
             mat = np.array(list(pdf["v"]), dtype=np.float64)
+            # a NULL ELEMENT inside a vector survives the row-level
+            # NULL filter and the length check — NumPy coerces None to
+            # NaN, and argmin over NaN distances would SILENTLY assign
+            # cell 0. NaN coordinates (null or genuine) have no nearest
+            # centroid; fail loudly with the ids named.
+            nan_rows = np.isnan(mat).any(axis=1)
+            if nan_rows.any():
+                ids = list(pdf["vec_id"][nan_rows][:10])
+                raise ValueError(
+                    "assign_cells: vector with a null/NaN element for "
+                    f"vec_id in {ids} — corrupt input (NULL whole-vector"
+                    " rows are dropped; NaN coordinates are not"
+                    " silently assignable)"
+                )
             d2 = (
                 -2.0 * (mat @ cm.T)
                 + (cm * cm).sum(axis=1)[None, :]
