@@ -144,6 +144,9 @@ _INTERIOR_ALLOW: dict[str, set] = {
     "dedup.edit_distance_join": {"bnl-join"},  # same two legs, 2-relation
     # 1-row corpus-totals cross feeding the BM25 idf terms
     "curation.bm25_decontam_topk": {"bnl-join"},
+    # hardneg leg: cap-gated anchor broadcast × corpus (the q36
+    # pattern — bounded-driver contract enforces the build side)
+    "llm_similarity.q46_embedding_cosine_pairs": {"bnl-join"},
 }
 
 # The heavy operator family the sweep must cover (checkpoint users).

@@ -1261,3 +1261,116 @@ def random_projection_basis(d: int, k: int, seed: int = 0):
     rng = np.random.RandomState(seed)
     q, _ = np.linalg.qr(rng.randn(d, k))
     return q.T  # k × d, orthonormal rows
+
+
+# -------------------------------------------------- hard-negative mining
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 3,
+    anchor_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_anchor_rows: int | None = QUERY_SIDE_CAP,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each ANCHOR
+    vector, the top-k most-cosine-similar vectors with a DIFFERENT
+    label — the semantically-closest wrong answers, which is exactly
+    what contrastive objectives (InfoNCE/triplet) need as negatives
+    (random negatives are trivially separable; hard ones carry the
+    gradient signal).
+
+    Output: ``(anchor_id, negative_id, neg_label, cosine, rank)`` with
+    deterministic ordering (rounded cosine desc, negative id asc).
+
+    Scale shape: the q36 pattern — the anchor side is bounded
+    (``max_anchor_rows`` gate, same bounded-driver contract) and
+    broadcast; the corpus streams once; per-anchor top-k is a window
+    over anchor-id partitions. At 100 TB with huge anchor sets, route
+    through the IVF index instead (probe neighboring cells, filter
+    cross-label) — this exact form is the verification baseline for
+    that path. DuckDB twin: :func:`hard_negatives_sql`.
+    """
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        "_v",
+        "_norm",
+    )
+    pred = anchor_pred if anchor_pred is not None else F.lit(True)
+    anchors = base.where(pred).select(
+        F.col("_id").alias("anchor_id"),
+        F.col("_lbl").alias("_albl"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    if max_anchor_rows is not None:
+        na = (
+            with_unit_vectors(emb, vec_col)
+            .where(pred)
+            .select(F.col(id_col))
+            .limit(max_anchor_rows + 1)
+            .count()
+        )
+        if na > max_anchor_rows:
+            raise ValueError(
+                f"anchor side exceeds the bounded-driver cap "
+                f"({max_anchor_rows} rows); tighten anchor_pred"
+            )
+    corpus = base.select(
+        F.col("_id").alias("negative_id"),
+        F.col("_lbl").alias("neg_label"),
+        F.col("_v").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(corpus)
+        .where(F.col("_albl") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            "neg_label",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "neg_label",
+            "cosine",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+def hard_negatives_sql(k: int = 3, anchor_pred_sql: str = "TRUE") -> str:
+    """DuckDB twin of :func:`hard_negatives` (same rounding/ties)."""
+    return f"""
+    WITH base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+               c.label AS neg_label,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM (SELECT * FROM base WHERE {anchor_pred_sql}) q
+        JOIN base c ON q.label <> c.label
+    )
+    SELECT anchor_id, negative_id, neg_label, cosine,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cosine DESC, negative_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """

@@ -62,13 +62,21 @@ def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cosine_pairs_semdedup_oracle() -> str:
     pairs = S.cosine_pairs_sql(threshold=0.35)
+    hardneg = S.hard_negatives_sql(k=3, anchor_pred_sql="vec_id % 10 = 0")
     return f"""
     WITH pairs AS ({pairs})
-    SELECT 'pairs' AS section, vec1, vec2, cell, cosine FROM pairs
+    SELECT 'pairs' AS section, vec1, vec2, cell, cosine,
+           CAST(NULL AS BIGINT) AS rank
+    FROM pairs
     UNION ALL
     SELECT 'drop' AS section,
-           min(vec1) AS vec1, vec2, cell, max(cosine) AS cosine
+           min(vec1) AS vec1, vec2, cell, max(cosine) AS cosine,
+           CAST(NULL AS BIGINT) AS rank
     FROM pairs GROUP BY cell, vec2
+    UNION ALL
+    SELECT 'hardneg' AS section, anchor_id AS vec1, negative_id AS vec2,
+           neg_label AS cell, cosine, rank
+    FROM ({hardneg})
     """
 
 
@@ -93,18 +101,46 @@ def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     returning (operators/caching.py contract). The 'drop' leg adds one
     combinable groupBy over the (small) pair relation — candidate
     mining stays the dominant cost at any scale."""
-    from unimib_simpss_spark.operators.caching import materialize_release
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        materialize_release,
+    )
 
-    pairs = S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35).persist()
+    emb = _emb(spark, sf_dir)
+    # cache_intermediate (not a raw persist) so the "table" checkpoint
+    # mode covers this barrier too — same routing as q34/q62
+    pairs = cache_intermediate(S.cosine_pairs(emb, threshold=0.35))
     pleg = pairs.select(
-        F.lit("pairs").alias("section"), "vec1", "vec2", "cell", "cosine"
+        F.lit("pairs").alias("section"),
+        "vec1",
+        "vec2",
+        "cell",
+        "cosine",
+        F.lit(None).cast("long").alias("rank"),
     )
     drops = (
         pairs.groupBy("cell", "vec2")
         .agg(F.min("vec1").alias("vec1"), F.max("cosine").alias("cosine"))
-        .select(F.lit("drop").alias("section"), "vec1", "vec2", "cell", "cosine")
+        .select(
+            F.lit("drop").alias("section"),
+            "vec1",
+            "vec2",
+            "cell",
+            "cosine",
+            F.lit(None).cast("long").alias("rank"),
+        )
     )
-    return materialize_release(pleg.unionAll(drops), pairs)
+    hn = S.hard_negatives(
+        emb, k=3, anchor_pred=F.col("vec_id") % 10 == 0
+    ).select(
+        F.lit("hardneg").alias("section"),
+        F.col("anchor_id").alias("vec1"),
+        F.col("negative_id").alias("vec2"),
+        F.col("neg_label").alias("cell"),
+        "cosine",
+        "rank",
+    )
+    return materialize_release(pleg.unionAll(drops).unionAll(hn), pairs)
 
 
 @query("x50_ann_learned_index")  # iterative build + approx recall → rows-only
