@@ -62,7 +62,7 @@ def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cosine_pairs_semdedup_oracle() -> str:
     pairs = S.cosine_pairs_sql(threshold=0.35)
-    hardneg = S.hard_negatives_sql(k=3, anchor_pred_sql="vec_id % 10 = 0")
+    hardneg = S.hard_negatives_sql(k=3, anchor_pred_sql="vec_id % 20 = 0")
     return f"""
     WITH pairs AS ({pairs})
     SELECT 'pairs' AS section, vec1, vec2, cell, cosine,
@@ -131,7 +131,7 @@ def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hn = S.hard_negatives(
-        emb, k=3, anchor_pred=F.col("vec_id") % 10 == 0
+        emb, k=3, anchor_pred=F.col("vec_id") % 20 == 0
     ).select(
         F.lit("hardneg").alias("section"),
         F.col("anchor_id").alias("vec1"),
