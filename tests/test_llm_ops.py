@@ -1461,3 +1461,66 @@ class TestEditDistanceJoin:
         lrows = [(r.doc_id, r.s) for r in left.collect()]
         rrows = [(r.doc_id, r.s) for r in right.collect()]
         assert got == self._naive(lrows, rrows, 2)
+
+
+class TestHardNegatives:
+    """Dedicated coverage for the contrastive negative miner (review
+    r11 pass 4): cross-label property, determinism, the cap raise, the
+    ungated path, and NULL-cosine rejection."""
+
+    def test_cross_label_top_k_and_determinism(self, emb, spark):
+        got = S.hard_negatives(
+            emb, k=3, anchor_pred=F.col("vec_id") % 20 == 0
+        ).collect()
+        labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+        assert got, "no anchors matched — weak test"
+        for r in got:
+            assert labels[r.anchor_id] != r.neg_label  # cross-label only
+            assert labels[r.negative_id] == r.neg_label
+            assert 1 <= r.rank <= 3
+        again = S.hard_negatives(
+            emb, k=3, anchor_pred=F.col("vec_id") % 20 == 0
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_cap_raises_and_ungated_path_matches(self, emb):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bounded-driver cap"):
+            S.hard_negatives(emb, k=2, max_anchor_rows=3)
+        # max_anchor_rows=None: no gate, no forced broadcast — same rows
+        gated = sorted(
+            map(tuple, S.hard_negatives(
+                emb, k=2, anchor_pred=F.col("vec_id") % 50 == 0
+            ).collect())
+        )
+        ungated = sorted(
+            map(tuple, S.hard_negatives(
+                emb, k=2, anchor_pred=F.col("vec_id") % 50 == 0,
+                max_anchor_rows=None,
+            ).collect())
+        )
+        assert gated == ungated
+
+    def test_null_and_zero_norm_vectors_never_ranked(self, spark):
+        """A zero-norm or NULL-element vector has no defined cosine —
+        it must mine NO negatives and BE no one's negative, not rank k
+        arbitrary ids under NULL scores."""
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 1),
+            (3, [0.0, 0.0], 1),    # zero norm
+            (4, [None, 1.0], 1),   # NULL element
+            (5, [0.0, 1.0], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        got = S.hard_negatives(df, k=5).collect()
+        ids_as_anchor = {r.anchor_id for r in got}
+        ids_as_negative = {r.negative_id for r in got}
+        assert 3 not in ids_as_anchor and 3 not in ids_as_negative
+        assert 4 not in ids_as_anchor and 4 not in ids_as_negative
+        assert all(r.cosine is not None for r in got)
+        # the well-formed vectors still mine each other
+        assert {r.anchor_id for r in got} == {1, 2, 5}

@@ -62,6 +62,34 @@ def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("_v", v).withColumn("_norm", _norm(F.col("_v")))
 
 
+def _gated_query_side(
+    emb: DataFrame,
+    pred: Column,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cap: int | None,
+):
+    """Shared size-gate for the broadcast query/anchor side (used by
+    :func:`cosine_topk` and :func:`hard_negatives`): with ``cap`` set,
+    count the pred-filtered side off the SAME with_unit_vectors
+    projection (so preds referencing derived columns resolve
+    identically) and broadcast-hint only when it fits; with
+    ``cap=None``, skip both the count and the hint and let AQE choose —
+    NEVER force a broadcast that was not size-checked (the
+    bounded-driver contract)."""
+    if cap is None:
+        return queries
+    n = (
+        with_unit_vectors(emb, vec_col)
+        .where(pred)
+        .select(F.col(id_col))
+        .limit(cap + 1)
+        .count()
+    )
+    return F.broadcast(queries) if n <= cap else queries
+
+
 def cosine_topk(
     emb: DataFrame,
     k: int = 5,
@@ -97,23 +125,9 @@ def cosine_topk(
         F.col("_v").alias("_cv"),
         F.col("_norm").alias("_cn"),
     )
-    qside = queries
-    if max_query_rows is not None:
-        # Count off the SAME relation the queries are built from (the
-        # with_unit_vectors projection), so a pred referencing derived
-        # columns (_v/_norm) resolves identically on the gate and the
-        # plan. Selecting only the id after the filter still lets
-        # Catalyst prune _v/_norm from the scan when pred doesn't touch
-        # them; the limit caps the gate job either way.
-        nq = (
-            with_unit_vectors(emb, vec_col)
-            .where(pred)
-            .select(F.col(id_col))
-            .limit(max_query_rows + 1)
-            .count()
-        )
-        if nq <= max_query_rows:
-            qside = F.broadcast(queries)
+    qside = _gated_query_side(
+        emb, pred, queries, id_col, vec_col, max_query_rows
+    )
     scored = (
         qside.crossJoin(corpus)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -1317,6 +1331,10 @@ def hard_negatives(
                 f"anchor side exceeds the bounded-driver cap "
                 f"({max_anchor_rows} rows); tighten anchor_pred"
             )
+        anchors = F.broadcast(anchors)
+    # (max_anchor_rows=None: no count, no hint — AQE decides; a forced
+    # broadcast of an unchecked side would violate the bounded-driver
+    # contract this module opens with)
     corpus = base.select(
         F.col("_id").alias("negative_id"),
         F.col("_lbl").alias("neg_label"),
@@ -1324,8 +1342,7 @@ def hard_negatives(
         F.col("_norm").alias("_cn"),
     )
     scored = (
-        F.broadcast(anchors)
-        .crossJoin(corpus)
+        anchors.crossJoin(corpus)
         .where(F.col("_albl") != F.col("neg_label"))
         .select(
             "anchor_id",
@@ -1337,6 +1354,11 @@ def hard_negatives(
                 6,
             ).alias("cosine"),
         )
+        # a zero-norm or NULL-element vector has NO defined cosine —
+        # without this filter the all-NULL partition would still rank
+        # k arbitrary ids as "hard negatives" (garbage training pairs);
+        # dropped on BOTH engines (the SQL twin filters identically)
+        .where(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.asc("negative_id")
@@ -1372,5 +1394,6 @@ def hard_negatives_sql(k: int = 3, anchor_pred_sql: str = "TRUE") -> str:
            CAST(row_number() OVER (PARTITION BY anchor_id
                 ORDER BY cosine DESC, negative_id) AS BIGINT) AS rank
     FROM scored
+    WHERE cosine IS NOT NULL
     QUALIFY rank <= {k}
     """

@@ -95,12 +95,19 @@ def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       dropped id, vec1 = the lowest-id survivor it dedupes against,
       cosine = strongest evidence. Deterministic keep-lowest-id policy,
       so the kept set is rerun-stable.
+    - 'hardneg' — contrastive-training negative mining
+      (operators/similarity.py hard_negatives): for every 20th vector
+      as anchor, the top-3 most-cosine-similar CROSS-label vectors —
+      vec1 = anchor, vec2 = negative, cell = the NEGATIVE's label,
+      rank = 1..3 (NULL in the other sections).
 
-    The pair relation is computed ONCE (persisted), both legs derive
-    from it, and the union is checkpointed + the cache released before
-    returning (operators/caching.py contract). The 'drop' leg adds one
-    combinable groupBy over the (small) pair relation — candidate
-    mining stays the dominant cost at any scale."""
+    The pair relation is computed ONCE behind cache_intermediate (so
+    the "table" checkpoint mode covers the barrier), the 'pairs' and
+    'drop' legs derive from it, and the three-leg union is checkpointed
+    + the cache released before returning (operators/caching.py
+    contract). The 'drop' leg adds one combinable groupBy over the
+    (small) pair relation; the 'hardneg' leg is a cap-gated broadcast
+    anchor set against one corpus stream."""
     from unimib_simpss_spark.operators.caching import (
         cache_intermediate,
         materialize_release,
