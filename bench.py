@@ -110,6 +110,13 @@ def main() -> None:
     run(HEADLINE[0])  # warmup: JVM + codegen + parquet footer cache
     timings = {name: round(run(name), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
+    # The driver captures only a TAIL of stdout, so the metric line must
+    # be compact and LAST (round 11's per-query load map doubled the line
+    # and cut off its head — BENCH_r11 recorded parsed:null). Emit the
+    # full per-query load-marker map on its own line FIRST (for human /
+    # BASELINE.md adjudication), then the driver-contract JSON line with
+    # only the session-level load fields.
+    print(json.dumps({"query_load_1min": load_markers}))
     print(
         json.dumps(
             {
@@ -120,8 +127,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_1min_start": load_start,
                 "load_1min_end": loadavg(),
-                "query_load_1min": load_markers,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -471,3 +471,53 @@ def test_pruned_file_count_and_x74_invariants(spark, sf_dir, tmp_path):
     assert 1 <= z.files_total <= 16 and 1 <= lin.files_total <= 16
     assert z.rows == lin.rows  # layout never changes the answer
     assert z.files_read <= lin.files_read  # ...only the files touched
+
+
+def test_file_span_stats_missing_min_max_is_must_touch(spark, tmp_path):
+    """ADVICE r11 — a parquet statistics object can exist WITHOUT
+    min/max (here: binary values past the writer's statistics-size
+    truncation; NaN-bearing doubles under older writers are the same
+    shape): the span must come back None (conservative must-touch),
+    not raise TypeError on min(lo, None), and a file with only SOME
+    stat-less row groups must void its whole span (the unseen rows
+    could be anywhere)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unimib_simpss_spark.sources.lakehouse import (
+        file_span_stats,
+        pruned_file_count,
+    )
+
+    path = tmp_path / "nostats"
+    path.mkdir()
+    big = "z" * 5000  # > the 4096-byte stats cap → has_min_max False
+    pq.write_table(
+        pa.table({"x": pa.array([big, big + "a"], pa.string())}),
+        str(path / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"x": pa.array(["m", "n"], pa.string())}),
+        str(path / "b.parquet"),
+    )
+    # one clean row group + one stat-less row group → whole span voided
+    pq.write_table(
+        pa.table({"x": pa.array(["c", "d", big, big], pa.string())}),
+        str(path / "c.parquet"),
+        row_group_size=2,
+    )
+    # the stat-less row group really is the shape the advice names
+    md = pq.ParquetFile(str(path / "a.parquet")).metadata
+    s = md.row_group(0).column(0).statistics
+    assert s is not None and not s.has_min_max
+    spans = {
+        r["file"]: (r["x_min"], r["x_max"])
+        for r in file_span_stats(str(path), ("x",))
+    }
+    assert spans["b.parquet"] == ("m", "n")
+    assert spans["a.parquet"] == (None, None)
+    assert spans["c.parquet"] == (None, None)
+    total, read = pruned_file_count(str(path), {"x": ("e", "f")})
+    assert total == 3
+    # only the clean file is skippable; stat-less files must be touched
+    assert read == 2

@@ -1524,3 +1524,131 @@ class TestHardNegatives:
         assert all(r.cosine is not None for r in got)
         # the well-formed vectors still mine each other
         assert {r.anchor_id for r in got} == {1, 2, 5}
+
+
+class TestHardNegativesIVF:
+    """The routed scale path (round 11's one weak): recall bounds vs
+    the exact baseline, all-cells-probed equivalence, and over-cap
+    success where the exact form raises."""
+
+    @staticmethod
+    def _pred():
+        return F.col("vec_id") % 20 == 0
+
+    def _pairs(self, rows):
+        return {(r.anchor_id, r.negative_id) for r in rows}
+
+    def test_all_cells_probed_equals_exact(self, emb):
+        """nprobe = n_cells means every candidate the exact cross join
+        scores is also scored by the routed path — the outputs must be
+        IDENTICAL, not merely high-recall (exactness-at-full-probe is
+        the property that pins the routing arithmetic)."""
+        exact = sorted(map(tuple, S.hard_negatives(
+            emb, k=3, anchor_pred=self._pred()
+        ).collect()))
+        routed = sorted(map(tuple, S.hard_negatives_ivf(
+            emb, k=3, anchor_pred=self._pred(), n_cells=4, nprobe=4
+        ).collect()))
+        assert routed == exact
+
+    def test_partial_probe_recall_bound(self, emb):
+        """nprobe=2 of 8 cells: candidates come only from the anchor's
+        two nearest cells; recall vs the exact top-3 must clear a real
+        bound (the number itself is data-dependent, but a collapse to
+        near-zero would mean the routing is broken)."""
+        exact = self._pairs(S.hard_negatives(
+            emb, k=3, anchor_pred=self._pred()
+        ).collect())
+        routed_rows = S.hard_negatives_ivf(
+            emb, k=3, anchor_pred=self._pred(), n_cells=8, nprobe=2
+        ).collect()
+        routed = self._pairs(routed_rows)
+        assert exact, "no anchors matched — weak test"
+        recall = len(exact & routed) / len(exact)
+        assert recall >= 0.5, recall
+        # every routed pair is still a genuine cross-label pair with an
+        # exact cosine — approximation loses candidates, never scores
+        labels = {
+            r.vec_id: r.label
+            for r in emb.select("vec_id", "label").collect()
+        }
+        for r in routed_rows:
+            assert labels[r.anchor_id] != r.neg_label
+            assert labels[r.negative_id] == r.neg_label
+            assert 1 <= r.rank <= 3
+
+    def test_over_cap_anchor_set_succeeds_where_exact_raises(self, emb):
+        """The scale contract: an anchor set past the bounded-driver
+        cap RAISES on the exact form and SUCCEEDS through the routed
+        path (no cap, no broadcast of the anchor side)."""
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bounded-driver cap"):
+            S.hard_negatives(emb, k=2, max_anchor_rows=3)
+        got = S.hard_negatives_ivf(
+            emb, k=2, n_cells=4, nprobe=2
+        ).collect()
+        anchors = {r.anchor_id for r in got}
+        # every well-formed vector is an anchor here (pred=True)
+        assert len(anchors) > 400
+        again = S.hard_negatives_ivf(
+            emb, k=2, n_cells=4, nprobe=2
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_frozen_quantizer_reused(self, emb):
+        """Passing centroids skips the in-operator k-means and must
+        agree with the train-here path given the same quantizer."""
+        _, cents = S.kmeans_cells(emb, k=4, return_centroids=True)
+        a = sorted(map(tuple, S.hard_negatives_ivf(
+            emb, k=2, anchor_pred=self._pred(), centroids=cents, nprobe=2
+        ).collect()))
+        b = sorted(map(tuple, S.hard_negatives_ivf(
+            emb, k=2, anchor_pred=self._pred(), n_cells=4, nprobe=2
+        ).collect()))
+        assert a == b
+
+
+class TestProbeCells:
+    def test_nprobe_one_matches_assign_cells(self, emb):
+        _, cents = S.kmeans_cells(emb, k=6, return_centroids=True)
+        assigned = {
+            r.vec_id: r.cell
+            for r in S.assign_cells(emb, cents).collect()
+        }
+        probed = S.probe_cells(emb, cents, nprobe=1).collect()
+        assert {r.vec_id: r.cell for r in probed} == assigned
+        assert all(r.probe_rank == 0 for r in probed)
+
+    def test_ranks_distinct_cells_by_distance(self, emb):
+        import numpy as np
+
+        _, cents = S.kmeans_cells(emb, k=6, return_centroids=True)
+        rows = S.probe_cells(emb, cents, nprobe=3).collect()
+        by_id: dict = {}
+        for r in rows:
+            by_id.setdefault(r.vec_id, []).append((r.probe_rank, r.cell))
+        vecs = {
+            r.vec_id: np.asarray(r.embedding, dtype=float)
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+        for vid, pr in by_id.items():
+            pr.sort()
+            assert [p for p, _ in pr] == [0, 1, 2]
+            cells = [c for _, c in pr]
+            assert len(set(cells)) == 3  # distinct cells
+            d2 = np.round(
+                ((cents - vecs[vid][None, :]) ** 2).sum(axis=1), 9
+            )
+            # ranked by rounded distance, ties by lowest cell id
+            expect = sorted(range(len(cents)), key=lambda c: (d2[c], c))
+            assert cells == expect[:3]
+
+    def test_nprobe_bounds_raise(self, emb):
+        import pytest as _pytest
+
+        _, cents = S.kmeans_cells(emb, k=4, return_centroids=True)
+        with _pytest.raises(ValueError, match="nprobe"):
+            S.probe_cells(emb, cents, nprobe=0)
+        with _pytest.raises(ValueError, match="nprobe"):
+            S.probe_cells(emb, cents, nprobe=5)

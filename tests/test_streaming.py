@@ -1250,6 +1250,39 @@ def test_additive_rollup_sink_totals_and_replay_protection(spark, tmp_path):
     assert final["a"] == (want["a"][0] + 1, want["a"][1] + 999.0)
 
 
+def test_additive_direct_call_never_regresses_replay_cursor(spark, tmp_path):
+    """ADVICE r11 — a DIRECT additive_merge_parquet call (default
+    batch_id=-1 sentinel, e.g. an ad-hoc backfill) on a table that
+    foreach_batch_additive maintains must carry the applied id forward,
+    not stamp a gen.-1 generation that re-enables double-counting of
+    checkpoint-replayed batches."""
+    from unimib_simpss_spark.streaming.sinks import (
+        _current_generation,
+        additive_merge_parquet,
+        foreach_batch_additive,
+    )
+
+    table = str(tmp_path / "rollup")
+    body = foreach_batch_additive(table, ("k",), {"sum_v": "v"})
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v double")
+
+    body(mk([("a", 1.0)]), 0)
+    body(mk([("a", 2.0)]), 1)
+    assert _current_generation(table)[1] == 1
+    # direct manual merge with the sentinel: folds in, cursor keeps 1
+    additive_merge_parquet(mk([("b", 5.0)]), table, ("k",), {"sum_v": "v"})
+    assert _current_generation(table)[1] == 1
+    # a stale explicit id may not move the cursor backwards either
+    additive_merge_parquet(
+        mk([("b", 7.0)]), table, ("k",), {"sum_v": "v"}, batch_id=0
+    )
+    assert _current_generation(table)[1] == 1
+    # the replay of batch 1 is STILL skipped after the manual merges
+    body(mk([("a", 999.0)]), 1)
+    got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(table).collect()}
+    assert got == {"a": (2, 3.0), "b": (2, 12.0)}
+
+
 def test_additive_rollup_crash_safety_generation_swap(spark, tmp_path):
     """ADVICE r10 — the additive sink's table state and applied batch
     id must advance ATOMICALLY (one symlink rename), a crash that

@@ -69,15 +69,22 @@ def _gated_query_side(
     id_col: str,
     vec_col: str,
     cap: int | None,
+    on_overflow: str = "degrade",
 ):
     """Shared size-gate for the broadcast query/anchor side (used by
-    :func:`cosine_topk` and :func:`hard_negatives`): with ``cap`` set,
-    count the pred-filtered side off the SAME with_unit_vectors
-    projection (so preds referencing derived columns resolve
-    identically) and broadcast-hint only when it fits; with
-    ``cap=None``, skip both the count and the hint and let AQE choose —
-    NEVER force a broadcast that was not size-checked (the
-    bounded-driver contract)."""
+    :func:`cosine_topk` and :func:`hard_negatives` — ONE gate, two
+    overflow policies, so the semantics can't drift apart again
+    (ADVICE r11)): with ``cap`` set, count the pred-filtered side off
+    the SAME with_unit_vectors projection (so preds referencing derived
+    columns resolve identically) and broadcast-hint only when it fits.
+    Overflow policy: ``"degrade"`` returns the unhinted side (AQE picks
+    a shuffled plan — cosine_topk's exact-scan contract still holds);
+    ``"raise"`` fails loudly (hard_negatives: an uncapped anchor ×
+    corpus cross join has no acceptable shuffled fallback — use
+    :func:`hard_negatives_ivf`, the routed scale path). ``cap=None``
+    skips both the count and the hint and lets AQE choose — NEVER
+    force a broadcast that was not size-checked (the bounded-driver
+    contract)."""
     if cap is None:
         return queries
     n = (
@@ -87,7 +94,15 @@ def _gated_query_side(
         .limit(cap + 1)
         .count()
     )
-    return F.broadcast(queries) if n <= cap else queries
+    if n <= cap:
+        return F.broadcast(queries)
+    if on_overflow == "raise":
+        raise ValueError(
+            f"anchor side exceeds the bounded-driver cap ({cap} rows); "
+            "tighten anchor_pred or use hard_negatives_ivf (the "
+            "IVF-routed scale path)"
+        )
+    return queries
 
 
 def cosine_topk(
@@ -621,6 +636,84 @@ def assign_cells(
             )
 
     return src.mapInPandas(batches, "vec_id long, cell int")
+
+
+def probe_cells(
+    df: DataFrame,
+    centroids,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``nprobe`` nearest quantizer cells per vector — the
+    query-side half of IVF probing, generalizing :func:`assign_cells`
+    (``nprobe=1`` reproduces its assignment exactly: same GEMM, same
+    ``round(d2, 9)`` tie geometry, stable argsort → ties break by
+    lowest centroid index just like argmin). Output:
+    ``(vec_id, cell, probe_rank)`` with ``probe_rank`` 0-based by
+    distance.
+
+    Stateless Arrow-batched GEMM against the cached broadcast k×d
+    matrix — streaming-legal, no shuffle, driver state bounded by the
+    quantizer. Malformed-input policy is inherited verbatim from
+    :func:`assign_cells` (NULL vectors drop; ragged/NaN raise with ids
+    named)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    if not 1 <= nprobe <= c.shape[0]:
+        raise ValueError(
+            f"nprobe must be in [1, {c.shape[0]}] (the cell count), "
+            f"got {nprobe}"
+        )
+    bc = _centroid_broadcast(df.sparkSession.sparkContext, c)
+    dim = c.shape[1]
+    src = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull())
+
+    def batches(it):
+        cm = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            bad = [
+                i for i, v in zip(pdf["vec_id"], pdf["v"]) if len(v) != dim
+            ]
+            if bad:
+                raise ValueError(
+                    f"probe_cells: vectors with dimension != {dim} for "
+                    f"{id_col} in {bad[:10]} — corrupt input"
+                )
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            nan_rows = np.isnan(mat).any(axis=1)
+            if nan_rows.any():
+                ids = list(pdf["vec_id"][nan_rows][:10])
+                raise ValueError(
+                    "probe_cells: vector with a null/NaN element for "
+                    f"vec_id in {ids} — corrupt input"
+                )
+            d2 = np.round(
+                -2.0 * (mat @ cm.T)
+                + (cm * cm).sum(axis=1)[None, :]
+                + (mat * mat).sum(axis=1)[:, None],
+                9,
+            )
+            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            n, p = order.shape
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
+                    "cell": order.ravel().astype("int32"),
+                    "probe_rank": np.tile(
+                        np.arange(p, dtype="int32"), n
+                    ),
+                }
+            )
+
+    return src.mapInPandas(batches, "vec_id long, cell int, probe_rank int")
 
 
 def hyperplane_lsh_topk(
@@ -1300,10 +1393,11 @@ def hard_negatives(
     Scale shape: the q36 pattern — the anchor side is bounded
     (``max_anchor_rows`` gate, same bounded-driver contract) and
     broadcast; the corpus streams once; per-anchor top-k is a window
-    over anchor-id partitions. At 100 TB with huge anchor sets, route
-    through the IVF index instead (probe neighboring cells, filter
-    cross-label) — this exact form is the verification baseline for
-    that path. DuckDB twin: :func:`hard_negatives_sql`.
+    over anchor-id partitions. At 100 TB with huge anchor sets, use
+    :func:`hard_negatives_ivf` (probe nprobe nearest quantizer cells,
+    filter cross-label — no anchor cap, no broadcast); this exact form
+    is its recall-verification baseline. DuckDB twin:
+    :func:`hard_negatives_sql`.
     """
     base = with_unit_vectors(emb, vec_col).select(
         F.col(id_col).alias("_id"),
@@ -1318,23 +1412,15 @@ def hard_negatives(
         F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qn"),
     )
-    if max_anchor_rows is not None:
-        na = (
-            with_unit_vectors(emb, vec_col)
-            .where(pred)
-            .select(F.col(id_col))
-            .limit(max_anchor_rows + 1)
-            .count()
-        )
-        if na > max_anchor_rows:
-            raise ValueError(
-                f"anchor side exceeds the bounded-driver cap "
-                f"({max_anchor_rows} rows); tighten anchor_pred"
-            )
-        anchors = F.broadcast(anchors)
-    # (max_anchor_rows=None: no count, no hint — AQE decides; a forced
-    # broadcast of an unchecked side would violate the bounded-driver
-    # contract this module opens with)
+    # shared gate, raise-on-overflow policy: an anchor × corpus cross
+    # join past the cap has no acceptable shuffled fallback — the error
+    # names hard_negatives_ivf as the routed scale path. cap=None: no
+    # count, no hint — AQE decides (a forced broadcast of an unchecked
+    # side would violate the bounded-driver contract above).
+    anchors = _gated_query_side(
+        emb, pred, anchors, id_col, vec_col, max_anchor_rows,
+        on_overflow="raise",
+    )
     corpus = base.select(
         F.col("_id").alias("negative_id"),
         F.col("_lbl").alias("neg_label"),
@@ -1397,3 +1483,115 @@ def hard_negatives_sql(k: int = 3, anchor_pred_sql: str = "TRUE") -> str:
     WHERE cosine IS NOT NULL
     QUALIFY rank <= {k}
     """
+
+
+def hard_negatives_ivf(
+    emb: DataFrame,
+    k: int = 3,
+    anchor_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids=None,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """IVF-routed hard-negative mining — the 100 TB scale path the
+    exact :func:`hard_negatives` docstring promises: no anchor-side
+    cap, no broadcast of the anchor set, no anchor × corpus cross join.
+    Same output contract ``(anchor_id, negative_id, neg_label, cosine,
+    rank)``; approximate (a true hard negative outside the probed cells
+    is missed), with recall vs the exact baseline bounds-tested in
+    tests/test_llm_ops.py.
+
+    Route: corpus vectors land in their nearest quantizer cell
+    (:func:`assign_cells` — at 100 TB this relation is PRECOMPUTED by
+    the streaming ingest path and stored cell-partitioned); anchors
+    probe their ``nprobe`` nearest cells (:func:`probe_cells`); the
+    candidate set is one cell equi-join (cost ∝ anchors ×
+    nprobe × cell size, co-partitioned on the cell id — never anchors ×
+    corpus); cross-label filter, exact cosine, per-anchor top-k. Each
+    (anchor, negative) pair appears at most once because a corpus
+    vector lives in exactly ONE cell. Pass ``centroids`` (k×d, e.g.
+    from ``kmeans_cells(..., return_centroids=True)``) to reuse a
+    frozen quantizer; otherwise one is trained here deterministically.
+    """
+    if centroids is None:
+        from unimib_simpss_spark.operators.caching import release_result
+
+        assigned, centroids = kmeans_cells(
+            emb,
+            k=n_cells,
+            iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            return_centroids=True,
+        )
+        # only the k×d quantizer is needed — the corpus assignment is
+        # recomputed lazily below (one stateless GEMM pass) so this
+        # operator stays lazy; keeping kmeans' eager checkpoint alive
+        # instead would leak its blocks to the caller
+        release_result(assigned)
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        "_v",
+        "_norm",
+    )
+    corpus = base.join(
+        assign_cells(emb, centroids, id_col=id_col, vec_col=vec_col)
+        .withColumnRenamed("vec_id", "_id"),
+        "_id",
+    ).select(
+        F.col("_id").alias("negative_id"),
+        F.col("_lbl").alias("neg_label"),
+        "cell",
+        F.col("_v").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    pred = anchor_pred if anchor_pred is not None else F.lit(True)
+    # pred is applied on the SAME with_unit_vectors projection as the
+    # exact form, so predicates referencing derived columns resolve
+    # identically in both paths
+    anchors = base.where(pred)
+    aprobes = probe_cells(
+        anchors, centroids, nprobe=nprobe, id_col="_id", vec_col="_v"
+    ).select(F.col("vec_id").alias("anchor_id"), "cell")
+    aside = anchors.select(
+        F.col("_id").alias("anchor_id"),
+        F.col("_lbl").alias("_albl"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    ).join(aprobes, "anchor_id")
+    scored = (
+        aside.join(corpus, "cell")
+        .where(F.col("_albl") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            "neg_label",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+        # NULL-cosine pairs (zero-norm / NULL-element vectors) drop,
+        # matching the exact form's convention
+        .where(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "neg_label",
+            "cosine",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )

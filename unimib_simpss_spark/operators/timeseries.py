@@ -277,14 +277,20 @@ def pattern_topk(
     sd_q = var_q**0.5
     qz = [0.0 if sd_q == 0 else (x - mu_q) / sd_q for x in pattern]
 
-    series = (
+    # Pre-collect count gate (same as ewma's): the bound must fire
+    # BEFORE collect_list builds the oversized key's full series in the
+    # aggregation buffer — a post-collect F.size check only raises after
+    # the memory it guards against is already committed (ADVICE r11).
+    src = _with_series_bound_gate(
         df.select(
             F.col(key_col).cast("string").alias("key"),
             F.col(ts_col).cast("double").alias("ts"),
             F.col(val_col).cast("double").alias("v"),
-        )
-        .where(_valid_point())
-        .groupBy("key")
+        ).where(_valid_point()),
+        max_points,
+    )
+    series = (
+        src.groupBy("key")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("ts"), F.col("v")))
@@ -293,28 +299,6 @@ def pattern_topk(
         .select("key", F.transform("pts", lambda p: p["v"]).alias("vs"))
         .where(F.size("vs") >= m)
     )
-    if max_points is not None:
-        # In-plan state-bound assertion (same contract as ewma's): a key
-        # whose series exceeds max_points fails the stage loudly with the
-        # offending key named, instead of silently OOMing the task.
-        series = series.select(
-            "key",
-            F.when(
-                F.size("vs") > max_points,
-                F.raise_error(
-                    F.concat(
-                        F.lit("per-key series for key="),
-                        F.col("key"),
-                        F.lit(
-                            f" exceeds max_points={max_points}; downsample"
-                            " or raise max_points deliberately"
-                        ),
-                    )
-                ).cast("array<double>"),
-            )
-            .otherwise(F.col("vs"))
-            .alias("vs"),
-        )
 
     # Per-window cost is a CONSTANT number of O(m) folds (sum, sum of
     # squares, pattern cross-product) — naively folding (x-mu)²  with mu

@@ -180,12 +180,19 @@ def check_foreign_key(
     fk_cols: list[str],
     dim: DataFrame,
     pk_cols: list[str],
+    max_dim_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Referential-integrity constraint: every non-NULL ``fk_cols``
     tuple in ``left`` must exist in ``dim``'s ``pk_cols``. Violations
-    via LEFT ANTI join with a broadcast dimension side — the fact side
-    streams, only O(#rules) counts come back. NULL FKs are exempt (SQL
-    FK semantics)."""
+    via LEFT ANTI join — the fact side streams, only O(#rules) counts
+    come back. NULL FKs are exempt (SQL FK semantics).
+
+    The broadcast hint on the dimension is SIZE-GATED, never forced
+    (the repo-wide cap-gated broadcast discipline, ADVICE r11): with
+    ``max_dim_rows`` set (default 1M PK rows ≈ tens of MB), one cheap
+    limit-bounded count decides; an oversized dimension degrades to a
+    shuffled anti join instead of OOMing executors past AQE's size
+    check. ``max_dim_rows=None`` skips the count and lets AQE choose."""
     fk_present = left
     for c in fk_cols:
         fk_present = fk_present.where(F.col(c).isNotNull())
@@ -193,9 +200,21 @@ def check_foreign_key(
     for fc, pc in zip(fk_cols, pk_cols):
         c = F.col(f"__l.{fc}") == F.col(f"__d.{pc}")
         cond = c if cond is None else (cond & c)
+    # the anti join only needs the PK columns — prune before gating so
+    # both the count and any broadcast move the narrowest relation
+    dim_keys = dim.select(*pk_cols)
+    if max_dim_rows is not None:
+        n = dim_keys.limit(max_dim_rows + 1).count()
+        dim_side = (
+            F.broadcast(dim_keys.alias("__d"))
+            if n <= max_dim_rows
+            else dim_keys.alias("__d")
+        )
+    else:
+        dim_side = dim_keys.alias("__d")
     orphans = (
         fk_present.alias("__l")
-        .join(F.broadcast(dim.alias("__d")), cond, "left_anti")
+        .join(dim_side, cond, "left_anti")
         .agg(F.count(F.lit(1)).alias("__v"))
     )
     total = left.agg(F.count(F.lit(1)).alias("__n"))

@@ -317,6 +317,32 @@ def x66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("x76_hardneg_ivf")  # learned quantizer + approx recall → rows-only
+def x76_hardneg_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ROUTED hard-negative mining (operators/similarity.py
+    hard_negatives_ivf) — the scale path behind q46's exact 'hardneg'
+    section: the SAME anchor set (every 20th vector) routed through a
+    learned 8-cell quantizer probing its 2 nearest cells per anchor,
+    instead of the cap-gated broadcast × corpus cross join. At 100×
+    the corpus the exact form raises by its own bounded-driver guard;
+    this plan's anchor side is never broadcast and never capped —
+    cost ∝ anchors × nprobe × cell size, co-partitioned on cell.
+
+    Rows-only: the quantizer is an iterative k-means fit and the
+    result is approximate (recall vs the exact baseline — and EXACT
+    equality at nprobe = n_cells — are bounds-tested in
+    tests/test_llm_ops.py). Deterministic end to end (seeded quantizer,
+    rounded-distance tie policy), so the run-determinism sweep covers
+    it."""
+    return S.hard_negatives_ivf(
+        _emb(spark, sf_dir),
+        k=3,
+        anchor_pred=F.col("vec_id") % 20 == 0,
+        n_cells=8,
+        nprobe=2,
+    )
+
+
 @query("x69_pca_spectrum")  # iterative eigendecomposition → rows-only
 def x69_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA over the embedding corpus (operators/similarity.py

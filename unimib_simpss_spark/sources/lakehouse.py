@@ -185,13 +185,30 @@ def file_span_stats(path: str, cols: tuple[str, ...]) -> list[dict]:
         row: dict = {"file": f}
         for col in cols:
             lo, hi = None, None
+            complete = True
             for rg in range(md.num_row_groups):
                 for ci in range(md.num_columns):
                     c = md.row_group(rg).column(ci)
-                    if c.path_in_schema == col and c.statistics is not None:
-                        s = c.statistics
-                        lo = s.min if lo is None else min(lo, s.min)
-                        hi = s.max if hi is None else max(hi, s.max)
+                    if c.path_in_schema != col:
+                        continue
+                    # a statistics object can exist WITHOUT min/max
+                    # (e.g. double columns containing NaN; ADVICE r11)
+                    # — and a file-level span computed from only SOME
+                    # row groups would let pruned_file_count skip a
+                    # file whose stat-less rows it never saw, so any
+                    # gap voids the whole file's span (None = must
+                    # touch, the conservative reading every
+                    # data-skipping reader applies)
+                    if c.statistics is None or not c.statistics.has_min_max:
+                        complete = False
+                        break
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+                if not complete:
+                    break
+            if not complete:
+                lo, hi = None, None
             row[f"{col}_min"], row[f"{col}_max"] = lo, hi
         out.append(row)
     return out

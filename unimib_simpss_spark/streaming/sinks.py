@@ -257,7 +257,7 @@ def additive_merge_parquet(
         F.count(F.lit(1)).alias("n_rows"),
         *[F.sum(src).alias(out) for out, src in sums.items()],
     )
-    cur, _ = _current_generation(path)
+    cur, last = _current_generation(path)
     if cur is not None:
         old = spark.read.parquet(cur).select(*partial.columns)
         merged = (
@@ -270,8 +270,15 @@ def additive_merge_parquet(
         )
     else:
         merged = partial
+    # Never REGRESS the replay cursor embedded in the generation name: a
+    # direct call with the -1 sentinel (or any stale id) on a table that
+    # foreach_batch_additive maintains must carry the current applied id
+    # forward, or checkpoint-replayed batches double-count after the
+    # manual merge (ADVICE r11).
     _swap_in_generation(
-        path, lambda gen: merged.write.mode("overwrite").parquet(gen), batch_id
+        path,
+        lambda gen: merged.write.mode("overwrite").parquet(gen),
+        max(last, batch_id),
     )
 
 
@@ -330,7 +337,7 @@ def register_merge_parquet(
     # and a mismatched read would inflate the linear-counting zeros
     # term — both must be loud (review r11 pass 3)
     regs = hll_registers(batch, gcols, col, p).withColumn("p", F.lit(p))
-    cur, _ = _current_generation(path)
+    cur, last = _current_generation(path)
     if cur is not None:
         old = spark.read.parquet(cur)
         stored_p = old.select("p").first()
@@ -351,7 +358,10 @@ def register_merge_parquet(
     def _write(target: str) -> None:
         merged.write.mode("overwrite").parquet(target)
 
-    _swap_in_generation(path, _write, batch_id=batch_id)
+    # max(): same cursor carry-forward as additive_merge_parquet — here
+    # max-merge is idempotent so a regressed cursor only re-pays merges,
+    # but the generation name should still never move backwards.
+    _swap_in_generation(path, _write, batch_id=max(last, batch_id))
 
 
 def foreach_batch_hll(
