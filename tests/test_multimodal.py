@@ -327,6 +327,116 @@ class TestRealCodecs:
         for gf, f in zip(got, frames):
             assert np.abs(gf - np.round(f * 255) / 255).max() < 1e-9
 
+    def test_png_roundtrip_exact_and_sniffed(self):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        g = np.random.default_rng(7).random((11, 13))
+        gq = np.round(g * 255) / 255
+        out = C.decode_png(C.encode_png(g))
+        assert out.shape == (11, 13)
+        assert np.abs(out - gq).max() < 1e-12  # exact: uint8 → /255
+        # the sniff dispatches on the 8-byte PNG signature
+        assert np.abs(C.decode_image(C.encode_png(g)) - gq).max() < 1e-12
+
+    def _build_png(self, scanlines: bytes, w, h, ctype) -> bytes:
+        import struct
+        import zlib
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            C._PNG_SIG
+            + C._png_chunk(b"IHDR", ihdr)
+            + C._png_chunk(b"IDAT", zlib.compress(scanlines))
+            + C._png_chunk(b"IEND", b"")
+        )
+
+    def test_png_all_five_filter_types_unfilter_exactly(self):
+        """Forward-filter a known grayscale raster with every filter
+        type (spec §9 reference arithmetic, implemented independently
+        here) and require the decoder to reconstruct the raw bytes —
+        the encoder only emits filter None, so this is the only cover
+        for Sub/Up/Average/Paeth."""
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        rng = np.random.default_rng(13)
+        h, w, bpp = 10, 7, 1
+        raw = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        lines = bytearray()
+        filters = [0, 1, 2, 3, 4, 2, 1, 4, 3, 0]
+        for y, f in enumerate(filters):
+            lines.append(f)
+            for x in range(w):
+                cur = int(raw[y, x])
+                a = int(raw[y, x - bpp]) if x >= bpp else 0
+                b = int(raw[y - 1, x]) if y else 0
+                c = int(raw[y - 1, x - bpp]) if (y and x >= bpp) else 0
+                if f == 0:
+                    v = cur
+                elif f == 1:
+                    v = cur - a
+                elif f == 2:
+                    v = cur - b
+                elif f == 3:
+                    v = cur - ((a + b) >> 1)
+                else:
+                    v = cur - paeth(a, b, c)
+                lines.append(v & 0xFF)
+        out = C.decode_png(self._build_png(bytes(lines), w, h, ctype=0))
+        assert np.array_equal((out * 255).round().astype(np.uint8), raw)
+
+    def test_png_rgb_and_rgba_luma(self):
+        import numpy as np
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        rng = np.random.default_rng(17)
+        h, w = 5, 4
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        lines = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+        out = C.decode_png(self._build_png(lines, w, h, ctype=2))
+        want = (rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])) / 255.0
+        assert np.abs(out - want).max() < 1e-12
+        # RGBA: alpha byte ignored, same luma
+        rgba = np.concatenate(
+            [rgb, rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)], axis=2
+        )
+        lines4 = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+        out4 = C.decode_png(self._build_png(lines4, w, h, ctype=6))
+        assert np.abs(out4 - want).max() < 1e-12
+
+    def test_png_malformed_payloads_raise_valueerror(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators import codecs as C
+
+        good = C.encode_png(np.random.default_rng(19).random((6, 6)))
+        # flip one IDAT byte → CRC mismatch must be loud, not garbage
+        bad = bytearray(good)
+        bad[len(good) // 2] ^= 0xFF
+        with _pytest.raises(ValueError):
+            C.decode_png(bytes(bad))
+        with _pytest.raises(ValueError, match="truncated|missing|size"):
+            C.decode_png(good[: len(good) - 20])
+        with _pytest.raises(ValueError, match="not a PNG"):
+            C.decode_png(b"\x89PNX" + good[4:])
+        # palette color type declined loudly
+        lines = bytes([0, 1, 2, 0, 3, 4])
+        with _pytest.raises(ValueError, match="color type"):
+            C.decode_png(self._build_png(lines, 2, 2, ctype=3))
+
     def test_real_decode_end_to_end(self, spark, sf_dir):
         from unimib_simpss_spark.catalog import load_table
         from unimib_simpss_spark.operators import multimodal as M

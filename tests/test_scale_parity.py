@@ -46,17 +46,26 @@ def test_scale_parity(spark, duck, name):
 
 
 @pytest.mark.parametrize(
-    "qname", ["q59_dedup_clusters", "q62_corpus_pipeline"]
+    "qname",
+    [
+        "q59_dedup_clusters",
+        "q62_corpus_pipeline",
+        # VERDICT r11 #6: q46's pair barrier routes through
+        # cache_intermediate and q61 checkpoints a four-leg union —
+        # both must survive the table mode too
+        "q46_embedding_cosine_pairs",
+        "q61_incremental_dedup",
+    ],
 )
 def test_table_checkpoint_mode_parity(spark, tmp_path, qname):
-    """VERDICT r9 #4 / r10 #2 — the 'table' checkpoint mode on the
-    heavy paths at bench scale: q59's connected-components loop and the
-    q62 capstone (whose shingle barrier and tokenize-once admission
-    gate now route through cache_intermediate too) re-run with every
-    checkpoint/cache routed through parquet CHECKPOINT TABLES must
-    produce the exact local-mode result, leave zero live table
-    directories after the run, and hold zero persisted RDD blocks while
-    in table mode."""
+    """VERDICT r9 #4 / r10 #2 / r11 #6 — the 'table' checkpoint mode on
+    the heavy paths at bench scale: q59's connected-components loop,
+    the q62 capstone (whose shingle barrier and tokenize-once admission
+    gate route through cache_intermediate), q46's pair barrier, and
+    q61's four-leg union re-run with every checkpoint/cache routed
+    through parquet CHECKPOINT TABLES must produce the exact local-mode
+    result, leave zero live table directories after the run, and hold
+    zero persisted RDD blocks while in table mode."""
     from unimib_simpss_spark.operators.caching import (
         live_checkpoint_tables,
         persistent_rdd_ids,

@@ -568,6 +568,14 @@ def connected_components(
       Per round ~3 shuffles per star (groupBy-min, join, distinct) —
       more per round than propagation, exponentially fewer rounds.
 
+    - ``"auto"``: propagation under a small round budget
+      (``min(max_iters, 8)`` — generous for the shallow clusters dedup
+      graphs actually have), falling back to two-phase on exhaustion
+      instead of raising — callers shouldn't have to know their graph's
+      diameter (VERDICT r11 #5). The fallback restarts from the edges
+      (the spent propagation rounds are discarded — bounded at 8 cheap
+      rounds, vs an unbounded diameter if propagation kept going).
+
     NULL endpoints are dropped on BOTH paths (a NULL node id is
     meaningless): an edge with one NULL endpoint contributes only its
     non-NULL node (as a singleton unless other edges connect it), and
@@ -579,14 +587,53 @@ def connected_components(
     round N exists. Driver holds only convergence counters, never the
     graph. Raises after ``max_iters`` non-converged rounds rather than
     returning silently-partial labels; ``connected_components.
-    last_rounds`` records the converged round count for tests/ops.
+    last_rounds`` / ``.last_algorithm`` record the converged round
+    count and which algorithm produced the labels, for tests/ops.
     """
     if algorithm == "two-phase":
-        return _connected_components_two_phase(edges, src, dst, max_iters)
+        out = _connected_components_two_phase(edges, src, dst, max_iters)
+        connected_components.last_algorithm = "two-phase"
+        return out
+    if algorithm == "auto":
+        labels = _connected_components_propagation(
+            edges, src, dst, min(max_iters, _AUTO_PROPAGATION_BUDGET)
+        )
+        if labels is not None:
+            connected_components.last_algorithm = "propagation"
+            return labels
+        out = _connected_components_two_phase(edges, src, dst, max_iters)
+        connected_components.last_algorithm = "two-phase"
+        return out
     if algorithm != "propagation":
         raise ValueError(
-            f"algorithm {algorithm!r} not in ('propagation', 'two-phase')"
+            f"algorithm {algorithm!r} not in "
+            "('propagation', 'two-phase', 'auto')"
         )
+    labels = _connected_components_propagation(edges, src, dst, max_iters)
+    if labels is None:
+        raise ValueError(
+            f"connected_components('propagation') did not converge in "
+            f"{max_iters} rounds — the graph's diameter exceeds the "
+            f"budget; use algorithm='two-phase' (O(log n) rounds) or "
+            f"'auto' (propagation with a two-phase fallback)"
+        )
+    connected_components.last_algorithm = "propagation"
+    return labels
+
+
+# auto mode's propagation round budget before falling back to
+# two-phase: dedup graphs converge in ~4 rounds (q59), so 8 spends at
+# most ~2× the typical work before conceding the graph is deep
+_AUTO_PROPAGATION_BUDGET = 8
+
+
+def _connected_components_propagation(
+    edges: DataFrame, src: str, dst: str, max_iters: int
+) -> DataFrame | None:
+    """Min-label propagation loop; returns the converged labels, or
+    ``None`` after ``max_iters`` non-converged rounds (all cached state
+    released either way — the caller decides whether exhaustion raises
+    or falls back)."""
     sym = edges.select(
         F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
     ).union(
@@ -626,11 +673,7 @@ def connected_components(
     release_intermediate(sym)
     if not converged:
         release_result(labels)
-        raise ValueError(
-            f"connected_components('propagation') did not converge in "
-            f"{max_iters} rounds — the graph's diameter exceeds the "
-            f"budget; use algorithm='two-phase' (O(log n) rounds)"
-        )
+        return None
     connected_components.last_rounds = rounds
     return labels
 
@@ -685,11 +728,17 @@ def _cc_small_star(e: DataFrame) -> DataFrame:
 
 
 def _cc_same_edge_set(a: DataFrame, b: DataFrame) -> bool:
-    """Set equality for two DISTINCT edge relations: equal counts plus
-    empty one-way difference (limit 1 — early exit on first witness)."""
-    if a.count() != b.count():
-        return False
-    return a.exceptAll(b).limit(1).count() == 0
+    """Set equality for two DISTINCT edge relations in ONE action: the
+    symmetric difference has a witness row iff the sets differ, and
+    limit(1) stops at the first witness. The earlier count-compare +
+    one-way-except form was also deterministic but cost three jobs per
+    call (~4 extra jobs per two-phase round on top of its checkpoints
+    — VERDICT r11 #7). Still never a hashable signature: a hash
+    collision could stop the loop early on UNEQUAL sets, silently
+    mislabeling components."""
+    return (
+        a.exceptAll(b).union(b.exceptAll(a)).limit(1).count() == 0
+    )
 
 
 def _connected_components_two_phase(
@@ -1256,6 +1305,28 @@ def hamming_band_pairs(
         .distinct()
     )
     return out
+
+
+def hamming_pairs_sql(
+    hash_expr_sql: str,
+    max_hamming: int = 3,
+    table: str = "documents",
+    id_expr: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`hamming_band_pairs`: brute-force all-pairs
+    ``bit_count(xor())`` (quadratic — fine at oracle scale; the Spark
+    side is the pigeonhole band join). ``hash_expr_sql`` must produce
+    the same int64 the Spark side feeds the operator."""
+    return f"""
+    WITH h AS (
+        SELECT {id_expr} AS id, {hash_expr_sql} AS hv FROM {table}
+        WHERE {hash_expr_sql} IS NOT NULL
+    )
+    SELECT a.id AS doc1, b.id AS doc2,
+           CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.id < b.id
+    WHERE bit_count(xor(a.hv, b.hv)) <= {max_hamming}
+    """
 
 
 def edit_distance_join_sql(

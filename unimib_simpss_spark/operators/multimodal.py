@@ -161,8 +161,15 @@ def media_with_real_payloads(docs: DataFrame, fps: int = 4) -> DataFrame:
                 if kind == "image":
                     w, h = n % 24 + 8, n % 18 + 6
                     grid = np.resize(b, (h, w)).astype(np.float64) / 255.0
-                    payload = codecs.encode_ppm(grid)
-                    meta = (w, h, None, None, "ppm")
+                    # alternate PPM / PNG per id so the real-decode
+                    # legs (x41) and the perceptual hash (x75) exercise
+                    # the compressed PNG path too (VERDICT r11 #3)
+                    if mid % 2 == 0:
+                        payload = codecs.encode_png(grid)
+                        meta = (w, h, None, None, "png")
+                    else:
+                        payload = codecs.encode_ppm(grid)
+                        meta = (w, h, None, None, "ppm")
                 elif kind == "audio":
                     n_samp = n % 400 + 100
                     sig = np.resize(b, n_samp).astype(np.float64) / 127.5 - 1.0
@@ -295,8 +302,8 @@ def _real_decode(payload: bytes, kind: str) -> dict[str, Any]:
             raise ValueError(f"unknown media kind {kind!r}")
     except ValueError as exc:
         raise NotImplementedError(
-            f"real {kind} decode supports uncompressed formats only "
-            f"(WAV/PPM/PGM/BMP/ppm-stream); payload magic {magic!r} "
+            f"real {kind} decode supports WAV/PPM/PGM/BMP/PNG/"
+            f"ppm-stream; payload magic {magic!r} "
             f"needs PIL/soundfile/PyAV, which are not installed ({exc})"
         ) from exc
     hist = np.bincount(
@@ -319,7 +326,7 @@ def decode_media(
 
     Partition-preserving; each Arrow batch is decoded in one Python call.
     ``decoder`` is 'fake' (deterministic byte-level stand-in), 'real'
-    (uncompressed WAV/PPM/PGM/BMP/ppm-stream parsers — see
+    (WAV/PPM/PGM/BMP/PNG/ppm-stream parsers — see
     :func:`_real_decode`), or any ``(bytes, kind) → dict``.
     """
     if decoder == "fake":
@@ -600,9 +607,10 @@ def ahash64(payload: bytes, kind: str) -> int:
     - video: first frame's grid (the keyframe fingerprint).
     - audio: 64 equal-time mean-|amplitude| envelope bins.
 
-    Same uncompressed-codec support matrix as :func:`_real_decode`
-    (compressed magics raise ``NotImplementedError`` there; here the
-    caller pre-filters to real payloads). Returned as a SIGNED 64-bit
+    Same codec support matrix as :func:`_real_decode` — including PNG
+    via the sniff in ``codecs.decode_image`` (unsupported compressed
+    magics raise ``NotImplementedError`` there; here the caller
+    pre-filters to real payloads). Returned as a SIGNED 64-bit
     int (bit 63 set → negative), the Spark ``long`` convention;
     consumers use unsigned shifts (`dedup.hamming_band_pairs`).
     """

@@ -63,8 +63,20 @@ def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+# md5-derived 24-bit document hash, derived IDENTICALLY on both
+# engines (the int64 feeding the generic hamming band join). 24 bits
+# — not the operator's full 64 — so hamming ≤ 3 pairs actually OCCUR
+# in this corpus (the synthetic documents have no exact duplicates
+# below sf0.1, and 64 random bits never land within 3 of each other):
+# the leg must verify the pigeonhole arithmetic against brute force on
+# REAL rows, not an empty set. The operator itself runs the same code
+# path at any width (bits=24 → 4 disjoint 6-bit bands).
+_H24_SQL = "('0x' || substring(md5(text), 1, 6))::BIGINT"
+
+
 def _hash_band_pairs_oracle() -> str:
     edit = D.edit_distance_sql("substr(text, 1, 40)", max_dist=2)
+    hamming = D.hamming_pairs_sql(_H24_SQL, max_hamming=3)
     return f"""
     SELECT 'minhash' AS family, doc1, doc2, jaccard AS score
     FROM ({D.minhash_dedup_sql(threshold=0.8)})
@@ -74,6 +86,9 @@ def _hash_band_pairs_oracle() -> str:
     UNION ALL
     SELECT 'edit' AS family, doc1, doc2, CAST(dist AS DOUBLE) AS score
     FROM ({edit})
+    UNION ALL
+    SELECT 'hamming64' AS family, doc1, doc2, CAST(hamming AS DOUBLE) AS score
+    FROM ({hamming})
     """
 
 
@@ -83,11 +98,18 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (merged from the former q34/q35 to fit the driver's 50-query
     window): ``minhash`` = MinHash+LSH candidates (4 bands × 4 rows)
     verified by exact Jaccard (score = jaccard), ``simhash`` = SimHash
-    pigeonhole band join, exact for hamming ≤ 3 (score = hamming), and
+    pigeonhole band join, exact for hamming ≤ 3 (score = hamming),
     ``edit`` = the approximate-string-similarity join over each doc's
     40-char prefix (entity-resolution / fuzzy-title matching; prefix-
-    filtered q-gram candidates + levenshtein verify, score = distance).
-    All three generate candidates via equi-joins on derived keys — the
+    filtered q-gram candidates + levenshtein verify, score = distance),
+    and ``hamming64`` = the GENERIC hamming band join
+    (operators/dedup.py hamming_band_pairs — the same operator x75's
+    perceptual media dedup rides) over an md5-derived 24-bit document
+    hash (narrow enough that qualifying pairs exist in this corpus —
+    see _H24_SQL), hash-checked here against a brute-force
+    xor+bit_count oracle (score = hamming; round-11 gap: x75 was
+    rows-only, so the band arithmetic had no oracle-paired surface).
+    All four generate candidates via equi-joins on derived keys — the
     sub-quadratic 100 TB dedup paths, never an all-pairs product."""
     from unimib_simpss_spark.operators.caching import (
         cache_intermediate,
@@ -111,6 +133,20 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.substring("text", 1, 40).alias("s")),
         "s", "doc_id", max_dist=2,
     )
+    # the generic band join is a lazy two-stage plan (projection +
+    # pigeonhole equi-join) — no internal checkpoint to release
+    hm = D.hamming_band_pairs(
+        docs.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
+            .cast("long")
+            .alias("h24"),
+        ).where(F.col("h24").isNotNull()),
+        "doc_id",
+        "h24",
+        max_hamming=3,
+        bits=24,
+    )
     out = materialize_release(
         mh.select(
             F.lit("minhash").alias("family"),
@@ -130,6 +166,13 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc1",
                 "doc2",
                 F.col("dist").cast("double").alias("score"),
+            )
+        ).unionAll(
+            hm.select(
+                F.lit("hamming64").alias("family"),
+                F.col("id1").alias("doc1"),
+                F.col("id2").alias("doc2"),
+                F.col("hamming").cast("double").alias("score"),
             )
         ),
         hsd,
