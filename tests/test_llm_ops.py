@@ -1577,6 +1577,59 @@ class TestHardNegatives:
         # the well-formed vectors still mine each other
         assert {r.anchor_id for r in got} == {1, 2, 5}
 
+    def test_arrow_twin_matches_hof_exactly(self, emb):
+        """hard_negatives_pandas is the GEMM physical plan of the same
+        logical query (q36's 'arrow'-vs-'hof' relationship) — outputs
+        must be identical row-for-row on the corpus fixture."""
+        hof = sorted(map(tuple, S.hard_negatives(
+            emb, k=3, anchor_pred=F.col("vec_id") % 20 == 0
+        ).collect()))
+        arrow = sorted(map(tuple, S.hard_negatives_pandas(
+            emb, k=3, anchor_pred=F.col("vec_id") % 20 == 0
+        ).collect()))
+        assert arrow == hof
+        # with k exceeding every candidate count: full result parity,
+        # so the per-batch partial top-k provably loses nothing
+        hof_all = sorted(map(tuple, S.hard_negatives(
+            emb, k=10, anchor_pred=F.col("vec_id") % 100 == 0
+        ).collect()))
+        arrow_all = sorted(map(tuple, S.hard_negatives_pandas(
+            emb, k=10, anchor_pred=F.col("vec_id") % 100 == 0
+        ).collect()))
+        assert arrow_all == hof_all
+
+    def test_arrow_twin_null_semantics_match(self, spark):
+        """NULL labels, NULL elements, and zero norms must drop in the
+        GEMM path exactly where the Column form's NULLs drop."""
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 1),
+            (3, [0.0, 0.0], 1),    # zero norm
+            (4, [None, 1.0], 1),   # NULL element
+            (5, [0.0, 1.0], 1),
+            (6, [0.5, 0.5], None),  # NULL label
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        hof = sorted(map(tuple, S.hard_negatives(df, k=5).collect()))
+        arrow = sorted(map(tuple, S.hard_negatives_pandas(df, k=5).collect()))
+        assert arrow == hof
+        assert {t[0] for t in arrow} == {1, 2, 5}
+
+    def test_arrow_twin_cap_and_empty_anchor_set(self, emb, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bounded-driver cap"):
+            S.hard_negatives_pandas(emb, k=2, max_anchor_rows=3)
+        none = S.hard_negatives_pandas(
+            emb, k=2, anchor_pred=F.col("vec_id") < 0
+        )
+        assert none.count() == 0
+        assert [f.name for f in none.schema.fields] == [
+            "anchor_id", "negative_id", "neg_label", "cosine", "rank",
+        ]
+
 
 class TestHardNegativesIVF:
     """The routed scale path (round 11's one weak): recall bounds vs

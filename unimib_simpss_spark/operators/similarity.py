@@ -1485,6 +1485,124 @@ def hard_negatives_sql(k: int = 3, anchor_pred_sql: str = "TRUE") -> str:
     """
 
 
+def hard_negatives_pandas(
+    emb: DataFrame,
+    k: int = 3,
+    anchor_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_anchor_rows: int = QUERY_SIDE_CAP,
+) -> DataFrame:
+    """Arrow/NumPy GEMM twin of :func:`hard_negatives` — identical
+    contract, ordering, and NULL semantics; the q36 'arrow'-vs-'hof'
+    relationship, applied to the negative miner (the HOF form's
+    interpreted per-pair array fold was q46's dominant bench cost).
+
+    Physical shape: the cap-enforced anchor collect
+    (:func:`_bounded_query_collect`) becomes one broadcast
+    (ids, labels, matrix, norms) tuple; the corpus streams once through
+    ``mapInPandas``, each Arrow batch doing one GEMM against the anchor
+    matrix and emitting only its PER-BATCH top-k per anchor — the
+    global top-k of per-batch top-k unions is exact (every global
+    winner wins its own batch), so the final window sees ≤ anchors × k
+    × batches rows instead of anchors × corpus.
+
+    NULL semantics mirrored from the exact form: NULL-label anchors
+    mine nothing, NULL-label corpus rows are never negatives, and
+    zero-norm / NaN-element vectors have no defined cosine on either
+    side (non-finite cosines are masked exactly where the Column form's
+    NULLs drop). Selection and ordering both use the ROUNDED cosine
+    (6 dp), so batch boundaries cannot flip ties."""
+    import numpy as np
+    import pandas as pd
+
+    pred = anchor_pred if anchor_pred is not None else F.lit(True)
+    arows = _bounded_query_collect(
+        with_unit_vectors(emb, vec_col)
+        .where(pred)
+        .select(F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl"), "_v"),
+        max_anchor_rows,
+    )
+    lbl_type = emb.schema[label_col].dataType.simpleString()
+    out_schema = (
+        f"anchor_id long, negative_id long, neg_label {lbl_type}, "
+        "cosine double"
+    )
+    spark = emb.sparkSession
+    if not arows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(None).cast("long"))
+    a_ids = np.array([r._id for r in arows])
+    a_lbl = np.array([r._lbl for r in arows], dtype=object)
+    a_mat = np.array([r._v for r in arows], dtype=np.float64)
+    a_norm = np.linalg.norm(a_mat, axis=1)
+    bq = spark.sparkContext.broadcast((a_ids, a_lbl, a_mat, a_norm))
+
+    def score(batches):
+        ids, albl, mat, qn = bq.value
+        # pd.isna, not `is None`: a nullable int/float label column
+        # surfaces NULLs as NaN in pandas, which `is None` misses —
+        # NULL-label anchors mine nothing, NULL-label corpus rows are
+        # never negatives (the exact form's NULL-comparison semantics)
+        a_ok = ~pd.isna(albl)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(id_col)  # id asc → stable ties
+            c_ids = pdf[id_col].to_numpy()
+            c_lbl = pdf[label_col].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (mat @ c_mat.T)
+                    / (qn[:, None] * np.linalg.norm(c_mat, axis=1)[None, :]),
+                    6,
+                )
+            c_ok = ~pd.isna(c_lbl)
+            valid = (
+                np.isfinite(sims)
+                & a_ok[:, None]
+                & c_ok[None, :]
+                & (albl[:, None] != c_lbl[None, :])
+            )
+            sims = np.where(valid, sims, -np.inf)
+            kk = min(k, sims.shape[1])
+            # stable argsort on -rounded-cosine over id-sorted columns
+            # = (cosine desc, id asc), the exact form's window order
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            top = np.take_along_axis(sims, order, axis=1)
+            keep = np.isfinite(top).ravel()
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.repeat(ids, kk)[keep],
+                    "negative_id": c_ids[order.ravel()][keep],
+                    "neg_label": c_lbl[order.ravel()][keep],
+                    "cosine": top.ravel()[keep],
+                }
+            )
+
+    scored = emb.select(id_col, label_col, vec_col).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "neg_label",
+            "cosine",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
 def hard_negatives_ivf(
     emb: DataFrame,
     k: int = 3,

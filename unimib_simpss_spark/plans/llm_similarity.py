@@ -95,11 +95,15 @@ def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       dropped id, vec1 = the lowest-id survivor it dedupes against,
       cosine = strongest evidence. Deterministic keep-lowest-id policy,
       so the kept set is rerun-stable.
-    - 'hardneg' — contrastive-training negative mining
-      (operators/similarity.py hard_negatives): for every 20th vector
-      as anchor, the top-3 most-cosine-similar CROSS-label vectors —
-      vec1 = anchor, vec2 = negative, cell = the NEGATIVE's label,
-      rank = 1..3 (NULL in the other sections).
+    - 'hardneg' — contrastive-training negative mining: for every 20th
+      vector as anchor, the top-3 most-cosine-similar CROSS-label
+      vectors — vec1 = anchor, vec2 = negative, cell = the NEGATIVE's
+      label, rank = 1..3 (NULL in the other sections). Runs the Arrow
+      GEMM twin (operators/similarity.py hard_negatives_pandas —
+      identical contract to hard_negatives, pytest-pinned row-for-row;
+      the HOF form's interpreted per-pair fold was this query's
+      dominant bench cost), with per-batch partial top-k so the window
+      sees anchors × k × batches rows, not anchors × corpus.
 
     The pair relation is computed ONCE behind cache_intermediate (so
     the "table" checkpoint mode covers the barrier), the 'pairs' and
@@ -137,7 +141,7 @@ def q46_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("rank"),
         )
     )
-    hn = S.hard_negatives(
+    hn = S.hard_negatives_pandas(
         emb, k=3, anchor_pred=F.col("vec_id") % 20 == 0
     ).select(
         F.lit("hardneg").alias("section"),
