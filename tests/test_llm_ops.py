@@ -1599,8 +1599,13 @@ class TestHardNegatives:
         assert arrow_all == hof_all
 
     def test_arrow_twin_null_semantics_match(self, spark):
-        """NULL labels, NULL elements, and zero norms must drop in the
-        GEMM path exactly where the Column form's NULLs drop."""
+        """NULL labels, NULL elements, zero norms, AND whole-NULL
+        vectors must drop in the GEMM path exactly where the Column
+        form's NULLs drop — the whole-NULL row is the ADVICE r12
+        regression: None among fixed-width vectors is ragged np.array
+        input, so it must be filtered BEFORE the GEMM on both the
+        collected anchor side and the mapInPandas corpus side, not
+        crash the executor."""
         rows = [
             (1, [1.0, 0.0], 0),
             (2, [0.9, 0.1], 1),
@@ -1608,6 +1613,7 @@ class TestHardNegatives:
             (4, [None, 1.0], 1),   # NULL element
             (5, [0.0, 1.0], 1),
             (6, [0.5, 0.5], None),  # NULL label
+            (7, None, 0),           # whole-NULL vector (ADVICE r12)
         ]
         df = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>, label int"
@@ -1616,6 +1622,7 @@ class TestHardNegatives:
         arrow = sorted(map(tuple, S.hard_negatives_pandas(df, k=5).collect()))
         assert arrow == hof
         assert {t[0] for t in arrow} == {1, 2, 5}
+        assert all(t[1] != 7 for t in arrow)
 
     def test_arrow_twin_cap_and_empty_anchor_set(self, emb, spark):
         import pytest as _pytest
@@ -1700,6 +1707,30 @@ class TestHardNegativesIVF:
             emb, k=2, n_cells=4, nprobe=2
         ).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_corrupt_vectors_drop_not_raise(self, spark, emb):
+        """ADVICE r12: the routed path must honor the exact form's
+        drop convention — whole-NULL, NULL-element, NaN-element, and
+        zero-norm vectors DROP before assign_cells/probe_cells (which
+        reject non-finite input by design), never crash the query."""
+        dim = len(emb.select("embedding").first().embedding)
+        dirty = emb.unionAll(spark.createDataFrame(
+            [
+                (900001, None, 0),
+                (900002, [None] * dim, 1),
+                (900003, [float("nan")] * dim, 0),
+                (900004, [0.0] * dim, 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        ).select(*emb.columns))
+        clean = sorted(map(tuple, S.hard_negatives_ivf(
+            emb, k=2, anchor_pred=self._pred(), n_cells=4, nprobe=4
+        ).collect()))
+        got = sorted(map(tuple, S.hard_negatives_ivf(
+            dirty, k=2, anchor_pred=self._pred(), n_cells=4, nprobe=4
+        ).collect()))
+        assert got == clean
+        assert all(t[0] < 900000 and t[1] < 900000 for t in got)
 
     def test_frozen_quantizer_reused(self, emb):
         """Passing centroids skips the in-operator k-means and must

@@ -1518,9 +1518,16 @@ def hard_negatives_pandas(
     import pandas as pd
 
     pred = anchor_pred if anchor_pred is not None else F.lit(True)
+    # a whole-NULL embedding has no defined cosine with ANYTHING — the
+    # exact form drops every such pair via NULL cosine; here the row
+    # must never reach np.array (a None among fixed-width vectors is
+    # ragged input and raises inside mapInPandas). Dropping the row
+    # pre-collect / pre-GEMM is therefore bit-identical, not a behavior
+    # change (ADVICE r12).
     arows = _bounded_query_collect(
         with_unit_vectors(emb, vec_col)
         .where(pred)
+        .where(F.col("_v").isNotNull())
         .select(F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl"), "_v"),
         max_anchor_rows,
     )
@@ -1547,6 +1554,14 @@ def hard_negatives_pandas(
         # never negatives (the exact form's NULL-comparison semantics)
         a_ok = ~pd.isna(albl)
         for pdf in batches:
+            if not len(pdf):
+                continue
+            # whole-NULL vectors: same pre-GEMM drop as the anchor
+            # side (exact-form NULL-cosine semantics; None would be
+            # ragged input to np.array and raise). NULL *elements*
+            # survive — numpy maps them to NaN and the finite mask
+            # below drops those pairs, matching the exact form.
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(id_col)  # id asc → stable ties
@@ -1634,7 +1649,21 @@ def hard_negatives_ivf(
     vector lives in exactly ONE cell. Pass ``centroids`` (k×d, e.g.
     from ``kmeans_cells(..., return_centroids=True)``) to reuse a
     frozen quantizer; otherwise one is trained here deterministically.
+
+    Corrupt vectors (whole-NULL, NULL/NaN elements, zero norm) have no
+    defined cosine: the exact form drops every pair touching one, so
+    this routed path drops those ROWS before the quantizer ever sees
+    them (assign_cells/probe_cells reject non-finite input by design;
+    pre-dropping here keeps the two forms' conventions identical —
+    ADVICE r12).
     """
+    # _norm is NULL for whole-NULL vectors and NULL-element vectors,
+    # NaN for NaN-element vectors, 0 for zero vectors. The isnan guard
+    # is load-bearing: Spark orders NaN GREATER than every double, so
+    # `NaN > 0` is true (unlike standard SQL) and would leak NaN
+    # vectors into the quantizer.
+    _vn = _norm(F.col(vec_col).cast("array<double>"))
+    emb = emb.where(_vn.isNotNull() & ~F.isnan(_vn) & (_vn > 0))
     if centroids is None:
         from unimib_simpss_spark.operators.caching import release_result
 

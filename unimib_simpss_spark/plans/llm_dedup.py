@@ -87,7 +87,7 @@ def _hash_band_pairs_oracle() -> str:
     SELECT 'edit' AS family, doc1, doc2, CAST(dist AS DOUBLE) AS score
     FROM ({edit})
     UNION ALL
-    SELECT 'hamming64' AS family, doc1, doc2, CAST(hamming AS DOUBLE) AS score
+    SELECT 'hamming24' AS family, doc1, doc2, CAST(hamming AS DOUBLE) AS score
     FROM ({hamming})
     """
 
@@ -102,7 +102,7 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``edit`` = the approximate-string-similarity join over each doc's
     40-char prefix (entity-resolution / fuzzy-title matching; prefix-
     filtered q-gram candidates + levenshtein verify, score = distance),
-    and ``hamming64`` = the GENERIC hamming band join
+    and ``hamming24`` = the GENERIC hamming band join
     (operators/dedup.py hamming_band_pairs — the same operator x75's
     perceptual media dedup rides) over an md5-derived 24-bit document
     hash (narrow enough that qualifying pairs exist in this corpus —
@@ -169,7 +169,7 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).unionAll(
             hm.select(
-                F.lit("hamming64").alias("family"),
+                F.lit("hamming24").alias("family"),
                 F.col("id1").alias("doc1"),
                 F.col("id2").alias("doc2"),
                 F.col("hamming").cast("double").alias("score"),
