@@ -340,6 +340,29 @@ class TestTwoPhaseCC:
         assert outs["propagation"] == outs["two-phase"]
         assert outs["auto"] == outs["propagation"]
 
+    def test_dedup_clusters_default_survives_deep_chain(self, spark):
+        """VERDICT r12 #2 — the OPERATOR (not just
+        connected_components) must resolve a deep-diameter pair graph
+        with no caller hints: dedup_clusters now defaults to
+        cc_algorithm='auto', so a 200-link duplicate chain routes
+        through the two-phase fallback instead of raising."""
+        from unimib_simpss_spark.operators import dedup as D
+        from unimib_simpss_spark.operators.caching import release_result
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(199)], "doc1 long, doc2 long"
+        )
+        cl = D.dedup_clusters(docs, pairs)  # no cc_algorithm hint
+        rows = cl.collect()
+        release_result(cl)
+        assert D.connected_components.last_algorithm == "two-phase"
+        assert len(rows) == 200
+        assert {r.component for r in rows} == {0}
+        assert all(r.cluster_size == 200 for r in rows)
+
     def test_auto_shallow_graph_uses_propagation(self, spark):
         from unimib_simpss_spark.operators import dedup as D
 
@@ -1707,6 +1730,39 @@ class TestHardNegativesIVF:
             emb, k=2, n_cells=4, nprobe=2
         ).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_auto_under_cap_bit_identical_to_exact(self, emb):
+        """VERDICT r12 #3: when the anchor set fits the cap, the auto
+        front door must return EXACTLY today's exact output (the q46
+        oracle-leg contract), and record that it took the exact path."""
+        exact = sorted(map(tuple, S.hard_negatives(
+            emb, k=3, anchor_pred=self._pred()
+        ).collect()))
+        auto = sorted(map(tuple, S.hard_negatives_auto(
+            emb, k=3, anchor_pred=self._pred()
+        ).collect()))
+        assert auto == exact
+        assert S.hard_negatives_auto.last_path == "exact"
+
+    def test_auto_over_cap_routes_instead_of_raising(self, emb):
+        """Over the cap the exact form raises; auto must transparently
+        return the routed IVF result behind the same API, with recall
+        vs the exact baseline clearing a real bound."""
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bounded-driver cap"):
+            S.hard_negatives(emb, k=2, max_anchor_rows=3)
+        routed_rows = S.hard_negatives_auto(
+            emb, k=2, max_anchor_rows=3, n_cells=4, nprobe=2
+        ).collect()
+        assert S.hard_negatives_auto.last_path == "ivf"
+        routed = self._pairs(routed_rows)
+        exact = self._pairs(
+            S.hard_negatives(emb, k=2, max_anchor_rows=None).collect()
+        )
+        assert exact, "no anchors — weak test"
+        recall = len(exact & routed) / len(exact)
+        assert recall >= 0.5, recall
 
     def test_corrupt_vectors_drop_not_raise(self, spark, emb):
         """ADVICE r12: the routed path must honor the exact form's

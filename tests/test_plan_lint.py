@@ -160,6 +160,8 @@ _HEAVY = [
     "q62_corpus_pipeline",
     "x50_ann_learned_index",
     "x66_pq_topk",
+    "x75_perceptual_dedup",
+    "x76_hardneg_ivf",
 ]
 
 

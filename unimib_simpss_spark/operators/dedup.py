@@ -802,7 +802,7 @@ def _connected_components_two_phase(
 def dedup_clusters(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     score: Column | None = None,
-    cc_algorithm: str = "propagation",
+    cc_algorithm: str = "auto",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: every document tagged with
     its component id (min doc id of the cluster; singletons are their
@@ -816,7 +816,15 @@ def dedup_clusters(
     real pipelines keep the best duplicate, not the lexicographically
     first. The rank window shares the cluster_size window's partition
     key, so it reuses the same exchange — one extra in-partition sort,
-    no new shuffle."""
+    no new shuffle.
+
+    ``cc_algorithm`` defaults to ``"auto"`` (VERDICT r12 #2): shallow
+    dedup graphs resolve in a few cheap propagation rounds, and a
+    deep-diameter pair graph (an adversarial duplicate chain) silently
+    falls back to the O(log n) two-phase algorithm instead of raising —
+    pipeline callers shouldn't have to know their graph's diameter.
+    Both algorithms produce identical labelings (parity-tested at three
+    scales), so the switch is invisible in the output."""
     from pyspark.sql import Window
 
     comp = connected_components(

@@ -1618,6 +1618,58 @@ def hard_negatives_pandas(
     )
 
 
+def hard_negatives_auto(
+    emb: DataFrame,
+    k: int = 3,
+    anchor_pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_anchor_rows: int = QUERY_SIDE_CAP,
+    centroids=None,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """The CC-style auto front door for hard-negative mining (VERDICT
+    r12 #3): run the EXACT capped form when the anchor set fits the
+    bounded-driver cap, transparently route through
+    :func:`hard_negatives_ivf` when it doesn't — a pipeline caller at
+    100× scale should degrade to the probed-cell path, not catch a
+    ValueError. Same output contract either way; under-cap output is
+    bit-identical to :func:`hard_negatives_pandas` (which is itself
+    row-identical to :func:`hard_negatives` — the q46 oracle leg stays
+    exact), over-cap output is the routed approximation whose recall
+    is bounds-tested in tests/test_llm_ops.py.
+
+    One extra action: a ``limit(cap+1).count()`` of the pred-filtered,
+    defined-cosine anchors (the same rows the exact form would
+    collect) — the price of not knowing the anchor cardinality, and
+    O(cap) work regardless of corpus size. ``last_path`` records which
+    form ran ('exact' or 'ivf'), the connected_components
+    ``last_algorithm`` pattern."""
+    pred = anchor_pred if anchor_pred is not None else F.lit(True)
+    n = (
+        with_unit_vectors(emb, vec_col)
+        .where(pred)
+        .where(F.col("_v").isNotNull())
+        .select(F.col(id_col))
+        .limit(max_anchor_rows + 1)
+        .count()
+    )
+    if n <= max_anchor_rows:
+        hard_negatives_auto.last_path = "exact"
+        return hard_negatives_pandas(
+            emb, k, anchor_pred, id_col, vec_col, label_col,
+            max_anchor_rows,
+        )
+    hard_negatives_auto.last_path = "ivf"
+    return hard_negatives_ivf(
+        emb, k, anchor_pred, id_col, vec_col, label_col,
+        centroids, n_cells, nprobe, kmeans_iters,
+    )
+
+
 def hard_negatives_ivf(
     emb: DataFrame,
     k: int = 3,
