@@ -337,14 +337,70 @@ def x76_hardneg_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality at nprobe = n_cells — are bounds-tested in
     tests/test_llm_ops.py). Deterministic end to end (seeded quantizer,
     rounded-distance tie policy), so the run-determinism sweep covers
-    it."""
-    return S.hard_negatives_ivf(
-        _emb(spark, sf_dir),
-        k=3,
-        anchor_pred=F.col("vec_id") % 20 == 0,
-        n_cells=8,
-        nprobe=2,
+    it.
+
+    The routed path's QUALITY is emitted as data, not just asserted in
+    pytest (VERDICT r12 #6, the x74 pattern): section='pairs' rows are
+    the routed output; section='recall' rows carry per-anchor
+    hits/total/recall vs the exact baseline on the same (cap-fitting)
+    anchor set — the exact twin is the Arrow GEMM form
+    (hard_negatives_pandas, row-identical to the Column form), so the
+    baseline costs one corpus stream, never an interpreted cross join.
+    The determinism sweep therefore pins the routed path's recall
+    numbers across runs, not merely its stability."""
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        materialize_release,
     )
+
+    emb = _emb(spark, sf_dir)
+    pred = F.col("vec_id") % 20 == 0
+    routed = cache_intermediate(S.hard_negatives_ivf(
+        emb, k=3, anchor_pred=pred, n_cells=8, nprobe=2
+    ))
+    exact = cache_intermediate(S.hard_negatives_pandas(
+        emb, k=3, anchor_pred=pred
+    ))
+    ex = exact.select("anchor_id", "negative_id")
+    hits = (
+        ex.join(
+            routed.select("anchor_id", "negative_id"),
+            ["anchor_id", "negative_id"],
+            "left_semi",
+        )
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    total = ex.groupBy("anchor_id").agg(F.count(F.lit(1)).alias("total"))
+    _null = lambda t, name: F.lit(None).cast(t).alias(name)  # noqa: E731
+    recall = (
+        total.join(hits, "anchor_id", "left")
+        .select(
+            F.lit("recall").alias("section"),
+            "anchor_id",
+            _null("long", "negative_id"),
+            _null("int", "neg_label"),
+            _null("double", "cosine"),
+            _null("long", "rank"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            "total",
+            F.round(
+                F.coalesce("hits", F.lit(0)) / F.col("total"), 6
+            ).alias("recall"),
+        )
+    )
+    pairs = routed.select(
+        F.lit("pairs").alias("section"),
+        "anchor_id",
+        "negative_id",
+        "neg_label",
+        "cosine",
+        "rank",
+        _null("long", "hits"),
+        _null("long", "total"),
+        _null("double", "recall"),
+    )
+    return materialize_release(pairs.unionAll(recall), routed, exact)
 
 
 @query("x69_pca_spectrum")  # iterative eigendecomposition → rows-only
