@@ -383,3 +383,162 @@ def test_bloom_pruned_semi_join_null_probe_keys(spark):
         for r in bloom_pruned_semi_join(probe, build, "k", "k").collect()
     )
     assert got == [(1, "a")]
+
+
+# ---------------------------------------------------------------- sessions
+class TestSessionize:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+
+    def test_gap_boundary_is_microsecond_exact(self, spark):
+        """delta >= gap starts a NEW session (the session_window rule);
+        delta one microsecond under keeps the event — unix_timestamp's
+        sub-second truncation would misplace both edge cases."""
+        import datetime as dt
+
+        from unimib_simpss_spark.operators.sessions import sessionize
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, t0, 7, "a"),
+            # exactly gap later -> new session
+            (2, t0 + dt.timedelta(seconds=100), 7, "a"),
+            # gap minus 1 us later -> SAME session
+            (3, t0 + dt.timedelta(seconds=199, microseconds=999_999), 7, "a"),
+        ]
+        got = {
+            r.event_id: r.session_seq
+            for r in sessionize(self._ev(spark, rows), gap_seconds=100).collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 2}
+
+    def test_ties_and_null_ts(self, spark):
+        """Same-timestamp events order by event_id (deterministic, no
+        spurious boundary); NULL-ts rows are excluded."""
+        import datetime as dt
+
+        from unimib_simpss_spark.operators.sessions import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (2, t0, 7, "a"),
+            (1, t0, 7, "a"),
+            (3, None, 7, "a"),
+            (4, t0 + dt.timedelta(seconds=5), 8, "b"),
+        ]
+        out = sessionize(self._ev(spark, rows), gap_seconds=100).collect()
+        assert {r.event_id: r.session_seq for r in out} == {1: 1, 2: 1, 4: 1}
+
+    def test_session_stats_no_second_exchange(self, spark, sf_dir):
+        """The per-session aggregate groups on (user, session_seq) but
+        must reuse the window's user-key exchange:
+        HashPartitioning(user) satisfies the wider clustering, so the
+        whole plan holds exactly ONE hash exchange."""
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.sessions import session_stats
+
+        df = session_stats(load_table(spark, sf_dir, "events"), 28_800)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+    def test_native_session_window_parity(self, spark, sf_dir):
+        """Spark's built-in session_window aggregation (the
+        streaming-legal form) must agree with the explicit
+        lag+running-sum form row-for-row at the same gap — both
+        implement 'new session at delta >= gap'."""
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.sessions import (
+            session_stats,
+            session_stats_native,
+        )
+
+        e = load_table(spark, sf_dir, "events")
+        a = sorted(map(tuple, session_stats(e, 28_800).collect()))
+        b = sorted(map(tuple, session_stats_native(e, 28_800).collect()))
+        assert a == b
+        assert len(a) > 100
+
+    def test_bad_gap_raises(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.sessions import sessionize
+
+        with _pytest.raises(ValueError, match="gap_seconds"):
+            sessionize(self._ev(spark, []), gap_seconds=0)
+
+
+class TestFunnel:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+
+    def test_strictly_after_chaining(self, spark):
+        """A step-2 event BEFORE (or exactly AT) the step-1 completion
+        does not count; the first qualifying one after it does."""
+        import datetime as dt
+
+        from unimib_simpss_spark.operators.sessions import (
+            funnel_first_completion,
+        )
+
+        t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+        rows = [
+            # user 1: click before view, then view, then click -> completes
+            (1, t(0), 1, "click"),
+            (2, t(10), 1, "view"),
+            (3, t(10), 1, "click"),   # same ts as view: does NOT count
+            (4, t(20), 1, "click"),   # first strictly-after -> t2
+            # user 2: view only
+            (5, t(0), 2, "view"),
+            # user 3: never views -> no row
+            (6, t(0), 3, "click"),
+        ]
+        got = {
+            r.user_id: (r.steps_completed, r.t1, r.t2)
+            for r in funnel_first_completion(
+                self._ev(spark, rows), ["view", "click"]
+            ).collect()
+        }
+        assert set(got) == {1, 2}
+        assert got[1] == (2, t(10), t(20))
+        assert got[2] == (1, t(0), None)
+
+    def test_matches_sql_twin(self, spark, sf_dir):
+        """Spark funnel vs the DuckDB chained-CTE twin on the fixture."""
+        import duckdb
+
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.sessions import (
+            funnel_first_completion,
+            funnel_sql,
+        )
+
+        steps = ["view", "click", "purchase"]
+        got = sorted(
+            map(tuple, funnel_first_completion(
+                load_table(spark, sf_dir, "events"), steps
+            ).collect())
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = sorted(map(tuple, con.sql(funnel_sql(steps)).fetchall()))
+        assert got == want
+        assert len(got) > 10  # sf0.001 has ~15 users with a 'view'
+
+    def test_bad_steps_raise(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.sessions import (
+            funnel_first_completion,
+        )
+
+        e = self._ev(spark, [])
+        with _pytest.raises(ValueError, match="at least one step"):
+            funnel_first_completion(e, [])
+        with _pytest.raises(ValueError, match="distinct"):
+            funnel_first_completion(e, ["a", "a"])

@@ -66,37 +66,115 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # W3: latest-reading-per-key (the reference's natural query on sensor_data)
 # --------------------------------------------------------------------------
-@query(
-    "q02_latest_event_per_user",
-    oracle="""
-    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
-           event_type AS last_type, value AS last_value
+_Q02_GAP = 28_800  # 8 h — the fixture's event density yields real
+#                    multi-event sessions (avg ~2, max ~15 at sf0.01)
+_Q02_FUNNEL = ["view", "click", "purchase"]
+
+
+def _q02_oracle() -> str:
+    from unimib_simpss_spark.operators.sessions import (
+        funnel_sql,
+        session_stats_sql,
+    )
+
+    steps = ", ".join(f"'{s}'" for s in _Q02_FUNNEL)
+    funnel_steps = " UNION ALL ".join(
+        f"SELECT user_id, CAST({i} AS BIGINT) AS seq, t{i} AS ts_a, "
+        f"steps_completed, [{steps}][{i}] AS str_val "
+        f"FROM f WHERE t{i} IS NOT NULL"
+        for i in range(1, len(_Q02_FUNNEL) + 1)
+    )
+    return f"""
+    WITH f AS ({funnel_sql(_Q02_FUNNEL)})
+    SELECT 'latest' AS section, user_id, event_id AS seq, ts AS ts_a,
+           CAST(NULL AS TIMESTAMP) AS ts_b, CAST(NULL AS BIGINT) AS n,
+           value AS num, event_type AS str_val
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         FROM events
     ) WHERE rn = 1
-    """,
-)
-def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-1 per key via row_number — reference's latest-per-sensor scan.
-
-    Scale note: single shuffle on the partition key; at 100 TB prefer this
-    over groupBy(max)+self-join (one shuffle vs two).
+    UNION ALL
+    SELECT 'session' AS section, user_id, session_seq AS seq,
+           session_start AS ts_a, session_end AS ts_b, n_events AS n,
+           duration_sec AS num, CAST(NULL AS VARCHAR) AS str_val
+    FROM ({session_stats_sql(_Q02_GAP)})
+    UNION ALL
+    SELECT 'funnel' AS section, user_id, seq, ts_a,
+           CAST(NULL AS TIMESTAMP) AS ts_b, steps_completed AS n,
+           CAST(NULL AS DOUBLE) AS num, str_val
+    FROM ({funnel_steps})
     """
+
+
+@query("q02_latest_event_per_user", oracle=_q02_oracle())
+def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user event-sequence analytics host, three sections over
+    one events scan:
+
+    - ``latest``: top-1 per key via row_number — the reference's
+      latest-per-sensor scan. Single shuffle on the partition key; at
+      100 TB prefer this over groupBy(max)+self-join (one vs two).
+    - ``session``: gap-based sessionization (operators/sessions.py) —
+      the lag window flags >= 8 h gaps, a running sum over the SAME
+      user partition numbers the sessions, and the per-session
+      aggregate adds NO second exchange (HashPartitioning(user)
+      already clusters (user, session_seq) — plan-asserted in tests).
+    - ``funnel``: first-completion funnel view→click→purchase
+      (chained conditional min-aggregates, strictly-after semantics;
+      one row per completed step, n = steps the user finished). No
+      per-user event array anywhere — hot users cost nothing.
+    """
+    from unimib_simpss_spark.operators.sessions import (
+        funnel_first_completion,
+        session_stats,
+    )
+
     e = _t(spark, sf_dir, "events")
+    _nul = lambda t, name: F.lit(None).cast(t).alias(name)  # noqa: E731
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
+    latest = (
         e.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
+            F.lit("latest").alias("section"),
             "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("ts").alias("last_ts"),
-            F.col("event_type").alias("last_type"),
-            F.col("value").alias("last_value"),
+            F.col("event_id").alias("seq"),
+            F.col("ts").alias("ts_a"),
+            _nul("timestamp", "ts_b"),
+            _nul("long", "n"),
+            F.col("value").alias("num"),
+            F.col("event_type").alias("str_val"),
         )
     )
+    sess = session_stats(e, gap_seconds=_Q02_GAP).select(
+        F.lit("session").alias("section"),
+        "user_id",
+        F.col("session_seq").alias("seq"),
+        F.col("session_start").alias("ts_a"),
+        F.col("session_end").alias("ts_b"),
+        F.col("n_events").alias("n"),
+        F.col("duration_sec").alias("num"),
+        _nul("string", "str_val"),
+    )
+    fun = funnel_first_completion(e, _Q02_FUNNEL)
+    fun_steps = [
+        fun.where(F.col(f"t{i}").isNotNull()).select(
+            F.lit("funnel").alias("section"),
+            "user_id",
+            F.lit(i).cast("long").alias("seq"),
+            F.col(f"t{i}").alias("ts_a"),
+            _nul("timestamp", "ts_b"),
+            F.col("steps_completed").alias("n"),
+            _nul("double", "num"),
+            F.lit(step).alias("str_val"),
+        )
+        for i, step in enumerate(_Q02_FUNNEL, start=1)
+    ]
+    out = latest.unionAll(sess)
+    for leg in fun_steps:
+        out = out.unionAll(leg)
+    return out
 
 
 # --------------------------------------------------------------------------
