@@ -1697,3 +1697,75 @@ def test_assign_cells_null_dropped_ragged_raises(spark):
     )
     with _pytest.raises(Exception, match="NaN"):
         assign_cells(nully, cents).collect()
+
+
+def test_streaming_session_windows_merge_across_batches(spark, dim, tmp_path):
+    """ST7 session form: per-sensor gap sessions via the merging
+    session_window state. Three micro-batches (maxFilesPerTrigger=1):
+    a session STARTED in batch 1 must absorb batch 2's within-gap
+    event (the cross-batch stateful merge), a past-gap event must open
+    a new session, and a far-future sentinel batch pushes the
+    watermark so append mode emits every closed session exactly once.
+    The emitted sessions must equal the BATCH operator
+    (operators/sessions.py session_stats) folding the same rows."""
+    from unimib_simpss_spark.operators.sensor_pipeline import sensor_pipeline
+    from unimib_simpss_spark.operators.sessions import session_stats
+    from unimib_simpss_spark.streaming.pipeline import session_stats_stream
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    base = {"P": 400, "H": 50, "Ix": 0, "Iy": 0, "Iz": 0, "M": 0, "T": 100}
+    # gap = 300 s. sensor 120: events at t=0,60 (batch 1), t=180
+    # (batch 2, within gap of 60 -> MERGES into the open session),
+    # t=1000 (batch 2, 820 s after 180 -> NEW session). sensor 121:
+    # one event. sentinel sensor 123 at t=100000 flushes the watermark.
+    _write_log(logdir, "a.json", [dict(base, id=120, uptime=0),
+                                  dict(base, id=120, uptime=60)])
+    _write_log(logdir, "b.json", [dict(base, id=120, uptime=180),
+                                  dict(base, id=121, uptime=100),
+                                  dict(base, id=120, uptime=1000)])
+    _write_log(logdir, "c.json", [dict(base, id=123, uptime=100000)])
+
+    ts_expr = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=F.col("uptime")
+    )
+    stream = file_replay_source(spark, str(logdir), max_files_per_trigger=1)
+    persisted, _ = sensor_pipeline(stream, dim, ts_col=ts_expr)
+    sessions = session_stats_stream(
+        persisted, gap_seconds=300, key_col="sensor_id",
+        ts_col="time_received", watermark="1 second",
+    )
+    q = (
+        sessions.writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.sensor_id, r.session_start, r.session_end, r.n_events,
+         r.duration_sec)
+        for r in spark.sql(
+            "select * from sessions where sensor_id < 123"
+        ).collect()
+    )
+    # the cross-batch merge: one session holding t=0,60,180
+    assert [(sid, n, dur) for sid, _, _, n, dur in got] == [
+        (120, 3, 180.0), (120, 1, 0.0), (121, 1, 0.0),
+    ]
+    # batch parity: same rows, one batch, the batch operator
+    batch_rows = spark.createDataFrame(
+        [(i, sid, sec) for i, (sid, sec) in enumerate(
+            [(120, 0), (120, 60), (120, 180), (120, 1000), (121, 100)]
+        )],
+        "event_id long, sensor_id long, uptime long",
+    ).select("event_id", "sensor_id", ts_expr.alias("time_received"))
+    want = sorted(
+        (r.sensor_id, r.session_start, r.session_end, r.n_events,
+         r.duration_sec)
+        for r in session_stats(
+            batch_rows, gap_seconds=300, user_col="sensor_id",
+            ts_col="time_received",
+        ).collect()
+    )
+    assert got == want

@@ -208,3 +208,62 @@ def interval_join(
         & (rw[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def session_stats_stream(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "sensor_id",
+    ts_col: str = "time_received",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST7's SESSION-window form: per-key gap-based sessions on an
+    unbounded stream via Spark's merging ``session_window`` state
+    (SPARK-10816) — events landing in different micro-batches MERGE
+    into one session as long as each arrives within the gap
+    (state-tested across maxFilesPerTrigger=1 batches); the watermark
+    both admits late data and lets closed sessions EVICT, so state is
+    bounded by the live-session count, not the stream length.
+
+    Same output contract as the batch operator
+    (operators/sessions.py session_stats, minus the per-user ordinal —
+    a global per-key rank has no meaning mid-stream): ``(key,
+    session_start, session_end, n_events, duration_sec)`` with
+    session_start/end = min/max EVENT time (session_window.end is
+    last-event + gap, an eviction bound, not data). Batch parity is
+    pinned in tests/test_streaming.py: the streamed sessions equal
+    ``session_stats`` over the same rows folded as one batch.
+
+    Append output mode: a session emits exactly once, when the
+    watermark passes its close — the delivery-semantics-friendly mode
+    (ST5's sinks see each session once).
+    """
+    is_streaming = df.isStreaming
+    src = df.withWatermark(ts_col, watermark) if is_streaming else df
+    return (
+        src.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias(
+                "_sw"
+            ),
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            key_col,
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round(
+                (
+                    F.unix_micros(F.col("session_end"))
+                    - F.unix_micros(F.col("session_start"))
+                )
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("duration_sec"),
+        )
+    )
