@@ -487,6 +487,75 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert got == {1: (1, 1), 3: (2, 1)}
 
 
+class TestRetrievalFusion:
+    def test_ngram_overlap_pair_granular_and_shared_sg(self, spark):
+        """Per-pair shared-gram counts, rank determinism, and the
+        shared-shingle path (_sg) matching the own-cache path."""
+        from unimib_simpss_spark.operators.caching import (
+            cache_intermediate,
+            release_intermediate,
+        )
+        from unimib_simpss_spark.operators.retrieval import (
+            ngram_overlap_topk,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),  # benchmark
+                (1, "x alpha beta gamma delta y"),
+                (2, "entirely different words here now"),
+                (3, "alpha beta gamma delta epsilon qq"),
+            ],
+            ["doc_id", "text"],
+        )
+        pred = F.col("doc_id") == 0
+        own = sorted(map(tuple, ngram_overlap_topk(df, pred, k=10).collect()))
+        assert own == [(0, 1, 1, 2), (0, 3, 2, 1)]  # count desc, id asc
+        sg = cache_intermediate(D.decon_shingles(df, pred))
+        shared = sorted(
+            map(tuple, ngram_overlap_topk(df, pred, k=10, _sg=sg).collect())
+        )
+        release_intermediate(sg)
+        assert shared == own
+
+    def test_rrf_fuse_hand_computed(self, spark):
+        """RRF arithmetic: a doc on BOTH lists outranks a doc that is
+        #1 on one list only (k=60 dampening); ties break by doc id."""
+        from unimib_simpss_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+            "bench_id long, doc_id long, rank long",
+        )
+        b = spark.createDataFrame(
+            [(1, 20, 1), (1, 40, 2)],
+            "bench_id long, doc_id long, rank long",
+        )
+        got = {
+            r.doc_id: (r.rrf_score, r.n_rankers, r.rank)
+            for r in rrf_fuse({"a": a, "b": b}, topk=4).collect()
+        }
+        # doc 20: 1/62 + 1/61 = 0.032523; doc 10: 1/61 = 0.016393;
+        # doc 40: 1/62 = 0.016129; doc 30: 1/63 = 0.015873
+        assert got[20] == (round(1 / 62 + 1 / 61, 6), 2, 1)
+        assert got[10] == (round(1 / 61, 6), 1, 2)
+        assert got[40] == (round(1 / 62, 6), 1, 3)
+        assert got[30] == (round(1 / 63, 6), 1, 4)
+
+    def test_rrf_topk_cut_and_empty_raise(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, d, r) for r, d in enumerate([10, 20, 30], 1)],
+            "bench_id long, doc_id long, rank long",
+        )
+        assert rrf_fuse({"a": a}, topk=2).count() == 2
+        with _pytest.raises(ValueError, match="at least one ranking"):
+            rrf_fuse({})
+
+
 def test_corpus_mix_deterministic_and_weighted(spark, docs):
     from unimib_simpss_spark.operators.sampling import corpus_mix, mix_keep
 

@@ -984,6 +984,32 @@ DECON_NGRAM = 4  # measured: 3-grams flag ~94% of this small-vocab corpus
                  # every scale while still meaning real phrase overlap.
 
 
+def decon_shingles(
+    docs: DataFrame,
+    is_benchmark: Column,
+    n: int = DECON_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (doc_id, is_bench, sg) shingle relation every
+    decontamination-family ranker indexes — built once and passed via
+    the ``_sg`` parameter when several legs share it (q34's ``_hsd``
+    recipe; the caller owns the cache)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_text"),
+            is_benchmark.alias("is_bench"),
+        )
+        .where(F.size(tokens("_text")) >= n)  # pre-shuffle cheap guard
+        .repartition("doc_id")
+        .select("doc_id", "is_bench", tokens("_text").alias("tk"))
+        .select(
+            "doc_id", "is_bench", shingles_from_tokens(F.col("tk"), n).alias("sg")
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     is_benchmark: Column,
@@ -991,6 +1017,8 @@ def decontaminate(
     min_shared: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _sg: DataFrame | None = None,
+    _collisions: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination by n-gram collision: flag every
     TRAINING document sharing ≥ ``min_shared`` distinct word ``n``-grams
@@ -1009,36 +1037,27 @@ def decontaminate(
     at 100 TB swap the join key to a 64-bit gram hash (same shape,
     ~10× narrower shuffle rows).
     """
-    sg = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("_text"),
-            is_benchmark.alias("is_bench"),
+    from unimib_simpss_spark.operators.retrieval import gram_collisions
+
+    own_sg = _sg is None and _collisions is None
+    if _collisions is None:
+        sg = (
+            cache_intermediate(
+                decon_shingles(docs, is_benchmark, n, text_col, id_col)
+            )
+            if own_sg
+            else _sg
         )
-        .where(F.size(tokens("_text")) >= n)  # pre-shuffle cheap guard
-        .repartition("doc_id")
-        .select("doc_id", "is_bench", tokens("_text").alias("tk"))
-        .select(
-            "doc_id", "is_bench", shingles_from_tokens(F.col("tk"), n).alias("sg")
-        )
-    )
-    sg = cache_intermediate(sg)
-    bench = sg.where(F.col("is_bench")).select(
-        F.explode("sg").alias("g"), F.col("doc_id").alias("bench_id")
-    )
-    train = sg.where(~F.col("is_bench")).select(
-        "doc_id", F.explode("sg").alias("g")
-    )
+        _collisions = gram_collisions(sg)
     out = (
-        train.join(bench, "g")
-        .groupBy("doc_id")
+        _collisions.groupBy("doc_id")
         .agg(
             F.count_distinct("g").alias("n_shared_ngrams"),
             F.count_distinct("bench_id").alias("n_bench_docs"),
         )
         .where(F.col("n_shared_ngrams") >= min_shared)
     )
-    return materialize_release(out, sg)
+    return materialize_release(out, *([sg] if own_sg else []))
 
 
 def decontaminate_sql(

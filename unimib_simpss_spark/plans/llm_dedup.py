@@ -188,7 +188,14 @@ _BENCH_PRED_SQL = "doc_id % 97 = 0"
 
 def _decontamination_oracle() -> str:
     from unimib_simpss_spark.operators.curation import bm25_decontam_sql
+    from unimib_simpss_spark.operators.retrieval import (
+        ngram_overlap_sql,
+        rrf_fuse_sql,
+    )
 
+    bm25 = bm25_decontam_sql(bench_pred_sql=_BENCH_PRED_SQL)
+    overlap = ngram_overlap_sql(bench_pred_sql=_BENCH_PRED_SQL, k=20)
+    rrf = rrf_fuse_sql({"bm25": bm25, "overlap": overlap}, topk=5)
     return f"""
     SELECT 'ngram' AS section, doc_id, n_shared_ngrams, n_bench_docs,
            CAST(NULL AS BIGINT) AS bench_id,
@@ -200,13 +207,25 @@ def _decontamination_oracle() -> str:
            CAST(NULL AS BIGINT) AS n_shared_ngrams,
            CAST(NULL AS BIGINT) AS n_bench_docs,
            bench_id, score, rank
-    FROM ({bm25_decontam_sql(bench_pred_sql=_BENCH_PRED_SQL)})
+    FROM ({bm25})
+    UNION ALL
+    SELECT 'overlap' AS section, doc_id,
+           n_shared AS n_shared_ngrams,
+           CAST(NULL AS BIGINT) AS n_bench_docs,
+           bench_id, CAST(NULL AS DOUBLE) AS score, rank
+    FROM ({overlap})
+    UNION ALL
+    SELECT 'rrf' AS section, doc_id,
+           CAST(NULL AS BIGINT) AS n_shared_ngrams,
+           n_rankers AS n_bench_docs,
+           bench_id, rrf_score AS score, rank
+    FROM ({rrf})
     """
 
 
 @query("q38_decontamination", oracle=_decontamination_oracle())
 def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination, BOTH standard audits off the same
+    """Benchmark decontamination + hybrid retrieval, all off the same
     train/eval split (every 97th doc is held-out eval), tagged by
     section:
 
@@ -217,41 +236,83 @@ def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       per eval doc (sparse postings join; see
       operators/curation.py bm25_decontam_topk for the plan and
       100 TB notes).
+    - 'overlap' — the PAIR-granular lexical ranker: top-20 training
+      docs per eval doc by distinct shared 4-grams
+      (operators/retrieval.py ngram_overlap_topk), riding the SAME
+      cached shingle relation as 'ngram' (one shingle pass for both).
+    - 'rrf' — Reciprocal Rank Fusion of the bm25 and overlap lists
+      (rrf_fuse, k=60): the hybrid-retrieval candidate list fused
+      WITHOUT score calibration; n_bench_docs carries n_rankers. The
+      fusion touches only the two top-k lists, never the corpus.
 
-    Both legs release their shared relations internally; the tagged
-    union is then materialized into ONE self-owned handle (q34's
-    recipe) so the legs' checkpoint blocks are freed here —
-    release_result on a lazy union cannot reach its children."""
+    The legs release their shared relations here; the tagged union is
+    materialized into ONE self-owned handle (q34's recipe) so the
+    legs' checkpoint blocks are freed — release_result on a lazy union
+    cannot reach its children."""
     from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
         materialize_release,
         release_result,
     )
     from unimib_simpss_spark.operators.curation import bm25_decontam_topk
+    from unimib_simpss_spark.operators.retrieval import (
+        gram_collisions,
+        ngram_overlap_topk,
+        rrf_fuse,
+    )
 
     docs = _docs(spark, sf_dir)
     pred = F.col("doc_id") % 97 == 0
-    ng_raw = D.decontaminate(docs, is_benchmark=pred)
+    _nul = lambda t, name: F.lit(None).cast(t).alias(name)  # noqa: E731
+    # ONE shingle pass and ONE inverted-index join feed both gram
+    # legs: the collision relation is the expensive intermediate, so
+    # it (not just the shingles) is the shared cache
+    sg = cache_intermediate(D.decon_shingles(docs, is_benchmark=pred))
+    col = cache_intermediate(gram_collisions(sg))
+    ng_raw = D.decontaminate(docs, is_benchmark=pred, _collisions=col)
     ng = ng_raw.select(
         F.lit("ngram").alias("section"),
         "doc_id",
         "n_shared_ngrams",
         "n_bench_docs",
-        F.lit(None).cast("long").alias("bench_id"),
-        F.lit(None).cast("double").alias("score"),
-        F.lit(None).cast("long").alias("rank"),
+        _nul("long", "bench_id"),
+        _nul("double", "score"),
+        _nul("long", "rank"),
+    )
+    ov_raw = ngram_overlap_topk(docs, is_benchmark=pred, k=20, _collisions=col)
+    ov = ov_raw.select(
+        F.lit("overlap").alias("section"),
+        "doc_id",
+        F.col("n_shared").alias("n_shared_ngrams"),
+        _nul("long", "n_bench_docs"),
+        "bench_id",
+        _nul("double", "score"),
+        "rank",
     )
     bm_raw = bm25_decontam_topk(docs, is_benchmark=pred)
     bm = bm_raw.select(
         F.lit("bm25").alias("section"),
         "doc_id",
-        F.lit(None).cast("long").alias("n_shared_ngrams"),
-        F.lit(None).cast("long").alias("n_bench_docs"),
+        _nul("long", "n_shared_ngrams"),
+        _nul("long", "n_bench_docs"),
         "bench_id",
         "score",
         "rank",
     )
-    out = materialize_release(ng.unionAll(bm))
+    rrf = rrf_fuse({"bm25": bm_raw, "overlap": ov_raw}, topk=5).select(
+        F.lit("rrf").alias("section"),
+        "doc_id",
+        _nul("long", "n_shared_ngrams"),
+        F.col("n_rankers").alias("n_bench_docs"),
+        "bench_id",
+        F.col("rrf_score").alias("score"),
+        "rank",
+    )
+    out = materialize_release(
+        ng.unionAll(bm).unionAll(ov).unionAll(rrf), sg, col
+    )
     release_result(ng_raw)
+    release_result(ov_raw)
     release_result(bm_raw)
     return out
 
