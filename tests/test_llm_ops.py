@@ -487,6 +487,100 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert got == {1: (1, 1), 3: (2, 1)}
 
 
+class TestLabelSilhouette:
+    def test_separated_clusters_score_high_mixed_low(self, spark):
+        """Two tight, well-separated clusters score near 1; relabeling
+        half of each cluster into the other label drives the score
+        toward (and below) 0 — the discriminating property the label
+        gate exists for."""
+        from unimib_simpss_spark.operators.similarity import (
+            label_silhouette,
+        )
+
+        tight = [
+            (i, [10.0 + 0.01 * i, 0.0], 0) for i in range(4)
+        ] + [
+            (10 + i, [-10.0 - 0.01 * i, 0.0], 1) for i in range(4)
+        ]
+        good = {
+            r.label: r
+            for r in label_silhouette(
+                spark.createDataFrame(
+                    tight, "vec_id long, embedding array<double>, label int"
+                )
+            ).collect()
+        }
+        assert set(good) == {0, 1}
+        for r in good.values():
+            assert r.n == 4
+            assert r.mean_silhouette > 0.99
+            assert r.mean_intra < 0.1
+            assert r.min_sep > 19
+        mixed = [
+            (i, v, lbl if i % 2 == 0 else 1 - lbl) for i, v, lbl in tight
+        ]
+        bad = {
+            r.label: r
+            for r in label_silhouette(
+                spark.createDataFrame(
+                    mixed, "vec_id long, embedding array<double>, label int"
+                )
+            ).collect()
+        }
+        for r in bad.values():
+            assert r.mean_silhouette < 0.1
+            assert r.min_sep < 1
+
+    def test_matches_sql_twin_on_fixture(self, spark, sf_dir, emb):
+        import duckdb
+
+        from unimib_simpss_spark.operators.similarity import (
+            label_silhouette,
+            label_silhouette_sql,
+        )
+
+        got = sorted(map(tuple, label_silhouette(emb).collect()))
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        want = sorted(map(tuple, con.sql(label_silhouette_sql()).fetchall()))
+        assert got == want
+
+    def test_single_label_and_corrupt_rows(self, spark):
+        """One label: silhouette 0 by convention, min_sep NULL;
+        NULL-vector / NULL-label rows are excluded."""
+        from unimib_simpss_spark.operators.similarity import (
+            label_silhouette,
+        )
+
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [1.1, 0.0], 0),
+            (3, None, 0),
+            (4, [0.5, 0.5], None),
+        ]
+        got = label_silhouette(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, label int"
+            )
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.label, r.n, r.mean_silhouette, r.min_sep) == (0, 2, 0.0, None)
+
+    def test_max_labels_gate(self, emb):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.similarity import (
+            label_silhouette,
+        )
+
+        with _pytest.raises(ValueError, match="bounded-driver"):
+            label_silhouette(emb, max_labels=3)
+
+
 class TestRetrievalFusion:
     def test_ngram_overlap_pair_granular_and_shared_sg(self, spark):
         """Per-pair shared-gram counts, rank determinism, and the

@@ -1618,6 +1618,197 @@ def hard_negatives_pandas(
     )
 
 
+def label_silhouette(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    ndigits: int = 5,
+    max_labels: int = 10_000,
+) -> DataFrame:
+    """Per-label embedding-cluster quality: the CENTROID silhouette
+    (Rousseeuw's silhouette with the O(n²) pairwise terms replaced by
+    distances to label centroids — the standard O(n·k) form at scale),
+    plus cohesion and separation:
+
+    - ``mean_silhouette``: mean over the label's vectors of
+      ``(d_other − d_own) / max(d_own, d_other)`` where ``d_own`` is
+      the L2 distance to the OWN label centroid and ``d_other`` the
+      min distance to any OTHER centroid (0 when both are 0);
+    - ``mean_intra``: mean ``d_own`` (cluster radius);
+    - ``min_sep``: the centroid's distance to its nearest other
+      centroid (pure k×k centroid arithmetic);
+    - ``n``: vectors carrying the label.
+
+    The label-quality gate an embedding pipeline reads before trusting
+    labels for hard-negative mining or SemDeDup thresholds.
+
+    Scale shape: centroids are a grouped-agg (k×d driver state, gated
+    by ``max_labels`` — the bounded-driver contract); the corpus then
+    streams ONCE through ``mapInPandas`` against the broadcast
+    centroid matrix (per-batch NumPy distance, no corpus shuffle —
+    the assign_cells pattern) and only (label, s, d_own) rows reach
+    the k-sized final aggregate. Centroid components are rounded to
+    9 dp on BOTH engines before any distance, so the only cross-engine
+    float drift left is summation order inside the final means —
+    absorbed by the ``ndigits`` output rounding. DuckDB twin:
+    :func:`label_silhouette_sql`. NULL-vector / NULL-label rows are
+    excluded (no position in space / no cluster)."""
+    import numpy as np
+    import pandas as pd
+
+    e = emb.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("_own"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    n_labels = (
+        e.select("_own").distinct().limit(max_labels + 1).count()
+    )
+    if n_labels > max_labels:
+        raise ValueError(
+            f"label_silhouette: more than {max_labels} labels — the "
+            "k×d centroid collect is gated by the bounded-driver "
+            "contract (raise max_labels only with the memory to match)"
+        )
+    # per-dimension means via posexplode + one combinable groupBy —
+    # built-ins only; the collect is k×d rows, gated above
+    crows = (
+        e.select("_own", F.posexplode("_v").alias("_pos", "_val"))
+        .groupBy("_own", "_pos")
+        .agg(F.avg("_val").alias("_c"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in crows:
+        by_label.setdefault(r._own, {})[r._pos] = r._c
+    labels = sorted(by_label)
+    C = np.round(
+        np.array(
+            [
+                [by_label[l][p] for p in sorted(by_label[l])]
+                for l in labels
+            ],
+            dtype=np.float64,
+        ),
+        9,
+    )
+    lbl_idx = {l: i for i, l in enumerate(labels)}
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((lbl_idx, C))
+    lbl_type = emb.schema[label_col].dataType.simpleString()
+
+    def score(batches):
+        idx, cm = bc.value
+        k = cm.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            D = np.empty((len(pdf), k), dtype=np.float64)
+            for j in range(k):
+                D[:, j] = np.sqrt(((X - cm[j]) ** 2).sum(axis=1))
+            own = np.array([idx[o] for o in pdf["_own"]], dtype=np.int64)
+            rows = np.arange(len(pdf))
+            d_own = D[rows, own]
+            D[rows, own] = np.inf
+            d_other = D.min(axis=1) if k > 1 else np.full(len(pdf), np.inf)
+            mx = np.maximum(d_own, d_other)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # single-label corpora (d_other undefined) score 0 by
+                # convention, like the degenerate both-zero case —
+                # mirrored in the SQL twin's IS NULL branch
+                s = np.where(
+                    (mx == 0) | np.isinf(d_other),
+                    0.0,
+                    (d_other - d_own) / mx,
+                )
+            yield pd.DataFrame(
+                {"label": pdf["_own"], "s": s, "d_own": d_own}
+            )
+
+    scored = e.mapInPandas(
+        score, f"label {lbl_type}, s double, d_own double"
+    )
+    per_label = scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("s"), ndigits).alias("mean_silhouette"),
+        F.round(F.avg("d_own"), ndigits).alias("mean_intra"),
+    )
+    # separation: k×k centroid arithmetic on the driver (already
+    # collected and bounded) — no reason to ship it back to executors
+    sep_rows = []
+    for i, l in enumerate(labels):
+        if len(labels) > 1:
+            d = np.sqrt(((C - C[i]) ** 2).sum(axis=1))
+            d[i] = np.inf
+            sep_rows.append((l, float(d.min())))
+        else:
+            sep_rows.append((l, None))
+    sep = spark.createDataFrame(
+        sep_rows, f"label {lbl_type}, min_sep double"
+    )
+    # rounded through F.round (HALF_UP), matching the SQL twin's
+    # round() — Python's builtin round is banker's and would diverge
+    # on exact ties
+    return per_label.join(F.broadcast(sep), "label").select(
+        "label",
+        "n",
+        "mean_silhouette",
+        "mean_intra",
+        F.round("min_sep", ndigits).alias("min_sep"),
+    )
+
+
+def label_silhouette_sql(ndigits: int = 5) -> str:
+    """DuckDB twin of :func:`label_silhouette` (same 9-dp centroid
+    pin, same k-nearest-other arithmetic)."""
+    return f"""
+    WITH flat AS (
+        SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), cent AS (
+        SELECT label, pos, round(avg(v), 9) AS c
+        FROM flat GROUP BY label, pos
+    ), dist AS (
+        SELECT f.vec_id, f.label AS own, c.label AS other,
+               sqrt(sum((f.v - c.c) * (f.v - c.c))) AS d
+        FROM flat f JOIN cent c ON f.pos = c.pos
+        GROUP BY f.vec_id, f.label, c.label
+    ), per_vec AS (
+        SELECT vec_id, own,
+               MIN(CASE WHEN other = own THEN d END)  AS d_own,
+               MIN(CASE WHEN other <> own THEN d END) AS d_other
+        FROM dist GROUP BY vec_id, own
+    ), sil AS (
+        SELECT own AS label, d_own,
+               CASE WHEN d_other IS NULL THEN 0.0
+                    WHEN greatest(d_own, d_other) = 0 THEN 0.0
+                    ELSE (d_other - d_own) / greatest(d_own, d_other)
+               END AS s
+        FROM per_vec
+    ), sep AS (
+        SELECT a.label, round(min(dd), {ndigits}) AS min_sep FROM (
+            SELECT a2.label AS label, b.label AS other,
+                   sqrt(sum((a2.c - b.c) * (a2.c - b.c))) AS dd
+            FROM cent a2 JOIN cent b
+                 ON a2.pos = b.pos AND a2.label <> b.label
+            GROUP BY a2.label, b.label
+        ) a GROUP BY a.label
+    )
+    SELECT s.label, s.n, s.mean_silhouette, s.mean_intra, sep.min_sep
+    FROM (
+        SELECT label, COUNT(*) AS n,
+               round(avg(s), {ndigits}) + 0      AS mean_silhouette,
+               round(avg(d_own), {ndigits}) + 0  AS mean_intra
+        FROM sil GROUP BY label
+    ) s LEFT JOIN sep ON s.label = sep.label
+    """
+
+
 def hard_negatives_auto(
     emb: DataFrame,
     k: int = 3,

@@ -225,13 +225,13 @@ def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "q57_label_centroids",
-    oracle="""
+def _q57_oracle() -> str:
+    return f"""
     -- + 0 normalizes DuckDB's -0.0 (round of a tiny negative mean over
     -- signed components) to +0.0; Spark's BigDecimal round can't
     -- produce -0.0, and the sorted-row hash compare distinguishes them
-    SELECT label, pos, round(avg(v), 5) + 0 AS mean_v
+    SELECT 'centroid' AS section, label, pos,
+           round(avg(v), 5) + 0 AS val, CAST(NULL AS BIGINT) AS n
     FROM (
         SELECT label,
                unnest(embedding)                          AS v,
@@ -239,17 +239,35 @@ def x50_ann_learned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     GROUP BY label, pos
-    """,
-)
-def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid via a GROUPED-AGG pandas UDF (the UDAF shape
-    of SURVEY §2.7): one Arrow batch per label feeds a single NumPy
-    column-mean — the vectorized custom aggregate pattern. Emitted in
-    long form (label, pos, mean_v) so the oracle compares element-wise.
+    UNION ALL
+    SELECT s AS section, label, CAST(NULL AS BIGINT) AS pos, val, n
+    FROM (
+        SELECT label, n, mean_silhouette, mean_intra, min_sep
+        FROM ({S.label_silhouette_sql()})
+    ) UNPIVOT (val FOR s IN (
+        mean_silhouette AS 'sil', mean_intra AS 'intra',
+        min_sep AS 'sep'
+    ))
+    """
 
-    Scale: grouped-agg state is one k x d float64 accumulator per group;
-    the only shuffle is the groupBy(label). At 100 TB the same UDF runs
-    unchanged — group count, not row count, bounds memory."""
+
+@query("q57_label_centroids", oracle=_q57_oracle())
+def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diagnostics, two sections over one corpus:
+
+    - 'centroid': per-label centroid via a GROUPED-AGG pandas UDF (the
+      UDAF shape of SURVEY §2.7): one Arrow batch per label feeds a
+      single NumPy column-mean — the vectorized custom aggregate
+      pattern, emitted long-form (label, pos, val) so the oracle
+      compares element-wise. Grouped-agg state is one k×d float64
+      accumulator per group; the only shuffle is the groupBy(label).
+    - 'sil' / 'intra' / 'sep': the label-quality gate
+      (operators/similarity.py label_silhouette) — centroid
+      silhouette (O(n·k), never O(n²) pairwise), cluster radius, and
+      nearest-other-centroid separation per label; n = label size on
+      each of these rows. The corpus streams once through an Arrow
+      pass against the bounded broadcast centroid matrix — no corpus
+      shuffle (the assign_cells pattern)."""
 
     # Type-hint form (pd.Series -> scalar-per-group infers GROUPED_AGG);
     # the PandasUDFType enum emitted a SPARK-28264 deprecation warning
@@ -259,19 +277,47 @@ def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     def centroid(emb: pd.Series) -> list:
         return np.stack(emb.to_numpy()).astype("float64").mean(axis=0).tolist()
 
+    e = _emb(spark, sf_dir)
     cent = (
-        _emb(spark, sf_dir)
-        .groupBy("label")
+        e.groupBy("label")
         .agg(centroid(F.col("embedding")).alias("centroid"))
+        .select("label", F.posexplode("centroid").alias("pos0", "v"))
+        .select(
+            F.lit("centroid").alias("section"),
+            "label",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.round("v", 5).alias("val"),
+            F.lit(None).cast("long").alias("n"),
+        )
     )
-    return cent.select(
+    # unpivot via one explode, not three self-unions — the silhouette
+    # relation is tiny but each union leg would re-run its corpus scan
+    qual = S.label_silhouette(e).select(
         "label",
-        F.posexplode("centroid").alias("pos0", "v"),
+        "n",
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(tag).alias("section"),
+                        F.col(col).alias("val"),
+                    )
+                    for tag, col in (
+                        ("sil", "mean_silhouette"),
+                        ("intra", "mean_intra"),
+                        ("sep", "min_sep"),
+                    )
+                )
+            )
+        ).alias("e"),
     ).select(
+        F.col("e.section").alias("section"),
         "label",
-        (F.col("pos0") + 1).cast("bigint").alias("pos"),
-        F.round("v", 5).alias("mean_v"),
+        F.lit(None).cast("long").alias("pos"),
+        F.col("e.val").alias("val"),
+        "n",
     )
+    return cent.unionAll(qual)
 
 
 @query("x66_pq_topk")  # sample-trained codebooks + approx ADC → rows-only
