@@ -542,3 +542,76 @@ class TestFunnel:
             funnel_first_completion(e, [])
         with _pytest.raises(ValueError, match="distinct"):
             funnel_first_completion(e, ["a", "a"])
+
+
+class TestAcfByKey:
+    def test_alternating_and_constant_series(self, spark):
+        """Alternating values: lag-1 ACF = -1, lag-2 ACF = +1 exactly;
+        a constant series has no defined correlation -> NULL."""
+        import datetime as dt
+
+        from unimib_simpss_spark.operators.timeseries import acf_by_key
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(seconds=i), 1, float(i % 2))
+            for i in range(10)
+        ] + [
+            (100 + i, t0 + dt.timedelta(seconds=i), 2, 5.0)
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        got = {
+            (r.user_id, r.lag): (r.n_pairs, r.acf)
+            for r in acf_by_key(df, lags=(1, 2)).collect()
+        }
+        assert got[(1, 1)] == (9, -1.0)
+        assert got[(1, 2)] == (8, 1.0)
+        assert got[(2, 1)] == (5, None)
+        assert got[(2, 2)] == (4, None)
+
+    def test_single_exchange_plan(self, spark, sf_dir):
+        """All lag columns in one window pass; the per-key aggregate
+        reuses the window's clustering — exactly one hash exchange."""
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.timeseries import acf_by_key
+
+        df = acf_by_key(load_table(spark, sf_dir, "events"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+    def test_matches_sql_twin(self, spark, sf_dir):
+        import duckdb
+
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.timeseries import (
+            acf_by_key,
+            acf_sql,
+        )
+
+        got = sorted(
+            map(tuple, acf_by_key(
+                load_table(spark, sf_dir, "events")
+            ).collect())
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = sorted(map(tuple, con.sql(acf_sql()).fetchall()))
+        assert got == want and len(got) > 30
+
+    def test_bad_lags_raise(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.timeseries import acf_by_key
+
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, value double"
+        )
+        with _pytest.raises(ValueError, match="lags"):
+            acf_by_key(df, lags=())
+        with _pytest.raises(ValueError, match="lags"):
+            acf_by_key(df, lags=(0,))

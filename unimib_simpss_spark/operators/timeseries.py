@@ -508,3 +508,113 @@ def anomalies(
         return pd.DataFrame(rows, columns=["key", "ts", "value", "resid"])
 
     return src.groupBy("key").applyInPandas(fold, out_schema)
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lags: tuple[int, ...] = (1, 2, 3),
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-key autocorrelation of an event-ordered value series at the
+    given ``lags`` — the seasonality/persistence diagnostic a telemetry
+    pipeline reads before picking window sizes or anomaly baselines
+    (the series form of q53's corr moment): Pearson correlation between
+    the series and its lag-k shift, ordered by ``(ts, id)`` within each
+    key. Returns ``(key, lag, n_pairs, acf)``; ``acf`` is NULL where
+    undefined (constant series or < 2 complete pairs), identically on
+    both engines. DuckDB twin: :func:`acf_sql`.
+
+    Plan: ONE window pass computes every lag column (same partition
+    key, one Exchange + sort), and the per-key aggregate reuses that
+    clustering (hash(key) satisfies the groupBy's distribution — no
+    second shuffle). Each lag adds a column, not a pass."""
+    from pyspark.sql import Window
+
+    if not lags or any(k <= 0 for k in lags):
+        raise ValueError(f"lags must be positive, got {lags!r}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    v = F.col(value_col).cast("double")
+    # the key keeps its ORIGINAL name through the window + aggregate:
+    # re-aliasing it between the two defeats Catalyst's alias-aware
+    # partitioning propagation and buys a second exchange
+    lagged = df.where(F.col(ts_col).isNotNull()).select(
+        key_col,
+        v.alias("_v"),
+        *[F.lag(v, k).over(w).alias(f"_l{k}") for k in lags],
+    )
+    agg = lagged.groupBy(key_col).agg(
+        *[
+            F.round(F.corr("_v", f"_l{k}"), ndigits).alias(f"_acf{k}")
+            for k in lags
+        ],
+        *[
+            F.count(
+                F.when(
+                    F.col("_v").isNotNull() & F.col(f"_l{k}").isNotNull(),
+                    1,
+                )
+            ).alias(f"_n{k}")
+            for k in lags
+        ],
+    )
+    # unpivot via one explode (one evaluation, not len(lags) unions)
+    return agg.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"_n{k}").alias("n_pairs"),
+                        F.col(f"_acf{k}").alias("acf"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("_e"),
+    ).select(
+        key_col,
+        F.col("_e.lag").alias("lag"),
+        F.col("_e.n_pairs").alias("n_pairs"),
+        F.col("_e.acf").alias("acf"),
+    )
+
+
+def acf_sql(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lags: tuple[int, ...] = (1, 2, 3),
+    ndigits: int = 4,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`acf_by_key` (same ordering, same
+    NULL-where-undefined convention)."""
+    assert lags
+    lag_cols = ", ".join(
+        f"lag({value_col}::DOUBLE, {k}) OVER w AS _l{k}" for k in lags
+    )
+    legs = " UNION ALL ".join(
+        f"""
+        SELECT {key_col}, CAST({k} AS BIGINT) AS lag,
+               COUNT(CASE WHEN _v IS NOT NULL AND _l{k} IS NOT NULL
+                          THEN 1 END) AS n_pairs,
+               round(corr(_v, _l{k}), {ndigits}) + 0 AS acf
+        FROM lagged GROUP BY {key_col}
+        """
+        for k in lags
+    )
+    return f"""
+    WITH lagged AS (
+        SELECT {key_col}, {value_col}::DOUBLE AS _v, {lag_cols}
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
+    )
+    {legs}
+    """

@@ -76,6 +76,7 @@ def _q02_oracle() -> str:
         funnel_sql,
         session_stats_sql,
     )
+    from unimib_simpss_spark.operators.timeseries import acf_sql
 
     steps = ", ".join(f"'{s}'" for s in _Q02_FUNNEL)
     funnel_steps = " UNION ALL ".join(
@@ -104,6 +105,11 @@ def _q02_oracle() -> str:
            CAST(NULL AS TIMESTAMP) AS ts_b, steps_completed AS n,
            CAST(NULL AS DOUBLE) AS num, str_val
     FROM ({funnel_steps})
+    UNION ALL
+    SELECT 'acf' AS section, user_id, lag AS seq,
+           CAST(NULL AS TIMESTAMP) AS ts_a, CAST(NULL AS TIMESTAMP) AS ts_b,
+           n_pairs AS n, acf AS num, CAST(NULL AS VARCHAR) AS str_val
+    FROM ({acf_sql()})
     """
 
 
@@ -124,11 +130,16 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       (chained conditional min-aggregates, strictly-after semantics;
       one row per completed step, n = steps the user finished). No
       per-user event array anywhere — hot users cost nothing.
+    - ``acf``: per-user autocorrelation of the value series at lags
+      1..3 (operators/timeseries.py acf_by_key — ONE window pass for
+      all lags, aggregate reuses the window's clustering; seq = lag,
+      num = acf, n = complete pairs).
     """
     from unimib_simpss_spark.operators.sessions import (
         funnel_first_completion,
         session_stats,
     )
+    from unimib_simpss_spark.operators.timeseries import acf_by_key
 
     e = _t(spark, sf_dir, "events")
     _nul = lambda t, name: F.lit(None).cast(t).alias(name)  # noqa: E731
@@ -171,10 +182,20 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, step in enumerate(_Q02_FUNNEL, start=1)
     ]
+    acf = acf_by_key(e).select(
+        F.lit("acf").alias("section"),
+        "user_id",
+        F.col("lag").alias("seq"),
+        _nul("timestamp", "ts_a"),
+        _nul("timestamp", "ts_b"),
+        F.col("n_pairs").alias("n"),
+        F.col("acf").alias("num"),
+        _nul("string", "str_val"),
+    )
     out = latest.unionAll(sess)
     for leg in fun_steps:
         out = out.unionAll(leg)
-    return out
+    return out.unionAll(acf)
 
 
 # --------------------------------------------------------------------------
