@@ -615,3 +615,95 @@ class TestAcfByKey:
             acf_by_key(df, lags=())
         with _pytest.raises(ValueError, match="lags"):
             acf_by_key(df, lags=(0,))
+
+
+class TestTimeWeightedAvg:
+    def test_hold_semantics_hand_computed(self, spark):
+        """59 minutes of 100 and 1 minute of 0 must average ~98.33
+        (sample-and-hold), not 50 (plain avg) — the reason the
+        operator exists. Prefix before the first reading is excluded:
+        a window whose first reading is at minute 30 weighs only the
+        last 30 minutes."""
+        import datetime as dt
+
+        from unimib_simpss_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            # window [00:00, 01:00): v=100 holds 59 min, v=0 holds 1 min
+            (1, t0, 7, 100.0),
+            (2, t0 + dt.timedelta(minutes=59), 7, 0.0),
+            # window [01:00, 02:00): first reading at 01:30 -> only the
+            # last 30 min count; 20 min of 10, 10 min of 40 -> 20.0
+            (3, t0 + dt.timedelta(minutes=90), 7, 10.0),
+            (4, t0 + dt.timedelta(minutes=110), 7, 40.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        got = {
+            r.window_start: (r.n_readings, r.twa)
+            for r in time_weighted_avg(df).collect()
+        }
+        assert got[t0] == (2, round(100 * 59 / 60, 6))
+        assert got[t0 + dt.timedelta(hours=1)] == (2, 20.0)
+
+    def test_windows_are_independent_no_cross_hold(self, spark):
+        """A reading near a window's end holds to the WINDOW end only —
+        the next window (with no readings) emits nothing, and a later
+        window restarts from its own first reading."""
+        import datetime as dt
+
+        from unimib_simpss_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + dt.timedelta(minutes=55), 7, 100.0),
+            (2, t0 + dt.timedelta(hours=2, minutes=10), 7, 4.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        got = {
+            r.window_start: r.twa for r in time_weighted_avg(df).collect()
+        }
+        assert got == {t0: 100.0, t0 + dt.timedelta(hours=2): 4.0}
+
+    def test_single_exchange_and_sql_twin(self, spark, sf_dir):
+        import duckdb
+
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.timeseries import (
+            time_weighted_avg,
+            time_weighted_avg_sql,
+        )
+
+        df = time_weighted_avg(load_table(spark, sf_dir, "events"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        got = sorted(map(tuple, df.collect()))
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = sorted(
+            map(tuple, con.sql(time_weighted_avg_sql()).fetchall())
+        )
+        assert got == want and len(got) > 100
+
+    def test_bad_window_raises(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        df = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, value double"
+        )
+        with _pytest.raises(ValueError, match="window_seconds"):
+            time_weighted_avg(df, window_seconds=0)

@@ -618,3 +618,114 @@ def acf_sql(
     )
     {legs}
     """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_seconds: int = 3600,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Sample-and-hold time-weighted average per (key, tumbling
+    window) — the industrial-historian aggregate (step interpolation:
+    each reading HOLDS until the next one) that a plain ``avg`` gets
+    wrong on irregularly sampled telemetry (a sensor reporting 59
+    minutes of 100 and one minute of 0 averages ~98.3, not 50).
+
+    Semantics, pinned identically on both engines: windows are
+    epoch-aligned ``[start, start+W)``; within a window each reading
+    holds from its timestamp to the next reading's (ties ordered by
+    ``id``), the last holds to the window END, and the span before the
+    window's first reading is excluded from numerator and denominator
+    (no value is known there — and no cross-window hold: windows stay
+    independent, which is what makes the operator embarrassingly
+    parallel instead of a sequential scan of the stream). NULL-ts /
+    NULL-value rows are excluded. All time arithmetic in integer
+    microseconds (``unix_micros`` / ``epoch_us``).
+
+    Returns ``(key, window_start, n_readings, twa)``. One shuffle: the
+    lead window partitions on (key, bucket) and the aggregate reuses
+    that clustering. DuckDB twin: :func:`time_weighted_avg_sql`."""
+    from pyspark.sql import Window
+
+    if window_seconds <= 0:
+        raise ValueError(
+            f"window_seconds must be positive, got {window_seconds}"
+        )
+    v = F.col(value_col).cast("double")
+    e = (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .select(
+            key_col,
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            v.alias("_v"),
+        )
+        .withColumn("_b", F.window("_ts", f"{window_seconds} seconds"))
+    )
+    w = Window.partitionBy(key_col, "_b").orderBy("_ts", "_id")
+    weighted = e.select(
+        key_col,
+        "_b",
+        "_v",
+        (
+            F.coalesce(
+                F.unix_micros(F.lead("_ts").over(w)),
+                F.unix_micros(F.col("_b.end")),
+            )
+            - F.unix_micros(F.col("_ts"))
+        ).alias("_w"),
+    )
+    return (
+        weighted.groupBy(key_col, "_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.round(
+                F.sum(F.col("_v") * F.col("_w")) / F.sum("_w"), ndigits
+            ).alias("twa"),
+        )
+        .select(
+            key_col,
+            F.col("_b.start").alias("window_start"),
+            "n_readings",
+            "twa",
+        )
+    )
+
+
+def time_weighted_avg_sql(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_seconds: int = 3600,
+    ndigits: int = 6,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg` (same µs arithmetic,
+    same hold/exclusion rules)."""
+    w_us = int(window_seconds) * 1_000_000
+    return f"""
+    WITH e AS (
+        SELECT {key_col}, {value_col}::DOUBLE AS _v, {id_col} AS _id,
+               epoch_us({ts_col}) AS _tus,
+               epoch_us({ts_col}) // {w_us} AS _b
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+    ), l AS (
+        SELECT {key_col}, _b, _v,
+               coalesce(
+                   lead(_tus) OVER (PARTITION BY {key_col}, _b
+                                    ORDER BY _tus, _id),
+                   (_b + 1) * {w_us}
+               ) - _tus AS _w
+        FROM e
+    )
+    SELECT {key_col}, make_timestamp(_b * {w_us}) AS window_start,
+           COUNT(*) AS n_readings,
+           round(SUM(_v * _w) / SUM(_w), {ndigits}) + 0 AS twa
+    FROM l GROUP BY {key_col}, _b
+    """

@@ -76,7 +76,10 @@ def _q02_oracle() -> str:
         funnel_sql,
         session_stats_sql,
     )
-    from unimib_simpss_spark.operators.timeseries import acf_sql
+    from unimib_simpss_spark.operators.timeseries import (
+        acf_sql,
+        time_weighted_avg_sql as twa_sql,
+    )
 
     steps = ", ".join(f"'{s}'" for s in _Q02_FUNNEL)
     funnel_steps = " UNION ALL ".join(
@@ -110,6 +113,11 @@ def _q02_oracle() -> str:
            CAST(NULL AS TIMESTAMP) AS ts_a, CAST(NULL AS TIMESTAMP) AS ts_b,
            n_pairs AS n, acf AS num, CAST(NULL AS VARCHAR) AS str_val
     FROM ({acf_sql()})
+    UNION ALL
+    SELECT 'twa' AS section, user_id, CAST(NULL AS BIGINT) AS seq,
+           window_start AS ts_a, CAST(NULL AS TIMESTAMP) AS ts_b,
+           n_readings AS n, twa AS num, CAST(NULL AS VARCHAR) AS str_val
+    FROM ({twa_sql()})
     """
 
 
@@ -134,12 +142,20 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       1..3 (operators/timeseries.py acf_by_key — ONE window pass for
       all lags, aggregate reuses the window's clustering; seq = lag,
       num = acf, n = complete pairs).
+    - ``twa``: per-user hourly TIME-WEIGHTED average of the value
+      series (operators/timeseries.py time_weighted_avg —
+      sample-and-hold step interpolation, the industrial-historian
+      aggregate a plain avg gets wrong on irregular telemetry;
+      ts_a = window start, num = twa, n = readings).
     """
     from unimib_simpss_spark.operators.sessions import (
         funnel_first_completion,
         session_stats,
     )
-    from unimib_simpss_spark.operators.timeseries import acf_by_key
+    from unimib_simpss_spark.operators.timeseries import (
+        acf_by_key,
+        time_weighted_avg,
+    )
 
     e = _t(spark, sf_dir, "events")
     _nul = lambda t, name: F.lit(None).cast(t).alias(name)  # noqa: E731
@@ -192,10 +208,20 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("acf").alias("num"),
         _nul("string", "str_val"),
     )
+    twa = time_weighted_avg(e).select(
+        F.lit("twa").alias("section"),
+        "user_id",
+        _nul("long", "seq"),
+        F.col("window_start").alias("ts_a"),
+        _nul("timestamp", "ts_b"),
+        F.col("n_readings").alias("n"),
+        F.col("twa").alias("num"),
+        _nul("string", "str_val"),
+    )
     out = latest.unionAll(sess)
     for leg in fun_steps:
         out = out.unionAll(leg)
-    return out.unionAll(acf)
+    return out.unionAll(acf).unionAll(twa)
 
 
 # --------------------------------------------------------------------------
