@@ -2007,3 +2007,82 @@ class TestProbeCells:
             S.probe_cells(emb, cents, nprobe=0)
         with _pytest.raises(ValueError, match="nprobe"):
             S.probe_cells(emb, cents, nprobe=5)
+
+
+class TestStratifiedSplit:
+    def test_exact_per_stratum_proportions(self, spark, docs):
+        """Every stratum lands its exact integer allocation — the
+        contract hash_split's per-row independence cannot give."""
+        from unimib_simpss_spark.operators.sampling import stratified_split
+
+        out = stratified_split(
+            docs, "source", "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        sizes = {}
+        for r in out.groupBy("source", "split").count().collect():
+            sizes.setdefault(r.source, {})[r.split] = r["count"]
+        assert sizes
+        for src, by_split in sizes.items():
+            n = sum(by_split.values())
+            assert by_split.get("train", 0) == (800 * n) // 1000, (src, by_split)
+            assert by_split.get("train", 0) + by_split.get("val", 0) == (
+                900 * n
+            ) // 1000, (src, by_split)
+
+    def test_float_boundary_regression_five_rows(self, spark):
+        """The 0.8*5 IEEE trap: five rows at 80/10/10 must yield
+        exactly 4/0/1 (integer rule), never 5 (ceil of
+        4.000000000000001)."""
+        from unimib_simpss_spark.operators.sampling import stratified_split
+
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(5)], "doc_id long, source string"
+        )
+        got = {
+            r.split: r["count"]
+            for r in stratified_split(
+                df, "source", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).groupBy("split").count().collect()
+        }
+        assert got == {"train": 4, "test": 1}
+
+    def test_deterministic_and_matches_sql_twin(self, spark, sf_dir, docs):
+        import duckdb
+
+        from unimib_simpss_spark.operators.sampling import (
+            stratified_split,
+            stratified_split_sql,
+        )
+
+        fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+        run = lambda: sorted(  # noqa: E731
+            (r.doc_id, r.split)
+            for r in stratified_split(docs, "source", "doc_id", fracs)
+            .select("doc_id", "split").collect()
+        )
+        a = run()
+        assert a == run()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(map(tuple, con.sql(
+            "SELECT doc_id, split FROM ("
+            + stratified_split_sql("source", "doc_id", fracs)
+            + ")"
+        ).fetchall()))
+        assert a == want
+
+    def test_bad_fractions_raise(self, spark, docs):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.sampling import stratified_split
+
+        with _pytest.raises(ValueError, match="sum to 1"):
+            stratified_split(docs, "source", "doc_id", {"a": 0.5, "b": 0.4})
+        with _pytest.raises(ValueError, match="multiple"):
+            stratified_split(docs, "source", "doc_id", {"a": 0.3335, "b": 0.6665})
+        with _pytest.raises(ValueError, match="non-empty"):
+            stratified_split(docs, "source", "doc_id", {})

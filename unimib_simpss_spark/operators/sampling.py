@@ -328,3 +328,95 @@ def _check_fractions(fractions: dict[str, float], buckets: int) -> None:
     for label, frac in fractions.items():
         if int(round(frac * buckets)) == 0:
             raise ValueError(f"fraction for {label!r} rounds to 0/{buckets} buckets")
+
+
+def stratified_split(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Tag ``df`` with a ``split`` column whose per-STRATUM proportions
+    are EXACT to within one row per boundary (scikit's
+    stratified-split contract at Spark scale) — the companion to
+    :func:`hash_split`, whose membership is per-row independent and so
+    carries binomial noise per stratum (a 100-doc source under an
+    80/10/10 hash split can land 73/15/12; this one lands 80/10/10).
+
+    Mechanics: within each stratum, rows rank deterministically by
+    ``(md5(key), key)``; row r of n lands in the first split whose
+    cumulative per-mille c satisfies ``r*1000 <= c*n`` — ALL-INTEGER
+    arithmetic (never ``ceil(0.8*n)``: 0.8 has no exact binary form
+    and ``0.8*5`` is 4.000000000000001 in IEEE, so float boundaries
+    round differently across engines). Fractions must be multiples of
+    1/1000 summing to 1.
+
+    Tradeoff vs hash_split, documented: exact proportions cost
+    append-stability (a new row shifts ranks behind it) — this is a
+    SNAPSHOT split for frozen corpora; use hash_split for growing
+    ones. One shuffle: rank and stratum count share the stratum
+    window's exchange. DuckDB twin: :func:`stratified_split_sql`."""
+    from pyspark.sql import Window
+
+    permille = _permille(fractions)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    wn = Window.partitionBy(stratum_col)
+    r = F.row_number().over(w).cast("long") * 1000
+    n = F.count(F.lit(1)).over(wn)
+    expr = None
+    cum = 0
+    for name, pm in permille.items():
+        cum += pm
+        cond = r <= F.lit(cum) * n
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def _permille(fractions: dict[str, float]) -> dict[str, int]:
+    """Validate and convert split fractions to exact per-mille ints."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    out: dict[str, int] = {}
+    for name, f in fractions.items():
+        pm = round(f * 1000)
+        if abs(pm - f * 1000) > 1e-9 or pm < 0:
+            raise ValueError(
+                f"fraction for {name!r} must be a non-negative multiple "
+                f"of 1/1000, got {f}"
+            )
+        out[name] = pm
+    if sum(out.values()) != 1000:
+        raise ValueError(
+            f"fractions must sum to 1.0, got {sum(out.values()) / 1000}"
+        )
+    return out
+
+
+def stratified_split_sql(
+    stratum_col: str,
+    key: str,
+    fractions: dict[str, float],
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`stratified_split` (same rank order, same
+    integer boundary rule)."""
+    permille = _permille(fractions)
+    case = "CASE"
+    cum = 0
+    for name, pm in permille.items():
+        cum += pm
+        case += f" WHEN _r * 1000 <= {cum} * _n THEN '{name}'"
+    case += " END"
+    return f"""
+    SELECT * EXCLUDE (_r, _n), {case} AS split
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY {stratum_col}
+                   ORDER BY md5(CAST({key} AS VARCHAR)), {key}) AS _r,
+               COUNT(*) OVER (PARTITION BY {stratum_col}) AS _n
+        FROM {table}
+    )
+    """

@@ -677,9 +677,13 @@ _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 def _split_oracle() -> str:
     from unimib_simpss_spark.functions.text import token_fingerprint_sql
-    from unimib_simpss_spark.operators.sampling import split_assignment_sql
+    from unimib_simpss_spark.operators.sampling import (
+        split_assignment_sql,
+        stratified_split_sql,
+    )
 
     case = split_assignment_sql("doc_id", _SPLIT_FRACS)
+    strat = stratified_split_sql("source", "doc_id", _SPLIT_FRACS)
     return f"""
     WITH s AS (
         SELECT source, n_chars, text, {case} AS split FROM documents
@@ -690,6 +694,14 @@ def _split_oracle() -> str:
            CAST(NULL AS VARCHAR)  AS group_key,
            CAST(NULL AS BIGINT)   AS n_splits
     FROM s
+    GROUP BY source, split
+    UNION ALL
+    SELECT 'strat' AS section, source, split,
+           count(*)               AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(NULL AS VARCHAR)  AS group_key,
+           CAST(NULL AS BIGINT)   AS n_splits
+    FROM ({strat})
     GROUP BY source, split
     UNION ALL
     SELECT 'leak' AS section,
@@ -724,9 +736,18 @@ def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       column-pruned scan of (doc_id, text) — the split summary's scan
       never reads the text column, so the two legs each read only what
       they need.
+    - 'strat' — the STRATIFIED splitter beside the hash splitter:
+      per-source proportions exact to one row per boundary
+      (operators/sampling.py stratified_split, integer per-mille
+      boundary arithmetic), summarized the same way — the snapshot
+      split for frozen corpora where hash_split's per-stratum binomial
+      noise is unacceptable.
     """
     from unimib_simpss_spark.functions.text import token_fingerprint
-    from unimib_simpss_spark.operators.sampling import hash_split
+    from unimib_simpss_spark.operators.sampling import (
+        hash_split,
+        stratified_split,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     s = hash_split(docs, key="doc_id", fractions=_SPLIT_FRACS)
@@ -760,4 +781,26 @@ def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_splits",
         )
     )
-    return split.unionAll(leak)
+    strat = (
+        stratified_split(
+            docs.select("source", "n_chars", "doc_id"),
+            stratum_col="source",
+            key="doc_id",
+            fractions=_SPLIT_FRACS,
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .select(
+            F.lit("strat").alias("section"),
+            "source",
+            "split",
+            "n_docs",
+            "avg_chars",
+            F.lit(None).cast("string").alias("group_key"),
+            F.lit(None).cast("long").alias("n_splits"),
+        )
+    )
+    return split.unionAll(leak).unionAll(strat)
