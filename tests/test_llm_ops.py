@@ -2086,3 +2086,82 @@ class TestStratifiedSplit:
             stratified_split(docs, "source", "doc_id", {"a": 0.3335, "b": 0.6665})
         with _pytest.raises(ValueError, match="non-empty"):
             stratified_split(docs, "source", "doc_id", {})
+
+
+class TestPageRank:
+    def _pr(self, spark, edges, **kw):
+        from unimib_simpss_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+        return {r.node: (r.rank, r.degree)
+                for r in pagerank(df, **kw).collect()}
+
+    def test_star_center_outranks_leaves(self, spark):
+        got = self._pr(spark, [(0, i) for i in range(1, 6)],
+                       max_iters=15, tol=None)
+        assert set(got) == set(range(6))
+        c = got[0][0]
+        for leaf in range(1, 6):
+            assert got[leaf][0] < c
+            assert got[leaf] == got[1]  # orbit symmetry
+        assert got[0][1] == 5 and got[1][1] == 1
+        assert abs(sum(r for r, _ in got.values()) - 1.0) < 1e-4
+
+    def test_matches_numpy_power_iteration(self, spark):
+        """Fixed-schedule ranks must equal the dense NumPy power
+        iteration of the same formulation to the output rounding."""
+        import numpy as np
+
+        from unimib_simpss_spark.operators.graph import pagerank
+
+        rng = np.random.default_rng(31)
+        n, d = 30, 0.85
+        edges = set()
+        while len(edges) < 60:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges.add((min(int(a), int(b)), max(int(a), int(b))))
+        A = np.zeros((n, n))
+        for a, b in edges:
+            A[a, b] = A[b, a] = 1.0
+        nodes = np.where(A.sum(axis=1) > 0)[0]
+        A = A[np.ix_(nodes, nodes)]
+        m = len(nodes)
+        P = A / A.sum(axis=1, keepdims=True)
+        r = np.full(m, 1.0 / m)
+        for _ in range(15):
+            r = (1 - d) / m + d * (P.T @ r)
+        want = {int(nodes[i]): round(float(r[i]), 6) for i in range(m)}
+        got = self._pr(spark, sorted(edges), max_iters=15, tol=None)
+        assert {k: v for k, (v, _) in got.items()} == want
+
+    def test_convergence_and_nonconvergence(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.graph import pagerank
+
+        # two disjoint pairs: uniform ranks are the fixed point, so the
+        # tolerance loop converges on round one
+        got = self._pr(spark, [(1, 2), (3, 4)], tol=1e-9)
+        assert pagerank.last_iters == 1
+        assert all(abs(r - 0.25) < 1e-9 for r, _ in got.values())
+        with _pytest.raises(ValueError, match="did not converge"):
+            self._pr(spark, [(0, i) for i in range(1, 6)],
+                     max_iters=2, tol=1e-12)
+
+    def test_canonicalization_and_edge_cases(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.graph import pagerank
+
+        # duplicates / reversed orientation / self-loops / NULLs
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 1), (None, 2), (1, 2)],
+            "doc1 long, doc2 long",
+        )
+        rows = pagerank(df).collect()
+        assert {(r.node, r.degree) for r in rows} == {(1, 1), (2, 1)}
+        empty = pagerank(spark.createDataFrame([], "doc1 long, doc2 long"))
+        assert empty.count() == 0
+        with _pytest.raises(ValueError, match="damping"):
+            pagerank(df, damping=1.0)

@@ -1,0 +1,148 @@
+"""PageRank over an undirected pair graph — node centrality for
+near-duplicate corpora (the authority signal a curation pipeline can
+use to pick cluster representatives or weight sources, complementing
+the quality-ranked survivor rule in :mod:`.dedup`).
+
+Power iteration as relational algebra, the same iterative-Spark
+discipline as connected components (:mod:`.dedup`):
+
+- every round is two key-shuffles (ranks ⋈ degree-annotated edges on
+  the source, contribution groupBy on the destination) — no
+  per-node driver state, no collect of anything graph-sized;
+- each round's rank relation is an eager mode-switchable checkpoint
+  (``caching.checkpoint_result``) so round N never replays rounds
+  1..N−1, and round N−1's blocks release as soon as round N exists;
+- the driver holds ONLY the L1 delta (one scalar action per round)
+  and the iteration counter.
+
+Undirected graphs have no dangling nodes (symmetrization gives every
+node degree ≥ 1), so the teleport term is exactly ``(1−d)/n`` — no
+dangling-mass redistribution pass. Isolated documents (no qualifying
+pair) are not nodes here; their rank is the trivial baseline and the
+caller can union them in if needed.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    damping: float = 0.85,
+    max_iters: int = 100,
+    tol: float | None = 1e-6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """PageRank of the undirected graph given as an edge list (each
+    pair listed once in either orientation; self-loops and duplicate
+    pairs are canonicalized away; NULL endpoints drop). Returns
+    ``(node, rank, degree)`` with ``rank`` rounded to ``ndigits``
+    (ranks sum to ~1 over the graph's nodes).
+
+    Iterates until the L1 rank delta falls below ``tol`` or
+    ``max_iters`` rounds, whichever first (``pagerank.last_iters``
+    records the count; the loop raises on non-convergence only if
+    ``tol`` is set and never reached — pass ``tol=None`` for a fixed
+    ``max_iters`` schedule). Keep the pair self-consistent: the L1
+    delta decays ~``damping^t``, so reaching ``tol`` needs about
+    ``log(tol)/log(damping)`` rounds (the defaults: 1e-6 ≈ 85 < 100);
+    production fan-outs usually prefer the fixed schedule — 10-15
+    rounds differentiate ranks well past the output rounding and the
+    cost is bounded up front."""
+    from unimib_simpss_spark.operators.caching import (
+        checkpoint_result,
+        release_result,
+    )
+
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    u, v = F.col(src).cast("long"), F.col(dst).cast("long")
+    canon = (
+        edges.where(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(
+            F.least(u, v).alias("_lo"), F.greatest(u, v).alias("_hi")
+        )
+        .distinct()
+    )
+    sym = canon.select(
+        F.col("_lo").alias("_u"), F.col("_hi").alias("_v")
+    ).unionAll(
+        canon.select(F.col("_hi").alias("_u"), F.col("_lo").alias("_v"))
+    )
+    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_deg"))
+    # degree-annotated edges are the loop-invariant relation — build
+    # and checkpoint once, every round joins against it
+    sym_deg = checkpoint_result(sym.join(deg, "_u"))
+    n = sym_deg.select("_u").distinct().count()
+    if n == 0:
+        release_result(sym_deg)
+        pagerank.last_iters = 0
+        return edges.sparkSession.createDataFrame(
+            [], "node long, rank double, degree long"
+        )
+    base = (1.0 - damping) / n
+    ranks = checkpoint_result(
+        sym_deg.select(F.col("_u").alias("_n")).distinct().select(
+            "_n", F.lit(1.0 / n).alias("_r")
+        )
+    )
+    iters = 0
+    converged = tol is None
+    for iters in range(1, max_iters + 1):
+        contribs = (
+            sym_deg.join(ranks, sym_deg["_u"] == ranks["_n"])
+            .select(
+                F.col("_v").alias("_n"),
+                (F.col("_r") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("_n")
+            .agg(F.sum("_c").alias("_s"))
+            .select(
+                "_n", (F.lit(base) + F.lit(damping) * F.col("_s")).alias("_r")
+            )
+        )
+        new_ranks = checkpoint_result(contribs)
+        if tol is not None:
+            delta = (
+                ranks.alias("a")
+                .join(new_ranks.alias("b"), F.col("a._n") == F.col("b._n"))
+                .select(
+                    F.abs(F.col("a._r") - F.col("b._r")).alias("_d")
+                )
+                .agg(F.sum("_d"))
+                .collect()[0][0]
+            )
+        release_result(ranks)
+        ranks = new_ranks
+        if tol is not None and delta < tol:
+            converged = True
+            break
+    if not converged:
+        release_result(ranks)
+        release_result(sym_deg)
+        raise ValueError(
+            f"pagerank did not converge to tol={tol} in {max_iters} "
+            "rounds — raise max_iters or pass tol=None for a fixed "
+            "iteration schedule"
+        )
+    pagerank.last_iters = iters
+    # degree read back off the CHECKPOINTED edge relation — the lazy
+    # `deg` would replay the caller's (possibly expensive) edge miner
+    degs = sym_deg.select("_u", "_deg").distinct()
+    out = checkpoint_result(
+        ranks.join(degs, ranks["_n"] == degs["_u"]).select(
+            F.col("_n").alias("node"),
+            F.round("_r", ndigits).alias("rank"),
+            F.col("_deg").alias("degree"),
+        )
+    )
+    release_result(ranks)
+    release_result(sym_deg)
+    return out

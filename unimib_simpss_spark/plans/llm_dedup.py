@@ -750,3 +750,44 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_result(clusters)  # spent once the 3-row result is owned
     release_result(hits)
     return out
+
+
+@query("x77_pagerank")  # iterative power method → rows-only
+def x77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the k-NN COSINE SIMILARITY graph of the embedding
+    corpus (operators/graph.py pagerank; edges = each vector's top-3
+    within-cell neighbors from ivf_topk, symmetrized): similarity-graph
+    centrality is the representativeness/hubness signal a curation
+    pipeline uses to pick exemplar documents and spot hub vectors —
+    the graph analogue of the quality-ranked survivor rule. (The exact
+    Jaccard near-dup graph is too sparse here by construction — 25
+    planted pairs, max degree 2 — so the similarity graph is the
+    corpus graph with real structure.)
+
+    Rows-only: the power iteration is inherently multi-round (no
+    recursive-CTE oracle at fixed point) and ranks are float sums;
+    rank rounding at 6 dp + the fixed convergence tolerance make the
+    output rerun-stable, so the determinism sweep covers it. Hand
+    parity vs NumPy power iteration, rank-sum ≈ 1, and star-graph
+    ordering are pinned in tests/test_llm_ops.py.
+
+    Scale shape: the kNN edge miner is the cell-scoped GEMM (no
+    all-pairs product); every PageRank round is two key-shuffles over
+    the degree-annotated edge relation (checkpointed once); driver
+    state = one L1 delta scalar per round; per-round checkpoints
+    truncate the lineage exactly like connected components."""
+    from unimib_simpss_spark.operators import similarity as S
+    from unimib_simpss_spark.operators.caching import release_result
+    from unimib_simpss_spark.operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.ivf_topk(emb, k=3).select("query_id", "neighbor_id")
+    # fixed 15-round schedule (tol=None): the L1 delta of power
+    # iteration decays ~damping^t, so a tolerance tight enough to be
+    # meaningful costs ~100 rounds — at 6-dp output rounding, 15
+    # deterministic rounds give stable, well-differentiated ranks at a
+    # bounded per-run cost (each round is two key-shuffles)
+    out = pagerank(knn, src="query_id", dst="neighbor_id",
+                   max_iters=15, tol=None)
+    release_result(knn)
+    return out
