@@ -38,7 +38,7 @@ def _text_profile_oracle() -> str:
            count(*)                    AS n_docs,
            CAST(sum({_ws}) AS BIGINT)  AS sum_a,
            CAST(sum({_bpe}) AS BIGINT) AS sum_b,
-           round(avg(n_chars), 2)      AS avg_chars
+           {A.exact_avg_sql("n_chars", 2)}      AS avg_chars
     FROM documents
     GROUP BY source
     UNION ALL
@@ -126,7 +126,7 @@ def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("ws").alias("sum_a"),
             F.sum("bpe").alias("sum_b"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            A.exact_avg("n_chars", 2).alias("avg_chars"),
         )
         .select(
             F.lit("tokens").alias("family"),
@@ -690,7 +690,7 @@ def _split_oracle() -> str:
     )
     SELECT 'split' AS section, source, split,
            count(*)               AS n_docs,
-           round(avg(n_chars), 2) AS avg_chars,
+           {A.exact_avg_sql("n_chars", 2)} AS avg_chars,
            CAST(NULL AS VARCHAR)  AS group_key,
            CAST(NULL AS BIGINT)   AS n_splits
     FROM s
@@ -698,7 +698,7 @@ def _split_oracle() -> str:
     UNION ALL
     SELECT 'strat' AS section, source, split,
            count(*)               AS n_docs,
-           round(avg(n_chars), 2) AS avg_chars,
+           {A.exact_avg_sql("n_chars", 2)} AS avg_chars,
            CAST(NULL AS VARCHAR)  AS group_key,
            CAST(NULL AS BIGINT)   AS n_splits
     FROM ({strat})
@@ -753,7 +753,7 @@ def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = hash_split(docs, key="doc_id", fractions=_SPLIT_FRACS)
     split = s.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        A.exact_avg("n_chars", 2).alias("avg_chars"),
     ).select(
         F.lit("split").alias("section"),
         "source",
@@ -791,7 +791,7 @@ def q58_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            A.exact_avg("n_chars", 2).alias("avg_chars"),
         )
         .select(
             F.lit("strat").alias("section"),
