@@ -2165,3 +2165,142 @@ class TestPageRank:
         assert empty.count() == 0
         with _pytest.raises(ValueError, match="damping"):
             pagerank(df, damping=1.0)
+
+
+class TestRound13ReviewFixes:
+    def test_silhouette_null_element_vectors_drop_both_engines(self, spark):
+        """Review r13 #1: a NULL-element vector must be EXCLUDED on
+        both engines (NumPy would NaN-poison, DuckDB sum() would
+        silently skip the addend) — outputs must match row-for-row on
+        a corpus containing one."""
+        import duckdb
+
+        from unimib_simpss_spark.operators.similarity import (
+            label_silhouette,
+            label_silhouette_sql,
+        )
+
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [0.1, 0.9], 1),
+            (5, [None, 1.0], 1),          # NULL element
+            (6, [float("nan"), 0.5], 0),  # NaN element
+            (7, None, 0),                  # whole NULL
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        got = sorted(map(tuple, label_silhouette(df).collect()))
+        assert [(r[0], r[1]) for r in got] == [(0, 2), (1, 2)]
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+            "(1, [1.0,0.0]::DOUBLE[], 0), (2, [0.9,0.1]::DOUBLE[], 0), "
+            "(3, [0.0,1.0]::DOUBLE[], 1), (4, [0.1,0.9]::DOUBLE[], 1), "
+            "(5, [NULL,1.0]::DOUBLE[], 1), "
+            "(6, ['nan'::DOUBLE,0.5]::DOUBLE[], 0), "
+            "(7, NULL::DOUBLE[], 0)"
+            ") t(vec_id, embedding, label)"
+        )
+        want = sorted(map(tuple, con.sql(label_silhouette_sql()).fetchall()))
+        assert got == want
+
+    def test_twa_pre_epoch_window_floors_on_both_engines(self, spark):
+        """Review r13 #3: DuckDB's '//' truncates toward zero while
+        Spark's F.window floors — a pre-1970 reading must land in the
+        window BELOW zero on both engines."""
+        import datetime as dt
+
+        import duckdb
+
+        from unimib_simpss_spark.operators.timeseries import (
+            time_weighted_avg,
+            time_weighted_avg_sql,
+        )
+
+        t = dt.datetime(1969, 12, 31, 23, 58, 0)
+        df = spark.createDataFrame(
+            [(1, t, 7, 10.0), (2, dt.datetime(1970, 1, 1, 0, 30), 7, 4.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        got = sorted(map(tuple, time_weighted_avg(df).collect()))
+        assert got[0][1] == dt.datetime(1969, 12, 31, 23, 0)
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE events AS SELECT * FROM (VALUES "
+            "(1, TIMESTAMP '1969-12-31 23:58:00', 7, 10.0), "
+            "(2, TIMESTAMP '1970-01-01 00:30:00', 7, 4.0)"
+            ") t(event_id, ts, user_id, value)"
+        )
+        want = sorted(map(tuple, con.sql(time_weighted_avg_sql()).fetchall()))
+        assert got == want
+
+    def test_overlap_default_gram_size_tracks_decon(self):
+        """Review r13 #4: the overlap ranker's default n must be
+        DECON_NGRAM on both engines, not a hardcoded 4."""
+        from unimib_simpss_spark.operators.dedup import DECON_NGRAM
+        from unimib_simpss_spark.operators.retrieval import (
+            ngram_overlap_sql,
+        )
+
+        assert ngram_overlap_sql() == ngram_overlap_sql(n=DECON_NGRAM)
+
+    def test_funnel_keeps_caller_key_name(self, spark):
+        """Review r13 #5."""
+        import datetime as dt
+
+        from unimib_simpss_spark.operators.sessions import (
+            funnel_first_completion,
+        )
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 7, "view")],
+            "event_id long, ts timestamp, sensor_id long, event_type string",
+        )
+        out = funnel_first_completion(df, ["view"], user_col="sensor_id")
+        assert out.columns[0] == "sensor_id"
+        assert out.collect()[0].sensor_id == 7
+
+    def test_pagerank_rejects_string_ids_loudly(self, spark):
+        """Review r13 #6: string ids must raise, not silently return an
+        empty ranking after an all-NULL cast."""
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(
+            [("a", "b")], "doc1 string, doc2 string"
+        )
+        with _pytest.raises(ValueError, match="integral node ids"):
+            pagerank(df)
+
+    def test_sessionize_sql_schema_matches_spark_twin(self, spark, sf_dir):
+        """Review r13 #7: the SQL twin must not leak its is_new helper
+        column — schemas of the two forms must agree."""
+        import duckdb
+
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.sessions import (
+            sessionize,
+            sessionize_sql,
+        )
+
+        spark_cols = sessionize(load_table(spark, sf_dir, "events")).columns
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        sql_cols = [d[0] for d in con.sql(sessionize_sql()).description]
+        assert sql_cols == spark_cols
+
+    def test_hardneg_auto_rejects_none_cap(self, emb):
+        """Review r13 #8: None previously crashed with a bare
+        TypeError; the front door must explain the contract."""
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators import similarity as S
+
+        with _pytest.raises(ValueError, match="integer max_anchor_rows"):
+            S.hard_negatives_auto(emb, max_anchor_rows=None)

@@ -63,6 +63,17 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    # long-id contract enforced LOUDLY (review r13): a string/uuid id
+    # column would cast to all-NULL and silently return an empty
+    # ranking — map non-integral ids to a surrogate long upstream
+    for c in (src, dst):
+        t = edges.schema[c].dataType.simpleString()
+        if t not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"pagerank needs integral node ids; column {c!r} is "
+                f"{t} — derive a surrogate long id (e.g. xxhash64) "
+                "before ranking"
+            )
     u, v = F.col(src).cast("long"), F.col(dst).cast("long")
     canon = (
         edges.where(u.isNotNull() & v.isNotNull() & (u != v))

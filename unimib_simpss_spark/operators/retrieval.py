@@ -52,7 +52,7 @@ def gram_collisions(sg: DataFrame) -> DataFrame:
 def ngram_overlap_topk(
     docs: DataFrame,
     is_benchmark: Column,
-    n: int = 4,
+    n: int | None = None,
     k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -75,8 +75,16 @@ def ngram_overlap_topk(
         cache_intermediate,
         materialize_release,
     )
-    from unimib_simpss_spark.operators.dedup import decon_shingles
+    from unimib_simpss_spark.operators.dedup import (
+        DECON_NGRAM,
+        decon_shingles,
+    )
 
+    # n defaults to DECON_NGRAM (review r13): the 'ngram' audit leg and
+    # this ranker must retune TOGETHER — a hardcoded 4 here would
+    # silently diverge from a retuned decontamination gram size
+    if n is None:
+        n = DECON_NGRAM
     own_sg = _sg is None and _collisions is None
     if _collisions is None:
         sg = (
@@ -156,11 +164,15 @@ def rrf_fuse(
 
 # ------------------------------------------------------------ SQL twins
 def ngram_overlap_sql(
-    bench_pred_sql: str = "doc_id % 97 = 0", n: int = 4, k: int = 20
+    bench_pred_sql: str = "doc_id % 97 = 0", n: int | None = None,
+    k: int = 20
 ) -> str:
-    """DuckDB twin of :func:`ngram_overlap_topk`."""
-    from unimib_simpss_spark.operators.dedup import shingles_sql
+    """DuckDB twin of :func:`ngram_overlap_topk` (``n`` defaults to
+    ``DECON_NGRAM`` like the Spark form — both legs retune together)."""
+    from unimib_simpss_spark.operators.dedup import DECON_NGRAM, shingles_sql
 
+    if n is None:
+        n = DECON_NGRAM
     sg = shingles_sql("text", n)
     return f"""
     WITH t AS (

@@ -215,7 +215,9 @@ def funnel_first_completion(
     for i in range(2, len(steps) + 1):
         done = done + F.col(f"t{i}").isNotNull().cast("int")
     return out.select(
-        "user_id",
+        # the key keeps the CALLER'S column name (review r13: the
+        # internal user_id alias must not leak into the output schema)
+        F.col("user_id").alias(user_col),
         done.cast("long").alias("steps_completed"),
         *[f"t{i}" for i in range(1, len(steps) + 1)],
     )
@@ -226,7 +228,7 @@ def sessionize_sql(gap_seconds: int = 1800, table: str = "events") -> str:
     """DuckDB twin of :func:`sessionize` (same µs-exact >= gap rule and
     (ts, event_id) tie order)."""
     return f"""
-    SELECT *, SUM(is_new) OVER (
+    SELECT * EXCLUDE (is_new), SUM(is_new) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) AS session_seq
     FROM (

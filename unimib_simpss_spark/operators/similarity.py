@@ -1652,13 +1652,21 @@ def label_silhouette(
     9 dp on BOTH engines before any distance, so the only cross-engine
     float drift left is summation order inside the final means —
     absorbed by the ``ndigits`` output rounding. DuckDB twin:
-    :func:`label_silhouette_sql`. NULL-vector / NULL-label rows are
-    excluded (no position in space / no cluster)."""
+    :func:`label_silhouette_sql`. Corrupt rows — NULL vector, NULL
+    label, or any NULL/NaN ELEMENT — are excluded identically on both
+    engines (a NULL element would NaN-poison the NumPy distance here
+    while DuckDB's sum() silently skips the addend: the one row shape
+    where the engines would otherwise disagree)."""
     import numpy as np
     import pandas as pd
 
+    _vn = _norm(F.col(vec_col).cast("array<double>"))
     e = emb.where(
-        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+        F.col(vec_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        # NULL elements → NULL norm; NaN elements → NaN norm
+        & _vn.isNotNull()
+        & ~F.isnan(_vn)
     ).select(
         F.col(label_col).alias("_own"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -1770,6 +1778,12 @@ def label_silhouette_sql(ndigits: int = 5) -> str:
                unnest(range(1, len(embedding) + 1)) AS pos
         FROM embeddings
         WHERE embedding IS NOT NULL AND label IS NOT NULL
+          -- NULL/NaN-element vectors drop, mirroring the Spark form's
+          -- norm gate (sum() here would silently SKIP a NULL addend
+          -- while NumPy NaN-poisons — the engines must agree by
+          -- excluding the row on both sides)
+          AND len(list_filter(embedding,
+                  x -> x IS NULL OR isnan(x::DOUBLE))) = 0
     ), cent AS (
         SELECT label, pos, round(avg(v), 9) AS c
         FROM flat GROUP BY label, pos
@@ -1838,7 +1852,19 @@ def hard_negatives_auto(
     collect) — the price of not knowing the anchor cardinality, and
     O(cap) work regardless of corpus size. ``last_path`` records which
     form ran ('exact' or 'ivf'), the connected_components
-    ``last_algorithm`` pattern."""
+    ``last_algorithm`` pattern.
+
+    ``max_anchor_rows`` must be an int here: the front door EXISTS to
+    route around the cap, so "no cap" is a contradiction — callers who
+    really want the uncapped exact cross join say so explicitly via
+    ``hard_negatives(max_anchor_rows=None)`` (review r13: ``None``
+    previously crashed with a bare TypeError)."""
+    if max_anchor_rows is None:
+        raise ValueError(
+            "hard_negatives_auto needs an integer max_anchor_rows (the "
+            "routing threshold); for the deliberately uncapped exact "
+            "form call hard_negatives(max_anchor_rows=None) directly"
+        )
     pred = anchor_pred if anchor_pred is not None else F.lit(True)
     n = (
         with_unit_vectors(emb, vec_col)

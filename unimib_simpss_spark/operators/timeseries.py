@@ -710,9 +710,15 @@ def time_weighted_avg_sql(
     w_us = int(window_seconds) * 1_000_000
     return f"""
     WITH e AS (
+        -- FLOOR division, not DuckDB's truncating '//' (-7 // 2 = -3):
+        -- Spark's F.window floors, so a pre-epoch timestamp must land
+        -- in the window BELOW zero on both engines (review r13)
         SELECT {key_col}, {value_col}::DOUBLE AS _v, {id_col} AS _id,
                epoch_us({ts_col}) AS _tus,
-               epoch_us({ts_col}) // {w_us} AS _b
+               epoch_us({ts_col}) // {w_us}
+                 - CASE WHEN epoch_us({ts_col}) < 0
+                             AND epoch_us({ts_col}) % {w_us} <> 0
+                        THEN 1 ELSE 0 END AS _b
         FROM {table}
         WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
     ), l AS (

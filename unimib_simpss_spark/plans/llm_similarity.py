@@ -230,6 +230,7 @@ def _q57_oracle() -> str:
     -- + 0 normalizes DuckDB's -0.0 (round of a tiny negative mean over
     -- signed components) to +0.0; Spark's BigDecimal round can't
     -- produce -0.0, and the sorted-row hash compare distinguishes them
+    WITH q AS ({S.label_silhouette_sql()})
     SELECT 'centroid' AS section, label, pos,
            round(avg(v), 5) + 0 AS val, CAST(NULL AS BIGINT) AS n
     FROM (
@@ -240,14 +241,16 @@ def _q57_oracle() -> str:
     )
     GROUP BY label, pos
     UNION ALL
+    -- explicit three-way unpivot, NOT the UNPIVOT clause: UNPIVOT
+    -- drops NULL values by default, so a single-label corpus (min_sep
+    -- NULL by design) would lose its 'sep' row while the Spark leg
+    -- emits it (review r13)
     SELECT s AS section, label, CAST(NULL AS BIGINT) AS pos, val, n
     FROM (
-        SELECT label, n, mean_silhouette, mean_intra, min_sep
-        FROM ({S.label_silhouette_sql()})
-    ) UNPIVOT (val FOR s IN (
-        mean_silhouette AS 'sil', mean_intra AS 'intra',
-        min_sep AS 'sep'
-    ))
+        SELECT label, n, 'sil' AS s, mean_silhouette AS val FROM q
+        UNION ALL SELECT label, n, 'intra', mean_intra FROM q
+        UNION ALL SELECT label, n, 'sep', min_sep FROM q
+    )
     """
 
 
