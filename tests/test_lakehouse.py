@@ -521,3 +521,99 @@ def test_file_span_stats_missing_min_max_is_must_touch(spark, tmp_path):
     assert total == 3
     # only the clean file is skippable; stat-less files must be touched
     assert read == 2
+
+
+class TestScd2:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double"
+        )
+
+    def test_change_collapse_and_validity_chain(self, spark):
+        """Consecutive same-value writes collapse into one version
+        (NULL-safe: NULL->NULL is 'unchanged'); each version's
+        valid_to is the NEXT version's valid_from; the last stays
+        open."""
+        import datetime as dt
+
+        from unimib_simpss_spark.sources.lakehouse import scd2_history
+
+        t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+        rows = [
+            (1, t(0), 7, "temp", 10.0),
+            (2, t(10), 7, "temp", 10.0),   # same value -> collapsed
+            (3, t(20), 7, "temp", 12.0),   # change -> version 2
+            (4, t(30), 7, "temp", None),   # change -> version 3
+            (5, t(40), 7, "temp", None),   # NULL==NULL -> collapsed
+            (6, t(50), 7, "temp", 12.0),   # change back -> version 4
+            (7, None, 7, "temp", 99.0),    # NULL ts -> excluded
+        ]
+        got = sorted(
+            (r.version_id, r.value, r.valid_from, r.valid_to)
+            for r in scd2_history(
+                self._ev(spark, rows), keys=("user_id", "event_type"),
+                ts_col="ts", id_col="event_id", value_col="value",
+            ).collect()
+        )
+        assert got == [
+            (1, 10.0, t(0), t(20)),
+            (3, 12.0, t(20), t(30)),
+            (4, None, t(30), t(50)),
+            (6, 12.0, t(50), None),
+        ]
+
+    def test_asof_boundaries_and_parity(self, spark, sf_dir):
+        """as-of is inclusive at valid_from, exclusive at valid_to;
+        open versions match any later time. Full history + snapshot
+        parity vs the DuckDB twins on the fixture."""
+        import datetime as dt
+
+        import duckdb
+
+        from unimib_simpss_spark.sources.lakehouse import (
+            scd2_asof,
+            scd2_asof_sql,
+            scd2_history,
+            scd2_history_sql,
+        )
+
+        t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+        hist = scd2_history(
+            self._ev(spark, [
+                (1, t(0), 7, "temp", 1.0),
+                (2, t(10), 7, "temp", 2.0),
+            ]),
+            keys=("user_id", "event_type"), ts_col="ts",
+            id_col="event_id", value_col="value",
+        )
+        at_boundary = scd2_asof(hist, "2024-01-01 00:10:00").collect()
+        assert [r.version_id for r in at_boundary] == [2]  # from incl, to excl
+        before = scd2_asof(hist, "2024-01-01 00:09:59").collect()
+        assert [r.version_id for r in before] == [1]
+        # fixture parity, both twins
+        from unimib_simpss_spark.catalog import load_table
+
+        e = load_table(spark, sf_dir, "events")
+        h = scd2_history(e, ("user_id", "event_type"), "ts", "event_id", "value")
+        got_h = sorted(map(tuple, h.collect()))
+        got_a = sorted(map(tuple, scd2_asof(h, "2024-01-15 00:00:00").collect()))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+        hs = scd2_history_sql()
+        want_h = sorted(map(tuple, con.sql(hs).fetchall()))
+        want_a = sorted(map(tuple, con.sql(
+            scd2_asof_sql(hs, "2024-01-15 00:00:00")).fetchall()))
+        assert got_h == want_h and got_a == want_a and len(got_h) > 500
+
+    def test_single_exchange_plan(self, spark, sf_dir):
+        """lag change-flag + post-filter lead share one key exchange."""
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.sources.lakehouse import scd2_history
+
+        df = scd2_history(
+            load_table(spark, sf_dir, "events"),
+            ("user_id", "event_type"), "ts", "event_id", "value",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]

@@ -107,30 +107,95 @@ def q24_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # ST9/S4: keyed last-writer-wins dedup — the Cassandra upsert read surface
 # --------------------------------------------------------------------------
-@query(
-    "q25_upsert_read",
-    oracle="""
-    SELECT user_id, event_type, event_id, ts, value
+_Q25_ASOF = "2024-01-15 00:00:00"  # mid-corpus time-travel snapshot
+
+
+def _q25_oracle() -> str:
+    from unimib_simpss_spark.sources.lakehouse import (
+        scd2_asof_sql,
+        scd2_history_sql,
+    )
+
+    hist = scd2_history_sql()
+    return f"""
+    SELECT 'current' AS section, user_id, event_type, event_id,
+           ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, value
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY user_id, event_type
             ORDER BY ts DESC, event_id DESC) AS rn
         FROM events
     ) WHERE rn = 1
-    """,
-)
+    UNION ALL
+    SELECT 'history' AS section, user_id, event_type,
+           version_id AS event_id, valid_from, valid_to, value
+    FROM ({hist})
+    UNION ALL
+    SELECT 'asof' AS section, user_id, event_type,
+           version_id AS event_id, valid_from, valid_to, value
+    FROM ({scd2_asof_sql(hist, _Q25_ASOF)})
+    """
+
+
+@query("q25_upsert_read", oracle=_q25_oracle())
 def q25_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-writer-wins per (user_id, event_type): what a reader of the
-    reference's upsert-by-PK table observes (link_kafka_cassandra.py:45).
-    One shuffle on the key — same layout the storage partitioning uses."""
+    """The keyed-table read surfaces over one upsert stream, tagged by
+    section:
+
+    - 'current': last-writer-wins per (user_id, event_type) — what a
+      reader of the reference's upsert-by-PK table observes
+      (link_kafka_cassandra.py:45). One shuffle on the key — same
+      layout the storage partitioning uses.
+    - 'history': the SCD2 TYPE-2 version history of the same stream
+      (sources/lakehouse.py scd2_history — Kimball dimension
+      evolution): one row per value CHANGE per key with
+      valid_from/valid_to validity, consecutive same-value writes
+      collapsed; the lag change-flag and post-filter lead windows
+      share one key exchange.
+    - 'asof': the time-travel snapshot of that history at a fixed
+      mid-corpus timestamp (valid_from <= T < valid_to; open versions
+      unbounded) — at most one row per key by construction.
+    """
+    from unimib_simpss_spark.sources.lakehouse import (
+        scd2_asof,
+        scd2_history,
+    )
+
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
-    return (
+    current = (
         e.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
+        .select(
+            F.lit("current").alias("section"),
+            "user_id",
+            "event_type",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            "value",
+        )
+    )
+    hist = scd2_history(
+        e, keys=("user_id", "event_type"), ts_col="ts",
+        id_col="event_id", value_col="value",
+    )
+
+    def _tag(df: DataFrame, section: str) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"),
+            "user_id",
+            "event_type",
+            F.col("version_id").alias("event_id"),
+            "valid_from",
+            "valid_to",
+            "value",
+        )
+
+    return current.unionAll(_tag(hist, "history")).unionAll(
+        _tag(scd2_asof(hist, _Q25_ASOF), "asof")
     )
 
 

@@ -425,3 +425,101 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# -------------------------------------------------------------- SCD2
+def scd2_history(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history off an event/update
+    stream: one VERSION row per value CHANGE per key, carrying
+    ``valid_from`` / ``valid_to`` validity (valid_to NULL = the open
+    current version) — the lakehouse dimension-table evolution layout
+    (Kimball SCD2; what Delta/Iceberg MERGE writers materialize), built
+    relationally from the same upsert stream q25's last-writer-wins
+    read consumes.
+
+    Semantics, pinned on both engines: updates order by ``(ts, id)``
+    per key; an update opens a new version only when its value DIFFERS
+    (NULL-safe) from the key's previous update — consecutive
+    same-value writes collapse into the earlier version; each
+    version's ``valid_to`` is the next version's ``valid_from``.
+    NULL-ts rows are excluded (no position in time).
+
+    One shuffle: the change-flag lag window, the post-filter lead
+    window, and nothing else — filters preserve the key partitioning,
+    so both windows share one exchange (plan-asserted in tests).
+    DuckDB twin: :func:`scd2_history_sql`."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    kcols = [F.col(k) for k in keys]
+    w = Window.partitionBy(*kcols).orderBy(ts_col, id_col)
+    changed = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn(
+            "_chg",
+            ~F.col(value_col).eqNullSafe(F.lag(value_col).over(w))
+            | F.lag(ts_col).over(w).isNull(),
+        )
+        .where(F.col("_chg"))
+    )
+    return changed.select(
+        *keys,
+        F.col(id_col).alias("version_id"),
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )
+
+
+def scd2_asof(history: DataFrame, at: str) -> DataFrame:
+    """Time-travel read of an SCD2 history: the version of each key
+    valid AS OF timestamp ``at`` (valid_from <= at < valid_to, open
+    versions unbounded) — at most one row per key by construction."""
+    from pyspark.sql import functions as F
+
+    t = F.to_timestamp(F.lit(at))
+    return history.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
+def scd2_history_sql(
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`scd2_history` (same NULL-safe change rule
+    and tie order)."""
+    ks = ", ".join(keys)
+    return f"""
+    SELECT {ks}, {id_col} AS version_id, {value_col} AS value,
+           {ts_col} AS valid_from,
+           lead({ts_col}) OVER (
+               PARTITION BY {ks} ORDER BY {ts_col}, {id_col}) AS valid_to
+    FROM (
+        SELECT *, ({value_col} IS DISTINCT FROM lag({value_col}) OVER w
+                   OR lag({ts_col}) OVER w IS NULL) AS _chg
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL
+        WINDOW w AS (PARTITION BY {ks} ORDER BY {ts_col}, {id_col})
+    )
+    WHERE _chg
+    """
+
+
+def scd2_asof_sql(history_sql: str, at: str) -> str:
+    """DuckDB twin of :func:`scd2_asof`."""
+    return f"""
+    SELECT * FROM ({history_sql})
+    WHERE valid_from <= TIMESTAMP '{at}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{at}')
+    """
