@@ -707,3 +707,74 @@ class TestTimeWeightedAvg:
         )
         with _pytest.raises(ValueError, match="window_seconds"):
             time_weighted_avg(df, window_seconds=0)
+
+
+class TestLinearTrend:
+    def test_perfect_line_recovered_exactly(self, spark):
+        """v = 3 + 2·t (t in seconds from the origin): slope 2,
+        intercept 3, recovered exactly; a single-point key and a
+        constant-time key yield NULL slope on both engines."""
+        import datetime as dt
+
+        import duckdb
+
+        from unimib_simpss_spark.operators.timeseries import (
+            linear_trend_by_key,
+            linear_trend_sql,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(seconds=i), 7, 3.0 + 2.0 * i)
+            for i in range(10)
+        ] + [
+            (100, t0, 8, 5.0),                       # single point
+            (101, t0 + dt.timedelta(seconds=9), 9, 1.0),
+            (102, t0 + dt.timedelta(seconds=9), 9, 2.0),  # same ts
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        got = {
+            r.user_id: (r.n_points, r.slope, r.intercept)
+            for r in linear_trend_by_key(df).collect()
+        }
+        assert got[7] == (10, 2.0, 3.0)
+        assert got[8] == (1, None, None)
+        assert got[9] == (2, None, None)  # var_samp(t) = 0
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE events AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, TIMESTAMP '2024-01-01' + INTERVAL {s} SECOND, "
+                f"{u}, {v})"
+                for i, s, u, v in [
+                    (i, i, 7, 3.0 + 2.0 * i) for i in range(10)
+                ] + [(100, 0, 8, 5.0), (101, 9, 9, 1.0), (102, 9, 9, 2.0)]
+            )
+            + ") t(event_id, ts, user_id, value)"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.sql(linear_trend_sql()).fetchall()
+        }
+        assert want == got
+
+    def test_fixture_parity(self, spark, sf_dir):
+        import duckdb
+
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.timeseries import (
+            linear_trend_by_key,
+            linear_trend_sql,
+        )
+
+        got = sorted(map(tuple, linear_trend_by_key(
+            load_table(spark, sf_dir, "events")
+        ).collect()))
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = sorted(map(tuple, con.sql(linear_trend_sql()).fetchall()))
+        assert got == want and len(got) > 10  # sf0.001: 15 users

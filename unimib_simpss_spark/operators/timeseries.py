@@ -735,3 +735,88 @@ def time_weighted_avg_sql(
            round(SUM(_v * _w) / SUM(_w), {ndigits}) + 0 AS twa
     FROM l GROUP BY {key_col}, _b
     """
+
+
+TREND_EPOCH = "2024-01-01 00:00:00"  # conditioning origin (see below)
+
+
+def linear_trend_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    origin: str = TREND_EPOCH,
+    slope_digits: int = 9,
+    intercept_digits: int = 4,
+) -> DataFrame:
+    """Per-key OLS line of the value series over time — the drift
+    diagnostic a telemetry pipeline alerts on (a sensor whose baseline
+    creeps is failing long before a threshold trips): ``slope`` =
+    covar_samp(t, v) / var_samp(t) in value-units per SECOND,
+    ``intercept`` = mean(v) − slope·mean(t) (value at ``origin``).
+    Returns ``(key, n_points, slope, intercept)``; NULL slope where
+    undefined (constant time column or < 2 points), identically on
+    both engines.
+
+    ``t`` is seconds since ``origin`` (NOT the raw epoch): raw epoch
+    seconds are ~1.7e9 with in-corpus spread ~1e6, so the variance
+    computation would cancel 6+ significant digits before the moments
+    ever disagree — shifting to a corpus-local origin keeps both
+    engines' co-moment arithmetic well-conditioned, which is what lets
+    the rounded outputs hash-match. One combinable aggregate, one
+    shuffle. DuckDB twin: :func:`linear_trend_sql`."""
+    t = (
+        F.unix_micros(F.col(ts_col))
+        - F.unix_micros(F.to_timestamp(F.lit(origin)))
+    ) / F.lit(1_000_000.0)
+    v = F.col(value_col).cast("double")
+    agg = (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .select(F.col(key_col), t.alias("_t"), v.alias("_v"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.covar_samp("_t", "_v") / F.var_samp("_t")).alias("_slope"),
+            F.avg("_v").alias("_mv"),
+            F.avg("_t").alias("_mt"),
+        )
+    )
+    return agg.select(
+        key_col,
+        "n_points",
+        F.round("_slope", slope_digits).alias("slope"),
+        F.round(
+            F.col("_mv") - F.col("_slope") * F.col("_mt"), intercept_digits
+        ).alias("intercept"),
+    )
+
+
+def linear_trend_sql(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    origin: str = TREND_EPOCH,
+    slope_digits: int = 9,
+    intercept_digits: int = 4,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`linear_trend_by_key` (same origin shift,
+    same moments)."""
+    return f"""
+    SELECT {key_col}, n_points,
+           round(_slope, {slope_digits}) + 0 AS slope,
+           round(_mv - _slope * _mt, {intercept_digits}) + 0 AS intercept
+    FROM (
+        SELECT {key_col}, COUNT(*) AS n_points,
+               covar_samp(_t, _v) / var_samp(_t) AS _slope,
+               avg(_v) AS _mv, avg(_t) AS _mt
+        FROM (
+            SELECT {key_col},
+                   (epoch_us({ts_col})
+                    - epoch_us(TIMESTAMP '{origin}')) / 1000000.0 AS _t,
+                   {value_col}::DOUBLE AS _v
+            FROM {table}
+            WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+        ) GROUP BY {key_col}
+    )
+    """

@@ -78,6 +78,7 @@ def _q02_oracle() -> str:
     )
     from unimib_simpss_spark.operators.timeseries import (
         acf_sql,
+        linear_trend_sql as trend_sql,
         time_weighted_avg_sql as twa_sql,
     )
 
@@ -118,6 +119,17 @@ def _q02_oracle() -> str:
            window_start AS ts_a, CAST(NULL AS TIMESTAMP) AS ts_b,
            n_readings AS n, twa AS num, CAST(NULL AS VARCHAR) AS str_val
     FROM ({twa_sql()})
+    UNION ALL
+    SELECT 'trend' AS section, user_id, CAST(NULL AS BIGINT) AS seq,
+           CAST(NULL AS TIMESTAMP) AS ts_a, CAST(NULL AS TIMESTAMP) AS ts_b,
+           n_points AS n, num, str_val
+    FROM (
+        SELECT user_id, n_points, slope AS num, 'slope' AS str_val
+        FROM ({trend_sql()})
+        UNION ALL
+        SELECT user_id, n_points, intercept, 'intercept'
+        FROM ({trend_sql()})
+    )
     """
 
 
@@ -147,6 +159,10 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       sample-and-hold step interpolation, the industrial-historian
       aggregate a plain avg gets wrong on irregular telemetry;
       ts_a = window start, num = twa, n = readings).
+    - ``trend``: per-user OLS drift line (linear_trend_by_key — one
+      combinable covar/var aggregate over origin-shifted seconds, the
+      conditioning that lets both engines' moments hash-match); two
+      rows per user, str_val = 'slope' | 'intercept', num = the value.
     """
     from unimib_simpss_spark.operators.sessions import (
         funnel_first_completion,
@@ -154,6 +170,7 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from unimib_simpss_spark.operators.timeseries import (
         acf_by_key,
+        linear_trend_by_key,
         time_weighted_avg,
     )
 
@@ -218,10 +235,35 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("twa").alias("num"),
         _nul("string", "str_val"),
     )
+    trend = linear_trend_by_key(e).select(
+        "user_id",
+        "n_points",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("slope").alias("num"),
+                    F.lit("slope").alias("str_val"),
+                ),
+                F.struct(
+                    F.col("intercept").alias("num"),
+                    F.lit("intercept").alias("str_val"),
+                ),
+            )
+        ).alias("_e"),
+    ).select(
+        F.lit("trend").alias("section"),
+        "user_id",
+        _nul("long", "seq"),
+        _nul("timestamp", "ts_a"),
+        _nul("timestamp", "ts_b"),
+        F.col("n_points").alias("n"),
+        F.col("_e.num").alias("num"),
+        F.col("_e.str_val").alias("str_val"),
+    )
     out = latest.unionAll(sess)
     for leg in fun_steps:
         out = out.unionAll(leg)
-    return out.unionAll(acf).unionAll(twa)
+    return out.unionAll(acf).unionAll(twa).unionAll(trend)
 
 
 # --------------------------------------------------------------------------
