@@ -2188,6 +2188,9 @@ class TestRound13ReviewFixes:
             (5, [None, 1.0], 1),          # NULL element
             (6, [float("nan"), 0.5], 0),  # NaN element
             (7, None, 0),                  # whole NULL
+            (8, [], 0),                    # EMPTY (norm 0.0 — review
+            #                                r13 pass 2: ragged
+            #                                np.stack vs zero unnest)
         ]
         df = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>, label int"
@@ -2201,7 +2204,8 @@ class TestRound13ReviewFixes:
             "(3, [0.0,1.0]::DOUBLE[], 1), (4, [0.1,0.9]::DOUBLE[], 1), "
             "(5, [NULL,1.0]::DOUBLE[], 1), "
             "(6, ['nan'::DOUBLE,0.5]::DOUBLE[], 0), "
-            "(7, NULL::DOUBLE[], 0)"
+            "(7, NULL::DOUBLE[], 0), "
+            "(8, []::DOUBLE[], 0)"
             ") t(vec_id, embedding, label)"
         )
         want = sorted(map(tuple, con.sql(label_silhouette_sql()).fetchall()))

@@ -62,6 +62,24 @@ def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("_v", v).withColumn("_norm", _norm(F.col("_v")))
 
 
+def defined_vector_pred(vec_col: str = "embedding") -> Column:
+    """True only for DEFINED vectors: non-NULL, non-empty, no NULL/NaN
+    element. The shared corrupt-row gate for operators whose NumPy
+    side would crash (ragged np.stack) or NaN-poison where a SQL
+    engine silently skips the bad value — both sides must EXCLUDE the
+    row instead (see label_silhouette; its DuckDB twin applies the
+    identical rule). An empty vector is 'defined-looking' to a norm
+    check (norm([]) = 0.0), hence the explicit size guard."""
+    _vn = _norm(F.col(vec_col).cast("array<double>"))
+    return (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
+        # NULL elements → NULL norm; NaN elements → NaN norm
+        & _vn.isNotNull()
+        & ~F.isnan(_vn)
+    )
+
+
 def _gated_query_side(
     emb: DataFrame,
     pred: Column,
@@ -1652,21 +1670,18 @@ def label_silhouette(
     9 dp on BOTH engines before any distance, so the only cross-engine
     float drift left is summation order inside the final means —
     absorbed by the ``ndigits`` output rounding. DuckDB twin:
-    :func:`label_silhouette_sql`. Corrupt rows — NULL vector, NULL
-    label, or any NULL/NaN ELEMENT — are excluded identically on both
-    engines (a NULL element would NaN-poison the NumPy distance here
-    while DuckDB's sum() silently skips the addend: the one row shape
-    where the engines would otherwise disagree)."""
+    :func:`label_silhouette_sql`. Corrupt rows — NULL or EMPTY vector,
+    NULL label, or any NULL/NaN element (:func:`defined_vector_pred`)
+    — are excluded identically on both engines (a NULL element would
+    NaN-poison the NumPy distance here while DuckDB's sum() silently
+    skips the addend; an empty vector is ragged np.stack input but
+    unnests to zero rows — the row shapes where the engines would
+    otherwise disagree)."""
     import numpy as np
     import pandas as pd
 
-    _vn = _norm(F.col(vec_col).cast("array<double>"))
     e = emb.where(
-        F.col(vec_col).isNotNull()
-        & F.col(label_col).isNotNull()
-        # NULL elements → NULL norm; NaN elements → NaN norm
-        & _vn.isNotNull()
-        & ~F.isnan(_vn)
+        defined_vector_pred(vec_col) & F.col(label_col).isNotNull()
     ).select(
         F.col(label_col).alias("_own"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -1769,6 +1784,18 @@ def label_silhouette(
     )
 
 
+def defined_vector_sql(vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`defined_vector_pred`: non-NULL, non-empty,
+    no NULL/NaN element — SQL aggregates would silently SKIP a NULL
+    addend (and unnest an empty list to zero rows) where NumPy crashes
+    or NaN-poisons, so both engines must EXCLUDE the row."""
+    return (
+        f"({vec_col} IS NOT NULL AND len({vec_col}) > 0 "
+        f"AND len(list_filter({vec_col}, "
+        f"x -> x IS NULL OR isnan(x::DOUBLE))) = 0)"
+    )
+
+
 def label_silhouette_sql(ndigits: int = 5) -> str:
     """DuckDB twin of :func:`label_silhouette` (same 9-dp centroid
     pin, same k-nearest-other arithmetic)."""
@@ -1777,13 +1804,7 @@ def label_silhouette_sql(ndigits: int = 5) -> str:
         SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
                unnest(range(1, len(embedding) + 1)) AS pos
         FROM embeddings
-        WHERE embedding IS NOT NULL AND label IS NOT NULL
-          -- NULL/NaN-element vectors drop, mirroring the Spark form's
-          -- norm gate (sum() here would silently SKIP a NULL addend
-          -- while NumPy NaN-poisons — the engines must agree by
-          -- excluding the row on both sides)
-          AND len(list_filter(embedding,
-                  x -> x IS NULL OR isnan(x::DOUBLE))) = 0
+        WHERE {defined_vector_sql()} AND label IS NOT NULL
     ), cent AS (
         SELECT label, pos, round(avg(v), 9) AS c
         FROM flat GROUP BY label, pos

@@ -238,6 +238,11 @@ def _q57_oracle() -> str:
                unnest(embedding)                          AS v,
                unnest(range(1, len(embedding) + 1))       AS pos
         FROM embeddings
+        -- same defined-vector gate as the silhouette sections (review
+        -- r13 pass 2): a NULL embedding would crash the Spark grouped
+        -- UDF while unnest(NULL) silently skips it, and a NULL element
+        -- would NaN-poison np column means where avg() skips
+        WHERE {S.defined_vector_sql()} AND label IS NOT NULL
     )
     GROUP BY label, pos
     UNION ALL
@@ -282,7 +287,11 @@ def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     cent = (
-        e.groupBy("label")
+        e.where(
+            S.defined_vector_pred("embedding")
+            & F.col("label").isNotNull()
+        )
+        .groupBy("label")
         .agg(centroid(F.col("embedding")).alias("centroid"))
         .select("label", F.posexplode("centroid").alias("pos0", "v"))
         .select(

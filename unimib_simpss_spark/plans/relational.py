@@ -90,7 +90,8 @@ def _q02_oracle() -> str:
         for i in range(1, len(_Q02_FUNNEL) + 1)
     )
     return f"""
-    WITH f AS ({funnel_sql(_Q02_FUNNEL)})
+    WITH f AS ({funnel_sql(_Q02_FUNNEL)}),
+         tr AS ({trend_sql()})
     SELECT 'latest' AS section, user_id, event_id AS seq, ts AS ts_a,
            CAST(NULL AS TIMESTAMP) AS ts_b, CAST(NULL AS BIGINT) AS n,
            value AS num, event_type AS str_val
@@ -125,10 +126,10 @@ def _q02_oracle() -> str:
            n_points AS n, num, str_val
     FROM (
         SELECT user_id, n_points, slope AS num, 'slope' AS str_val
-        FROM ({trend_sql()})
+        FROM tr
         UNION ALL
         SELECT user_id, n_points, intercept, 'intercept'
-        FROM ({trend_sql()})
+        FROM tr
     )
     """
 

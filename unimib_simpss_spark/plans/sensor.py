@@ -116,8 +116,8 @@ def _q25_oracle() -> str:
         scd2_history_sql,
     )
 
-    hist = scd2_history_sql()
     return f"""
+    WITH hist AS ({scd2_history_sql()})
     SELECT 'current' AS section, user_id, event_type, event_id,
            ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, value
     FROM (
@@ -129,11 +129,11 @@ def _q25_oracle() -> str:
     UNION ALL
     SELECT 'history' AS section, user_id, event_type,
            version_id AS event_id, valid_from, valid_to, value
-    FROM ({hist})
+    FROM hist
     UNION ALL
     SELECT 'asof' AS section, user_id, event_type,
            version_id AS event_id, valid_from, valid_to, value
-    FROM ({scd2_asof_sql(hist, _Q25_ASOF)})
+    FROM ({scd2_asof_sql("SELECT * FROM hist", _Q25_ASOF)})
     """
 
 
@@ -156,6 +156,10 @@ def q25_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
       mid-corpus timestamp (valid_from <= T < valid_to; open versions
       unbounded) — at most one row per key by construction.
     """
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        materialize_release,
+    )
     from unimib_simpss_spark.sources.lakehouse import (
         scd2_asof,
         scd2_history,
@@ -178,10 +182,13 @@ def q25_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    hist = scd2_history(
+    # the history feeds TWO legs — cache it so the events scan and the
+    # change-flag/lead window pass run once, not per leg (review r13
+    # pass 2; q38's shared gram_collisions recipe)
+    hist = cache_intermediate(scd2_history(
         e, keys=("user_id", "event_type"), ts_col="ts",
         id_col="event_id", value_col="value",
-    )
+    ))
 
     def _tag(df: DataFrame, section: str) -> DataFrame:
         return df.select(
@@ -194,8 +201,11 @@ def q25_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
 
-    return current.unionAll(_tag(hist, "history")).unionAll(
-        _tag(scd2_asof(hist, _Q25_ASOF), "asof")
+    return materialize_release(
+        current.unionAll(_tag(hist, "history")).unionAll(
+            _tag(scd2_asof(hist, _Q25_ASOF), "asof")
+        ),
+        hist,
     )
 
 
