@@ -1769,3 +1769,95 @@ def test_streaming_session_windows_merge_across_batches(spark, dim, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_streaming_funnel_matches_batch_prefix(spark, tmp_path):
+    """The stateful funnel's final snapshot must equal the batch
+    operator over the same rows (events arriving in event order,
+    two micro-batches): a step completed in batch 1 stays frozen, a
+    step-2 event in batch 2 chains strictly after it, and an
+    out-of-order-step user (click before view) completes only once a
+    qualifying later click arrives."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from unimib_simpss_spark.operators.sessions import (
+        funnel_first_completion,
+    )
+    from unimib_simpss_spark.streaming.stateful import streaming_funnel
+
+    logdir = tmp_path / "ev"
+    logdir.mkdir()
+    rows_b1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:05", "user_id": 1, "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01 00:00:10", "user_id": 1, "event_type": "view"},
+        {"event_id": 3, "ts": "2024-01-01 00:00:00", "user_id": 2, "event_type": "view"},
+    ]
+    rows_b2 = [
+        {"event_id": 4, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 5, "ts": "2024-01-01 00:02:00", "user_id": 2, "event_type": "purchase"},  # skips step 2: must NOT count
+        {"event_id": 6, "ts": "2024-01-01 00:03:00", "user_id": 3, "event_type": "click"},     # never views
+    ]
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b1) + "\n"
+    )
+    import os
+    import time
+
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b2) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    steps = ["view", "click", "purchase"]
+    q = (
+        streaming_funnel(stream, steps)
+        .writeStream.format("memory").queryName("funnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # last update per user wins
+    got = {}
+    for r in spark.sql("select * from funnel").collect():
+        got[r.user_id] = (r.steps_completed, r.t1_us, r.t2_us, r.t3_us)
+    batch_rows = spark.createDataFrame(
+        [tuple(r.values()) for r in rows_b1 + rows_b2],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id", "event_type")
+    want = {
+        r.user_id: (
+            r.steps_completed,
+            *[
+                None if getattr(r, f"t{i}") is None
+                else int(getattr(r, f"t{i}").timestamp() * 1_000_000)
+                for i in (1, 2, 3)
+            ],
+        )
+        for r in funnel_first_completion(batch_rows, steps).collect()
+    }
+    assert got == want
+    # the semantics themselves: user 1 chained strictly after the
+    # batch-1 view; user 2's purchase did not skip the click step
+    assert got[1][0] == 2 and got[2][0] == 1 and 3 not in got

@@ -1070,3 +1070,105 @@ def streaming_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming funnel
+_FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("ts_us", ArrayType(LongType()))]
+)
+
+
+def _make_funnel_track(steps: list):
+    step_idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+
+    def track(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        tps = list(state.get[0]) if state.exists else [None] * k
+        (user_id,) = key
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for t, tp in zip(pdf["ts_us"], pdf["event_type"]):
+                if t is None or pd.isna(t):
+                    continue
+                i = step_idx.get(tp)
+                if i is None or tps[i] is not None:
+                    continue
+                # strictly-after chaining, identical to the batch
+                # operator: step i counts only once step i-1 is
+                # complete and this event is strictly later
+                if i == 0 or (tps[i - 1] is not None and int(t) > tps[i - 1]):
+                    tps[i] = int(t)
+        state.update((tps,))
+        if tps[0] is None:  # batch form emits no row without step 1
+            return
+        done = sum(1 for t in tps if t is not None)
+        # prefix rule: a completed step beyond a gap cannot exist by
+        # construction (step i requires step i-1 first)
+        yield pd.DataFrame(
+            [[user_id, done, *tps]],
+            columns=["user_id", "steps_completed"]
+            + [f"t{i}_us" for i in range(1, k + 1)],
+        )
+
+    return track
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming first-completion funnel — the stateful twin of
+    ``operators.sessions.funnel_first_completion``: per-user state is
+    exactly ``len(steps)`` microsecond longs forever (the completion
+    timestamp per step, frozen once set — first-completion semantics
+    make the state monotone, so it never grows and never rewrites),
+    updated in event order within each micro-batch and carried across
+    batches by ``applyInPandasWithState``.
+
+    Emits each user's current ``(steps_completed, t1..tk)`` snapshot
+    per batch in update mode (users with no step-1 event emit nothing,
+    like the batch form); completion timestamps are µs longs
+    (``t{i}_us``) so the batch-parity comparison is integer-exact.
+
+    Parity contract (the EWMA/KLL discipline): with events arriving in
+    event-time order across batches, the snapshot after any stream
+    prefix EQUALS the batch operator over that prefix — pinned in
+    tests/test_streaming.py. Late/out-of-order arrivals fold in
+    arrival order within the caller's watermark discipline (a late
+    step-1 event cannot retroactively re-chain step 2 — the documented
+    difference, same as every stateful op here)."""
+    from pyspark.sql import functions as F
+
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be non-empty and distinct: {steps!r}")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("steps_completed", LongType()),
+        ]
+        + [
+            StructField(f"t{i}_us", LongType())
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    src = df.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(type_col).alias("event_type"),
+        F.col(id_col).alias("event_id"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_track(list(steps)),
+        outputStructType=out_schema,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
