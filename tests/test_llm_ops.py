@@ -2075,6 +2075,77 @@ class TestStratifiedSplit:
         ).fetchall()))
         assert a == want
 
+    def test_skewed_stratum_splits_without_single_task_sort(self, spark):
+        """Scale shape (VERDICT r13 #1): one stratum holding ~98% of
+        the corpus must (a) still get the bit-identical split of the
+        naive per-stratum row_number rule, and (b) rank across
+        MULTIPLE range partitions — the row_number window partitions
+        on (range-partition id, stratum), never on the stratum alone,
+        so no single task ever sorts a whole stratum."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.operators.sampling import stratified_split
+
+        rows = [(i, "big") for i in range(600)] + [
+            (10_000 + i, "small") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = stratified_split(df, "source", "doc_id", fracs, num_partitions=8)
+        # (a) bit-identical to the naive global-rank formulation
+        by_stratum: dict[str, list[int]] = {}
+        for k, s in rows:
+            by_stratum.setdefault(s, []).append(k)
+        want = {}
+        for s, ks in by_stratum.items():
+            ks.sort(key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k))
+            n = len(ks)
+            for r, k in enumerate(ks, start=1):
+                if r * 1000 <= 800 * n:
+                    want[k] = "train"
+                elif r * 1000 <= 900 * n:
+                    want[k] = "val"
+                else:
+                    want[k] = "test"
+        got = {r.doc_id: r.split for r in out.collect()}
+        assert got == want
+        # (b) the local-rank window partitions on (_pid, stratum) —
+        # the parallelism contract the naive formulation breaks
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "row_number" in plan
+        assert "_pid" in plan, plan
+        # and the big stratum genuinely spans several range partitions
+        spread = (
+            df.withColumn("_h", F.md5(F.col("doc_id").cast("string")))
+            .repartitionByRange(8, F.col("source"), F.col("_h"), F.col("doc_id"))
+            .withColumn("_pid", F.spark_partition_id())
+            .where(F.col("source") == "big")
+            .select("_pid")
+            .distinct()
+            .count()
+        )
+        assert spread > 1
+
+    def test_sql_twin_escapes_quoted_split_names(self):
+        """ADVICE r13: a split name containing a quote must produce
+        valid oracle SQL (the funnel_sql escaping rule)."""
+        import duckdb
+
+        from unimib_simpss_spark.operators.sampling import (
+            stratified_split_sql,
+        )
+
+        sql = stratified_split_sql("source", "doc_id", {"o'train": 1.0})
+        assert "'o''train'" in sql
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT 1 AS doc_id, 'a' AS source")
+        labels = {r[0] for r in con.sql(
+            f"SELECT split FROM ({sql})"
+        ).fetchall()}
+        assert labels == {"o'train"}
+
     def test_bad_fractions_raise(self, spark, docs):
         import pytest as _pytest
 

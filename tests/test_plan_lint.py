@@ -162,6 +162,7 @@ _HEAVY = [
     "x66_pq_topk",
     "x75_perceptual_dedup",
     "x76_hardneg_ivf",
+    "x77_pagerank",  # one checkpoint per power-iteration round
 ]
 
 

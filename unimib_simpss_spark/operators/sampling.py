@@ -330,11 +330,81 @@ def _check_fractions(fractions: dict[str, float], buckets: int) -> None:
             raise ValueError(f"fraction for {label!r} rounds to 0/{buckets} buckets")
 
 
+def _range_ranked(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed per-stratum rank: ``_r`` = the 1-based rank of each
+    row within its stratum under the deterministic ``(md5(key), key)``
+    order, ``_n`` = the stratum's row count — WITHOUT ever sorting a
+    whole stratum in one task (the zip-with-index construction).
+
+    Mechanics: range-partition on ``(stratum, md5(key), key)`` so each
+    stratum's global order is the concatenation of its per-partition
+    orders; rank rows locally within ``(range-partition, stratum)``
+    (a window whose groups are bounded by the range-partition size, so
+    a stratum holding most of the corpus still ranks across
+    ``num_partitions`` tasks); reconstruct the global rank by adding
+    the stratum's row-count offset from all earlier range partitions —
+    the offsets come from a tiny ``(partition, stratum)`` count
+    relation (≤ partitions × strata rows) that stays a lazy broadcast,
+    never a driver collect.
+
+    Cost, stated honestly: the input is computed twice in one job
+    (once for the offset counts, once as the probe side) plus the
+    range partitioner's sampling pass — the standard bill for a
+    distributed exact rank. Both passes re-derive identical partition
+    ids (range boundaries sample with deterministic seeds)."""
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except ValueError:
+            num_partitions = 200
+    ranged = (
+        df.withColumn("_h", F.md5(F.col(key).cast("string")))
+        .repartitionByRange(
+            num_partitions, F.col(stratum_col), F.col("_h"), F.col(key)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    cnt = ranged.groupBy("_pid", stratum_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wo = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.select(
+        F.col("_pid").alias("_opid"),
+        F.col(stratum_col).alias("_ostr"),
+        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.partitionBy(stratum_col)).alias("_n"),
+    )
+    wl = Window.partitionBy("_pid", stratum_col).orderBy("_h", key)
+    return (
+        ranged.join(
+            F.broadcast(off),
+            (F.col("_pid") == F.col("_opid"))
+            & F.col(stratum_col).eqNullSafe(F.col("_ostr")),
+        )
+        .withColumn(
+            "_r", (F.col("_off") + F.row_number().over(wl)).cast("long")
+        )
+        .drop("_h", "_pid", "_opid", "_ostr", "_off")
+    )
+
+
 def stratified_split(
     df: DataFrame,
     stratum_col: str,
     key: str,
     fractions: dict[str, float],
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Tag ``df`` with a ``split`` column whose per-STRATUM proportions
     are EXACT to within one row per boundary (scikit's
@@ -351,27 +421,28 @@ def stratified_split(
     round differently across engines). Fractions must be multiples of
     1/1000 summing to 1.
 
+    The rank comes from :func:`_range_ranked` — a range-partitioned
+    offset rank, so a corpus with a handful of strata (the normal
+    case: one stratum per source) still splits across
+    ``num_partitions`` tasks instead of sorting terabytes in one
+    window partition per stratum. Output is bit-identical to the
+    naive per-stratum ``row_number`` formulation.
+
     Tradeoff vs hash_split, documented: exact proportions cost
     append-stability (a new row shifts ranks behind it) — this is a
     SNAPSHOT split for frozen corpora; use hash_split for growing
-    ones. One shuffle: rank and stratum count share the stratum
-    window's exchange. DuckDB twin: :func:`stratified_split_sql`."""
-    from pyspark.sql import Window
-
+    ones. DuckDB twin: :func:`stratified_split_sql`."""
     permille = _permille(fractions)
-    w = Window.partitionBy(stratum_col).orderBy(
-        F.md5(F.col(key).cast("string")), F.col(key)
-    )
-    wn = Window.partitionBy(stratum_col)
-    r = F.row_number().over(w).cast("long") * 1000
-    n = F.count(F.lit(1)).over(wn)
+    ranked = _range_ranked(df, stratum_col, key, num_partitions)
+    r = F.col("_r") * 1000
+    n = F.col("_n")
     expr = None
     cum = 0
     for name, pm in permille.items():
         cum += pm
         cond = r <= F.lit(cum) * n
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return df.withColumn("split", expr)
+    return ranked.select(*df.columns, expr.alias("split"))
 
 
 def _permille(fractions: dict[str, float]) -> dict[str, int]:
@@ -407,7 +478,9 @@ def stratified_split_sql(
     cum = 0
     for name, pm in permille.items():
         cum += pm
-        case += f" WHEN _r * 1000 <= {cum} * _n THEN '{name}'"
+        # escape like funnel_sql: a quote in a split name must not
+        # break the oracle string literal
+        case += f" WHEN _r * 1000 <= {cum} * _n THEN '{name.replace(chr(39), chr(39) * 2)}'"
     case += " END"
     return f"""
     SELECT * EXCLUDE (_r, _n), {case} AS split
