@@ -1861,3 +1861,58 @@ def test_streaming_funnel_matches_batch_prefix(spark, tmp_path):
     # the semantics themselves: user 1 chained strictly after the
     # batch-1 view; user 2's purchase did not skip the click step
     assert got[1][0] == 2 and got[2][0] == 1 and 3 not in got
+
+
+def test_streaming_funnel_string_key_keeps_caller_schema(spark, tmp_path):
+    """ADVICE r13: a string-typed (and renamed) key column must work —
+    the output key field is built from the input schema, not a
+    hardcoded user_id LongType that dies inside
+    applyInPandasWithState on any other key type."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from unimib_simpss_spark.streaming.stateful import streaming_funnel
+
+    logdir = tmp_path / "ev"
+    logdir.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "device": "a", "event_type": "view"},
+        {"event_id": 2, "ts": "2024-01-01 00:00:05", "device": "a", "event_type": "click"},
+        {"event_id": 3, "ts": "2024-01-01 00:00:07", "device": "b", "event_type": "view"},
+    ]
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("device", StringType()),
+        StructField("event_type", StringType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(logdir))
+    out = streaming_funnel(stream, ["view", "click"], user_col="device")
+    assert out.schema[0].name == "device"
+    assert out.schema[0].dataType == StringType()
+    q = (
+        out.writeStream.format("memory").queryName("funnel_str")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.device: r.steps_completed
+        for r in spark.sql("select * from funnel_str").collect()
+    }
+    assert got == {"a": 2, "b": 1}

@@ -1078,7 +1078,7 @@ _FUNNEL_STATE_SCHEMA = StructType(
 )
 
 
-def _make_funnel_track(steps: list):
+def _make_funnel_track(steps: list, key_name: str = "user_id"):
     step_idx = {s: i for i, s in enumerate(steps)}
     k = len(steps)
 
@@ -1110,7 +1110,7 @@ def _make_funnel_track(steps: list):
         # construction (step i requires step i-1 first)
         yield pd.DataFrame(
             [[user_id, done, *tps]],
-            columns=["user_id", "steps_completed"]
+            columns=[key_name, "steps_completed"]
             + [f"t{i}_us" for i in range(1, k + 1)],
         )
 
@@ -1149,9 +1149,13 @@ def streaming_funnel(
 
     if not steps or len(set(steps)) != len(steps):
         raise ValueError(f"steps must be non-empty and distinct: {steps!r}")
+    # the output key keeps the CALLER'S column name and type (ADVICE
+    # r13: a hardcoded user_id LongType fails inside
+    # applyInPandasWithState on string/int keys — the
+    # label_silhouette pattern builds the field from the input schema)
     out_schema = StructType(
         [
-            StructField("user_id", LongType()),
+            StructField(user_col, df.schema[user_col].dataType),
             StructField("steps_completed", LongType()),
         ]
         + [
@@ -1166,7 +1170,7 @@ def streaming_funnel(
         F.col(id_col).alias("event_id"),
     )
     return src.groupBy("user_id").applyInPandasWithState(
-        _make_funnel_track(list(steps)),
+        _make_funnel_track(list(steps), key_name=user_col),
         outputStructType=out_schema,
         stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="update",
