@@ -28,6 +28,7 @@ from unimib_simpss_spark.session import get_spark  # noqa: E402
 # similarity incl. IVF + Arrow).
 HEADLINE = [
     "q01_pricing_summary",
+    "q02_latest_event_per_user",
     "q03_top_revenue_orders",
     "q08_customer_order_stats",
     "q12_rollup_cube",

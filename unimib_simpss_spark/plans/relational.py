@@ -68,7 +68,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _Q02_GAP = 28_800  # 8 h — the fixture's event density yields real
 #                    multi-event sessions (avg ~2, max ~15 at sf0.01)
-_Q02_FUNNEL = ["view", "click", "purchase"]
+_Q02_FUNNEL = ["signup", "view", "click", "purchase"]  # depth-4 chain
 
 
 def _q02_oracle() -> str:
@@ -89,8 +89,22 @@ def _q02_oracle() -> str:
         f"FROM f WHERE t{i} IS NOT NULL"
         for i in range(1, len(_Q02_FUNNEL) + 1)
     )
+    fsummary_rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS seq, c{i} AS n, "
+        + (
+            f"round(CAST(c{i} AS DOUBLE) / NULLIF(c{i - 1}, 0), 6)"
+            if i > 1
+            else "CAST(NULL AS DOUBLE)"
+        )
+        + f" AS num, [{steps}][{i}] AS str_val FROM fs"
+        for i in range(1, len(_Q02_FUNNEL) + 1)
+    )
+    fcounts = ", ".join(
+        f"count(t{i}) AS c{i}" for i in range(1, len(_Q02_FUNNEL) + 1)
+    )
     return f"""
     WITH f AS ({funnel_sql(_Q02_FUNNEL)}),
+         fs AS (SELECT {fcounts} FROM f),
          tr AS ({trend_sql()})
     SELECT 'latest' AS section, user_id, event_id AS seq, ts AS ts_a,
            CAST(NULL AS TIMESTAMP) AS ts_b, CAST(NULL AS BIGINT) AS n,
@@ -110,6 +124,11 @@ def _q02_oracle() -> str:
            CAST(NULL AS TIMESTAMP) AS ts_b, steps_completed AS n,
            CAST(NULL AS DOUBLE) AS num, str_val
     FROM ({funnel_steps})
+    UNION ALL
+    SELECT 'fsummary' AS section, CAST(NULL AS BIGINT) AS user_id, seq,
+           CAST(NULL AS TIMESTAMP) AS ts_a, CAST(NULL AS TIMESTAMP) AS ts_b,
+           n, num, str_val
+    FROM ({fsummary_rows})
     UNION ALL
     SELECT 'acf' AS section, user_id, lag AS seq,
            CAST(NULL AS TIMESTAMP) AS ts_a, CAST(NULL AS TIMESTAMP) AS ts_b,
@@ -147,10 +166,16 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       user partition numbers the sessions, and the per-session
       aggregate adds NO second exchange (HashPartitioning(user)
       already clusters (user, session_seq) — plan-asserted in tests).
-    - ``funnel``: first-completion funnel view→click→purchase
-      (chained conditional min-aggregates, strictly-after semantics;
-      one row per completed step, n = steps the user finished). No
-      per-user event array anywhere — hot users cost nothing.
+    - ``funnel``: first-completion funnel signup→view→click→purchase
+      (depth-4 chained conditional min-aggregates, strictly-after
+      semantics; one row per completed step, n = steps the user
+      finished). No per-user event array anywhere — hot users cost
+      nothing.
+    - ``fsummary``: the funnel's step-to-step conversion summary —
+      one row per step, n = users reaching the step, num = n divided
+      by the previous step's reach (NULL for step 1) — off ONE
+      4-column count aggregate over the funnel relation (exchange
+      reuse folds it into the per-step legs' shuffles).
     - ``acf``: per-user autocorrelation of the value series at lags
       1..3 (operators/timeseries.py acf_by_key — ONE window pass for
       all lags, aggregate reuses the window's clustering; seq = lag,
@@ -216,6 +241,50 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, step in enumerate(_Q02_FUNNEL, start=1)
     ]
+    # 'fsummary': per-step reach + step-to-step conversion — the
+    # standard funnel deliverable (one 4-column aggregate row exploded
+    # into one row per step; NULLIF guards the empty-funnel 0/0)
+    fsum = (
+        fun.agg(
+            *[
+                F.count(F.col(f"t{i}")).alias(f"c{i}")
+                for i in range(1, len(_Q02_FUNNEL) + 1)
+            ]
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("long").alias("seq"),
+                            F.col(f"c{i}").alias("n"),
+                            (
+                                F.round(
+                                    F.col(f"c{i}").cast("double")
+                                    / F.nullif(F.col(f"c{i - 1}"), F.lit(0)),
+                                    6,
+                                )
+                                if i > 1
+                                else F.lit(None).cast("double")
+                            ).alias("num"),
+                            F.lit(step).alias("str_val"),
+                        )
+                        for i, step in enumerate(_Q02_FUNNEL, start=1)
+                    ]
+                )
+            ).alias("_e")
+        )
+        .select(
+            F.lit("fsummary").alias("section"),
+            _nul("long", "user_id"),
+            F.col("_e.seq").alias("seq"),
+            _nul("timestamp", "ts_a"),
+            _nul("timestamp", "ts_b"),
+            F.col("_e.n").alias("n"),
+            F.col("_e.num").alias("num"),
+            F.col("_e.str_val").alias("str_val"),
+        )
+    )
     acf = acf_by_key(e).select(
         F.lit("acf").alias("section"),
         "user_id",
@@ -264,7 +333,7 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = latest.unionAll(sess)
     for leg in fun_steps:
         out = out.unionAll(leg)
-    return out.unionAll(acf).unionAll(twa).unionAll(trend)
+    return out.unionAll(fsum).unionAll(acf).unionAll(twa).unionAll(trend)
 
 
 # --------------------------------------------------------------------------
