@@ -2206,6 +2206,75 @@ class TestPageRank:
         got = self._pr(spark, sorted(edges), max_iters=15, tol=None)
         assert {k: v for k, (v, _) in got.items()} == want
 
+    def test_weighted_matches_numpy_power_iteration(self, spark):
+        """Weighted mode: contribution along (u,v) is
+        rank_u * w(u,v) / wdeg(u) — pinned against the dense NumPy
+        power iteration on a random weighted graph."""
+        import numpy as np
+
+        from unimib_simpss_spark.operators.graph import pagerank
+
+        rng = np.random.default_rng(47)
+        n, d = 25, 0.85
+        edges = {}
+        while len(edges) < 50:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges[(min(int(a), int(b)), max(int(a), int(b)))] = round(
+                    float(rng.uniform(0.1, 1.0)), 3
+                )
+        W = np.zeros((n, n))
+        for (a, b), w in edges.items():
+            W[a, b] = W[b, a] = w
+        nodes = np.where(W.sum(axis=1) > 0)[0]
+        W = W[np.ix_(nodes, nodes)]
+        m = len(nodes)
+        P = W / W.sum(axis=1, keepdims=True)
+        r = np.full(m, 1.0 / m)
+        for _ in range(15):
+            r = (1 - d) / m + d * (P.T @ r)
+        want = {int(nodes[i]): round(float(r[i]), 6) for i in range(m)}
+        df = spark.createDataFrame(
+            [(a, b, w) for (a, b), w in sorted(edges.items())],
+            "doc1 long, doc2 long, cos double",
+        )
+        got = {
+            r_.node: r_.rank
+            for r_ in pagerank(
+                df, max_iters=15, tol=None, weight="cos"
+            ).collect()
+        }
+        assert got == want
+
+    def test_weighted_pull_and_invalid_weights(self, spark):
+        """A heavier edge pulls more rank; duplicate pair weights sum;
+        NULL/NaN/non-positive weights drop like NULL endpoints."""
+        from unimib_simpss_spark.operators.graph import pagerank
+
+        # path graph b—a—c where (a,b) is 9× heavier than (a,c)
+        df = spark.createDataFrame(
+            [(1, 2, 0.9), (1, 3, 0.1)], "doc1 long, doc2 long, w double"
+        )
+        got = {r.node: (r.rank, r.degree)
+               for r in pagerank(df, max_iters=20, tol=None, weight="w").collect()}
+        assert got[2][0] > got[3][0]
+        assert got[1][1] == 2 and got[2][1] == 1  # degree = neighbor COUNT
+        # duplicate orientations sum: (1,2,0.5)+(2,1,0.5) == (1,2,1.0)
+        dup = spark.createDataFrame(
+            [(1, 2, 0.5), (2, 1, 0.5), (1, 3, 1.0)],
+            "doc1 long, doc2 long, w double",
+        )
+        ranks = {r.node: r.rank
+                 for r in pagerank(dup, max_iters=20, tol=None, weight="w").collect()}
+        assert ranks[2] == ranks[3]  # symmetric after the dup-sum
+        # invalid weights drop the edge entirely
+        bad = spark.createDataFrame(
+            [(1, 2, 1.0), (3, 4, None), (5, 6, 0.0), (7, 8, float("nan"))],
+            "doc1 long, doc2 long, w double",
+        )
+        nodes = {r.node for r in pagerank(bad, max_iters=5, tol=None, weight="w").collect()}
+        assert nodes == {1, 2}
+
     def test_convergence_and_nonconvergence(self, spark):
         import pytest as _pytest
 

@@ -37,12 +37,26 @@ def pagerank(
     max_iters: int = 100,
     tol: float | None = 1e-6,
     ndigits: int = 6,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank of the undirected graph given as an edge list (each
     pair listed once in either orientation; self-loops and duplicate
     pairs are canonicalized away; NULL endpoints drop). Returns
     ``(node, rank, degree)`` with ``rank`` rounded to ``ndigits``
     (ranks sum to ~1 over the graph's nodes).
+
+    ``weight`` names an optional positive edge-weight column
+    (e.g. the cosine score a kNN similarity edge already carries):
+    each node then spreads its rank proportionally to edge weight —
+    contribution along (u,v) is ``rank_u * w(u,v) / wdeg(u)`` with
+    ``wdeg`` the node's summed edge weight — the curation-grade
+    centrality where a 0.99-cosine neighbor pulls more than a 0.60
+    one. Duplicate pairs SUM their weights during canonicalization
+    (multigraph semantics); rows with NULL, NaN, or non-positive
+    weight carry no mass and are excluded exactly like NULL
+    endpoints. The ``degree`` output column
+    stays the NEIGHBOR COUNT in both modes (schema-stable); weighted
+    degree is internal.
 
     Iterates until the L1 rank delta falls below ``tol`` or
     ``max_iters`` rounds, whichever first (``pagerank.last_iters``
@@ -75,19 +89,38 @@ def pagerank(
                 "before ranking"
             )
     u, v = F.col(src).cast("long"), F.col(dst).cast("long")
-    canon = (
-        edges.where(u.isNotNull() & v.isNotNull() & (u != v))
-        .select(
-            F.least(u, v).alias("_lo"), F.greatest(u, v).alias("_hi")
+    ok = u.isNotNull() & v.isNotNull() & (u != v)
+    if weight is None:
+        canon = (
+            edges.where(ok)
+            .select(
+                F.least(u, v).alias("_lo"), F.greatest(u, v).alias("_hi")
+            )
+            .distinct()
+            .withColumn("_w", F.lit(1.0))
         )
-        .distinct()
-    )
+    else:
+        wc = F.col(weight).cast("double")
+        canon = (
+            edges.where(ok & wc.isNotNull() & ~F.isnan(wc) & (wc > 0))
+            .select(
+                F.least(u, v).alias("_lo"),
+                F.greatest(u, v).alias("_hi"),
+                wc.alias("_w"),
+            )
+            .groupBy("_lo", "_hi")
+            .agg(F.sum("_w").alias("_w"))
+        )
     sym = canon.select(
-        F.col("_lo").alias("_u"), F.col("_hi").alias("_v")
+        F.col("_lo").alias("_u"), F.col("_hi").alias("_v"), "_w"
     ).unionAll(
-        canon.select(F.col("_hi").alias("_u"), F.col("_lo").alias("_v"))
+        canon.select(
+            F.col("_hi").alias("_u"), F.col("_lo").alias("_v"), "_w"
+        )
     )
-    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_deg"))
+    deg = sym.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("_deg"), F.sum("_w").alias("_wdeg")
+    )
     # degree-annotated edges are the loop-invariant relation — build
     # and checkpoint once, every round joins against it
     sym_deg = checkpoint_result(sym.join(deg, "_u"))
@@ -111,7 +144,7 @@ def pagerank(
             sym_deg.join(ranks, sym_deg["_u"] == ranks["_n"])
             .select(
                 F.col("_v").alias("_n"),
-                (F.col("_r") / F.col("_deg")).alias("_c"),
+                (F.col("_r") * F.col("_w") / F.col("_wdeg")).alias("_c"),
             )
             .groupBy("_n")
             .agg(F.sum("_c").alias("_s"))

@@ -764,6 +764,13 @@ def x77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted pairs, max degree 2 — so the similarity graph is the
     corpus graph with real structure.)
 
+    Two sections off ONE checkpointed kNN edge relation: 'uniform'
+    (every edge equal) and 'weighted' (each edge carries its cosine
+    score, so rank flows ∝ similarity — the curation-grade variant
+    that was discarding the scores the miner already paid for;
+    VERDICT r13 #5). NumPy parity for both modes is pinned in
+    tests/test_llm_ops.py.
+
     Rows-only: the power iteration is inherently multi-round (no
     recursive-CTE oracle at fixed point) and ranks are float sums;
     rank rounding at 6 dp + the fixed convergence tolerance make the
@@ -777,17 +784,29 @@ def x77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = one L1 delta scalar per round; per-round checkpoints
     truncate the lineage exactly like connected components."""
     from unimib_simpss_spark.operators import similarity as S
-    from unimib_simpss_spark.operators.caching import release_result
+    from unimib_simpss_spark.operators.caching import (
+        checkpoint_result,
+        release_result,
+    )
     from unimib_simpss_spark.operators.graph import pagerank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = S.ivf_topk(emb, k=3).select("query_id", "neighbor_id")
+    # checkpoint the mined edges ONCE — both ranking modes read the
+    # same relation instead of re-running the cell-scoped GEMM
+    knn = checkpoint_result(
+        S.ivf_topk(emb, k=3).select("query_id", "neighbor_id", "cosine")
+    )
     # fixed 15-round schedule (tol=None): the L1 delta of power
     # iteration decays ~damping^t, so a tolerance tight enough to be
     # meaningful costs ~100 rounds — at 6-dp output rounding, 15
     # deterministic rounds give stable, well-differentiated ranks at a
     # bounded per-run cost (each round is two key-shuffles)
-    out = pagerank(knn, src="query_id", dst="neighbor_id",
-                   max_iters=15, tol=None)
+    uniform = pagerank(knn, src="query_id", dst="neighbor_id",
+                       max_iters=15, tol=None)
+    weighted = pagerank(knn, src="query_id", dst="neighbor_id",
+                        max_iters=15, tol=None, weight="cosine")
     release_result(knn)
-    return out
+    tag = lambda df, s: df.select(  # noqa: E731
+        F.lit(s).alias("section"), "node", "rank", "degree"
+    )
+    return tag(uniform, "uniform").unionAll(tag(weighted, "weighted"))
