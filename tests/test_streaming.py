@@ -1916,3 +1916,124 @@ def test_streaming_funnel_string_key_keeps_caller_schema(spark, tmp_path):
         for r in spark.sql("select * from funnel_str").collect()
     }
     assert got == {"a": 2, "b": 1}
+
+
+def test_streaming_scd2_matches_batch_prefix(spark, tmp_path):
+    """The SCD2 sink's table after an in-order two-batch stream must
+    equal scd2_history over the same rows: a value repeated across
+    batches collapses into the open version, a change closes it, and
+    closed versions never rewrite."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from unimib_simpss_spark.sources.lakehouse import scd2_history
+    from unimib_simpss_spark.streaming.sinks import foreach_batch_scd2
+
+    logdir = tmp_path / "upd"
+    logdir.mkdir()
+    rows_b1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "k": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:01:00", "k": "a", "value": 1.0},
+        {"event_id": 3, "ts": "2024-01-01 00:02:00", "k": "b", "value": 5.0},
+    ]
+    rows_b2 = [
+        # same value as a's open version -> collapses, no new version
+        {"event_id": 4, "ts": "2024-01-01 00:03:00", "k": "a", "value": 1.0},
+        # changed value -> closes a's version, opens a new one
+        {"event_id": 5, "ts": "2024-01-01 00:04:00", "k": "a", "value": 2.0},
+        # brand-new key
+        {"event_id": 6, "ts": "2024-01-01 00:05:00", "k": "c", "value": 9.0},
+        # NULL ts -> excluded on both engines
+        {"event_id": 7, "ts": None, "k": "b", "value": 6.0},
+    ]
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b1) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b2) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("k", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "scd2_table")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_scd2(table, keys=("k",), ts_col="ts",
+                               id_col="event_id", value_col="value")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r.k, r.version_id, r.value, r.valid_from, r.valid_to)  # noqa: E731
+    got = sorted(key(r) for r in spark.read.parquet(table).collect())
+    batch_rows = spark.createDataFrame(
+        [tuple(r.values()) for r in rows_b1 + rows_b2],
+        "event_id long, ts string, k string, value double",
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "k", "value")
+    want = sorted(
+        key(r)
+        for r in scd2_history(
+            batch_rows, ("k",), "ts", "event_id", "value"
+        ).collect()
+    )
+    assert got == want
+    # shape sanity: a has 2 versions (repeat collapsed), b and c one
+    per_key = {}
+    for k, *_ in got:
+        per_key[k] = per_key.get(k, 0) + 1
+    assert per_key == {"a": 2, "b": 1, "c": 1}
+
+
+def test_scd2_merge_replay_idempotent_and_late_drop(spark, tmp_path):
+    """A checkpoint-replayed batch must not duplicate versions, and a
+    late update pre-dating a key's open version drops (closed history
+    is immutable)."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.streaming.sinks import scd2_merge_parquet
+
+    table = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, ts string, k string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "k", "value")
+    b1 = mk([
+        (1, "2024-01-01 00:00:00", "a", 1.0),
+        (2, "2024-01-01 00:01:00", "a", 2.0),
+    ])
+    args = dict(keys=("k",), ts_col="ts", id_col="event_id",
+                value_col="value")
+    scd2_merge_parquet(b1, table, **args)
+    snap = lambda: sorted(  # noqa: E731
+        (r.k, r.version_id, r.value, r.valid_from, r.valid_to)
+        for r in spark.read.parquet(table).collect()
+    )
+    first = snap()
+    assert len(first) == 2
+    scd2_merge_parquet(b1, table, **args)  # exact replay
+    assert snap() == first
+    late = mk([(3, "2023-12-31 23:59:00", "a", 7.0)])
+    scd2_merge_parquet(late, table, **args)  # pre-dates open version
+    assert snap() == first

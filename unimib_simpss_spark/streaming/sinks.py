@@ -409,3 +409,101 @@ def read_hll_estimates(
     return hll_distinct_from_registers(
         regs, list(group_cols), stored.p, ndigits
     )
+
+
+# -------------------------------------------------- SCD2 history sink
+def scd2_merge_parquet(
+    batch: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    batch_id: int = -1,
+) -> None:
+    """MERGE-shaped fold of one micro-batch of updates into an SCD2
+    HISTORY table (the streaming form of ``sources.lakehouse.
+    scd2_history`` — same NULL-safe change rule, same ``(ts, id)`` tie
+    order), written through the generation swap like every sink here.
+
+    Mechanics: the stored history splits into CLOSED versions
+    (``valid_to`` set — immutable, pass through untouched) and OPEN
+    versions; each key's open version is replayed as the seed row of
+    the same change-rule window over (open ∪ batch updates), so a
+    batch row carrying the key's current value collapses into the
+    existing version (keeping its ``valid_from``/``version_id``) and a
+    changed value closes it and opens a new one — exactly what a
+    Delta/Iceberg ``MERGE``-based SCD2 writer does, on plain parquet.
+
+    Parity contract (the funnel/EWMA/KLL discipline): with updates
+    arriving in event-time order across batches, the table after any
+    stream prefix EQUALS ``scd2_history`` over that prefix — pinned in
+    tests/test_streaming.py. Late rows pre-dating a key's open version
+    drop (closed history is immutable; the same arrival-order caveat
+    as every stateful op here) — which also makes checkpoint replays
+    idempotent: a replayed update either re-collapses into the version
+    it created or pre-dates it and drops.
+
+    Scale shape: one key-partitioned window over (open versions ∪
+    batch) plus the closed-version passthrough; the portable parquet
+    path rewrites the table per generation like the keyed upsert — on
+    Delta/Iceberg the same logic is a storage-native MERGE touching
+    only matched files."""
+    from unimib_simpss_spark.sources.lakehouse import scd2_history
+
+    spark = batch.sparkSession
+    kl = list(keys)
+    upd = batch.where(F.col(ts_col).isNotNull()).select(
+        *kl, id_col, value_col, ts_col
+    )
+    cur, _ = _current_generation(path)
+    closed = None
+    if cur is not None:
+        hist = spark.read.parquet(cur)
+        closed = hist.where(F.col("valid_to").isNotNull())
+        open_ = hist.where(F.col("valid_to").isNull())
+        # late guard: a batch row older than the key's open version
+        # would re-derive already-closed history → drop it
+        bounds = open_.select(*kl, F.col("valid_from").alias("_open_from"))
+        upd = (
+            upd.join(bounds, kl, "left")
+            .where(
+                F.col("_open_from").isNull()
+                | (F.col(ts_col) >= F.col("_open_from"))
+            )
+            .drop("_open_from")
+        )
+        seed = open_.select(
+            *kl,
+            F.col("version_id").alias(id_col),
+            F.col("value").alias(value_col),
+            F.col("valid_from").alias(ts_col),
+        )
+        upd = seed.unionByName(upd)
+    merged = scd2_history(upd, keys, ts_col, id_col, value_col)
+    if closed is not None:
+        merged = closed.select(*merged.columns).unionByName(merged)
+
+    def _write(target: str) -> None:
+        merged.write.mode("overwrite").parquet(target)
+
+    _swap_in_generation(path, _write, batch_id=batch_id)
+
+
+def foreach_batch_scd2(
+    path: str,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """``foreachBatch`` body maintaining an SCD2 history table (S4's
+    dimension-evolution form). The merge is replay-idempotent (see
+    :func:`scd2_merge_parquet`), so the batch id is advisory."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        scd2_merge_parquet(
+            batch, path, keys, ts_col, id_col, value_col, batch_id
+        )
+
+    return _apply
