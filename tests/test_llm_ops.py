@@ -2275,6 +2275,68 @@ class TestPageRank:
         nodes = {r.node for r in pagerank(bad, max_iters=5, tol=None, weight="w").collect()}
         assert nodes == {1, 2}
 
+    def test_personalized_matches_numpy_power_iteration(self, spark):
+        """Seeded teleport: r = (1-d)*s + d*P^T r with s uniform on
+        the seed set, r0 = s — pinned against dense NumPy."""
+        import numpy as np
+
+        from unimib_simpss_spark.operators.graph import pagerank
+
+        rng = np.random.default_rng(53)
+        n, d = 25, 0.85
+        edges = set()
+        while len(edges) < 50:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges.add((min(int(a), int(b)), max(int(a), int(b))))
+        A = np.zeros((n, n))
+        for a, b in edges:
+            A[a, b] = A[b, a] = 1.0
+        nodes = np.where(A.sum(axis=1) > 0)[0]
+        A = A[np.ix_(nodes, nodes)]
+        m = len(nodes)
+        seed_ids = [int(nodes[0]), int(nodes[3]), int(nodes[7])]
+        s = np.array([
+            1.0 / len(seed_ids) if int(nodes[i]) in seed_ids else 0.0
+            for i in range(m)
+        ])
+        P = A / A.sum(axis=1, keepdims=True)
+        r = s.copy()
+        for _ in range(15):
+            r = (1 - d) * s + d * (P.T @ r)
+        want = {int(nodes[i]): round(float(r[i]), 6) for i in range(m)}
+        df = spark.createDataFrame(sorted(edges), "doc1 long, doc2 long")
+        # 999 is absent from the graph -> ignored
+        seeds = spark.createDataFrame(
+            [(i,) for i in seed_ids] + [(999,)], "node long"
+        )
+        got = {
+            r_.node: r_.rank
+            for r_ in pagerank(
+                df, max_iters=15, tol=None, seeds=seeds
+            ).collect()
+        }
+        assert got == want
+        # proximity: a seed outranks the graph's median node
+        assert got[seed_ids[0]] > sorted(got.values())[len(got) // 2]
+
+    def test_personalized_seed_validation(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2)], "doc1 long, doc2 long")
+        with _pytest.raises(ValueError, match="no seed id"):
+            pagerank(
+                df, max_iters=2, tol=None,
+                seeds=spark.createDataFrame([(42,)], "node long"),
+            )
+        with _pytest.raises(ValueError, match="integral"):
+            pagerank(
+                df, max_iters=2, tol=None,
+                seeds=spark.createDataFrame([("a",)], "node string"),
+            )
+
     def test_convergence_and_nonconvergence(self, spark):
         import pytest as _pytest
 

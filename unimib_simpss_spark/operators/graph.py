@@ -38,6 +38,8 @@ def pagerank(
     tol: float | None = 1e-6,
     ndigits: int = 6,
     weight: str | None = None,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """PageRank of the undirected graph given as an edge list (each
     pair listed once in either orientation; self-loops and duplicate
@@ -57,6 +59,14 @@ def pagerank(
     endpoints. The ``degree`` output column
     stays the NEIGHBOR COUNT in both modes (schema-stable); weighted
     degree is internal.
+
+    ``seeds`` switches to PERSONALIZED PageRank (topic-sensitive;
+    Haveliwala 2002): the teleport mass lands uniformly on
+    ``seeds[seed_col]`` instead of all nodes, so ranks measure
+    proximity to the seed set — the "spread trust from my vetted
+    high-quality documents" signal for curation. Seed ids not in the
+    graph are ignored (all-ignored raises); the rank vector still
+    sums to ~1, initialized on the seeds. Composes with ``weight``.
 
     Iterates until the L1 rank delta falls below ``tol`` or
     ``max_iters`` rounds, whichever first (``pagerank.last_iters``
@@ -132,15 +142,54 @@ def pagerank(
             [], "node long, rank double, degree long"
         )
     base = (1.0 - damping) / n
-    ranks = checkpoint_result(
-        sym_deg.select(F.col("_u").alias("_n")).distinct().select(
-            "_n", F.lit(1.0 / n).alias("_r")
+    nodes = sym_deg.select(F.col("_u").alias("_n")).distinct()
+    if seeds is None:
+        base_df = None
+        ranks = checkpoint_result(
+            nodes.select("_n", F.lit(1.0 / n).alias("_r"))
         )
-    )
+    else:
+        st = seeds.schema[seed_col].dataType.simpleString()
+        if st not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"seed column {seed_col!r} must be integral like the "
+                f"node ids, got {st}"
+            )
+        s_in = checkpoint_result(
+            seeds.select(F.col(seed_col).cast("long").alias("_n"))
+            .where(F.col("_n").isNotNull())
+            .distinct()
+            .join(nodes, "_n", "semi")
+        )
+        nseeds = s_in.count()
+        if nseeds == 0:
+            release_result(s_in)
+            release_result(sym_deg)
+            raise ValueError(
+                "personalized pagerank: no seed id appears in the graph"
+            )
+        # per-node teleport share and initial mass — loop-invariant,
+        # checkpointed once like the degree-annotated edges
+        base_df = checkpoint_result(
+            nodes.join(s_in.withColumn("_seed", F.lit(1)), "_n", "left")
+            .select(
+                "_n",
+                F.when(
+                    F.col("_seed") == 1, (1.0 - damping) / nseeds
+                ).otherwise(0.0).alias("_b"),
+                F.when(F.col("_seed") == 1, 1.0 / nseeds)
+                .otherwise(0.0)
+                .alias("_r0"),
+            )
+        )
+        release_result(s_in)
+        ranks = checkpoint_result(
+            base_df.select("_n", F.col("_r0").alias("_r"))
+        )
     iters = 0
     converged = tol is None
     for iters in range(1, max_iters + 1):
-        contribs = (
+        spread = (
             sym_deg.join(ranks, sym_deg["_u"] == ranks["_n"])
             .select(
                 F.col("_v").alias("_n"),
@@ -148,10 +197,16 @@ def pagerank(
             )
             .groupBy("_n")
             .agg(F.sum("_c").alias("_s"))
-            .select(
+        )
+        if base_df is None:
+            contribs = spread.select(
                 "_n", (F.lit(base) + F.lit(damping) * F.col("_s")).alias("_r")
             )
-        )
+        else:
+            contribs = spread.join(base_df, "_n").select(
+                "_n",
+                (F.col("_b") + F.lit(damping) * F.col("_s")).alias("_r"),
+            )
         new_ranks = checkpoint_result(contribs)
         if tol is not None:
             delta = (
@@ -171,6 +226,8 @@ def pagerank(
     if not converged:
         release_result(ranks)
         release_result(sym_deg)
+        if base_df is not None:
+            release_result(base_df)
         raise ValueError(
             f"pagerank did not converge to tol={tol} in {max_iters} "
             "rounds — raise max_iters or pass tol=None for a fixed "
@@ -189,4 +246,6 @@ def pagerank(
     )
     release_result(ranks)
     release_result(sym_deg)
+    if base_df is not None:
+        release_result(base_df)
     return out

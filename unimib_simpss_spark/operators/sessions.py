@@ -185,7 +185,12 @@ def funnel_first_completion(
     Chained conditional aggregation: len(steps) narrow min-aggregates
     joined on the user key — no per-user event array, no window over
     the raw events; each stage's input is the previous stage's
-    (user, ts) relation joined back to the one events scan."""
+    (user, ts) relation joined back to the one events scan. At the
+    typical 3-5 step depth the chained joins win (narrow aggregates,
+    AQE co-partitions every stage on the user key); for 10+ step
+    funnels a single user-keyed sorted window pass that scans each
+    user's events once would beat the join chain — switch shapes
+    there rather than deepening this one."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != len(steps):

@@ -764,12 +764,14 @@ def x77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted pairs, max degree 2 — so the similarity graph is the
     corpus graph with real structure.)
 
-    Two sections off ONE checkpointed kNN edge relation: 'uniform'
-    (every edge equal) and 'weighted' (each edge carries its cosine
+    Three sections off ONE checkpointed kNN edge relation: 'uniform'
+    (every edge equal), 'weighted' (each edge carries its cosine
     score, so rank flows ∝ similarity — the curation-grade variant
     that was discarding the scores the miner already paid for;
-    VERDICT r13 #5). NumPy parity for both modes is pinned in
-    tests/test_llm_ops.py.
+    VERDICT r13 #5), and 'ppr' (personalized PageRank teleporting to
+    the label-0 cluster — "spread trust from a vetted document set",
+    the seeded-curation signal). NumPy parity for all modes is pinned
+    in tests/test_llm_ops.py.
 
     Rows-only: the power iteration is inherently multi-round (no
     recursive-CTE oracle at fixed point) and ranks are float sums;
@@ -805,8 +807,24 @@ def x77_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                        max_iters=15, tol=None)
     weighted = pagerank(knn, src="query_id", dst="neighbor_id",
                         max_iters=15, tol=None, weight="cosine")
+    trusted = emb.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    ppr = pagerank(knn, src="query_id", dst="neighbor_id",
+                   max_iters=15, tol=None, weight="cosine",
+                   seeds=trusted)
     release_result(knn)
     tag = lambda df, s: df.select(  # noqa: E731
         F.lit(s).alias("section"), "node", "rank", "degree"
     )
-    return tag(uniform, "uniform").unionAll(tag(weighted, "weighted"))
+    # re-checkpoint the 3-section union so the caller's single
+    # release_result() frees everything (a Union top node has no
+    # LogicalRDD to release — the cache-hygiene sweep catches this)
+    out = checkpoint_result(
+        tag(uniform, "uniform")
+        .unionAll(tag(weighted, "weighted"))
+        .unionAll(tag(ppr, "ppr"))
+    )
+    for leg in (uniform, weighted, ppr):
+        release_result(leg)
+    return out
