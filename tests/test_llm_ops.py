@@ -2111,22 +2111,64 @@ class TestStratifiedSplit:
                     want[k] = "test"
         got = {r.doc_id: r.split for r in out.collect()}
         assert got == want
-        # (b) the local-rank window partitions on (_pid, stratum) —
+        # (b) the local-rank window partitions on (stratum, bucket) —
         # the parallelism contract the naive formulation breaks
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "row_number" in plan
-        assert "_pid" in plan, plan
-        # and the big stratum genuinely spans several range partitions
+        assert "_b" in plan, plan
+        # and the big stratum genuinely spans several buckets
+        from unimib_simpss_spark.operators.sampling import _hash_bucket
+
         spread = (
             df.withColumn("_h", F.md5(F.col("doc_id").cast("string")))
-            .repartitionByRange(8, F.col("source"), F.col("_h"), F.col("doc_id"))
-            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_b", _hash_bucket(F.col("_h"), 8))
             .where(F.col("source") == "big")
-            .select("_pid")
+            .select("_b")
             .distinct()
             .count()
         )
         assert spread > 1
+
+    def test_split_invariant_to_physical_layout(self, spark):
+        """The sf0.1 regression shape: the split labels must be a pure
+        function of the DATA — identical across arbitrary input
+        partitionings (a physical-partition-id rank construction
+        failed exactly this)."""
+        from unimib_simpss_spark.operators.sampling import stratified_split
+
+        rows = [(i, "s" if i % 7 else "t") for i in range(300)]
+        fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+        outs = []
+        for nparts in (1, 5, 13):
+            df = spark.createDataFrame(
+                rows, "doc_id long, source string"
+            ).repartition(nparts)
+            outs.append(sorted(
+                (r.doc_id, r.split)
+                for r in stratified_split(
+                    df, "source", "doc_id", fracs, num_partitions=6
+                ).collect()
+            ))
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_null_keys_rank_first_like_the_naive_window(self, spark):
+        """NULL keys hash to a NULL bucket that must sort FIRST —
+        the position md5(NULL) takes in the naive global order."""
+        from unimib_simpss_spark.operators.sampling import stratified_split
+
+        rows = [(None, "s"), (None, "s")] + [(i, "s") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {
+            (r.doc_id, r.split)
+            for r in stratified_split(
+                df, "source", "doc_id", {"train": 0.8, "val": 0.2},
+                num_partitions=4,
+            ).collect()
+        }
+        # 10 rows at 80/20 -> ranks 1-8 train, 9-10 val; the two NULL
+        # keys rank 1-2 (NULLS FIRST) -> both land in train
+        assert (None, "train") in got
+        assert sum(1 for _, s in got if s == "val") == 2
 
     def test_sql_twin_escapes_quoted_split_names(self):
         """ADVICE r13: a split name containing a quote must produce

@@ -330,6 +330,22 @@ def _check_fractions(fractions: dict[str, float], buckets: int) -> None:
             raise ValueError(f"fraction for {label!r} rounds to 0/{buckets} buckets")
 
 
+def _hash_bucket(h, buckets: int):
+    """Order-prefix bucket of an md5 hex string: the first 8 hex chars
+    read as a 32-bit int, scaled to ``buckets``. Lowercase fixed-width
+    hex sorts identically as string and as number, so ``h1 < h2``
+    (string) implies ``bucket(h1) <= bucket(h2)`` — each bucket is a
+    contiguous PREFIX-RANGE of the ``(h, key)`` sort order, and the
+    assignment is a pure function of the VALUE (no physical partition
+    ids, no range-sampler: nothing that can disagree between two
+    evaluations of the same relation — the sf0.1 parity sweep caught
+    exactly that with a spark_partition_id formulation)."""
+    p32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return F.floor(p32 * F.lit(int(buckets)) / F.lit(4294967296)).cast(
+        "long"
+    )
+
+
 def _range_ranked(
     df: DataFrame,
     stratum_col: str,
@@ -341,22 +357,24 @@ def _range_ranked(
     order, ``_n`` = the stratum's row count — WITHOUT ever sorting a
     whole stratum in one task (the zip-with-index construction).
 
-    Mechanics: range-partition on ``(stratum, md5(key), key)`` so each
-    stratum's global order is the concatenation of its per-partition
-    orders; rank rows locally within ``(range-partition, stratum)``
-    (a window whose groups are bounded by the range-partition size, so
-    a stratum holding most of the corpus still ranks across
-    ``num_partitions`` tasks); reconstruct the global rank by adding
-    the stratum's row-count offset from all earlier range partitions —
-    the offsets come from a tiny ``(partition, stratum)`` count
-    relation (≤ partitions × strata rows) that stays a lazy broadcast,
-    never a driver collect.
+    Mechanics: bucket every row by the ORDER-PREFIX of its md5 rank
+    key (:func:`_hash_bucket` — deterministic per value, uniform by
+    construction), so each stratum's global order is the concatenation
+    of its per-bucket orders; rank rows locally within
+    ``(stratum, bucket)`` (groups are ~1/num_partitions of a stratum,
+    so a stratum holding most of the corpus still ranks across
+    num_partitions tasks); reconstruct the global rank by adding the
+    stratum's row count from all earlier buckets — offsets come from
+    a tiny ``(stratum, bucket)`` count relation (≤ strata ×
+    num_partitions rows) that stays a lazily-broadcast window result,
+    never a driver collect. NULL keys hash to a NULL bucket, which
+    sorts first in both the offset walk and the local window —
+    matching md5's NULLS FIRST position in the naive global order.
 
     Cost, stated honestly: the input is computed twice in one job
-    (once for the offset counts, once as the probe side) plus the
-    range partitioner's sampling pass — the standard bill for a
-    distributed exact rank. Both passes re-derive identical partition
-    ids (range boundaries sample with deterministic seeds)."""
+    (once for the counts, once as the probe side) — the standard bill
+    for a distributed exact rank; bucket assignment being a pure
+    value function makes the two passes agree BY CONSTRUCTION."""
     if num_partitions is None:
         try:
             num_partitions = int(
@@ -364,38 +382,32 @@ def _range_ranked(
             )
         except ValueError:
             num_partitions = 200
-    ranged = (
-        df.withColumn("_h", F.md5(F.col(key).cast("string")))
-        .repartitionByRange(
-            num_partitions, F.col(stratum_col), F.col("_h"), F.col(key)
-        )
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    cnt = ranged.groupBy("_pid", stratum_col).agg(
-        F.count(F.lit(1)).alias("_c")
-    )
+    base = df.withColumn(
+        "_h", F.md5(F.col(key).cast("string"))
+    ).withColumn("_b", _hash_bucket(F.col("_h"), num_partitions))
+    cnt = base.groupBy(stratum_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
     wo = (
         Window.partitionBy(stratum_col)
-        .orderBy("_pid")
+        .orderBy(F.asc_nulls_first("_b"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = cnt.select(
-        F.col("_pid").alias("_opid"),
         F.col(stratum_col).alias("_ostr"),
+        F.col("_b").alias("_ob"),
         F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off"),
         F.sum("_c").over(Window.partitionBy(stratum_col)).alias("_n"),
     )
-    wl = Window.partitionBy("_pid", stratum_col).orderBy("_h", key)
+    wl = Window.partitionBy(stratum_col, "_b").orderBy("_h", key)
     return (
-        ranged.join(
+        base.join(
             F.broadcast(off),
-            (F.col("_pid") == F.col("_opid"))
-            & F.col(stratum_col).eqNullSafe(F.col("_ostr")),
+            F.col(stratum_col).eqNullSafe(F.col("_ostr"))
+            & F.col("_b").eqNullSafe(F.col("_ob")),
         )
         .withColumn(
             "_r", (F.col("_off") + F.row_number().over(wl)).cast("long")
         )
-        .drop("_h", "_pid", "_opid", "_ostr", "_off")
+        .drop("_h", "_b", "_ostr", "_ob", "_off")
     )
 
 
@@ -421,7 +433,7 @@ def stratified_split(
     round differently across engines). Fractions must be multiples of
     1/1000 summing to 1.
 
-    The rank comes from :func:`_range_ranked` — a range-partitioned
+    The rank comes from :func:`_range_ranked` — a hash-prefix-bucketed
     offset rank, so a corpus with a handful of strata (the normal
     case: one stratum per source) still splits across
     ``num_partitions`` tasks instead of sorting terabytes in one
