@@ -147,6 +147,11 @@ _INTERIOR_ALLOW: dict[str, set] = {
     # hardneg leg: cap-gated anchor broadcast × corpus (the q36
     # pattern — bounded-driver contract enforces the build side)
     "llm_similarity.q46_embedding_cosine_pairs": {"bnl-join"},
+    # q61's union interior: the edit legs' documented BNL floor (above)
+    # seen through the union, plus the drift section's 1-row stats/
+    # totals crosses and the CDF window over the bins-row relation —
+    # every one bounded by construction (bins defaults to 10)
+    "llm_dedup.q61_incremental_dedup": {"bnl-join", "global-window"},
 }
 
 # The heavy operator family the sweep must cover (checkpoint users).

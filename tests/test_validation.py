@@ -150,3 +150,115 @@ def test_q63_audit_section_matches_handwritten_counts(spark, sf_dir):
     assert out["custkey_unique"].audit_pass == 1
     assert out["nationkey_fk"].audit_pass == 1
     assert len(out) == 6
+
+
+# ---------------------------------------------------- distribution drift
+class TestDistributionDrift:
+    def _drift(self, spark, ref_rows, cur_rows, **kw):
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift,
+        )
+
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            [(r,) for r in rows], "x double"
+        )
+        return {
+            (r.metric, r.bin): (r.ref_n, r.cur_n, r.value)
+            for r in distribution_drift(
+                mk(ref_rows), mk(cur_rows), "x", **kw
+            ).collect()
+        }
+
+    def test_hand_computed_two_bins(self, spark):
+        """ref 8/2 vs cur 2/8 over two bins: PSI and KS by hand.
+        Smoothed p = (c+0.5)/(n+1): ref (.773, .227), cur (.227, .773);
+        PSI = 2 * (.773-.227) * ln(.773/.227); KS = |0.8-0.2| = 0.6."""
+        import math
+
+        got = self._drift(
+            spark,
+            [0.0] * 8 + [1.0] * 2,
+            [0.0] * 2 + [1.0] * 8,
+            bins=2,
+        )
+        rp, cp = 8.5 / 11, 2.5 / 11
+        psi = round(2 * (rp - cp) * math.log(rp / cp), 6)
+        assert got[("psi", None)] == (10, 10, psi)
+        assert got[("ks", None)] == (10, 10, 0.6)
+        assert got[("bin", 0)] == (8, 2, None)
+        assert got[("bin", 1)] == (2, 8, None)
+
+    def test_identical_distributions_score_zero(self, spark):
+        vals = [float(i % 7) for i in range(70)]
+        got = self._drift(spark, vals, vals, bins=5)
+        assert got[("psi", None)][2] == 0.0
+        assert got[("ks", None)][2] == 0.0
+
+    def test_nulls_excluded_and_outliers_clamp(self, spark):
+        """NULL values drop; current values outside the reference
+        range land in the edge bins instead of vanishing."""
+        got = self._drift(
+            spark,
+            [0.0, 1.0, 2.0, 3.0],
+            [None, -50.0, 99.0],
+            bins=4,
+        )
+        assert got[("psi", None)][:2] == (4, 2)
+        assert got[("bin", 0)] == (1, 1, None)   # -50 clamps low
+        assert got[("bin", 3)] == (1, 1, None)   # 99 clamps high
+        assert got[("bin", 1)][1] == 0 and got[("bin", 2)][1] == 0
+
+    def test_constant_reference_degenerates_to_one_bin(self, spark):
+        got = self._drift(spark, [5.0, 5.0], [5.0, 6.0], bins=3)
+        assert got[("bin", 0)] == (2, 2, None)
+        assert got[("ks", None)][2] == 0.0
+
+    def test_bad_bins_raise(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift,
+            drift_sql,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with _pytest.raises(ValueError, match="bins"):
+            distribution_drift(df, df, "x", bins=1)
+        with _pytest.raises(ValueError, match="bins"):
+            drift_sql("SELECT 1", "SELECT 1", "x", bins=0)
+
+    def test_matches_duckdb_twin_on_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift,
+            drift_sql,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = distribution_drift(
+            docs.where("doc_id % 2 = 0").select(
+                F.length("text").alias("chars")
+            ),
+            docs.where("doc_id % 2 = 1").select(
+                F.length("text").alias("chars")
+            ),
+            "chars",
+            bins=8,
+        )
+        got = sorted(
+            (r.metric, r.bin, r.ref_n, r.cur_n, r.value)
+            for r in out.collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(map(tuple, con.sql(drift_sql(
+            "SELECT text FROM documents WHERE doc_id % 2 = 0",
+            "SELECT text FROM documents WHERE doc_id % 2 = 1",
+            "length(text)",
+            bins=8,
+        )).fetchall()))
+        assert got == want

@@ -239,3 +239,211 @@ def audit_union(*checks: DataFrame) -> DataFrame:
     if out is None:
         raise ValueError("audit_union needs at least one check")
     return out
+
+
+# ------------------------------------------------- distribution drift
+def _drift_bin(v: Column, lo: Column, hi: Column, bins: int) -> Column:
+    """Equal-width bin of ``v`` over the REFERENCE range [lo, hi] —
+    the exact expression shape is shared with :func:`drift_sql`
+    (floor((v-lo)*B/(hi-lo)) then clamp): mathematically-equal
+    rewrites like precomputing the width are NOT IEEE-identical, and
+    a boundary value crossing bins between engines breaks the hash."""
+    raw = F.floor((v - lo) * F.lit(bins) / (hi - lo))
+    clamped = F.least(
+        F.greatest(raw, F.lit(0).cast("long")),
+        F.lit(bins - 1).cast("long"),
+    )
+    return F.when(hi == lo, F.lit(0).cast("long")).otherwise(
+        clamped.cast("long")
+    )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Distribution-drift monitor between a REFERENCE snapshot and the
+    CURRENT one — the "did my corpus silently shift between releases"
+    gate a training pipeline runs beside the row-rule audit:
+
+    - one row per bin (``metric='bin'``): equal-width bins over the
+      reference min/max (the PSI convention — drift is measured
+      against where the reference lived; current values outside the
+      range clamp into the edge bins), with both snapshots' counts;
+    - ``metric='psi'``: the Population Stability Index
+      Σ (p_cur − p_ref)·ln(p_cur/p_ref) over counts smoothed by +0.5
+      per bin (Laplace — keeps empty bins finite and both engines
+      rational; the usual read: <0.1 stable, 0.1-0.25 drifting,
+      >0.25 shifted);
+    - ``metric='ks'``: the two-sample Kolmogorov-Smirnov statistic at
+      bin granularity — max |CDF_ref − CDF_cur| over the bin edges,
+      UNsmoothed (KS is about mass placement, not log ratios).
+
+    Output: ``(metric, bin, ref_n, cur_n, value)``; NULL values of
+    ``col`` are excluded on both engines. Scale shape: one min/max
+    aggregate over the reference (broadcast as a 1-row relation — at
+    100 TB pin it from the PRIOR release's stats instead), one
+    map-side-combinable count per snapshot, then all arithmetic on a
+    ``bins``-row relation. DuckDB twin: :func:`drift_sql`."""
+    from pyspark.sql import Window
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    spark = ref.sparkSession
+    v = F.col(col).cast("double")
+    refd = ref.where(v.isNotNull()).select(v.alias("_v"))
+    curd = cur.where(v.isNotNull()).select(v.alias("_v"))
+    st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    binned = lambda d: (  # noqa: E731
+        d.join(F.broadcast(st), how="cross")
+        .select(
+            _drift_bin(F.col("_v"), F.col("_lo"), F.col("_hi"), bins).alias(
+                "bin"
+            )
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    allbins = spark.range(bins).select(F.col("id").alias("bin"))
+    j = (
+        allbins.join(
+            binned(refd).withColumnRenamed("n", "_rn"), "bin", "left"
+        )
+        .join(binned(curd).withColumnRenamed("n", "_cn"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("_rn", F.lit(0)).alias("ref_n"),
+            F.coalesce("_cn", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ref_n").alias("_tr"), F.sum("cur_n").alias("_tc")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    p = j.join(F.broadcast(tot), how="cross").select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        "_tr",
+        "_tc",
+        (
+            (F.col("ref_n") + F.lit(0.5))
+            / (F.col("_tr") + F.lit(0.5 * bins))
+        ).alias("_rp"),
+        (
+            (F.col("cur_n") + F.lit(0.5))
+            / (F.col("_tc") + F.lit(0.5 * bins))
+        ).alias("_cp"),
+        (F.col("ref_n").cast("double") / F.col("_tr")).alias("_rp0"),
+        (F.col("cur_n").cast("double") / F.col("_tc")).alias("_cp0"),
+    )
+    scored = p.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        "_tr",
+        "_tc",
+        ((F.col("_cp") - F.col("_rp")) * F.log(F.col("_cp") / F.col("_rp"))).alias(
+            "_psi_term"
+        ),
+        F.abs(
+            F.sum("_rp0").over(w) - F.sum("_cp0").over(w)
+        ).alias("_cdf_gap"),
+    )
+    summary = scored.agg(
+        F.max("_tr").alias("ref_n"),
+        F.max("_tc").alias("cur_n"),
+        F.round(F.sum("_psi_term"), ndigits).alias("psi"),
+        F.round(F.max("_cdf_gap"), ndigits).alias("ks"),
+    )
+    bins_leg = scored.select(
+        F.lit("bin").alias("metric"),
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.lit(None).cast("double").alias("value"),
+    )
+    sum_leg = summary.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("psi").alias("metric"), F.col("psi").alias("value")
+                ),
+                F.struct(F.lit("ks").alias("metric"), F.col("ks").alias("value")),
+            )
+        ).alias("_e"),
+        "ref_n",
+        "cur_n",
+    ).select(
+        F.col("_e.metric").alias("metric"),
+        F.lit(None).cast("long").alias("bin"),
+        "ref_n",
+        "cur_n",
+        F.col("_e.value").alias("value"),
+    )
+    return bins_leg.unionAll(sum_leg)
+
+
+def drift_sql(
+    ref_sql: str,
+    cur_sql: str,
+    expr: str,
+    bins: int = 10,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`distribution_drift` (same bin expression
+    shape, same +0.5 smoothing, same rounding)."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    return f"""
+    WITH refd AS (
+        SELECT CAST(({expr}) AS DOUBLE) AS v FROM ({ref_sql})
+        WHERE ({expr}) IS NOT NULL
+    ),
+    curd AS (
+        SELECT CAST(({expr}) AS DOUBLE) AS v FROM ({cur_sql})
+        WHERE ({expr}) IS NOT NULL
+    ),
+    st AS (SELECT min(v) AS lo, max(v) AS hi FROM refd),
+    rc AS (
+        SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(LEAST(GREATEST(
+                   FLOOR((v - lo) * {bins} / (hi - lo)), 0), {bins - 1})
+               AS BIGINT) END AS bin, count(*) AS n
+        FROM refd, st GROUP BY 1
+    ),
+    cc AS (
+        SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(LEAST(GREATEST(
+                   FLOOR((v - lo) * {bins} / (hi - lo)), 0), {bins - 1})
+               AS BIGINT) END AS bin, count(*) AS n
+        FROM curd, st GROUP BY 1
+    ),
+    b AS (SELECT CAST(range AS BIGINT) AS bin FROM range({bins})),
+    j AS (
+        SELECT b.bin, coalesce(rc.n, 0) AS ref_n, coalesce(cc.n, 0) AS cur_n
+        FROM b LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
+    ),
+    t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j),
+    s AS (
+        SELECT bin, ref_n, cur_n, tr, tc,
+               ((cur_n + 0.5) / (tc + {0.5 * bins})
+                - (ref_n + 0.5) / (tr + {0.5 * bins}))
+               * ln(((cur_n + 0.5) / (tc + {0.5 * bins}))
+                    / ((ref_n + 0.5) / (tr + {0.5 * bins}))) AS psi_term,
+               abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
+                   - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
+        FROM j, t
+        WINDOW cdf AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT 'bin' AS metric, bin, ref_n, cur_n, CAST(NULL AS DOUBLE) AS value
+    FROM s
+    UNION ALL
+    SELECT m.metric, CAST(NULL AS BIGINT) AS bin,
+           max(tr) AS ref_n, max(tc) AS cur_n,
+           CASE m.metric WHEN 'psi' THEN round(sum(psi_term), {ndigits})
+                         ELSE round(max(cdf_gap), {ndigits}) END AS value
+    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks') m
+    GROUP BY m.metric
+    """

@@ -381,6 +381,14 @@ def _q61_oracle() -> str:
         old_sql="SELECT doc_id, text FROM documents",
         new_sql=_Q61_NEW_SNAPSHOT_SQL,
     )
+    from unimib_simpss_spark.operators.validation import drift_sql
+
+    drift = drift_sql(
+        ref_sql="SELECT text FROM documents",
+        cur_sql=_Q61_NEW_SNAPSHOT_SQL,
+        expr="length(text)",
+        bins=10,
+    )
     return f"""
     WITH pairs AS ({pairs}),
     newdocs AS (
@@ -420,6 +428,14 @@ def _q61_oracle() -> str:
            CAST(NULL AS BIGINT) AS edit_dist,
            status, old_hash, new_hash
     FROM ({diff})
+    UNION ALL
+    SELECT 'drift' AS section, bin AS new_doc, ref_n AS corpus_doc,
+           value AS jaccard, cur_n AS bloom_hit,
+           CAST(NULL AS BIGINT) AS edit_dist,
+           metric AS status,
+           CAST(NULL AS VARCHAR) AS old_hash,
+           CAST(NULL AS VARCHAR) AS new_hash
+    FROM ({drift})
     """
 
 
@@ -452,7 +468,14 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       one row per added/removed/changed doc with its content hashes
       (operators/curation.py: corpus_diff — churn-proportional, one
       full-outer join over (id, md5) projections; the 'changed' class
-      is what invalidates cached dedup state for those ids).
+      is what invalidates cached dedup state for those ids);
+    - 'drift': the distribution-shift gate over the SAME release pair —
+      PSI + bin-granularity KS of the text-length distribution between
+      the corpus and the next release (operators/validation.py:
+      distribution_drift — reference-range equal-width bins, +0.5
+      Laplace smoothing for PSI, both oracle-paired to 6 dp), per-bin
+      count rows plus the two summary statistics: the "did the corpus
+      silently shift" check that runs beside the row-level diff.
     """
     from unimib_simpss_spark.functions.sketches import bloom_bits, bloom_probe
     from unimib_simpss_spark.functions.text import token_fingerprint
@@ -540,13 +563,37 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_hash",
         "new_hash",
     )
+    from unimib_simpss_spark.operators.validation import distribution_drift
+
+    drift = distribution_drift(
+        docs.select(F.length("text").alias("chars")),
+        survivors.unionAll(reingested).select(
+            F.length("text").alias("chars")
+        ),
+        "chars",
+        bins=10,
+    )
+    drift_leg = drift.select(
+        F.lit("drift").alias("section"),
+        F.col("bin").alias("new_doc"),
+        F.col("ref_n").alias("corpus_doc"),
+        F.col("value").alias("jaccard"),
+        F.col("cur_n").alias("bloom_hit"),
+        F.lit(None).cast("long").alias("edit_dist"),
+        F.col("metric").alias("status"),
+        F.lit(None).cast("string").alias("old_hash"),
+        F.lit(None).cast("string").alias("new_hash"),
+    )
     from unimib_simpss_spark.operators.caching import (
         materialize_release,
         release_result,
     )
 
     out = materialize_release(
-        pairs_leg.unionAll(bloom_leg).unionAll(edit_leg).unionAll(diff_leg)
+        pairs_leg.unionAll(bloom_leg)
+        .unionAll(edit_leg)
+        .unionAll(diff_leg)
+        .unionAll(drift_leg)
     )
     release_result(pairs_cache)  # union checkpointed; the miner cache is spent
     release_result(ed)
