@@ -2037,3 +2037,67 @@ def test_scd2_merge_replay_idempotent_and_late_drop(spark, tmp_path):
     late = mk([(3, "2023-12-31 23:59:00", "a", 7.0)])
     scd2_merge_parquet(late, table, **args)  # pre-dates open version
     assert snap() == first
+
+
+def test_streaming_drift_matches_batch_prefix(spark, tmp_path):
+    """The drift sink's accumulated bin table must yield EXACTLY the
+    rows the batch distribution_drift emits over the same stream
+    prefix (bin counts are additive; the sink pins the reference
+    range the batch operator derives)."""
+    import json as _json
+    import os
+    import time
+
+    from unimib_simpss_spark.operators.validation import distribution_drift
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift,
+        read_drift_metrics,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(50)], "x double"
+    )
+    rows_b1 = [{"x": 3.0}, {"x": 17.5}, {"x": 44.0}, {"x": None}]
+    rows_b2 = [{"x": -5.0}, {"x": 99.0}, {"x": 17.5}]  # outliers clamp
+    logdir = tmp_path / "vals"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b1) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b2) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    stream = (
+        spark.readStream.schema("x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "drift_bins")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_drift(table, "x", lo=0.0, hi=49.0, bins=5)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.metric, r.bin, r.ref_n, r.cur_n, r.value)
+        for r in read_drift_metrics(
+            spark, ref, table, "x", bins=5
+        ).collect()
+    )
+    cur = spark.createDataFrame(
+        [(r["x"],) for r in rows_b1 + rows_b2], "x double"
+    )
+    want = sorted(
+        (r.metric, r.bin, r.ref_n, r.cur_n, r.value)
+        for r in distribution_drift(ref, cur, "x", bins=5).collect()
+    )
+    assert got == want
+    # the clamped outliers really landed in the edge bins
+    by_bin = {b: c for m, b, _, c, _ in got if m == "bin"}
+    assert by_bin[0] >= 2 and by_bin[4] >= 1

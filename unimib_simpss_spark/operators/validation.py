@@ -288,37 +288,63 @@ def distribution_drift(
     100 TB pin it from the PRIOR release's stats instead), one
     map-side-combinable count per snapshot, then all arithmetic on a
     ``bins``-row relation. DuckDB twin: :func:`drift_sql`."""
-    from pyspark.sql import Window
-
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
-    spark = ref.sparkSession
     v = F.col(col).cast("double")
     refd = ref.where(v.isNotNull()).select(v.alias("_v"))
     curd = cur.where(v.isNotNull()).select(v.alias("_v"))
     st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
-    binned = lambda d: (  # noqa: E731
+    j = _joined_bin_counts(
+        binned_counts(refd, "_v", st, bins).withColumnRenamed("n", "_rn"),
+        binned_counts(curd, "_v", st, bins).withColumnRenamed("n", "_cn"),
+        bins,
+        ref.sparkSession,
+    )
+    return drift_metrics_from_counts(j, bins, ndigits)
+
+
+def binned_counts(
+    d: DataFrame, col: str, st: DataFrame, bins: int
+) -> DataFrame:
+    """``(bin, n)`` counts of ``d[col]`` under the reference-range
+    stats relation ``st`` (1 row: ``_lo``/``_hi``) — the map-side-
+    combinable half of :func:`distribution_drift`, shared with the
+    streaming sink's per-batch fold."""
+    return (
         d.join(F.broadcast(st), how="cross")
         .select(
-            _drift_bin(F.col("_v"), F.col("_lo"), F.col("_hi"), bins).alias(
+            _drift_bin(F.col(col), F.col("_lo"), F.col("_hi"), bins).alias(
                 "bin"
             )
         )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _joined_bin_counts(rc: DataFrame, cc: DataFrame, bins: int, spark):
     allbins = spark.range(bins).select(F.col("id").alias("bin"))
-    j = (
-        allbins.join(
-            binned(refd).withColumnRenamed("n", "_rn"), "bin", "left"
-        )
-        .join(binned(curd).withColumnRenamed("n", "_cn"), "bin", "left")
+    return (
+        allbins.join(rc, "bin", "left")
+        .join(cc, "bin", "left")
         .select(
             "bin",
             F.coalesce("_rn", F.lit(0)).alias("ref_n"),
             F.coalesce("_cn", F.lit(0)).alias("cur_n"),
         )
     )
+
+
+def drift_metrics_from_counts(
+    j: DataFrame, bins: int, ndigits: int = 6
+) -> DataFrame:
+    """:func:`distribution_drift`'s metric arithmetic over an already-
+    joined ``(bin, ref_n, cur_n)`` relation (one row per bin 0..bins-1,
+    zero-filled) — the entry point for count-preserving paths like the
+    streaming additive sink, guaranteed to emit the SAME rows the batch
+    operator would for the same counts."""
+    from pyspark.sql import Window
+
     tot = j.agg(
         F.sum("ref_n").alias("_tr"), F.sum("cur_n").alias("_tc")
     )

@@ -507,3 +507,70 @@ def foreach_batch_scd2(
         )
 
     return _apply
+
+
+# ---------------------------------------------- drift-monitor sink
+def foreach_batch_drift(
+    path: str, col: str, lo: float, hi: float, bins: int = 10
+):
+    """``foreachBatch`` body accumulating the STREAMED side of the
+    distribution-drift gate (``operators.validation.
+    distribution_drift``): each micro-batch bins its values over the
+    PINNED reference range ``[lo, hi]`` (the prior release's stats —
+    the documented 100 TB practice; the stream cannot re-scan the
+    reference per batch) and folds the bin counts into the additive
+    rollup table. Bin counts are ADDITIVE across batches, so the
+    stored histogram after any stream prefix equals the batch
+    operator's current-side histogram over that prefix — parity is
+    pinned through :func:`read_drift_metrics`. Replay protection is
+    the additive sink's generation-name cursor."""
+    from unimib_simpss_spark.operators.validation import _drift_bin
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        _, last = _current_generation(path)
+        if batch_id <= last:
+            return  # replayed batch: already folded into the table
+        v = F.col(col).cast("double")
+        binned = batch.where(v.isNotNull()).select(
+            _drift_bin(
+                v, F.lit(float(lo)), F.lit(float(hi)), bins
+            ).alias("bin")
+        )
+        additive_merge_parquet(binned, path, ("bin",), {}, batch_id=batch_id)
+
+    return _apply
+
+
+def read_drift_metrics(
+    spark: SparkSession,
+    ref: DataFrame,
+    path: str,
+    col: str,
+    bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """PSI/KS of the streamed distribution (the additive bin table
+    :func:`foreach_batch_drift` maintains) against the reference
+    snapshot — the same ``(metric, bin, ref_n, cur_n, value)`` rows
+    ``distribution_drift`` would emit for the same data, provided the
+    sink's pinned ``[lo, hi]`` equals the reference min/max (pinned by
+    the batch-prefix parity test)."""
+    from unimib_simpss_spark.operators.validation import (
+        _joined_bin_counts,
+        binned_counts,
+        drift_metrics_from_counts,
+    )
+
+    v = F.col(col).cast("double")
+    refd = ref.where(v.isNotNull()).select(v.alias("_v"))
+    st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    rc = binned_counts(refd, "_v", st, bins).withColumnRenamed("n", "_rn")
+    cc = spark.read.parquet(path).select(
+        "bin", F.col("n_rows").alias("_cn")
+    )
+    return drift_metrics_from_counts(
+        _joined_bin_counts(rc, cc, bins, spark), bins, ndigits
+    )
