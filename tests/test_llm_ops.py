@@ -2079,9 +2079,9 @@ class TestStratifiedSplit:
         """Scale shape (VERDICT r13 #1): one stratum holding ~98% of
         the corpus must (a) still get the bit-identical split of the
         naive per-stratum row_number rule, and (b) rank across
-        MULTIPLE range partitions — the row_number window partitions
-        on (range-partition id, stratum), never on the stratum alone,
-        so no single task ever sorts a whole stratum."""
+        MULTIPLE md5-prefix buckets — the row_number window partitions
+        on (stratum, bucket), never on the stratum alone, so no single
+        task ever sorts a whole stratum."""
         import hashlib
 
         from pyspark.sql import functions as F
@@ -2128,6 +2128,24 @@ class TestStratifiedSplit:
             .count()
         )
         assert spread > 1
+
+    def test_caller_columns_named_like_internals_survive(self, spark):
+        """Review r14: a caller column named _r (or _h/_b/_n) must pass
+        through untouched — the working columns uniquify against the
+        input schema instead of silently overwriting."""
+        from unimib_simpss_spark.operators.sampling import stratified_split
+
+        df = spark.createDataFrame(
+            [(i, "s", i * 10) for i in range(10)],
+            "doc_id long, source string, _r long",
+        )
+        out = stratified_split(
+            df, "source", "doc_id", {"train": 0.8, "val": 0.2},
+            num_partitions=4,
+        )
+        assert out.columns == ["doc_id", "source", "_r", "split"]
+        got = {r.doc_id: r["_r"] for r in out.collect()}
+        assert got == {i: i * 10 for i in range(10)}
 
     def test_split_invariant_to_physical_layout(self, spark):
         """The sf0.1 regression shape: the split labels must be a pure

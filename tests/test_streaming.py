@@ -2101,3 +2101,29 @@ def test_streaming_drift_matches_batch_prefix(spark, tmp_path):
     # the clamped outliers really landed in the edge bins
     by_bin = {b: c for m, b, _, c, _ in got if m == "bin"}
     assert by_bin[0] >= 2 and by_bin[4] >= 1
+
+
+def test_drift_reader_rejects_mismatched_config(spark, tmp_path):
+    """Review r14 (the HLL reader's discipline): a reader whose bins
+    or reference range disagree with the table's stored pin must
+    raise, not silently mis-join."""
+    import pytest as _pytest
+
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift,
+        read_drift_metrics,
+    )
+
+    ref = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+    table = str(tmp_path / "bins")
+    batch = spark.createDataFrame([(1.0,), (2.0,), (30.0,)], "x double")
+    foreach_batch_drift(table, "x", lo=0.0, hi=49.0, bins=5)(batch, 0)
+    # matching read works
+    assert read_drift_metrics(spark, ref, table, "x", bins=5).count() == 7
+    with _pytest.raises(ValueError, match="bins=5"):
+        read_drift_metrics(spark, ref, table, "x", bins=10)
+    shifted = spark.createDataFrame(
+        [(float(i),) for i in range(60)], "x double"
+    )
+    with _pytest.raises(ValueError, match="pinned"):
+        read_drift_metrics(spark, shifted, table, "x", bins=5)

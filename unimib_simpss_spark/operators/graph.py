@@ -98,6 +98,15 @@ def pagerank(
                 f"{t} — derive a surrogate long id (e.g. xxhash64) "
                 "before ranking"
             )
+    # seed schema validation is pure inspection — run it BEFORE any
+    # checkpoint so the error path leaks nothing (review r14)
+    if seeds is not None:
+        st = seeds.schema[seed_col].dataType.simpleString()
+        if st not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"seed column {seed_col!r} must be integral like the "
+                f"node ids, got {st}"
+            )
     u, v = F.col(src).cast("long"), F.col(dst).cast("long")
     ok = u.isNotNull() & v.isNotNull() & (u != v)
     if weight is None:
@@ -149,12 +158,6 @@ def pagerank(
             nodes.select("_n", F.lit(1.0 / n).alias("_r"))
         )
     else:
-        st = seeds.schema[seed_col].dataType.simpleString()
-        if st not in ("bigint", "int", "smallint", "tinyint"):
-            raise ValueError(
-                f"seed column {seed_col!r} must be integral like the "
-                f"node ids, got {st}"
-            )
         s_in = checkpoint_result(
             seeds.select(F.col(seed_col).cast("long").alias("_n"))
             .where(F.col("_n").isNotNull())

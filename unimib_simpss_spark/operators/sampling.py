@@ -374,7 +374,14 @@ def _range_ranked(
     Cost, stated honestly: the input is computed twice in one job
     (once for the counts, once as the probe side) — the standard bill
     for a distributed exact rank; bucket assignment being a pure
-    value function makes the two passes agree BY CONSTRUCTION."""
+    value function makes the two passes agree BY CONSTRUCTION.
+
+    Returns ``(ranked_df, rank_name, count_name)`` — the working
+    columns take underscore-prefixed names UNIQUIFIED against the
+    caller's schema (review r14: fixed ``_r``/``_h`` names silently
+    corrupted a caller column of the same name; the pure-window
+    predecessor imposed no naming restrictions and neither does
+    this)."""
     if num_partitions is None:
         try:
             num_partitions = int(
@@ -382,33 +389,44 @@ def _range_ranked(
             )
         except ValueError:
             num_partitions = 200
+    taken = set(df.columns)
+
+    def uniq(name: str) -> str:
+        while name in taken:
+            name = "_" + name
+        taken.add(name)
+        return name
+
+    c_h, c_b, c_r, c_n = uniq("_h"), uniq("_b"), uniq("_r"), uniq("_n")
+    c_c, c_os, c_ob, c_off = uniq("_c"), uniq("_ostr"), uniq("_ob"), uniq("_off")
     base = df.withColumn(
-        "_h", F.md5(F.col(key).cast("string"))
-    ).withColumn("_b", _hash_bucket(F.col("_h"), num_partitions))
-    cnt = base.groupBy(stratum_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+        c_h, F.md5(F.col(key).cast("string"))
+    ).withColumn(c_b, _hash_bucket(F.col(c_h), num_partitions))
+    cnt = base.groupBy(stratum_col, c_b).agg(F.count(F.lit(1)).alias(c_c))
     wo = (
         Window.partitionBy(stratum_col)
-        .orderBy(F.asc_nulls_first("_b"))
+        .orderBy(F.asc_nulls_first(c_b))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = cnt.select(
-        F.col(stratum_col).alias("_ostr"),
-        F.col("_b").alias("_ob"),
-        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off"),
-        F.sum("_c").over(Window.partitionBy(stratum_col)).alias("_n"),
+        F.col(stratum_col).alias(c_os),
+        F.col(c_b).alias(c_ob),
+        F.coalesce(F.sum(c_c).over(wo), F.lit(0)).alias(c_off),
+        F.sum(c_c).over(Window.partitionBy(stratum_col)).alias(c_n),
     )
-    wl = Window.partitionBy(stratum_col, "_b").orderBy("_h", key)
-    return (
+    wl = Window.partitionBy(stratum_col, c_b).orderBy(c_h, key)
+    ranked = (
         base.join(
             F.broadcast(off),
-            F.col(stratum_col).eqNullSafe(F.col("_ostr"))
-            & F.col("_b").eqNullSafe(F.col("_ob")),
+            F.col(stratum_col).eqNullSafe(F.col(c_os))
+            & F.col(c_b).eqNullSafe(F.col(c_ob)),
         )
         .withColumn(
-            "_r", (F.col("_off") + F.row_number().over(wl)).cast("long")
+            c_r, (F.col(c_off) + F.row_number().over(wl)).cast("long")
         )
-        .drop("_h", "_b", "_ostr", "_ob", "_off")
+        .drop(c_h, c_b, c_os, c_ob, c_off)
     )
+    return ranked, c_r, c_n
 
 
 def stratified_split(
@@ -445,9 +463,9 @@ def stratified_split(
     SNAPSHOT split for frozen corpora; use hash_split for growing
     ones. DuckDB twin: :func:`stratified_split_sql`."""
     permille = _permille(fractions)
-    ranked = _range_ranked(df, stratum_col, key, num_partitions)
-    r = F.col("_r") * 1000
-    n = F.col("_n")
+    ranked, c_r, c_n = _range_ranked(df, stratum_col, key, num_partitions)
+    r = F.col(c_r) * 1000
+    n = F.col(c_n)
     expr = None
     cum = 0
     for name, pm in permille.items():

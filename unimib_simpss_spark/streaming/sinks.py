@@ -522,24 +522,29 @@ def foreach_batch_drift(
     rollup table. Bin counts are ADDITIVE across batches, so the
     stored histogram after any stream prefix equals the batch
     operator's current-side histogram over that prefix — parity is
-    pinned through :func:`read_drift_metrics`. Replay protection is
-    the additive sink's generation-name cursor."""
+    pinned through :func:`read_drift_metrics`. The binning config
+    ``(bins, lo, hi)`` is STORED in the table as part of the key (the
+    HLL sink's store-and-assert discipline) so a reader with a
+    different config fails loudly instead of silently mis-joining.
+    Replay protection and the fold itself delegate to
+    :func:`foreach_batch_additive` — the cursor contract lives once."""
     from unimib_simpss_spark.operators.validation import _drift_bin
 
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
+    fold = foreach_batch_additive(path, ("bins", "lo", "hi", "bin"), {})
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        _, last = _current_generation(path)
-        if batch_id <= last:
-            return  # replayed batch: already folded into the table
         v = F.col(col).cast("double")
         binned = batch.where(v.isNotNull()).select(
+            F.lit(int(bins)).alias("bins"),
+            F.lit(float(lo)).alias("lo"),
+            F.lit(float(hi)).alias("hi"),
             _drift_bin(
                 v, F.lit(float(lo)), F.lit(float(hi)), bins
-            ).alias("bin")
+            ).alias("bin"),
         )
-        additive_merge_parquet(binned, path, ("bin",), {}, batch_id=batch_id)
+        fold(binned, batch_id)
 
     return _apply
 
@@ -555,9 +560,11 @@ def read_drift_metrics(
     """PSI/KS of the streamed distribution (the additive bin table
     :func:`foreach_batch_drift` maintains) against the reference
     snapshot — the same ``(metric, bin, ref_n, cur_n, value)`` rows
-    ``distribution_drift`` would emit for the same data, provided the
-    sink's pinned ``[lo, hi]`` equals the reference min/max (pinned by
-    the batch-prefix parity test)."""
+    ``distribution_drift`` would emit for the same data. Loud-failure
+    contract (the HLL reader's discipline): the table's stored
+    ``(bins, lo, hi)`` must match the caller's ``bins`` and the
+    reference's min/max — a mismatched read raises instead of
+    silently mis-joining bins into the wrong frame."""
     from unimib_simpss_spark.operators.validation import (
         _joined_bin_counts,
         binned_counts,
@@ -567,10 +574,28 @@ def read_drift_metrics(
     v = F.col(col).cast("double")
     refd = ref.where(v.isNotNull()).select(v.alias("_v"))
     st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    stored = spark.read.parquet(path)
+    cfg = stored.select("bins", "lo", "hi").distinct().collect()
+    if len(cfg) != 1:
+        raise ValueError(
+            f"drift table at {path} holds {len(cfg)} binning configs "
+            f"— it must be written by ONE foreach_batch_drift sink"
+        )
+    if cfg[0]["bins"] != bins:
+        raise ValueError(
+            f"drift table at {path} was built with bins={cfg[0]['bins']}, "
+            f"caller asked for bins={bins}"
+        )
+    bounds = st.first()
+    if (cfg[0]["lo"], cfg[0]["hi"]) != (bounds["_lo"], bounds["_hi"]):
+        raise ValueError(
+            f"drift table at {path} was pinned to "
+            f"[{cfg[0]['lo']}, {cfg[0]['hi']}] but the reference spans "
+            f"[{bounds['_lo']}, {bounds['_hi']}] — re-pin the sink or "
+            "pass the matching reference snapshot"
+        )
     rc = binned_counts(refd, "_v", st, bins).withColumnRenamed("n", "_rn")
-    cc = spark.read.parquet(path).select(
-        "bin", F.col("n_rows").alias("_cn")
-    )
+    cc = stored.select("bin", F.col("n_rows").alias("_cn"))
     return drift_metrics_from_counts(
         _joined_bin_counts(rc, cc, bins, spark), bins, ndigits
     )
