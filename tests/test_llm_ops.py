@@ -2570,3 +2570,69 @@ class TestRound13ReviewFixes:
 
         with _pytest.raises(ValueError, match="integer max_anchor_rows"):
             S.hard_negatives_auto(emb, max_anchor_rows=None)
+
+
+class TestInt8Quantization:
+    def test_roundtrip_error_bounded_by_half_scale(self, spark, emb):
+        """Per-element reconstruction error must be <= scale/2 (the
+        symmetric-quantization bound) and qvec must fit int8."""
+        from unimib_simpss_spark.operators import similarity as S
+
+        clean = emb.where(S.defined_vector_pred())
+        q = S.quantize_vectors(clean)
+        back = S.dequantize_vectors(q)
+        joined = (
+            clean.select("vec_id", F.col("embedding").cast("array<double>").alias("orig"))
+            .join(back.withColumnRenamed("embedding", "deq"), "vec_id")
+            .join(q.select("vec_id", "scale", "qvec"), "vec_id")
+        )
+        bad = joined.where(
+            F.exists(
+                F.zip_with(
+                    "orig", "deq", lambda a, b: F.abs(a - b)
+                ),
+                lambda e: e > F.col("scale") / 2 + F.lit(1e-12),
+            )
+        ).count()
+        assert bad == 0
+        assert joined.where(
+            F.exists("qvec", lambda x: F.abs(x.cast("int")) > 127)
+        ).count() == 0
+        # schema really is tinyint — the 4-8x storage claim
+        assert dict(back.sparkSession.createDataFrame([], q.schema).dtypes)[
+            "qvec"
+        ] == "array<tinyint>"
+
+    def test_quantized_topk_recall_on_fixture(self, spark, emb):
+        """Quantized top-5 must keep high overlap with the exact
+        top-5 over the fixture corpus (the storage trade's quality
+        floor, pinned)."""
+        from unimib_simpss_spark.operators import similarity as S
+
+        clean = emb.where(S.defined_vector_pred())
+        pred = F.col("vec_id") < 8
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk(clean, k=5, query_pred=pred).collect()
+        }
+        qemb = S.dequantize_vectors(S.quantize_vectors(clean))
+        quant = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk(qemb, k=5, query_pred=pred).collect()
+        }
+        recall = len(exact & quant) / len(exact)
+        assert recall >= 0.9, recall
+
+    def test_zero_vector_quantizes_to_zeros(self, spark):
+        from unimib_simpss_spark.operators import similarity as S
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.vec_id: (list(r.qvec), r.scale)
+            for r in S.quantize_vectors(df).collect()
+        }
+        assert got[1] == ([0, 0, 0], 1.0)
+        assert got[2][0][1] == -127  # max-|x| element hits the rail

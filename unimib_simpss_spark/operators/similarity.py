@@ -2032,3 +2032,94 @@ def hard_negatives_ivf(
             F.col("rn").cast("long").alias("rank"),
         )
     )
+
+
+# ------------------------------------------------- int8 quantization
+def quantize_vectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Symmetric per-vector INT8 quantization for embedding storage:
+    ``scale = max|x| / 127`` and ``q_i = round(x_i / scale)`` as a
+    ``tinyint`` array — 4× smaller than float32 (8× vs float64) on
+    the wire and in the lakehouse, the standard storage trade for
+    100 TB embedding corpora (recall loss bounded by the
+    per-element error ≤ scale/2; pinned in tests). All-zero vectors
+    keep ``scale = 1`` so they quantize to zeros instead of 0/0.
+
+    Gate corrupt rows (NULL / NaN elements) with
+    :func:`defined_vector_pred` BEFORE quantizing — ``round(NaN)``
+    casts differently across engines, the same reason every NumPy-side
+    operator here pre-gates. Output: ``(id, *keep, qvec, scale)``;
+    invert with :func:`dequantize_vectors`. Pure Column ops — the
+    scale binds to a projected column first so the transform lambda
+    does not re-reduce the array per element (the PLANS.md HOF trap).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    raw = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    staged = emb.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        v.alias("_v"),
+        F.when(raw == 0, F.lit(1.0)).otherwise(raw).alias("scale"),
+    )
+    return staged.select(
+        id_col,
+        *keep,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(x / F.col("scale")).cast("tinyint"),
+        ).alias("qvec"),
+        "scale",
+    )
+
+
+def dequantize_vectors(
+    qdf: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Inverse of :func:`quantize_vectors`: ``x_i ≈ q_i · scale`` back
+    as an ``array<double>`` named ``vec_col`` — feed straight into any
+    operator here (cosine top-k, IVF, silhouette) to run it over the
+    8× smaller stored form."""
+    return qdf.select(
+        id_col,
+        *keep,
+        F.transform(
+            F.col("qvec"),
+            lambda x: x.cast("double") * F.col("scale"),
+        ).alias(vec_col),
+    )
+
+
+def quantized_embeddings_sql(pred_sql: str = "TRUE") -> str:
+    """DuckDB twin of quantize→dequantize over the ``embeddings``
+    table (same expression shapes: shared max|x|/127 scale with the
+    zero-vector guard, round-half-away-from-zero on both engines,
+    TINYINT round-trip) — emits a relation with the ORIGINAL embedding
+    column name, so it can CTE-SHADOW the ``embeddings`` view inside
+    any existing oracle (the q36 'quant' leg does exactly that)."""
+    return f"""
+    SELECT vec_id,
+           list_transform(
+               list_transform(v, x -> CAST(round(x / s) AS TINYINT)),
+               q -> q * s) AS embedding,
+           label
+    FROM (
+        SELECT vec_id, v,
+               CASE WHEN s0 = 0 THEN 1.0 ELSE s0 END AS s, label
+        FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) / 127.0 AS s0,
+                   label
+            FROM main.embeddings  -- schema-qualified: the caller may
+            -- CTE-shadow the view name with THIS relation (q36 quant)
+            WHERE {pred_sql}
+        )
+    )
+    """

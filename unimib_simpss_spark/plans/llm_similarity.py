@@ -28,10 +28,19 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cosine_topk_union_oracle() -> str:
     leg = S.cosine_topk_sql(k=5, query_pred_sql=_QUERY_PRED_SQL)
+    # 'quant' leg: the SAME top-k SQL over the int8 round-tripped
+    # vectors — the quantized relation CTE-SHADOWS the embeddings view
+    # inside the subquery, so the oracle text is reused verbatim
+    qemb = S.quantized_embeddings_sql(pred_sql=S.defined_vector_sql())
     return f"""
     SELECT 'hof' AS method, * FROM ({leg})
     UNION ALL
     SELECT 'arrow' AS method, * FROM ({leg})
+    UNION ALL
+    SELECT 'quant' AS method, * FROM (
+        WITH embeddings AS ({qemb})
+        SELECT * FROM ({leg})
+    )
     """
 
 
@@ -43,7 +52,17 @@ def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` plan ('arrow'). Same contract, so the oracle is the
     same top-k SQL twice — this doubles as an engine-level cross-check
     that the two plans agree bit-for-bit. (Merged from the former
-    q36/q38 to fit the driver's 50-query verification window.)"""
+    q36/q38 to fit the driver's 50-query verification window.)
+
+    The 'quant' leg runs the SAME top-k over int8 quantize→dequantize
+    round-tripped vectors (similarity.py: quantize_vectors — the 4-8×
+    embedding-storage trade at 100 TB), oracle-paired through the same
+    SQL with the quantized relation shadowing the embeddings view:
+    the quantization ERROR itself is hash-checked, engine-identically,
+    and the leg doubles as the end-to-end proof that stored-int8
+    corpora plug into the unmodified operators. Corrupt vectors
+    pre-drop via the shared defined-vector gate (round(NaN) casts
+    differently across engines)."""
     emb = _emb(spark, sf_dir)
     hof = S.cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 8).select(
         F.lit("hof").alias("method"), "*"
@@ -51,7 +70,16 @@ def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrow = S.cosine_topk_pandas(emb, k=5, query_pred=F.col("vec_id") < 8).select(
         F.lit("arrow").alias("method"), "*"
     )
-    return hof.unionAll(arrow)
+    qemb = S.dequantize_vectors(
+        S.quantize_vectors(
+            emb.where(S.defined_vector_pred()), keep=("label",)
+        ),
+        keep=("label",),
+    )
+    quant = S.cosine_topk(qemb, k=5, query_pred=F.col("vec_id") < 8).select(
+        F.lit("quant").alias("method"), "*"
+    )
+    return hof.unionAll(arrow).unionAll(quant)
 
 
 @query("q37_ivf_topk", oracle=S.ivf_topk_sql(k=3))
