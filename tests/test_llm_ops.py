@@ -2636,3 +2636,42 @@ class TestInt8Quantization:
         }
         assert got[1] == ([0, 0, 0], 1.0)
         assert got[2][0][1] == -127  # max-|x| element hits the rail
+
+
+class TestContainmentPairs:
+    def test_quoted_doc_found_where_jaccard_misses(self, spark):
+        """The discriminating case: a short doc quoted verbatim inside
+        a much longer one — containment 1.0, Jaccard far below 0.8."""
+        from unimib_simpss_spark.operators import dedup as D
+
+        short = "the quick brown fox jumps over the lazy dog tonight"
+        filler = " ".join(f"w{i}" for i in range(200))
+        docs = spark.createDataFrame(
+            [(1, short), (2, filler + " " + short + " " + filler)],
+            "doc_id long, text string",
+        )
+        con = {
+            (r.inner_doc, r.outer_doc): r.containment
+            for r in D.containment_pairs(docs, threshold=0.8).collect()
+        }
+        assert con[(1, 2)] == 1.0
+        assert (2, 1) not in con  # the long doc is NOT inside the short
+        assert D.jaccard_pairs(docs, threshold=0.8).count() == 0
+
+    def test_ordered_and_threshold_exact(self, spark):
+        """Half-contained doc sits exactly at its |shared|/|inner|
+        ratio; pairs are ordered and self-pairs excluded."""
+        from unimib_simpss_spark.operators import dedup as D
+
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        b = "alpha beta gamma delta epsilon zeta iota kappa lambda mu nu xi"
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        rows = {
+            (r.inner_doc, r.outer_doc): r.containment
+            for r in D.containment_pairs(docs, threshold=0.5).collect()
+        }
+        # doc1 has 6 3-gram shingles, 4 shared -> 4/6
+        assert rows.get((1, 2)) == round(4 / 6, 6)
+        assert all(i != o for i, o in rows)

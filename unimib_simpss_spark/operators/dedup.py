@@ -312,6 +312,99 @@ def jaccard_pairs_sql(
     """
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-subset pairs: ordered ``(inner_doc, outer_doc,
+    containment)`` with ``containment = |S(inner) ∩ S(outer)| /
+    |S(inner)| >= threshold`` — the quote/subset detector symmetric
+    Jaccard deliberately misses (a short doc copied verbatim inside a
+    long one has J ≈ |A|/|B| ≈ 0, containment = 1; Lee et al. 2022's
+    substring-dedup motivation at shingle granularity). Same combo
+    shingle-hash space as :func:`jaccard_pairs`, so the DuckDB twin
+    (:func:`containment_pairs_sql`) is bit-identical.
+
+    Scale shape, stated honestly: the PREFIX filter still applies to
+    the inner side (containment >= t needs a collision inside the
+    inner doc's first ``sz - floor(t*sz) + 1`` sorted hashes — the
+    PPJoin argument verbatim), but the OUTER side has no length
+    filter (that asymmetry is the point) and must be fully indexed:
+    candidates ∝ the inverted index's collision count, not the
+    pruned-pair count. At 100 TB, pre-restrict the outer population
+    (e.g. per-source or per-shard) or screen inner docs through the
+    Bloom gate first; the verify stage is the same array-intersect
+    join as Jaccard's."""
+    hsd = cache_intermediate(_combo_shingle_docs(docs, text_col, id_col))
+    p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
+    inner = hsd.select(
+        F.col("doc_id").alias("inner_doc"),
+        F.explode(F.slice(F.array_sort("hs"), F.lit(1), p)).alias("hsh"),
+    )
+    posts = hsd.select(
+        F.col("doc_id").alias("outer_doc"), F.explode("hs").alias("hsh")
+    )
+    cand = (
+        inner.join(posts, "hsh")
+        .where(F.col("inner_doc") != F.col("outer_doc"))
+        .select("inner_doc", "outer_doc")
+        .distinct()
+    )
+    x = hsd.select(
+        F.col("doc_id").alias("inner_doc"),
+        F.col("sz").alias("isz"),
+        F.col("hs").alias("ih"),
+    )
+    y = hsd.select(
+        F.col("doc_id").alias("outer_doc"), F.col("hs").alias("oh")
+    )
+    out = (
+        cand.join(x, "inner_doc")
+        .join(y, "outer_doc")
+        .select(
+            "inner_doc",
+            "outer_doc",
+            F.round(
+                F.size(F.array_intersect("ih", "oh")).cast("double")
+                / F.col("isz"),
+                6,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    return materialize_release(out, hsd)
+
+
+def containment_pairs_sql(
+    threshold: float = 0.8, text_expr: str = "text", where_sql: str = "TRUE"
+) -> str:
+    """Oracle twin of :func:`containment_pairs` — the same unfiltered
+    inverted-index join as :func:`jaccard_pairs_sql`, ordered pairs,
+    containment score."""
+    hs = combo_shingle_hashes_sql(text_expr)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {hs} AS hs FROM documents WHERE {where_sql}
+    ), shn AS (
+        SELECT doc_id, hs FROM sh WHERE len(hs) > 0
+    ), post AS (
+        SELECT doc_id, unnest(hs) AS h FROM shn
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS inner_doc, b.doc_id AS outer_doc
+        FROM post a JOIN post b ON a.h = b.h AND a.doc_id <> b.doc_id
+    )
+    SELECT inner_doc, outer_doc,
+           round(len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs), 6)
+               AS containment
+    FROM cand JOIN shn x ON cand.inner_doc = x.doc_id
+              JOIN shn y ON cand.outer_doc = y.doc_id
+    WHERE round(len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs), 6)
+          >= {threshold}
+    """
+
+
 # --------------------------------------------------------------- MinHash/LSH
 def _perm(a: int, b: int):
     """One universal-hash permutation as a 1-arg HOF lambda (PySpark

@@ -57,10 +57,46 @@ def q31_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionAll(fp)
 
 
-@query("q33_jaccard_pairs", oracle=D.jaccard_pairs_sql(threshold=0.8))
+def _q33_oracle() -> str:
+    return f"""
+    SELECT 'jaccard' AS family, doc1, doc2, jaccard AS score
+    FROM ({D.jaccard_pairs_sql(threshold=0.8)})
+    UNION ALL
+    SELECT 'containment' AS family, inner_doc AS doc1, outer_doc AS doc2,
+           containment AS score
+    FROM ({D.containment_pairs_sql(threshold=0.8)})
+    """
+
+
+@query("q33_jaccard_pairs", oracle=_q33_oracle())
 def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard ≥ 0.8 pairs via inverted-index self-join."""
-    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    """The exact set-overlap pair miners, tagged by family:
+
+    - 'jaccard': exact n-gram Jaccard ≥ 0.8 UNORDERED pairs via the
+      prefix+length-filtered inverted-index self-join;
+    - 'containment': exact shingle containment ≥ 0.8 ORDERED pairs
+      (doc1 = the contained/inner doc) — the asymmetric near-subset
+      detector Jaccard's length filter deliberately prunes (a doc
+      quoted inside a much longer one scores J ≈ 0, containment = 1).
+
+    Both run in the same combo shingle-hash space off the SAME cached
+    shingle relation (CacheManager plan matching dedups the scan), so
+    the union costs one extra inverted join + verify, not a second
+    tokenize pass."""
+    docs = _docs(spark, sf_dir)
+    jac = D.jaccard_pairs(docs, threshold=0.8).select(
+        F.lit("jaccard").alias("family"),
+        "doc1",
+        "doc2",
+        F.col("jaccard").alias("score"),
+    )
+    con = D.containment_pairs(docs, threshold=0.8).select(
+        F.lit("containment").alias("family"),
+        F.col("inner_doc").alias("doc1"),
+        F.col("outer_doc").alias("doc2"),
+        F.col("containment").alias("score"),
+    )
+    return jac.unionAll(con)
 
 
 # md5-derived 24-bit document hash, derived IDENTICALLY on both
