@@ -83,20 +83,35 @@ def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle relation (CacheManager plan matching dedups the scan), so
     the union costs one extra inverted join + verify, not a second
     tokenize pass."""
+    from unimib_simpss_spark.operators.caching import (
+        checkpoint_result,
+        release_result,
+    )
+
     docs = _docs(spark, sf_dir)
-    jac = D.jaccard_pairs(docs, threshold=0.8).select(
-        F.lit("jaccard").alias("family"),
-        "doc1",
-        "doc2",
-        F.col("jaccard").alias("score"),
+    jac = D.jaccard_pairs(docs, threshold=0.8)
+    con = D.containment_pairs(docs, threshold=0.8)
+    # re-checkpoint the union, release the per-family legs — the
+    # caller's single release_result() cannot free a Union top node
+    # (the x77 lesson; the cache-hygiene sweep catches it)
+    out = checkpoint_result(
+        jac.select(
+            F.lit("jaccard").alias("family"),
+            "doc1",
+            "doc2",
+            F.col("jaccard").alias("score"),
+        ).unionAll(
+            con.select(
+                F.lit("containment").alias("family"),
+                F.col("inner_doc").alias("doc1"),
+                F.col("outer_doc").alias("doc2"),
+                F.col("containment").alias("score"),
+            )
+        )
     )
-    con = D.containment_pairs(docs, threshold=0.8).select(
-        F.lit("containment").alias("family"),
-        F.col("inner_doc").alias("doc1"),
-        F.col("outer_doc").alias("doc2"),
-        F.col("containment").alias("score"),
-    )
-    return jac.unionAll(con)
+    release_result(jac)
+    release_result(con)
+    return out
 
 
 # md5-derived 24-bit document hash, derived IDENTICALLY on both
