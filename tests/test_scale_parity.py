@@ -77,7 +77,15 @@ def test_table_checkpoint_mode_parity(spark, tmp_path, qname):
     q = registry.queries()[qname]
 
     def run():
-        return sorted(tuple(r) for r in q(spark, SF_BENCH).collect())
+        # None-safe sort: q61's drift section mixes NULLs and ints in
+        # one tuple position (bin on per-bin rows, NULL on summaries)
+        # and Python cannot order None < int
+        return sorted(
+            (tuple(r) for r in q(spark, SF_BENCH).collect()),
+            key=lambda t: tuple(
+                (v is None, 0 if v is None else v) for v in t
+            ),
+        )
 
     local = run()
     set_checkpoint_table_dir(str(tmp_path / "ckpt"))
