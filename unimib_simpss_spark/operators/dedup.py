@@ -228,6 +228,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify_on: str = "hash",
+    _hsd: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via prefix-filtered inverted-index join + exact
     Jaccard ≥ threshold. Exact answer (prefix pruning is PPJoin-style
@@ -249,13 +250,19 @@ def jaccard_pairs(
     :func:`_combo_shingle_docs`); ``'text'`` re-derives and intersects
     the shingle STRINGS — the exact string-set Jaccard, which can
     differ from the oracle's hash-space answer on (rare) collisions.
+    Callers running several miners pass the persisted shingle relation
+    via ``_hsd`` (they own its lifecycle) so the corpus is shingled
+    exactly once.
     """
     caches: list[DataFrame] = []
     if verify_on == "text":
         sh = cache_intermediate(_shingle_docs(docs, text_col, id_col))
         caches.append(sh)
-    hsd = cache_intermediate(_combo_shingle_docs(docs, text_col, id_col))
-    caches.append(hsd)
+    if _hsd is None:
+        hsd = cache_intermediate(_combo_shingle_docs(docs, text_col, id_col))
+        caches.append(hsd)
+    else:
+        hsd = _hsd
     p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
     prefix = hsd.select(
         "doc_id",
@@ -317,6 +324,7 @@ def containment_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _hsd: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-subset pairs: ordered ``(inner_doc, outer_doc,
     containment)`` with ``containment = |S(inner) ∩ S(outer)| /
@@ -336,8 +344,15 @@ def containment_pairs(
     pruned-pair count. At 100 TB, pre-restrict the outer population
     (e.g. per-source or per-shard) or screen inner docs through the
     Bloom gate first; the verify stage is the same array-intersect
-    join as Jaccard's."""
-    hsd = cache_intermediate(_combo_shingle_docs(docs, text_col, id_col))
+    join as Jaccard's. Callers running several miners pass the
+    persisted shingle relation via ``_hsd`` (they own its
+    lifecycle)."""
+    owns = _hsd is None
+    hsd = (
+        cache_intermediate(_combo_shingle_docs(docs, text_col, id_col))
+        if owns
+        else _hsd
+    )
     p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
     inner = hsd.select(
         F.col("doc_id").alias("inner_doc"),
@@ -374,7 +389,7 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
-    return materialize_release(out, hsd)
+    return materialize_release(out, *([hsd] if owns else []))
 
 
 def containment_pairs_sql(

@@ -2057,19 +2057,32 @@ def quantize_vectors(
     scale binds to a projected column first so the transform lambda
     does not re-reduce the array per element (the PLANS.md HOF trap).
     """
+    # qvec/scale are the output CONTRACT (dequantize_vectors reads
+    # them by name) — a kept/id column reusing either would shadow or
+    # ambiguate silently, so refuse loudly (review r14 pass 2; the
+    # internal staging name is uniquified instead)
+    clash = {"qvec", "scale"} & ({id_col, *keep})
+    if clash:
+        raise ValueError(
+            f"quantize_vectors reserves the output column names "
+            f"{sorted(clash)} — rename the input column(s) first"
+        )
+    c_v = "_v"
+    while c_v in {id_col, *keep}:
+        c_v = "_" + c_v
     v = F.col(vec_col).cast("array<double>")
     raw = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     staged = emb.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
-        v.alias("_v"),
+        v.alias(c_v),
         F.when(raw == 0, F.lit(1.0)).otherwise(raw).alias("scale"),
     )
     return staged.select(
         id_col,
         *keep,
         F.transform(
-            F.col("_v"),
+            F.col(c_v),
             lambda x: F.round(x / F.col("scale")).cast("tinyint"),
         ).alias("qvec"),
         "scale",

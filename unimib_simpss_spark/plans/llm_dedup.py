@@ -79,18 +79,26 @@ def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       detector Jaccard's length filter deliberately prunes (a doc
       quoted inside a much longer one scores J ≈ 0, containment = 1).
 
-    Both run in the same combo shingle-hash space off the SAME cached
-    shingle relation (CacheManager plan matching dedups the scan), so
-    the union costs one extra inverted join + verify, not a second
-    tokenize pass."""
+    Both run in the same combo shingle-hash space off ONE persisted
+    shingle relation, passed to both miners via ``_hsd`` (the q34
+    ownership pattern), so the union costs one extra inverted join +
+    verify, not a second tokenize pass."""
     from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
         checkpoint_result,
+        release_intermediate,
         release_result,
     )
 
     docs = _docs(spark, sf_dir)
-    jac = D.jaccard_pairs(docs, threshold=0.8)
-    con = D.containment_pairs(docs, threshold=0.8)
+    # shingle-hash the corpus ONCE and pass the persisted relation to
+    # both miners via _hsd (the q34 ownership pattern) — each leg is
+    # eagerly materialized inside its miner, so the release below is
+    # safe once both handles exist
+    hsd = cache_intermediate(D._combo_shingle_docs(docs, "text", "doc_id"))
+    jac = D.jaccard_pairs(docs, threshold=0.8, _hsd=hsd)
+    con = D.containment_pairs(docs, threshold=0.8, _hsd=hsd)
+    release_intermediate(hsd)
     # re-checkpoint the union, release the per-family legs — the
     # caller's single release_result() cannot free a Union top node
     # (the x77 lesson; the cache-hygiene sweep catches it)

@@ -576,24 +576,28 @@ def read_drift_metrics(
     st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
     stored = spark.read.parquet(path)
     cfg = stored.select("bins", "lo", "hi").distinct().collect()
-    if len(cfg) != 1:
+    if len(cfg) > 1:
         raise ValueError(
             f"drift table at {path} holds {len(cfg)} binning configs "
             f"— it must be written by ONE foreach_batch_drift sink"
         )
-    if cfg[0]["bins"] != bins:
-        raise ValueError(
-            f"drift table at {path} was built with bins={cfg[0]['bins']}, "
-            f"caller asked for bins={bins}"
-        )
-    bounds = st.first()
-    if (cfg[0]["lo"], cfg[0]["hi"]) != (bounds["_lo"], bounds["_hi"]):
-        raise ValueError(
-            f"drift table at {path} was pinned to "
-            f"[{cfg[0]['lo']}, {cfg[0]['hi']}] but the reference spans "
-            f"[{bounds['_lo']}, {bounds['_hi']}] — re-pin the sink or "
-            "pass the matching reference snapshot"
-        )
+    # an EMPTY table (the stream has only seen NULL values / no rows)
+    # carries no stored pin to check — all-zero current counts are the
+    # correct read, same as the batch operator over zero current rows
+    if cfg:
+        if cfg[0]["bins"] != bins:
+            raise ValueError(
+                f"drift table at {path} was built with "
+                f"bins={cfg[0]['bins']}, caller asked for bins={bins}"
+            )
+        bounds = st.first()
+        if (cfg[0]["lo"], cfg[0]["hi"]) != (bounds["_lo"], bounds["_hi"]):
+            raise ValueError(
+                f"drift table at {path} was pinned to "
+                f"[{cfg[0]['lo']}, {cfg[0]['hi']}] but the reference "
+                f"spans [{bounds['_lo']}, {bounds['_hi']}] — re-pin the "
+                "sink or pass the matching reference snapshot"
+            )
     rc = binned_counts(refd, "_v", st, bins).withColumnRenamed("n", "_rn")
     cc = stored.select("bin", F.col("n_rows").alias("_cn"))
     return drift_metrics_from_counts(
