@@ -262,3 +262,62 @@ class TestDistributionDrift:
             bins=8,
         )).fetchall()))
         assert got == want
+
+
+class TestDistributionDriftBy:
+    def test_each_group_equals_its_own_ungrouped_run(self, spark):
+        """The grouped form must be EXACTLY the per-group composition
+        of the ungrouped operator (same bins, smoothing, rounding)."""
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift,
+            distribution_drift_by,
+        )
+
+        ref_rows = [("a", float(i)) for i in range(40)] + [
+            ("b", float(i * 3)) for i in range(25)
+        ]
+        cur_rows = [("a", float(i) + 5) for i in range(30)] + [
+            ("b", float(i * 3)) for i in range(25)
+        ]
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "g string, x double"
+        )
+        grouped = {
+            (r.g, r.metric, r.bin): (r.ref_n, r.cur_n, r.value)
+            for r in distribution_drift_by(
+                mk(ref_rows), mk(cur_rows), "x", "g", bins=6
+            ).collect()
+        }
+        for g in ("a", "b"):
+            solo = {
+                (g, r.metric, r.bin): (r.ref_n, r.cur_n, r.value)
+                for r in distribution_drift(
+                    mk(ref_rows).where(F.col("g") == g),
+                    mk(cur_rows).where(F.col("g") == g),
+                    "x",
+                    bins=6,
+                ).collect()
+            }
+            for k, v in solo.items():
+                assert grouped[k] == v, (k, grouped[k], v)
+        # group b is unchanged -> zero drift; group a shifted -> nonzero
+        assert grouped[("b", "psi", None)][2] == 0.0
+        assert grouped[("a", "psi", None)][2] > 0.0
+
+    def test_current_only_groups_excluded(self, spark):
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift_by,
+        )
+
+        ref = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "g string, x double"
+        )
+        cur = spark.createDataFrame(
+            [("a", 1.0), ("NEW", 9.0), (None, 5.0)], "g string, x double"
+        )
+        groups = {
+            r.g
+            for r in distribution_drift_by(ref, cur, "x", "g", bins=2)
+            .select("g").distinct().collect()
+        }
+        assert groups == {"a"}

@@ -473,3 +473,218 @@ def drift_sql(
     FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks') m
     GROUP BY m.metric
     """
+
+
+def distribution_drift_by(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    group_col: str,
+    bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-GROUP :func:`distribution_drift` — the attribution form
+    ("WHICH source shifted?") a multi-source corpus runs beside the
+    corpus-level gate: every group gets its own reference-range bins,
+    counts, PSI, and KS, all computed in one pass per snapshot with
+    the group key carried through every aggregate.
+
+    Groups are defined by the REFERENCE (the PSI convention at group
+    granularity): current rows whose group never appears in the
+    reference have no distribution to drift FROM and are excluded —
+    brand-new groups are the corpus-diff 'added' class's job, not a
+    drift number. Output: ``(group, metric, bin, ref_n, cur_n,
+    value)`` with the group column named after ``group_col``.
+
+    Scale shape: one per-group min/max aggregate (groups-sized,
+    broadcast), one combinable (group, bin) count per snapshot, then
+    arithmetic on a groups×bins relation; the CDF window partitions
+    on the group. DuckDB twin: :func:`drift_by_sql`."""
+    from pyspark.sql import Window
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    spark = ref.sparkSession
+    v = F.col(col).cast("double")
+    pick = lambda d: d.where(  # noqa: E731
+        v.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+    refd, curd = pick(ref), pick(cur)
+    st = refd.groupBy("_g").agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    binned = lambda d: (  # noqa: E731
+        d.join(F.broadcast(st), "_g")
+        .select(
+            "_g",
+            _drift_bin(F.col("_v"), F.col("_lo"), F.col("_hi"), bins).alias(
+                "bin"
+            ),
+        )
+        .groupBy("_g", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    allbins = st.select("_g").crossJoin(
+        F.broadcast(spark.range(bins).select(F.col("id").alias("bin")))
+    )
+    j = (
+        allbins.join(
+            binned(refd).withColumnRenamed("n", "_rn"), ["_g", "bin"], "left"
+        )
+        .join(
+            binned(curd).withColumnRenamed("n", "_cn"), ["_g", "bin"], "left"
+        )
+        .select(
+            "_g",
+            "bin",
+            F.coalesce("_rn", F.lit(0)).alias("ref_n"),
+            F.coalesce("_cn", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot = j.groupBy("_g").agg(
+        F.sum("ref_n").alias("_tr"), F.sum("cur_n").alias("_tc")
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = j.join(F.broadcast(tot), "_g").select(
+        "_g",
+        "bin",
+        "ref_n",
+        "cur_n",
+        "_tr",
+        "_tc",
+        (
+            (F.col("ref_n") + F.lit(0.5))
+            / (F.col("_tr") + F.lit(0.5 * bins))
+        ).alias("_rp"),
+        (
+            (F.col("cur_n") + F.lit(0.5))
+            / (F.col("_tc") + F.lit(0.5 * bins))
+        ).alias("_cp"),
+        (F.col("ref_n").cast("double") / F.col("_tr")).alias("_rp0"),
+        (F.col("cur_n").cast("double") / F.col("_tc")).alias("_cp0"),
+    )
+    scored = p.select(
+        "_g",
+        "bin",
+        "ref_n",
+        "cur_n",
+        "_tr",
+        "_tc",
+        (
+            (F.col("_cp") - F.col("_rp")) * F.log(F.col("_cp") / F.col("_rp"))
+        ).alias("_psi_term"),
+        F.abs(F.sum("_rp0").over(w) - F.sum("_cp0").over(w)).alias(
+            "_cdf_gap"
+        ),
+    )
+    summary = scored.groupBy("_g").agg(
+        F.max("_tr").alias("ref_n"),
+        F.max("_tc").alias("cur_n"),
+        F.round(F.sum("_psi_term"), ndigits).alias("psi"),
+        F.round(F.max("_cdf_gap"), ndigits).alias("ks"),
+    )
+    bins_leg = scored.select(
+        F.col("_g").alias(group_col),
+        F.lit("bin").alias("metric"),
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.lit(None).cast("double").alias("value"),
+    )
+    sum_leg = summary.select(
+        F.col("_g").alias(group_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("psi").alias("metric"), F.col("psi").alias("value")
+                ),
+                F.struct(F.lit("ks").alias("metric"), F.col("ks").alias("value")),
+            )
+        ).alias("_e"),
+        "ref_n",
+        "cur_n",
+    ).select(
+        group_col,
+        F.col("_e.metric").alias("metric"),
+        F.lit(None).cast("long").alias("bin"),
+        "ref_n",
+        "cur_n",
+        F.col("_e.value").alias("value"),
+    )
+    return bins_leg.unionAll(sum_leg)
+
+
+def drift_by_sql(
+    ref_sql: str,
+    cur_sql: str,
+    expr: str,
+    group_expr: str,
+    bins: int = 10,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`distribution_drift_by` (same per-group
+    bin expression shape, smoothing, and rounding); the group column
+    is emitted as ``grp``."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    return f"""
+    WITH refd AS (
+        SELECT ({group_expr}) AS g, CAST(({expr}) AS DOUBLE) AS v
+        FROM ({ref_sql})
+        WHERE ({expr}) IS NOT NULL AND ({group_expr}) IS NOT NULL
+    ),
+    curd AS (
+        SELECT ({group_expr}) AS g, CAST(({expr}) AS DOUBLE) AS v
+        FROM ({cur_sql})
+        WHERE ({expr}) IS NOT NULL AND ({group_expr}) IS NOT NULL
+    ),
+    st AS (SELECT g, min(v) AS lo, max(v) AS hi FROM refd GROUP BY g),
+    rc AS (
+        SELECT refd.g, CASE WHEN hi = lo THEN 0 ELSE CAST(LEAST(GREATEST(
+                   FLOOR((v - lo) * {bins} / (hi - lo)), 0), {bins - 1})
+               AS BIGINT) END AS bin, count(*) AS n
+        FROM refd JOIN st ON refd.g = st.g GROUP BY 1, 2
+    ),
+    cc AS (
+        SELECT curd.g, CASE WHEN hi = lo THEN 0 ELSE CAST(LEAST(GREATEST(
+                   FLOOR((v - lo) * {bins} / (hi - lo)), 0), {bins - 1})
+               AS BIGINT) END AS bin, count(*) AS n
+        FROM curd JOIN st ON curd.g = st.g GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT st.g, CAST(range AS BIGINT) AS bin FROM st, range({bins})
+    ),
+    j AS (
+        SELECT b.g, b.bin, coalesce(rc.n, 0) AS ref_n,
+               coalesce(cc.n, 0) AS cur_n
+        FROM b LEFT JOIN rc ON b.g = rc.g AND b.bin = rc.bin
+               LEFT JOIN cc ON b.g = cc.g AND b.bin = cc.bin
+    ),
+    t AS (SELECT g, sum(ref_n) AS tr, sum(cur_n) AS tc FROM j GROUP BY g),
+    s AS (
+        SELECT j.g, bin, ref_n, cur_n, tr, tc,
+               ((cur_n + 0.5) / (tc + {0.5 * bins})
+                - (ref_n + 0.5) / (tr + {0.5 * bins}))
+               * ln(((cur_n + 0.5) / (tc + {0.5 * bins}))
+                    / ((ref_n + 0.5) / (tr + {0.5 * bins}))) AS psi_term,
+               abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
+                   - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
+        FROM j JOIN t ON j.g = t.g
+        WINDOW cdf AS (PARTITION BY j.g ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT g AS grp, 'bin' AS metric, bin, ref_n, cur_n,
+           CAST(NULL AS DOUBLE) AS value
+    FROM s
+    UNION ALL
+    SELECT g AS grp, m.metric, CAST(NULL AS BIGINT) AS bin,
+           max(tr) AS ref_n, max(tc) AS cur_n,
+           CASE m.metric WHEN 'psi' THEN round(sum(psi_term), {ndigits})
+                         ELSE round(max(cdf_gap), {ndigits}) END AS value
+    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks') m
+    GROUP BY g, m.metric
+    """

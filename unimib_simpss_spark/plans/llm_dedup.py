@@ -416,6 +416,19 @@ _Q61_NEW_SNAPSHOT_SQL = """
     FROM documents WHERE doc_id % 11 = 0
 """
 
+# same release, with the source carried — the per-source drift leg
+# attributes the shift by group (corpus_diff stays on the narrow
+# (doc_id, text) form above)
+_Q61_NEW_SNAPSHOT_SRC_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+           source
+    FROM documents WHERE NOT (doc_id % 5 = 0)
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, source
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
 
 def _q61_oracle() -> str:
     from unimib_simpss_spark.functions.sketches import bloom_sql
@@ -440,12 +453,22 @@ def _q61_oracle() -> str:
         old_sql="SELECT doc_id, text FROM documents",
         new_sql=_Q61_NEW_SNAPSHOT_SQL,
     )
-    from unimib_simpss_spark.operators.validation import drift_sql
+    from unimib_simpss_spark.operators.validation import (
+        drift_by_sql,
+        drift_sql,
+    )
 
     drift = drift_sql(
         ref_sql="SELECT text FROM documents",
         cur_sql=_Q61_NEW_SNAPSHOT_SQL,
         expr="length(text)",
+        bins=10,
+    )
+    drift_by = drift_by_sql(
+        ref_sql="SELECT text, source FROM documents",
+        cur_sql=_Q61_NEW_SNAPSHOT_SRC_SQL,
+        expr="length(text)",
+        group_expr="source",
         bins=10,
     )
     return f"""
@@ -495,6 +518,14 @@ def _q61_oracle() -> str:
            CAST(NULL AS VARCHAR) AS old_hash,
            CAST(NULL AS VARCHAR) AS new_hash
     FROM ({drift})
+    UNION ALL
+    SELECT 'driftsrc' AS section, bin AS new_doc, ref_n AS corpus_doc,
+           value AS jaccard, cur_n AS bloom_hit,
+           CAST(NULL AS BIGINT) AS edit_dist,
+           metric AS status,
+           grp AS old_hash,
+           CAST(NULL AS VARCHAR) AS new_hash
+    FROM ({drift_by})
     """
 
 
@@ -534,7 +565,12 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       distribution_drift — reference-range equal-width bins, +0.5
       Laplace smoothing for PSI, both oracle-paired to 6 dp), per-bin
       count rows plus the two summary statistics: the "did the corpus
-      silently shift" check that runs beside the row-level diff.
+      silently shift" check that runs beside the row-level diff;
+    - 'driftsrc': the per-SOURCE attribution of the same shift
+      (distribution_drift_by — each source gets its own reference
+      range, bins, PSI, and KS in one keyed pass per snapshot;
+      old_hash carries the source): corpus-level drift says THAT the
+      release moved, this leg says WHICH source moved it.
     """
     from unimib_simpss_spark.functions.sketches import bloom_bits, bloom_probe
     from unimib_simpss_spark.functions.text import token_fingerprint
@@ -622,7 +658,10 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_hash",
         "new_hash",
     )
-    from unimib_simpss_spark.operators.validation import distribution_drift
+    from unimib_simpss_spark.operators.validation import (
+        distribution_drift,
+        distribution_drift_by,
+    )
 
     drift = distribution_drift(
         docs.select(F.length("text").alias("chars")),
@@ -643,6 +682,39 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("old_hash"),
         F.lit(None).cast("string").alias("new_hash"),
     )
+    # the per-SOURCE attribution of the same release pair (the
+    # snapshot relations re-derived with the source carried)
+    survivors_src = docs.where(~is_new).select(
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    reingested_src = docs.where(F.col("doc_id") % 11 == 0).select(
+        "text", "source"
+    )
+    drift_src = distribution_drift_by(
+        docs.select(F.length("text").alias("chars"), "source"),
+        survivors_src.unionAll(reingested_src).select(
+            F.length("text").alias("chars"), "source"
+        ),
+        "chars",
+        "source",
+        bins=10,
+    )
+    driftsrc_leg = drift_src.select(
+        F.lit("driftsrc").alias("section"),
+        F.col("bin").alias("new_doc"),
+        F.col("ref_n").alias("corpus_doc"),
+        F.col("value").alias("jaccard"),
+        F.col("cur_n").alias("bloom_hit"),
+        F.lit(None).cast("long").alias("edit_dist"),
+        F.col("metric").alias("status"),
+        F.col("source").alias("old_hash"),
+        F.lit(None).cast("string").alias("new_hash"),
+    )
     from unimib_simpss_spark.operators.caching import (
         materialize_release,
         release_result,
@@ -653,6 +725,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edit_leg)
         .unionAll(diff_leg)
         .unionAll(drift_leg)
+        .unionAll(driftsrc_leg)
     )
     release_result(pairs_cache)  # union checkpointed; the miner cache is spent
     release_result(ed)
