@@ -2675,3 +2675,99 @@ class TestContainmentPairs:
         # doc1 has 6 3-gram shingles, 4 shared -> 4/6
         assert rows.get((1, 2)) == round(4 / 6, 6)
         assert all(i != o for i, o in rows)
+
+    @staticmethod
+    def _hot_shingle_corpus(spark, n=24):
+        """One boilerplate sentence in EVERY doc (>>50% — the license-
+        header scenario) + per-doc unique filler, plus one genuine
+        quoted-inside pair whose shared shingles are rare."""
+        boiler = "this document is provided as is without any warranty"
+        quoted = "purple elephants dance quietly under seventeen bright moons"
+        rows = [
+            (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h " + boiler)
+            for i in range(n)
+        ]
+        rows.append((100, quoted))
+        rows.append((101, quoted + " extra tail words here " + boiler))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_df_ceiling_bounds_candidates_and_stays_exact(self, spark):
+        """The VERDICT-r14 hazard: a corpus-frequent shingle makes the
+        unbounded outer index quadratic in its df. The ceiling must
+        (a) collapse the candidate count and (b) change NOTHING in the
+        output — the capped miner is exact."""
+        from unimib_simpss_spark.operators import dedup as D
+
+        docs = self._hot_shingle_corpus(spark)
+        hsd = D._combo_shingle_docs(docs, "text", "doc_id")
+        n_unbounded = D._containment_candidates(hsd, 0.8, None, None).count()
+        n_capped = D._containment_candidates(hsd, 0.8, 4, None).count()
+        # 26 docs all sharing the boilerplate shingles: the unbounded
+        # index emits O(n^2)-ish collisions; the capped one only the
+        # rare-hash collisions (the quoted pair + self matches).
+        assert n_unbounded > 10 * n_capped, (n_unbounded, n_capped)
+        base = {
+            (r.inner_doc, r.outer_doc): r.containment
+            for r in D.containment_pairs(docs, threshold=0.8).collect()
+        }
+        capped = {
+            (r.inner_doc, r.outer_doc): r.containment
+            for r in D.containment_pairs(
+                docs, threshold=0.8, max_shingle_df=4
+            ).collect()
+        }
+        assert capped == base and (100, 101) in capped
+
+    def test_all_frequent_prefix_falls_back_exactly(self, spark):
+        """A doc that is PURE boilerplate has no rare hashes to build
+        its prefix from — the scoped fallback index must still find
+        its containments (exactness is unconditional)."""
+        from unimib_simpss_spark.operators import dedup as D
+
+        boiler = "this document is provided as is without any warranty"
+        rows = [(0, boiler)] + [
+            (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f " + boiler)
+            for i in range(1, 9)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        base = {
+            (r.inner_doc, r.outer_doc): r.containment
+            for r in D.containment_pairs(docs, threshold=0.9).collect()
+        }
+        capped = {
+            (r.inner_doc, r.outer_doc): r.containment
+            for r in D.containment_pairs(
+                docs, threshold=0.9, max_shingle_df=3
+            ).collect()
+        }
+        assert capped == base
+        # doc 0 is quoted verbatim in all 8 others
+        assert all((0, i) in capped for i in range(1, 9))
+
+    def test_outer_pred_restricts_outer_population(self, spark):
+        """outer_pred keeps pairs only where the OUTER doc satisfies
+        it; inner docs are unrestricted (the per-source pre-restriction
+        the docstring prescribes at 100 TB)."""
+        from unimib_simpss_spark.operators import dedup as D
+
+        docs = self._hot_shingle_corpus(spark)
+        pred = F.col("doc_id") > 100
+        got = {
+            (r.inner_doc, r.outer_doc)
+            for r in D.containment_pairs(
+                docs, threshold=0.8, max_shingle_df=4, outer_pred=pred
+            ).collect()
+        }
+        assert got == {(100, 101)}
+        assert D.containment_pairs(
+            docs, threshold=0.8, outer_pred=F.col("doc_id") < 0
+        ).count() == 0
+
+    def test_ceiling_rejects_bad_value(self, spark):
+        from unimib_simpss_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="max_shingle_df"):
+            D.containment_pairs(docs, max_shingle_df=0)

@@ -30,7 +30,7 @@ from __future__ import annotations
 import functools
 import operator as _op
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from unimib_simpss_spark.functions.hashing import COMBO_BASE, MERSENNE_31
@@ -319,11 +319,80 @@ def jaccard_pairs_sql(
     """
 
 
+def _containment_candidates(
+    hsd: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None,
+    outer_pred: Column | None,
+) -> DataFrame:
+    """Raw ``(inner_doc, outer_doc)`` candidate stream (pre-distinct,
+    self-pairs included) for :func:`containment_pairs` — separated so
+    the candidate-cardinality bound the ``max_shingle_df`` ceiling
+    buys is directly testable (the hot-shingle pytest counts these
+    rows with and without the ceiling)."""
+    p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
+    outer_hsd = hsd.where(outer_pred) if outer_pred is not None else hsd
+    posts = outer_hsd.select(
+        F.col("doc_id").alias("outer_doc"), F.explode("hs").alias("hsh")
+    )
+    if max_shingle_df is None:
+        inner = hsd.select(
+            F.col("doc_id").alias("inner_doc"),
+            F.explode(F.slice(F.array_sort("hs"), F.lit(1), p)).alias("hsh"),
+        )
+        return inner.join(posts, "hsh")
+    if max_shingle_df < 1:
+        raise ValueError(f"max_shingle_df must be >= 1, got {max_shingle_df}")
+    # Document frequency of every hash over the OUTER index — the
+    # side being capped. One groupBy over the postings explode.
+    dfreq = posts.groupBy("hsh").agg(F.count(F.lit(1)).alias("_df"))
+    # Rarest-first prefix: attach df to every inner hash (absent
+    # from the outer index → df 0, rarer than anything indexed)
+    # and keep the p smallest by (df, hash) per doc. The window
+    # partitions on doc_id — per-partition rows = shingle count,
+    # bounded by document length, skew-free at any corpus size.
+    expl = (
+        hsd.select(
+            F.col("doc_id").alias("inner_doc"),
+            "sz",
+            F.explode("hs").alias("hsh"),
+        )
+        .join(dfreq, "hsh", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+    )
+    w = Window.partitionBy("inner_doc").orderBy("_df", "hsh")
+    pref = expl.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= p
+    )
+    # Capped index: anti-join away the (few) frequent hashes —
+    # |frequent| <= total_postings / ceiling, a small relation.
+    freq_hashes = dfreq.where(F.col("_df") > max_shingle_df).select("hsh")
+    posts_capped = posts.join(freq_hashes, "hsh", "left_anti")
+    rare_cand = (
+        pref.where(F.col("_df") <= max_shingle_df)
+        .select("inner_doc", "hsh")
+        .join(posts_capped, "hsh")
+    )
+    # Scoped fallback: frequent hashes that SURVIVED into a prefix
+    # (docs with < p rare hashes). Usually empty; when not, the
+    # full postings are consulted only for exactly these hashes.
+    freq_pref = pref.where(F.col("_df") > max_shingle_df)
+    posts_freq = posts.join(
+        freq_pref.select("hsh").distinct(), "hsh", "left_semi"
+    )
+    fallback_cand = freq_pref.select("inner_doc", "hsh").join(posts_freq, "hsh")
+    return rare_cand.select("inner_doc", "outer_doc").unionByName(
+        fallback_cand.select("inner_doc", "outer_doc")
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+    outer_pred: Column | None = None,
     _hsd: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-subset pairs: ordered ``(inner_doc, outer_doc,
@@ -335,34 +404,49 @@ def containment_pairs(
     shingle-hash space as :func:`jaccard_pairs`, so the DuckDB twin
     (:func:`containment_pairs_sql`) is bit-identical.
 
-    Scale shape, stated honestly: the PREFIX filter still applies to
-    the inner side (containment >= t needs a collision inside the
-    inner doc's first ``sz - floor(t*sz) + 1`` sorted hashes — the
-    PPJoin argument verbatim), but the OUTER side has no length
-    filter (that asymmetry is the point) and must be fully indexed:
-    candidates ∝ the inverted index's collision count, not the
-    pruned-pair count. At 100 TB, pre-restrict the outer population
-    (e.g. per-source or per-shard) or screen inner docs through the
-    Bloom gate first; the verify stage is the same array-intersect
-    join as Jaccard's. Callers running several miners pass the
-    persisted shingle relation via ``_hsd`` (they own its
-    lifecycle)."""
+    Scale shape: the PREFIX filter applies to the inner side
+    (containment >= t needs a collision inside SOME ``sz -
+    floor(t*sz) + 1``-subset of the inner doc's hashes — at most
+    ``sz - ceil(t*sz)`` of them can miss the outer set, so ANY
+    subset of that size contains a shared hash; the PPJoin argument,
+    which holds for an arbitrary consistent choice of subset, not
+    just the value-sorted one). The OUTER side has no length filter
+    (that asymmetry is the operator), so an unbounded index would
+    make one corpus-frequent shingle (boilerplate, license headers)
+    quadratic in its document frequency. ``max_shingle_df`` bounds
+    it EXACTLY, the same rarest-first discipline as
+    :func:`edit_distance_join`:
+
+    - each inner doc's prefix is its ``p`` globally RAREST hashes
+      (document frequency over the outer index, ties by hash value)
+      instead of the ``p`` smallest values — a valid prefix choice
+      per the argument above, and the one that minimizes hot-key
+      collisions;
+    - the postings index drops hashes with df > ``max_shingle_df``,
+      so every index key's collision count is bounded;
+    - prefix hashes that are THEMSELVES frequent (a doc with fewer
+      than ``p`` rare hashes — almost-all-boilerplate) fall back to
+      a scoped index built only over those surviving frequent
+      hashes: exact always, bounded whenever coverage holds, and
+      the fallback's cost is confined to the pathological docs.
+
+    Every true pair is still found: a qualifying pair shares a hash
+    with the inner's prefix, and that hash is fully indexed either
+    in the capped postings (df <= ceiling) or the fallback postings
+    (df > ceiling but present in some prefix). ``outer_pred``
+    pre-restricts the outer population (per-source / per-shard — the
+    other documented 100 TB mitigation) and changes semantics by
+    design: only pairs whose OUTER doc satisfies it are returned.
+    Callers running several miners pass the persisted shingle
+    relation via ``_hsd`` (they own its lifecycle)."""
     owns = _hsd is None
     hsd = (
         cache_intermediate(_combo_shingle_docs(docs, text_col, id_col))
         if owns
         else _hsd
     )
-    p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
-    inner = hsd.select(
-        F.col("doc_id").alias("inner_doc"),
-        F.explode(F.slice(F.array_sort("hs"), F.lit(1), p)).alias("hsh"),
-    )
-    posts = hsd.select(
-        F.col("doc_id").alias("outer_doc"), F.explode("hs").alias("hsh")
-    )
     cand = (
-        inner.join(posts, "hsh")
+        _containment_candidates(hsd, threshold, max_shingle_df, outer_pred)
         .where(F.col("inner_doc") != F.col("outer_doc"))
         .select("inner_doc", "outer_doc")
         .distinct()
@@ -393,22 +477,33 @@ def containment_pairs(
 
 
 def containment_pairs_sql(
-    threshold: float = 0.8, text_expr: str = "text", where_sql: str = "TRUE"
+    threshold: float = 0.8,
+    text_expr: str = "text",
+    where_sql: str = "TRUE",
+    outer_where_sql: str = "TRUE",
 ) -> str:
     """Oracle twin of :func:`containment_pairs` — the same unfiltered
     inverted-index join as :func:`jaccard_pairs_sql`, ordered pairs,
-    containment score."""
+    containment score. ``max_shingle_df`` needs no twin knob: the
+    capped miner is EXACT (same output), which is precisely what
+    pairing it against this uncapped oracle proves.
+    ``outer_where_sql`` mirrors ``outer_pred`` (restricts which docs
+    may appear as ``outer_doc``)."""
     hs = combo_shingle_hashes_sql(text_expr)
     return f"""
     WITH sh AS (
-        SELECT doc_id, {hs} AS hs FROM documents WHERE {where_sql}
+        SELECT doc_id, {hs} AS hs,
+               ({outer_where_sql}) AS is_outer
+        FROM documents WHERE {where_sql}
     ), shn AS (
-        SELECT doc_id, hs FROM sh WHERE len(hs) > 0
+        SELECT doc_id, hs, is_outer FROM sh WHERE len(hs) > 0
     ), post AS (
+        SELECT doc_id, unnest(hs) AS h FROM shn WHERE is_outer
+    ), ipost AS (
         SELECT doc_id, unnest(hs) AS h FROM shn
     ), cand AS (
         SELECT DISTINCT a.doc_id AS inner_doc, b.doc_id AS outer_doc
-        FROM post a JOIN post b ON a.h = b.h AND a.doc_id <> b.doc_id
+        FROM ipost a JOIN post b ON a.h = b.h AND a.doc_id <> b.doc_id
     )
     SELECT inner_doc, outer_doc,
            round(len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs), 6)

@@ -97,7 +97,11 @@ def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # safe once both handles exist
     hsd = cache_intermediate(D._combo_shingle_docs(docs, "text", "doc_id"))
     jac = D.jaccard_pairs(docs, threshold=0.8, _hsd=hsd)
-    con = D.containment_pairs(docs, threshold=0.8, _hsd=hsd)
+    # max_shingle_df exercises the BOUNDED index path (rarest-first
+    # prefix + df-capped postings + scoped fallback) on the driver
+    # surface — the capped miner is exact, so the uncapped oracle
+    # hash-checks that claim at every sf
+    con = D.containment_pairs(docs, threshold=0.8, max_shingle_df=64, _hsd=hsd)
     release_intermediate(hsd)
     # re-checkpoint the union, release the per-family legs — the
     # caller's single release_result() cannot free a Union top node
