@@ -2127,3 +2127,20 @@ def test_drift_reader_rejects_mismatched_config(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="pinned"):
         read_drift_metrics(spark, shifted, table, "x", bins=5)
+
+
+def test_drift_reader_before_first_generation(spark, tmp_path):
+    """ADVICE r14: reading a drift table whose sink has not committed
+    any generation yet must return zero current counts (the documented
+    no-data-yet contract), not an opaque path-not-found error."""
+    from unimib_simpss_spark.streaming.sinks import read_drift_metrics
+
+    ref = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+    rows = {
+        (r.metric, r.bin): (r.ref_n, r.cur_n)
+        for r in read_drift_metrics(
+            spark, ref, str(tmp_path / "never_written"), "x", bins=5
+        ).collect()
+    }
+    assert all(cur_n == 0 for _, cur_n in rows.values())
+    assert rows[("bin", 0)][0] == 10  # reference side still counted

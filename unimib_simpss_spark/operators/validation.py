@@ -258,12 +258,36 @@ def _drift_bin(v: Column, lo: Column, hi: Column, bins: int) -> Column:
     )
 
 
+def _guarded_stats(st: DataFrame, col: str) -> DataFrame:
+    """Fail LOUDLY (at execution, where the data is) when the reference
+    range is undefined — an empty/all-NULL reference would otherwise
+    emit NULL ``_lo``/``_hi``, Spark's null-ignoring greatest/least
+    would clamp every current row into bin 0, and the engines would
+    diverge on an arbitrary histogram nobody asked for."""
+    msg = (
+        f"distribution_drift: reference has no non-NULL values of "
+        f"{col!r} (or pinned stats are NULL) — no range to bin against"
+    )
+    bad = F.col("_lo").isNull() | F.col("_hi").isNull()
+    return st.select(
+        F.when(bad, F.raise_error(F.lit(msg)).cast("double"))
+        .otherwise(F.col("_lo"))
+        .alias("_lo"),
+        F.when(bad, F.raise_error(F.lit(msg)).cast("double"))
+        .otherwise(F.col("_hi"))
+        .alias("_hi"),
+        *[c for c in st.columns if c not in ("_lo", "_hi")],
+    )
+
+
 def distribution_drift(
-    ref: DataFrame,
+    ref: DataFrame | None,
     cur: DataFrame,
     col: str,
     bins: int = 10,
     ndigits: int = 6,
+    ref_stats: DataFrame | None = None,
+    ref_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Distribution-drift monitor between a REFERENCE snapshot and the
     CURRENT one — the "did my corpus silently shift between releases"
@@ -283,22 +307,60 @@ def distribution_drift(
       UNsmoothed (KS is about mass placement, not log ratios).
 
     Output: ``(metric, bin, ref_n, cur_n, value)``; NULL values of
-    ``col`` are excluded on both engines. Scale shape: one min/max
-    aggregate over the reference (broadcast as a 1-row relation — at
-    100 TB pin it from the PRIOR release's stats instead), one
-    map-side-combinable count per snapshot, then all arithmetic on a
-    ``bins``-row relation. DuckDB twin: :func:`drift_sql`."""
+    ``col`` are excluded on both engines. An empty or all-NULL
+    reference raises at execution (no range to bin against) instead
+    of emitting an arbitrary all-bin-0 histogram.
+
+    Scale shape and the PINNED mode: by default one min/max aggregate
+    runs over the reference (broadcast as a 1-row relation). At
+    100 TB a release-over-release gate should NOT re-scan the prior
+    release on every call — pass ``ref_stats`` (1 row, columns
+    ``lo``/``hi`` from the prior release's published stats) to skip
+    the min/max pass, and additionally ``ref_counts`` (``(bin, n)``,
+    e.g. :func:`binned_counts` output persisted at release time, or
+    the streaming drift sink's rollup) to skip the reference binning
+    pass too — with both pinned the reference side is entirely
+    SCAN-FREE (``ref`` may be ``None``) and only the current snapshot
+    is read. Pinning stats equal to the computed ones yields
+    bit-identical rows. Remaining work: one map-side-combinable count
+    per (unpinned) snapshot, then all arithmetic on a ``bins``-row
+    relation. DuckDB twin: :func:`drift_sql`."""
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
+    if ref_counts is not None and ref_stats is None:
+        raise ValueError(
+            "ref_counts requires ref_stats (the counts are only "
+            "meaningful under the range that binned them)"
+        )
+    if ref is None and (ref_stats is None or ref_counts is None):
+        raise ValueError(
+            "ref=None requires BOTH ref_stats and ref_counts (nothing "
+            "else defines the reference)"
+        )
     v = F.col(col).cast("double")
-    refd = ref.where(v.isNotNull()).select(v.alias("_v"))
     curd = cur.where(v.isNotNull()).select(v.alias("_v"))
-    st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    if ref_stats is not None:
+        st = ref_stats.select(
+            F.col("lo").cast("double").alias("_lo"),
+            F.col("hi").cast("double").alias("_hi"),
+        )
+    else:
+        refd = ref.where(v.isNotNull()).select(v.alias("_v"))
+        st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    st = _guarded_stats(st, col)
+    if ref_counts is not None:
+        rc = ref_counts.select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("_rn"),
+        )
+    else:
+        refd = ref.where(v.isNotNull()).select(v.alias("_v"))
+        rc = binned_counts(refd, "_v", st, bins).withColumnRenamed("n", "_rn")
     j = _joined_bin_counts(
-        binned_counts(refd, "_v", st, bins).withColumnRenamed("n", "_rn"),
+        rc,
         binned_counts(curd, "_v", st, bins).withColumnRenamed("n", "_cn"),
         bins,
-        ref.sparkSession,
+        cur.sparkSession,
     )
     return drift_metrics_from_counts(j, bins, ndigits)
 
@@ -476,12 +538,14 @@ def drift_sql(
 
 
 def distribution_drift_by(
-    ref: DataFrame,
+    ref: DataFrame | None,
     cur: DataFrame,
     col: str,
     group_col: str,
     bins: int = 10,
     ndigits: int = 6,
+    ref_stats: DataFrame | None = None,
+    ref_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-GROUP :func:`distribution_drift` — the attribution form
     ("WHICH source shifted?") a multi-source corpus runs beside the
@@ -499,20 +563,43 @@ def distribution_drift_by(
     Scale shape: one per-group min/max aggregate (groups-sized,
     broadcast), one combinable (group, bin) count per snapshot, then
     arithmetic on a groups×bins relation; the CDF window partitions
-    on the group. DuckDB twin: :func:`drift_by_sql`."""
+    on the group. The PINNED mode mirrors :func:`distribution_drift`:
+    ``ref_stats`` = ``(group_col, lo, hi)`` from the prior release
+    skips the per-group min/max pass, adding ``ref_counts`` =
+    ``(group_col, bin, n)`` skips the reference binning pass too
+    (``ref`` may then be ``None`` — the reference side is scan-free).
+    DuckDB twin: :func:`drift_by_sql`."""
     from pyspark.sql import Window
 
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
-    spark = ref.sparkSession
+    if ref_counts is not None and ref_stats is None:
+        raise ValueError(
+            "ref_counts requires ref_stats (the counts are only "
+            "meaningful under the range that binned them)"
+        )
+    if ref is None and (ref_stats is None or ref_counts is None):
+        raise ValueError(
+            "ref=None requires BOTH ref_stats and ref_counts (nothing "
+            "else defines the reference)"
+        )
+    spark = cur.sparkSession
     v = F.col(col).cast("double")
     pick = lambda d: d.where(  # noqa: E731
         v.isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("_g"), v.alias("_v"))
-    refd, curd = pick(ref), pick(cur)
-    st = refd.groupBy("_g").agg(
-        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
-    )
+    curd = pick(cur)
+    if ref_stats is not None:
+        st = ref_stats.select(
+            F.col(group_col).alias("_g"),
+            F.col("lo").cast("double").alias("_lo"),
+            F.col("hi").cast("double").alias("_hi"),
+        )
+    else:
+        st = pick(ref).groupBy("_g").agg(
+            F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+        )
+    st = _guarded_stats(st, col)
     binned = lambda d: (  # noqa: E731
         d.join(F.broadcast(st), "_g")
         .select(
@@ -524,13 +611,19 @@ def distribution_drift_by(
         .groupBy("_g", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if ref_counts is not None:
+        rc = ref_counts.select(
+            F.col(group_col).alias("_g"),
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("_rn"),
+        )
+    else:
+        rc = binned(pick(ref)).withColumnRenamed("n", "_rn")
     allbins = st.select("_g").crossJoin(
         F.broadcast(spark.range(bins).select(F.col("id").alias("bin")))
     )
     j = (
-        allbins.join(
-            binned(refd).withColumnRenamed("n", "_rn"), ["_g", "bin"], "left"
-        )
+        allbins.join(rc, ["_g", "bin"], "left")
         .join(
             binned(curd).withColumnRenamed("n", "_cn"), ["_g", "bin"], "left"
         )

@@ -574,7 +574,19 @@ def read_drift_metrics(
     v = F.col(col).cast("double")
     refd = ref.where(v.isNotNull()).select(v.alias("_v"))
     st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
-    stored = spark.read.parquet(path)
+    # resolve the live generation FIRST: before the sink commits its
+    # first batch the symlink does not exist, and a raw read would die
+    # with an opaque path-not-found — the documented contract for "no
+    # data yet" is the same as an empty committed table: zero current
+    # counts (there is no stored pin to check either way)
+    cur, _ = _current_generation(path)
+    stored = (
+        spark.read.parquet(cur)
+        if cur is not None
+        else spark.createDataFrame(
+            [], "bins int, lo double, hi double, bin long, n_rows long"
+        )
+    )
     cfg = stored.select("bins", "lo", "hi").distinct().collect()
     if len(cfg) > 1:
         raise ValueError(
