@@ -2637,6 +2637,79 @@ class TestInt8Quantization:
         assert got[1] == ([0, 0, 0], 1.0)
         assert got[2][0][1] == -127  # max-|x| element hits the rail
 
+    def test_sq8_ranks_identically_to_dequantized_path(self, spark, emb):
+        """VERDICT r14 #4: int8-DOMAIN scoring (integer dot and norms,
+        scales cancel) must reproduce the dequantize-then-score
+        ranking — same (query, neighbor, rank) triples, cosines equal
+        to the rounding digit."""
+        from unimib_simpss_spark.operators import similarity as S
+
+        qz = S.quantize_vectors(emb.where(S.defined_vector_pred()))
+        pred = F.col("vec_id") < 10
+        sq8 = {
+            (r.query_id, r.neighbor_id): (r.rank, r.cosine)
+            for r in S.cosine_topk_quantized(qz, k=4, query_pred=pred).collect()
+        }
+        deq = {
+            (r.query_id, r.neighbor_id): (r.rank, r.cosine)
+            for r in S.cosine_topk(
+                S.dequantize_vectors(qz), k=4, query_pred=pred
+            ).collect()
+        }
+        assert set(sq8) == set(deq)
+        for key, (rank, cos) in sq8.items():
+            assert deq[key][0] == rank, (key, deq[key], rank)
+            assert abs(deq[key][1] - cos) <= 1e-6, (key, deq[key], cos)
+
+    def test_sq8_arrow_twin_matches_column_twin(self, spark, emb):
+        from unimib_simpss_spark.operators import similarity as S
+
+        qz = S.quantize_vectors(emb.where(S.defined_vector_pred()))
+        pred = F.col("vec_id") < 10
+        col_rows = sorted(
+            map(
+                tuple,
+                S.cosine_topk_quantized(qz, k=4, query_pred=pred).collect(),
+            )
+        )
+        arrow_rows = sorted(
+            map(
+                tuple,
+                S.cosine_topk_quantized_pandas(
+                    qz, k=4, query_pred=pred
+                ).collect(),
+            )
+        )
+        assert col_rows == arrow_rows and col_rows
+
+    def test_sq8_requires_quantized_input(self, spark, emb):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators import similarity as S
+
+        with _pytest.raises(ValueError, match="quantize_vectors output"):
+            S.cosine_topk_quantized(emb)
+        with _pytest.raises(ValueError, match="qvec"):
+            S.dequantize_vectors(emb)
+
+    def test_quantize_rejects_overlapping_output_columns(self, spark):
+        """ADVICE r14: id/keep duplicates (or the vec column re-kept)
+        would emit ambiguous duplicate columns silently."""
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators import similarity as S
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], "a")],
+            "vec_id long, embedding array<double>, label string",
+        )
+        with _pytest.raises(ValueError, match="distinct"):
+            S.quantize_vectors(df, keep=("vec_id",))
+        with _pytest.raises(ValueError, match="distinct"):
+            S.quantize_vectors(df, keep=("label", "label"))
+        with _pytest.raises(ValueError, match="distinct"):
+            S.quantize_vectors(df, keep=("embedding",))
+
 
 class TestContainmentPairs:
     def test_quoted_doc_found_where_jaccard_misses(self, spark):

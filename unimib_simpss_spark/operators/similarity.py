@@ -2067,6 +2067,16 @@ def quantize_vectors(
             f"quantize_vectors reserves the output column names "
             f"{sorted(clash)} — rename the input column(s) first"
         )
+    # id/keep/vec overlaps would emit duplicate output columns silently
+    # (ambiguous downstream); the vec column additionally must not be
+    # re-kept — it is replaced by qvec (review r14 ADVICE)
+    out_cols = [id_col, *keep]
+    if len(set(out_cols)) != len(out_cols) or vec_col in keep:
+        raise ValueError(
+            f"quantize_vectors output columns must be distinct: id_col="
+            f"{id_col!r}, keep={list(keep)!r} (vec_col {vec_col!r} may "
+            "not appear in keep — it is replaced by qvec)"
+        )
     c_v = "_v"
     while c_v in {id_col, *keep}:
         c_v = "_" + c_v
@@ -2099,6 +2109,13 @@ def dequantize_vectors(
     as an ``array<double>`` named ``vec_col`` — feed straight into any
     operator here (cosine top-k, IVF, silhouette) to run it over the
     8× smaller stored form."""
+    missing = {"qvec", "scale"} - set(qdf.columns)
+    if missing:
+        raise ValueError(
+            f"dequantize_vectors needs the quantize_vectors output "
+            f"contract (columns 'qvec' and 'scale'); missing "
+            f"{sorted(missing)} — was this relation quantized?"
+        )
     return qdf.select(
         id_col,
         *keep,
@@ -2135,4 +2152,205 @@ def quantized_embeddings_sql(pred_sql: str = "TRUE") -> str:
             WHERE {pred_sql}
         )
     )
+    """
+
+
+# ------------------------------------------- int8-DOMAIN scoring (SQ8)
+def _int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two int8 arrays in LONG arithmetic —
+    exact (no float rounding during accumulation; |dot| ≤ 127²·dim,
+    far inside long range) and, because every partial sum is also
+    exactly representable as a double for any realistic dim, bit-equal
+    to DuckDB's double-accumulated ``list_dot_product`` over the same
+    integer values."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_quantized(
+    qdf: DataFrame,
+    k: int = 5,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    max_query_rows: int | None = QUERY_SIDE_CAP,
+) -> DataFrame:
+    """Exact brute-force cosine top-k scored DIRECTLY in the int8
+    domain (SQ8 — the standard middle path between float brute force
+    and PQ/ADC): ``cosine = int_dot(qa, qc) / (|qa|·|qc|)`` where the
+    dot and both norms are computed over the stored ``tinyint``
+    arrays in integer arithmetic. The per-vector scales CANCEL in
+    cosine (``x = q·s`` ⇒ ``cos(x_a, x_c) = cos(q_a, q_c)``), so this
+    ranks IDENTICALLY to dequantize-then-:func:`cosine_topk` while
+    never touching a double array: the 4-8× storage saving reaches
+    the scoring kernel's memory bandwidth instead of being paid back
+    by a dequantize pass. For dot-product scoring (where scales do
+    not cancel) multiply by ``scale_q · scale_c`` — one scalar per
+    pair, after the integer kernel.
+
+    Input: :func:`quantize_vectors` output (``id_col``, ``qvec``,
+    ``scale``). Same output contract, window, size-gated broadcast,
+    and bounded-driver discipline as :func:`cosine_topk`; Arrow twin:
+    :func:`cosine_topk_quantized_pandas`; DuckDB twin:
+    :func:`cosine_topk_quantized_sql`."""
+    missing = {"qvec", "scale"} - set(qdf.columns)
+    if missing:
+        raise ValueError(
+            f"cosine_topk_quantized needs quantize_vectors output; "
+            f"missing {sorted(missing)}"
+        )
+    base = qdf.select(
+        F.col(id_col).alias("_id"),
+        F.col("qvec").alias("_q"),
+        F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double")).alias(
+            "_qn"
+        ),
+    )
+    pred = query_pred if query_pred is not None else F.lit(True)
+    queries = base.where(pred).select(
+        F.col("_id").alias("query_id"),
+        F.col("_q").alias("_qq"),
+        F.col("_qn").alias("_nq"),
+    )
+    corpus = base.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_q").alias("_cq"),
+        F.col("_qn").alias("_nc"),
+    )
+    if max_query_rows is not None:
+        n = qdf.where(pred).select(id_col).limit(max_query_rows + 1).count()
+        if n <= max_query_rows:
+            queries = F.broadcast(queries)
+    scored = (
+        queries.crossJoin(corpus)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _int_dot(F.col("_qq"), F.col("_cq")).cast("double")
+                / (F.col("_nq") * F.col("_nc")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+def cosine_topk_quantized_pandas(
+    qdf: DataFrame,
+    k: int = 5,
+    query_pred: Column | None = None,
+    id_col: str = "vec_id",
+    max_query_rows: int = QUERY_SIDE_CAP,
+) -> DataFrame:
+    """Arrow/NumPy twin of :func:`cosine_topk_quantized`: the corpus
+    streams through ``mapInPandas`` as int8 matrices and the GEMM
+    accumulates in int64 — the same integer-domain arithmetic, Arrow
+    batch transfer at 1/8th the float64 width. Row-for-row identical
+    output (pytest-pinned against the Column twin)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = _bounded_query_collect(
+        qdf.where(query_pred if query_pred is not None else F.lit(True))
+        .select(id_col, "qvec"),
+        max_query_rows,
+    )
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = np.array([r[1] for r in qrows], dtype=np.int64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
+    sc = qdf.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        ids, mat, qn = bq.value
+        for pdf in batches:
+            c_mat = np.array(list(pdf["qvec"]), dtype=np.int64)
+            c_ids = pdf[id_col].to_numpy()
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+            sims = (mat @ c_mat.T).astype(np.float64) / (
+                qn[:, None] * c_norm[None, :]
+            )
+            nq, nc = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, nc),
+                    "neighbor_id": np.tile(c_ids, nq),
+                    "cosine": np.round(sims.ravel(), 6),
+                }
+            )
+
+    scored = qdf.select(id_col, "qvec").mapInPandas(score, out_schema)
+    scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+def cosine_topk_quantized_sql(
+    k: int = 5, query_pred_sql: str = "TRUE", pred_sql: str = "TRUE"
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_quantized`: quantize with the
+    same max|x|/127 + zero-guard expressions, then score in the
+    integer domain (the tinyint arrays cast to DOUBLE hold exact
+    integer values ≤ 127, so ``list_dot_product`` accumulates the
+    identical exact sums Spark's long arithmetic produces)."""
+    return f"""
+    WITH qbase AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x / s) AS TINYINT)) AS qv
+        FROM (
+            SELECT vec_id, v,
+                   CASE WHEN s0 = 0 THEN 1.0 ELSE s0 END AS s
+            FROM (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       list_max(list_transform(embedding::DOUBLE[],
+                                               x -> abs(x))) / 127.0 AS s0
+                FROM main.embeddings
+                WHERE {pred_sql}
+            )
+        )
+    ), nbase AS (
+        SELECT vec_id, qv::DOUBLE[] AS dq,
+               sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS nrm
+        FROM qbase
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.dq, c.dq) / (q.nrm * c.nrm), 6)
+                   AS cosine
+        FROM (SELECT * FROM nbase WHERE {query_pred_sql}) q
+        JOIN nbase c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
     """

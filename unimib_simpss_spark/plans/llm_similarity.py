@@ -32,6 +32,10 @@ def _cosine_topk_union_oracle() -> str:
     # vectors — the quantized relation CTE-SHADOWS the embeddings view
     # inside the subquery, so the oracle text is reused verbatim
     qemb = S.quantized_embeddings_sql(pred_sql=S.defined_vector_sql())
+    # 'sq8' leg: scored IN the int8 domain (no dequantize anywhere)
+    sq8 = S.cosine_topk_quantized_sql(
+        k=5, query_pred_sql=_QUERY_PRED_SQL, pred_sql=S.defined_vector_sql()
+    )
     return f"""
     SELECT 'hof' AS method, * FROM ({leg})
     UNION ALL
@@ -41,6 +45,8 @@ def _cosine_topk_union_oracle() -> str:
         WITH embeddings AS ({qemb})
         SELECT * FROM ({leg})
     )
+    UNION ALL
+    SELECT 'sq8' AS method, * FROM ({sq8})
     """
 
 
@@ -62,7 +68,14 @@ def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the leg doubles as the end-to-end proof that stored-int8
     corpora plug into the unmodified operators. Corrupt vectors
     pre-drop via the shared defined-vector gate (round(NaN) casts
-    differently across engines)."""
+    differently across engines).
+
+    The 'sq8' leg closes the quantization story: the SAME top-k scored
+    DIRECTLY on the stored tinyint arrays (integer dot and norms —
+    similarity.cosine_topk_quantized; the scales cancel in cosine), so
+    the 4-8× bandwidth saving reaches the scoring kernel instead of
+    being repaid by a dequantize pass — oracle-paired against the
+    identical integer-domain arithmetic in DuckDB."""
     emb = _emb(spark, sf_dir)
     hof = S.cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 8).select(
         F.lit("hof").alias("method"), "*"
@@ -70,16 +83,17 @@ def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrow = S.cosine_topk_pandas(emb, k=5, query_pred=F.col("vec_id") < 8).select(
         F.lit("arrow").alias("method"), "*"
     )
-    qemb = S.dequantize_vectors(
-        S.quantize_vectors(
-            emb.where(S.defined_vector_pred()), keep=("label",)
-        ),
-        keep=("label",),
+    qz = S.quantize_vectors(
+        emb.where(S.defined_vector_pred()), keep=("label",)
     )
+    qemb = S.dequantize_vectors(qz, keep=("label",))
     quant = S.cosine_topk(qemb, k=5, query_pred=F.col("vec_id") < 8).select(
         F.lit("quant").alias("method"), "*"
     )
-    return hof.unionAll(arrow).unionAll(quant)
+    sq8 = S.cosine_topk_quantized(
+        qz, k=5, query_pred=F.col("vec_id") < 8
+    ).select(F.lit("sq8").alias("method"), "*")
+    return hof.unionAll(arrow).unionAll(quant).unionAll(sq8)
 
 
 @query("q37_ivf_topk", oracle=S.ivf_topk_sql(k=3))
