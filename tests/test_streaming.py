@@ -2103,6 +2103,125 @@ def test_streaming_drift_matches_batch_prefix(spark, tmp_path):
     assert by_bin[0] >= 2 and by_bin[4] >= 1
 
 
+def test_streaming_drift_by_matches_batch_prefix(spark, tmp_path):
+    """VERDICT r14 #5: the per-source drift sink's accumulated
+    (group, bin) table must yield EXACTLY the rows the batch
+    distribution_drift_by emits over the same stream prefix."""
+    import json as _json
+    import os
+    import time
+
+    from unimib_simpss_spark.operators.validation import (
+        distribution_drift_by,
+    )
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_by,
+        read_drift_metrics_by,
+    )
+
+    ref = spark.createDataFrame(
+        [("web", float(i)) for i in range(40)]
+        + [("pdf", float(i * 2)) for i in range(30)],
+        "src string, x double",
+    )
+    rows_b1 = [
+        {"src": "web", "x": 3.0},
+        {"src": "web", "x": 39.0},
+        {"src": "pdf", "x": 10.0},
+        {"src": None, "x": 1.0},
+    ]
+    rows_b2 = [
+        {"src": "pdf", "x": -9.0},   # clamps into pdf's low bin
+        {"src": "web", "x": 99.0},   # clamps into web's high bin
+        {"src": "forum", "x": 5.0},  # group absent from reference: drop
+        {"src": "web", "x": None},
+    ]
+    logdir = tmp_path / "vals"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b1) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b2) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    stream = (
+        spark.readStream.schema("src string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "drift_bins_by")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_drift_by(
+                table,
+                "x",
+                "src",
+                ranges={"web": (0.0, 39.0), "pdf": (0.0, 58.0)},
+                bins=5,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.src, r.metric, r.bin, r.ref_n, r.cur_n, r.value)
+        for r in read_drift_metrics_by(
+            spark, ref, table, "x", "src", bins=5
+        ).collect()
+    )
+    cur = spark.createDataFrame(
+        [(r["src"], r["x"]) for r in rows_b1 + rows_b2],
+        "src string, x double",
+    )
+    want = sorted(
+        (r.src, r.metric, r.bin, r.ref_n, r.cur_n, r.value)
+        for r in distribution_drift_by(ref, cur, "x", "src", bins=5).collect()
+    )
+    assert got == want
+    by_bin = {(g, b): c for g, m, b, _, c, _ in got if m == "bin"}
+    assert by_bin[("pdf", 0)] >= 1 and by_bin[("web", 4)] >= 1
+
+
+def test_drift_by_reader_rejects_mismatched_pins(spark, tmp_path):
+    import pytest as _pytest
+
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_by,
+        read_drift_metrics_by,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)], "src string, x double"
+    )
+    table = str(tmp_path / "bins_by")
+    batch = spark.createDataFrame(
+        [("a", 5.0), ("a", 12.0)], "src string, x double"
+    )
+    foreach_batch_drift_by(table, "x", "src", {"a": (0.0, 19.0)}, bins=4)(
+        batch, 0
+    )
+    assert (
+        read_drift_metrics_by(spark, ref, table, "x", "src", bins=4).count()
+        == 6  # 4 bins + psi + ks for the one group
+    )
+    with _pytest.raises(ValueError, match="bins=4"):
+        read_drift_metrics_by(spark, ref, table, "x", "src", bins=8)
+    shifted = spark.createDataFrame(
+        [("a", float(i)) for i in range(30)], "src string, x double"
+    )
+    with _pytest.raises(ValueError, match="pinned group"):
+        read_drift_metrics_by(spark, shifted, table, "x", "src", bins=4)
+    # a never-written table reads as zero current counts, not an error
+    empty = read_drift_metrics_by(
+        spark, ref, str(tmp_path / "nope"), "x", "src", bins=4
+    )
+    assert all(r.cur_n == 0 for r in empty.collect())
+
+
 def test_drift_reader_rejects_mismatched_config(spark, tmp_path):
     """Review r14 (the HLL reader's discipline): a reader whose bins
     or reference range disagree with the table's stored pin must

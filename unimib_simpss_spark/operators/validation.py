@@ -634,6 +634,21 @@ def distribution_drift_by(
             F.coalesce("_cn", F.lit(0)).alias("cur_n"),
         )
     )
+    return drift_by_metrics_from_counts(j, bins, ndigits, group_col)
+
+
+def drift_by_metrics_from_counts(
+    j: DataFrame, bins: int, ndigits: int = 6, group_col: str = "grp"
+) -> DataFrame:
+    """:func:`distribution_drift_by`'s metric arithmetic over an
+    already-joined ``(_g, bin, ref_n, cur_n)`` relation (one row per
+    group × bin 0..bins-1, zero-filled) — the count-preserving entry
+    point the streaming per-source sink reads through, guaranteed to
+    emit the SAME rows the batch operator would for the same counts
+    (the ungrouped :func:`drift_metrics_from_counts` contract, with
+    the group carried through every aggregate)."""
+    from pyspark.sql import Window
+
     tot = j.groupBy("_g").agg(
         F.sum("ref_n").alias("_tr"), F.sum("cur_n").alias("_tc")
     )

@@ -549,6 +549,167 @@ def foreach_batch_drift(
     return _apply
 
 
+def foreach_batch_drift_by(
+    path: str,
+    col: str,
+    group_col: str,
+    ranges: dict,
+    bins: int = 10,
+):
+    """Per-GROUP twin of :func:`foreach_batch_drift` — the streamed
+    side of ``distribution_drift_by`` ("WHICH source shifted?"): each
+    micro-batch bins its values over the PINNED per-group reference
+    ranges (``ranges``: group value → ``(lo, hi)`` from the prior
+    release's per-group stats — groups-sized, a driver-held dict by
+    the same bounded-groups contract as the batch operator's
+    broadcast stats) and folds ``(group, bin)`` counts into the
+    additive rollup. Rows whose group is NOT in ``ranges`` are
+    dropped, mirroring the batch rule (groups are defined by the
+    reference; brand-new groups are the corpus-diff 'added' class's
+    job). Config ``(bins, grp, lo, hi)`` is STORED per row
+    (store-and-assert) so :func:`read_drift_metrics_by` fails loudly
+    on any mismatched read. Fold + replay protection delegate to
+    :func:`foreach_batch_additive`."""
+    from unimib_simpss_spark.operators.validation import _drift_bin
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if not ranges:
+        raise ValueError(
+            "foreach_batch_drift_by needs at least one pinned group "
+            "range (group -> (lo, hi))"
+        )
+    fold = foreach_batch_additive(path, ("bins", "grp", "lo", "hi", "bin"), {})
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        pins = spark.createDataFrame(
+            [(str(g), float(lo), float(hi)) for g, (lo, hi) in ranges.items()],
+            "grp string, lo double, hi double",
+        )
+        v = F.col(col).cast("double")
+        binned = (
+            batch.where(v.isNotNull() & F.col(group_col).isNotNull())
+            .select(F.col(group_col).cast("string").alias("grp"), v.alias("_v"))
+            .join(F.broadcast(pins), "grp")
+            .select(
+                F.lit(int(bins)).alias("bins"),
+                "grp",
+                "lo",
+                "hi",
+                _drift_bin(F.col("_v"), F.col("lo"), F.col("hi"), bins).alias(
+                    "bin"
+                ),
+            )
+        )
+        fold(binned, batch_id)
+
+    return _apply
+
+
+def read_drift_metrics_by(
+    spark: SparkSession,
+    ref: DataFrame,
+    path: str,
+    col: str,
+    group_col: str,
+    bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group PSI/KS of the streamed distribution against the
+    reference snapshot — the same ``(group, metric, bin, ref_n,
+    cur_n, value)`` rows ``distribution_drift_by`` would emit for the
+    same data. Loud-failure contract: the caller's ``bins`` and the
+    reference's per-group min/max must match every stored pin
+    (store-and-assert, the HLL reader's discipline); groups present
+    only in the stream are excluded exactly as the batch operator
+    excludes current-only groups."""
+    from unimib_simpss_spark.operators.validation import (
+        _drift_bin,
+        drift_by_metrics_from_counts,
+    )
+
+    v = F.col(col).cast("double")
+    refd = ref.where(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), v.alias("_v")
+    )
+    st = refd.groupBy("_g").agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    cur, _ = _current_generation(path)
+    stored = (
+        spark.read.parquet(cur)
+        if cur is not None
+        else spark.createDataFrame(
+            [],
+            "bins int, grp string, lo double, hi double, "
+            "bin long, n_rows long",
+        )
+    )
+    cfg = stored.select("bins").distinct().collect()
+    if len(cfg) > 1:
+        raise ValueError(
+            f"drift table at {path} holds {len(cfg)} bin configs — it "
+            "must be written by ONE foreach_batch_drift_by sink"
+        )
+    if cfg and cfg[0]["bins"] != bins:
+        raise ValueError(
+            f"drift table at {path} was built with bins={cfg[0]['bins']}, "
+            f"caller asked for bins={bins}"
+        )
+    # store-and-assert per group: every stored (grp, lo, hi) pin must
+    # equal the reference's per-group range — both sides are
+    # groups-sized by contract, so the collect is bounded
+    stored_pins = {
+        r["grp"]: (r["lo"], r["hi"])
+        for r in stored.select("grp", "lo", "hi").distinct().collect()
+    }
+    if len(stored_pins) < stored.select("grp").distinct().count():
+        raise ValueError(
+            f"drift table at {path} holds conflicting (lo, hi) pins "
+            "for one group — it must be written by ONE sink config"
+        )
+    ref_pins = {
+        r["_g"]: (r["_lo"], r["_hi"]) for r in st.collect()
+    }
+    for g, pin in stored_pins.items():
+        if g in ref_pins and ref_pins[g] != pin:
+            raise ValueError(
+                f"drift table at {path} pinned group {g!r} to "
+                f"[{pin[0]}, {pin[1]}] but the reference spans "
+                f"[{ref_pins[g][0]}, {ref_pins[g][1]}] — re-pin the "
+                "sink or pass the matching reference snapshot"
+            )
+    rc = (
+        refd.join(F.broadcast(st), "_g")
+        .select(
+            "_g",
+            _drift_bin(F.col("_v"), F.col("_lo"), F.col("_hi"), bins).alias(
+                "bin"
+            ),
+        )
+        .groupBy("_g", "bin")
+        .agg(F.count(F.lit(1)).alias("_rn"))
+    )
+    cc = stored.select(
+        F.col("grp").alias("_g"), "bin", F.col("n_rows").alias("_cn")
+    )
+    allbins = st.select("_g").crossJoin(
+        F.broadcast(spark.range(bins).select(F.col("id").alias("bin")))
+    )
+    j = (
+        allbins.join(rc, ["_g", "bin"], "left")
+        .join(cc, ["_g", "bin"], "left")
+        .select(
+            "_g",
+            "bin",
+            F.coalesce("_rn", F.lit(0)).alias("ref_n"),
+            F.coalesce("_cn", F.lit(0)).alias("cur_n"),
+        )
+    )
+    return drift_by_metrics_from_counts(j, bins, ndigits, group_col)
+
+
 def read_drift_metrics(
     spark: SparkSession,
     ref: DataFrame,
