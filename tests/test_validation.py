@@ -437,6 +437,114 @@ class TestPinnedRangeDrift:
                 distribution_drift(bad, cur, "x", bins=4).collect()
 
 
+class TestCategoricalDrift:
+    def _drift(self, spark, ref_rows, cur_rows, **kw):
+        from unimib_simpss_spark.operators.validation import (
+            categorical_drift,
+        )
+
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            [(r,) for r in rows], "c string"
+        )
+        return {
+            (r.metric, r.category): (r.ref_n, r.cur_n, r.value)
+            for r in categorical_drift(
+                mk(ref_rows), mk(cur_rows), "c", **kw
+            ).collect()
+        }
+
+    def test_hand_computed_two_categories(self, spark):
+        """ref 8a/2b vs cur 2a/8b, top_k=2 → buckets {a, b, __other__}
+        (B=3): smoothed p = (c+0.5)/(n+1.5)."""
+        import math
+
+        got = self._drift(
+            spark, ["a"] * 8 + ["b"] * 2, ["a"] * 2 + ["b"] * 8, top_k=2
+        )
+        pa_r, pa_c = 8.5 / 11.5, 2.5 / 11.5
+        po = 0.5 / 11.5
+        psi = round(
+            2 * (pa_r - pa_c) * math.log(pa_r / pa_c)
+            + (po - po) * math.log(po / po),
+            6,
+        )
+        assert got[("psi", None)] == (10, 10, psi)
+        assert got[("cat", "a")] == (8, 2, None)
+        assert got[("cat", "b")] == (2, 8, None)
+        assert got[("cat", "__other__")] == (0, 0, None)
+
+    def test_other_bucket_absorbs_tail_and_new_categories(self, spark):
+        """Categories beyond top_k AND current-only categories land in
+        '__other__' (the reference defines the frame)."""
+        got = self._drift(
+            spark,
+            ["a"] * 5 + ["b"] * 3 + ["tail1", "tail2"],
+            ["a"] * 2 + ["BRAND_NEW"] * 4 + ["tail1"],
+            top_k=2,
+        )
+        assert set(c for m, c in got if m == "cat") == {"a", "b", "__other__"}
+        assert got[("cat", "__other__")] == (2, 5, None)  # tails + new
+
+    def test_identical_mix_scores_zero_and_nulls_drop(self, spark):
+        vals = ["x"] * 6 + ["y"] * 4
+        got = self._drift(spark, vals + [None], vals, top_k=5)
+        assert got[("psi", None)] == (10, 10, 0.0)
+
+    def test_topk_tiebreak_is_value_ordered(self, spark):
+        """Equal counts must break ties by category value asc — the
+        determinism the fixture's uniform sources exercise."""
+        got = self._drift(
+            spark, ["b", "a", "c", "d"], ["a"], top_k=2
+        )
+        assert set(c for m, c in got if m == "cat") == {"a", "b", "__other__"}
+
+    def test_bad_topk_raises(self, spark):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.validation import (
+            categorical_drift,
+            categorical_drift_sql,
+        )
+
+        df = spark.createDataFrame([("a",)], "c string")
+        with _pytest.raises(ValueError, match="top_k"):
+            categorical_drift(df, df, "c", top_k=0)
+        with _pytest.raises(ValueError, match="top_k"):
+            categorical_drift_sql("SELECT 1", "SELECT 1", "c", top_k=0)
+
+    def test_matches_duckdb_twin_on_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from unimib_simpss_spark.operators.validation import (
+            categorical_drift,
+            categorical_drift_sql,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = categorical_drift(
+            docs.where("doc_id % 2 = 0").select("source"),
+            docs.where("doc_id % 2 = 1").select("source"),
+            "source",
+            top_k=4,
+        )
+        got = sorted(
+            (r.metric, r.category, r.ref_n, r.cur_n, r.value)
+            for r in out.collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(map(tuple, con.sql(categorical_drift_sql(
+            "SELECT source FROM documents WHERE doc_id % 2 = 0",
+            "SELECT source FROM documents WHERE doc_id % 2 = 1",
+            "source",
+            top_k=4,
+        )).fetchall()))
+        assert got == want
+
+
 class TestDistributionDriftBy:
     def test_each_group_equals_its_own_ungrouped_run(self, spark):
         """The grouped form must be EXACTLY the per-group composition

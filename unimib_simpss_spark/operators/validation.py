@@ -796,3 +796,205 @@ def drift_by_sql(
     FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks') m
     GROUP BY g, m.metric
     """
+
+
+# ------------------------------------------------ categorical drift
+OTHER_BUCKET = "__other__"
+
+
+def categorical_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    top_k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """PSI over CATEGORY frequencies — the other half of a production
+    drift deck beside the numeric :func:`distribution_drift` ("did the
+    source/language/format mix shift between releases"):
+
+    - buckets are the reference's ``top_k`` most frequent categories
+      (count desc, value asc on ties — deterministic on both engines)
+      plus one ``'__other__'`` bucket absorbing every remaining
+      category, INCLUDING categories that appear only in the current
+      snapshot (the PSI convention: the comparison frame is defined
+      by where the reference lived);
+    - ``metric='cat'``: one row per bucket with both snapshots'
+      counts (the ``'__other__'`` row is always present);
+    - ``metric='psi'``: Σ (p_cur − p_ref)·ln(p_cur/p_ref) over
+      bucket frequencies smoothed by +0.5 per bucket (Laplace, the
+      numeric gate's convention — empty buckets stay finite). KS is
+      deliberately absent: categories are unordered, a CDF gap over
+      an arbitrary category order is not a statistic.
+
+    Output: ``(metric, category, ref_n, cur_n, value)``; NULL
+    categories are excluded on both engines; categories compare in
+    STRING space (cast on both sides — portable across engines).
+    Scale shape: one count aggregate per snapshot, a top-k over the
+    (small) reference category-count relation, bucket mapping via a
+    broadcast top-k join, then arithmetic on a ≤(top_k+1)-row
+    relation. DuckDB twin: :func:`categorical_drift_sql`."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    c = F.col(col).cast("string")
+    refd = ref.where(c.isNotNull()).select(c.alias("_c"))
+    curd = cur.where(c.isNotNull()).select(c.alias("_c"))
+    refc = refd.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+    topk = (
+        refc.orderBy(F.desc("_n"), F.asc("_c"))
+        .limit(top_k)
+        .select("_c", F.lit(1).alias("_top"))
+    )
+    bucketize = lambda d: (  # noqa: E731
+        d.join(F.broadcast(topk), "_c", "left")
+        .select(
+            F.when(F.col("_top").isNotNull(), F.col("_c"))
+            .otherwise(F.lit(OTHER_BUCKET))
+            .alias("category")
+        )
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buckets = topk.select(F.col("_c").alias("category")).unionAll(
+        topk.sparkSession.createDataFrame(
+            [(OTHER_BUCKET,)], "category string"
+        )
+    )
+    j = (
+        buckets.join(
+            bucketize(refd).withColumnRenamed("n", "_rn"), "category", "left"
+        )
+        .join(
+            bucketize(curd).withColumnRenamed("n", "_cn"), "category", "left"
+        )
+        .select(
+            "category",
+            F.coalesce("_rn", F.lit(0)).alias("ref_n"),
+            F.coalesce("_cn", F.lit(0)).alias("cur_n"),
+        )
+    )
+    # bucket count B is data-dependent (min(top_k, |ref categories|)+1),
+    # so the smoothing denominator reads it from the same 1-row
+    # aggregate as the totals — no collect
+    tot = j.agg(
+        F.sum("ref_n").alias("_tr"),
+        F.sum("cur_n").alias("_tc"),
+        F.count(F.lit(1)).cast("double").alias("_b"),
+    )
+    p = j.join(F.broadcast(tot), how="cross").select(
+        "category",
+        "ref_n",
+        "cur_n",
+        "_tr",
+        "_tc",
+        (
+            (F.col("ref_n") + F.lit(0.5))
+            / (F.col("_tr") + F.lit(0.5) * F.col("_b"))
+        ).alias("_rp"),
+        (
+            (F.col("cur_n") + F.lit(0.5))
+            / (F.col("_tc") + F.lit(0.5) * F.col("_b"))
+        ).alias("_cp"),
+    )
+    scored = p.select(
+        "category",
+        "ref_n",
+        "cur_n",
+        "_tr",
+        "_tc",
+        (
+            (F.col("_cp") - F.col("_rp")) * F.log(F.col("_cp") / F.col("_rp"))
+        ).alias("_psi_term"),
+    )
+    cat_leg = scored.select(
+        F.lit("cat").alias("metric"),
+        "category",
+        "ref_n",
+        "cur_n",
+        F.lit(None).cast("double").alias("value"),
+    )
+    psi_leg = scored.agg(
+        F.max("_tr").alias("ref_n"),
+        F.max("_tc").alias("cur_n"),
+        F.round(F.sum("_psi_term"), ndigits).alias("value"),
+    ).select(
+        F.lit("psi").alias("metric"),
+        F.lit(None).cast("string").alias("category"),
+        "ref_n",
+        "cur_n",
+        "value",
+    )
+    return cat_leg.unionAll(psi_leg)
+
+
+def categorical_drift_sql(
+    ref_sql: str,
+    cur_sql: str,
+    expr: str,
+    top_k: int = 10,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`categorical_drift` (same top-k tie-break,
+    same '__other__' bucket, same +0.5-per-bucket smoothing and
+    rounding)."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    return f"""
+    WITH refd AS (
+        SELECT CAST(({expr}) AS VARCHAR) AS c FROM ({ref_sql})
+        WHERE ({expr}) IS NOT NULL
+    ),
+    curd AS (
+        SELECT CAST(({expr}) AS VARCHAR) AS c FROM ({cur_sql})
+        WHERE ({expr}) IS NOT NULL
+    ),
+    refc AS (SELECT c, count(*) AS n FROM refd GROUP BY c),
+    topk AS (
+        SELECT c FROM refc
+        QUALIFY row_number() OVER (ORDER BY n DESC, c) <= {top_k}
+    ),
+    rb AS (
+        SELECT CASE WHEN t.c IS NOT NULL THEN refd.c
+                    ELSE '{OTHER_BUCKET}' END AS category,
+               count(*) AS n
+        FROM refd LEFT JOIN topk t ON refd.c = t.c GROUP BY 1
+    ),
+    cb AS (
+        SELECT CASE WHEN t.c IS NOT NULL THEN curd.c
+                    ELSE '{OTHER_BUCKET}' END AS category,
+               count(*) AS n
+        FROM curd LEFT JOIN topk t ON curd.c = t.c GROUP BY 1
+    ),
+    buckets AS (
+        SELECT c AS category FROM topk
+        UNION ALL SELECT '{OTHER_BUCKET}'
+    ),
+    j AS (
+        SELECT b.category, coalesce(rb.n, 0) AS ref_n,
+               coalesce(cb.n, 0) AS cur_n
+        FROM buckets b
+        LEFT JOIN rb ON b.category = rb.category
+        LEFT JOIN cb ON b.category = cb.category
+    ),
+    t AS (
+        SELECT sum(ref_n) AS tr, sum(cur_n) AS tc,
+               CAST(count(*) AS DOUBLE) AS b
+        FROM j
+    ),
+    s AS (
+        SELECT category, ref_n, cur_n, tr, tc,
+               ((cur_n + 0.5) / (tc + 0.5 * b)
+                - (ref_n + 0.5) / (tr + 0.5 * b))
+               * ln(((cur_n + 0.5) / (tc + 0.5 * b))
+                    / ((ref_n + 0.5) / (tr + 0.5 * b))) AS psi_term
+        FROM j, t
+    )
+    SELECT 'cat' AS metric, category, ref_n, cur_n,
+           CAST(NULL AS DOUBLE) AS value
+    FROM s
+    UNION ALL
+    SELECT 'psi' AS metric, CAST(NULL AS VARCHAR) AS category,
+           max(tr) AS ref_n, max(tc) AS cur_n,
+           round(sum(psi_term), {ndigits}) AS value
+    FROM s
+    """

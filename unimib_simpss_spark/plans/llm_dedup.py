@@ -475,6 +475,16 @@ def _q61_oracle() -> str:
         group_expr="source",
         bins=10,
     )
+    from unimib_simpss_spark.operators.validation import (
+        categorical_drift_sql,
+    )
+
+    drift_cat = categorical_drift_sql(
+        ref_sql="SELECT source FROM documents",
+        cur_sql=_Q61_NEW_SNAPSHOT_SRC_SQL,
+        expr="source",
+        top_k=6,
+    )
     return f"""
     WITH pairs AS ({pairs}),
     newdocs AS (
@@ -530,6 +540,15 @@ def _q61_oracle() -> str:
            grp AS old_hash,
            CAST(NULL AS VARCHAR) AS new_hash
     FROM ({drift_by})
+    UNION ALL
+    SELECT 'driftcat' AS section, CAST(NULL AS BIGINT) AS new_doc,
+           ref_n AS corpus_doc,
+           value AS jaccard, cur_n AS bloom_hit,
+           CAST(NULL AS BIGINT) AS edit_dist,
+           metric AS status,
+           category AS old_hash,
+           CAST(NULL AS VARCHAR) AS new_hash
+    FROM ({drift_cat})
     """
 
 
@@ -574,7 +593,13 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       (distribution_drift_by — each source gets its own reference
       range, bins, PSI, and KS in one keyed pass per snapshot;
       old_hash carries the source): corpus-level drift says THAT the
-      release moved, this leg says WHICH source moved it.
+      release moved, this leg says WHICH source moved it;
+    - 'driftcat': the CATEGORICAL half of the drift deck
+      (validation.categorical_drift — PSI over the source-frequency
+      mix, top-6 reference categories + '__other__', +0.5-per-bucket
+      smoothing): the numeric legs watch each source's length
+      distribution, this one watches the source MIX itself shifting
+      between the releases (old_hash carries the bucket).
     """
     from unimib_simpss_spark.functions.sketches import bloom_bits, bloom_probe
     from unimib_simpss_spark.functions.text import token_fingerprint
@@ -719,6 +744,25 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("old_hash"),
         F.lit(None).cast("string").alias("new_hash"),
     )
+    from unimib_simpss_spark.operators.validation import categorical_drift
+
+    drift_cat = categorical_drift(
+        docs.select("source"),
+        survivors_src.unionAll(reingested_src).select("source"),
+        "source",
+        top_k=6,
+    )
+    driftcat_leg = drift_cat.select(
+        F.lit("driftcat").alias("section"),
+        F.lit(None).cast("long").alias("new_doc"),
+        F.col("ref_n").alias("corpus_doc"),
+        F.col("value").alias("jaccard"),
+        F.col("cur_n").alias("bloom_hit"),
+        F.lit(None).cast("long").alias("edit_dist"),
+        F.col("metric").alias("status"),
+        F.col("category").alias("old_hash"),
+        F.lit(None).cast("string").alias("new_hash"),
+    )
     from unimib_simpss_spark.operators.caching import (
         materialize_release,
         release_result,
@@ -730,6 +774,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(diff_leg)
         .unionAll(drift_leg)
         .unionAll(driftsrc_leg)
+        .unionAll(driftcat_leg)
     )
     release_result(pairs_cache)  # union checkpointed; the miner cache is spent
     release_result(ed)
