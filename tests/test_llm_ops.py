@@ -2030,6 +2030,21 @@ class TestStratifiedSplit:
                 900 * n
             ) // 1000, (src, by_split)
 
+    def test_existing_split_column_rejected(self, spark):
+        """ADVICE r14: an input already carrying 'split' would come
+        back with two columns of that name — refuse loudly."""
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.sampling import stratified_split
+
+        df = spark.createDataFrame(
+            [(1, "s", "old")], "doc_id long, source string, split string"
+        )
+        with _pytest.raises(ValueError, match="'split'"):
+            stratified_split(
+                df, "source", "doc_id", {"train": 0.5, "test": 0.5}
+            )
+
     def test_float_boundary_regression_five_rows(self, spark):
         """The 0.8*5 IEEE trap: five rows at 80/10/10 must yield
         exactly 4/0/1 (integer rule), never 5 (ceil of

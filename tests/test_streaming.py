@@ -2039,6 +2039,42 @@ def test_scd2_merge_replay_idempotent_and_late_drop(spark, tmp_path):
     assert snap() == first
 
 
+def test_scd2_merge_equal_ts_tie_is_seed_stable(spark, tmp_path):
+    """ADVICE r14: a new update at EXACTLY the open version's
+    valid_from, with a SMALLER event id than the stored version_id,
+    must not displace the open version's identity — the seed sorts
+    strictly first (seed-priority tiebreak). Same-value collapses;
+    changed-value opens a follow-up version at the same ts. This
+    equal-ts out-of-id-order case is outside the batch-parity
+    contract by documentation."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.streaming.sinks import scd2_merge_parquet
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, ts string, k string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "k", "value")
+    args = dict(keys=("k",), ts_col="ts", id_col="event_id",
+                value_col="value")
+    snap = lambda t: sorted(  # noqa: E731
+        (r.k, r.version_id, r.value, r.valid_to is None)
+        for r in spark.read.parquet(t).collect()
+    )
+    # same value at the same ts, smaller id: collapses, version_id
+    # stays 10 (pre-fix it flipped to 3)
+    t1 = str(tmp_path / "same")
+    scd2_merge_parquet(mk([(10, "2024-01-01 00:00:00", "a", 1.0)]), t1, **args)
+    scd2_merge_parquet(mk([(3, "2024-01-01 00:00:00", "a", 1.0)]), t1, **args)
+    assert snap(t1) == [("a", 10, 1.0, True)]
+    # changed value at the same ts, smaller id: the open version keeps
+    # its identity and closes AT its own valid_from; the new version
+    # opens at the same ts
+    t2 = str(tmp_path / "diff")
+    scd2_merge_parquet(mk([(10, "2024-01-01 00:00:00", "a", 1.0)]), t2, **args)
+    scd2_merge_parquet(mk([(3, "2024-01-01 00:00:00", "a", 2.0)]), t2, **args)
+    assert snap(t2) == [("a", 3, 2.0, True), ("a", 10, 1.0, False)]
+
+
 def test_streaming_drift_matches_batch_prefix(spark, tmp_path):
     """The drift sink's accumulated bin table must yield EXACTLY the
     rows the batch distribution_drift emits over the same stream

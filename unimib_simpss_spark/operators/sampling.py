@@ -462,6 +462,15 @@ def stratified_split(
     append-stability (a new row shifts ranks behind it) — this is a
     SNAPSHOT split for frozen corpora; use hash_split for growing
     ones. DuckDB twin: :func:`stratified_split_sql`."""
+    # 'split' is the output contract: an input that already has one
+    # would come back with TWO columns of that name (ambiguous for
+    # every downstream reference) — refuse loudly, like
+    # quantize_vectors' reserved-name guard (review r14 ADVICE)
+    if "split" in df.columns:
+        raise ValueError(
+            "stratified_split reserves the output column name 'split' — "
+            "rename or drop the input's 'split' column first"
+        )
     permille = _permille(fractions)
     ranked, c_r, c_n = _range_ranked(df, stratum_col, key, num_partitions)
     r = F.col(c_r) * 1000

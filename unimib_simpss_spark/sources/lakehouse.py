@@ -434,6 +434,7 @@ def scd2_history(
     ts_col: str,
     id_col: str,
     value_col: str,
+    seed_col: str | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension TYPE 2 history off an event/update
     stream: one VERSION row per value CHANGE per key, carrying
@@ -453,12 +454,22 @@ def scd2_history(
     One shuffle: the change-flag lag window, the post-filter lead
     window, and nothing else — filters preserve the key partitioning,
     so both windows share one exchange (plan-asserted in tests).
-    DuckDB twin: :func:`scd2_history_sql`."""
+    DuckDB twin: :func:`scd2_history_sql`.
+
+    ``seed_col``: an optional extra ordering column between ``ts`` and
+    ``id`` (ascending) — the streaming merge sink passes its
+    seed-vs-update flag here so an already-open version sorts strictly
+    BEFORE a new update at the exact same timestamp, keeping the open
+    version's identity stable across merges. Not part of the output."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     kcols = [F.col(k) for k in keys]
-    w = Window.partitionBy(*kcols).orderBy(ts_col, id_col)
+    order = [F.col(ts_col)]
+    if seed_col is not None:
+        order.append(F.col(seed_col))
+    order.append(F.col(id_col))
+    w = Window.partitionBy(*kcols).orderBy(*order)
     changed = (
         df.where(F.col(ts_col).isNotNull())
         .withColumn(

@@ -444,6 +444,19 @@ def scd2_merge_parquet(
     idempotent: a replayed update either re-collapses into the version
     it created or pre-dates it and drops.
 
+    Equal-timestamp boundary (review r14 ADVICE): a NEW update whose
+    ``ts`` exactly equals the open version's ``valid_from`` sorts
+    strictly AFTER the replayed seed (a seed-priority tiebreak through
+    ``scd2_history``'s ``seed_col``), so the open version's
+    ``version_id`` is stable across merges regardless of the new
+    event's id; the update then collapses (same value) or opens a
+    follow-up version at the same ts (changed value) —
+    deterministically. A batch ``scd2_history`` run that saw BOTH
+    events up front would instead order them by id; that equal-ts
+    out-of-id-order case is outside the parity contract (pinned in
+    tests), the same event-time-order caveat the late-drop rule
+    documents.
+
     Scale shape: one key-partitioned window over (open versions ∪
     batch) plus the closed-version passthrough; the portable parquet
     path rewrites the table per generation like the keyed upsert — on
@@ -453,8 +466,13 @@ def scd2_merge_parquet(
 
     spark = batch.sparkSession
     kl = list(keys)
+    # seed-priority tiebreak column (0 = replayed open version, 1 =
+    # new update): uniquified against the caller's column names
+    c_seed = "_seed"
+    while c_seed in {*kl, ts_col, id_col, value_col}:
+        c_seed = "_" + c_seed
     upd = batch.where(F.col(ts_col).isNotNull()).select(
-        *kl, id_col, value_col, ts_col
+        *kl, id_col, value_col, ts_col, F.lit(1).alias(c_seed)
     )
     cur, _ = _current_generation(path)
     closed = None
@@ -478,9 +496,12 @@ def scd2_merge_parquet(
             F.col("version_id").alias(id_col),
             F.col("value").alias(value_col),
             F.col("valid_from").alias(ts_col),
+            F.lit(0).alias(c_seed),
         )
         upd = seed.unionByName(upd)
-    merged = scd2_history(upd, keys, ts_col, id_col, value_col)
+    merged = scd2_history(
+        upd, keys, ts_col, id_col, value_col, seed_col=c_seed
+    )
     if closed is not None:
         merged = closed.select(*merged.columns).unionByName(merged)
 
