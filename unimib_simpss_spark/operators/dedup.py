@@ -343,40 +343,51 @@ def _containment_candidates(
         return inner.join(posts, "hsh")
     if max_shingle_df < 1:
         raise ValueError(f"max_shingle_df must be >= 1, got {max_shingle_df}")
-    # Document frequency of every hash over the OUTER index — the
-    # side being capped. One groupBy over the postings explode.
-    dfreq = posts.groupBy("hsh").agg(F.count(F.lit(1)).alias("_df"))
-    # Rarest-first prefix: attach df to every inner hash (absent
-    # from the outer index → df 0, rarer than anything indexed)
-    # and keep the p smallest by (df, hash) per doc. The window
-    # partitions on doc_id — per-partition rows = shingle count,
-    # bounded by document length, skew-free at any corpus size.
+    # The FREQUENT-hash set (df > ceiling over the OUTER index): one
+    # map-side-combinable count over the postings explode, filtered to
+    # <= total_postings/ceiling rows — SMALL, so every join against it
+    # below is broadcast-sized (AQE picks it; never forced). A draft
+    # that joined the FULL per-hash df relation onto the exploded
+    # corpus for strict rarest-first ordering paid a corpus-wide
+    # shuffle for tie-break precision the bound does not need: ANY
+    # p-subset is a valid prefix, so ordering by (is-frequent, value)
+    # keeps the exact same guarantee — every chosen non-frequent hash
+    # has df <= ceiling — at one big shuffle less (q33 warm 5.5 -> ~3 s
+    # at sf0.1 when this join went broadcast).
+    freq_hashes = (
+        posts.groupBy("hsh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_shingle_df)
+        .select("hsh", F.lit(1).alias("_f"))
+    )
+    # Rare-first prefix: frequent hashes sort LAST (ties by value), so
+    # a doc's prefix is all-rare whenever it has >= p rare hashes. The
+    # window partitions on doc_id — per-partition rows = shingle
+    # count, bounded by document length, skew-free at any corpus size.
     expl = (
         hsd.select(
             F.col("doc_id").alias("inner_doc"),
             "sz",
             F.explode("hs").alias("hsh"),
         )
-        .join(dfreq, "hsh", "left")
-        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+        .join(freq_hashes, "hsh", "left")
+        .withColumn("_f", F.coalesce("_f", F.lit(0)))
     )
-    w = Window.partitionBy("inner_doc").orderBy("_df", "hsh")
+    w = Window.partitionBy("inner_doc").orderBy("_f", "hsh")
     pref = expl.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= p
     )
-    # Capped index: anti-join away the (few) frequent hashes —
-    # |frequent| <= total_postings / ceiling, a small relation.
-    freq_hashes = dfreq.where(F.col("_df") > max_shingle_df).select("hsh")
+    # Capped index: anti-join away the (few) frequent hashes.
     posts_capped = posts.join(freq_hashes, "hsh", "left_anti")
     rare_cand = (
-        pref.where(F.col("_df") <= max_shingle_df)
+        pref.where(F.col("_f") == 0)
         .select("inner_doc", "hsh")
         .join(posts_capped, "hsh")
     )
     # Scoped fallback: frequent hashes that SURVIVED into a prefix
     # (docs with < p rare hashes). Usually empty; when not, the
     # full postings are consulted only for exactly these hashes.
-    freq_pref = pref.where(F.col("_df") > max_shingle_df)
+    freq_pref = pref.where(F.col("_f") == 1)
     posts_freq = posts.join(
         freq_pref.select("hsh").distinct(), "hsh", "left_semi"
     )
@@ -414,14 +425,13 @@ def containment_pairs(
     (that asymmetry is the operator), so an unbounded index would
     make one corpus-frequent shingle (boilerplate, license headers)
     quadratic in its document frequency. ``max_shingle_df`` bounds
-    it EXACTLY, the same rarest-first discipline as
-    :func:`edit_distance_join`:
+    it EXACTLY, the rare-first discipline :func:`edit_distance_join`
+    pioneered here:
 
-    - each inner doc's prefix is its ``p`` globally RAREST hashes
-      (document frequency over the outer index, ties by hash value)
-      instead of the ``p`` smallest values — a valid prefix choice
-      per the argument above, and the one that minimizes hot-key
-      collisions;
+    - each inner doc's prefix prefers RARE hashes (df <= ceiling over
+      the outer index) — frequent hashes sort last, ties by value — a
+      valid prefix choice per the argument above, and every chosen
+      rare hash's collision count is bounded by the ceiling;
     - the postings index drops hashes with df > ``max_shingle_df``,
       so every index key's collision count is bounded;
     - prefix hashes that are THEMSELVES frequent (a doc with fewer
