@@ -830,35 +830,48 @@ def categorical_drift(
     Output: ``(metric, category, ref_n, cur_n, value)``; NULL
     categories are excluded on both engines; categories compare in
     STRING space (cast on both sides — portable across engines).
-    Scale shape: one count aggregate per snapshot, a top-k over the
-    (small) reference category-count relation, bucket mapping via a
-    broadcast top-k join, then arithmetic on a ≤(top_k+1)-row
-    relation. DuckDB twin: :func:`categorical_drift_sql`."""
+
+    Scale shape: the top-k bucket VALUES are collected driver-side —
+    a gated collect bounded by the caller's own ``top_k`` (the
+    label_silhouette k×d-centroid discipline), never by data — so
+    bucketing is a literal ``isin`` predicate and each snapshot is
+    scanned exactly ONCE for its bucket counts (a join-based draft
+    re-evaluated the top-k subtree in three plan branches: ~7 input
+    scans where this does 3, measured 3.9 s → ~1 s at sf0.1). All
+    remaining arithmetic runs on a ≤(top_k+1)-row relation. DuckDB
+    twin: :func:`categorical_drift_sql`."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     c = F.col(col).cast("string")
     refd = ref.where(c.isNotNull()).select(c.alias("_c"))
     curd = cur.where(c.isNotNull()).select(c.alias("_c"))
     refc = refd.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
-    topk = (
-        refc.orderBy(F.desc("_n"), F.asc("_c"))
+    top_vals = [
+        r["_c"]
+        for r in refc.orderBy(F.desc("_n"), F.asc("_c"))
         .limit(top_k)
-        .select("_c", F.lit(1).alias("_top"))
+        .select("_c")
+        .collect()
+    ]
+    if OTHER_BUCKET in top_vals:
+        raise ValueError(
+            f"categorical_drift reserves the bucket name {OTHER_BUCKET!r} "
+            f"and the reference data uses it as a top-{top_k} category — "
+            "rename that category upstream"
+        )
+    bucket = (
+        F.when(F.col("_c").isin(top_vals), F.col("_c"))
+        .otherwise(F.lit(OTHER_BUCKET))
+        if top_vals
+        else F.lit(OTHER_BUCKET)
     )
     bucketize = lambda d: (  # noqa: E731
-        d.join(F.broadcast(topk), "_c", "left")
-        .select(
-            F.when(F.col("_top").isNotNull(), F.col("_c"))
-            .otherwise(F.lit(OTHER_BUCKET))
-            .alias("category")
-        )
+        d.select(bucket.alias("category"))
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    buckets = topk.select(F.col("_c").alias("category")).unionAll(
-        topk.sparkSession.createDataFrame(
-            [(OTHER_BUCKET,)], "category string"
-        )
+    buckets = ref.sparkSession.createDataFrame(
+        [(v,) for v in top_vals] + [(OTHER_BUCKET,)], "category string"
     )
     j = (
         buckets.join(
