@@ -617,3 +617,20 @@ class TestScd2:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_x78_entry_proves_exchange_elimination(spark):
+    """The driver-visible bucketed-join entry must report 0 hash
+    exchanges for the bucketed variant, 2 for raw parquet, and
+    identical row counts/checksums (layout changes cost, never
+    answers)."""
+    from unimib_simpss_spark.plans import registry
+
+    rows = {
+        r.variant: (r.exchanges, r.n_rows, r.custkey_sum)
+        for r in registry.queries()["x78_bucketed_join"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["bucketed"][0] == 0 and rows["raw"][0] == 2
+    assert rows["bucketed"][1:] == rows["raw"][1:]

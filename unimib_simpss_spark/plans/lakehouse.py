@@ -33,6 +33,92 @@ from unimib_simpss_spark.catalog import load_table
 from unimib_simpss_spark.plans.registry import query
 
 _N_FILES = 16
+_N_BUCKETS = 8
+
+
+@query("x78_bucketed_join")  # run-time catalog tables → rows-only
+def x78_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join proof: the fact (orders) and dimension
+    (customer) relations written as BUCKETED tables on the join key
+    (``bucketBy`` + ``sortBy`` — Spark's pre-partitioned lakehouse
+    layout; Hive-compatible bucketing, the open-table analog of a
+    co-located distribution key), then sort-merge-joined and compared
+    against the same join over the raw parquet.
+
+    Output: one row per variant, ``(variant, exchanges, n_rows,
+    custkey_sum)`` — ``exchanges`` counts ``Exchange hashpartitioning``
+    nodes in the EXECUTED physical plan. The bucketed variant must
+    show 0 (both sides' bucket layout already satisfies the join's
+    clustering, so the shuffle is planned away entirely); the raw
+    variant shows 2 (both sides repartition). This is THE
+    100 TB repeated-join economics: a fact table joined on the same
+    key every day pays its shuffle once at write time, not per query.
+    ``custkey_sum`` is an order-independent integer checksum proving
+    both variants join the same rows.
+
+    Rows-only entry (the x74 pattern): the result depends on run-time
+    catalog tables and a physical-plan property DuckDB cannot
+    reproduce; run-determinism is covered by the sweep. The MERGE
+    hint pins the comparison to sort-merge on both variants (a
+    broadcast plan would trivially have no hash exchange and prove
+    nothing). Tables are uniquely named, externally pathed to a temp
+    dir, and dropped in ``finally`` — no warehouse state leaks."""
+    import shutil
+    import tempfile
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"x78_orders_{tag}", f"x78_customer_{tag}"
+    tmp = tempfile.mkdtemp(prefix="simpss-x78-")
+    try:
+        for name, df, key in ((t_o, orders, "o_custkey"), (t_c, cust, "c_custkey")):
+            (
+                df.write.mode("overwrite")
+                .option("path", f"{tmp}/{name}")
+                .bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+
+        def measure(left: DataFrame, right: DataFrame) -> tuple[int, int, int]:
+            j = (
+                left.hint("merge")
+                .join(right, left["o_custkey"] == right["c_custkey"])
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(left["o_custkey"]).alias("ck"),
+                )
+            )
+            import re
+
+            phys = j._jdf.queryExecution().executedPlan().toString()
+            n_ex = len(re.findall(r"\bExchange hashpartitioning", phys))
+            row = j.first()
+            return n_ex, int(row["n"]), int(row["ck"])
+
+        rows = []
+        for variant, (lf, rt) in (
+            ("bucketed", (spark.table(t_o), spark.table(t_c))),
+            ("raw", (orders, cust)),
+        ):
+            n_ex, n, ck = measure(lf, rt)
+            rows.append((variant, n_ex, n, ck))
+        # materialized into local rows BEFORE the tables are dropped —
+        # the returned DataFrame must stay collectible by the driver
+        return spark.createDataFrame(
+            rows,
+            "variant string, exchanges long, n_rows long, custkey_sum long",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query("x74_zorder_pruning")  # run-time filesystem layout → rows-only
