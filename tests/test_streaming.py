@@ -2256,6 +2256,13 @@ def test_drift_by_reader_rejects_mismatched_pins(spark, tmp_path):
         spark, ref, str(tmp_path / "nope"), "x", "src", bins=4
     )
     assert all(r.cur_n == 0 for r in empty.collect())
+    # conflicting per-group pins from a second sink config must raise
+    # (review r15: the collapsed-before-compared dict form never fired)
+    foreach_batch_drift_by(table, "x", "src", {"a": (0.0, 29.0)}, bins=4)(
+        batch, 1
+    )
+    with _pytest.raises(ValueError, match="conflicting"):
+        read_drift_metrics_by(spark, ref, table, "x", "src", bins=4)
 
 
 def test_drift_reader_rejects_mismatched_config(spark, tmp_path):

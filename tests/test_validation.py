@@ -421,6 +421,52 @@ class TestPinnedRangeDrift:
         with pytest.raises(ValueError, match="ref=None"):
             distribution_drift_by(None, curg, "x", "g")
 
+    def test_malformed_pins_rejected(self, spark):
+        """Review r15: a multi-row ungrouped stats relation (or
+        duplicate bins / duplicate groups) would silently multiply
+        counts through the joins — refuse eagerly."""
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift,
+            distribution_drift_by,
+        )
+
+        cur = spark.createDataFrame([(1.0,)], "x double")
+        two_stats = spark.createDataFrame(
+            [(0.0, 5.0), (0.0, 9.0)], "lo double, hi double"
+        )
+        with pytest.raises(ValueError, match="exactly 1 row"):
+            distribution_drift(None, cur, "x", ref_stats=two_stats,
+                               ref_counts=spark.createDataFrame(
+                                   [(0, 1)], "bin long, n long"))
+        ok_stats = spark.createDataFrame([(0.0, 5.0)], "lo double, hi double")
+        dup_counts = spark.createDataFrame(
+            [(0, 1), (0, 2)], "bin long, n long"
+        )
+        with pytest.raises(ValueError, match="duplicate bin"):
+            distribution_drift(
+                None, cur, "x", ref_stats=ok_stats, ref_counts=dup_counts
+            )
+        curg = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        dup_gstats = spark.createDataFrame(
+            [("a", 0.0, 5.0), ("a", 0.0, 9.0)],
+            "g string, lo double, hi double",
+        )
+        with pytest.raises(ValueError, match="duplicate group"):
+            distribution_drift_by(
+                curg, curg, "x", "g", ref_stats=dup_gstats
+            )
+        ok_gstats = spark.createDataFrame(
+            [("a", 0.0, 5.0)], "g string, lo double, hi double"
+        )
+        dup_gcounts = spark.createDataFrame(
+            [("a", 0, 1), ("a", 0, 2)], "g string, bin long, n long"
+        )
+        with pytest.raises(ValueError, match="duplicate \\(group, bin\\)"):
+            distribution_drift_by(
+                None, curg, "x", "g",
+                ref_stats=ok_gstats, ref_counts=dup_gcounts,
+            )
+
     def test_empty_or_all_null_reference_raises(self, spark):
         """ADVICE r14: an undefined reference range must fail loudly,
         not clamp everything into bin 0 (engine-divergent NULL
@@ -497,6 +543,44 @@ class TestCategoricalDrift:
             spark, ["b", "a", "c", "d"], ["a"], top_k=2
         )
         assert set(c for m, c in got if m == "cat") == {"a", "b", "__other__"}
+
+    def test_empty_reference_raises(self, spark):
+        """Review r15: an empty/all-NULL reference must fail loudly
+        (the numeric gate's contract), not report PSI = 0.0 against a
+        category frame that does not exist."""
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.validation import (
+            categorical_drift,
+        )
+
+        cur = spark.createDataFrame([("a",)], "c string")
+        for bad in (
+            spark.createDataFrame([], "c string"),
+            spark.createDataFrame([(None,)], "c string"),
+        ):
+            with _pytest.raises(ValueError, match="no non-NULL"):
+                categorical_drift(bad, cur, "c")
+
+    def test_reserved_bucket_raises_on_both_engines(self, spark):
+        import duckdb
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators.validation import (
+            categorical_drift,
+            categorical_drift_sql,
+        )
+
+        ref = spark.createDataFrame([("__other__",)], "c string")
+        with _pytest.raises(ValueError, match="reserves"):
+            categorical_drift(ref, ref, "c")
+        con = duckdb.connect()
+        with _pytest.raises(Exception, match="reserves"):
+            con.sql(
+                categorical_drift_sql(
+                    "SELECT '__other__' AS c", "SELECT 'a' AS c", "c"
+                )
+            ).fetchall()
 
     def test_bad_topk_raises(self, spark):
         import pytest as _pytest

@@ -80,38 +80,29 @@ def defined_vector_pred(vec_col: str = "embedding") -> Column:
     )
 
 
-def _gated_query_side(
-    emb: DataFrame,
-    pred: Column,
+def _size_gated_side(
+    counted: DataFrame,
     queries: DataFrame,
-    id_col: str,
-    vec_col: str,
     cap: int | None,
     on_overflow: str = "degrade",
 ):
-    """Shared size-gate for the broadcast query/anchor side (used by
-    :func:`cosine_topk` and :func:`hard_negatives` — ONE gate, two
-    overflow policies, so the semantics can't drift apart again
-    (ADVICE r11)): with ``cap`` set, count the pred-filtered side off
-    the SAME with_unit_vectors projection (so preds referencing derived
-    columns resolve identically) and broadcast-hint only when it fits.
-    Overflow policy: ``"degrade"`` returns the unhinted side (AQE picks
-    a shuffled plan — cosine_topk's exact-scan contract still holds);
-    ``"raise"`` fails loudly (hard_negatives: an uncapped anchor ×
-    corpus cross join has no acceptable shuffled fallback — use
-    :func:`hard_negatives_ivf`, the routed scale path). ``cap=None``
-    skips both the count and the hint and lets AQE choose — NEVER
-    force a broadcast that was not size-checked (the bounded-driver
-    contract)."""
+    """The size-gate core shared by EVERY broadcast query/anchor side
+    in this module (ONE gate, so the semantics can't drift apart —
+    ADVICE r11, re-unified when the quantized twin grew a third copy
+    in review r15): with ``cap`` set, count ``counted`` (the
+    pred-filtered side, projected by the caller so preds referencing
+    derived columns resolve identically) and broadcast-hint
+    ``queries`` only when it fits. Overflow policy: ``"degrade"``
+    returns the unhinted side (AQE picks a shuffled plan — the
+    exact-scan contract still holds); ``"raise"`` fails loudly
+    (an uncapped anchor × corpus cross join has no acceptable
+    shuffled fallback — use :func:`hard_negatives_ivf`, the routed
+    scale path). ``cap=None`` skips both the count and the hint and
+    lets AQE choose — NEVER force a broadcast that was not
+    size-checked (the bounded-driver contract)."""
     if cap is None:
         return queries
-    n = (
-        with_unit_vectors(emb, vec_col)
-        .where(pred)
-        .select(F.col(id_col))
-        .limit(cap + 1)
-        .count()
-    )
+    n = counted.limit(cap + 1).count()
     if n <= cap:
         return F.broadcast(queries)
     if on_overflow == "raise":
@@ -121,6 +112,24 @@ def _gated_query_side(
             "IVF-routed scale path)"
         )
     return queries
+
+
+def _gated_query_side(
+    emb: DataFrame,
+    pred: Column,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cap: int | None,
+    on_overflow: str = "degrade",
+):
+    """:func:`_size_gated_side` counted off the with_unit_vectors
+    projection — the float-vector callers' form (:func:`cosine_topk`,
+    :func:`hard_negatives`)."""
+    counted = (
+        with_unit_vectors(emb, vec_col).where(pred).select(F.col(id_col))
+    )
+    return _size_gated_side(counted, queries, cap, on_overflow)
 
 
 def cosine_topk(
@@ -2219,10 +2228,9 @@ def cosine_topk_quantized(
         F.col("_q").alias("_cq"),
         F.col("_qn").alias("_nc"),
     )
-    if max_query_rows is not None:
-        n = qdf.where(pred).select(id_col).limit(max_query_rows + 1).count()
-        if n <= max_query_rows:
-            queries = F.broadcast(queries)
+    queries = _size_gated_side(
+        qdf.where(pred).select(id_col), queries, max_query_rows
+    )
     scored = (
         queries.crossJoin(corpus)
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -340,6 +340,16 @@ def distribution_drift(
     v = F.col(col).cast("double")
     curd = cur.where(v.isNotNull()).select(v.alias("_v"))
     if ref_stats is not None:
+        # pinned relations are tiny by contract, so shape errors are
+        # checked EAGERLY — a 2-row stats relation would cross-join
+        # every current value against both ranges and silently double
+        # (and mis-bin) every count (review r15 pass 1)
+        if ref_stats.limit(2).count() != 1:
+            raise ValueError(
+                "ref_stats must be exactly 1 row (lo, hi) — got a "
+                "multi-row or empty relation (per-group stats belong "
+                "to distribution_drift_by)"
+            )
         st = ref_stats.select(
             F.col("lo").cast("double").alias("_lo"),
             F.col("hi").cast("double").alias("_hi"),
@@ -349,6 +359,17 @@ def distribution_drift(
         st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
     st = _guarded_stats(st, col)
     if ref_counts is not None:
+        if (
+            ref_counts.groupBy("bin")
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "ref_counts holds duplicate bin rows — the left join "
+                "would double-count; aggregate to one row per bin first"
+            )
         rc = ref_counts.select(
             F.col("bin").cast("long").alias("bin"),
             F.col("n").cast("long").alias("_rn"),
@@ -590,6 +611,19 @@ def distribution_drift_by(
     ).select(F.col(group_col).alias("_g"), v.alias("_v"))
     curd = pick(cur)
     if ref_stats is not None:
+        # eager shape check (tiny by contract): duplicate groups would
+        # bin every value under two ranges and double-count
+        if (
+            ref_stats.groupBy(group_col)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "ref_stats holds duplicate group rows — one (lo, hi) "
+                "per group required"
+            )
         st = ref_stats.select(
             F.col(group_col).alias("_g"),
             F.col("lo").cast("double").alias("_lo"),
@@ -612,6 +646,17 @@ def distribution_drift_by(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     if ref_counts is not None:
+        if (
+            ref_counts.groupBy(group_col, "bin")
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "ref_counts holds duplicate (group, bin) rows — the "
+                "left join would double-count; aggregate first"
+            )
         rc = ref_counts.select(
             F.col(group_col).alias("_g"),
             F.col("bin").cast("long").alias("bin"),
@@ -853,17 +898,22 @@ def categorical_drift(
         .select("_c")
         .collect()
     ]
+    if not top_vals:
+        # same contract as the numeric gate's _guarded_stats: an empty
+        # or all-NULL reference has no category frame to drift FROM —
+        # a silent "psi = 0.0 vs nothing" verdict is the hazard
+        raise ValueError(
+            f"categorical_drift: reference has no non-NULL values of "
+            f"{col!r} — no category frame to compare against"
+        )
     if OTHER_BUCKET in top_vals:
         raise ValueError(
             f"categorical_drift reserves the bucket name {OTHER_BUCKET!r} "
             f"and the reference data uses it as a top-{top_k} category — "
             "rename that category upstream"
         )
-    bucket = (
-        F.when(F.col("_c").isin(top_vals), F.col("_c"))
-        .otherwise(F.lit(OTHER_BUCKET))
-        if top_vals
-        else F.lit(OTHER_BUCKET)
+    bucket = F.when(F.col("_c").isin(top_vals), F.col("_c")).otherwise(
+        F.lit(OTHER_BUCKET)
     )
     bucketize = lambda d: (  # noqa: E731
         d.select(bucket.alias("category"))
@@ -963,7 +1013,10 @@ def categorical_drift_sql(
     ),
     refc AS (SELECT c, count(*) AS n FROM refd GROUP BY c),
     topk AS (
-        SELECT c FROM refc
+        SELECT CASE WHEN c = '{OTHER_BUCKET}'
+                    THEN error('categorical_drift reserves {OTHER_BUCKET}')
+                    ELSE c END AS c
+        FROM refc
         QUALIFY row_number() OVER (ORDER BY n DESC, c) <= {top_k}
     ),
     rb AS (

@@ -97,9 +97,12 @@ def x78_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             import re
 
+            # execute FIRST: under AQE the pre-execution string is the
+            # initial AdaptiveSparkPlan (isFinalPlan=false) — the
+            # documented claim is about the plan that actually ran
+            row = j.first()
             phys = j._jdf.queryExecution().executedPlan().toString()
             n_ex = len(re.findall(r"\bExchange hashpartitioning", phys))
-            row = j.first()
             return n_ex, int(row["n"]), int(row["ck"])
 
         rows = []

@@ -640,11 +640,16 @@ def read_drift_metrics_by(
     """Per-group PSI/KS of the streamed distribution against the
     reference snapshot — the same ``(group, metric, bin, ref_n,
     cur_n, value)`` rows ``distribution_drift_by`` would emit for the
-    same data. Loud-failure contract: the caller's ``bins`` and the
-    reference's per-group min/max must match every stored pin
-    (store-and-assert, the HLL reader's discipline); groups present
-    only in the stream are excluded exactly as the batch operator
-    excludes current-only groups."""
+    same data, IN STRING GROUP SPACE: the sink stores group keys as
+    strings (a parquet table needs one stable type), so this reader
+    casts the reference's group column to string and emits string
+    groups — when cross-checking against the batch operator on a
+    non-string-keyed corpus, cast its group column to string first
+    (the shipped parity test does). Loud-failure contract: the
+    caller's ``bins`` and the reference's per-group min/max must
+    match every stored pin (store-and-assert, the HLL reader's
+    discipline); groups present only in the stream are excluded
+    exactly as the batch operator excludes current-only groups."""
     from unimib_simpss_spark.operators.validation import (
         _drift_bin,
         drift_by_metrics_from_counts,
@@ -680,12 +685,13 @@ def read_drift_metrics_by(
         )
     # store-and-assert per group: every stored (grp, lo, hi) pin must
     # equal the reference's per-group range — both sides are
-    # groups-sized by contract, so the collect is bounded
-    stored_pins = {
-        r["grp"]: (r["lo"], r["hi"])
-        for r in stored.select("grp", "lo", "hi").distinct().collect()
-    }
-    if len(stored_pins) < stored.select("grp").distinct().count():
+    # groups-sized by contract, so the collect is bounded. Duplicate
+    # detection must compare the DISTINCT ROW count against the dict
+    # (a dict comprehension silently keeps one pin per group — review
+    # r15 pass 1 caught the collapsed-before-compared form)
+    pin_rows = stored.select("grp", "lo", "hi").distinct().collect()
+    stored_pins = {r["grp"]: (r["lo"], r["hi"]) for r in pin_rows}
+    if len(pin_rows) > len(stored_pins):
         raise ValueError(
             f"drift table at {path} holds conflicting (lo, hi) pins "
             "for one group — it must be written by ONE sink config"
