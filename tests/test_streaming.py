@@ -2265,6 +2265,101 @@ def test_drift_by_reader_rejects_mismatched_pins(spark, tmp_path):
         read_drift_metrics_by(spark, ref, table, "x", "src", bins=4)
 
 
+def test_streaming_drift_cat_matches_batch_prefix(spark, tmp_path):
+    """The categorical drift sink's accumulated bucket table must
+    yield EXACTLY the rows the batch categorical_drift emits over the
+    same stream prefix (the family-wide parity contract)."""
+    import json as _json
+    import os
+    import time
+
+    from unimib_simpss_spark.operators.validation import categorical_drift
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_cat,
+        read_drift_cat_metrics,
+    )
+
+    ref = spark.createDataFrame(
+        [("web",)] * 10 + [("pdf",)] * 6 + [("forum",)] * 2 + [("wiki",)],
+        "src string",
+    )
+    rows_b1 = [{"src": "web"}, {"src": "pdf"}, {"src": None}]
+    rows_b2 = [{"src": "BRAND_NEW"}, {"src": "forum"}, {"src": "web"}]
+    logdir = tmp_path / "vals"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b1) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b2) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    stream = (
+        spark.readStream.schema("src string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "drift_cat")
+    q = (
+        stream.writeStream.foreachBatch(
+            # top-2 of the reference by (count desc, value asc):
+            # web(10), pdf(6) — the pinned frame the reader re-derives
+            foreach_batch_drift_cat(table, "src", buckets=["web", "pdf"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.metric, r.category, r.ref_n, r.cur_n, r.value)
+        for r in read_drift_cat_metrics(
+            spark, ref, table, "src", top_k=2
+        ).collect()
+    )
+    cur = spark.createDataFrame(
+        [(r["src"],) for r in rows_b1 + rows_b2], "src string"
+    )
+    want = sorted(
+        (r.metric, r.category, r.ref_n, r.cur_n, r.value)
+        for r in categorical_drift(ref, cur, "src", top_k=2).collect()
+    )
+    assert got == want
+    by_cat = {c: (rn, cn) for m, c, rn, cn, _ in got if m == "cat"}
+    # forum + BRAND_NEW landed in __other__; NULL dropped
+    assert by_cat["__other__"] == (3, 2) and by_cat["web"] == (10, 2)
+
+
+def test_drift_cat_reader_rejects_mismatched_frame(spark, tmp_path):
+    import pytest as _pytest
+
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_cat,
+        read_drift_cat_metrics,
+    )
+
+    ref = spark.createDataFrame([("a",)] * 3 + [("b",)], "src string")
+    table = str(tmp_path / "cat")
+    batch = spark.createDataFrame([("a",), ("zz",)], "src string")
+    foreach_batch_drift_cat(table, "src", buckets=["a", "b"])(batch, 0)
+    assert (
+        read_drift_cat_metrics(spark, ref, table, "src", top_k=2).count()
+        == 4  # a, b, __other__, psi
+    )
+    # a different top_k derives a different frame -> pin mismatch
+    with _pytest.raises(ValueError, match="different top-1"):
+        read_drift_cat_metrics(spark, ref, table, "src", top_k=1)
+    # reserved sentinel cannot be pinned
+    with _pytest.raises(ValueError, match="implicit tail"):
+        foreach_batch_drift_cat(table, "src", buckets=["__other__"])
+    # a never-written table reads as zero current counts
+    empty = read_drift_cat_metrics(
+        spark, ref, str(tmp_path / "nope"), "src", top_k=2
+    )
+    assert all(r.cur_n == 0 for r in empty.collect())
+
+
 def test_drift_reader_rejects_mismatched_config(spark, tmp_path):
     """Review r14 (the HLL reader's discipline): a reader whose bins
     or reference range disagree with the table's stored pin must

@@ -936,6 +936,19 @@ def categorical_drift(
             F.coalesce("_cn", F.lit(0)).alias("cur_n"),
         )
     )
+    return categorical_metrics_from_counts(j, ndigits)
+
+
+def categorical_metrics_from_counts(
+    j: DataFrame, ndigits: int = 6
+) -> DataFrame:
+    """:func:`categorical_drift`'s PSI arithmetic over an already-
+    joined ``(category, ref_n, cur_n)`` relation (one row per bucket
+    incl. the zero-filled '__other__' row) — the count-preserving
+    entry point the streaming categorical sink reads through,
+    guaranteed to emit the SAME rows the batch operator would for the
+    same counts (the numeric family's ``*_metrics_from_counts``
+    contract)."""
     # bucket count B is data-dependent (min(top_k, |ref categories|)+1),
     # so the smoothing denominator reads it from the same 1-row
     # aggregate as the totals — no collect

@@ -25,6 +25,7 @@ storage-native MERGE, not a rewrite.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import re
 import shutil
@@ -626,6 +627,124 @@ def foreach_batch_drift_by(
         fold(binned, batch_id)
 
     return _apply
+
+
+def foreach_batch_drift_cat(path: str, col: str, buckets: list):
+    """Categorical twin of :func:`foreach_batch_drift` — the streamed
+    side of ``validation.categorical_drift``: each micro-batch maps
+    its values onto the PINNED bucket frame (``buckets``: the prior
+    release's top-k category values — the stream cannot re-derive the
+    reference's top-k per batch; everything else folds into
+    ``'__other__'``, including NULL-excluded rows' absence) and
+    accumulates per-bucket counts in the additive rollup. The pinned
+    frame is STORED per row as an order-insensitive md5 signature
+    (store-and-assert) so :func:`read_drift_cat_metrics` fails loudly
+    when the reader's reference would derive a DIFFERENT frame."""
+    from unimib_simpss_spark.operators.validation import OTHER_BUCKET
+
+    vals = [str(b) for b in buckets]
+    if not vals:
+        raise ValueError("foreach_batch_drift_cat needs pinned buckets")
+    if OTHER_BUCKET in vals:
+        raise ValueError(
+            f"{OTHER_BUCKET!r} is the implicit tail bucket — do not pin it"
+        )
+    sig = hashlib.md5("\x1f".join(sorted(vals)).encode()).hexdigest()
+    fold = foreach_batch_additive(path, ("pin", "bucket"), {})
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        c = F.col(col).cast("string")
+        binned = batch.where(c.isNotNull()).select(
+            F.lit(sig).alias("pin"),
+            F.when(c.isin(vals), c).otherwise(F.lit(OTHER_BUCKET)).alias(
+                "bucket"
+            ),
+        )
+        fold(binned, batch_id)
+
+    return _apply
+
+
+def read_drift_cat_metrics(
+    spark: SparkSession,
+    ref: DataFrame,
+    path: str,
+    col: str,
+    top_k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Categorical PSI of the streamed distribution against the
+    reference snapshot — the same ``(metric, category, ref_n, cur_n,
+    value)`` rows ``categorical_drift`` would emit for the same data.
+    Loud-failure contract: the top-k frame this reader derives from
+    ``ref`` (same count-desc value-asc rule) must hash-match the
+    sink's stored pin; a drifted reference or different ``top_k``
+    raises instead of mis-bucketing."""
+    from unimib_simpss_spark.operators.validation import (
+        OTHER_BUCKET,
+        categorical_metrics_from_counts,
+    )
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    c = F.col(col).cast("string")
+    refd = ref.where(c.isNotNull()).select(c.alias("_c"))
+    refc = refd.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+    top_vals = [
+        r["_c"]
+        for r in refc.orderBy(F.desc("_n"), F.asc("_c"))
+        .limit(top_k)
+        .select("_c")
+        .collect()
+    ]
+    if not top_vals:
+        raise ValueError(
+            f"read_drift_cat_metrics: reference has no non-NULL values "
+            f"of {col!r} — no category frame to compare against"
+        )
+    sig = hashlib.md5("\x1f".join(sorted(top_vals)).encode()).hexdigest()
+    cur, _ = _current_generation(path)
+    stored = (
+        spark.read.parquet(cur)
+        if cur is not None
+        else spark.createDataFrame([], "pin string, bucket string, n_rows long")
+    )
+    pins = [r["pin"] for r in stored.select("pin").distinct().collect()]
+    if len(pins) > 1:
+        raise ValueError(
+            f"drift table at {path} holds {len(pins)} bucket frames — it "
+            "must be written by ONE foreach_batch_drift_cat sink"
+        )
+    if pins and pins[0] != sig:
+        raise ValueError(
+            f"drift table at {path} was pinned to a different top-{top_k} "
+            "category frame than this reference derives — re-pin the sink "
+            "or pass the matching reference snapshot"
+        )
+    bucket = F.when(F.col("_c").isin(top_vals), F.col("_c")).otherwise(
+        F.lit(OTHER_BUCKET)
+    )
+    rb = (
+        refd.select(bucket.alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("_rn"))
+    )
+    cb = stored.select(
+        F.col("bucket").alias("category"), F.col("n_rows").alias("_cn")
+    )
+    buckets = spark.createDataFrame(
+        [(v,) for v in top_vals] + [(OTHER_BUCKET,)], "category string"
+    )
+    j = (
+        buckets.join(rb, "category", "left")
+        .join(cb, "category", "left")
+        .select(
+            "category",
+            F.coalesce("_rn", F.lit(0)).alias("ref_n"),
+            F.coalesce("_cn", F.lit(0)).alias("cur_n"),
+        )
+    )
+    return categorical_metrics_from_counts(j, ndigits)
 
 
 def read_drift_metrics_by(
