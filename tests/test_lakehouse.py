@@ -619,7 +619,7 @@ class TestScd2:
         assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
 
 
-def test_x78_entry_proves_exchange_elimination(spark):
+def test_x78_entry_proves_exchange_elimination(spark, sf_dir):
     """The driver-visible bucketed-join entry must report 0 hash
     exchanges for the bucketed variant, 2 for raw parquet, and
     identical row counts/checksums (layout changes cost, never
@@ -629,7 +629,7 @@ def test_x78_entry_proves_exchange_elimination(spark):
     rows = {
         r.variant: (r.exchanges, r.n_rows, r.custkey_sum)
         for r in registry.queries()["x78_bucketed_join"](
-            spark, "/root/testdata/sf0.001"
+            spark, sf_dir
         ).collect()
     }
     assert rows["bucketed"][0] == 0 and rows["raw"][0] == 2

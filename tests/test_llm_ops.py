@@ -2697,6 +2697,20 @@ class TestInt8Quantization:
         )
         assert col_rows == arrow_rows and col_rows
 
+    def test_pandas_twins_return_empty_on_empty_query_side(self, spark, emb):
+        """Review r15 pass 2: a query_pred matching zero rows crashed
+        the Arrow twins with a numpy AxisError on the driver while the
+        Column twins returned empty relations."""
+        from unimib_simpss_spark.operators import similarity as S
+
+        pred = F.col("vec_id") < 0
+        assert S.cosine_topk_pandas(emb, k=3, query_pred=pred).count() == 0
+        qz = S.quantize_vectors(emb.where(S.defined_vector_pred()))
+        assert (
+            S.cosine_topk_quantized_pandas(qz, k=3, query_pred=pred).count()
+            == 0
+        )
+
     def test_sq8_requires_quantized_input(self, spark, emb):
         import pytest as _pytest
 
@@ -2859,3 +2873,36 @@ class TestContainmentPairs:
         )
         with pytest.raises(ValueError, match="max_shingle_df"):
             D.containment_pairs(docs, max_shingle_df=0)
+
+    def test_outer_pred_resolves_caller_columns_with_shared_hsd(self, spark):
+        """Review r15 pass 2: outer_pred over a caller column (not in
+        the shingle relation's schema) must work even when the shingle
+        relation is pre-materialized and passed via _hsd — the pred is
+        evaluated against DOCS, only ids reach the index."""
+        from unimib_simpss_spark.operators import dedup as D
+        from unimib_simpss_spark.operators.caching import (
+            cache_intermediate,
+            release_intermediate,
+        )
+
+        quoted = "purple elephants dance quietly under seventeen moons"
+        docs = spark.createDataFrame(
+            [
+                (1, quoted, "web"),
+                (2, quoted + " with a long extra tail of words here", "pdf"),
+                (3, quoted + " and another different long tail here", "web"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        hsd = cache_intermediate(D._combo_shingle_docs(docs, "text", "doc_id"))
+        got = {
+            (r.inner_doc, r.outer_doc)
+            for r in D.containment_pairs(
+                docs,
+                threshold=0.9,
+                outer_pred=F.col("source") == "pdf",
+                _hsd=hsd,
+            ).collect()
+        }
+        release_intermediate(hsd)
+        assert got == {(1, 2)}  # doc 3 is a web outer: excluded

@@ -442,7 +442,7 @@ class TestPinnedRangeDrift:
         dup_counts = spark.createDataFrame(
             [(0, 1), (0, 2)], "bin long, n long"
         )
-        with pytest.raises(ValueError, match="duplicate bin"):
+        with pytest.raises(ValueError, match="one row per bin"):
             distribution_drift(
                 None, cur, "x", ref_stats=ok_stats, ref_counts=dup_counts
             )
@@ -461,11 +461,34 @@ class TestPinnedRangeDrift:
         dup_gcounts = spark.createDataFrame(
             [("a", 0, 1), ("a", 0, 2)], "g string, bin long, n long"
         )
-        with pytest.raises(ValueError, match="duplicate \\(group, bin\\)"):
+        with pytest.raises(ValueError, match="\\(group, bin\\)"):
             distribution_drift_by(
                 None, curg, "x", "g",
                 ref_stats=ok_gstats, ref_counts=dup_gcounts,
             )
+        # review r15 pass 2: counts persisted under a DIFFERENT bins
+        # config would silently vanish in the allbins join
+        oob_counts = spark.createDataFrame(
+            [(0, 1), (9, 2)], "bin long, n long"
+        )
+        with pytest.raises(ValueError, match="out-of-range"):
+            distribution_drift(
+                None, cur, "x", bins=6,
+                ref_stats=ok_stats, ref_counts=oob_counts,
+            )
+        # review r15 pass 2: a NULL group pin must be dropped like the
+        # computed path drops NULL groups — no spurious NULL-group rows
+        null_gstats = spark.createDataFrame(
+            [("a", 0.0, 5.0), (None, 0.0, 5.0)],
+            "g string, lo double, hi double",
+        )
+        groups = {
+            r.g
+            for r in distribution_drift_by(
+                curg, curg, "x", "g", bins=2, ref_stats=null_gstats
+            ).select("g").distinct().collect()
+        }
+        assert groups == {"a"}
 
     def test_empty_or_all_null_reference_raises(self, spark):
         """ADVICE r14: an undefined reference range must fail loudly,

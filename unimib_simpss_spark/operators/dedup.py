@@ -323,15 +323,25 @@ def _containment_candidates(
     hsd: DataFrame,
     threshold: float,
     max_shingle_df: int | None,
-    outer_pred: Column | None,
+    outer_ids: DataFrame | None,
 ) -> DataFrame:
     """Raw ``(inner_doc, outer_doc)`` candidate stream (pre-distinct,
     self-pairs included) for :func:`containment_pairs` — separated so
     the candidate-cardinality bound the ``max_shingle_df`` ceiling
     buys is directly testable (the hot-shingle pytest counts these
-    rows with and without the ceiling)."""
+    rows with and without the ceiling). ``outer_ids`` (a 1-column
+    ``doc_id`` relation) restricts which docs are indexable as
+    outers — ids, not a predicate, because the shingle relation only
+    carries (doc_id, sz, hs): a predicate over caller columns must be
+    evaluated against the DOCS relation (review r15 pass 2 — a
+    materialized/table-checkpointed hsd has no lineage for Spark's
+    missing-reference resolution to recover the source column)."""
     p = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1
-    outer_hsd = hsd.where(outer_pred) if outer_pred is not None else hsd
+    outer_hsd = (
+        hsd.join(outer_ids, "doc_id", "left_semi")
+        if outer_ids is not None
+        else hsd
+    )
     posts = outer_hsd.select(
         F.col("doc_id").alias("outer_doc"), F.explode("hs").alias("hsh")
     )
@@ -455,8 +465,17 @@ def containment_pairs(
         if owns
         else _hsd
     )
+    # evaluate outer_pred against DOCS (where the caller's columns
+    # live) and carry only the surviving ids into the index — the
+    # shingle relation may be materialized (table mode / shared _hsd)
+    # with no lineage back to the caller's schema
+    outer_ids = (
+        docs.where(outer_pred).select(F.col(id_col).alias("doc_id"))
+        if outer_pred is not None
+        else None
+    )
     cand = (
-        _containment_candidates(hsd, threshold, max_shingle_df, outer_pred)
+        _containment_candidates(hsd, threshold, max_shingle_df, outer_ids)
         .where(F.col("inner_doc") != F.col("outer_doc"))
         .select("inner_doc", "outer_doc")
         .distinct()

@@ -352,11 +352,17 @@ def cosine_topk_pandas(
     import numpy as np
     import pandas as pd
 
+    out_cols = "query_id long, neighbor_id long, cosine double, rank long"
     qrows = _bounded_query_collect(
         emb.where(query_pred if query_pred is not None else F.lit(True))
         .select(id_col, vec_col),
         max_query_rows,
     )
+    if not qrows:
+        # empty query side: np.array([]) is 1-D and every axis-1
+        # reduction below would raise on the driver — the Column twin
+        # returns an empty relation, so must this one
+        return emb.sparkSession.createDataFrame([], out_cols)
     q_ids = np.array([r[0] for r in qrows])
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -2274,11 +2280,16 @@ def cosine_topk_quantized_pandas(
     import numpy as np
     import pandas as pd
 
+    out_cols = "query_id long, neighbor_id long, cosine double, rank long"
     qrows = _bounded_query_collect(
         qdf.where(query_pred if query_pred is not None else F.lit(True))
         .select(id_col, "qvec"),
         max_query_rows,
     )
+    if not qrows:
+        # empty query side diverged from the Column twin (axis-1
+        # reductions on a 0-d array raise) — review r15 pass 2
+        return qdf.sparkSession.createDataFrame([], out_cols)
     q_ids = np.array([r[0] for r in qrows])
     q_mat = np.array([r[1] for r in qrows], dtype=np.int64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))

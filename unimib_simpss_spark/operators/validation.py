@@ -359,16 +359,27 @@ def distribution_drift(
         st = refd.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
     st = _guarded_stats(st, col)
     if ref_counts is not None:
+        # one eager pass rejects BOTH duplicate bins (the join would
+        # double-count) and out-of-range bins (counts persisted under
+        # a different bins config would silently VANISH in the
+        # allbins join, truncating the reference histogram — review
+        # r15 pass 2)
         if (
             ref_counts.groupBy("bin")
             .count()
-            .where(F.col("count") > 1)
+            .where(
+                (F.col("count") > 1)
+                | (F.col("bin") < 0)
+                | (F.col("bin") >= bins)
+            )
             .limit(1)
             .count()
         ):
             raise ValueError(
-                "ref_counts holds duplicate bin rows — the left join "
-                "would double-count; aggregate to one row per bin first"
+                f"ref_counts must hold exactly one row per bin in "
+                f"[0, {bins}) — duplicate or out-of-range bins found "
+                "(were the counts persisted under a different bins "
+                "config?)"
             )
         rc = ref_counts.select(
             F.col("bin").cast("long").alias("bin"),
@@ -624,7 +635,11 @@ def distribution_drift_by(
                 "ref_stats holds duplicate group rows — one (lo, hi) "
                 "per group required"
             )
-        st = ref_stats.select(
+        # NULL-group pins are dropped to mirror the computed path's
+        # pick() filter — otherwise allbins would emit spurious
+        # all-zero rows for group NULL that the computed mode can
+        # never produce (review r15 pass 2)
+        st = ref_stats.where(F.col(group_col).isNotNull()).select(
             F.col(group_col).alias("_g"),
             F.col("lo").cast("double").alias("_lo"),
             F.col("hi").cast("double").alias("_hi"),
@@ -649,13 +664,18 @@ def distribution_drift_by(
         if (
             ref_counts.groupBy(group_col, "bin")
             .count()
-            .where(F.col("count") > 1)
+            .where(
+                (F.col("count") > 1)
+                | (F.col("bin") < 0)
+                | (F.col("bin") >= bins)
+            )
             .limit(1)
             .count()
         ):
             raise ValueError(
-                "ref_counts holds duplicate (group, bin) rows — the "
-                "left join would double-count; aggregate first"
+                f"ref_counts must hold exactly one row per (group, "
+                f"bin) with bin in [0, {bins}) — duplicate or "
+                "out-of-range rows found (different bins config?)"
             )
         rc = ref_counts.select(
             F.col(group_col).alias("_g"),
@@ -885,12 +905,42 @@ def categorical_drift(
     scans where this does 3, measured 3.9 s → ~1 s at sf0.1). All
     remaining arithmetic runs on a ≤(top_k+1)-row relation. DuckDB
     twin: :func:`categorical_drift_sql`."""
-    if top_k < 1:
-        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    top_vals = top_categories(ref, col, top_k)
     c = F.col(col).cast("string")
     refd = ref.where(c.isNotNull()).select(c.alias("_c"))
     curd = cur.where(c.isNotNull()).select(c.alias("_c"))
-    refc = refd.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+    bucketize = lambda d: (  # noqa: E731
+        d.select(bucket_expr(F.col("_c"), top_vals).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = categorical_counts_frame(
+        ref.sparkSession,
+        top_vals,
+        bucketize(refd),
+        bucketize(curd),
+    )
+    return categorical_metrics_from_counts(j, ndigits)
+
+
+def top_categories(ref: DataFrame, col: str, top_k: int) -> list:
+    """The reference's top-``top_k`` category VALUES by (count desc,
+    value asc), string space, NULLs excluded — the bucket-frame rule
+    shared by :func:`categorical_drift` and the streaming reader
+    (``read_drift_cat_metrics``), living ONCE so the two can never
+    derive different frames for the same reference. A gated collect
+    bounded by ``top_k``. Raises on an empty/all-NULL reference (no
+    frame to drift from) and on data using the reserved
+    ``'__other__'`` sentinel as a top category."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    c = F.col(col).cast("string")
+    refc = (
+        ref.where(c.isNotNull())
+        .select(c.alias("_c"))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     top_vals = [
         r["_c"]
         for r in refc.orderBy(F.desc("_n"), F.asc("_c"))
@@ -903,40 +953,43 @@ def categorical_drift(
         # or all-NULL reference has no category frame to drift FROM —
         # a silent "psi = 0.0 vs nothing" verdict is the hazard
         raise ValueError(
-            f"categorical_drift: reference has no non-NULL values of "
+            f"categorical drift: reference has no non-NULL values of "
             f"{col!r} — no category frame to compare against"
         )
     if OTHER_BUCKET in top_vals:
         raise ValueError(
-            f"categorical_drift reserves the bucket name {OTHER_BUCKET!r} "
+            f"categorical drift reserves the bucket name {OTHER_BUCKET!r} "
             f"and the reference data uses it as a top-{top_k} category — "
             "rename that category upstream"
         )
-    bucket = F.when(F.col("_c").isin(top_vals), F.col("_c")).otherwise(
-        F.lit(OTHER_BUCKET)
-    )
-    bucketize = lambda d: (  # noqa: E731
-        d.select(bucket.alias("category"))
-        .groupBy("category")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    buckets = ref.sparkSession.createDataFrame(
+    return top_vals
+
+
+def bucket_expr(c: Column, top_vals: list) -> Column:
+    """Map a string category column onto the pinned frame: its own
+    value when in ``top_vals``, else the ``'__other__'`` bucket."""
+    return F.when(c.isin(top_vals), c).otherwise(F.lit(OTHER_BUCKET))
+
+
+def categorical_counts_frame(
+    spark, top_vals: list, rc: DataFrame, cc: DataFrame
+) -> DataFrame:
+    """Zero-filled ``(category, ref_n, cur_n)`` over the full bucket
+    frame (``top_vals`` + '__other__') from two ``(category, n)``
+    count relations — the join both the batch operator and the
+    streaming reader feed into :func:`categorical_metrics_from_counts`."""
+    buckets = spark.createDataFrame(
         [(v,) for v in top_vals] + [(OTHER_BUCKET,)], "category string"
     )
-    j = (
-        buckets.join(
-            bucketize(refd).withColumnRenamed("n", "_rn"), "category", "left"
-        )
-        .join(
-            bucketize(curd).withColumnRenamed("n", "_cn"), "category", "left"
-        )
+    return (
+        buckets.join(rc.withColumnRenamed("n", "_rn"), "category", "left")
+        .join(cc.withColumnRenamed("n", "_cn"), "category", "left")
         .select(
             "category",
             F.coalesce("_rn", F.lit(0)).alias("ref_n"),
             F.coalesce("_cn", F.lit(0)).alias("cur_n"),
         )
     )
-    return categorical_metrics_from_counts(j, ndigits)
 
 
 def categorical_metrics_from_counts(

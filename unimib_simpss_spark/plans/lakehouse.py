@@ -97,12 +97,17 @@ def x78_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             import re
 
-            # execute FIRST: under AQE the pre-execution string is the
-            # initial AdaptiveSparkPlan (isFinalPlan=false) — the
-            # documented claim is about the plan that actually ran
-            row = j.first()
+            # collect() (NOT first(): that runs a separate limit-1
+            # plan and leaves THIS queryExecution un-executed) so the
+            # string below is the final adaptive plan that actually
+            # ran — review r15 pass 2 repro'd isFinalPlan=false after
+            # a first(). An executed AdaptiveSparkPlan prints BOTH
+            # "== Final Plan ==" and "== Initial Plan ==" sections;
+            # count exchanges only in the plan that ran.
+            row = j.collect()[0]
             phys = j._jdf.queryExecution().executedPlan().toString()
-            n_ex = len(re.findall(r"\bExchange hashpartitioning", phys))
+            final = phys.split("== Initial Plan ==")[0]
+            n_ex = len(re.findall(r"\bExchange hashpartitioning", final))
             return n_ex, int(row["n"]), int(row["ck"])
 
         rows = []

@@ -640,7 +640,10 @@ def foreach_batch_drift_cat(path: str, col: str, buckets: list):
     frame is STORED per row as an order-insensitive md5 signature
     (store-and-assert) so :func:`read_drift_cat_metrics` fails loudly
     when the reader's reference would derive a DIFFERENT frame."""
-    from unimib_simpss_spark.operators.validation import OTHER_BUCKET
+    from unimib_simpss_spark.operators.validation import (
+        OTHER_BUCKET,
+        bucket_expr,
+    )
 
     vals = [str(b) for b in buckets]
     if not vals:
@@ -656,9 +659,7 @@ def foreach_batch_drift_cat(path: str, col: str, buckets: list):
         c = F.col(col).cast("string")
         binned = batch.where(c.isNotNull()).select(
             F.lit(sig).alias("pin"),
-            F.when(c.isin(vals), c).otherwise(F.lit(OTHER_BUCKET)).alias(
-                "bucket"
-            ),
+            bucket_expr(c, vals).alias("bucket"),
         )
         fold(binned, batch_id)
 
@@ -681,27 +682,13 @@ def read_drift_cat_metrics(
     sink's stored pin; a drifted reference or different ``top_k``
     raises instead of mis-bucketing."""
     from unimib_simpss_spark.operators.validation import (
-        OTHER_BUCKET,
+        bucket_expr,
+        categorical_counts_frame,
         categorical_metrics_from_counts,
+        top_categories,
     )
 
-    if top_k < 1:
-        raise ValueError(f"top_k must be >= 1, got {top_k}")
-    c = F.col(col).cast("string")
-    refd = ref.where(c.isNotNull()).select(c.alias("_c"))
-    refc = refd.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
-    top_vals = [
-        r["_c"]
-        for r in refc.orderBy(F.desc("_n"), F.asc("_c"))
-        .limit(top_k)
-        .select("_c")
-        .collect()
-    ]
-    if not top_vals:
-        raise ValueError(
-            f"read_drift_cat_metrics: reference has no non-NULL values "
-            f"of {col!r} — no category frame to compare against"
-        )
+    top_vals = top_categories(ref, col, top_k)
     sig = hashlib.md5("\x1f".join(sorted(top_vals)).encode()).hexdigest()
     cur, _ = _current_generation(path)
     stored = (
@@ -721,29 +708,17 @@ def read_drift_cat_metrics(
             "category frame than this reference derives — re-pin the sink "
             "or pass the matching reference snapshot"
         )
-    bucket = F.when(F.col("_c").isin(top_vals), F.col("_c")).otherwise(
-        F.lit(OTHER_BUCKET)
-    )
+    c = F.col(col).cast("string")
     rb = (
-        refd.select(bucket.alias("category"))
+        ref.where(c.isNotNull())
+        .select(bucket_expr(c, top_vals).alias("category"))
         .groupBy("category")
-        .agg(F.count(F.lit(1)).alias("_rn"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     cb = stored.select(
-        F.col("bucket").alias("category"), F.col("n_rows").alias("_cn")
+        F.col("bucket").alias("category"), F.col("n_rows").alias("n")
     )
-    buckets = spark.createDataFrame(
-        [(v,) for v in top_vals] + [(OTHER_BUCKET,)], "category string"
-    )
-    j = (
-        buckets.join(rb, "category", "left")
-        .join(cb, "category", "left")
-        .select(
-            "category",
-            F.coalesce("_rn", F.lit(0)).alias("ref_n"),
-            F.coalesce("_cn", F.lit(0)).alias("cur_n"),
-        )
-    )
+    j = categorical_counts_frame(spark, top_vals, rb, cb)
     return categorical_metrics_from_counts(j, ndigits)
 
 
