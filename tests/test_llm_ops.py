@@ -2587,6 +2587,74 @@ class TestRound13ReviewFixes:
             S.hard_negatives_auto(emb, max_anchor_rows=None)
 
 
+class TestPrefixRerankTopk:
+    def test_full_shortlist_equals_exact_bruteforce(self, spark, emb):
+        """With the shortlist spanning the whole corpus, stage 2 IS
+        the exact brute force — output must match cosine_topk
+        row-for-row."""
+        from unimib_simpss_spark.operators import similarity as S
+
+        n = emb.count()
+        pred = F.col("vec_id") < 6
+        got = sorted(
+            map(
+                tuple,
+                S.prefix_rerank_topk(
+                    emb, k=4, probe_dims=8, shortlist=n, query_pred=pred
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, S.cosine_topk(emb, k=4, query_pred=pred).collect())
+        )
+        assert got == want and got
+
+    def test_recall_rises_with_shortlist_and_dims(self, spark, emb):
+        """The shortlist and prefix width are the recall knobs: deeper
+        stage-1 lists and wider prefixes can only help. The synthetic
+        fixture's embeddings are NOT MRL-trained (no information
+        concentration in the leading dims), so absolute recall is
+        modest by construction — the test pins the monotonicity that
+        makes the knobs meaningful, and a floor calibrated to the
+        fixture."""
+        from unimib_simpss_spark.operators import similarity as S
+
+        pred = F.col("vec_id") < 10
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.cosine_topk(emb, k=3, query_pred=pred).collect()
+        }
+
+        def recall(probe_dims, shortlist):
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in S.prefix_rerank_topk(
+                    emb, k=3, probe_dims=probe_dims, shortlist=shortlist,
+                    query_pred=pred,
+                ).collect()
+            }
+            return len(got & exact) / len(exact)
+
+        shallow = recall(16, 8)
+        deep = recall(16, 64)
+        wide = recall(32, 64)
+        assert deep >= shallow, (shallow, deep)
+        assert wide >= deep - 1e-9, (deep, wide)
+        assert wide >= 0.5, (shallow, deep, wide)
+
+    def test_parameter_validation(self, spark, emb):
+        import pytest as _pytest
+
+        from unimib_simpss_spark.operators import similarity as S
+
+        with _pytest.raises(ValueError, match="probe_dims"):
+            S.prefix_rerank_topk(emb, probe_dims=0)
+        with _pytest.raises(ValueError, match="shortlist"):
+            S.prefix_rerank_topk(emb, k=5, shortlist=3)
+        with _pytest.raises(ValueError, match="shortlist"):
+            S.prefix_rerank_topk_sql(k=5, shortlist=3)
+
+
 class TestInt8Quantization:
     def test_roundtrip_error_bounded_by_half_scale(self, spark, emb):
         """Per-element reconstruction error must be <= scale/2 (the

@@ -108,6 +108,8 @@ class TestDetectors:
 _ALLOW: dict[str, set] = {
     "q30_corpus_mix": {"bnl-join"},        # 1-row totals for alpha/divergence
     "q36_cosine_topk": {"bnl-join"},       # size-gated query-side broadcast
+    "q37_ivf_topk": {"bnl-join"},          # mrl stage-1: size-gated 8-query
+                                           # broadcast × prefix-width corpus
     "q48_binned_range_join": {"bnl-join"}, # the BNL leg IS the theta baseline
     "q49_salted_join": {"bnl-join"},       # 1-row n_rows cross in the profile
     "q55_gapfill_rollup": {"bnl-join"},    # per-key bounds grid cross

@@ -96,10 +96,62 @@ def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hof.unionAll(arrow).unionAll(quant).unionAll(sq8)
 
 
-@query("q37_ivf_topk", oracle=S.ivf_topk_sql(k=3))
+def _q37_oracle() -> str:
+    ivf = S.ivf_topk_sql(k=3)
+    mrl = S.prefix_rerank_topk_sql(
+        k=3, probe_dims=16, shortlist=32, query_pred_sql=_QUERY_PRED_SQL
+    )
+    return f"""
+    SELECT 'ivf' AS method, query_id, CAST(cell AS VARCHAR) AS cell,
+           neighbor_id, cosine,
+           CAST(NULL AS BIGINT) AS rank
+    FROM ({ivf})
+    UNION ALL
+    SELECT 'mrl' AS method, query_id, CAST(NULL AS VARCHAR) AS cell,
+           neighbor_id, cosine, rank
+    FROM ({mrl})
+    """
+
+
+@query("q37_ivf_topk", oracle=_q37_oracle())
 def q37_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: top-3 neighbors within each vector's coarse cell."""
-    return S.ivf_topk(_emb(spark, sf_dir), k=3)
+    """The ANN scale paths, tagged by method:
+
+    - 'ivf': top-3 neighbors within each vector's coarse cell (the
+      cluster-structured path — cell equi-join replaces the cross
+      join).
+    - 'mrl': two-stage prefix-dims rerank for 8 query vectors
+      (operators/similarity.py prefix_rerank_topk — the
+      Matryoshka-style coarse-to-fine path when NO cluster structure
+      exists: stage 1 scans the corpus at 16 of 64 dims and keeps a
+      32-deep shortlist, stage 2 exact-reranks only the shortlist
+      rows at full width). Deterministic by construction (both
+      stages order by rounded-cosine desc, id asc), so the whole
+      two-stage pipeline is oracle-paired, not just recall-tested.
+    """
+    emb = _emb(spark, sf_dir)
+    ivf = S.ivf_topk(emb, k=3).select(
+        F.lit("ivf").alias("method"),
+        "query_id",
+        # string cell on both legs AND both oracle legs: the mrl
+        # section has no cell, and a union must hold one type
+        F.col("cell").cast("string").alias("cell"),
+        "neighbor_id",
+        "cosine",
+        F.lit(None).cast("long").alias("rank"),
+    )
+    mrl = S.prefix_rerank_topk(
+        emb, k=3, probe_dims=16, shortlist=32,
+        query_pred=F.col("vec_id") < 8,
+    ).select(
+        F.lit("mrl").alias("method"),
+        "query_id",
+        F.lit(None).cast("string").alias("cell"),
+        "neighbor_id",
+        "cosine",
+        "rank",
+    )
+    return ivf.unionAll(mrl)
 
 
 def _cosine_pairs_semdedup_oracle() -> str:
