@@ -2104,8 +2104,11 @@ def prefix_rerank_topk(
         F.col("_pv").alias("_cpv"),
         F.col("_pn").alias("_cpn"),
     )
+    # count off the SAME projected frame stage 1 filters, so a pred
+    # referencing derived columns resolves identically in the gate
+    # and the scan (the _gated_query_side discipline)
     q1 = _size_gated_side(
-        emb.where(pred).select(F.col(id_col)), q1, max_query_rows
+        base.where(pred).select("_id"), q1, max_query_rows
     )
     s1 = (
         q1.crossJoin(c1)
