@@ -2242,7 +2242,7 @@ def test_drift_by_reader_rejects_mismatched_pins(spark, tmp_path):
     )
     assert (
         read_drift_metrics_by(spark, ref, table, "x", "src", bins=4).count()
-        == 6  # 4 bins + psi + ks for the one group
+        == 7  # 4 bins + psi + ks + jsd for the one group
     )
     with _pytest.raises(ValueError, match="bins=4"):
         read_drift_metrics_by(spark, ref, table, "x", "src", bins=8)
@@ -2345,7 +2345,7 @@ def test_drift_cat_reader_rejects_mismatched_frame(spark, tmp_path):
     foreach_batch_drift_cat(table, "src", buckets=["a", "b"])(batch, 0)
     assert (
         read_drift_cat_metrics(spark, ref, table, "src", top_k=2).count()
-        == 4  # a, b, __other__, psi
+        == 5  # a, b, __other__, psi, jsd
     )
     # a different top_k derives a different frame -> pin mismatch
     with _pytest.raises(ValueError, match="different top-1"):
@@ -2376,7 +2376,7 @@ def test_drift_reader_rejects_mismatched_config(spark, tmp_path):
     batch = spark.createDataFrame([(1.0,), (2.0,), (30.0,)], "x double")
     foreach_batch_drift(table, "x", lo=0.0, hi=49.0, bins=5)(batch, 0)
     # matching read works
-    assert read_drift_metrics(spark, ref, table, "x", bins=5).count() == 7
+    assert read_drift_metrics(spark, ref, table, "x", bins=5).count() == 8
     with _pytest.raises(ValueError, match="bins=5"):
         read_drift_metrics(spark, ref, table, "x", bins=10)
     shifted = spark.createDataFrame(

@@ -185,6 +185,13 @@ class TestDistributionDrift:
         psi = round(2 * (rp - cp) * math.log(rp / cp), 6)
         assert got[("psi", None)] == (10, 10, psi)
         assert got[("ks", None)] == (10, 10, 0.6)
+        # JSD over the smoothed frequencies: m = (rp+cp)/2 = 0.5 in
+        # both bins by symmetry
+        jsd = round(
+            rp * math.log(rp / 0.5) + cp * math.log(cp / 0.5), 6
+        )
+        assert got[("jsd", None)] == (10, 10, jsd)
+        assert 0.0 < jsd < math.log(2) + 1e-12  # the ln(2) bound
         assert got[("bin", 0)] == (8, 2, None)
         assert got[("bin", 1)] == (2, 8, None)
 
@@ -193,6 +200,7 @@ class TestDistributionDrift:
         got = self._drift(spark, vals, vals, bins=5)
         assert got[("psi", None)][2] == 0.0
         assert got[("ks", None)][2] == 0.0
+        assert got[("jsd", None)][2] == 0.0
 
     def test_nulls_excluded_and_outliers_clamp(self, spark):
         """NULL values drop; current values outside the reference

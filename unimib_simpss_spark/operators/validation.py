@@ -469,6 +469,7 @@ def drift_metrics_from_counts(
         ((F.col("_cp") - F.col("_rp")) * F.log(F.col("_cp") / F.col("_rp"))).alias(
             "_psi_term"
         ),
+        _jsd_term(F.col("_rp"), F.col("_cp")).alias("_jsd_term"),
         F.abs(
             F.sum("_rp0").over(w) - F.sum("_cp0").over(w)
         ).alias("_cdf_gap"),
@@ -478,6 +479,7 @@ def drift_metrics_from_counts(
         F.max("_tc").alias("cur_n"),
         F.round(F.sum("_psi_term"), ndigits).alias("psi"),
         F.round(F.max("_cdf_gap"), ndigits).alias("ks"),
+        F.round(F.sum("_jsd_term"), ndigits).alias("jsd"),
     )
     bins_leg = scored.select(
         F.lit("bin").alias("metric"),
@@ -493,6 +495,9 @@ def drift_metrics_from_counts(
                     F.lit("psi").alias("metric"), F.col("psi").alias("value")
                 ),
                 F.struct(F.lit("ks").alias("metric"), F.col("ks").alias("value")),
+                F.struct(
+                    F.lit("jsd").alias("metric"), F.col("jsd").alias("value")
+                ),
             )
         ).alias("_e"),
         "ref_n",
@@ -505,6 +510,17 @@ def drift_metrics_from_counts(
         F.col("_e.value").alias("value"),
     )
     return bins_leg.unionAll(sum_leg)
+
+
+def _jsd_term(rp: Column, cp: Column) -> Column:
+    """Per-bucket Jensen-Shannon divergence term over the SMOOTHED
+    frequencies (0.5·[p·ln(p/m) + q·ln(q/m)], m = (p+q)/2) — the
+    symmetric, ln(2)-bounded companion to PSI (which is unbounded and
+    blows up on near-empty buckets). Smoothing keeps every log finite;
+    the expression shape is mirrored verbatim by the SQL twins (an
+    algebraically-equal rewrite would not be IEEE-identical)."""
+    m = (rp + cp) / F.lit(2.0)
+    return F.lit(0.5) * (rp * F.log(rp / m) + cp * F.log(cp / m))
 
 
 def drift_sql(
@@ -546,15 +562,20 @@ def drift_sql(
         FROM b LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
     ),
     t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j),
+    sp AS (
+        SELECT bin, ref_n, cur_n, tr, tc,
+               (ref_n + 0.5) / (tr + {0.5 * bins}) AS rp,
+               (cur_n + 0.5) / (tc + {0.5 * bins}) AS cp
+        FROM j, t
+    ),
     s AS (
         SELECT bin, ref_n, cur_n, tr, tc,
-               ((cur_n + 0.5) / (tc + {0.5 * bins})
-                - (ref_n + 0.5) / (tr + {0.5 * bins}))
-               * ln(((cur_n + 0.5) / (tc + {0.5 * bins}))
-                    / ((ref_n + 0.5) / (tr + {0.5 * bins}))) AS psi_term,
+               (cp - rp) * ln(cp / rp) AS psi_term,
+               0.5 * (rp * ln(rp / ((rp + cp) / 2))
+                      + cp * ln(cp / ((rp + cp) / 2))) AS jsd_term,
                abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
                    - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
-        FROM j, t
+        FROM sp
         WINDOW cdf AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
     )
     SELECT 'bin' AS metric, bin, ref_n, cur_n, CAST(NULL AS DOUBLE) AS value
@@ -563,8 +584,10 @@ def drift_sql(
     SELECT m.metric, CAST(NULL AS BIGINT) AS bin,
            max(tr) AS ref_n, max(tc) AS cur_n,
            CASE m.metric WHEN 'psi' THEN round(sum(psi_term), {ndigits})
+                         WHEN 'jsd' THEN round(sum(jsd_term), {ndigits})
                          ELSE round(max(cdf_gap), {ndigits}) END AS value
-    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks') m
+    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks'
+             UNION ALL SELECT 'jsd') m
     GROUP BY m.metric
     """
 
@@ -750,6 +773,7 @@ def drift_by_metrics_from_counts(
         (
             (F.col("_cp") - F.col("_rp")) * F.log(F.col("_cp") / F.col("_rp"))
         ).alias("_psi_term"),
+        _jsd_term(F.col("_rp"), F.col("_cp")).alias("_jsd_term"),
         F.abs(F.sum("_rp0").over(w) - F.sum("_cp0").over(w)).alias(
             "_cdf_gap"
         ),
@@ -759,6 +783,7 @@ def drift_by_metrics_from_counts(
         F.max("_tc").alias("cur_n"),
         F.round(F.sum("_psi_term"), ndigits).alias("psi"),
         F.round(F.max("_cdf_gap"), ndigits).alias("ks"),
+        F.round(F.sum("_jsd_term"), ndigits).alias("jsd"),
     )
     bins_leg = scored.select(
         F.col("_g").alias(group_col),
@@ -776,6 +801,9 @@ def drift_by_metrics_from_counts(
                     F.lit("psi").alias("metric"), F.col("psi").alias("value")
                 ),
                 F.struct(F.lit("ks").alias("metric"), F.col("ks").alias("value")),
+                F.struct(
+                    F.lit("jsd").alias("metric"), F.col("jsd").alias("value")
+                ),
             )
         ).alias("_e"),
         "ref_n",
@@ -838,16 +866,21 @@ def drift_by_sql(
                LEFT JOIN cc ON b.g = cc.g AND b.bin = cc.bin
     ),
     t AS (SELECT g, sum(ref_n) AS tr, sum(cur_n) AS tc FROM j GROUP BY g),
-    s AS (
+    sp AS (
         SELECT j.g, bin, ref_n, cur_n, tr, tc,
-               ((cur_n + 0.5) / (tc + {0.5 * bins})
-                - (ref_n + 0.5) / (tr + {0.5 * bins}))
-               * ln(((cur_n + 0.5) / (tc + {0.5 * bins}))
-                    / ((ref_n + 0.5) / (tr + {0.5 * bins}))) AS psi_term,
+               (ref_n + 0.5) / (tr + {0.5 * bins}) AS rp,
+               (cur_n + 0.5) / (tc + {0.5 * bins}) AS cp
+        FROM j JOIN t ON j.g = t.g
+    ),
+    s AS (
+        SELECT g, bin, ref_n, cur_n, tr, tc,
+               (cp - rp) * ln(cp / rp) AS psi_term,
+               0.5 * (rp * ln(rp / ((rp + cp) / 2))
+                      + cp * ln(cp / ((rp + cp) / 2))) AS jsd_term,
                abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
                    - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
-        FROM j JOIN t ON j.g = t.g
-        WINDOW cdf AS (PARTITION BY j.g ORDER BY bin
+        FROM sp
+        WINDOW cdf AS (PARTITION BY g ORDER BY bin
                        ROWS UNBOUNDED PRECEDING)
     )
     SELECT g AS grp, 'bin' AS metric, bin, ref_n, cur_n,
@@ -857,8 +890,10 @@ def drift_by_sql(
     SELECT g AS grp, m.metric, CAST(NULL AS BIGINT) AS bin,
            max(tr) AS ref_n, max(tc) AS cur_n,
            CASE m.metric WHEN 'psi' THEN round(sum(psi_term), {ndigits})
+                         WHEN 'jsd' THEN round(sum(jsd_term), {ndigits})
                          ELSE round(max(cdf_gap), {ndigits}) END AS value
-    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks') m
+    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks'
+             UNION ALL SELECT 'jsd') m
     GROUP BY g, m.metric
     """
 
@@ -1034,6 +1069,7 @@ def categorical_metrics_from_counts(
         (
             (F.col("_cp") - F.col("_rp")) * F.log(F.col("_cp") / F.col("_rp"))
         ).alias("_psi_term"),
+        _jsd_term(F.col("_rp"), F.col("_cp")).alias("_jsd_term"),
     )
     cat_leg = scored.select(
         F.lit("cat").alias("metric"),
@@ -1042,18 +1078,32 @@ def categorical_metrics_from_counts(
         "cur_n",
         F.lit(None).cast("double").alias("value"),
     )
-    psi_leg = scored.agg(
+    sum_leg = scored.agg(
         F.max("_tr").alias("ref_n"),
         F.max("_tc").alias("cur_n"),
-        F.round(F.sum("_psi_term"), ndigits).alias("value"),
+        F.round(F.sum("_psi_term"), ndigits).alias("psi"),
+        F.round(F.sum("_jsd_term"), ndigits).alias("jsd"),
     ).select(
-        F.lit("psi").alias("metric"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("psi").alias("metric"), F.col("psi").alias("value")
+                ),
+                F.struct(
+                    F.lit("jsd").alias("metric"), F.col("jsd").alias("value")
+                ),
+            )
+        ).alias("_e"),
+        "ref_n",
+        "cur_n",
+    ).select(
+        F.col("_e.metric").alias("metric"),
         F.lit(None).cast("string").alias("category"),
         "ref_n",
         "cur_n",
-        "value",
+        F.col("_e.value").alias("value"),
     )
-    return cat_leg.unionAll(psi_leg)
+    return cat_leg.unionAll(sum_leg)
 
 
 def categorical_drift_sql(
@@ -1113,20 +1163,27 @@ def categorical_drift_sql(
                CAST(count(*) AS DOUBLE) AS b
         FROM j
     ),
+    sp AS (
+        SELECT category, ref_n, cur_n, tr, tc,
+               (ref_n + 0.5) / (tr + 0.5 * b) AS rp,
+               (cur_n + 0.5) / (tc + 0.5 * b) AS cp
+        FROM j, t
+    ),
     s AS (
         SELECT category, ref_n, cur_n, tr, tc,
-               ((cur_n + 0.5) / (tc + 0.5 * b)
-                - (ref_n + 0.5) / (tr + 0.5 * b))
-               * ln(((cur_n + 0.5) / (tc + 0.5 * b))
-                    / ((ref_n + 0.5) / (tr + 0.5 * b))) AS psi_term
-        FROM j, t
+               (cp - rp) * ln(cp / rp) AS psi_term,
+               0.5 * (rp * ln(rp / ((rp + cp) / 2))
+                      + cp * ln(cp / ((rp + cp) / 2))) AS jsd_term
+        FROM sp
     )
     SELECT 'cat' AS metric, category, ref_n, cur_n,
            CAST(NULL AS DOUBLE) AS value
     FROM s
     UNION ALL
-    SELECT 'psi' AS metric, CAST(NULL AS VARCHAR) AS category,
+    SELECT m.metric, CAST(NULL AS VARCHAR) AS category,
            max(tr) AS ref_n, max(tc) AS cur_n,
-           round(sum(psi_term), {ndigits}) AS value
-    FROM s
+           CASE m.metric WHEN 'psi' THEN round(sum(psi_term), {ndigits})
+                         ELSE round(sum(jsd_term), {ndigits}) END AS value
+    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'jsd') m
+    GROUP BY m.metric
     """
