@@ -258,6 +258,18 @@ def _drift_bin(v: Column, lo: Column, hi: Column, bins: int) -> Column:
     )
 
 
+# Shared summary-term SQL snippets over smoothed frequencies rp/cp —
+# ONE copy, used verbatim by all three SQL builders, because the Spark
+# columns (_jsd_term / the psi expression) must be mirrored with the
+# EXACT same expression shape: an algebraically-equal rewrite is not
+# IEEE-identical and would break oracle hash parity.
+_PSI_TERM_SQL = "(cp - rp) * ln(cp / rp)"
+_JSD_TERM_SQL = (
+    "0.5 * (rp * ln(rp / ((rp + cp) / 2)) "
+    "+ cp * ln(cp / ((rp + cp) / 2)))"
+)
+
+
 def _guarded_stats(st: DataFrame, col: str) -> DataFrame:
     """Fail LOUDLY (at execution, where the data is) when the reference
     range is undefined — an empty/all-NULL reference would otherwise
@@ -570,9 +582,8 @@ def drift_sql(
     ),
     s AS (
         SELECT bin, ref_n, cur_n, tr, tc,
-               (cp - rp) * ln(cp / rp) AS psi_term,
-               0.5 * (rp * ln(rp / ((rp + cp) / 2))
-                      + cp * ln(cp / ((rp + cp) / 2))) AS jsd_term,
+               {_PSI_TERM_SQL} AS psi_term,
+               {_JSD_TERM_SQL} AS jsd_term,
                abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
                    - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
         FROM sp
@@ -874,9 +885,8 @@ def drift_by_sql(
     ),
     s AS (
         SELECT g, bin, ref_n, cur_n, tr, tc,
-               (cp - rp) * ln(cp / rp) AS psi_term,
-               0.5 * (rp * ln(rp / ((rp + cp) / 2))
-                      + cp * ln(cp / ((rp + cp) / 2))) AS jsd_term,
+               {_PSI_TERM_SQL} AS psi_term,
+               {_JSD_TERM_SQL} AS jsd_term,
                abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
                    - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
         FROM sp
@@ -1171,9 +1181,8 @@ def categorical_drift_sql(
     ),
     s AS (
         SELECT category, ref_n, cur_n, tr, tc,
-               (cp - rp) * ln(cp / rp) AS psi_term,
-               0.5 * (rp * ln(rp / ((rp + cp) / 2))
-                      + cp * ln(cp / ((rp + cp) / 2))) AS jsd_term
+               {_PSI_TERM_SQL} AS psi_term,
+               {_JSD_TERM_SQL} AS jsd_term
         FROM sp
     )
     SELECT 'cat' AS metric, category, ref_n, cur_n,
