@@ -2401,3 +2401,100 @@ def test_drift_reader_before_first_generation(spark, tmp_path):
     }
     assert all(cur_n == 0 for _, cur_n in rows.values())
     assert rows[("bin", 0)][0] == 10  # reference side still counted
+
+
+def test_streaming_drift_q_matches_batch_prefix(spark, tmp_path):
+    """The equi-depth drift sink's accumulated bin table must yield
+    EXACTLY the rows the batch quantile_drift emits over the same
+    stream prefix (bin counts are additive; the sink pins the edges
+    the batch operator derives from the reference)."""
+    import json as _json
+    import os
+    import time
+
+    from unimib_simpss_spark.operators.validation import (
+        quantile_drift,
+        quantile_edges,
+    )
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_q,
+        read_drift_q_metrics,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(1, 51)], "x double"
+    )
+    edges = quantile_edges(ref, "x", 5)
+    rows_b1 = [{"x": 3.0}, {"x": 17.5}, {"x": 44.0}, {"x": None}]
+    rows_b2 = [{"x": -5.0}, {"x": 99.0}, {"x": 17.5}]  # beyond-edge rows
+    logdir = tmp_path / "vals"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b1) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b2) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    stream = (
+        spark.readStream.schema("x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "qdrift_bins")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_drift_q(table, "x", edges)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.metric, r.bin, r.ref_n, r.cur_n, r.value)
+        for r in read_drift_q_metrics(spark, ref, table, "x", q=5).collect()
+    )
+    cur = spark.createDataFrame(
+        [(r["x"],) for r in rows_b1 + rows_b2], "x double"
+    )
+    want = sorted(
+        (r.metric, r.bin, r.ref_n, r.cur_n, r.value)
+        for r in quantile_drift(ref, cur, "x", q=5).collect()
+    )
+    assert got == want
+    # below-first-edge and beyond-last-edge rows landed in the edge bins
+    by_bin = {b: c for m, b, _, c, _ in got if m == "bin"}
+    assert by_bin[0] >= 2 and by_bin[4] >= 1
+
+
+def test_streaming_drift_q_loud_failures(spark, tmp_path):
+    """Mismatched pins raise; a never-written table reads as all-zero
+    current counts (the documented 'no data yet' contract)."""
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_q,
+        read_drift_q_metrics,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(1, 51)], "x double"
+    )
+    # never-written table: zero current counts, no error
+    empty = read_drift_q_metrics(
+        spark, ref, str(tmp_path / "nope"), "x", q=5
+    ).collect()
+    assert all(r.cur_n == 0 for r in empty if r.metric == "bin")
+    # write one batch under q=5 edges, then read back wrong
+    table = str(tmp_path / "qd")
+    fold = foreach_batch_drift_q(table, "x", [10.0, 20.0, 30.0, 40.0])
+    fold(spark.createDataFrame([(12.0,)], "x double"), 0)
+    with pytest.raises(ValueError, match="q="):
+        read_drift_q_metrics(spark, ref, table, "x", q=4)
+    drifted_ref = spark.createDataFrame(
+        [(float(i) * 2,) for i in range(1, 51)], "x double"
+    )
+    with pytest.raises(ValueError, match="different edge frame"):
+        read_drift_q_metrics(spark, drifted_ref, table, "x", q=5)
+    with pytest.raises(ValueError, match="at least one edge"):
+        foreach_batch_drift_q(str(tmp_path / "x"), "x", [])

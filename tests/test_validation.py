@@ -717,3 +717,203 @@ class TestDistributionDriftBy:
             .select("g").distinct().collect()
         }
         assert groups == {"a"}
+
+
+class TestQuantileDrift:
+    """Equi-depth drift (quantile_drift): edges at the reference's
+    q-quantiles, binning by integer edge comparisons, the shared
+    metric arithmetic. The oracle-paired surface is q61's 'driftq'
+    leg; here: hand-computed values, the heavy-tail motivation,
+    pinning, and the loud-failure contract."""
+
+    def _ref_cur(self, spark):
+        ref = spark.createDataFrame(
+            [(float(i),) for i in range(1, 101)], "x double"
+        )
+        cur = spark.createDataFrame(
+            [(float(i),) for i in range(51, 151)], "x double"
+        )
+        return ref, cur
+
+    def test_hand_computed_bins_and_metrics(self, spark):
+        from unimib_simpss_spark.operators.validation import quantile_drift
+
+        ref, cur = self._ref_cur(spark)
+        rows = quantile_drift(ref, cur, "x", q=10).collect()
+        by_bin = {
+            r.bin: (r.ref_n, r.cur_n) for r in rows if r.metric == "bin"
+        }
+        # ref 1..100: each decile bin holds exactly 10 (equi-depth by
+        # construction); cur 51..150: bins 5..8 hold 10, bin 9 clamps
+        # the 60 values above the last edge (90)
+        assert all(by_bin[b][0] == 10 for b in range(10))
+        assert [by_bin[b][1] for b in range(10)] == [
+            0, 0, 0, 0, 0, 10, 10, 10, 10, 60,
+        ]
+        m = {r.metric: r.value for r in rows if r.bin is None}
+        # KS: ref CDF climbs 0.1/bin, cur is 0 through bin 4 → max gap
+        # at bin 4 is exactly 0.5 (integer-ratio arithmetic)
+        assert m["ks"] == 0.5
+        # PSI/JSD from the same smoothed frequencies, mirrored in
+        # plain Python
+        rp = [(10 + 0.5) / (100 + 5.0)] * 10
+        cp = [
+            (c + 0.5) / (100 + 5.0)
+            for c in [0, 0, 0, 0, 0, 10, 10, 10, 10, 60]
+        ]
+        import math
+
+        psi = sum((c - r) * math.log(c / r) for r, c in zip(rp, cp))
+        jsd = sum(
+            0.5
+            * (
+                r * math.log(r / ((r + c) / 2))
+                + c * math.log(c / ((r + c) / 2))
+            )
+            for r, c in zip(rp, cp)
+        )
+        assert m["psi"] == pytest.approx(round(psi, 6), abs=2e-6)
+        assert m["jsd"] == pytest.approx(round(jsd, 6), abs=2e-6)
+
+    def test_identical_distribution_is_zero(self, spark):
+        from unimib_simpss_spark.operators.validation import quantile_drift
+
+        ref, _ = self._ref_cur(spark)
+        m = {
+            r.metric: r.value
+            for r in quantile_drift(ref, ref, "x", q=10).collect()
+            if r.bin is None
+        }
+        assert m == {"psi": 0.0, "ks": 0.0, "jsd": 0.0}
+
+    def test_heavy_tail_motivation(self, spark):
+        """The reason this operator exists: one outlier stretches
+        equal-width bins until PSI goes numb; decile edges keep
+        reacting to the shift."""
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift,
+            quantile_drift,
+        )
+
+        ref = spark.createDataFrame(
+            [(float(i),) for i in range(1, 100)] + [(1e6,)], "x double"
+        )
+        cur = spark.createDataFrame(
+            [(float(i) + 30,) for i in range(1, 100)] + [(1e6,)],
+            "x double",
+        )
+        ew = {
+            r.metric: r.value
+            for r in distribution_drift(ref, cur, "x", bins=10).collect()
+            if r.bin is None
+        }
+        eq = {
+            r.metric: r.value
+            for r in quantile_drift(ref, cur, "x", q=10).collect()
+            if r.bin is None
+        }
+        # equal-width: all mass lands in bin 0 both sides → numb
+        assert ew["psi"] < 0.01
+        # equi-depth: a +30 shift over ~100-wide deciles is loud
+        assert eq["psi"] > 0.2
+        assert eq["psi"] > 20 * ew["psi"]
+
+    def test_ties_and_constant_reference_are_legal(self, spark):
+        from unimib_simpss_spark.operators.validation import quantile_drift
+
+        ref = spark.createDataFrame([(1.0,)] * 40, "x double")
+        cur = spark.createDataFrame(
+            [(0.5,)] * 10 + [(1.0,)] * 10 + [(2.0,)] * 10, "x double"
+        )
+        rows = quantile_drift(ref, cur, "x", q=4).collect()
+        by_bin = {
+            r.bin: (r.ref_n, r.cur_n) for r in rows if r.metric == "bin"
+        }
+        # all edges equal 1.0: values <= 1.0 → bin 0, values above →
+        # bin q-1; middle bins legally empty, metrics finite
+        assert by_bin[0] == (40, 20)
+        assert by_bin[3] == (0, 10)
+        m = {r.metric: r.value for r in rows if r.bin is None}
+        assert all(v is not None and v == v for v in m.values())
+
+    def test_pinned_equals_computed_and_scan_free(self, spark, tmp_path):
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift,
+            quantile_edges,
+        )
+
+        ref, cur = self._ref_cur(spark)
+        rp, cp = f"{tmp_path}/qref.parquet", f"{tmp_path}/qcur.parquet"
+        ref.write.parquet(rp)
+        cur.write.parquet(cp)
+        ref, cur = spark.read.parquet(rp), spark.read.parquet(cp)
+        full = sorted(
+            map(tuple, quantile_drift(ref, cur, "x", q=10).collect())
+        )
+        edges = quantile_edges(ref, "x", 10)
+        assert edges == [float(i * 10) for i in range(1, 10)]
+        pinned_edges = sorted(
+            map(
+                tuple,
+                quantile_drift(
+                    ref, cur, "x", q=10, ref_edges=edges
+                ).collect(),
+            )
+        )
+        assert pinned_edges == full
+        counts = spark.createDataFrame(
+            [(i, 10) for i in range(10)], "bin long, n long"
+        )
+        fully = quantile_drift(
+            None, cur, "x", q=10, ref_edges=edges, ref_counts=counts
+        )
+        assert sorted(map(tuple, fully.collect())) == full
+        files = set(fully.inputFiles())
+        assert files and all("qcur.parquet" in f for f in files), files
+
+    def test_loud_failures(self, spark):
+        from unimib_simpss_spark.operators.validation import quantile_drift
+
+        ref, cur = self._ref_cur(spark)
+        with pytest.raises(ValueError, match="q must be >= 2"):
+            quantile_drift(ref, cur, "x", q=1)
+        with pytest.raises(ValueError, match="requires ref_edges"):
+            quantile_drift(
+                ref,
+                cur,
+                "x",
+                q=4,
+                ref_counts=spark.createDataFrame(
+                    [(0, 1)], "bin long, n long"
+                ),
+            )
+        with pytest.raises(ValueError, match="requires BOTH"):
+            quantile_drift(None, cur, "x", q=4, ref_edges=[1.0, 2.0, 3.0])
+        with pytest.raises(ValueError, match="exactly q-1"):
+            quantile_drift(ref, cur, "x", q=4, ref_edges=[1.0, 2.0])
+        with pytest.raises(ValueError, match="finite"):
+            quantile_drift(
+                ref, cur, "x", q=4, ref_edges=[1.0, float("nan"), 3.0]
+            )
+        with pytest.raises(ValueError, match="non-decreasing"):
+            quantile_drift(ref, cur, "x", q=4, ref_edges=[3.0, 2.0, 1.0])
+        bad_counts = spark.createDataFrame(
+            [(0, 5), (0, 7)], "bin long, n long"
+        )
+        with pytest.raises(ValueError, match="duplicate or out-of-range"):
+            quantile_drift(
+                ref,
+                cur,
+                "x",
+                q=4,
+                ref_edges=[25.0, 50.0, 75.0],
+                ref_counts=bad_counts,
+            )
+
+    def test_empty_reference_raises_at_execution(self, spark):
+        from unimib_simpss_spark.operators.validation import quantile_drift
+
+        ref = spark.createDataFrame([(None,)], "x double")
+        cur = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(Exception, match="no non-NULL values"):
+            quantile_drift(ref, cur, "x", q=4).collect()

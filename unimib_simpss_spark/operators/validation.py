@@ -535,6 +535,50 @@ def _jsd_term(rp: Column, cp: Column) -> Column:
     return F.lit(0.5) * (rp * F.log(rp / m) + cp * F.log(cp / m))
 
 
+def _drift_tail_sql(bins: int, ndigits: int) -> str:
+    """The metric arithmetic shared verbatim by :func:`drift_sql` and
+    :func:`quantile_drift_sql` — everything downstream of the two
+    ``rc``/``cc`` ``(bin, n)`` count CTEs (zero-fill, smoothing,
+    PSI/KS/JSD terms, the final union). ONE copy because the Spark
+    side (:func:`drift_metrics_from_counts`) is likewise shared: the
+    binning rule is the only thing that differs between the
+    equal-width and equi-depth forms."""
+    return f"""
+    b AS (SELECT CAST(range AS BIGINT) AS bin FROM range({bins})),
+    j AS (
+        SELECT b.bin, coalesce(rc.n, 0) AS ref_n, coalesce(cc.n, 0) AS cur_n
+        FROM b LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
+    ),
+    t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j),
+    sp AS (
+        SELECT bin, ref_n, cur_n, tr, tc,
+               (ref_n + 0.5) / (tr + {0.5 * bins}) AS rp,
+               (cur_n + 0.5) / (tc + {0.5 * bins}) AS cp
+        FROM j, t
+    ),
+    s AS (
+        SELECT bin, ref_n, cur_n, tr, tc,
+               {_PSI_TERM_SQL} AS psi_term,
+               {_JSD_TERM_SQL} AS jsd_term,
+               abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
+                   - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
+        FROM sp
+        WINDOW cdf AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT 'bin' AS metric, bin, ref_n, cur_n, CAST(NULL AS DOUBLE) AS value
+    FROM s
+    UNION ALL
+    SELECT m.metric, CAST(NULL AS BIGINT) AS bin,
+           max(tr) AS ref_n, max(tc) AS cur_n,
+           CASE m.metric WHEN 'psi' THEN round(sum(psi_term), {ndigits})
+                         WHEN 'jsd' THEN round(sum(jsd_term), {ndigits})
+                         ELSE round(max(cdf_gap), {ndigits}) END AS value
+    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks'
+             UNION ALL SELECT 'jsd') m
+    GROUP BY m.metric
+    """
+
+
 def drift_sql(
     ref_sql: str,
     cur_sql: str,
@@ -568,38 +612,7 @@ def drift_sql(
                AS BIGINT) END AS bin, count(*) AS n
         FROM curd, st GROUP BY 1
     ),
-    b AS (SELECT CAST(range AS BIGINT) AS bin FROM range({bins})),
-    j AS (
-        SELECT b.bin, coalesce(rc.n, 0) AS ref_n, coalesce(cc.n, 0) AS cur_n
-        FROM b LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
-    ),
-    t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j),
-    sp AS (
-        SELECT bin, ref_n, cur_n, tr, tc,
-               (ref_n + 0.5) / (tr + {0.5 * bins}) AS rp,
-               (cur_n + 0.5) / (tc + {0.5 * bins}) AS cp
-        FROM j, t
-    ),
-    s AS (
-        SELECT bin, ref_n, cur_n, tr, tc,
-               {_PSI_TERM_SQL} AS psi_term,
-               {_JSD_TERM_SQL} AS jsd_term,
-               abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
-                   - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
-        FROM sp
-        WINDOW cdf AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
-    )
-    SELECT 'bin' AS metric, bin, ref_n, cur_n, CAST(NULL AS DOUBLE) AS value
-    FROM s
-    UNION ALL
-    SELECT m.metric, CAST(NULL AS BIGINT) AS bin,
-           max(tr) AS ref_n, max(tc) AS cur_n,
-           CASE m.metric WHEN 'psi' THEN round(sum(psi_term), {ndigits})
-                         WHEN 'jsd' THEN round(sum(jsd_term), {ndigits})
-                         ELSE round(max(cdf_gap), {ndigits}) END AS value
-    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks'
-             UNION ALL SELECT 'jsd') m
-    GROUP BY m.metric
+    {_drift_tail_sql(bins, ndigits)}
     """
 
 
@@ -1195,4 +1208,256 @@ def categorical_drift_sql(
                          ELSE round(sum(jsd_term), {ndigits}) END AS value
     FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'jsd') m
     GROUP BY m.metric
+    """
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (quantile-edge) drift — the OTHER binning convention of a
+# production PSI deck. Equal-width bins (distribution_drift) starve on
+# heavy-tailed metrics: one outlier stretches the range until almost all
+# mass lands in one bin and PSI goes numb. The standard fix is equi-depth
+# bins — edges at the REFERENCE's q-quantiles, so every bin holds ~1/q of
+# the reference mass and PSI reacts to movement anywhere in the
+# distribution. Binning here is PURE INTEGER edge comparisons (count of
+# edges below the value) — no float division at all, so the cross-engine
+# hazard is strictly smaller than the equal-width form's width arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _qbin(v: Column, edges: Column, q: int) -> Column:
+    """Equi-depth bin of ``v`` under the ``q-1``-element sorted
+    ``edges`` array: the count of edges strictly below ``v`` (values
+    <= the first edge fall in bin 0, values above the last in bin
+    q-1 — clamping is inherent, no range arithmetic). The unrolled
+    when-sum is mirrored verbatim by :func:`quantile_drift_sql`'s
+    CASE sum; both engines compare doubles and add small ints, so
+    matching edges imply bit-identical bins."""
+    terms = [
+        F.when(v > F.element_at(edges, i), 1).otherwise(0)
+        for i in range(1, q)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def _edges_rel(ref_vals: DataFrame, q: int) -> DataFrame:
+    """1-row ``(edges)`` relation: the reference's interior
+    ``q``-quantile edges via ``percentile_disc`` (SQL-standard
+    ceil(p·n) discrete percentile — an ACTUAL data element, which
+    DuckDB's ``quantile_disc`` picks identically; verified including
+    exact p·n boundaries). One aggregate pass; all q-1 percentiles
+    share the single sorted-group pass. Raises at execution when the
+    reference has no non-NULL values (no edges to bin against — the
+    :func:`_guarded_stats` contract)."""
+    exprs = [
+        F.expr(
+            f"percentile_disc({i / q!r}) WITHIN GROUP (ORDER BY _v)"
+        ).alias(f"_e{i}")
+        for i in range(1, q)
+    ]
+    msg = (
+        "quantile_drift: reference has no non-NULL values — no "
+        "quantile edges to bin against"
+    )
+    raw = ref_vals.agg(*exprs).select(
+        F.array(*[F.col(f"_e{i}") for i in range(1, q)]).alias("_raw")
+    )
+    return raw.select(
+        F.when(
+            F.element_at("_raw", 1).isNull(),
+            F.raise_error(F.lit(msg)).cast("array<double>"),
+        )
+        .otherwise(F.col("_raw"))
+        .alias("edges")
+    )
+
+
+def quantile_edges(ref: DataFrame, col: str, q: int) -> list:
+    """The reference's interior q-quantile edges as a ``q-1`` list of
+    floats — the PUBLISHED artifact a release pins for downstream
+    gates (:func:`quantile_drift`'s ``ref_edges``) and streams
+    (``foreach_batch_drift_q``). The collect is bounded by the
+    caller's own ``q`` (the gated-collect discipline), never by
+    data."""
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    v = F.col(col).cast("double")
+    row = (
+        _edges_rel(ref.where(v.isNotNull()).select(v.alias("_v")), q)
+        .first()
+    )
+    return [float(e) for e in row["edges"]]
+
+
+def _check_edges(ref_edges, q: int) -> list:
+    edges = [float(e) for e in ref_edges]
+    if len(edges) != q - 1:
+        raise ValueError(
+            f"ref_edges must hold exactly q-1 = {q - 1} edges, got "
+            f"{len(edges)} (were they published under a different q?)"
+        )
+    if any(e != e or e in (float("inf"), float("-inf")) for e in edges):
+        raise ValueError("ref_edges must be finite (no NaN/inf)")
+    if any(a > b for a, b in zip(edges, edges[1:])):
+        raise ValueError("ref_edges must be non-decreasing")
+    return edges
+
+
+def _qbinned_counts(d: DataFrame, edges_rel: DataFrame, q: int) -> DataFrame:
+    """``(bin, n)`` counts of ``d._v`` under the 1-row edges relation —
+    the equi-depth twin of :func:`binned_counts` (same broadcast +
+    map-side-combinable count shape)."""
+    return (
+        d.join(F.broadcast(edges_rel), how="cross")
+        .select(_qbin(F.col("_v"), F.col("edges"), q).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantile_drift(
+    ref: DataFrame | None,
+    cur: DataFrame,
+    col: str,
+    q: int = 10,
+    ndigits: int = 6,
+    ref_edges=None,
+    ref_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Equi-depth :func:`distribution_drift`: bins are the REFERENCE's
+    q-quantile intervals (each holding ~1/q of the reference mass)
+    instead of equal-width slices of its range — the binning a
+    production drift deck uses on heavy-tailed metrics, where one
+    outlier stretches equal-width bins until PSI goes numb. Same
+    output contract (``metric`` ∈ 'bin'/'psi'/'ks'/'jsd'), same
+    smoothing, same rounding; the metric arithmetic IS
+    :func:`drift_metrics_from_counts` — only the binning rule
+    differs, and it is pure integer edge comparisons (no float
+    division anywhere).
+
+    Heavy ties are legal: duplicated edges leave some bins empty and
+    the +0.5 smoothing keeps every metric finite; a constant
+    reference degenerates to all mass in bin 0 on both engines.
+
+    Scale shape and the PINNED mode: by default one percentile
+    aggregate runs over the reference — exact q-quantiles need the
+    group's values on one pass (fine at audit scale, and the oracle
+    demands exactness). At 100 TB pass ``ref_edges`` (the q-1 floats
+    :func:`quantile_edges` published at release time — driver-held,
+    bounded by q) to skip that pass, and ``ref_counts`` (``(bin,
+    n)``) to skip the reference binning pass too; with both pinned
+    the reference side is entirely SCAN-FREE (``ref`` may be
+    ``None``). Where even the one-off exact pass is too hot, publish
+    edges from the mergeable KLL sketch (``functions/kll.py``)
+    instead — the rank error lands in bin BOUNDARIES, not in the
+    count arithmetic. DuckDB twin: :func:`quantile_drift_sql`."""
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    if ref_counts is not None and ref_edges is None:
+        raise ValueError(
+            "ref_counts requires ref_edges (the counts are only "
+            "meaningful under the edges that binned them)"
+        )
+    if ref is None and (ref_edges is None or ref_counts is None):
+        raise ValueError(
+            "ref=None requires BOTH ref_edges and ref_counts (nothing "
+            "else defines the reference)"
+        )
+    spark = cur.sparkSession
+    v = F.col(col).cast("double")
+    curd = cur.where(v.isNotNull()).select(v.alias("_v"))
+    if ref_edges is not None:
+        edges = _check_edges(ref_edges, q)
+        er = spark.range(1).select(
+            F.array(*[F.lit(e).cast("double") for e in edges]).alias("edges")
+        )
+    else:
+        er = _edges_rel(ref.where(v.isNotNull()).select(v.alias("_v")), q)
+    if ref_counts is not None:
+        # same eager tiny-relation shape check as distribution_drift:
+        # duplicate bins double-count, out-of-range bins silently
+        # vanish in the zero-fill join
+        if (
+            ref_counts.groupBy("bin")
+            .count()
+            .where(
+                (F.col("count") > 1)
+                | (F.col("bin") < 0)
+                | (F.col("bin") >= q)
+            )
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"ref_counts must hold exactly one row per bin in "
+                f"[0, {q}) — duplicate or out-of-range bins found "
+                "(were the counts persisted under a different q?)"
+            )
+        rc = ref_counts.select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("_rn"),
+        )
+    else:
+        refd = ref.where(v.isNotNull()).select(v.alias("_v"))
+        rc = _qbinned_counts(refd, er, q).withColumnRenamed("n", "_rn")
+    j = _joined_bin_counts(
+        rc,
+        _qbinned_counts(curd, er, q).withColumnRenamed("n", "_cn"),
+        q,
+        spark,
+    )
+    return drift_metrics_from_counts(j, q, ndigits)
+
+
+def quantile_bin_sql(q: int, edges_from: str = "ed") -> str:
+    """The equi-depth bin expression over scalar edge columns
+    ``e1..e{q-1}`` (from CTE ``edges_from``) — the verbatim SQL mirror
+    of :func:`_qbin`'s when-sum, shared so the batch twin and any
+    embedding query bin identically."""
+    terms = " + ".join(
+        f"(CASE WHEN v > {edges_from}.e{i} THEN 1 ELSE 0 END)"
+        for i in range(1, q)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def quantile_drift_sql(
+    ref_sql: str,
+    cur_sql: str,
+    expr: str,
+    q: int = 10,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`quantile_drift` — ``quantile_disc`` picks
+    the same data elements as Spark's ``percentile_disc`` (both
+    SQL-standard ceil(p·n); verified at exact boundaries), the CASE
+    sum mirrors :func:`_qbin`, and the metric tail is the shared
+    :func:`_drift_tail_sql`. (The twin has no loud empty-reference
+    guard — NULL edges bin everything to 0 here, while the batch
+    operator raises; the oracle never exercises an empty reference.)"""
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    qd = ", ".join(
+        f"quantile_disc(v, {i / q!r}) AS e{i}" for i in range(1, q)
+    )
+    b = quantile_bin_sql(q)
+    return f"""
+    WITH refd AS (
+        SELECT CAST(({expr}) AS DOUBLE) AS v FROM ({ref_sql})
+        WHERE ({expr}) IS NOT NULL
+    ),
+    curd AS (
+        SELECT CAST(({expr}) AS DOUBLE) AS v FROM ({cur_sql})
+        WHERE ({expr}) IS NOT NULL
+    ),
+    ed AS (SELECT {qd} FROM refd),
+    rc AS (
+        SELECT {b} AS bin, count(*) AS n FROM refd, ed GROUP BY 1
+    ),
+    cc AS (
+        SELECT {b} AS bin, count(*) AS n FROM curd, ed GROUP BY 1
+    ),
+    {_drift_tail_sql(q, ndigits)}
     """

@@ -468,6 +468,14 @@ def _q61_oracle() -> str:
         expr="length(text)",
         bins=10,
     )
+    from unimib_simpss_spark.operators.validation import quantile_drift_sql
+
+    drift_q = quantile_drift_sql(
+        ref_sql="SELECT text FROM documents",
+        cur_sql=_Q61_NEW_SNAPSHOT_SQL,
+        expr="length(text)",
+        q=10,
+    )
     drift_by = drift_by_sql(
         ref_sql="SELECT text, source FROM documents",
         cur_sql=_Q61_NEW_SNAPSHOT_SRC_SQL,
@@ -533,6 +541,14 @@ def _q61_oracle() -> str:
            CAST(NULL AS VARCHAR) AS new_hash
     FROM ({drift})
     UNION ALL
+    SELECT 'driftq' AS section, bin AS new_doc, ref_n AS corpus_doc,
+           value AS jaccard, cur_n AS bloom_hit,
+           CAST(NULL AS BIGINT) AS edit_dist,
+           metric AS status,
+           CAST(NULL AS VARCHAR) AS old_hash,
+           CAST(NULL AS VARCHAR) AS new_hash
+    FROM ({drift_q})
+    UNION ALL
     SELECT 'driftsrc' AS section, bin AS new_doc, ref_n AS corpus_doc,
            value AS jaccard, cur_n AS bloom_hit,
            CAST(NULL AS BIGINT) AS edit_dist,
@@ -589,6 +605,12 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       Laplace smoothing for PSI, both oracle-paired to 6 dp), per-bin
       count rows plus the two summary statistics: the "did the corpus
       silently shift" check that runs beside the row-level diff;
+    - 'driftq': the EQUI-DEPTH twin of the same gate (quantile_drift —
+      bins at the reference's decile edges via percentile_disc, so
+      every bin holds ~10% of the reference mass; binning is pure
+      integer edge comparisons): the convention a production deck uses
+      on heavy-tailed metrics, where one outlier stretches equal-width
+      bins until PSI goes numb;
     - 'driftsrc': the per-SOURCE attribution of the same shift
       (distribution_drift_by — each source gets its own reference
       range, bins, PSI, and KS in one keyed pass per snapshot;
@@ -711,6 +733,30 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("old_hash"),
         F.lit(None).cast("string").alias("new_hash"),
     )
+    # the equi-depth twin of the same gate: bins at the reference's
+    # decile edges instead of range slices (operators/validation.py
+    # quantile_drift — the heavy-tail-safe PSI convention)
+    from unimib_simpss_spark.operators.validation import quantile_drift
+
+    drift_q = quantile_drift(
+        docs.select(F.length("text").alias("chars")),
+        survivors.unionAll(reingested).select(
+            F.length("text").alias("chars")
+        ),
+        "chars",
+        q=10,
+    )
+    driftq_leg = drift_q.select(
+        F.lit("driftq").alias("section"),
+        F.col("bin").alias("new_doc"),
+        F.col("ref_n").alias("corpus_doc"),
+        F.col("value").alias("jaccard"),
+        F.col("cur_n").alias("bloom_hit"),
+        F.lit(None).cast("long").alias("edit_dist"),
+        F.col("metric").alias("status"),
+        F.lit(None).cast("string").alias("old_hash"),
+        F.lit(None).cast("string").alias("new_hash"),
+    )
     # the per-SOURCE attribution of the same release pair (the
     # snapshot relations re-derived with the source carried)
     survivors_src = docs.where(~is_new).select(
@@ -773,6 +819,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edit_leg)
         .unionAll(diff_leg)
         .unionAll(drift_leg)
+        .unionAll(driftq_leg)
         .unionAll(driftsrc_leg)
         .unionAll(driftcat_leg)
     )

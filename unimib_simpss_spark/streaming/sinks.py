@@ -897,3 +897,117 @@ def read_drift_metrics(
     return drift_metrics_from_counts(
         _joined_bin_counts(rc, cc, bins, spark), bins, ndigits
     )
+
+
+def _edges_sig(edges) -> str:
+    """Order-SENSITIVE canonical signature of a pinned edge list —
+    ``repr`` round-trips doubles exactly, and the reader derives its
+    edges the same way, so equal edges ⇒ equal signature."""
+    return hashlib.md5(
+        "\x1f".join(repr(float(e)) for e in edges).encode()
+    ).hexdigest()
+
+
+def foreach_batch_drift_q(path: str, col: str, edges):
+    """Equi-depth twin of :func:`foreach_batch_drift` — the streamed
+    side of ``operators.validation.quantile_drift``: each micro-batch
+    bins its values against the PINNED quantile edges (the q-1 floats
+    ``quantile_edges`` published at release time — the stream cannot
+    re-derive the reference's percentiles per batch) and folds the
+    bin counts into the additive rollup. The edge frame is STORED per
+    row as ``(q, pin)`` — an md5 over the ordered edge reprs (the
+    categorical sink's store-and-assert discipline) — so
+    :func:`read_drift_q_metrics` fails loudly when the reader's
+    reference would derive DIFFERENT edges. Binning is the same
+    integer edge-count expression as the batch operator
+    (``validation._qbin``); fold + replay protection delegate to
+    :func:`foreach_batch_additive`."""
+    from unimib_simpss_spark.operators.validation import _check_edges, _qbin
+
+    q = len(list(edges)) + 1
+    if q < 2:
+        raise ValueError("foreach_batch_drift_q needs at least one edge")
+    pinned = _check_edges(edges, q)
+    sig = _edges_sig(pinned)
+    fold = foreach_batch_additive(path, ("q", "pin", "bin"), {})
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        v = F.col(col).cast("double")
+        earr = F.array(*[F.lit(float(e)).cast("double") for e in pinned])
+        binned = batch.where(v.isNotNull()).select(
+            F.lit(int(q)).alias("q"),
+            F.lit(sig).alias("pin"),
+            _qbin(v, earr, q).alias("bin"),
+        )
+        fold(binned, batch_id)
+
+    return _apply
+
+
+def read_drift_q_metrics(
+    spark: SparkSession,
+    ref: DataFrame,
+    path: str,
+    col: str,
+    q: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Equi-depth PSI/KS/JSD of the streamed distribution (the
+    additive bin table :func:`foreach_batch_drift_q` maintains)
+    against the reference snapshot — the same ``(metric, bin, ref_n,
+    cur_n, value)`` rows ``quantile_drift`` would emit for the same
+    data. Loud-failure contract: the edges this reader derives from
+    ``ref`` (``quantile_edges``, the same ceil(p·n) percentile rule)
+    must signature-match the sink's stored pin; a drifted reference
+    or a different ``q`` raises instead of mis-binning."""
+    from unimib_simpss_spark.operators.validation import (
+        _joined_bin_counts,
+        _qbinned_counts,
+        drift_metrics_from_counts,
+        quantile_edges,
+    )
+
+    cur, _ = _current_generation(path)
+    stored = (
+        spark.read.parquet(cur)
+        if cur is not None
+        else spark.createDataFrame(
+            [], "q int, pin string, bin long, n_rows long"
+        )
+    )
+    cfg = stored.select("q", "pin").distinct().collect()
+    if len(cfg) > 1:
+        raise ValueError(
+            f"quantile-drift table at {path} holds {len(cfg)} edge "
+            "frames — it must be written by ONE foreach_batch_drift_q "
+            "sink"
+        )
+    edges = quantile_edges(ref, col, q)
+    if cfg:
+        if cfg[0]["q"] != q:
+            raise ValueError(
+                f"quantile-drift table at {path} was built with "
+                f"q={cfg[0]['q']}, caller asked for q={q}"
+            )
+        if cfg[0]["pin"] != _edges_sig(edges):
+            raise ValueError(
+                f"quantile-drift table at {path} was pinned to a "
+                "different edge frame than the reference derives — "
+                "re-pin the sink or pass the matching reference "
+                "snapshot"
+            )
+    # reference side computed under the SAME derived edges; the stored
+    # rollup supplies the current-side counts verbatim (the
+    # read_drift_metrics join shape)
+    v = F.col(col).cast("double")
+    refd = ref.where(v.isNotNull()).select(v.alias("_v"))
+    er = spark.range(1).select(
+        F.array(*[F.lit(float(e)).cast("double") for e in edges]).alias(
+            "edges"
+        )
+    )
+    rc = _qbinned_counts(refd, er, q).withColumnRenamed("n", "_rn")
+    cc = stored.select("bin", F.col("n_rows").alias("_cn"))
+    return drift_metrics_from_counts(
+        _joined_bin_counts(rc, cc, q, spark), q, ndigits
+    )
