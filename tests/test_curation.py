@@ -59,6 +59,70 @@ def test_kanon_flags_exactly_small_groups(spark):
     assert out[("c", 2)] == (1, 1)
 
 
+def test_ldiversity_homogeneous_group_suppressed(spark):
+    """The homogeneity attack k-anonymity misses: a big group whose
+    sensitive values are all identical has distinct_l=1, entropy=0 and
+    must be flagged, however large it is."""
+    df = spark.createDataFrame(
+        [(1, "X")] * 50 + [(2, "X")] * 10 + [(2, "Y")] * 10 + [(2, "Z")] * 10,
+        ["nat", "seg"],
+    )
+    out = {
+        r.nat: r
+        for r in P.ldiversity_groups(df, ["nat"], "seg", l_min=3).collect()
+    }
+    assert (out[1].group_n, out[1].distinct_l, out[1].entropy) == (50, 1, 0.0)
+    assert out[1].suppressed == 1
+    assert (out[2].group_n, out[2].distinct_l) == (30, 3)
+
+    import math
+
+    assert out[2].entropy == pytest.approx(math.log(3), abs=1e-6)
+
+
+def test_ldiversity_tcloseness_flags_skewed_group(spark):
+    """The skew attack: a group can be diverse (l >= l_min) yet sit far
+    from the corpus prior — t-closeness catches it, and a group that
+    mirrors the global mix reads tv_dist = 0."""
+    # group 1 dominates the corpus with a uniform X/Y/Z mix (so the
+    # global prior is ~uniform and group 1 sits near it); group 2 is
+    # 90% X — diverse but skewed
+    rows = (
+        [(1, "X")] * 300 + [(1, "Y")] * 300 + [(1, "Z")] * 300
+        + [(2, "X")] * 54 + [(2, "Y")] * 3 + [(2, "Z")] * 3
+    )
+    df = spark.createDataFrame(rows, ["nat", "seg"])
+    out = {
+        r.nat: r
+        for r in P.ldiversity_groups(
+            df, ["nat"], "seg", l_min=3, t_max=0.2
+        ).collect()
+    }
+    assert out[2].distinct_l == 3  # diverse — l-diversity alone passes
+    assert out[2].tv_dist > 0.2 and out[2].suppressed == 1
+    assert out[1].tv_dist < 0.1 and out[1].suppressed == 0
+    # hand value: group 2 p = (.9, .05, .05) vs the global mix
+    g2 = [54 / 60, 3 / 60, 3 / 60]
+    gl = [354 / 960, 303 / 960, 303 / 960]
+    want = round(0.5 * sum(abs(a - b) for a, b in zip(g2, gl)), 6)
+    assert out[2].tv_dist == pytest.approx(want, abs=2e-6)
+
+
+def test_ldiversity_null_rows_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "X"), (1, "Y"), (1, None), (None, "X"), (2, "X")],
+        "nat int, seg string",
+    )
+    out = {
+        r.nat: r
+        for r in P.ldiversity_groups(df, ["nat"], "seg", l_min=2).collect()
+    }
+    assert set(out) == {1, 2}  # NULL quasi key dropped
+    assert out[1].group_n == 2  # NULL sensitive dropped
+    with pytest.raises(ValueError, match="l_min"):
+        P.ldiversity_groups(df, ["nat"], "seg", l_min=0)
+
+
 # ------------------------------------------------------------ bigram LM
 
 

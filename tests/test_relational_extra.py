@@ -147,6 +147,48 @@ def test_gapfill_spine_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_gapfill_interp_hand_computed(spark):
+    """interp_value: the straight line between surrounding non-null
+    buckets; observed buckets pass through exactly; NULL outside the
+    observed span (the line has no anchor there, unlike LOCF's step)."""
+    from unimib_simpss_spark.plans.timeseries import gapfill_rollup
+
+    rows = [
+        ("k", "2024-01-01 01:00:00", 10.0),
+        ("k", "2024-01-01 04:00:00", 40.0),  # 3h gap: 2h, 3h interpolate
+        ("k", "2024-01-01 05:00:00", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        r["bucket"].hour: (r["interp_value"], r["locf_value"])
+        for r in gapfill_rollup(
+            df, "g", "ts", "v",
+            "2024-01-01 00:00:00", "2024-01-01 06:00:00",
+        ).collect()
+    }
+    assert out[0] == (None, None)          # before first point
+    assert out[1] == (10.0, 10.0)          # observed passes through
+    assert out[2] == (20.0, 10.0)          # 1/3 of the way 10→40
+    assert out[3] == (30.0, 10.0)          # 2/3 of the way
+    assert out[4] == (40.0, 40.0)
+    assert out[5] == (0.0, 0.0)
+    assert out[6] == (None, 0.0)           # after last: LOCF holds, line NULL
+
+
+def test_gapfill_single_sort_plan_shape(spark, sf_dir):
+    """The LOCF + both interpolation anchors must ride ONE sort on
+    (key, bucket) — the forward frame only flips the bounds, so the
+    interp column may not add an exchange or a second sort."""
+    import re
+
+    plan = registry.queries()["q55_gapfill_rollup"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bSort\b", plan)) == 1, plan
+
+
 def test_q64_no_string_shuffle_plan_shape(spark, sf_dir):
     """The bigram LM plan must never shuffle token strings: every
     exchange after the mine carries the 8-byte xxhash64 bigram key (or

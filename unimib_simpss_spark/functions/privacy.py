@@ -62,3 +62,107 @@ def kanon_groups(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
         F.count(F.lit(1)).alias("group_n"),
         (F.count(F.lit(1)) < F.lit(k)).cast("long").alias("suppressed"),
     )
+
+
+def ldiversity_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_min: int = 3,
+    t_max: float = 0.25,
+    ndigits: int = 6,
+) -> DataFrame:
+    """l-diversity + t-closeness audit — the two gates that catch what
+    k-anonymity misses. A group can be large (k-anonymous) yet leak:
+    if everyone in it shares one sensitive value, membership alone
+    discloses it (homogeneity attack — distinct l-diversity, Machanavajjhala
+    et al. 2007); and a skewed-but-diverse group still narrows the
+    sensitive value against the corpus prior (t-closeness, Li et al.
+    2007 — here the total-variation distance between the group's
+    sensitive distribution and the global one, the categorical EMD).
+
+    Returns one row per distinct quasi-identifier tuple:
+
+    - ``group_n``: group size (the k-anonymity count);
+    - ``distinct_l``: distinct sensitive values in the group;
+    - ``entropy``: Shannon entropy (nats) of the group's sensitive
+      distribution — entropy l-diversity holds iff entropy >= ln(l);
+      computed as ``ln(n) - sum(c*ln(c))/n`` (ONE combinable
+      aggregate, no per-row ratio join — a SQL twin must mirror this
+      exact form);
+    - ``tv_dist``: 0.5 * Σ |p_group - p_global| over ALL sensitive
+      values (absent values count at p_group = 0);
+    - ``suppressed = 1`` where ``distinct_l < l_min`` OR
+      ``tv_dist > t_max`` — the publish/suppress verdict.
+
+    Rows with a NULL sensitive value are excluded (an unknown value
+    neither diversifies nor discloses), and so are rows with any NULL
+    quasi key (the distribution_drift_by convention — equi-joins on
+    the quasi tuple would silently drop such groups halfway through
+    the arithmetic otherwise; audit NULL quasi keys with a row rule
+    first). Scale shape: one
+    map-side-combinable (quasi, sensitive) count — the only pass over
+    data — then all arithmetic on the groups × |sensitive| relation
+    with the |sensitive|-sized global distribution broadcast; output
+    cardinality is distinct quasi tuples.
+    """
+    if l_min < 1:
+        raise ValueError(f"l_min must be >= 1, got {l_min}")
+    s = F.col(sensitive_col)
+    keep = s.isNotNull()
+    for qc in quasi_cols:
+        keep = keep & F.col(qc).isNotNull()
+    cell = (
+        df.where(keep)
+        .groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_group = cell.groupBy(*quasi_cols).agg(
+        F.sum("_c").alias("group_n"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        F.round(
+            F.log(F.sum("_c").cast("double"))
+            - F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double")))
+            / F.sum("_c").cast("double"),
+            ndigits,
+        ).alias("entropy"),
+    )
+    glob = cell.groupBy(sensitive_col).agg(F.sum("_c").alias("_gc"))
+    tot = cell.agg(F.sum("_c").alias("_n"))
+    frame = (
+        per_group.select(*quasi_cols)
+        .crossJoin(F.broadcast(glob.join(tot, how="cross")))
+        .join(cell, [*quasi_cols, sensitive_col], "left")
+        .withColumn("_c", F.coalesce("_c", F.lit(0)))
+    )
+    tv = (
+        frame.join(
+            per_group.select(*quasi_cols, "group_n"), quasi_cols
+        )
+        .groupBy(*quasi_cols)
+        .agg(
+            F.round(
+                F.lit(0.5)
+                * F.sum(
+                    F.abs(
+                        F.col("_c").cast("double") / F.col("group_n")
+                        - F.col("_gc").cast("double") / F.col("_n")
+                    )
+                ),
+                ndigits,
+            ).alias("tv_dist")
+        )
+    )
+    return per_group.join(tv, quasi_cols).select(
+        *quasi_cols,
+        "group_n",
+        "distinct_l",
+        "entropy",
+        "tv_dist",
+        (
+            (F.col("distinct_l") < F.lit(l_min))
+            | (F.col("tv_dist") > F.lit(float(t_max)))
+        )
+        .cast("long")
+        .alias("suppressed"),
+    )

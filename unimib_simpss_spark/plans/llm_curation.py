@@ -25,6 +25,8 @@ from unimib_simpss_spark.operators import curation as C
 from unimib_simpss_spark.plans.registry import query
 
 _KANON_K = 5
+_LDIV_L = 3
+_LDIV_T = 0.25
 
 # Data-quality audit rules over customer (the 'audit' section of q63):
 # one name → (DuckDB predicate SQL, Spark Column builder). Row rules
@@ -82,6 +84,48 @@ def _audit_oracle() -> str:
     """
 
 
+def _ldiv_oracle() -> str:
+    """DuckDB twin of functions/privacy.py ldiversity_groups over
+    quasi = (c_nationkey), sensitive = c_mktsegment — entropy and TV
+    expressions mirror the Spark Columns verbatim (same cast/sum
+    order)."""
+    return f"""
+    WITH cell AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS c
+        FROM customer
+        WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pg AS (
+        SELECT c_nationkey, sum(c) AS group_n, count(*) AS distinct_l,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        FROM cell GROUP BY 1
+    ),
+    gseg AS (SELECT c_mktsegment, sum(c) AS gc FROM cell GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM cell),
+    tv AS (
+        SELECT p.c_nationkey,
+               round(0.5 * sum(abs(
+                   CAST(coalesce(cell.c, 0) AS DOUBLE) / pg.group_n
+                   - CAST(g.gc AS DOUBLE) / t.n)), 6) AS tv_dist
+        FROM (SELECT DISTINCT c_nationkey FROM cell) p
+        CROSS JOIN gseg g CROSS JOIN tot t
+        LEFT JOIN cell ON cell.c_nationkey = p.c_nationkey
+                      AND cell.c_mktsegment = g.c_mktsegment
+        JOIN pg ON pg.c_nationkey = p.c_nationkey
+        GROUP BY 1
+    )
+    SELECT pg.c_nationkey, pg.group_n,
+           CAST(pg.distinct_l AS BIGINT) AS distinct_l,
+           pg.entropy, tv.tv_dist,
+           CAST(pg.distinct_l < {_LDIV_L} OR tv.tv_dist > {_LDIV_T}
+                AS BIGINT) AS suppressed
+    FROM pg JOIN tv USING (c_nationkey)
+    """
+
+
 _PII_ORACLE = f"""
 SELECT 'redact' AS section,
        c_custkey,
@@ -97,7 +141,10 @@ SELECT 'redact' AS section,
        CAST(NULL AS VARCHAR) AS rule,
        CAST(NULL AS BIGINT)  AS n_rows,
        CAST(NULL AS BIGINT)  AS n_violations,
-       CAST(NULL AS BIGINT)  AS audit_pass
+       CAST(NULL AS BIGINT)  AS audit_pass,
+       CAST(NULL AS BIGINT)  AS distinct_l,
+       CAST(NULL AS DOUBLE)  AS entropy,
+       CAST(NULL AS DOUBLE)  AS tv_dist
 FROM customer
 UNION ALL
 SELECT 'kanon' AS section,
@@ -112,7 +159,10 @@ SELECT 'kanon' AS section,
        CAST(NULL AS VARCHAR) AS rule,
        CAST(NULL AS BIGINT)  AS n_rows,
        CAST(NULL AS BIGINT)  AS n_violations,
-       CAST(NULL AS BIGINT)  AS audit_pass
+       CAST(NULL AS BIGINT)  AS audit_pass,
+       CAST(NULL AS BIGINT)  AS distinct_l,
+       CAST(NULL AS DOUBLE)  AS entropy,
+       CAST(NULL AS DOUBLE)  AS tv_dist
 FROM customer
 GROUP BY c_mktsegment, c_nationkey
 UNION ALL
@@ -125,8 +175,27 @@ SELECT 'audit' AS section,
        CAST(NULL AS INT)     AS c_nationkey,
        CAST(NULL AS BIGINT)  AS group_n,
        CAST(NULL AS BIGINT)  AS suppressed,
-       rule, n_rows, n_violations, audit_pass
+       rule, n_rows, n_violations, audit_pass,
+       CAST(NULL AS BIGINT)  AS distinct_l,
+       CAST(NULL AS DOUBLE)  AS entropy,
+       CAST(NULL AS DOUBLE)  AS tv_dist
 FROM ({_audit_oracle()})
+UNION ALL
+SELECT 'ldiv' AS section,
+       CAST(NULL AS BIGINT)  AS c_custkey,
+       CAST(NULL AS VARCHAR) AS pseudonym,
+       CAST(NULL AS VARCHAR) AS redacted_name,
+       CAST(NULL AS BIGINT)  AS n_digits,
+       CAST(NULL AS VARCHAR) AS c_mktsegment,
+       c_nationkey,
+       group_n,
+       suppressed,
+       CAST(NULL AS VARCHAR) AS rule,
+       CAST(NULL AS BIGINT)  AS n_rows,
+       CAST(NULL AS BIGINT)  AS n_violations,
+       CAST(NULL AS BIGINT)  AS audit_pass,
+       distinct_l, entropy, tv_dist
+FROM ({_ldiv_oracle()})
 """
 
 
@@ -138,7 +207,13 @@ def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     'redact' pseudonymizes and redacts the direct identifier (pure
     Column exprs, codegen'd, no shuffle); 'kanon' sizes every
     quasi-identifier group and flags those below k=5 for suppression
-    (one combinable shuffle); 'audit' is the Deequ-shaped constraint
+    (one combinable shuffle); 'ldiv' is the l-diversity + t-closeness
+    audit over quasi = nationkey with mktsegment as the sensitive
+    attribute (functions/privacy.py ldiversity_groups — distinct-l,
+    Shannon entropy, and the total-variation distance to the global
+    mix, with the combined publish/suppress verdict: the homogeneity-
+    and skew-attack gates k-anonymity misses); 'audit' is the
+    Deequ-shaped constraint
     gate (operators/validation.py): four row rules verified in ONE
     aggregate pass (not-null, range, set-membership, regex), a
     uniqueness rule, and a referential rule against the broadcast
@@ -155,6 +230,11 @@ def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_violations"),
         F.lit(None).cast("long").alias("audit_pass"),
     ]
+    pad_ldiv = [
+        F.lit(None).cast("long").alias("distinct_l"),
+        F.lit(None).cast("double").alias("entropy"),
+        F.lit(None).cast("double").alias("tv_dist"),
+    ]
     redact = cust.select(
         F.lit("redact").alias("section"),
         "c_custkey",
@@ -166,6 +246,7 @@ def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("group_n"),
         F.lit(None).cast("long").alias("suppressed"),
         *pad_audit,
+        *pad_ldiv,
     )
     kanon = P.kanon_groups(cust, ["c_mktsegment", "c_nationkey"], k=_KANON_K).select(
         F.lit("kanon").alias("section"),
@@ -178,6 +259,24 @@ def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_n",
         "suppressed",
         *pad_audit,
+        *pad_ldiv,
+    )
+    ldiv = P.ldiversity_groups(
+        cust, ["c_nationkey"], "c_mktsegment", l_min=_LDIV_L, t_max=_LDIV_T
+    ).select(
+        F.lit("ldiv").alias("section"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(None).cast("string").alias("pseudonym"),
+        F.lit(None).cast("string").alias("redacted_name"),
+        F.lit(None).cast("long").alias("n_digits"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        "c_nationkey",
+        "group_n",
+        "suppressed",
+        *pad_audit,
+        "distinct_l",
+        "entropy",
+        "tv_dist",
     )
     audit_rel = V.audit_union(
         V.check_row_rules(
@@ -208,8 +307,9 @@ def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_violations",
         F.col("passed").alias("audit_pass"),
+        *pad_ldiv,
     )
-    return redact.unionAll(kanon).unionAll(audit)
+    return redact.unionAll(kanon).unionAll(ldiv).unionAll(audit)
 
 
 _DSIR_TARGET_SOURCE = "src0"

@@ -37,12 +37,25 @@ def gapfill_rollup(
     stop: str,
     bucket: str = "hour",
 ) -> DataFrame:
-    """Bucketed avg/count rollup on a dense time spine with LOCF.
+    """Bucketed avg/count rollup on a dense time spine with LOCF and
+    linear interpolation.
 
     Returns one row per (key, bucket) between ``start`` and ``stop``
     inclusive: ``n_events`` (0 on gaps), ``avg_value`` (NULL on gaps),
-    and ``locf_value`` (last non-null avg carried forward per key).
-    """
+    ``locf_value`` (last non-null avg carried forward per key), and
+    ``interp_value`` (the straight line between the surrounding
+    non-null buckets — the other standard gap-fill; NULL outside the
+    observed span, i.e. before the first / after the last non-null
+    point, where LOCF's step convention would extrapolate but a line
+    has nothing to anchor to).
+
+    Plan note: LOCF and both interpolation anchors ride the SAME
+    (key, bucket) sort — the backward frame reuses ``w`` and the
+    forward frame only flips the bounds, so Spark plans ONE exchange
+    + ONE sort with two adjacent Window nodes; interpolation adds
+    zero shuffles. Anchor timestamps are integer µs
+    (``unix_micros``/``epoch_us``, the house idiom) and the ratio is
+    a single double division mirrored verbatim in the oracle."""
     spark = df.sparkSession
     from unimib_simpss_spark.functions.analysis import exact_avg
 
@@ -72,12 +85,32 @@ def gapfill_rollup(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wf = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_us = F.unix_micros(F.col("bucket"))
+    obs_t = F.when(F.col("avg_value").isNotNull(), t_us)
+    prev_v = F.last("avg_value", ignorenulls=True).over(w)
+    prev_t = F.last(obs_t, ignorenulls=True).over(w)
+    next_v = F.first("avg_value", ignorenulls=True).over(wf)
+    next_t = F.first(obs_t, ignorenulls=True).over(wf)
+    frac = (t_us - prev_t).cast("double") / (next_t - prev_t).cast(
+        "double"
+    )
     return spine.join(agg, ["key", "bucket"], "left").select(
         F.col("key").alias(key_col),
         "bucket",
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         "avg_value",
-        F.last("avg_value", ignorenulls=True).over(w).alias("locf_value"),
+        prev_v.alias("locf_value"),
+        # observed buckets pass through exactly (no 0/0 from
+        # prev_t == next_t == t); gaps outside the span stay NULL
+        # because a missing anchor NULLs the whole expression
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+        .alias("interp_value"),
     )
 
 
@@ -98,13 +131,32 @@ def _q55_oracle() -> str:
                {exact_avg_sql('value')} AS avg_value, count(*) AS n_events
         FROM events GROUP BY 1, 2
     )
-    SELECT s.key AS event_type, s.bucket,
-           coalesce(a.n_events, 0)  AS n_events,
-           a.avg_value              AS avg_value,
-           last_value(a.avg_value IGNORE NULLS) OVER (
-               PARTITION BY s.key ORDER BY s.bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
-    FROM spine s LEFT JOIN agg a ON a.key = s.key AND a.bucket = s.bucket
+    SELECT event_type, bucket, n_events, avg_value, locf_value,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(t_us - prev_t AS DOUBLE)
+                        / CAST(next_t - prev_t AS DOUBLE))
+           END AS interp_value
+    FROM (
+        SELECT s.key AS event_type, s.bucket,
+               coalesce(a.n_events, 0)  AS n_events,
+               a.avg_value              AS avg_value,
+               epoch_us(s.bucket)       AS t_us,
+               last_value(a.avg_value IGNORE NULLS) OVER back AS locf_value,
+               last_value(a.avg_value IGNORE NULLS) OVER back AS prev_v,
+               last_value(CASE WHEN a.avg_value IS NOT NULL
+                               THEN epoch_us(s.bucket) END IGNORE NULLS)
+                   OVER back AS prev_t,
+               first_value(a.avg_value IGNORE NULLS) OVER fwd AS next_v,
+               first_value(CASE WHEN a.avg_value IS NOT NULL
+                                THEN epoch_us(s.bucket) END IGNORE NULLS)
+                   OVER fwd AS next_t
+        FROM spine s LEFT JOIN agg a ON a.key = s.key AND a.bucket = s.bucket
+        WINDOW back AS (PARTITION BY s.key ORDER BY s.bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY s.key ORDER BY s.bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
     """
 
 
