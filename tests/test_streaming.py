@@ -2498,3 +2498,79 @@ def test_streaming_drift_q_loud_failures(spark, tmp_path):
         read_drift_q_metrics(spark, drifted_ref, table, "x", q=5)
     with pytest.raises(ValueError, match="at least one edge"):
         foreach_batch_drift_q(str(tmp_path / "x"), "x", [])
+
+
+def test_streaming_ldiv_matches_batch_prefix(spark, tmp_path):
+    """The privacy-audit sink's accumulated (quasi, sensitive) cell
+    table must yield EXACTLY the rows the batch ldiversity_groups
+    emits over the same stream prefix (cell counts are additive; the
+    reader replays them through ldiversity_from_cell, the shared
+    count-preserving arithmetic)."""
+    import json as _json
+    import os
+    import time
+
+    from unimib_simpss_spark.functions.privacy import ldiversity_groups
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_ldiv,
+        read_ldiv_metrics,
+    )
+
+    rows_b1 = [
+        {"nat": 1, "seg": "X"}, {"nat": 1, "seg": "X"},
+        {"nat": 1, "seg": "Y"}, {"nat": 2, "seg": "X"},
+        {"nat": None, "seg": "X"}, {"nat": 2, "seg": None},
+    ]
+    rows_b2 = [
+        {"nat": 1, "seg": "Z"}, {"nat": 2, "seg": "Y"},
+        {"nat": 2, "seg": "Y"}, {"nat": 1, "seg": "X"},
+    ]
+    logdir = tmp_path / "vals"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b1) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b2) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    stream = (
+        spark.readStream.schema("nat int, seg string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "ldiv_cells")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_ldiv(table, ("nat",), "seg")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(
+            tuple,
+            read_ldiv_metrics(
+                spark, table, ("nat",), "seg", l_min=2, t_max=0.3
+            ).collect(),
+        )
+    )
+    batch = spark.createDataFrame(
+        [(r["nat"], r["seg"]) for r in rows_b1 + rows_b2],
+        "nat int, seg string",
+    )
+    want = sorted(
+        map(
+            tuple,
+            ldiversity_groups(
+                batch, ["nat"], "seg", l_min=2, t_max=0.3
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 2
+    # never-written table raises the documented descriptive error
+    with pytest.raises(ValueError, match="no privacy-audit generation"):
+        read_ldiv_metrics(spark, str(tmp_path / "nope"), ("nat",), "seg")

@@ -917,3 +917,35 @@ class TestQuantileDrift:
         cur = spark.createDataFrame([(1.0,)], "x double")
         with pytest.raises(Exception, match="no non-NULL values"):
             quantile_drift(ref, cur, "x", q=4).collect()
+
+    def test_kll_edges_feed_pinned_drift(self, spark):
+        """The sketch-published edges (the 100 TB path) are close in
+        rank to the exact deciles and pin straight into the operator:
+        identical snapshots still read PSI = 0 under ANY edge frame."""
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift,
+            quantile_edges,
+            quantile_edges_kll,
+        )
+
+        ref = spark.createDataFrame(
+            [(float(i),) for i in range(1, 1001)], "x double"
+        )
+        exact = quantile_edges(ref, "x", 10)
+        approx = quantile_edges_kll(ref, "x", 10, k=200)
+        assert len(approx) == 9
+        assert all(a <= b for a, b in zip(approx, approx[1:]))
+        # rank error ±O(1/k): each edge within 5% of the population span
+        assert all(abs(a - e) <= 50 for a, e in zip(approx, exact))
+        m = {
+            r.metric: r.value
+            for r in quantile_drift(
+                ref, ref, "x", q=10, ref_edges=approx
+            ).collect()
+            if r.bin is None
+        }
+        assert m == {"psi": 0.0, "ks": 0.0, "jsd": 0.0}
+        with pytest.raises(ValueError, match="no non-NULL"):
+            quantile_edges_kll(
+                spark.createDataFrame([(None,)], "x double"), "x", 10
+            )

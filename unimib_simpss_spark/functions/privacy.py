@@ -117,6 +117,27 @@ def ldiversity_groups(
         .groupBy(*quasi_cols, sensitive_col)
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    return ldiversity_from_cell(
+        cell, quasi_cols, sensitive_col, l_min, t_max, ndigits
+    )
+
+
+def ldiversity_from_cell(
+    cell: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_min: int = 3,
+    t_max: float = 0.25,
+    ndigits: int = 6,
+) -> DataFrame:
+    """:func:`ldiversity_groups`'s arithmetic over an already-counted
+    ``(quasi..., sensitive, _c)`` cell relation — the count-preserving
+    entry point (the ``drift_metrics_from_counts`` discipline): cell
+    counts are ADDITIVE, so a streaming additive sink folding
+    (quasi, sensitive) counts replays through here and is guaranteed
+    the SAME rows the batch operator emits for the same data."""
+    if l_min < 1:
+        raise ValueError(f"l_min must be >= 1, got {l_min}")
     per_group = cell.groupBy(*quasi_cols).agg(
         F.sum("_c").alias("group_n"),
         F.count(F.lit(1)).alias("distinct_l"),

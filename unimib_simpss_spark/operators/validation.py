@@ -1461,3 +1461,32 @@ def quantile_drift_sql(
     ),
     {_drift_tail_sql(q, ndigits)}
     """
+
+
+def quantile_edges_kll(
+    ref: DataFrame, col: str, q: int, k: int = 200
+) -> list:
+    """Approximate q-quantile edges from the mergeable KLL sketch
+    (``functions/sketches.py: kll_quantiles``) — the 100 TB publish
+    path :func:`quantile_drift`'s docstring prescribes where even one
+    exact percentile pass over the reference is too hot. KLL's rank
+    error moves bin BOUNDARIES by ±O(1/k) of rank; the drift
+    arithmetic downstream is untouched (counts are exact under
+    whatever edges are pinned), so the metric stays well-defined —
+    just measured against slightly-shifted deciles. Returns q-1
+    floats accepted verbatim by ``ref_edges`` / the streaming sink."""
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    from unimib_simpss_spark.functions.sketches import kll_quantiles
+
+    names = {f"_e{i}": i / q for i in range(1, q)}
+    row = kll_quantiles(
+        ref.select(F.lit(1).alias("_g"), col), ["_g"], col, names, k=k,
+        ndigits=9,
+    ).first()
+    if row is None:
+        raise ValueError(
+            "quantile_edges_kll: reference has no non-NULL values — "
+            "no quantile edges to publish"
+        )
+    return [float(row[f"_e{i}"]) for i in range(1, q)]

@@ -1011,3 +1011,59 @@ def read_drift_q_metrics(
     return drift_metrics_from_counts(
         _joined_bin_counts(rc, cc, q, spark), q, ndigits
     )
+
+
+def foreach_batch_ldiv(path: str, quasi_cols: tuple, sensitive_col: str):
+    """``foreachBatch`` body accumulating the STREAMED side of the
+    privacy audit (``functions.privacy.ldiversity_groups``): each
+    micro-batch's (quasi..., sensitive) cell counts fold into the
+    additive generation-swap table — counts are additive, so the
+    stored cell relation after any stream prefix equals the batch
+    operator's cell over that prefix, and
+    :func:`read_ldiv_metrics` replays it through the SAME arithmetic
+    (``ldiversity_from_cell``, the count-preserving entry point).
+    NULL sensitive values and NULL quasi keys drop per the batch
+    rule. The streaming job holds no state; replay protection
+    delegates to :func:`foreach_batch_additive`."""
+    cols = (*quasi_cols, sensitive_col)
+    fold = foreach_batch_additive(path, cols, {})
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        keep = F.col(sensitive_col).isNotNull()
+        for qc in quasi_cols:
+            keep = keep & F.col(qc).isNotNull()
+        fold(batch.where(keep).select(*cols), batch_id)
+
+    return _apply
+
+
+def read_ldiv_metrics(
+    spark: SparkSession,
+    path: str,
+    quasi_cols: tuple,
+    sensitive_col: str,
+    l_min: int = 3,
+    t_max: float = 0.25,
+    ndigits: int = 6,
+) -> DataFrame:
+    """l-diversity + t-closeness over the streamed cell counts — the
+    same rows ``ldiversity_groups`` would emit for the same data.
+    Raises a descriptive error before the sink's first generation
+    (unlike the drift readers there is no reference side to anchor a
+    zero-count read, and the quasi/sensitive column types are not
+    derivable from thin air)."""
+    from unimib_simpss_spark.functions.privacy import ldiversity_from_cell
+
+    cur, _ = _current_generation(path)
+    if cur is None:
+        raise ValueError(
+            f"no privacy-audit generation at {path} yet — the "
+            "foreach_batch_ldiv sink has not committed a batch"
+        )
+    stored = spark.read.parquet(cur)
+    cell = stored.select(
+        *quasi_cols, sensitive_col, F.col("n_rows").alias("_c")
+    )
+    return ldiversity_from_cell(
+        cell, list(quasi_cols), sensitive_col, l_min, t_max, ndigits
+    )
