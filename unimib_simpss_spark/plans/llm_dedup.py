@@ -709,19 +709,25 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_hash",
         "new_hash",
     )
+    from unimib_simpss_spark.operators.caching import cache_intermediate
     from unimib_simpss_spark.operators.validation import (
         distribution_drift,
         distribution_drift_by,
     )
 
-    drift = distribution_drift(
-        docs.select(F.length("text").alias("chars")),
+    # the equal-width and equi-depth gates bin the SAME two snapshots:
+    # cache the narrow chars relations once (ints, not text) so the
+    # four numeric passes (min/max + percentiles + 4 bin counts) stop
+    # re-reading the text column per pass
+    ref_chars = cache_intermediate(
+        docs.select(F.length("text").alias("chars"))
+    )
+    cur_chars = cache_intermediate(
         survivors.unionAll(reingested).select(
             F.length("text").alias("chars")
-        ),
-        "chars",
-        bins=10,
+        )
     )
+    drift = distribution_drift(ref_chars, cur_chars, "chars", bins=10)
     drift_leg = drift.select(
         F.lit("drift").alias("section"),
         F.col("bin").alias("new_doc"),
@@ -738,14 +744,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantile_drift — the heavy-tail-safe PSI convention)
     from unimib_simpss_spark.operators.validation import quantile_drift
 
-    drift_q = quantile_drift(
-        docs.select(F.length("text").alias("chars")),
-        survivors.unionAll(reingested).select(
-            F.length("text").alias("chars")
-        ),
-        "chars",
-        q=10,
-    )
+    drift_q = quantile_drift(ref_chars, cur_chars, "chars", q=10)
     driftq_leg = drift_q.select(
         F.lit("driftq").alias("section"),
         F.col("bin").alias("new_doc"),
@@ -821,7 +820,9 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(drift_leg)
         .unionAll(driftq_leg)
         .unionAll(driftsrc_leg)
-        .unionAll(driftcat_leg)
+        .unionAll(driftcat_leg),
+        ref_chars,
+        cur_chars,
     )
     release_result(pairs_cache)  # union checkpointed; the miner cache is spent
     release_result(ed)
