@@ -2500,6 +2500,50 @@ def test_streaming_drift_q_loud_failures(spark, tmp_path):
         foreach_batch_drift_q(str(tmp_path / "x"), "x", [])
 
 
+def test_streaming_drift_q_published_edges_read_path(spark, tmp_path):
+    """A sink pinned with PUBLISHED (sketch-approximate) edges — which
+    an exact re-derivation can never reproduce — must be readable by
+    passing the same published edges to the reader (review finding:
+    without ref_edges the KLL-pinned table was permanently
+    unreadable). Parity vs batch quantile_drift under the same pin."""
+    from unimib_simpss_spark.operators.validation import quantile_drift
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_q,
+        read_drift_q_metrics,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(1, 51)], "x double"
+    )
+    # "published" edges deliberately off the exact deciles (what a KLL
+    # publish produces)
+    edges = [11.0, 19.0, 31.0, 41.0]
+    table = str(tmp_path / "qd_pub")
+    fold = foreach_batch_drift_q(table, "x", iter(edges))  # iterator ok
+    rows = [(3.0,), (17.5,), (44.0,), (99.0,)]
+    fold(spark.createDataFrame(rows, "x double"), 0)
+    # exact re-derivation mismatches loudly...
+    with pytest.raises(ValueError, match="different edge frame"):
+        read_drift_q_metrics(spark, ref, table, "x", q=5)
+    # ...the published pin reads, and matches batch under the same pin
+    got = sorted(
+        map(
+            tuple,
+            read_drift_q_metrics(
+                spark, ref, table, "x", q=5, ref_edges=edges
+            ).collect(),
+        )
+    )
+    cur = spark.createDataFrame(rows, "x double")
+    want = sorted(
+        map(
+            tuple,
+            quantile_drift(ref, cur, "x", q=5, ref_edges=edges).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_streaming_ldiv_matches_batch_prefix(spark, tmp_path):
     """The privacy-audit sink's accumulated (quasi, sensitive) cell
     table must yield EXACTLY the rows the batch ldiversity_groups

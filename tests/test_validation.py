@@ -900,7 +900,7 @@ class TestQuantileDrift:
         bad_counts = spark.createDataFrame(
             [(0, 5), (0, 7)], "bin long, n long"
         )
-        with pytest.raises(ValueError, match="duplicate or out-of-range"):
+        with pytest.raises(ValueError, match="duplicate, NULL, or out"):
             quantile_drift(
                 ref,
                 cur,
@@ -908,6 +908,30 @@ class TestQuantileDrift:
                 q=4,
                 ref_edges=[25.0, 50.0, 75.0],
                 ref_counts=bad_counts,
+            )
+        # a NULL bin would silently vanish in the zero-fill join —
+        # the guard must catch it (review finding, both drift forms)
+        null_counts = spark.createDataFrame(
+            [(None, 5), (1, 7)], "bin long, n long"
+        )
+        with pytest.raises(ValueError, match="duplicate, NULL, or out"):
+            quantile_drift(
+                ref,
+                cur,
+                "x",
+                q=4,
+                ref_edges=[25.0, 50.0, 75.0],
+                ref_counts=null_counts,
+            )
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift,
+        )
+
+        stats = spark.createDataFrame([(0.0, 100.0)], "lo double, hi double")
+        with pytest.raises(ValueError, match="duplicate, NULL, or out"):
+            distribution_drift(
+                ref, cur, "x", bins=4, ref_stats=stats,
+                ref_counts=null_counts,
             )
 
     def test_empty_reference_raises_at_execution(self, spark):

@@ -381,6 +381,7 @@ def distribution_drift(
             .count()
             .where(
                 (F.col("count") > 1)
+                | F.col("bin").isNull()
                 | (F.col("bin") < 0)
                 | (F.col("bin") >= bins)
             )
@@ -389,9 +390,9 @@ def distribution_drift(
         ):
             raise ValueError(
                 f"ref_counts must hold exactly one row per bin in "
-                f"[0, {bins}) — duplicate or out-of-range bins found "
-                "(were the counts persisted under a different bins "
-                "config?)"
+                f"[0, {bins}) — duplicate, NULL, or out-of-range bins "
+                "found (were the counts persisted under a "
+                "different bins config?)"
             )
         rc = ref_counts.select(
             F.col("bin").cast("long").alias("bin"),
@@ -713,6 +714,7 @@ def distribution_drift_by(
             .count()
             .where(
                 (F.col("count") > 1)
+                | F.col("bin").isNull()
                 | (F.col("bin") < 0)
                 | (F.col("bin") >= bins)
             )
@@ -721,8 +723,8 @@ def distribution_drift_by(
         ):
             raise ValueError(
                 f"ref_counts must hold exactly one row per (group, "
-                f"bin) with bin in [0, {bins}) — duplicate or "
-                "out-of-range rows found (different bins config?)"
+                f"bin) with bin in [0, {bins}) — duplicate, NULL, "
+                "or out-of-range rows found (different bins config?)"
             )
         rc = ref_counts.select(
             F.col(group_col).alias("_g"),
@@ -1305,6 +1307,21 @@ def _check_edges(ref_edges, q: int) -> list:
     return edges
 
 
+def pinned_edges_array(ref_edges, q: int) -> Column:
+    """The validated pinned edge list as ONE literal array Column —
+    the single construction shared by the batch operator, the
+    streaming sink, and the reader, so a future change to edge
+    typing/normalization cannot make the three bin differently."""
+    edges = _check_edges(ref_edges, q)
+    return F.array(*[F.lit(e).cast("double") for e in edges])
+
+
+def pinned_edges_rel(spark, ref_edges, q: int) -> DataFrame:
+    """1-row ``(edges)`` relation over :func:`pinned_edges_array` —
+    the pinned-mode stand-in for :func:`_edges_rel`."""
+    return spark.range(1).select(pinned_edges_array(ref_edges, q).alias("edges"))
+
+
 def _qbinned_counts(d: DataFrame, edges_rel: DataFrame, q: int) -> DataFrame:
     """``(bin, n)`` counts of ``d._v`` under the 1-row edges relation —
     the equi-depth twin of :func:`binned_counts` (same broadcast +
@@ -1369,21 +1386,19 @@ def quantile_drift(
     v = F.col(col).cast("double")
     curd = cur.where(v.isNotNull()).select(v.alias("_v"))
     if ref_edges is not None:
-        edges = _check_edges(ref_edges, q)
-        er = spark.range(1).select(
-            F.array(*[F.lit(e).cast("double") for e in edges]).alias("edges")
-        )
+        er = pinned_edges_rel(spark, ref_edges, q)
     else:
         er = _edges_rel(ref.where(v.isNotNull()).select(v.alias("_v")), q)
     if ref_counts is not None:
         # same eager tiny-relation shape check as distribution_drift:
-        # duplicate bins double-count, out-of-range bins silently
-        # vanish in the zero-fill join
+        # duplicate bins double-count, NULL or out-of-range bins
+        # silently vanish in the zero-fill join
         if (
             ref_counts.groupBy("bin")
             .count()
             .where(
                 (F.col("count") > 1)
+                | F.col("bin").isNull()
                 | (F.col("bin") < 0)
                 | (F.col("bin") >= q)
             )
@@ -1392,8 +1407,9 @@ def quantile_drift(
         ):
             raise ValueError(
                 f"ref_counts must hold exactly one row per bin in "
-                f"[0, {q}) — duplicate or out-of-range bins found "
-                "(were the counts persisted under a different q?)"
+                f"[0, {q}) — duplicate, NULL, or out-of-range bins "
+                "found (were the counts persisted under a different "
+                "q?)"
             )
         rc = ref_counts.select(
             F.col("bin").cast("long").alias("bin"),

@@ -132,8 +132,10 @@ def _q55_oracle() -> str:
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, bucket, n_events, avg_value, locf_value,
+           -- locf_value IS the backward anchor value (one window
+           -- expression serves both outputs, like the Spark side)
            CASE WHEN avg_value IS NOT NULL THEN avg_value
-                ELSE prev_v + (next_v - prev_v)
+                ELSE locf_value + (next_v - locf_value)
                      * (CAST(t_us - prev_t AS DOUBLE)
                         / CAST(next_t - prev_t AS DOUBLE))
            END AS interp_value
@@ -143,7 +145,6 @@ def _q55_oracle() -> str:
                a.avg_value              AS avg_value,
                epoch_us(s.bucket)       AS t_us,
                last_value(a.avg_value IGNORE NULLS) OVER back AS locf_value,
-               last_value(a.avg_value IGNORE NULLS) OVER back AS prev_v,
                last_value(CASE WHEN a.avg_value IS NOT NULL
                                THEN epoch_us(s.bucket) END IGNORE NULLS)
                    OVER back AS prev_t,

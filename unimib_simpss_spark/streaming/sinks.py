@@ -922,22 +922,28 @@ def foreach_batch_drift_q(path: str, col: str, edges):
     integer edge-count expression as the batch operator
     (``validation._qbin``); fold + replay protection delegate to
     :func:`foreach_batch_additive`."""
-    from unimib_simpss_spark.operators.validation import _check_edges, _qbin
+    from unimib_simpss_spark.operators.validation import (
+        _check_edges,
+        _qbin,
+        pinned_edges_array,
+    )
 
-    q = len(list(edges)) + 1
+    # materialize BEFORE len(): an iterator-valued edges argument
+    # would be drained by the length check and then validate as empty
+    pinned = [float(e) for e in edges]
+    q = len(pinned) + 1
     if q < 2:
         raise ValueError("foreach_batch_drift_q needs at least one edge")
-    pinned = _check_edges(edges, q)
+    pinned = _check_edges(pinned, q)
     sig = _edges_sig(pinned)
     fold = foreach_batch_additive(path, ("q", "pin", "bin"), {})
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         v = F.col(col).cast("double")
-        earr = F.array(*[F.lit(float(e)).cast("double") for e in pinned])
         binned = batch.where(v.isNotNull()).select(
             F.lit(int(q)).alias("q"),
             F.lit(sig).alias("pin"),
-            _qbin(v, earr, q).alias("bin"),
+            _qbin(v, pinned_edges_array(pinned, q), q).alias("bin"),
         )
         fold(binned, batch_id)
 
@@ -951,19 +957,29 @@ def read_drift_q_metrics(
     col: str,
     q: int = 10,
     ndigits: int = 6,
+    ref_edges=None,
 ) -> DataFrame:
     """Equi-depth PSI/KS/JSD of the streamed distribution (the
     additive bin table :func:`foreach_batch_drift_q` maintains)
     against the reference snapshot — the same ``(metric, bin, ref_n,
     cur_n, value)`` rows ``quantile_drift`` would emit for the same
-    data. Loud-failure contract: the edges this reader derives from
-    ``ref`` (``quantile_edges``, the same ceil(p·n) percentile rule)
-    must signature-match the sink's stored pin; a drifted reference
-    or a different ``q`` raises instead of mis-binning."""
+    data. Loud-failure contract: the reader's edges must
+    signature-match the sink's stored pin; a drifted reference, a
+    different ``q``, or a mismatched pin raises instead of
+    mis-binning.
+
+    Edges come from ``ref_edges`` when given — REQUIRED when the sink
+    was pinned with published (e.g. KLL-approximate) edges, which an
+    exact re-derivation can never reproduce — otherwise they are
+    re-derived from ``ref`` via ``quantile_edges`` (the same
+    ceil(p·n) percentile rule the exact publish path uses). The cheap
+    stored-``q`` check runs BEFORE any reference scan."""
     from unimib_simpss_spark.operators.validation import (
+        _check_edges,
         _joined_bin_counts,
         _qbinned_counts,
         drift_metrics_from_counts,
+        pinned_edges_rel,
         quantile_edges,
     )
 
@@ -982,30 +998,30 @@ def read_drift_q_metrics(
             "frames — it must be written by ONE foreach_batch_drift_q "
             "sink"
         )
-    edges = quantile_edges(ref, col, q)
-    if cfg:
-        if cfg[0]["q"] != q:
-            raise ValueError(
-                f"quantile-drift table at {path} was built with "
-                f"q={cfg[0]['q']}, caller asked for q={q}"
-            )
-        if cfg[0]["pin"] != _edges_sig(edges):
-            raise ValueError(
-                f"quantile-drift table at {path} was pinned to a "
-                "different edge frame than the reference derives — "
-                "re-pin the sink or pass the matching reference "
-                "snapshot"
-            )
-    # reference side computed under the SAME derived edges; the stored
-    # rollup supplies the current-side counts verbatim (the
+    if cfg and cfg[0]["q"] != q:
+        # free check first: a mis-typed q must not cost a reference scan
+        raise ValueError(
+            f"quantile-drift table at {path} was built with "
+            f"q={cfg[0]['q']}, caller asked for q={q}"
+        )
+    edges = (
+        _check_edges(ref_edges, q)
+        if ref_edges is not None
+        else quantile_edges(ref, col, q)
+    )
+    if cfg and cfg[0]["pin"] != _edges_sig(edges):
+        raise ValueError(
+            f"quantile-drift table at {path} was pinned to a "
+            "different edge frame than the reader's — re-pin the "
+            "sink, pass the sink's published ref_edges, or pass the "
+            "matching reference snapshot"
+        )
+    # reference side computed under the SAME edges; the stored rollup
+    # supplies the current-side counts verbatim (the
     # read_drift_metrics join shape)
     v = F.col(col).cast("double")
     refd = ref.where(v.isNotNull()).select(v.alias("_v"))
-    er = spark.range(1).select(
-        F.array(*[F.lit(float(e)).cast("double") for e in edges]).alias(
-            "edges"
-        )
-    )
+    er = pinned_edges_rel(spark, edges, q)
     rc = _qbinned_counts(refd, er, q).withColumnRenamed("n", "_rn")
     cc = stored.select("bin", F.col("n_rows").alias("_cn"))
     return drift_metrics_from_counts(
