@@ -715,19 +715,32 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         distribution_drift_by,
     )
 
-    # the equal-width and equi-depth gates bin the SAME two snapshots:
-    # cache the narrow chars relations once (ints, not text) so the
-    # four numeric passes (min/max + percentiles + 4 bin counts) stop
-    # re-reading the text column per pass
-    ref_chars = cache_intermediate(
-        docs.select(F.length("text").alias("chars"))
+    # ALL FOUR drift gates (equal-width, equi-depth, per-source,
+    # categorical) measure the SAME release pair: cache one narrow
+    # (chars, source) relation per snapshot — ints + a short string,
+    # never text — so the family's ~8 numeric passes (min/max,
+    # percentiles, per-gate bin counts, top-k, mix counts) pay the
+    # text scan + mutation exactly once per snapshot
+    survivors_src = docs.where(~is_new).select(
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
     )
-    cur_chars = cache_intermediate(
-        survivors.unionAll(reingested).select(
-            F.length("text").alias("chars")
+    reingested_src = docs.where(F.col("doc_id") % 11 == 0).select(
+        "text", "source"
+    )
+    ref_cs = cache_intermediate(
+        docs.select(F.length("text").alias("chars"), "source")
+    )
+    cur_cs = cache_intermediate(
+        survivors_src.unionAll(reingested_src).select(
+            F.length("text").alias("chars"), "source"
         )
     )
-    drift = distribution_drift(ref_chars, cur_chars, "chars", bins=10)
+    drift = distribution_drift(ref_cs, cur_cs, "chars", bins=10)
     drift_leg = drift.select(
         F.lit("drift").alias("section"),
         F.col("bin").alias("new_doc"),
@@ -744,7 +757,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantile_drift — the heavy-tail-safe PSI convention)
     from unimib_simpss_spark.operators.validation import quantile_drift
 
-    drift_q = quantile_drift(ref_chars, cur_chars, "chars", q=10)
+    drift_q = quantile_drift(ref_cs, cur_cs, "chars", q=10)
     driftq_leg = drift_q.select(
         F.lit("driftq").alias("section"),
         F.col("bin").alias("new_doc"),
@@ -756,27 +769,10 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("old_hash"),
         F.lit(None).cast("string").alias("new_hash"),
     )
-    # the per-SOURCE attribution of the same release pair (the
-    # snapshot relations re-derived with the source carried)
-    survivors_src = docs.where(~is_new).select(
-        F.when(
-            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-        "source",
-    )
-    reingested_src = docs.where(F.col("doc_id") % 11 == 0).select(
-        "text", "source"
-    )
+    # the per-SOURCE attribution of the same release pair, off the
+    # same cached snapshot relations
     drift_src = distribution_drift_by(
-        docs.select(F.length("text").alias("chars"), "source"),
-        survivors_src.unionAll(reingested_src).select(
-            F.length("text").alias("chars"), "source"
-        ),
-        "chars",
-        "source",
-        bins=10,
+        ref_cs, cur_cs, "chars", "source", bins=10
     )
     driftsrc_leg = drift_src.select(
         F.lit("driftsrc").alias("section"),
@@ -792,8 +788,8 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unimib_simpss_spark.operators.validation import categorical_drift
 
     drift_cat = categorical_drift(
-        docs.select("source"),
-        survivors_src.unionAll(reingested_src).select("source"),
+        ref_cs.select("source"),
+        cur_cs.select("source"),
         "source",
         top_k=6,
     )
@@ -821,8 +817,8 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(driftq_leg)
         .unionAll(driftsrc_leg)
         .unionAll(driftcat_leg),
-        ref_chars,
-        cur_chars,
+        ref_cs,
+        cur_cs,
     )
     release_result(pairs_cache)  # union checkpointed; the miner cache is spent
     release_result(ed)
