@@ -2618,3 +2618,107 @@ def test_streaming_ldiv_matches_batch_prefix(spark, tmp_path):
     # never-written table raises the documented descriptive error
     with pytest.raises(ValueError, match="no privacy-audit generation"):
         read_ldiv_metrics(spark, str(tmp_path / "nope"), ("nat",), "seg")
+
+
+def test_streaming_drift_q_by_matches_batch_prefix(spark, tmp_path):
+    """The per-group equi-depth sink's accumulated (group, bin) table
+    must yield EXACTLY the rows batch quantile_drift_by emits over the
+    same stream prefix — completing the drift matrix's streaming half
+    ({corpus, per-group} x {equal-width, equi-depth} + categorical)."""
+    import json as _json
+    import os
+    import time
+
+    from unimib_simpss_spark.operators.validation import (
+        quantile_drift_by,
+        quantile_edges,
+    )
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_q_by,
+        read_drift_q_metrics_by,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 41)]
+        + [("b", float(i * 2)) for i in range(1, 21)],
+        "g string, x double",
+    )
+    edges = {
+        g: quantile_edges(ref.where(F.col("g") == g), "x", 4)
+        for g in ("a", "b")
+    }
+    rows_b1 = [
+        {"g": "a", "x": 3.0}, {"g": "a", "x": 17.5},
+        {"g": "b", "x": 44.0}, {"g": "a", "x": None},
+        {"g": None, "x": 5.0}, {"g": "zzz", "x": 7.0},  # unpinned drops
+    ]
+    rows_b2 = [
+        {"g": "a", "x": -5.0}, {"g": "b", "x": 99.0},
+        {"g": "a", "x": 17.5},
+    ]
+    logdir = tmp_path / "vals"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b1) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b2) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    stream = (
+        spark.readStream.schema("g string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "qdby_bins")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_drift_q_by(table, "x", "g", edges)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(
+            tuple,
+            read_drift_q_metrics_by(
+                spark, ref, table, "x", "g", q=4
+            ).collect(),
+        )
+    )
+    # batch twin over the pinned-group rows only (zzz/None drop)
+    cur = spark.createDataFrame(
+        [
+            (r["g"], r["x"])
+            for r in rows_b1 + rows_b2
+            if r["g"] in ("a", "b")
+        ],
+        "g string, x double",
+    )
+    want = sorted(
+        map(tuple, quantile_drift_by(ref, cur, "x", "g", q=4).collect())
+    )
+    assert got == want
+    # loud failures: wrong q before any scan; drifted reference pin
+    with pytest.raises(ValueError, match="q=4"):
+        read_drift_q_metrics_by(spark, ref, table, "x", "g", q=5)
+    drifted = ref.select("g", (F.col("x") * 3).alias("x"))
+    with pytest.raises(ValueError, match="different edge frame"):
+        read_drift_q_metrics_by(spark, drifted, table, "x", "g", q=4)
+    # published-pin read path (sketch-published edges)
+    got2 = sorted(
+        map(
+            tuple,
+            read_drift_q_metrics_by(
+                spark, ref, table, "x", "g", q=4, ref_edges=edges
+            ).collect(),
+        )
+    )
+    assert got2 == want
+    with pytest.raises(ValueError, match="share one q"):
+        foreach_batch_drift_q_by(
+            str(tmp_path / "x"), "x", "g", {"a": [1.0], "b": [1.0, 2.0]}
+        )

@@ -973,3 +973,141 @@ class TestQuantileDrift:
             quantile_edges_kll(
                 spark.createDataFrame([(None,)], "x double"), "x", 10
             )
+
+
+class TestQuantileDriftBy:
+    """Per-group equi-depth drift (quantile_drift_by) — composition
+    with the ungrouped form, the per-source heavy-tail motivation,
+    pinning, and the loud-failure contract. The oracle-paired surface
+    is q61's 'driftqsrc' leg."""
+
+    def _fixture(self, spark):
+        ref = spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 101)]
+            + [("b", float(i * 3)) for i in range(1, 51)],
+            "g string, x double",
+        )
+        cur = spark.createDataFrame(
+            [("a", float(i) + 20) for i in range(1, 81)]
+            + [("b", float(i * 3)) for i in range(1, 51)],
+            "g string, x double",
+        )
+        return ref, cur
+
+    def test_per_group_equals_ungrouped_composition(self, spark):
+        """Each group's rows must equal running the ungrouped operator
+        on that group alone — the drift_by composition contract."""
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift,
+            quantile_drift_by,
+        )
+
+        ref, cur = self._fixture(spark)
+        by = quantile_drift_by(ref, cur, "x", "g", q=5)
+        for g in ("a", "b"):
+            got = sorted(
+                (r.metric, r.bin, r.ref_n, r.cur_n, r.value)
+                for r in by.where(F.col("g") == g).collect()
+            )
+            want = sorted(
+                (r.metric, r.bin, r.ref_n, r.cur_n, r.value)
+                for r in quantile_drift(
+                    ref.where(F.col("g") == g),
+                    cur.where(F.col("g") == g),
+                    "x",
+                    q=5,
+                ).collect()
+            )
+            assert got == want, g
+
+    def test_in_source_outlier_motivation(self, spark):
+        """One outlier inside a source numbs that source's equal-width
+        bins; its decile edges keep reacting — the reason the
+        attribution needs the equi-depth form too."""
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift_by,
+            quantile_drift_by,
+        )
+
+        ref = spark.createDataFrame(
+            [("s", float(i)) for i in range(1, 100)] + [("s", 1e6)],
+            "g string, x double",
+        )
+        cur = spark.createDataFrame(
+            [("s", float(i) + 30) for i in range(1, 100)] + [("s", 1e6)],
+            "g string, x double",
+        )
+        ew = {
+            r.metric: r.value
+            for r in distribution_drift_by(ref, cur, "x", "g").collect()
+            if r.bin is None
+        }
+        eq = {
+            r.metric: r.value
+            for r in quantile_drift_by(ref, cur, "x", "g").collect()
+            if r.bin is None
+        }
+        assert ew["psi"] < 0.01 and eq["psi"] > 0.2
+
+    def test_pinned_equals_computed_and_scan_free(self, spark, tmp_path):
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift_by,
+        )
+
+        ref, cur = self._fixture(spark)
+        rp, cp = f"{tmp_path}/qbref.parquet", f"{tmp_path}/qbcur.parquet"
+        ref.write.parquet(rp)
+        cur.write.parquet(cp)
+        ref, cur = spark.read.parquet(rp), spark.read.parquet(cp)
+        full = sorted(
+            map(tuple, quantile_drift_by(ref, cur, "x", "g", q=5).collect())
+        )
+        edges = spark.createDataFrame(
+            [("a", [20.0, 40.0, 60.0, 80.0]), ("b", [30.0, 60.0, 90.0, 120.0])],
+            "g string, edges array<double>",
+        )
+        pinned = sorted(
+            map(
+                tuple,
+                quantile_drift_by(
+                    ref, cur, "x", "g", q=5, ref_edges=edges
+                ).collect(),
+            )
+        )
+        assert pinned == full
+        counts = spark.createDataFrame(
+            [("a", i, 20) for i in range(5)]
+            + [("b", i, 10) for i in range(5)],
+            "g string, bin long, n long",
+        )
+        fully = quantile_drift_by(
+            None, cur, "x", "g", q=5, ref_edges=edges, ref_counts=counts
+        )
+        assert sorted(map(tuple, fully.collect())) == full
+        files = set(fully.inputFiles())
+        assert files and all("qbcur.parquet" in f for f in files), files
+
+    def test_loud_failures(self, spark):
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift_by,
+        )
+
+        ref, cur = self._fixture(spark)
+        bad_len = spark.createDataFrame(
+            [("a", [1.0, 2.0])], "g string, edges array<double>"
+        )
+        with pytest.raises(ValueError, match="finite, non-decreasing"):
+            quantile_drift_by(ref, cur, "x", "g", q=5, ref_edges=bad_len)
+        unsorted = spark.createDataFrame(
+            [("a", [4.0, 3.0, 2.0, 1.0])], "g string, edges array<double>"
+        )
+        with pytest.raises(ValueError, match="finite, non-decreasing"):
+            quantile_drift_by(ref, cur, "x", "g", q=5, ref_edges=unsorted)
+        dup = spark.createDataFrame(
+            [("a", [1.0, 2.0, 3.0, 4.0]), ("a", [1.0, 2.0, 3.0, 4.0])],
+            "g string, edges array<double>",
+        )
+        with pytest.raises(ValueError, match="duplicate group"):
+            quantile_drift_by(ref, cur, "x", "g", q=5, ref_edges=dup)
+        with pytest.raises(ValueError, match="requires BOTH"):
+            quantile_drift_by(None, cur, "x", "g", q=5)

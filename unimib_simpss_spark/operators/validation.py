@@ -845,6 +845,56 @@ def drift_by_metrics_from_counts(
     return bins_leg.unionAll(sum_leg)
 
 
+def _drift_by_tail_sql(bins: int, ndigits: int, groups_from: str) -> str:
+    """Per-group metric arithmetic shared verbatim by
+    :func:`drift_by_sql` and :func:`quantile_drift_by_sql` —
+    everything downstream of the per-group ``rc``/``cc`` count CTEs;
+    ``groups_from`` names the CTE whose ``g`` column enumerates the
+    reference's groups (``st`` for the range form, ``ed`` for the
+    edge form)."""
+    return f"""
+    b AS (
+        SELECT {groups_from}.g, CAST(range AS BIGINT) AS bin
+        FROM {groups_from}, range({bins})
+    ),
+    j AS (
+        SELECT b.g, b.bin, coalesce(rc.n, 0) AS ref_n,
+               coalesce(cc.n, 0) AS cur_n
+        FROM b LEFT JOIN rc ON b.g = rc.g AND b.bin = rc.bin
+               LEFT JOIN cc ON b.g = cc.g AND b.bin = cc.bin
+    ),
+    t AS (SELECT g, sum(ref_n) AS tr, sum(cur_n) AS tc FROM j GROUP BY g),
+    sp AS (
+        SELECT j.g, bin, ref_n, cur_n, tr, tc,
+               (ref_n + 0.5) / (tr + {0.5 * bins}) AS rp,
+               (cur_n + 0.5) / (tc + {0.5 * bins}) AS cp
+        FROM j JOIN t ON j.g = t.g
+    ),
+    s AS (
+        SELECT g, bin, ref_n, cur_n, tr, tc,
+               {_PSI_TERM_SQL} AS psi_term,
+               {_JSD_TERM_SQL} AS jsd_term,
+               abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
+                   - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
+        FROM sp
+        WINDOW cdf AS (PARTITION BY g ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT g AS grp, 'bin' AS metric, bin, ref_n, cur_n,
+           CAST(NULL AS DOUBLE) AS value
+    FROM s
+    UNION ALL
+    SELECT g AS grp, m.metric, CAST(NULL AS BIGINT) AS bin,
+           max(tr) AS ref_n, max(tc) AS cur_n,
+           CASE m.metric WHEN 'psi' THEN round(sum(psi_term), {ndigits})
+                         WHEN 'jsd' THEN round(sum(jsd_term), {ndigits})
+                         ELSE round(max(cdf_gap), {ndigits}) END AS value
+    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks'
+             UNION ALL SELECT 'jsd') m
+    GROUP BY g, m.metric
+    """
+
+
 def drift_by_sql(
     ref_sql: str,
     cur_sql: str,
@@ -882,44 +932,7 @@ def drift_by_sql(
                AS BIGINT) END AS bin, count(*) AS n
         FROM curd JOIN st ON curd.g = st.g GROUP BY 1, 2
     ),
-    b AS (
-        SELECT st.g, CAST(range AS BIGINT) AS bin FROM st, range({bins})
-    ),
-    j AS (
-        SELECT b.g, b.bin, coalesce(rc.n, 0) AS ref_n,
-               coalesce(cc.n, 0) AS cur_n
-        FROM b LEFT JOIN rc ON b.g = rc.g AND b.bin = rc.bin
-               LEFT JOIN cc ON b.g = cc.g AND b.bin = cc.bin
-    ),
-    t AS (SELECT g, sum(ref_n) AS tr, sum(cur_n) AS tc FROM j GROUP BY g),
-    sp AS (
-        SELECT j.g, bin, ref_n, cur_n, tr, tc,
-               (ref_n + 0.5) / (tr + {0.5 * bins}) AS rp,
-               (cur_n + 0.5) / (tc + {0.5 * bins}) AS cp
-        FROM j JOIN t ON j.g = t.g
-    ),
-    s AS (
-        SELECT g, bin, ref_n, cur_n, tr, tc,
-               {_PSI_TERM_SQL} AS psi_term,
-               {_JSD_TERM_SQL} AS jsd_term,
-               abs(sum(CAST(ref_n AS DOUBLE) / tr) OVER cdf
-                   - sum(CAST(cur_n AS DOUBLE) / tc) OVER cdf) AS cdf_gap
-        FROM sp
-        WINDOW cdf AS (PARTITION BY g ORDER BY bin
-                       ROWS UNBOUNDED PRECEDING)
-    )
-    SELECT g AS grp, 'bin' AS metric, bin, ref_n, cur_n,
-           CAST(NULL AS DOUBLE) AS value
-    FROM s
-    UNION ALL
-    SELECT g AS grp, m.metric, CAST(NULL AS BIGINT) AS bin,
-           max(tr) AS ref_n, max(tc) AS cur_n,
-           CASE m.metric WHEN 'psi' THEN round(sum(psi_term), {ndigits})
-                         WHEN 'jsd' THEN round(sum(jsd_term), {ndigits})
-                         ELSE round(max(cdf_gap), {ndigits}) END AS value
-    FROM s, (SELECT 'psi' AS metric UNION ALL SELECT 'ks'
-             UNION ALL SELECT 'jsd') m
-    GROUP BY g, m.metric
+    {_drift_by_tail_sql(bins, ndigits, "st")}
     """
 
 
@@ -1506,3 +1519,201 @@ def quantile_edges_kll(
             "no quantile edges to publish"
         )
     return [float(row[f"_e{i}"]) for i in range(1, q)]
+
+
+def quantile_drift_by(
+    ref: DataFrame | None,
+    cur: DataFrame,
+    col: str,
+    group_col: str,
+    q: int = 10,
+    ndigits: int = 6,
+    ref_edges: DataFrame | None = None,
+    ref_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-GROUP :func:`quantile_drift` — the attribution form of the
+    equi-depth gate, completing the drift matrix ({corpus, per-group}
+    × {equal-width, equi-depth} + categorical): every group gets its
+    own reference-quantile edges, counts, PSI, KS, and JSD in one
+    keyed pass per snapshot. The heavy-tail argument is STRONGER per
+    group than at corpus level — a single outlier inside one source
+    numbs that source's equal-width bins while leaving the corpus
+    range untouched, which is exactly where 'driftsrc' would
+    under-report.
+
+    Groups are defined by the REFERENCE (the distribution_drift_by
+    convention): current-only groups are excluded, NULL groups drop.
+    Output: ``(group_col, metric, bin, ref_n, cur_n, value)``.
+
+    Scale shape: one per-group percentile aggregate over the
+    reference (q-1 ``percentile_disc`` in ONE pass, groups-sized
+    output broadcast), one combinable (group, bin) count per
+    snapshot, arithmetic on the groups×q relation via the shared
+    :func:`drift_by_metrics_from_counts`. PINNED mode: ``ref_edges``
+    = ``(group_col, edges array<double>)`` from the prior release's
+    published per-group edges skips the percentile pass; adding
+    ``ref_counts`` = ``(group_col, bin, n)`` makes the reference side
+    scan-free (``ref`` may be None). DuckDB twin:
+    :func:`quantile_drift_by_sql`."""
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    if ref_counts is not None and ref_edges is None:
+        raise ValueError(
+            "ref_counts requires ref_edges (the counts are only "
+            "meaningful under the edges that binned them)"
+        )
+    if ref is None and (ref_edges is None or ref_counts is None):
+        raise ValueError(
+            "ref=None requires BOTH ref_edges and ref_counts (nothing "
+            "else defines the reference)"
+        )
+    spark = cur.sparkSession
+    v = F.col(col).cast("double")
+    pick = lambda d: d.where(  # noqa: E731
+        v.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+    curd = pick(cur)
+    if ref_edges is not None:
+        # eager shape checks on the groups-sized pin (tiny by
+        # contract): duplicate groups double-bin, a malformed edges
+        # array mis-bins silently
+        bad = (
+            ref_edges.where(F.col(group_col).isNotNull())
+            .select(
+                F.col(group_col).alias("_g"),
+                F.col("edges").cast("array<double>").alias("edges"),
+            )
+            .where(
+                (F.size("edges") != q - 1)
+                | F.exists("edges", lambda e: e.isNull() | F.isnan(e))
+                | (F.col("edges") != F.array_sort("edges"))
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"ref_edges must hold exactly q-1 = {q - 1} finite, "
+                "non-decreasing edges per group"
+            )
+        if (
+            ref_edges.groupBy(group_col)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "ref_edges holds duplicate group rows — one edges "
+                "array per group required"
+            )
+        ed = ref_edges.where(F.col(group_col).isNotNull()).select(
+            F.col(group_col).alias("_g"),
+            F.col("edges").cast("array<double>").alias("edges"),
+        )
+    else:
+        exprs = [
+            F.expr(
+                f"percentile_disc({i / q!r}) WITHIN GROUP (ORDER BY _v)"
+            ).alias(f"_e{i}")
+            for i in range(1, q)
+        ]
+        ed = (
+            pick(ref)
+            .groupBy("_g")
+            .agg(*exprs)
+            .select(
+                "_g",
+                F.array(*[F.col(f"_e{i}") for i in range(1, q)]).alias(
+                    "edges"
+                ),
+            )
+        )
+    binned = lambda d: (  # noqa: E731
+        d.join(F.broadcast(ed), "_g")
+        .select("_g", _qbin(F.col("_v"), F.col("edges"), q).alias("bin"))
+        .groupBy("_g", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if ref_counts is not None:
+        if (
+            ref_counts.groupBy(group_col, "bin")
+            .count()
+            .where(
+                (F.col("count") > 1)
+                | F.col("bin").isNull()
+                | (F.col("bin") < 0)
+                | (F.col("bin") >= q)
+            )
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"ref_counts must hold exactly one row per (group, "
+                f"bin) with bin in [0, {q}) — duplicate, NULL, or "
+                "out-of-range rows found (different q?)"
+            )
+        rc = ref_counts.select(
+            F.col(group_col).alias("_g"),
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("_rn"),
+        )
+    else:
+        rc = binned(pick(ref)).withColumnRenamed("n", "_rn")
+    allbins = ed.select("_g").crossJoin(
+        F.broadcast(spark.range(q).select(F.col("id").alias("bin")))
+    )
+    j = (
+        allbins.join(rc, ["_g", "bin"], "left")
+        .join(
+            binned(curd).withColumnRenamed("n", "_cn"), ["_g", "bin"], "left"
+        )
+        .select(
+            "_g",
+            "bin",
+            F.coalesce("_rn", F.lit(0)).alias("ref_n"),
+            F.coalesce("_cn", F.lit(0)).alias("cur_n"),
+        )
+    )
+    return drift_by_metrics_from_counts(j, q, ndigits, group_col)
+
+
+def quantile_drift_by_sql(
+    ref_sql: str,
+    cur_sql: str,
+    expr: str,
+    group_expr: str,
+    q: int = 10,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`quantile_drift_by` — per-group
+    ``quantile_disc`` edges, the shared CASE-sum bin, and the shared
+    per-group metric tail; the group column is emitted as ``grp``."""
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    qd = ", ".join(
+        f"quantile_disc(v, {i / q!r}) AS e{i}" for i in range(1, q)
+    )
+    b = quantile_bin_sql(q)
+    return f"""
+    WITH refd AS (
+        SELECT ({group_expr}) AS g, CAST(({expr}) AS DOUBLE) AS v
+        FROM ({ref_sql})
+        WHERE ({expr}) IS NOT NULL AND ({group_expr}) IS NOT NULL
+    ),
+    curd AS (
+        SELECT ({group_expr}) AS g, CAST(({expr}) AS DOUBLE) AS v
+        FROM ({cur_sql})
+        WHERE ({expr}) IS NOT NULL AND ({group_expr}) IS NOT NULL
+    ),
+    ed AS (SELECT g, {qd} FROM refd GROUP BY g),
+    rc AS (
+        SELECT refd.g, {b} AS bin, count(*) AS n
+        FROM refd JOIN ed ON refd.g = ed.g GROUP BY 1, 2
+    ),
+    cc AS (
+        SELECT curd.g, {b} AS bin, count(*) AS n
+        FROM curd JOIN ed ON curd.g = ed.g GROUP BY 1, 2
+    ),
+    {_drift_by_tail_sql(q, ndigits, "ed")}
+    """

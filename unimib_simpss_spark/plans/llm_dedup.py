@@ -484,6 +484,17 @@ def _q61_oracle() -> str:
         bins=10,
     )
     from unimib_simpss_spark.operators.validation import (
+        quantile_drift_by_sql,
+    )
+
+    drift_q_by = quantile_drift_by_sql(
+        ref_sql="SELECT text, source FROM documents",
+        cur_sql=_Q61_NEW_SNAPSHOT_SRC_SQL,
+        expr="length(text)",
+        group_expr="source",
+        q=10,
+    )
+    from unimib_simpss_spark.operators.validation import (
         categorical_drift_sql,
     )
 
@@ -557,6 +568,14 @@ def _q61_oracle() -> str:
            CAST(NULL AS VARCHAR) AS new_hash
     FROM ({drift_by})
     UNION ALL
+    SELECT 'driftqsrc' AS section, bin AS new_doc, ref_n AS corpus_doc,
+           value AS jaccard, cur_n AS bloom_hit,
+           CAST(NULL AS BIGINT) AS edit_dist,
+           metric AS status,
+           grp AS old_hash,
+           CAST(NULL AS VARCHAR) AS new_hash
+    FROM ({drift_q_by})
+    UNION ALL
     SELECT 'driftcat' AS section, CAST(NULL AS BIGINT) AS new_doc,
            ref_n AS corpus_doc,
            value AS jaccard, cur_n AS bloom_hit,
@@ -616,6 +635,11 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       range, bins, PSI, and KS in one keyed pass per snapshot;
       old_hash carries the source): corpus-level drift says THAT the
       release moved, this leg says WHICH source moved it;
+    - 'driftqsrc': the equi-depth form of the attribution
+      (quantile_drift_by — per-source decile edges): one outlier
+      INSIDE a source numbs that source's equal-width bins while
+      leaving the corpus range untouched, exactly where 'driftsrc'
+      under-reports;
     - 'driftcat': the CATEGORICAL half of the drift deck
       (validation.categorical_drift — PSI over the source-frequency
       mix, top-6 reference categories + '__other__', +0.5-per-bucket
@@ -774,6 +798,25 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift_src = distribution_drift_by(
         ref_cs, cur_cs, "chars", "source", bins=10
     )
+    from unimib_simpss_spark.operators.validation import quantile_drift_by
+
+    # per-source equi-depth attribution (one outlier INSIDE a source
+    # numbs that source's equal-width bins while leaving the corpus
+    # range untouched — exactly where 'driftsrc' under-reports)
+    drift_q_src = quantile_drift_by(
+        ref_cs, cur_cs, "chars", "source", q=10
+    )
+    driftqsrc_leg = drift_q_src.select(
+        F.lit("driftqsrc").alias("section"),
+        F.col("bin").alias("new_doc"),
+        F.col("ref_n").alias("corpus_doc"),
+        F.col("value").alias("jaccard"),
+        F.col("cur_n").alias("bloom_hit"),
+        F.lit(None).cast("long").alias("edit_dist"),
+        F.col("metric").alias("status"),
+        F.col("source").alias("old_hash"),
+        F.lit(None).cast("string").alias("new_hash"),
+    )
     driftsrc_leg = drift_src.select(
         F.lit("driftsrc").alias("section"),
         F.col("bin").alias("new_doc"),
@@ -816,6 +859,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(drift_leg)
         .unionAll(driftq_leg)
         .unionAll(driftsrc_leg)
+        .unionAll(driftqsrc_leg)
         .unionAll(driftcat_leg),
         ref_cs,
         cur_cs,

@@ -1083,3 +1083,177 @@ def read_ldiv_metrics(
     return ldiversity_from_cell(
         cell, list(quasi_cols), sensitive_col, l_min, t_max, ndigits
     )
+
+
+def foreach_batch_drift_q_by(
+    path: str, col: str, group_col: str, edges: dict
+):
+    """Per-GROUP equi-depth twin of :func:`foreach_batch_drift_q` —
+    the streamed side of ``validation.quantile_drift_by``: each
+    micro-batch bins its values against the PINNED per-group edges
+    (``edges``: group value → q-1 published floats; groups-sized,
+    driver-held — the foreach_batch_drift_by contract) and folds
+    ``(group, bin)`` counts into the additive rollup. Rows whose
+    group is NOT pinned drop (groups are defined by the reference).
+    Every group's frame must share one q; the per-group pin signature
+    is STORED per row (store-and-assert) so the reader fails loudly
+    on any mismatched frame."""
+    from unimib_simpss_spark.operators.validation import _check_edges, _qbin
+
+    if not edges:
+        raise ValueError(
+            "foreach_batch_drift_q_by needs at least one pinned group "
+            "edge list (group -> [edges])"
+        )
+    pinned = {str(g): [float(e) for e in es] for g, es in edges.items()}
+    qs = {len(es) + 1 for es in pinned.values()}
+    if len(qs) != 1:
+        raise ValueError(
+            f"all pinned groups must share one q — got edge lengths "
+            f"{sorted(q - 1 for q in qs)}"
+        )
+    q = qs.pop()
+    if q < 2:
+        raise ValueError("each group needs at least one edge")
+    for g, es in pinned.items():
+        pinned[g] = _check_edges(es, q)
+    sigs = {g: _edges_sig(es) for g, es in pinned.items()}
+    fold = foreach_batch_additive(path, ("q", "grp", "pin", "bin"), {})
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        pins = spark.createDataFrame(
+            [(g, sigs[g], pinned[g]) for g in sorted(pinned)],
+            "grp string, pin string, edges array<double>",
+        )
+        v = F.col(col).cast("double")
+        binned = (
+            batch.where(v.isNotNull() & F.col(group_col).isNotNull())
+            .select(
+                F.col(group_col).cast("string").alias("grp"), v.alias("_v")
+            )
+            .join(F.broadcast(pins), "grp")
+            .select(
+                F.lit(int(q)).alias("q"),
+                "grp",
+                "pin",
+                _qbin(F.col("_v"), F.col("edges"), q).alias("bin"),
+            )
+        )
+        fold(binned, batch_id)
+
+    return _apply
+
+
+def read_drift_q_metrics_by(
+    spark: SparkSession,
+    ref: DataFrame,
+    path: str,
+    col: str,
+    group_col: str,
+    q: int = 10,
+    ndigits: int = 6,
+    ref_edges: dict | None = None,
+) -> DataFrame:
+    """Per-group equi-depth PSI/KS/JSD of the streamed distribution
+    against the reference snapshot — the same rows
+    ``quantile_drift_by`` would emit for the same data (shared
+    ``drift_by_metrics_from_counts`` arithmetic). Edges come from
+    ``ref_edges`` (group → published floats — REQUIRED for
+    sketch-published pins) or are re-derived per group from ``ref``;
+    either way every group's signature must match the sink's stored
+    pin, groups are defined by the reference, and the cheap stored-q
+    check runs before any reference scan."""
+    from unimib_simpss_spark.operators.validation import (
+        _check_edges,
+        _qbin,
+        drift_by_metrics_from_counts,
+    )
+
+    cur, _ = _current_generation(path)
+    stored = (
+        spark.read.parquet(cur)
+        if cur is not None
+        else spark.createDataFrame(
+            [], "q int, grp string, pin string, bin long, n_rows long"
+        )
+    )
+    qcfg = [r["q"] for r in stored.select("q").distinct().collect()]
+    if len(qcfg) > 1:
+        raise ValueError(
+            f"quantile-drift-by table at {path} holds {len(qcfg)} q "
+            "configs — it must be written by ONE sink"
+        )
+    if qcfg and qcfg[0] != q:
+        raise ValueError(
+            f"quantile-drift-by table at {path} was built with "
+            f"q={qcfg[0]}, caller asked for q={q}"
+        )
+    v = F.col(col).cast("double")
+    refd = ref.where(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("_g"), v.alias("_v")
+    )
+    if ref_edges is not None:
+        edges = {
+            str(g): _check_edges(es, q) for g, es in ref_edges.items()
+        }
+    else:
+        exprs = [
+            F.expr(
+                f"percentile_disc({i / q!r}) WITHIN GROUP (ORDER BY _v)"
+            ).alias(f"_e{i}")
+            for i in range(1, q)
+        ]
+        edges = {
+            r["_g"]: [float(r[f"_e{i}"]) for i in range(1, q)]
+            for r in refd.groupBy("_g").agg(*exprs).collect()
+        }
+    # store-and-assert every per-group pin
+    stored_pins = {
+        r["grp"]: r["pin"]
+        for r in stored.select("grp", "pin").distinct().collect()
+    }
+    for g, pin in stored_pins.items():
+        if g not in edges:
+            raise ValueError(
+                f"quantile-drift-by table at {path} holds counts for "
+                f"group {g!r} absent from the reference — wrong "
+                "reference snapshot?"
+            )
+        if _edges_sig(edges[g]) != pin:
+            raise ValueError(
+                f"group {g!r} in {path} was pinned to a different "
+                "edge frame than the reader's — re-pin the sink, "
+                "pass the sink's published ref_edges, or pass the "
+                "matching reference snapshot"
+            )
+    er = spark.createDataFrame(
+        [(g, es) for g, es in sorted(edges.items())],
+        "_g string, edges array<double>",
+    )
+    binned_ref = (
+        refd.join(F.broadcast(er), "_g")
+        .select("_g", _qbin(F.col("_v"), F.col("edges"), q).alias("bin"))
+        .groupBy("_g", "bin")
+        .agg(F.count(F.lit(1)).alias("_rn"))
+    )
+    allbins = er.select("_g").crossJoin(
+        F.broadcast(spark.range(q).select(F.col("id").alias("bin")))
+    )
+    j = (
+        allbins.join(binned_ref, ["_g", "bin"], "left")
+        .join(
+            stored.select(
+                F.col("grp").alias("_g"), "bin", F.col("n_rows").alias("_cn")
+            ),
+            ["_g", "bin"],
+            "left",
+        )
+        .select(
+            "_g",
+            "bin",
+            F.coalesce("_rn", F.lit(0)).alias("ref_n"),
+            F.coalesce("_cn", F.lit(0)).alias("cur_n"),
+        )
+    )
+    return drift_by_metrics_from_counts(j, q, ndigits, group_col)
