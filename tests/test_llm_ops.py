@@ -2971,3 +2971,62 @@ class TestContainmentPairs:
         }
         release_intermediate(hsd)
         assert got == {(1, 2)}  # doc 3 is a web outer: excluded
+
+
+class TestRankingMetrics:
+    """Retrieval evaluation (operators/retrieval.py ranking_metrics):
+    the trec_eval conventions, hand-computed. The oracle-paired
+    surface is q38's 'ev_*' sections."""
+
+    def test_hand_computed_triple(self, spark):
+        import math
+
+        from unimib_simpss_spark.operators.retrieval import ranking_metrics
+
+        qrels = spark.createDataFrame(
+            [("q1", "a"), ("q1", "b"), ("q1", "c"), ("q1", "a"),  # dup
+             ("q2", "z")],
+            "query string, doc string",
+        )
+        run = spark.createDataFrame(
+            [("q1", "x", 1), ("q1", "a", 2), ("q1", "b", 4),
+             ("q1", "c", 6),            # beyond k=5 — not a hit
+             ("q1", "a", 9),            # dup (q,d): collapses to rank 2
+             ("q3", "a", 1)],           # q3 unjudged — ignored
+            "query string, doc string, rank int",
+        )
+        out = {
+            r.query: r
+            for r in ranking_metrics(
+                run, qrels, "query", "doc", "rank", k=5
+            ).collect()
+        }
+        assert set(out) == {"q1", "q2"}  # judged queries only
+        r1 = out["q1"]
+        assert (r1.n_rel, r1.n_hits) == (3, 2)
+        assert r1.recall == round(2 / 3, 6)
+        assert r1.mrr == 0.5
+        ln2 = math.log(2.0)
+        dcg = ln2 / math.log(3.0) + ln2 / math.log(5.0)
+        idcg = 1.0 + ln2 / math.log(3.0) + ln2 / math.log(4.0)
+        assert r1.ndcg == pytest.approx(round(dcg / idcg, 6), abs=2e-6)
+        # judged but never retrieved: all-zero row, not a missing row
+        r2 = out["q2"]
+        assert (r2.n_rel, r2.n_hits, r2.recall, r2.mrr, r2.ndcg) == (
+            1, 0, 0.0, 0.0, 0.0,
+        )
+        with pytest.raises(ValueError, match="k must be"):
+            ranking_metrics(run, qrels, "query", "doc", "rank", k=0)
+
+    def test_perfect_run_scores_one(self, spark):
+        from unimib_simpss_spark.operators.retrieval import ranking_metrics
+
+        qrels = spark.createDataFrame(
+            [("q", f"d{i}") for i in range(3)], "query string, doc string"
+        )
+        run = spark.createDataFrame(
+            [("q", f"d{i}", i + 1) for i in range(3)],
+            "query string, doc string, rank int",
+        )
+        r = ranking_metrics(run, qrels, "query", "doc", "rank", k=10).first()
+        assert (r.recall, r.mrr, r.ndcg) == (1.0, 1.0, 1.0)

@@ -228,3 +228,161 @@ def rrf_fuse_sql(
         )
     ) WHERE rank <= {topk}
     """
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rank_col: str = "rank",
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Retrieval evaluation — recall@k, MRR, and binary nDCG@k per
+    query (the trec_eval triple): the gate that tells a pipeline
+    whether its retriever (BM25, ANN, fused) is actually finding the
+    judged-relevant documents before anyone trusts its candidates.
+
+    ``run`` is a ranked list (query, doc, rank — 1-based); ``qrels``
+    the judged-relevant (query, doc) pairs (binary relevance; rows
+    with NULL keys drop, duplicates collapse). Conventions, stated
+    because every one is an implementation choice a SQL twin must
+    mirror:
+
+    - only queries present in ``qrels`` are evaluated (trec_eval's
+      rule); queries with judgments but no retrieved hits score 0;
+    - duplicate (query, doc) rows in ``run`` collapse to their best
+      rank before scoring (a ranker emitting dupes must not
+      double-count DCG);
+    - recall@k = hits_in_top_k / n_rel (uncapped denominator);
+    - MRR = 1/rank of the first relevant hit in the top k, else 0;
+    - nDCG@k with binary gains: DCG = Σ_hits ln(2)/ln(rank+1), IDCG =
+      Σ_{i=1..min(k, n_rel)} ln(2)/ln(i+1) — the ln(2)/ln(x) form (≡
+      1/log2(x)) is used VERBATIM on both engines because their
+      native log2 implementations are not guaranteed the same ulp.
+
+    Scale shape: everything operates on the top-k lists and the
+    judgment relation — queries × k rows, never a corpus; the ideal-
+    DCG table is a generated k×k triangle joined on min(k, n_rel).
+    Output: ``(query_col, n_rel, n_hits, recall, mrr, ndcg)``.
+    DuckDB twin: :func:`ranking_metrics_sql`."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = run.sparkSession
+    rel = (
+        qrels.where(
+            F.col(query_col).isNotNull() & F.col(doc_col).isNotNull()
+        )
+        .select(F.col(query_col).alias("_q"), F.col(doc_col).alias("_d"))
+        .distinct()
+    )
+    nrel = rel.groupBy("_q").agg(F.count(F.lit(1)).alias("n_rel"))
+    topk = (
+        run.where(
+            F.col(rank_col).isNotNull() & (F.col(rank_col) <= k)
+        )
+        .groupBy(
+            F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+        )
+        .agg(F.min(rank_col).cast("long").alias("_r"))
+    )
+    term = F.log(F.lit(2.0)) / F.log((F.col("_r") + 1).cast("double"))
+    per = (
+        topk.join(rel, ["_q", "_d"])
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).alias("_hits"),
+            F.min("_r").alias("_best"),
+            F.sum(term).alias("_dcg"),
+        )
+    )
+    # ideal DCG per possible n_rel (k rows): a sequence fold, not a
+    # triangle join — a BNL over two range relations would trip the
+    # interior plan lint even though it is k²-bounded
+    ideal = spark.range(1, k + 1).select(
+        F.col("id").alias("_n"),
+        F.aggregate(
+            F.sequence(F.lit(1).cast("long"), F.col("id")),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.log(F.lit(2.0)) / F.log((i + 1).cast("double")),
+        ).alias("_idcg"),
+    )
+    return (
+        nrel.join(per, "_q", "left")
+        .join(
+            F.broadcast(ideal),
+            F.least(F.lit(k).cast("long"), F.col("n_rel")) == F.col("_n"),
+        )
+        .select(
+            F.col("_q").alias(query_col),
+            "n_rel",
+            F.coalesce("_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("_hits", F.lit(0)).cast("double")
+                / F.col("n_rel"),
+                ndigits,
+            ).alias("recall"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_best"), F.lit(0.0)
+                ),
+                ndigits,
+            ).alias("mrr"),
+            F.round(
+                F.coalesce("_dcg", F.lit(0.0)) / F.col("_idcg"), ndigits
+            ).alias("ndcg"),
+        )
+    )
+
+
+def ranking_metrics_sql(
+    run_sql: str,
+    qrels_sql: str,
+    query_expr: str = "query",
+    doc_expr: str = "doc",
+    rank_expr: str = "rank",
+    k: int = 10,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ranking_metrics` — identical conventions
+    and the identical ln(2)/ln(x) DCG term; the query column is
+    emitted as ``query``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return f"""
+    WITH rel AS (
+        SELECT DISTINCT ({query_expr}) AS q, ({doc_expr}) AS d
+        FROM ({qrels_sql})
+        WHERE ({query_expr}) IS NOT NULL AND ({doc_expr}) IS NOT NULL
+    ),
+    nrel AS (SELECT q, count(*) AS n_rel FROM rel GROUP BY q),
+    topk AS (
+        SELECT ({query_expr}) AS q, ({doc_expr}) AS d,
+               CAST(min({rank_expr}) AS BIGINT) AS r
+        FROM ({run_sql})
+        WHERE ({rank_expr}) IS NOT NULL AND ({rank_expr}) <= {k}
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT topk.q, count(*) AS hits, min(r) AS best,
+               sum(ln(2.0) / ln(CAST(r + 1 AS DOUBLE))) AS dcg
+        FROM topk JOIN rel ON topk.q = rel.q AND topk.d = rel.d
+        GROUP BY topk.q
+    ),
+    ideal AS (
+        SELECT n.n, sum(ln(2.0) / ln(CAST(i.i + 1 AS DOUBLE))) AS idcg
+        FROM range(1, {k + 1}) n(n), range(1, {k + 1}) i(i)
+        WHERE i.i <= n.n GROUP BY n.n
+    )
+    SELECT nrel.q AS query, n_rel,
+           CAST(coalesce(hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(hits, 0) AS DOUBLE) / n_rel, {ndigits})
+               AS recall,
+           round(coalesce(1.0 / best, 0.0), {ndigits}) AS mrr,
+           round(coalesce(dcg, 0.0) / idcg, {ndigits}) AS ndcg
+    FROM nrel
+    LEFT JOIN per ON nrel.q = per.q
+    JOIN ideal ON LEAST({k}, n_rel) = ideal.n
+    """

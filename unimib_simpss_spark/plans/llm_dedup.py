@@ -256,9 +256,21 @@ def _decontamination_oracle() -> str:
         rrf_fuse_sql,
     )
 
+    from unimib_simpss_spark.operators.retrieval import ranking_metrics_sql
+
     bm25 = bm25_decontam_sql(bench_pred_sql=_BENCH_PRED_SQL)
     overlap = ngram_overlap_sql(bench_pred_sql=_BENCH_PRED_SQL, k=20)
     rrf = rrf_fuse_sql({"bm25": bm25, "overlap": overlap}, topk=5)
+    em = ranking_metrics_sql(
+        run_sql=f"SELECT bench_id, doc_id, rank FROM ({bm25})",
+        qrels_sql=(
+            f"SELECT bench_id, doc_id FROM ({overlap}) WHERE n_shared >= 2"
+        ),
+        query_expr="bench_id",
+        doc_expr="doc_id",
+        rank_expr="rank",
+        k=5,
+    )
     return f"""
     SELECT 'ngram' AS section, doc_id, n_shared_ngrams, n_bench_docs,
            CAST(NULL AS BIGINT) AS bench_id,
@@ -283,6 +295,16 @@ def _decontamination_oracle() -> str:
            n_rankers AS n_bench_docs,
            bench_id, rrf_score AS score, rank
     FROM ({rrf})
+    UNION ALL
+    SELECT m.section, CAST(NULL AS BIGINT) AS doc_id,
+           n_rel AS n_shared_ngrams, n_hits AS n_bench_docs,
+           query AS bench_id,
+           CASE m.section WHEN 'ev_recall' THEN recall
+                          WHEN 'ev_mrr' THEN mrr
+                          ELSE ndcg END AS score,
+           CAST(NULL AS BIGINT) AS rank
+    FROM ({em}),
+         (VALUES ('ev_recall'), ('ev_mrr'), ('ev_ndcg')) m(section)
     """
 
 
@@ -307,6 +329,11 @@ def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       (rrf_fuse, k=60): the hybrid-retrieval candidate list fused
       WITHOUT score calibration; n_bench_docs carries n_rankers. The
       fusion touches only the two top-k lists, never the corpus.
+    - 'ev_recall'/'ev_mrr'/'ev_ndcg' — retrieval EVALUATION
+      (operators/retrieval.py ranking_metrics, the trec_eval triple):
+      the bm25 run scored against overlap pairs sharing >= 2 distinct
+      4-grams as pseudo-qrels, per eval doc; n_shared_ngrams carries
+      n_rel, n_bench_docs carries n_hits, score the metric value.
 
     The legs release their shared relations here; the tagged union is
     materialized into ONE self-owned handle (q34's recipe) so the
@@ -371,8 +398,50 @@ def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rrf_score").alias("score"),
         "rank",
     )
+    # retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the bm25 run
+    # against the verbatim-leakage standard (overlap pairs sharing
+    # >= 2 distinct 4-grams as pseudo-qrels) — "does the reworded-
+    # leakage retriever recover the known-verbatim pairs". Touches
+    # only the two top-k lists (ranking_metrics' contract).
+    from unimib_simpss_spark.operators.retrieval import ranking_metrics
+
+    em = ranking_metrics(
+        bm_raw.select("bench_id", "doc_id", "rank"),
+        ov_raw.where(F.col("n_shared") >= 2).select("bench_id", "doc_id"),
+        "bench_id",
+        "doc_id",
+        "rank",
+        k=5,
+    )
+    ev = em.select(
+        "bench_id",
+        "n_rel",
+        "n_hits",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("ev_recall").alias("s"),
+                    F.col("recall").alias("v"),
+                ),
+                F.struct(
+                    F.lit("ev_mrr").alias("s"), F.col("mrr").alias("v")
+                ),
+                F.struct(
+                    F.lit("ev_ndcg").alias("s"), F.col("ndcg").alias("v")
+                ),
+            )
+        ).alias("_e"),
+    ).select(
+        F.col("_e.s").alias("section"),
+        _nul("long", "doc_id"),
+        F.col("n_rel").alias("n_shared_ngrams"),
+        F.col("n_hits").alias("n_bench_docs"),
+        "bench_id",
+        F.col("_e.v").alias("score"),
+        _nul("long", "rank"),
+    )
     out = materialize_release(
-        ng.unionAll(bm).unionAll(ov).unionAll(rrf), sg, col
+        ng.unionAll(bm).unionAll(ov).unionAll(rrf).unionAll(ev), sg, col
     )
     release_result(ng_raw)
     release_result(ov_raw)
