@@ -1111,3 +1111,82 @@ class TestQuantileDriftBy:
             quantile_drift_by(ref, cur, "x", "g", q=5, ref_edges=dup)
         with pytest.raises(ValueError, match="requires BOTH"):
             quantile_drift_by(None, cur, "x", "g", q=5)
+
+
+class TestDriftCompositions:
+    """Production patterns that are pure COMPOSITIONS of the shipped
+    drift operators — pinned here so the recipes stay working (and
+    documented) without dedicated operators."""
+
+    def test_temporal_drift_is_drift_by_over_time_buckets(self, spark):
+        """Day-over-day drift tracking = distribution_drift_by with
+        the group column set to a time bucket: each bucket gets its
+        own PSI against its reference-period twin."""
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift_by,
+        )
+
+        mk = lambda day, vals: [  # noqa: E731
+            (f"2024-01-0{day} 0{i % 9}:00:00", float(v))
+            for i, v in enumerate(vals)
+        ]
+        ref = spark.createDataFrame(
+            mk(1, range(50)) + mk(2, range(50)), "ts string, x double"
+        ).select(F.to_timestamp("ts").alias("ts"), "x")
+        # day 1 stable, day 2 shifted +30
+        cur = spark.createDataFrame(
+            mk(1, range(50)) + mk(2, [v + 30 for v in range(50)]),
+            "ts string, x double",
+        ).select(F.to_timestamp("ts").alias("ts"), "x")
+        bucket = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        out = {
+            (r.day, r.metric): r.value
+            for r in distribution_drift_by(
+                ref.select("x", bucket.alias("day")),
+                cur.select("x", bucket.alias("day")),
+                "x",
+                "day",
+                bins=5,
+            ).collect()
+            if r.bin is None
+        }
+        assert out[("2024-01-01", "psi")] == 0.0
+        assert out[("2024-01-02", "psi")] > 0.25
+
+    def test_embedding_drift_via_distance_to_pinned_centroid(self, spark):
+        """Embedding-space drift = quantile_drift over each vector's
+        cosine distance to a PINNED anchor (the prior release's
+        centroid): a rotated/shifted embedding distribution moves the
+        distance distribution even when no scalar column changes.
+        Pure Column HOFs — the distance projection is the same dot/
+        norm arithmetic the similarity stack uses."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from unimib_simpss_spark.operators.validation import quantile_drift
+
+        anchor = [1.0, 0.0]
+        dot = (
+            F.col("v")[0] * F.lit(anchor[0]) + F.col("v")[1] * F.lit(anchor[1])
+        )
+        norm = F.sqrt(F.col("v")[0] ** 2 + F.col("v")[1] ** 2)
+        dist = (F.lit(1.0) - dot / norm).alias("d")
+        mk = lambda ang: [  # noqa: E731
+            ([math.cos(ang + i * 0.001), math.sin(ang + i * 0.001)],)
+            for i in range(100)
+        ]
+        ref = spark.createDataFrame(mk(0.1), "v array<double>").select(dist)
+        same = spark.createDataFrame(mk(0.1), "v array<double>").select(dist)
+        rotated = spark.createDataFrame(mk(0.9), "v array<double>").select(
+            dist
+        )
+        psi = lambda cur: {  # noqa: E731
+            r.metric: r.value
+            for r in quantile_drift(ref, cur, "d", q=5).collect()
+            if r.bin is None
+        }["psi"]
+        assert psi(same) == 0.0
+        assert psi(rotated) > 1.0
