@@ -3030,3 +3030,18 @@ class TestRankingMetrics:
         )
         r = ranking_metrics(run, qrels, "query", "doc", "rank", k=10).first()
         assert (r.recall, r.mrr, r.ndcg) == (1.0, 1.0, 1.0)
+
+
+def test_ranking_metrics_rejects_zero_based_ranks(spark):
+    """A 0-based run must raise at execution, not emit recall/mrr that
+    disagree with each other (review r15 pass 2)."""
+    import pytest as _pytest
+
+    from unimib_simpss_spark.operators.retrieval import ranking_metrics
+
+    qrels = spark.createDataFrame([("q", "a")], "query string, doc string")
+    run = spark.createDataFrame(
+        [("q", "a", 0)], "query string, doc string, rank int"
+    )
+    with _pytest.raises(Exception, match="1-based"):
+        ranking_metrics(run, qrels, "query", "doc", "rank", k=5).collect()

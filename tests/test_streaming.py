@@ -2722,3 +2722,30 @@ def test_streaming_drift_q_by_matches_batch_prefix(spark, tmp_path):
         foreach_batch_drift_q_by(
             str(tmp_path / "x"), "x", "g", {"a": [1.0], "b": [1.0, 2.0]}
         )
+
+
+def test_streaming_drift_q_by_conflicting_pins_raise(spark, tmp_path):
+    """A re-pinned sink leaves conflicting (grp, pin) row sets; the
+    reader must refuse instead of double-counting whichever pin the
+    dict collapse kept (review r15 pass 2 — the equal-width reader's
+    guard, reintroduced here)."""
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_q_by,
+        read_drift_q_metrics_by,
+    )
+
+    table = str(tmp_path / "qdby")
+    foreach_batch_drift_q_by(table, "x", "g", {"a": [10.0, 20.0]})(
+        spark.createDataFrame([("a", 12.0)], "g string, x double"), 0
+    )
+    foreach_batch_drift_q_by(table, "x", "g", {"a": [11.0, 21.0]})(
+        spark.createDataFrame([("a", 12.0)], "g string, x double"), 1
+    )
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 31)], "g string, x double"
+    )
+    with pytest.raises(ValueError, match="conflicting edge-frame pins"):
+        read_drift_q_metrics_by(
+            spark, ref, table, "x", "g", q=3,
+            ref_edges={"a": [10.0, 20.0]},
+        )

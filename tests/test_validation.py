@@ -1096,12 +1096,12 @@ class TestQuantileDriftBy:
         bad_len = spark.createDataFrame(
             [("a", [1.0, 2.0])], "g string, edges array<double>"
         )
-        with pytest.raises(ValueError, match="finite, non-decreasing"):
+        with pytest.raises(ValueError, match="exactly q-1"):
             quantile_drift_by(ref, cur, "x", "g", q=5, ref_edges=bad_len)
         unsorted = spark.createDataFrame(
             [("a", [4.0, 3.0, 2.0, 1.0])], "g string, edges array<double>"
         )
-        with pytest.raises(ValueError, match="finite, non-decreasing"):
+        with pytest.raises(ValueError, match="non-decreasing"):
             quantile_drift_by(ref, cur, "x", "g", q=5, ref_edges=unsorted)
         dup = spark.createDataFrame(
             [("a", [1.0, 2.0, 3.0, 4.0]), ("a", [1.0, 2.0, 3.0, 4.0])],
@@ -1190,3 +1190,31 @@ class TestDriftCompositions:
         }["psi"]
         assert psi(same) == 0.0
         assert psi(rotated) > 1.0
+
+
+class TestQuantileDriftByPinHoles:
+    """Review r15 pass 2: the expression-side pin check missed NULL
+    edge arrays and ±inf (silently binning a whole group into bin 0);
+    the collect-and-validate path must reject both."""
+
+    def test_null_and_inf_edges_rejected(self, spark):
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift_by,
+        )
+
+        ref = spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 21)], "g string, x double"
+        )
+        null_edges = spark.createDataFrame(
+            [("a", None)], "g string, edges array<double>"
+        )
+        with pytest.raises(ValueError, match="NULL edges array"):
+            quantile_drift_by(
+                ref, ref, "x", "g", q=5, ref_edges=null_edges
+            )
+        inf_edges = spark.createDataFrame(
+            [("a", [1.0, 2.0, float("inf"), 4.0])],
+            "g string, edges array<double>",
+        )
+        with pytest.raises(ValueError, match="finite"):
+            quantile_drift_by(ref, ref, "x", "g", q=5, ref_edges=inf_edges)

@@ -278,14 +278,27 @@ def ranking_metrics(
         .distinct()
     )
     nrel = rel.groupBy("_q").agg(F.count(F.lit(1)).alias("n_rel"))
+    # enforce the 1-based convention at execution (the house
+    # _guarded_stats discipline): a 0-based ranker (row_number-1, an
+    # array index) would otherwise count the hit in recall while its
+    # DCG term ln(2)/ln(1) silently NULLs out and MRR reads 1/0-ish —
+    # internally inconsistent metrics with no error anywhere
+    rk = F.col(rank_col).cast("long")
+    guarded = F.when(
+        rk < 1,
+        F.raise_error(
+            F.lit(
+                "ranking_metrics: rank must be 1-based (found a rank "
+                "< 1 in the top-k window)"
+            )
+        ).cast("long"),
+    ).otherwise(rk)
     topk = (
-        run.where(
-            F.col(rank_col).isNotNull() & (F.col(rank_col) <= k)
-        )
+        run.where(F.col(rank_col).isNotNull() & (F.col(rank_col) <= k))
         .groupBy(
             F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
         )
-        .agg(F.min(rank_col).cast("long").alias("_r"))
+        .agg(F.min(guarded).cast("long").alias("_r"))
     )
     term = F.log(F.lit(2.0)) / F.log((F.col("_r") + 1).cast("double"))
     per = (
@@ -348,7 +361,10 @@ def ranking_metrics_sql(
 ) -> str:
     """DuckDB twin of :func:`ranking_metrics` — identical conventions
     and the identical ln(2)/ln(x) DCG term; the query column is
-    emitted as ``query``."""
+    emitted as ``query``. (The twin has no loud 1-based-rank guard —
+    the batch operator raises on rank < 1 at execution; the oracle
+    contract covers valid input only, the quantile_drift_sql
+    precedent.)"""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     return f"""

@@ -1257,6 +1257,20 @@ def _qbin(v: Column, edges: Column, q: int) -> Column:
     return out.cast("long")
 
 
+def _edges_exprs(q: int) -> list:
+    """The q-1 ``percentile_disc`` aggregate expressions over ``_v``
+    — the ONE place the ceil(p·n) edge rule is written, shared by the
+    ungrouped relation, the grouped relation, and the streaming
+    reader's derivation (their parity contract depends on binning
+    under identical edges)."""
+    return [
+        F.expr(
+            f"percentile_disc({i / q!r}) WITHIN GROUP (ORDER BY _v)"
+        ).alias(f"_e{i}")
+        for i in range(1, q)
+    ]
+
+
 def _edges_rel(ref_vals: DataFrame, q: int) -> DataFrame:
     """1-row ``(edges)`` relation: the reference's interior
     ``q``-quantile edges via ``percentile_disc`` (SQL-standard
@@ -1266,17 +1280,11 @@ def _edges_rel(ref_vals: DataFrame, q: int) -> DataFrame:
     share the single sorted-group pass. Raises at execution when the
     reference has no non-NULL values (no edges to bin against — the
     :func:`_guarded_stats` contract)."""
-    exprs = [
-        F.expr(
-            f"percentile_disc({i / q!r}) WITHIN GROUP (ORDER BY _v)"
-        ).alias(f"_e{i}")
-        for i in range(1, q)
-    ]
     msg = (
         "quantile_drift: reference has no non-NULL values — no "
         "quantile edges to bin against"
     )
-    raw = ref_vals.agg(*exprs).select(
+    raw = ref_vals.agg(*_edges_exprs(q)).select(
         F.array(*[F.col(f"_e{i}") for i in range(1, q)]).alias("_raw")
     )
     return raw.select(
@@ -1574,67 +1582,10 @@ def quantile_drift_by(
     ).select(F.col(group_col).alias("_g"), v.alias("_v"))
     curd = pick(cur)
     if ref_edges is not None:
-        # eager shape checks on the groups-sized pin (tiny by
-        # contract): duplicate groups double-bin, a malformed edges
-        # array mis-bins silently
-        bad = (
-            ref_edges.where(F.col(group_col).isNotNull())
-            .select(
-                F.col(group_col).alias("_g"),
-                F.col("edges").cast("array<double>").alias("edges"),
-            )
-            .where(
-                (F.size("edges") != q - 1)
-                | F.exists("edges", lambda e: e.isNull() | F.isnan(e))
-                | (F.col("edges") != F.array_sort("edges"))
-            )
-            .limit(1)
-            .count()
-        )
-        if bad:
-            raise ValueError(
-                f"ref_edges must hold exactly q-1 = {q - 1} finite, "
-                "non-decreasing edges per group"
-            )
-        if (
-            ref_edges.groupBy(group_col)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .count()
-        ):
-            raise ValueError(
-                "ref_edges holds duplicate group rows — one edges "
-                "array per group required"
-            )
-        ed = ref_edges.where(F.col(group_col).isNotNull()).select(
-            F.col(group_col).alias("_g"),
-            F.col("edges").cast("array<double>").alias("edges"),
-        )
+        ed = _pinned_grouped_edges(ref_edges, group_col, q)
     else:
-        exprs = [
-            F.expr(
-                f"percentile_disc({i / q!r}) WITHIN GROUP (ORDER BY _v)"
-            ).alias(f"_e{i}")
-            for i in range(1, q)
-        ]
-        ed = (
-            pick(ref)
-            .groupBy("_g")
-            .agg(*exprs)
-            .select(
-                "_g",
-                F.array(*[F.col(f"_e{i}") for i in range(1, q)]).alias(
-                    "edges"
-                ),
-            )
-        )
-    binned = lambda d: (  # noqa: E731
-        d.join(F.broadcast(ed), "_g")
-        .select("_g", _qbin(F.col("_v"), F.col("edges"), q).alias("bin"))
-        .groupBy("_g", "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+        ed = _grouped_edges_rel(pick(ref), q)
+    binned = lambda d: _grouped_qbinned_counts(d, ed, q)  # noqa: E731
     if ref_counts is not None:
         if (
             ref_counts.groupBy(group_col, "bin")
@@ -1660,14 +1611,91 @@ def quantile_drift_by(
         )
     else:
         rc = binned(pick(ref)).withColumnRenamed("n", "_rn")
+    j = _grouped_joined_bin_counts(
+        ed, rc, binned(curd).withColumnRenamed("n", "_cn"), q, spark
+    )
+    return drift_by_metrics_from_counts(j, q, ndigits, group_col)
+
+
+def _grouped_edges_rel(refd: DataFrame, q: int) -> DataFrame:
+    """``(_g, edges)`` per group — the grouped :func:`_edges_rel`
+    (same ceil(p·n) rule via :func:`_edges_exprs`); groups come from
+    the non-NULL-filtered reference, so no group's edges can be NULL
+    by construction. Shared by :func:`quantile_drift_by` and the
+    streaming reader's derivation."""
+    return (
+        refd.groupBy("_g")
+        .agg(*_edges_exprs(q))
+        .select(
+            "_g",
+            F.array(*[F.col(f"_e{i}") for i in range(1, q)]).alias("edges"),
+        )
+    )
+
+
+def _pinned_grouped_edges(
+    ref_edges: DataFrame, group_col: str, q: int
+) -> DataFrame:
+    """Validate the groups-sized per-group edge pin with ONE collect
+    and the SAME scalar validator every other pinned path uses
+    (:func:`_check_edges` — rejects wrong length, NULL, NaN, ±inf,
+    decreasing; an expression-side check missed NULL arrays and ±inf,
+    and cost three jobs — review r15 pass 2), then return the typed
+    ``(_g, edges)`` projection."""
+    rows = (
+        ref_edges.where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col("edges").cast("array<double>").alias("edges"),
+        )
+        .collect()
+    )
+    seen = set()
+    for r in rows:
+        g = r["_g"]
+        if g in seen:
+            raise ValueError(
+                "ref_edges holds duplicate group rows — one edges "
+                "array per group required"
+            )
+        seen.add(g)
+        if r["edges"] is None:
+            raise ValueError(f"ref_edges: group {g!r} has a NULL edges array")
+        try:
+            _check_edges(r["edges"], q)
+        except ValueError as e:
+            raise ValueError(f"ref_edges: group {g!r}: {e}") from e
+    return ref_edges.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col("edges").cast("array<double>").alias("edges"),
+    )
+
+
+def _grouped_qbinned_counts(d: DataFrame, ed: DataFrame, q: int) -> DataFrame:
+    """Per-group ``(_g, bin, n)`` counts under the broadcast
+    ``(_g, edges)`` relation — the grouped :func:`_qbinned_counts`,
+    shared by the batch operator and the streaming reader (their
+    parity contract requires one binning implementation)."""
+    return (
+        d.join(F.broadcast(ed), "_g")
+        .select("_g", _qbin(F.col("_v"), F.col("edges"), q).alias("bin"))
+        .groupBy("_g", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _grouped_joined_bin_counts(
+    ed: DataFrame, rc: DataFrame, cc: DataFrame, q: int, spark
+) -> DataFrame:
+    """Zero-filled groups × bins join of reference/current counts
+    (``rc``/``cc`` carry ``_rn``/``_cn``) — the grouped
+    :func:`_joined_bin_counts`, shared by batch and streaming."""
     allbins = ed.select("_g").crossJoin(
         F.broadcast(spark.range(q).select(F.col("id").alias("bin")))
     )
-    j = (
+    return (
         allbins.join(rc, ["_g", "bin"], "left")
-        .join(
-            binned(curd).withColumnRenamed("n", "_cn"), ["_g", "bin"], "left"
-        )
+        .join(cc, ["_g", "bin"], "left")
         .select(
             "_g",
             "bin",
@@ -1675,7 +1703,6 @@ def quantile_drift_by(
             F.coalesce("_cn", F.lit(0)).alias("cur_n"),
         )
     )
-    return drift_by_metrics_from_counts(j, q, ndigits, group_col)
 
 
 def quantile_drift_by_sql(

@@ -1166,7 +1166,9 @@ def read_drift_q_metrics_by(
     check runs before any reference scan."""
     from unimib_simpss_spark.operators.validation import (
         _check_edges,
-        _qbin,
+        _edges_exprs,
+        _grouped_joined_bin_counts,
+        _grouped_qbinned_counts,
         drift_by_metrics_from_counts,
     )
 
@@ -1198,29 +1200,32 @@ def read_drift_q_metrics_by(
             str(g): _check_edges(es, q) for g, es in ref_edges.items()
         }
     else:
-        exprs = [
-            F.expr(
-                f"percentile_disc({i / q!r}) WITHIN GROUP (ORDER BY _v)"
-            ).alias(f"_e{i}")
-            for i in range(1, q)
-        ]
         edges = {
             r["_g"]: [float(r[f"_e{i}"]) for i in range(1, q)]
-            for r in refd.groupBy("_g").agg(*exprs).collect()
+            for r in refd.groupBy("_g").agg(*_edges_exprs(q)).collect()
         }
-    # store-and-assert every per-group pin
-    stored_pins = {
-        r["grp"]: r["pin"]
-        for r in stored.select("grp", "pin").distinct().collect()
-    }
-    for g, pin in stored_pins.items():
+    # store-and-assert every per-group pin — WITHOUT collapsing first:
+    # a re-pinned sink leaves conflicting (grp, pin) row sets whose
+    # counts would silently double in the join below (review r15
+    # pass 2; the equal-width reader had the same guard)
+    pin_rows = stored.select("grp", "pin").distinct().collect()
+    by_group: dict = {}
+    for r in pin_rows:
+        by_group.setdefault(r["grp"], set()).add(r["pin"])
+    for g, pins in by_group.items():
+        if len(pins) > 1:
+            raise ValueError(
+                f"group {g!r} in {path} holds {len(pins)} conflicting "
+                "edge-frame pins — the table was written by more than "
+                "one sink config"
+            )
         if g not in edges:
             raise ValueError(
                 f"quantile-drift-by table at {path} holds counts for "
                 f"group {g!r} absent from the reference — wrong "
                 "reference snapshot?"
             )
-        if _edges_sig(edges[g]) != pin:
+        if _edges_sig(edges[g]) != pins.pop():
             raise ValueError(
                 f"group {g!r} in {path} was pinned to a different "
                 "edge frame than the reader's — re-pin the sink, "
@@ -1231,29 +1236,13 @@ def read_drift_q_metrics_by(
         [(g, es) for g, es in sorted(edges.items())],
         "_g string, edges array<double>",
     )
-    binned_ref = (
-        refd.join(F.broadcast(er), "_g")
-        .select("_g", _qbin(F.col("_v"), F.col("edges"), q).alias("bin"))
-        .groupBy("_g", "bin")
-        .agg(F.count(F.lit(1)).alias("_rn"))
+    rc = _grouped_qbinned_counts(refd, er, q).withColumnRenamed("n", "_rn")
+    cc = stored.select(
+        F.col("grp").alias("_g"), "bin", F.col("n_rows").alias("_cn")
     )
-    allbins = er.select("_g").crossJoin(
-        F.broadcast(spark.range(q).select(F.col("id").alias("bin")))
+    return drift_by_metrics_from_counts(
+        _grouped_joined_bin_counts(er, rc, cc, q, spark),
+        q,
+        ndigits,
+        group_col,
     )
-    j = (
-        allbins.join(binned_ref, ["_g", "bin"], "left")
-        .join(
-            stored.select(
-                F.col("grp").alias("_g"), "bin", F.col("n_rows").alias("_cn")
-            ),
-            ["_g", "bin"],
-            "left",
-        )
-        .select(
-            "_g",
-            "bin",
-            F.coalesce("_rn", F.lit(0)).alias("ref_n"),
-            F.coalesce("_cn", F.lit(0)).alias("cur_n"),
-        )
-    )
-    return drift_by_metrics_from_counts(j, q, ndigits, group_col)
