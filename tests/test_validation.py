@@ -1218,3 +1218,41 @@ class TestQuantileDriftByPinHoles:
         )
         with pytest.raises(ValueError, match="finite"):
             quantile_drift_by(ref, ref, "x", "g", q=5, ref_edges=inf_edges)
+
+
+def test_kll_edges_by_feed_the_per_group_pins(spark):
+    """The grouped sketch publisher: per-group approximate edges close
+    to each group's exact deciles, accepted verbatim by the per-group
+    pinned mode (identical snapshots read PSI 0 under any frame)."""
+    from unimib_simpss_spark.operators.validation import (
+        quantile_drift_by,
+        quantile_edges,
+        quantile_edges_kll_by,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 501)]
+        + [("b", float(i * 10)) for i in range(1, 201)]
+        + [(None, 1.0)],
+        "g string, x double",
+    )
+    pub = quantile_edges_kll_by(ref, "x", "g", q=4)
+    assert set(pub) == {"a", "b"}
+    for g, span in (("a", 500), ("b", 2000)):
+        exact = quantile_edges(
+            ref.where(F.col("g") == g), "x", 4
+        )
+        assert all(
+            abs(a - e) <= 0.05 * span for a, e in zip(pub[g], exact)
+        ), (g, pub[g], exact)
+    edges_rel = spark.createDataFrame(
+        [(g, es) for g, es in pub.items()], "g string, edges array<double>"
+    )
+    m = {
+        (r.g, r.metric): r.value
+        for r in quantile_drift_by(
+            ref, ref, "x", "g", q=4, ref_edges=edges_rel
+        ).collect()
+        if r.bin is None
+    }
+    assert m[("a", "psi")] == 0.0 and m[("b", "psi")] == 0.0

@@ -1744,3 +1744,32 @@ def quantile_drift_by_sql(
     ),
     {_drift_by_tail_sql(q, ndigits, "ed")}
     """
+
+
+def quantile_edges_kll_by(
+    ref: DataFrame, col: str, group_col: str, q: int, k: int = 200
+) -> dict:
+    """Per-group approximate q-quantile edges from the mergeable KLL
+    sketch — the grouped :func:`quantile_edges_kll`, returning the
+    ``{group: [q-1 floats]}`` dict the per-group sink
+    (``foreach_batch_drift_q_by``) and reader pin verbatim. One
+    two-stage sketch pass (the kll_quantiles shape: partial sketches
+    per partition, one merge per group); NULL groups drop per the _by
+    convention; the collect is groups-sized."""
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    from unimib_simpss_spark.functions.sketches import kll_quantiles
+
+    names = {f"_e{i}": i / q for i in range(1, q)}
+    rows = kll_quantiles(
+        ref.where(F.col(group_col).isNotNull()).select(group_col, col),
+        [group_col],
+        col,
+        names,
+        k=k,
+        ndigits=9,
+    ).collect()
+    return {
+        r[group_col]: [float(r[f"_e{i}"]) for i in range(1, q)]
+        for r in rows
+    }
