@@ -1256,3 +1256,45 @@ def test_kll_edges_by_feed_the_per_group_pins(spark):
         if r.bin is None
     }
     assert m[("a", "psi")] == 0.0 and m[("b", "psi")] == 0.0
+
+
+def test_pinned_edges_null_element_raises_value_error(spark):
+    """A NULL ELEMENT inside an array<double> pin must raise the
+    contractual ValueError with the group named — not float()'s bare
+    TypeError (review r15 pass 3); same for the scalar dict path."""
+    from unimib_simpss_spark.operators.validation import (
+        quantile_drift,
+        quantile_drift_by,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 21)], "g string, x double"
+    )
+    holey = spark.createDataFrame(
+        [("a", [1.0, None, 3.0, 4.0])], "g string, edges array<double>"
+    )
+    with pytest.raises(ValueError, match="group 'a'.*NULL"):
+        quantile_drift_by(ref, ref, "x", "g", q=5, ref_edges=holey)
+    with pytest.raises(ValueError, match="NULL elements"):
+        quantile_drift(
+            ref.select("x"), ref.select("x"), "x", q=5,
+            ref_edges=[1.0, None, 3.0, 4.0],
+        )
+
+
+def test_kll_edges_by_keys_match_engine_cast(spark):
+    """Published dict keys must be the engine's cast-to-string form —
+    the exact strings the sink's broadcast join will see — not Python
+    str() of the native value (review r15 pass 3: str(True) vs
+    'true' pinned groups no stream row could match)."""
+    from unimib_simpss_spark.operators.validation import (
+        quantile_edges_kll_by,
+    )
+
+    ref = spark.createDataFrame(
+        [(True, float(i)) for i in range(1, 21)]
+        + [(False, float(i * 2)) for i in range(1, 21)],
+        "g boolean, x double",
+    )
+    pub = quantile_edges_kll_by(ref, "x", "g", q=4)
+    assert set(pub) == {"true", "false"}  # engine cast, not str(True)

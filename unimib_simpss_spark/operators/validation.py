@@ -1315,6 +1315,11 @@ def quantile_edges(ref: DataFrame, col: str, q: int) -> list:
 
 
 def _check_edges(ref_edges, q: int) -> list:
+    # None must raise the contractual ValueError, not float()'s
+    # TypeError (review r15 pass 3 — a NULL element in an
+    # array<double> pin survives the cast and reaches here)
+    if any(e is None for e in ref_edges):
+        raise ValueError("ref_edges must be finite (no NULL elements)")
     edges = [float(e) for e in ref_edges]
     if len(edges) != q - 1:
         raise ValueError(
@@ -1638,18 +1643,19 @@ def _pinned_grouped_edges(
 ) -> DataFrame:
     """Validate the groups-sized per-group edge pin with ONE collect
     and the SAME scalar validator every other pinned path uses
-    (:func:`_check_edges` — rejects wrong length, NULL, NaN, ±inf,
-    decreasing; an expression-side check missed NULL arrays and ±inf,
-    and cost three jobs — review r15 pass 2), then return the typed
-    ``(_g, edges)`` projection."""
-    rows = (
-        ref_edges.where(F.col(group_col).isNotNull())
-        .select(
-            F.col(group_col).alias("_g"),
-            F.col("edges").cast("array<double>").alias("edges"),
-        )
-        .collect()
+    (:func:`_check_edges` — rejects wrong length, NULL elements, NaN,
+    ±inf, decreasing; an expression-side check missed NULL arrays and
+    ±inf, and cost three jobs — review r15 pass 2), then rebuild the
+    ``(_g, edges)`` relation FROM the validated rows (same schema as
+    the projection, so group typing is preserved) — re-projecting the
+    caller's relation would evaluate its lineage again downstream and
+    the rows that passed validation would not be the rows that bin
+    the data (review r15 pass 3)."""
+    proj = ref_edges.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col("edges").cast("array<double>").alias("edges"),
     )
+    rows = proj.collect()
     seen = set()
     for r in rows:
         g = r["_g"]
@@ -1665,10 +1671,7 @@ def _pinned_grouped_edges(
             _check_edges(r["edges"], q)
         except ValueError as e:
             raise ValueError(f"ref_edges: group {g!r}: {e}") from e
-    return ref_edges.where(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("_g"),
-        F.col("edges").cast("array<double>").alias("edges"),
-    )
+    return ref_edges.sparkSession.createDataFrame(rows, schema=proj.schema)
 
 
 def _grouped_qbinned_counts(d: DataFrame, ed: DataFrame, q: int) -> DataFrame:
@@ -1755,14 +1758,21 @@ def quantile_edges_kll_by(
     (``foreach_batch_drift_q_by``) and reader pin verbatim. One
     two-stage sketch pass (the kll_quantiles shape: partial sketches
     per partition, one merge per group); NULL groups drop per the _by
-    convention; the collect is groups-sized."""
+    convention; the collect is groups-sized. Group keys are
+    normalized through Spark's OWN cast-to-string — the sink and
+    reader stringify groups the same way, and Python ``str()`` of a
+    collected native value can disagree with the engine's cast
+    (``str(True)`` vs ``'true'``, float formatting), which would pin
+    groups no stream row ever matches (review r15 pass 3)."""
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")
     from unimib_simpss_spark.functions.sketches import kll_quantiles
 
     names = {f"_e{i}": i / q for i in range(1, q)}
     rows = kll_quantiles(
-        ref.where(F.col(group_col).isNotNull()).select(group_col, col),
+        ref.where(F.col(group_col).isNotNull()).select(
+            F.col(group_col).cast("string").alias(group_col), col
+        ),
         [group_col],
         col,
         names,
