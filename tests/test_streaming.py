@@ -2749,3 +2749,33 @@ def test_streaming_drift_q_by_conflicting_pins_raise(spark, tmp_path):
             spark, ref, table, "x", "g", q=3,
             ref_edges={"a": [10.0, 20.0]},
         )
+
+
+def test_pinned_group_dicts_require_str_keys(spark, tmp_path):
+    """Stream rows stringify groups with Spark's cast('string');
+    a Python-native dict key would be matched via str(), which can
+    disagree (str(True) vs 'true') and silently pin groups no row
+    ever hits. All three dict-pinned entry points must refuse
+    non-str keys up front (advice r15)."""
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_drift_by,
+        foreach_batch_drift_q_by,
+        read_drift_q_metrics_by,
+    )
+
+    with pytest.raises(TypeError, match="non-str keys"):
+        foreach_batch_drift_q_by(
+            str(tmp_path / "t1"), "x", "g", {True: [1.0, 2.0]}
+        )
+    with pytest.raises(TypeError, match="non-str keys"):
+        foreach_batch_drift_by(
+            str(tmp_path / "t2"), "x", "g", {1: (0.0, 10.0)}
+        )
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 31)], "g string, x double"
+    )
+    with pytest.raises(TypeError, match="non-str keys"):
+        read_drift_q_metrics_by(
+            spark, ref, str(tmp_path / "t3"), "x", "g", q=3,
+            ref_edges={2.5: [10.0, 20.0]},
+        )

@@ -1112,6 +1112,98 @@ class TestQuantileDriftBy:
         with pytest.raises(ValueError, match="requires BOTH"):
             quantile_drift_by(None, cur, "x", "g", q=5)
 
+    def test_dict_pin_matches_dataframe_pin(self, spark):
+        """ref_edges accepts the streaming sink's {group: [edges]}
+        dict (one publisher output feeds batch and stream); results
+        must match the DataFrame pin exactly."""
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift_by,
+        )
+
+        ref, cur = self._fixture(spark)
+        edge_map = {
+            "a": [20.0, 40.0, 60.0, 80.0],
+            "b": [30.0, 60.0, 90.0, 120.0],
+        }
+        df_pin = spark.createDataFrame(
+            sorted(edge_map.items()), "g string, edges array<double>"
+        )
+        via_df = sorted(
+            map(
+                tuple,
+                quantile_drift_by(
+                    ref, cur, "x", "g", q=5, ref_edges=df_pin
+                ).collect(),
+            )
+        )
+        via_dict = sorted(
+            map(
+                tuple,
+                quantile_drift_by(
+                    ref, cur, "x", "g", q=5, ref_edges=edge_map
+                ).collect(),
+            )
+        )
+        assert via_dict == via_df
+
+    def test_dict_pin_casts_groups_to_string_space(self, spark):
+        """A dict pin lives in string group space (the streaming
+        reader's convention) — an int-keyed corpus binned under a
+        dict pin must match the same corpus pre-cast to string groups
+        and pinned via DataFrame."""
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift_by,
+        )
+
+        ref = spark.createDataFrame(
+            [(1, float(i)) for i in range(1, 41)], "g int, x double"
+        )
+        cur = spark.createDataFrame(
+            [(1, float(i) + 5) for i in range(1, 31)], "g int, x double"
+        )
+        edge_map = {"1": [10.0, 20.0, 30.0]}
+        via_dict = sorted(
+            map(
+                tuple,
+                quantile_drift_by(
+                    ref, cur, "x", "g", q=4, ref_edges=edge_map
+                ).collect(),
+            )
+        )
+        refs = ref.select(F.col("g").cast("string").alias("g"), "x")
+        curs = cur.select(F.col("g").cast("string").alias("g"), "x")
+        df_pin = spark.createDataFrame(
+            [("1", [10.0, 20.0, 30.0])], "g string, edges array<double>"
+        )
+        via_df = sorted(
+            map(
+                tuple,
+                quantile_drift_by(
+                    refs, curs, "x", "g", q=4, ref_edges=df_pin
+                ).collect(),
+            )
+        )
+        assert via_dict == via_df
+
+    def test_wrong_pin_shapes_fail_early_and_loud(self, spark):
+        """A flat float list (quantile_drift's pin) and non-str dict
+        keys are rejected with descriptive TypeErrors BEFORE any job
+        runs — not an opaque AttributeError at .where/.select time."""
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift_by,
+        )
+
+        ref, cur = self._fixture(spark)
+        with pytest.raises(TypeError, match="ungrouped"):
+            quantile_drift_by(
+                ref, cur, "x", "g", q=5, ref_edges=[1.0, 2.0, 3.0, 4.0]
+            )
+        with pytest.raises(TypeError, match="non-str keys"):
+            quantile_drift_by(
+                ref, cur, "x", "g", q=5,
+                ref_edges={True: [1.0, 2.0, 3.0, 4.0]},
+            )
+
 
 class TestDriftCompositions:
     """Production patterns that are pure COMPOSITIONS of the shipped

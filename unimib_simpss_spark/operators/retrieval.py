@@ -28,6 +28,8 @@ __all__ = [
     "rrf_fuse",
     "ngram_overlap_sql",
     "rrf_fuse_sql",
+    "ranking_metrics",
+    "ranking_metrics_sql",
 ]
 
 RRF_K = 60  # the SIGIR-2009 constant; dampens the head so one ranker's

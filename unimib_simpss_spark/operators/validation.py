@@ -1566,10 +1566,44 @@ def quantile_drift_by(
     = ``(group_col, edges array<double>)`` from the prior release's
     published per-group edges skips the percentile pass; adding
     ``ref_counts`` = ``(group_col, bin, n)`` makes the reference side
-    scan-free (``ref`` may be None). DuckDB twin:
+    scan-free (``ref`` may be None). ``ref_edges`` also accepts the
+    streaming sink's ``{group: [q-1 floats]}`` dict shape
+    (``foreach_batch_drift_q_by``'s pin — one publisher output feeds
+    both forms); a flat float list is rejected early with a pointer
+    at :func:`quantile_drift`, whose pin it is. DuckDB twin:
     :func:`quantile_drift_by_sql`."""
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")
+    dict_pin = isinstance(ref_edges, dict)
+    if ref_edges is not None and not isinstance(ref_edges, DataFrame):
+        if dict_pin:
+            bad = [g for g in ref_edges if not isinstance(g, str)]
+            if bad:
+                raise TypeError(
+                    "quantile_drift_by ref_edges dict keys must be str "
+                    "(Spark cast-to-string group values, as "
+                    "quantile_edges_kll_by publishes) — got non-str "
+                    f"keys {bad[:3]!r}"
+                )
+            # the dict pin is the streaming sink's shape and lives in
+            # STRING group space — bin both snapshots under
+            # string-cast groups (the read_drift_q_metrics_by
+            # convention) so a published pin means the same thing on
+            # the batch and streaming paths
+            ref_edges = cur.sparkSession.createDataFrame(
+                [
+                    (g, [float(e) for e in es])
+                    for g, es in sorted(ref_edges.items())
+                ],
+                f"{group_col} string, edges array<double>",
+            )
+        else:
+            raise TypeError(
+                "quantile_drift_by ref_edges must be a (group, edges) "
+                "DataFrame or a {group: [q-1 floats]} dict — got "
+                f"{type(ref_edges).__name__}; a flat edge list is "
+                "quantile_drift's (ungrouped) pin shape"
+            )
     if ref_counts is not None and ref_edges is None:
         raise ValueError(
             "ref_counts requires ref_edges (the counts are only "
@@ -1582,9 +1616,12 @@ def quantile_drift_by(
         )
     spark = cur.sparkSession
     v = F.col(col).cast("double")
+    g = (
+        F.col(group_col).cast("string") if dict_pin else F.col(group_col)
+    )
     pick = lambda d: d.where(  # noqa: E731
         v.isNotNull() & F.col(group_col).isNotNull()
-    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+    ).select(g.alias("_g"), v.alias("_v"))
     curd = pick(cur)
     if ref_edges is not None:
         ed = _pinned_grouped_edges(ref_edges, group_col, q)

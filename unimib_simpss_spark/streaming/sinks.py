@@ -67,6 +67,25 @@ def _legacy_applied_id(path: str) -> int:
         return -1
 
 
+def _require_str_keys(d: dict, what: str) -> None:
+    """The pinned-group dicts (``ranges``/``edges``/``ref_edges``)
+    join against stream rows stringified with Spark's ``cast(
+    'string')``; a Python-native key would be stringified with
+    ``str()``, which can disagree (``str(True)`` vs ``'true'``,
+    float formatting) and silently pin groups no row ever matches.
+    Publishers (``quantile_edges_kll_by`` et al.) already emit
+    engine-cast string keys — require them here rather than guess."""
+    bad = [g for g in d if not isinstance(g, str)]
+    if bad:
+        raise TypeError(
+            f"{what} keys must be str (Spark cast-to-string group "
+            f"values, as the edge publishers emit) — got non-str keys "
+            f"{bad[:3]!r}; Python str() of a native value can disagree "
+            "with the engine's cast and the pin join would silently "
+            "match nothing"
+        )
+
+
 def _current_generation(path: str) -> tuple[str | None, int]:
     """(current generation dir, applied batch id) — both derived from
     the one symlink, so they can never disagree. A legacy plain
@@ -601,12 +620,13 @@ def foreach_batch_drift_by(
             "foreach_batch_drift_by needs at least one pinned group "
             "range (group -> (lo, hi))"
         )
+    _require_str_keys(ranges, "foreach_batch_drift_by ranges")
     fold = foreach_batch_additive(path, ("bins", "grp", "lo", "hi", "bin"), {})
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         pins = spark.createDataFrame(
-            [(str(g), float(lo), float(hi)) for g, (lo, hi) in ranges.items()],
+            [(g, float(lo), float(hi)) for g, (lo, hi) in ranges.items()],
             "grp string, lo double, hi double",
         )
         v = F.col(col).cast("double")
@@ -1105,7 +1125,8 @@ def foreach_batch_drift_q_by(
             "foreach_batch_drift_q_by needs at least one pinned group "
             "edge list (group -> [edges])"
         )
-    pinned = {str(g): [float(e) for e in es] for g, es in edges.items()}
+    _require_str_keys(edges, "foreach_batch_drift_q_by edges")
+    pinned = {g: [float(e) for e in es] for g, es in edges.items()}
     qs = {len(es) + 1 for es in pinned.values()}
     if len(qs) != 1:
         raise ValueError(
@@ -1196,8 +1217,9 @@ def read_drift_q_metrics_by(
         F.col(group_col).cast("string").alias("_g"), v.alias("_v")
     )
     if ref_edges is not None:
+        _require_str_keys(ref_edges, "read_drift_q_metrics_by ref_edges")
         edges = {
-            str(g): _check_edges(es, q) for g, es in ref_edges.items()
+            g: _check_edges(es, q) for g, es in ref_edges.items()
         }
     else:
         edges = {
