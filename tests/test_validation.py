@@ -1390,3 +1390,131 @@ def test_kll_edges_by_keys_match_engine_cast(spark):
     )
     pub = quantile_edges_kll_by(ref, "x", "g", q=4)
     assert set(pub) == {"true", "false"}  # engine cast, not str(True)
+
+
+class TestDriftGateSuite:
+    """The fused four-gate suite (drift_gate_suite) — row parity with
+    the individual operators, the loud empty-reference failure, and
+    the pass-count contract (the whole point of fusing: 2 reference
+    traversals + 1 current traversal, vs 8 + 4 run separately)."""
+
+    def _fixture(self, spark):
+        import random
+
+        rnd = random.Random(11)
+        ref = spark.createDataFrame(
+            [
+                (
+                    rnd.choice(["a", "b", "c", None]),
+                    float(rnd.randint(0, 100))
+                    if rnd.random() > 0.05
+                    else None,
+                )
+                for _ in range(600)
+            ],
+            "g string, x double",
+        )
+        cur = spark.createDataFrame(
+            [
+                (
+                    rnd.choice(["a", "b", "d", None]),  # d = cur-only
+                    float(rnd.randint(10, 140))
+                    if rnd.random() > 0.05
+                    else None,
+                )
+                for _ in range(500)
+            ],
+            "g string, x double",
+        )
+        return ref, cur
+
+    def test_all_four_gates_match_the_individual_operators(self, spark):
+        """Bit-identical rows: NULL groups count in the corpus gates
+        but not the _by gates; cur-only group 'd' is excluded; ref
+        group 'c' (absent from cur) is zero-filled."""
+        from unimib_simpss_spark.operators.caching import (
+            release_intermediate,
+        )
+        from unimib_simpss_spark.operators.validation import (
+            distribution_drift,
+            distribution_drift_by,
+            drift_gate_suite,
+            quantile_drift,
+            quantile_drift_by,
+        )
+
+        ref, cur = self._fixture(spark)
+        s = drift_gate_suite(ref, cur, "x", "g", bins=7, q=5)
+        expected = {
+            "ew": distribution_drift(ref, cur, "x", bins=7),
+            "q": quantile_drift(ref, cur, "x", q=5),
+            "ew_by": distribution_drift_by(ref, cur, "x", "g", bins=7),
+            "q_by": quantile_drift_by(ref, cur, "x", "g", q=5),
+        }
+        for k, ind in expected.items():
+            got = sorted(map(tuple, s[k].collect()))
+            want = sorted(map(tuple, ind.collect()))
+            assert got == want, k
+            assert s[k].columns == ind.columns, k
+        for c in s["caches"]:
+            release_intermediate(c)
+
+    def test_empty_reference_raises_loudly(self, spark):
+        from unimib_simpss_spark.operators.validation import (
+            drift_gate_suite,
+        )
+
+        cur = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        empty = spark.createDataFrame([], "g string, x double")
+        with pytest.raises(ValueError, match="no non-NULL values"):
+            drift_gate_suite(empty, cur, "x", "g")
+        all_null = spark.createDataFrame(
+            [("a", None)], "g string, x double"
+        )
+        with pytest.raises(ValueError, match="no non-NULL values"):
+            drift_gate_suite(all_null, cur, "x", "g")
+
+    def test_snapshot_pass_counts(self, spark):
+        """THE fusion contract: constructing the suite and collecting
+        ALL FOUR gates traverses the reference exactly twice (one
+        cube stats pass, one fused bin-count pass) and the current
+        snapshot exactly once. Counted with a traced identity UDF on
+        the value column (test-only; marked nondeterministic so
+        Catalyst cannot duplicate or collapse it) — every lineage
+        traversal pays one UDF call per row."""
+        from pyspark.sql.types import DoubleType
+
+        from unimib_simpss_spark.operators.caching import (
+            release_intermediate,
+        )
+        from unimib_simpss_spark.operators.validation import (
+            drift_gate_suite,
+        )
+
+        sc = spark.sparkContext
+        acc_ref = sc.accumulator(0)
+        acc_cur = sc.accumulator(0)
+
+        def traced(acc):
+            def f(v):
+                acc.add(1)
+                return v
+
+            return F.udf(f, DoubleType()).asNondeterministic()
+
+        n_ref, n_cur = 300, 200
+        ref = spark.range(n_ref).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            traced(acc_ref)(F.col("id").cast("double")).alias("x"),
+        )
+        cur = spark.range(n_cur).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            traced(acc_cur)((F.col("id") + 5).cast("double")).alias("x"),
+        )
+        s = drift_gate_suite(ref, cur, "x", "g", bins=6, q=4)
+        for k in ("ew", "q", "ew_by", "q_by"):
+            s[k].collect()
+        assert acc_ref.value == 2 * n_ref, acc_ref.value
+        assert acc_cur.value == 1 * n_cur, acc_cur.value
+        for c in s["caches"]:
+            release_intermediate(c)

@@ -1820,3 +1820,188 @@ def quantile_edges_kll_by(
         r[group_col]: [float(r[f"_e{i}"]) for i in range(1, q)]
         for r in rows
     }
+
+
+def drift_gate_suite(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    group_col: str,
+    bins: int = 10,
+    q: int = 10,
+    ndigits: int = 6,
+) -> dict:
+    """The four numeric drift gates ({corpus, per-group} ×
+    {equal-width, equi-depth}) over ONE release pair, FUSED: row-for-
+    row identical output to running :func:`distribution_drift`,
+    :func:`quantile_drift`, :func:`distribution_drift_by`, and
+    :func:`quantile_drift_by` separately, at a quarter of the data
+    passes. Returns ``{"ew", "q", "ew_by", "q_by", "caches"}`` — the
+    four gate DataFrames plus the cached cell relations the caller
+    releases (the ``materialize_release`` cache-list contract).
+
+    Why it exists: run separately, the four gates make ~8 aggregate
+    passes over the reference and 4 over the current snapshot
+    (min/max, percentiles, and a bin count per gate per snapshot).
+    At 100 TB each pass re-reads a corpus-sized (if cached, still
+    memory-bandwidth-sized) relation. Fused shape:
+
+    - ONE stats pass over the reference: ``cube(group)`` computes the
+      corpus min/max/q-quantile edges (grand-total grouping set —
+      which, exactly like the ungrouped operators, still includes
+      rows whose group is NULL) and every per-group stats row in a
+      single traversal, disambiguated by ``grouping()``. The collect
+      is groups-sized (the bounded-collect discipline shared with
+      ``_pinned_grouped_edges``); an empty/all-NULL reference raises
+      here, driver-side, instead of at execution.
+    - ONE fused bin-count pass per snapshot: a single projection
+      emits all four bin assignments per row (``posexplode`` over a
+      4-slot array — the per-group slots are NULL when the row's
+      group is NULL or absent from the reference, mirroring the _by
+      operators' inner stats join), then one map-side-combinable
+      count over ``(slot, group, bin)``. The cell relation is
+      bounded by ``2·groups·(bins+q)`` rows and cached; the four
+      gates re-aggregate it.
+    - The metric arithmetic is the SAME code the individual
+      operators call (:func:`drift_metrics_from_counts` /
+      :func:`drift_by_metrics_from_counts` over the same zero-filled
+      joins), and the bin expressions are the same
+      :func:`_drift_bin` / :func:`_qbin` columns with the collected
+      stats re-injected as literals (a Python float round-trip of a
+      double is exact), so every row hashes identically to the
+      unfused gates — asserted by the parity tests and q61's
+      unchanged oracle."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    from unimib_simpss_spark.operators.caching import cache_intermediate
+
+    spark = cur.sparkSession
+    v = F.col(col).cast("double")
+    pick = lambda d: d.where(v.isNotNull()).select(  # noqa: E731
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    refd, curd = pick(ref), pick(cur)
+    stats = refd.cube("_g").agg(
+        F.grouping("_g").alias("_all"),
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        *_edges_exprs(q),
+    ).select(
+        "_all",
+        "_g",
+        "_lo",
+        "_hi",
+        F.array(*[F.col(f"_e{i}") for i in range(1, q)]).alias("_edges"),
+    )
+    rows = stats.collect()
+    corpus = [r for r in rows if r["_all"] == 1]
+    if not corpus:
+        raise ValueError(
+            f"drift_gate_suite: reference has no non-NULL values of "
+            f"{col!r} — no range or quantile edges to bin against"
+        )
+    clo, chi = float(corpus[0]["_lo"]), float(corpus[0]["_hi"])
+    cedges = F.array(
+        *[F.lit(float(e)).cast("double") for e in corpus[0]["_edges"]]
+    )
+    grows = [
+        (r["_g"], r["_lo"], r["_hi"], r["_edges"])
+        for r in rows
+        if r["_all"] == 0 and r["_g"] is not None
+    ]
+    gschema = (
+        stats.select("_g", "_lo", "_hi", "_edges").schema
+    )
+    gstats = spark.createDataFrame(grows, schema=gschema)
+
+    def cells(d: DataFrame) -> DataFrame:
+        binned = d.join(F.broadcast(gstats), "_g", "left").select(
+            "_g",
+            F.posexplode(
+                F.array(
+                    _drift_bin(
+                        F.col("_v"), F.lit(clo), F.lit(chi), bins
+                    ),
+                    _qbin(F.col("_v"), cedges, q),
+                    F.when(
+                        F.col("_lo").isNotNull(),
+                        _drift_bin(
+                            F.col("_v"), F.col("_lo"), F.col("_hi"), bins
+                        ),
+                    ),
+                    F.when(
+                        F.col("_edges").isNotNull(),
+                        _qbin(F.col("_v"), F.col("_edges"), q),
+                    ),
+                )
+            ).alias("slot", "bin"),
+        )
+        return cache_intermediate(
+            binned.groupBy("slot", "_g", "bin").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        )
+
+    rcells, ccells = cells(refd), cells(curd)
+    corpus_counts = lambda c, slot, nm: (  # noqa: E731
+        c.where(F.col("slot") == slot)
+        .groupBy("bin")
+        .agg(F.sum("n").alias(nm))
+    )
+    by_counts = lambda c, slot, nm: (  # noqa: E731
+        c.where((F.col("slot") == slot) & F.col("bin").isNotNull())
+        .select("_g", "bin", F.col("n").alias(nm))
+    )
+    ew = drift_metrics_from_counts(
+        _joined_bin_counts(
+            corpus_counts(rcells, 0, "_rn"),
+            corpus_counts(ccells, 0, "_cn"),
+            bins,
+            spark,
+        ),
+        bins,
+        ndigits,
+    )
+    qd = drift_metrics_from_counts(
+        _joined_bin_counts(
+            corpus_counts(rcells, 1, "_rn"),
+            corpus_counts(ccells, 1, "_cn"),
+            q,
+            spark,
+        ),
+        q,
+        ndigits,
+    )
+    ew_by = drift_by_metrics_from_counts(
+        _grouped_joined_bin_counts(
+            gstats,
+            by_counts(rcells, 2, "_rn"),
+            by_counts(ccells, 2, "_cn"),
+            bins,
+            spark,
+        ),
+        bins,
+        ndigits,
+        group_col,
+    )
+    q_by = drift_by_metrics_from_counts(
+        _grouped_joined_bin_counts(
+            gstats,
+            by_counts(rcells, 3, "_rn"),
+            by_counts(ccells, 3, "_cn"),
+            q,
+            spark,
+        ),
+        q,
+        ndigits,
+        group_col,
+    )
+    return {
+        "ew": ew,
+        "q": qd,
+        "ew_by": ew_by,
+        "q_by": q_by,
+        "caches": [rcells, ccells],
+    }

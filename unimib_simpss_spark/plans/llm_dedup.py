@@ -803,17 +803,16 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_hash",
     )
     from unimib_simpss_spark.operators.caching import cache_intermediate
-    from unimib_simpss_spark.operators.validation import (
-        distribution_drift,
-        distribution_drift_by,
-    )
+    from unimib_simpss_spark.operators.validation import drift_gate_suite
 
-    # ALL FOUR drift gates (equal-width, equi-depth, per-source,
-    # categorical) measure the SAME release pair: cache one narrow
-    # (chars, source) relation per snapshot — ints + a short string,
-    # never text — so the family's ~8 numeric passes (min/max,
-    # percentiles, per-gate bin counts, top-k, mix counts) pay the
-    # text scan + mutation exactly once per snapshot
+    # ALL FIVE drift gates (equal-width, equi-depth, their per-source
+    # forms, categorical) measure the SAME release pair: cache one
+    # narrow (chars, source) relation per snapshot — ints + a short
+    # string, never text — and run the four NUMERIC gates through the
+    # fused drift_gate_suite: one cube stats pass over the reference
+    # (min/max + percentiles + every per-source row in a single
+    # traversal) and one fused bin-count pass per snapshot, instead
+    # of the ~8 aggregate passes the gates cost run separately
     survivors_src = docs.where(~is_new).select(
         F.when(
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
@@ -833,8 +832,8 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").alias("chars"), "source"
         )
     )
-    drift = distribution_drift(ref_cs, cur_cs, "chars", bins=10)
-    drift_leg = drift.select(
+    suite = drift_gate_suite(ref_cs, cur_cs, "chars", "source", bins=10, q=10)
+    drift_leg = suite["ew"].select(
         F.lit("drift").alias("section"),
         F.col("bin").alias("new_doc"),
         F.col("ref_n").alias("corpus_doc"),
@@ -846,12 +845,9 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("new_hash"),
     )
     # the equi-depth twin of the same gate: bins at the reference's
-    # decile edges instead of range slices (operators/validation.py
-    # quantile_drift — the heavy-tail-safe PSI convention)
-    from unimib_simpss_spark.operators.validation import quantile_drift
-
-    drift_q = quantile_drift(ref_cs, cur_cs, "chars", q=10)
-    driftq_leg = drift_q.select(
+    # decile edges instead of range slices (the heavy-tail-safe PSI
+    # convention) — same fused pass, slot 1
+    driftq_leg = suite["q"].select(
         F.lit("driftq").alias("section"),
         F.col("bin").alias("new_doc"),
         F.col("ref_n").alias("corpus_doc"),
@@ -862,20 +858,10 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("old_hash"),
         F.lit(None).cast("string").alias("new_hash"),
     )
-    # the per-SOURCE attribution of the same release pair, off the
-    # same cached snapshot relations
-    drift_src = distribution_drift_by(
-        ref_cs, cur_cs, "chars", "source", bins=10
-    )
-    from unimib_simpss_spark.operators.validation import quantile_drift_by
-
-    # per-source equi-depth attribution (one outlier INSIDE a source
-    # numbs that source's equal-width bins while leaving the corpus
-    # range untouched — exactly where 'driftsrc' under-reports)
-    drift_q_src = quantile_drift_by(
-        ref_cs, cur_cs, "chars", "source", q=10
-    )
-    driftqsrc_leg = drift_q_src.select(
+    # the per-SOURCE attributions of the same release pair, off the
+    # same fused pass (slots 2/3): equi-depth per source catches the
+    # one-outlier-inside-a-source case where 'driftsrc' under-reports
+    driftqsrc_leg = suite["q_by"].select(
         F.lit("driftqsrc").alias("section"),
         F.col("bin").alias("new_doc"),
         F.col("ref_n").alias("corpus_doc"),
@@ -886,7 +872,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("old_hash"),
         F.lit(None).cast("string").alias("new_hash"),
     )
-    driftsrc_leg = drift_src.select(
+    driftsrc_leg = suite["ew_by"].select(
         F.lit("driftsrc").alias("section"),
         F.col("bin").alias("new_doc"),
         F.col("ref_n").alias("corpus_doc"),
@@ -932,6 +918,7 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(driftcat_leg),
         ref_cs,
         cur_cs,
+        *suite["caches"],
     )
     release_result(pairs_cache)  # union checkpointed; the miner cache is spent
     release_result(ed)
