@@ -23,8 +23,61 @@ _bpe = A.token_count_bpe_sql("text")
 
 _pred_sql, _best_sql = A.lang_id_sql("text")
 
+# --------------------------------------------------------- cleaning leg
+# The documents fixture is clean ASCII, so the cleaning gate would be
+# a no-op on it; both engines therefore DIRTY each doc with the same
+# deterministic per-doc_id mutation (wrapping tags + one of four dirt
+# classes: a doc_id-parameterized URL with an encoded ampersand,
+# typographic unicode + a ligature, zero-width/control/fullwidth
+# chars, double-encoded entities) and then clean it — the oracle
+# hash-checks the CLEANED TEXT verbatim, so every strip/fold/decode
+# rule is exercised end-to-end on real plumbing.
+_DIRT_OPEN = '<p class="x">'
+_DIRT_CLOSE = "</p>"
+_DIRT_URL_PRE = " see https://ex.com/a?id="
+_DIRT_URL_POST = "&amp;x=1 ok"
+_DIRT_UNI = "  “drift—ahead”… ﬁn"
+_DIRT_CTRL = " ​zwbell ＦＷ"
+_DIRT_ENT = " &lt;b&gt; &amp;amp; co"
+
+
+def _dirty_text_col():
+    return F.concat(
+        F.lit(_DIRT_OPEN),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(_DIRT_URL_PRE),
+                F.col("doc_id").cast("string"),
+                F.lit(_DIRT_URL_POST),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit(_DIRT_UNI))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_DIRT_CTRL))
+        .otherwise(F.lit(_DIRT_ENT)),
+        F.lit(_DIRT_CLOSE),
+    )
+
+
+def _dirty_text_sql() -> str:
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    return (
+        f"({q(_DIRT_OPEN)} || text || CASE doc_id % 4"
+        f" WHEN 0 THEN {q(_DIRT_URL_PRE)} || CAST(doc_id AS VARCHAR)"
+        f" || {q(_DIRT_URL_POST)}"
+        f" WHEN 1 THEN {q(_DIRT_UNI)}"
+        f" WHEN 2 THEN {q(_DIRT_CTRL)}"
+        f" ELSE {q(_DIRT_ENT)} END || {q(_DIRT_CLOSE)})"
+    )
+
 
 def _text_profile_oracle() -> str:
+    from unimib_simpss_spark.functions.analysis import exact_avg_sql
+    from unimib_simpss_spark.functions.cleaning import (
+        clean_text_sql,
+        cleanliness_components_sql,
+    )
     from unimib_simpss_spark.operators.curation import (
         BPE_DEMO_MERGES,
         bpe_encode_sql,
@@ -33,6 +86,7 @@ def _text_profile_oracle() -> str:
 
     enc = bpe_encode_sql("text", BPE_DEMO_MERGES)
     cnt = bpe_token_count_sql("text", BPE_DEMO_MERGES)
+    cc = cleanliness_components_sql("dt")
     return f"""
     SELECT 'tokens' AS family, source AS key1, CAST(NULL AS VARCHAR) AS key2,
            count(*)                    AS n_docs,
@@ -83,6 +137,29 @@ def _text_profile_oracle() -> str:
            round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS avg_chars
     FROM (SELECT source, {cnt} AS n FROM documents)
     GROUP BY source
+    UNION ALL
+    SELECT 'clean' AS family, source AS key1, CAST(NULL AS VARCHAR) AS key2,
+           count(*) AS n_docs,
+           CAST(sum(raw - cln) AS BIGINT) AS sum_a,
+           CAST(sum(dirt_n) AS BIGINT) AS sum_b,
+           {exact_avg_sql("sf", 4)} AS avg_chars
+    FROM (
+        SELECT source, {cc["n_chars_raw"]} AS raw, {cc["n_chars_clean"]} AS cln,
+               {cc["stripped_frac"]} AS sf,
+               {cc["n_urls"]} + {cc["n_tags"]} + {cc["n_control"]} AS dirt_n
+        FROM (SELECT source, {_dirty_text_sql()} AS dt FROM documents)
+    )
+    GROUP BY source
+    UNION ALL
+    SELECT 'clean_docs' AS family, CAST(doc_id AS VARCHAR) AS key1,
+           {clean_text_sql("dt")} AS key2,
+           CAST(NULL AS BIGINT) AS n_docs,
+           {cc["n_chars_clean"]} AS sum_a,
+           CAST({cc["n_urls"]} + {cc["n_tags"]} + {cc["n_control"]} AS BIGINT)
+               AS sum_b,
+           {cc["stripped_frac"]} AS avg_chars
+    FROM (SELECT doc_id, {_dirty_text_sql()} AS dt FROM documents
+          WHERE doc_id < 40)
     """
 
 
@@ -206,7 +283,57 @@ def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_chars"),
         )
     )
-    return tok.unionAll(lng).unionAll(top).unionAll(bpe_docs).unionAll(bpe_src)
+    # the text-CLEANING surface (functions/cleaning.py): both engines
+    # dirty each doc with the same deterministic doc_id-keyed mutation
+    # (see _dirty_text_col), then 'clean' reports per-source chars
+    # removed / dirt counts / mean stripped fraction and 'clean_docs'
+    # hash-checks the cleaned text VERBATIM for a bounded sample —
+    # per-row Column chains only, zero new shuffles beyond the agg
+    from unimib_simpss_spark.functions import cleaning as CL
+
+    dirt = docs.select("doc_id", "source", _dirty_text_col().alias("dt"))
+    pc = CL.cleanliness_components(F.col("dt"))
+    cln = (
+        dirt.select(
+            "source",
+            (pc["n_chars_raw"] - pc["n_chars_clean"]).alias("removed"),
+            pc["stripped_frac"].alias("sf"),
+            (pc["n_urls"] + pc["n_tags"] + pc["n_control"]).alias("dirt_n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("removed").alias("sum_a"),
+            F.sum("dirt_n").alias("sum_b"),
+            A.exact_avg("sf", 4).alias("avg_chars"),
+        )
+        .select(
+            F.lit("clean").alias("family"),
+            F.col("source").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            "n_docs",
+            "sum_a",
+            "sum_b",
+            "avg_chars",
+        )
+    )
+    clean_docs = dirt.where(F.col("doc_id") < 40).select(
+        F.lit("clean_docs").alias("family"),
+        F.col("doc_id").cast("string").alias("key1"),
+        CL.clean_text(F.col("dt")).alias("key2"),
+        F.lit(None).cast("long").alias("n_docs"),
+        pc["n_chars_clean"].alias("sum_a"),
+        (pc["n_urls"] + pc["n_tags"] + pc["n_control"]).alias("sum_b"),
+        pc["stripped_frac"].alias("avg_chars"),
+    )
+    return (
+        tok.unionAll(lng)
+        .unionAll(top)
+        .unionAll(bpe_docs)
+        .unionAll(bpe_src)
+        .unionAll(cln)
+        .unionAll(clean_docs)
+    )
 
 
 _qc_sql = A.quality_components_sql("text")
