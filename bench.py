@@ -72,6 +72,46 @@ HEADLINE = [
     # q49 — all inside the driver's 50-slot verification window.
 ]
 
+# Per-section timing targets (VERDICT r15 #2): the multi-leg tagged-
+# union hosts whose totals dominate bench noise — without per-leg
+# walls every leg-cost question burns a worktree A/B. Each section is
+# timed as an INDEPENDENT run building only that leg (the plan
+# functions take sections=[tag]; q02 is lazy, so a section filter on
+# the union prunes the other branches via constant folding). A
+# section's wall therefore INCLUDES its shared deps (the cached
+# shingle/chars relations), so sections sum to MORE than the host's
+# single-run total — they answer "what does this leg cost alone",
+# not "how does the total split".
+SECTIONED: dict[str, tuple[str, list[str]]] = {
+    "q02_latest_event_per_user": (
+        "section",
+        ["latest", "session", "funnel", "fsummary", "acf", "twa", "trend"],
+    ),
+    "q33_jaccard_pairs": ("family", ["jaccard", "containment"]),
+    "q34_hash_band_pairs": (
+        "family",
+        ["minhash", "simhash", "edit", "hamming24"],
+    ),
+    "q38_decontamination": (
+        "section",
+        ["ngram", "bm25", "overlap", "rrf", "ev"],
+    ),
+    "q61_incremental_dedup": (
+        "section",
+        [
+            "pairs",
+            "bloom",
+            "edit",
+            "diff",
+            "drift",
+            "driftq",
+            "driftsrc",
+            "driftqsrc",
+            "driftcat",
+        ],
+    ),
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,6 +151,28 @@ def main() -> None:
     run(HEADLINE[0])  # warmup: JVM + codegen + parquet footer cache
     timings = {name: round(run(name), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
+
+    # Per-section walls AFTER the headline pass so they cannot warm or
+    # skew it; excluded from `value` (the driver's metric) by design.
+    def run_section(name: str, tagcol: str, tag: str) -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, sf_dir, sections=[tag])
+        except TypeError:  # lazy hosts take no sections kwarg
+            df = qs[name](spark, sf_dir).where(F.col(tagcol) == tag)
+        df.write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        release_result(df)
+        return elapsed
+
+    sections = {
+        name: {
+            tag: round(run_section(name, tagcol, tag), 3) for tag in tags
+        }
+        for name, (tagcol, tags) in SECTIONED.items()
+    }
     # The driver captures only a TAIL of stdout, so the metric line must
     # be compact and LAST (round 11's per-query load map doubled the line
     # and cut off its head — BENCH_r11 recorded parsed:null). Emit the
@@ -125,6 +187,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sections": sections,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load_1min_start": load_start,
                 "load_1min_end": loadavg(),

@@ -24,6 +24,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _pick_sections(sections, known: tuple) -> set:
+    """Validate the per-section bench filter (None = all legs — the
+    registered/driver behavior). bench.py passes a single tag to time
+    each leg of a multi-leg host in isolation; an unknown tag raises
+    so a renamed leg cannot silently bench an empty plan."""
+    if sections is None:
+        return set(known)
+    got = {sections} if isinstance(sections, str) else set(sections)
+    bad = got - set(known)
+    if bad:
+        raise ValueError(
+            f"unknown section(s) {sorted(bad)} — known: {sorted(known)}"
+        )
+    if not got:
+        raise ValueError("sections must name at least one leg")
+    return got
+
+
 def _dedup_groups_oracle() -> str:
     return f"""
     SELECT 'exact' AS family, group_key, keep_id, n_copies
@@ -69,7 +87,9 @@ def _q33_oracle() -> str:
 
 
 @query("q33_jaccard_pairs", oracle=_q33_oracle())
-def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, sections=None
+) -> DataFrame:
     """The exact set-overlap pair miners, tagged by family:
 
     - 'jaccard': exact n-gram Jaccard ≥ 0.8 UNORDERED pairs via the
@@ -90,29 +110,35 @@ def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_result,
     )
 
+    want = _pick_sections(sections, ("jaccard", "containment"))
     docs = _docs(spark, sf_dir)
     # shingle-hash the corpus ONCE and pass the persisted relation to
     # both miners via _hsd (the q34 ownership pattern) — each leg is
     # eagerly materialized inside its miner, so the release below is
     # safe once both handles exist
     hsd = cache_intermediate(D._combo_shingle_docs(docs, "text", "doc_id"))
-    jac = D.jaccard_pairs(docs, threshold=0.8, _hsd=hsd)
-    # max_shingle_df exercises the BOUNDED index path (rarest-first
-    # prefix + df-capped postings + scoped fallback) on the driver
-    # surface — the capped miner is exact, so the uncapped oracle
-    # hash-checks that claim at every sf
-    con = D.containment_pairs(docs, threshold=0.8, max_shingle_df=64, _hsd=hsd)
-    release_intermediate(hsd)
-    # re-checkpoint the union, release the per-family legs — the
-    # caller's single release_result() cannot free a Union top node
-    # (the x77 lesson; the cache-hygiene sweep catches it)
-    out = checkpoint_result(
-        jac.select(
-            F.lit("jaccard").alias("family"),
-            "doc1",
-            "doc2",
-            F.col("jaccard").alias("score"),
-        ).unionAll(
+    legs, handles = [], []
+    if "jaccard" in want:
+        jac = D.jaccard_pairs(docs, threshold=0.8, _hsd=hsd)
+        handles.append(jac)
+        legs.append(
+            jac.select(
+                F.lit("jaccard").alias("family"),
+                "doc1",
+                "doc2",
+                F.col("jaccard").alias("score"),
+            )
+        )
+    if "containment" in want:
+        # max_shingle_df exercises the BOUNDED index path (rarest-first
+        # prefix + df-capped postings + scoped fallback) on the driver
+        # surface — the capped miner is exact, so the uncapped oracle
+        # hash-checks that claim at every sf
+        con = D.containment_pairs(
+            docs, threshold=0.8, max_shingle_df=64, _hsd=hsd
+        )
+        handles.append(con)
+        legs.append(
             con.select(
                 F.lit("containment").alias("family"),
                 F.col("inner_doc").alias("doc1"),
@@ -120,9 +146,16 @@ def q33_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("containment").alias("score"),
             )
         )
-    )
-    release_result(jac)
-    release_result(con)
+    release_intermediate(hsd)
+    # re-checkpoint the union, release the per-family legs — the
+    # caller's single release_result() cannot free a Union top node
+    # (the x77 lesson; the cache-hygiene sweep catches it)
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionAll(leg)
+    out = checkpoint_result(u)
+    for h in handles:
+        release_result(h)
     return out
 
 
@@ -156,7 +189,9 @@ def _hash_band_pairs_oracle() -> str:
 
 
 @query("q34_hash_band_pairs", oracle=_hash_band_pairs_oracle())
-def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_hash_band_pairs(
+    spark: SparkSession, sf_dir: str, sections=None
+) -> DataFrame:
     """The candidate-generation near-dup miners, tagged by family
     (merged from the former q34/q35 to fit the driver's 50-query
     window): ``minhash`` = MinHash+LSH candidates (4 bands × 4 rows)
@@ -189,60 +224,76 @@ def q34_hash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lazy union cannot reach its children. cache_intermediate (not a
     # raw persist) so the "table" checkpoint mode covers this barrier
     # too (VERDICT r10 #2).
+    want = _pick_sections(
+        sections, ("minhash", "simhash", "edit", "hamming24")
+    )
     hsd = cache_intermediate(D._combo_shingle_docs(docs, "text", "doc_id"))
-    mh = D.minhash_dedup_pairs(docs, threshold=0.8, _hsd=hsd)
-    sh = D.simhash_pairs(docs, max_hamming=3, _hsd=hsd)
-    ed = D.edit_distance_pairs(
-        docs.select("doc_id", F.substring("text", 1, 40).alias("s")),
-        "s", "doc_id", max_dist=2,
-    )
-    # the generic band join is a lazy two-stage plan (projection +
-    # pigeonhole equi-join) — no internal checkpoint to release
-    hm = D.hamming_band_pairs(
-        docs.select(
-            "doc_id",
-            F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
-            .cast("long")
-            .alias("h24"),
-        ).where(F.col("h24").isNotNull()),
-        "doc_id",
-        "h24",
-        max_hamming=3,
-        bits=24,
-    )
-    out = materialize_release(
-        mh.select(
-            F.lit("minhash").alias("family"),
-            "doc1",
-            "doc2",
-            F.col("jaccard").alias("score"),
-        ).unionAll(
+    legs, handles = [], []
+    if "minhash" in want:
+        mh = D.minhash_dedup_pairs(docs, threshold=0.8, _hsd=hsd)
+        handles.append(mh)
+        legs.append(
+            mh.select(
+                F.lit("minhash").alias("family"),
+                "doc1",
+                "doc2",
+                F.col("jaccard").alias("score"),
+            )
+        )
+    if "simhash" in want:
+        sh = D.simhash_pairs(docs, max_hamming=3, _hsd=hsd)
+        handles.append(sh)
+        legs.append(
             sh.select(
                 F.lit("simhash").alias("family"),
                 "doc1",
                 "doc2",
                 F.col("hamming").cast("double").alias("score"),
             )
-        ).unionAll(
+        )
+    if "edit" in want:
+        ed = D.edit_distance_pairs(
+            docs.select("doc_id", F.substring("text", 1, 40).alias("s")),
+            "s", "doc_id", max_dist=2,
+        )
+        handles.append(ed)
+        legs.append(
             ed.select(
                 F.lit("edit").alias("family"),
                 "doc1",
                 "doc2",
                 F.col("dist").cast("double").alias("score"),
             )
-        ).unionAll(
+        )
+    if "hamming24" in want:
+        # the generic band join is a lazy two-stage plan (projection +
+        # pigeonhole equi-join) — no internal checkpoint to release
+        hm = D.hamming_band_pairs(
+            docs.select(
+                "doc_id",
+                F.conv(F.substring(F.md5("text"), 1, 6), 16, 10)
+                .cast("long")
+                .alias("h24"),
+            ).where(F.col("h24").isNotNull()),
+            "doc_id",
+            "h24",
+            max_hamming=3,
+            bits=24,
+        )
+        legs.append(
             hm.select(
                 F.lit("hamming24").alias("family"),
                 F.col("id1").alias("doc1"),
                 F.col("id2").alias("doc2"),
                 F.col("hamming").cast("double").alias("score"),
             )
-        ),
-        hsd,
-    )
-    release_result(mh)
-    release_result(sh)
-    release_result(ed)
+        )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionAll(leg)
+    out = materialize_release(u, hsd)
+    for h in handles:
+        release_result(h)
     return out
 
 
@@ -309,7 +360,9 @@ def _decontamination_oracle() -> str:
 
 
 @query("q38_decontamination", oracle=_decontamination_oracle())
-def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_decontamination(
+    spark: SparkSession, sf_dir: str, sections=None
+) -> DataFrame:
     """Benchmark decontamination + hybrid retrieval, all off the same
     train/eval split (every 97th doc is held-out eval), tagged by
     section:
@@ -351,101 +404,127 @@ def q38_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_fuse,
     )
 
+    want = _pick_sections(
+        sections, ("ngram", "bm25", "overlap", "rrf", "ev")
+    )
     docs = _docs(spark, sf_dir)
     pred = F.col("doc_id") % 97 == 0
     _nul = lambda t, name: F.lit(None).cast(t).alias(name)  # noqa: E731
+    legs: dict = {}
+    handles, caches = [], []
     # ONE shingle pass and ONE inverted-index join feed both gram
     # legs: the collision relation is the expensive intermediate, so
     # it (not just the shingles) is the shared cache
-    sg = cache_intermediate(D.decon_shingles(docs, is_benchmark=pred))
-    col = cache_intermediate(gram_collisions(sg))
-    ng_raw = D.decontaminate(docs, is_benchmark=pred, _collisions=col)
-    ng = ng_raw.select(
-        F.lit("ngram").alias("section"),
-        "doc_id",
-        "n_shared_ngrams",
-        "n_bench_docs",
-        _nul("long", "bench_id"),
-        _nul("double", "score"),
-        _nul("long", "rank"),
-    )
-    ov_raw = ngram_overlap_topk(docs, is_benchmark=pred, k=20, _collisions=col)
-    ov = ov_raw.select(
-        F.lit("overlap").alias("section"),
-        "doc_id",
-        F.col("n_shared").alias("n_shared_ngrams"),
-        _nul("long", "n_bench_docs"),
-        "bench_id",
-        _nul("double", "score"),
-        "rank",
-    )
-    bm_raw = bm25_decontam_topk(docs, is_benchmark=pred)
-    bm = bm_raw.select(
-        F.lit("bm25").alias("section"),
-        "doc_id",
-        _nul("long", "n_shared_ngrams"),
-        _nul("long", "n_bench_docs"),
-        "bench_id",
-        "score",
-        "rank",
-    )
-    rrf = rrf_fuse({"bm25": bm_raw, "overlap": ov_raw}, topk=5).select(
-        F.lit("rrf").alias("section"),
-        "doc_id",
-        _nul("long", "n_shared_ngrams"),
-        F.col("n_rankers").alias("n_bench_docs"),
-        "bench_id",
-        F.col("rrf_score").alias("score"),
-        "rank",
-    )
-    # retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the bm25 run
-    # against the verbatim-leakage standard (overlap pairs sharing
-    # >= 2 distinct 4-grams as pseudo-qrels) — "does the reworded-
-    # leakage retriever recover the known-verbatim pairs". Touches
-    # only the two top-k lists (ranking_metrics' contract).
-    from unimib_simpss_spark.operators.retrieval import ranking_metrics
-
-    em = ranking_metrics(
-        bm_raw.select("bench_id", "doc_id", "rank"),
-        ov_raw.where(F.col("n_shared") >= 2).select("bench_id", "doc_id"),
-        "bench_id",
-        "doc_id",
-        "rank",
-        k=5,
-    )
-    ev = em.select(
-        "bench_id",
-        "n_rel",
-        "n_hits",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("ev_recall").alias("s"),
-                    F.col("recall").alias("v"),
-                ),
-                F.struct(
-                    F.lit("ev_mrr").alias("s"), F.col("mrr").alias("v")
-                ),
-                F.struct(
-                    F.lit("ev_ndcg").alias("s"), F.col("ndcg").alias("v")
-                ),
+    if want & {"ngram", "overlap", "rrf", "ev"}:
+        sg = cache_intermediate(D.decon_shingles(docs, is_benchmark=pred))
+        col = cache_intermediate(gram_collisions(sg))
+        caches += [sg, col]
+    if "ngram" in want:
+        ng_raw = D.decontaminate(docs, is_benchmark=pred, _collisions=col)
+        handles.append(ng_raw)
+        legs["ngram"] = ng_raw.select(
+            F.lit("ngram").alias("section"),
+            "doc_id",
+            "n_shared_ngrams",
+            "n_bench_docs",
+            _nul("long", "bench_id"),
+            _nul("double", "score"),
+            _nul("long", "rank"),
+        )
+    if want & {"overlap", "rrf", "ev"}:
+        ov_raw = ngram_overlap_topk(
+            docs, is_benchmark=pred, k=20, _collisions=col
+        )
+        handles.append(ov_raw)
+        if "overlap" in want:
+            legs["overlap"] = ov_raw.select(
+                F.lit("overlap").alias("section"),
+                "doc_id",
+                F.col("n_shared").alias("n_shared_ngrams"),
+                _nul("long", "n_bench_docs"),
+                "bench_id",
+                _nul("double", "score"),
+                "rank",
             )
-        ).alias("_e"),
-    ).select(
-        F.col("_e.s").alias("section"),
-        _nul("long", "doc_id"),
-        F.col("n_rel").alias("n_shared_ngrams"),
-        F.col("n_hits").alias("n_bench_docs"),
-        "bench_id",
-        F.col("_e.v").alias("score"),
-        _nul("long", "rank"),
-    )
-    out = materialize_release(
-        ng.unionAll(bm).unionAll(ov).unionAll(rrf).unionAll(ev), sg, col
-    )
-    release_result(ng_raw)
-    release_result(ov_raw)
-    release_result(bm_raw)
+    if want & {"bm25", "rrf", "ev"}:
+        bm_raw = bm25_decontam_topk(docs, is_benchmark=pred)
+        handles.append(bm_raw)
+        if "bm25" in want:
+            legs["bm25"] = bm_raw.select(
+                F.lit("bm25").alias("section"),
+                "doc_id",
+                _nul("long", "n_shared_ngrams"),
+                _nul("long", "n_bench_docs"),
+                "bench_id",
+                "score",
+                "rank",
+            )
+    if "rrf" in want:
+        legs["rrf"] = rrf_fuse(
+            {"bm25": bm_raw, "overlap": ov_raw}, topk=5
+        ).select(
+            F.lit("rrf").alias("section"),
+            "doc_id",
+            _nul("long", "n_shared_ngrams"),
+            F.col("n_rankers").alias("n_bench_docs"),
+            "bench_id",
+            F.col("rrf_score").alias("score"),
+            "rank",
+        )
+    if "ev" in want:
+        # retrieval EVALUATION: recall@5 / MRR / nDCG@5 of the bm25
+        # run against the verbatim-leakage standard (overlap pairs
+        # sharing >= 2 distinct 4-grams as pseudo-qrels) — "does the
+        # reworded-leakage retriever recover the known-verbatim
+        # pairs". Touches only the two top-k lists.
+        from unimib_simpss_spark.operators.retrieval import ranking_metrics
+
+        em = ranking_metrics(
+            bm_raw.select("bench_id", "doc_id", "rank"),
+            ov_raw.where(F.col("n_shared") >= 2).select(
+                "bench_id", "doc_id"
+            ),
+            "bench_id",
+            "doc_id",
+            "rank",
+            k=5,
+        )
+        legs["ev"] = em.select(
+            "bench_id",
+            "n_rel",
+            "n_hits",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("ev_recall").alias("s"),
+                        F.col("recall").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("ev_mrr").alias("s"), F.col("mrr").alias("v")
+                    ),
+                    F.struct(
+                        F.lit("ev_ndcg").alias("s"), F.col("ndcg").alias("v")
+                    ),
+                )
+            ).alias("_e"),
+        ).select(
+            F.col("_e.s").alias("section"),
+            _nul("long", "doc_id"),
+            F.col("n_rel").alias("n_shared_ngrams"),
+            F.col("n_hits").alias("n_bench_docs"),
+            "bench_id",
+            F.col("_e.v").alias("score"),
+            _nul("long", "rank"),
+        )
+    ordered = [
+        legs[k] for k in ("ngram", "bm25", "overlap", "rrf", "ev") if k in legs
+    ]
+    u = ordered[0]
+    for leg in ordered[1:]:
+        u = u.unionAll(leg)
+    out = materialize_release(u, *caches)
+    for h in handles:
+        release_result(h)
     return out
 
 
@@ -657,7 +736,9 @@ def _q61_oracle() -> str:
 
 
 @query("q61_incremental_dedup", oracle=_q61_oracle())
-def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q61_incremental_dedup(
+    spark: SparkSession, sf_dir: str, sections=None
+) -> DataFrame:
     """Incremental ingestion dedup, three gates over the same batch
     split (every 5th doc = the incoming batch):
 
@@ -719,92 +800,113 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unimib_simpss_spark.functions.sketches import bloom_bits, bloom_probe
     from unimib_simpss_spark.functions.text import token_fingerprint
 
+    _DRIFT = ("drift", "driftq", "driftsrc", "driftqsrc")
+    want = _pick_sections(
+        sections,
+        ("pairs", "bloom", "edit", "diff", *_DRIFT, "driftcat"),
+    )
     docs = _docs(spark, sf_dir)
     is_new = F.col("doc_id") % 5 == 0
-    # materialize=False: the union below is checkpointed ONCE for both
-    # legs — materializing the pairs leg separately would double-write
-    pairs, pairs_cache = D.incremental_dedup_pairs(
-        docs, is_new=is_new, threshold=0.8, materialize=False
-    )
-    bits = bloom_bits(
-        docs.where(~is_new).select(token_fingerprint("text").alias("fp")), "fp"
-    )
-    probed = bloom_probe(
-        bits,
-        docs.where(is_new).select(
-            F.col("doc_id").alias("new_doc"), token_fingerprint("text").alias("fp")
-        ),
-        "fp",
-    )
-    ed = D.edit_distance_join(
-        docs.where(is_new).select("doc_id", F.substring("text", 1, 40).alias("s")),
-        docs.where(~is_new).select("doc_id", F.substring("text", 1, 40).alias("s")),
-        "s",
-        "doc_id",
-        max_dist=2,
-    )
-    from unimib_simpss_spark.operators.curation import corpus_diff
-
-    survivors = docs.where(~is_new).select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    reingested = docs.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    diff = corpus_diff(
-        docs.select("doc_id", "text"), survivors.unionAll(reingested)
-    )
+    legs: dict = {}
+    caches: list = []
+    handles: list = []
     pad = [
         F.lit(None).cast("string").alias("status"),
         F.lit(None).cast("string").alias("old_hash"),
         F.lit(None).cast("string").alias("new_hash"),
     ]
-    pairs_leg = pairs.select(
-        F.lit("pairs").alias("section"),
-        "new_doc",
-        "corpus_doc",
-        "jaccard",
-        F.lit(None).cast("long").alias("bloom_hit"),
-        F.lit(None).cast("long").alias("edit_dist"),
-        *pad,
-    )
-    bloom_leg = probed.select(
-        F.lit("bloom").alias("section"),
-        "new_doc",
-        F.lit(None).cast("long").alias("corpus_doc"),
-        F.lit(None).cast("double").alias("jaccard"),
-        "bloom_hit",
-        F.lit(None).cast("long").alias("edit_dist"),
-        *pad,
-    )
-    edit_leg = ed.select(
-        F.lit("edit").alias("section"),
-        F.col("left_id").alias("new_doc"),
-        F.col("right_id").alias("corpus_doc"),
-        F.lit(None).cast("double").alias("jaccard"),
-        F.lit(None).cast("long").alias("bloom_hit"),
-        F.col("dist").alias("edit_dist"),
-        *pad,
-    )
-    diff_leg = diff.select(
-        F.lit("diff").alias("section"),
-        F.col("doc_id").alias("new_doc"),
-        F.lit(None).cast("long").alias("corpus_doc"),
-        F.lit(None).cast("double").alias("jaccard"),
-        F.lit(None).cast("long").alias("bloom_hit"),
-        F.lit(None).cast("long").alias("edit_dist"),
-        "status",
-        "old_hash",
-        "new_hash",
-    )
-    from unimib_simpss_spark.operators.caching import cache_intermediate
-    from unimib_simpss_spark.operators.validation import drift_gate_suite
+    if "pairs" in want:
+        # materialize=False: the union below is checkpointed ONCE for
+        # both legs — materializing the pairs leg separately would
+        # double-write
+        pairs, pairs_cache = D.incremental_dedup_pairs(
+            docs, is_new=is_new, threshold=0.8, materialize=False
+        )
+        handles.append(pairs_cache)
+        legs["pairs"] = pairs.select(
+            F.lit("pairs").alias("section"),
+            "new_doc",
+            "corpus_doc",
+            "jaccard",
+            F.lit(None).cast("long").alias("bloom_hit"),
+            F.lit(None).cast("long").alias("edit_dist"),
+            *pad,
+        )
+    if "bloom" in want:
+        bits = bloom_bits(
+            docs.where(~is_new).select(
+                token_fingerprint("text").alias("fp")
+            ),
+            "fp",
+        )
+        probed = bloom_probe(
+            bits,
+            docs.where(is_new).select(
+                F.col("doc_id").alias("new_doc"),
+                token_fingerprint("text").alias("fp"),
+            ),
+            "fp",
+        )
+        legs["bloom"] = probed.select(
+            F.lit("bloom").alias("section"),
+            "new_doc",
+            F.lit(None).cast("long").alias("corpus_doc"),
+            F.lit(None).cast("double").alias("jaccard"),
+            "bloom_hit",
+            F.lit(None).cast("long").alias("edit_dist"),
+            *pad,
+        )
+    if "edit" in want:
+        ed = D.edit_distance_join(
+            docs.where(is_new).select(
+                "doc_id", F.substring("text", 1, 40).alias("s")
+            ),
+            docs.where(~is_new).select(
+                "doc_id", F.substring("text", 1, 40).alias("s")
+            ),
+            "s",
+            "doc_id",
+            max_dist=2,
+        )
+        handles.append(ed)
+        legs["edit"] = ed.select(
+            F.lit("edit").alias("section"),
+            F.col("left_id").alias("new_doc"),
+            F.col("right_id").alias("corpus_doc"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit(None).cast("long").alias("bloom_hit"),
+            F.col("dist").alias("edit_dist"),
+            *pad,
+        )
+    if "diff" in want:
+        from unimib_simpss_spark.operators.curation import corpus_diff
 
+        survivors = docs.where(~is_new).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        reingested = docs.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        diff = corpus_diff(
+            docs.select("doc_id", "text"), survivors.unionAll(reingested)
+        )
+        legs["diff"] = diff.select(
+            F.lit("diff").alias("section"),
+            F.col("doc_id").alias("new_doc"),
+            F.lit(None).cast("long").alias("corpus_doc"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit(None).cast("long").alias("bloom_hit"),
+            F.lit(None).cast("long").alias("edit_dist"),
+            "status",
+            "old_hash",
+            "new_hash",
+        )
     # ALL FIVE drift gates (equal-width, equi-depth, their per-source
     # forms, categorical) measure the SAME release pair: cache one
     # narrow (chars, source) relation per snapshot — ints + a short
@@ -813,115 +915,112 @@ def q61_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (min/max + percentiles + every per-source row in a single
     # traversal) and one fused bin-count pass per snapshot, instead
     # of the ~8 aggregate passes the gates cost run separately
-    survivors_src = docs.where(~is_new).select(
-        F.when(
-            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-        "source",
-    )
-    reingested_src = docs.where(F.col("doc_id") % 11 == 0).select(
-        "text", "source"
-    )
-    ref_cs = cache_intermediate(
-        docs.select(F.length("text").alias("chars"), "source")
-    )
-    cur_cs = cache_intermediate(
-        survivors_src.unionAll(reingested_src).select(
-            F.length("text").alias("chars"), "source"
-        )
-    )
-    suite = drift_gate_suite(ref_cs, cur_cs, "chars", "source", bins=10, q=10)
-    drift_leg = suite["ew"].select(
-        F.lit("drift").alias("section"),
-        F.col("bin").alias("new_doc"),
-        F.col("ref_n").alias("corpus_doc"),
-        F.col("value").alias("jaccard"),
-        F.col("cur_n").alias("bloom_hit"),
-        F.lit(None).cast("long").alias("edit_dist"),
-        F.col("metric").alias("status"),
-        F.lit(None).cast("string").alias("old_hash"),
-        F.lit(None).cast("string").alias("new_hash"),
-    )
-    # the equi-depth twin of the same gate: bins at the reference's
-    # decile edges instead of range slices (the heavy-tail-safe PSI
-    # convention) — same fused pass, slot 1
-    driftq_leg = suite["q"].select(
-        F.lit("driftq").alias("section"),
-        F.col("bin").alias("new_doc"),
-        F.col("ref_n").alias("corpus_doc"),
-        F.col("value").alias("jaccard"),
-        F.col("cur_n").alias("bloom_hit"),
-        F.lit(None).cast("long").alias("edit_dist"),
-        F.col("metric").alias("status"),
-        F.lit(None).cast("string").alias("old_hash"),
-        F.lit(None).cast("string").alias("new_hash"),
-    )
-    # the per-SOURCE attributions of the same release pair, off the
-    # same fused pass (slots 2/3): equi-depth per source catches the
-    # one-outlier-inside-a-source case where 'driftsrc' under-reports
-    driftqsrc_leg = suite["q_by"].select(
-        F.lit("driftqsrc").alias("section"),
-        F.col("bin").alias("new_doc"),
-        F.col("ref_n").alias("corpus_doc"),
-        F.col("value").alias("jaccard"),
-        F.col("cur_n").alias("bloom_hit"),
-        F.lit(None).cast("long").alias("edit_dist"),
-        F.col("metric").alias("status"),
-        F.col("source").alias("old_hash"),
-        F.lit(None).cast("string").alias("new_hash"),
-    )
-    driftsrc_leg = suite["ew_by"].select(
-        F.lit("driftsrc").alias("section"),
-        F.col("bin").alias("new_doc"),
-        F.col("ref_n").alias("corpus_doc"),
-        F.col("value").alias("jaccard"),
-        F.col("cur_n").alias("bloom_hit"),
-        F.lit(None).cast("long").alias("edit_dist"),
-        F.col("metric").alias("status"),
-        F.col("source").alias("old_hash"),
-        F.lit(None).cast("string").alias("new_hash"),
-    )
-    from unimib_simpss_spark.operators.validation import categorical_drift
+    if want & {*_DRIFT, "driftcat"}:
+        from unimib_simpss_spark.operators.caching import cache_intermediate
 
-    drift_cat = categorical_drift(
-        ref_cs.select("source"),
-        cur_cs.select("source"),
-        "source",
-        top_k=6,
-    )
-    driftcat_leg = drift_cat.select(
-        F.lit("driftcat").alias("section"),
-        F.lit(None).cast("long").alias("new_doc"),
-        F.col("ref_n").alias("corpus_doc"),
-        F.col("value").alias("jaccard"),
-        F.col("cur_n").alias("bloom_hit"),
-        F.lit(None).cast("long").alias("edit_dist"),
-        F.col("metric").alias("status"),
-        F.col("category").alias("old_hash"),
-        F.lit(None).cast("string").alias("new_hash"),
-    )
+        survivors_src = docs.where(~is_new).select(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "source",
+        )
+        reingested_src = docs.where(F.col("doc_id") % 11 == 0).select(
+            "text", "source"
+        )
+        ref_cs = cache_intermediate(
+            docs.select(F.length("text").alias("chars"), "source")
+        )
+        cur_cs = cache_intermediate(
+            survivors_src.unionAll(reingested_src).select(
+                F.length("text").alias("chars"), "source"
+            )
+        )
+        caches += [ref_cs, cur_cs]
+    if want & set(_DRIFT):
+        from unimib_simpss_spark.operators.validation import drift_gate_suite
+
+        suite = drift_gate_suite(
+            ref_cs, cur_cs, "chars", "source", bins=10, q=10
+        )
+        caches += suite["caches"]
+        # (tag, suite key, old_hash carrier): the per-source forms
+        # carry the source in old_hash; the corpus forms carry NULL.
+        # 'driftq' is the equi-depth twin (reference decile edges —
+        # the heavy-tail-safe convention); the _by forms attribute
+        # the shift to the source that moved it.
+        for tag, key, carry_src in (
+            ("drift", "ew", False),
+            ("driftq", "q", False),
+            ("driftsrc", "ew_by", True),
+            ("driftqsrc", "q_by", True),
+        ):
+            if tag not in want:
+                continue
+            legs[tag] = suite[key].select(
+                F.lit(tag).alias("section"),
+                F.col("bin").alias("new_doc"),
+                F.col("ref_n").alias("corpus_doc"),
+                F.col("value").alias("jaccard"),
+                F.col("cur_n").alias("bloom_hit"),
+                F.lit(None).cast("long").alias("edit_dist"),
+                F.col("metric").alias("status"),
+                (
+                    F.col("source")
+                    if carry_src
+                    else F.lit(None).cast("string")
+                ).alias("old_hash"),
+                F.lit(None).cast("string").alias("new_hash"),
+            )
+    if "driftcat" in want:
+        from unimib_simpss_spark.operators.validation import categorical_drift
+
+        drift_cat = categorical_drift(
+            ref_cs.select("source"),
+            cur_cs.select("source"),
+            "source",
+            top_k=6,
+        )
+        legs["driftcat"] = drift_cat.select(
+            F.lit("driftcat").alias("section"),
+            F.lit(None).cast("long").alias("new_doc"),
+            F.col("ref_n").alias("corpus_doc"),
+            F.col("value").alias("jaccard"),
+            F.col("cur_n").alias("bloom_hit"),
+            F.lit(None).cast("long").alias("edit_dist"),
+            F.col("metric").alias("status"),
+            F.col("category").alias("old_hash"),
+            F.lit(None).cast("string").alias("new_hash"),
+        )
     from unimib_simpss_spark.operators.caching import (
         materialize_release,
         release_result,
     )
 
-    out = materialize_release(
-        pairs_leg.unionAll(bloom_leg)
-        .unionAll(edit_leg)
-        .unionAll(diff_leg)
-        .unionAll(drift_leg)
-        .unionAll(driftq_leg)
-        .unionAll(driftsrc_leg)
-        .unionAll(driftqsrc_leg)
-        .unionAll(driftcat_leg),
-        ref_cs,
-        cur_cs,
-        *suite["caches"],
-    )
-    release_result(pairs_cache)  # union checkpointed; the miner cache is spent
-    release_result(ed)
+    ordered = [
+        legs[k]
+        for k in (
+            "pairs",
+            "bloom",
+            "edit",
+            "diff",
+            "drift",
+            "driftq",
+            "driftsrc",
+            "driftqsrc",
+            "driftcat",
+        )
+        if k in legs
+    ]
+    u = ordered[0]
+    for leg in ordered[1:]:
+        u = u.unionAll(leg)
+    out = materialize_release(u, *caches)
+    for h in handles:
+        # union checkpointed; the miners' caches are spent
+        release_result(h)
     return out
 
 
