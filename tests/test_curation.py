@@ -760,3 +760,106 @@ class TestCorpusDiff:
         assert rows[1].status == "changed"  # NULL -> text
         assert rows[2].status == "changed"  # text -> NULL
         assert rows[3].status == "removed"  # NULL-text doc dropped
+
+
+def _enriched_corpus(spark, sf_dir):
+    """documents.text ∪ customer names — x68's training corpus (the
+    documents fixture alone has 31 word types and exhausts below 140
+    merges; the id-like names add digit-heavy vocabulary)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_name").alias("text"))
+    )
+    return docs.unionAll(cust)
+
+
+def _enriched_wc(sf_dir):
+    import duckdb
+
+    return dict(
+        duckdb.sql(
+            f"""SELECT w, count(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS w FROM (
+                    SELECT text FROM read_parquet('{sf_dir}/documents.parquet')
+                    UNION ALL
+                    SELECT c_name FROM read_parquet('{sf_dir}/customer.parquet')))
+                WHERE w <> '' GROUP BY w"""
+        ).fetchall()
+    )
+
+
+def test_bpe_driver_256_matches_reference(spark, sf_dir):
+    """The production path (one word-count job + driver-side exact
+    sequential training with incremental pair updates) must equal the
+    pure-Python reference for the full 256-merge table — VERDICT r15
+    #4's 'past demo size' gate."""
+    expect = _ref_bpe(_enriched_wc(sf_dir), n_merges=256)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in C.bpe_merges_driver(_enriched_corpus(spark, sf_dir), 256)
+        .orderBy("step")
+        .collect()
+    ]
+    assert len(got) == 256
+    assert got == expect
+
+
+def test_bpe_driver_matches_distributed_prefix(spark, sf_dir):
+    """Both training regimes are sequential-exact, so the distributed
+    batched rounds must reproduce the driver path's prefix verbatim
+    (x68 publishes this agreement as data)."""
+    corpus = _enriched_corpus(spark, sf_dir)
+    drv = [
+        tuple(r)
+        for r in C.bpe_merges_driver(corpus, 16).orderBy("step").collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in C.bpe_merges(corpus, 16, batch=8, vocab_partitions=2)
+        .orderBy("step")
+        .collect()
+    ]
+    assert dist == drv
+
+
+def test_bpe_driver_vocab_cap_raises(spark, sf_dir):
+    with pytest.raises(ValueError, match="max_vocab_types"):
+        C.bpe_merges_driver(
+            _enriched_corpus(spark, sf_dir), 8, max_vocab_types=5
+        )
+
+
+def test_bpe_encode_parity_on_256_merge_table(spark, sf_dir):
+    """Encode parity re-verified at the LARGER trained table (VERDICT
+    r15 #4's second half): the Arrow canonical encoder under the
+    256-merge table equals the pure-Python min-rank encoder on a
+    bounded document sample."""
+    corpus = _enriched_corpus(spark, sf_dir)
+    merges_df = C.bpe_merges_driver(corpus, 256)
+    table = [
+        (r.left, r.right, r.merged)
+        for r in merges_df.orderBy("step").collect()
+    ]
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_custkey") < 30)
+        .select(
+            (F.col("c_custkey") + 1_000_000).alias("doc_id"),
+            F.col("c_name").alias("text"),
+        )
+    )
+    sample = docs.unionAll(cust)
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in C.bpe_encode(sample, merges_df)
+        .select("doc_id", "bpe_tokens")
+        .collect()
+    }
+    for r in sample.collect():
+        assert got[r.doc_id] == _ref_bpe_encode(r.text, table), r.doc_id

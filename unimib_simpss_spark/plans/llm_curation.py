@@ -549,16 +549,39 @@ def q67_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x68_bpe_merges")  # iterative argmax loop → rows-only
 def x68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training: the first 8 byte-pair merges learned
-    from the document corpus, in order. Iterative (one argmax round per
-    merge) and therefore not SQL-expressible for the driver's oracle —
-    behavioral parity with the reference algorithm (Sennrich et al.
-    2016) is asserted in tests/test_curation.py against a pure-Python
-    re-implementation on the same corpus; see
-    operators/curation.py bpe_merges for the vocabulary-sized plan.
-    The learned table's APPLY side is q27's oracle-paired
-    bpe_docs / bpe_source legs (operators/curation.py bpe_encode_expr)."""
-    return C.bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
+    """BPE tokenizer training at production shape (VERDICT r15 #4),
+    two tagged paths over the SAME enriched corpus (documents text ∪
+    customer names — the documents fixture alone has 31 word types,
+    which exhausts below 140 merges; the id-like names add the
+    digit-heavy vocabulary a real tokenizer slogs through):
+
+    - 'driver': 256 merges via bpe_merges_driver — ONE distributed
+      word-count job reduces the corpus to the type vocabulary, then
+      the exact sequential algorithm with incremental pair updates
+      runs on the driver (the production regime whenever the
+      vocabulary fits memory, gated by max_vocab_types);
+    - 'dist': the first 16 merges via the distributed batched rounds
+      (batch=8, vocabulary-sized jobs) — kept in the output so the
+      two paths' agreement on the shared prefix is DATA the
+      determinism sweep re-checks every round, not just a test.
+
+    Iterative argmax → not SQL-expressible for the driver's oracle;
+    sequential-exactness of both paths is parity-tested in
+    tests/test_curation.py against the pure-Python reference. The
+    learned table's APPLY side is q27's oracle-paired bpe_docs /
+    bpe_source legs."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("text")
+    )
+    corpus = docs.unionAll(cust)
+    drv = C.bpe_merges_driver(corpus, n_merges=256).select(
+        F.lit("driver").alias("path"), "*"
+    )
+    dist = C.bpe_merges(
+        corpus, n_merges=16, batch=8, vocab_partitions=2
+    ).select(F.lit("dist").alias("path"), "*")
+    return drv.unionAll(dist)
 
 @query("x70_quality_classifier")  # iterative GD loop → rows-only
 def x70_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
