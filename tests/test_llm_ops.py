@@ -3045,3 +3045,68 @@ def test_ranking_metrics_rejects_zero_based_ranks(spark):
     )
     with _pytest.raises(Exception, match="1-based"):
         ranking_metrics(run, qrels, "query", "doc", "rank", k=5).collect()
+
+
+class TestIvfSq8:
+    """IVF,SQ8 composition (ivf_topk_quantized — x79's operator):
+    in-cell ranking must equal the dequantized IVF path (scales
+    cancel), the Arrow and Column impls must match row-for-row, and
+    the input contract fails loudly."""
+
+    def _cells(self, spark, emb):
+        from unimib_simpss_spark.operators import similarity as S
+
+        return S.kmeans_cells(emb, k=4, iters=2)
+
+    def test_ranks_identically_to_dequantized_ivf(self, spark, emb):
+        from unimib_simpss_spark.operators import similarity as S
+
+        base = emb.where(S.defined_vector_pred()).where(
+            F.col("vec_id") < 120
+        )
+        cells = self._cells(spark, base)
+        qz = S.quantize_vectors(base).join(cells, "vec_id")
+        sq8 = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in S.ivf_topk_quantized(qz, k=3, cell_col="cell").collect()
+        }
+        deq = {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in S.ivf_topk(
+                S.dequantize_vectors(qz).join(cells, "vec_id"),
+                k=3,
+                cell_col="cell",
+            ).collect()
+        }
+        assert set(sq8) == set(deq) and sq8
+        for key, cos in sq8.items():
+            assert abs(deq[key] - cos) <= 1e-6, (key, deq[key], cos)
+
+    def test_arrow_impl_matches_column_impl(self, spark, emb):
+        from unimib_simpss_spark.operators import similarity as S
+
+        base = emb.where(S.defined_vector_pred()).where(
+            F.col("vec_id") < 120
+        )
+        qz = S.quantize_vectors(base).join(self._cells(spark, base), "vec_id")
+        arrow = sorted(
+            map(
+                tuple,
+                S.ivf_topk_quantized(qz, k=3, cell_col="cell").collect(),
+            )
+        )
+        col = sorted(
+            map(
+                tuple,
+                S.ivf_topk_quantized(
+                    qz, k=3, cell_col="cell", impl="column"
+                ).collect(),
+            )
+        )
+        assert arrow == col and arrow
+
+    def test_missing_columns_raise(self, spark, emb):
+        from unimib_simpss_spark.operators import similarity as S
+
+        with pytest.raises(ValueError, match="cell column"):
+            S.ivf_topk_quantized(S.quantize_vectors(emb), k=3)

@@ -2546,3 +2546,133 @@ def cosine_topk_quantized_sql(
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+def ivf_topk_quantized(
+    qdf: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    impl: str = "arrow",
+) -> DataFrame:
+    """IVF,SQ8 — the FAISS serving combo this stack was missing: the
+    coarse cell structure of :func:`ivf_topk` (search only within the
+    query's cell — compared pairs cut ~C×, one co-partitioning
+    shuffle) with the in-cell scoring in the INT8 DOMAIN
+    (:func:`cosine_topk_quantized`'s argument: integer dot + norms
+    over the stored tinyint arrays, the per-vector scales cancel in
+    cosine), so the 4-8× bandwidth saving reaches the kernel INSIDE
+    the cells where the all-pairs work actually happens. At 100 TB
+    this is the shape a vector-serving tier runs: quantized corpus,
+    cell-pruned candidate set, integer arithmetic on the hot path.
+
+    Input: :func:`quantize_vectors` output JOINED with a cell
+    assignment (``id_col``, ``qvec``, ``scale``, ``cell_col`` — from
+    :func:`kmeans_cells` or a precomputed label). In-cell ranking is
+    IDENTICAL to dequantize-then-:func:`ivf_topk` (scales cancel;
+    pytest-pinned), and the output contract matches ivf_topk:
+    ``(query_id, cell, neighbor_id, cosine)`` with the rounded-cosine
+    desc / id asc tie policy.
+
+    ``impl='column'`` reuses :func:`_int_dot` verbatim (no Python in
+    the row path); ``impl='arrow'`` runs one int64 GEMM per cell via
+    ``applyInPandas`` — the same 1/8th-width Arrow transfer argument
+    as :func:`cosine_topk_quantized_pandas`, an order of magnitude
+    faster on the in-cell all-pairs product."""
+    missing = {"qvec", cell_col} - set(qdf.columns)
+    if missing:
+        raise ValueError(
+            f"ivf_topk_quantized needs quantize_vectors output with a "
+            f"cell column; missing {sorted(missing)}"
+        )
+    if impl == "arrow":
+        return _ivf_topk_quantized_arrow(qdf, k, id_col, cell_col)
+    base = qdf.select(
+        F.col(id_col).alias("_id"),
+        F.col(cell_col).alias("_cell"),
+        F.col("qvec").alias("_q"),
+        F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double")).alias(
+            "_n"
+        ),
+    )
+    q = base.select(
+        F.col("_id").alias("query_id"),
+        F.col("_cell").alias("cell"),
+        F.col("_q").alias("_qq"),
+        F.col("_n").alias("_nq"),
+    )
+    c = base.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_cell").alias("cell"),
+        F.col("_q").alias("_cq"),
+        F.col("_n").alias("_nc"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            F.round(
+                _int_dot(F.col("_qq"), F.col("_cq")).cast("double")
+                / (F.col("_nq") * F.col("_nc")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "cell", "neighbor_id", "cosine")
+    )
+
+
+def _ivf_topk_quantized_arrow(
+    qdf: DataFrame, k: int, id_col: str, cell_col: str
+) -> DataFrame:
+    """Per-cell int64 GEMM top-k (see :func:`ivf_topk_quantized`).
+    Same deterministic tie policy as the Column impl: rounded cosine
+    desc, id asc (stable argsort over id-sorted rows)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"query_id long, "
+        f"cell {qdf.schema[cell_col].dataType.simpleString()}, "
+        "neighbor_id long, cosine double"
+    )
+
+    def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"query_id": [], "cell": [], "neighbor_id": [], "cosine": []}
+            )
+        mat = np.array(list(pdf["qvec"]), dtype=np.int64)
+        norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        sims = np.round(
+            (mat @ mat.T).astype(np.float64) / np.outer(norms, norms), 6
+        )
+        np.fill_diagonal(sims, -np.inf)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, : min(k, n - 1)]
+        nq, kk = order.shape
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, kk),
+                "cell": np.repeat(pdf[cell_col].to_numpy(), kk),
+                "neighbor_id": ids[order.ravel()],
+                "cosine": np.take_along_axis(sims, order, axis=1).ravel(),
+            }
+        )
+
+    return (
+        qdf.select(id_col, cell_col, "qvec")
+        .groupBy(cell_col)
+        .applyInPandas(score_cell, out_schema)
+    )

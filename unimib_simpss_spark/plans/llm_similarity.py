@@ -580,3 +580,79 @@ def x69_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, cum_eigenvalue double"
     )
+
+
+@query("x79_ivf_sq8")  # learned quantizer + approx recall → rows-only
+def x79_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF,SQ8 — the composed FAISS serving combo (VERDICT r15 #5):
+    the corpus INT8-quantized (quantize_vectors), cell-structured by a
+    learned 8-cell k-means coarse quantizer (the x50 recipe), and
+    searched with the in-cell scoring in the INTEGER DOMAIN
+    (operators/similarity.py ivf_topk_quantized — the SAME int8
+    kernel q36's 'sq8' leg oracle-pairs, now inside the cells where
+    the all-pairs work actually happens). At 100 TB this is the
+    vector-serving shape: 4-8× less corpus bandwidth AND ~C× fewer
+    compared pairs, co-partitioned on the cell id.
+
+    Quality is emitted as data, not just asserted (the x76 pattern):
+    section='pairs' rows are the full IVF,SQ8 top-3; section='recall'
+    rows carry per-query hits/total/recall for a bounded query subset
+    (every 17th vector) against the EXACT float brute-force baseline
+    (cosine_topk_pandas — the Arrow GEMM twin, row-identical to the
+    Column form), so the determinism sweep re-pins the composed
+    path's recall every round. Rows-only: k-means is iterative and
+    the cell pruning approximate; in-cell ranking parity with the
+    dequantized path is pytest-pinned in tests/test_llm_ops.py."""
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        materialize_release,
+        release_result,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cells = S.kmeans_cells(emb, k=8, iters=3)
+    qz = S.quantize_vectors(emb).join(cells, "vec_id")
+    routed = cache_intermediate(
+        S.ivf_topk_quantized(qz, k=3, cell_col="cell")
+    )
+    pred = F.col("vec_id") % 17 == 0
+    exact = cache_intermediate(
+        S.cosine_topk_pandas(emb, k=3, query_pred=pred)
+    )
+    _null = lambda t, name: F.lit(None).cast(t).alias(name)  # noqa: E731
+    ex = exact.select("query_id", "neighbor_id")
+    hits = (
+        ex.join(
+            routed.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    total = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("total"))
+    recall = total.join(hits, "query_id", "left").select(
+        F.lit("recall").alias("section"),
+        "query_id",
+        _null("long", "cell"),
+        _null("long", "neighbor_id"),
+        _null("double", "cosine"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        "total",
+        F.round(F.coalesce("hits", F.lit(0)) / F.col("total"), 6).alias(
+            "recall"
+        ),
+    )
+    pairs = routed.select(
+        F.lit("pairs").alias("section"),
+        "query_id",
+        F.col("cell").cast("long").alias("cell"),
+        "neighbor_id",
+        "cosine",
+        _null("long", "hits"),
+        _null("long", "total"),
+        _null("double", "recall"),
+    )
+    out = materialize_release(pairs.unionAll(recall), routed, exact)
+    release_result(cells)  # the quantizer's checkpoint is spent
+    return out
