@@ -211,3 +211,80 @@ def test_clean_text_idempotence_contract(spark):
     ).first()
     assert row["once"] == "<p>kept</p>"
     assert row["twice"] == "kept"
+
+
+LINE_HOSTILE = [
+    None,
+    "",
+    "one line only",
+    "   \n***\n42",  # nothing survives the filter
+    "Home | About\nreal content\nShare this:\nShare this:\n***\n42\n"
+    "real content\nmore text",
+    "a\nb\na\nb\na",
+    "<p>x</p>\nnav\nnav\nhttp://x.y gone\n  \npadded   line  ",
+    "dup after clean\ndup  after   clean",  # equal only AFTER collapse
+]
+
+
+def test_line_rules_match_duckdb(spark):
+    """filter_lines / dedup_lines / clean_document parity on the line
+    hostile set — including the empty-kept-list case where DuckDB's
+    string_agg is NULL and Spark's array_join is '' (coalesced,
+    NULL-preserving)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(LINE_HOSTILE)], "i long, t string"
+    )
+    con = _duck(LINE_HOSTILE)
+    for col_fn, sql_fn in (
+        (C.filter_lines, C.filter_lines_sql),
+        (C.dedup_lines, C.dedup_lines_sql),
+        (C.clean_document, C.clean_document_sql),
+    ):
+        got = [
+            r["o"]
+            for r in df.select("i", col_fn("t").alias("o"))
+            .orderBy("i")
+            .collect()
+        ]
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {sql_fn('t')} FROM d ORDER BY i"
+            ).fetchall()
+        ]
+        assert got == want, col_fn.__name__
+
+
+def test_line_rule_semantics(spark):
+    df = spark.createDataFrame(
+        [(LINE_HOSTILE[4],)], "t string"
+    )
+    row = df.select(
+        C.filter_lines("t").alias("f"),
+        C.dedup_lines("t").alias("d"),
+        C.clean_document("t").alias("c"),
+    ).first()
+    # filter drops *** and 42, keeps both Share this: copies
+    assert row["f"] == (
+        "Home | About\nreal content\nShare this:\nShare this:\n"
+        "real content\nmore text"
+    )
+    # dedup keeps first occurrences only, order preserved
+    assert row["d"] == (
+        "Home | About\nreal content\nShare this:\n***\n42\nmore text"
+    )
+    # composed: filter first, then dedup
+    assert row["c"] == (
+        "Home | About\nreal content\nShare this:\nmore text"
+    )
+    # whitespace-collapse makes near-dup lines exact before dedup
+    r2 = (
+        spark.createDataFrame([(LINE_HOSTILE[7],)], "t string")
+        .select(C.clean_document("t").alias("c"))
+        .first()
+    )
+    assert r2["c"] == "dup after clean"
+    with pytest.raises(ValueError, match="min_chars"):
+        C.filter_lines("t", min_chars=0)
+    with pytest.raises(ValueError, match="min_chars"):
+        C.filter_lines_sql("t", min_chars=0)

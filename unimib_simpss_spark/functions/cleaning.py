@@ -55,6 +55,12 @@ __all__ = [
     "clean_text_sql",
     "cleanliness_components",
     "cleanliness_components_sql",
+    "filter_lines",
+    "filter_lines_sql",
+    "dedup_lines",
+    "dedup_lines_sql",
+    "clean_document",
+    "clean_document_sql",
 ]
 
 
@@ -281,3 +287,92 @@ def cleanliness_components_sql(expr: str) -> dict[str, str]:
         "n_tags": count(HTML_TAG_RE),
         "n_control": count(CONTROL_ZW_RE),
     }
+
+
+# -------------------------------------------------------- line-level rules
+# The OTHER half of the RefinedWeb/CCNet cleaning stage: document-level
+# normalization above, LINE-level boilerplate rules here. Web text
+# arrives with navigation chrome, share buttons, and cookie banners
+# repeated across (and within) pages; the within-document forms are
+# pure array HOFs — per-row, order-preserving, zero shuffles.
+
+
+def filter_lines(col: Column | str, min_chars: int = 3) -> Column:
+    """Drop boilerplate-shaped lines: a line survives only if its
+    trimmed length is at least ``min_chars`` AND it contains at least
+    one ASCII letter (kills separator rows, bare numbers, and
+    symbol-art; the RefinedWeb line-filter shape). Order preserved;
+    returns the re-joined text."""
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    lines = F.split(_c(col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x: (F.length(F.trim(x)) >= min_chars)
+        & x.rlike("[a-zA-Z]"),
+    )
+    return F.array_join(kept, "\n")
+
+
+def _join_lines_sql(expr: str, kept: str) -> str:
+    """NULL-preserving line re-join: DuckDB's string_agg over an
+    EMPTY kept-list is NULL where Spark's array_join is '' — coalesce
+    the aggregate, but only for non-NULL input (NULL in → NULL out on
+    both engines)."""
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
+        f"coalesce(list_aggregate({kept}, 'string_agg', chr(10)), '') END"
+    )
+
+
+def filter_lines_sql(expr: str, min_chars: int = 3) -> str:
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    kept = (
+        f"list_filter(string_split({expr}, chr(10)), "
+        f"x -> length(trim(x)) >= {min_chars} "
+        "AND regexp_matches(x, '[a-zA-Z]'))"
+    )
+    return _join_lines_sql(expr, kept)
+
+
+def dedup_lines(col: Column | str) -> Column:
+    """Keep each line's FIRST occurrence only (order preserved) — the
+    repeated-line killer: share buttons, cookie banners, and nav rows
+    recur verbatim inside a scraped page, and exact-match first-
+    occurrence dedup is the standard counter (the within-document
+    analog of the corpus-level exact dedup gate). Quadratic in the
+    LINE COUNT of one document (array_position scan per line) — fine
+    per-row at any corpus scale; it never touches another row."""
+    lines = F.split(_c(col), "\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(lines, x) - 1 == i,
+    )
+    return F.array_join(kept, "\n")
+
+
+def dedup_lines_sql(expr: str) -> str:
+    # DuckDB's lambda index is 1-based where Spark's is 0-based; both
+    # sides compare against their engine's own first-occurrence
+    # position, so the kept sets are identical
+    lines = f"string_split({expr}, chr(10))"
+    kept = (
+        f"list_filter({lines}, (x, i) -> list_position({lines}, x) = i)"
+    )
+    return _join_lines_sql(expr, kept)
+
+
+def clean_document(col: Column | str, min_line_chars: int = 3) -> Column:
+    """The full document-cleaning pipeline: :func:`clean_text` (tags/
+    URLs/entities/unicode/control/whitespace), then the line rules —
+    :func:`filter_lines` then :func:`dedup_lines` (filter first, so a
+    boilerplate line hiding behind a dropped separator still
+    deduplicates against its twin)."""
+    return dedup_lines(filter_lines(clean_text(_c(col)), min_line_chars))
+
+
+def clean_document_sql(expr: str, min_line_chars: int = 3) -> str:
+    return dedup_lines_sql(
+        filter_lines_sql(clean_text_sql(expr), min_line_chars)
+    )

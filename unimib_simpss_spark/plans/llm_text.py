@@ -72,9 +72,41 @@ def _dirty_text_sql() -> str:
     )
 
 
+# The line-rule leg's dirt: the single-line fixture docs wrapped in
+# scraped-page chrome — nav row, repeated share buttons, a separator
+# row, a digits-only row, and a partial-duplicate content line.
+_LINE_NAV = "Home | About | Contact"
+_LINE_SHARE = "Share this:"
+_LINE_SEP = "***"
+
+
+def _line_dirty_col():
+    return F.concat_ws(
+        "\n",
+        F.lit(_LINE_NAV),
+        F.col("text"),
+        F.lit(_LINE_SHARE),
+        F.lit(_LINE_SHARE),
+        F.lit(_LINE_SEP),
+        F.col("doc_id").cast("string"),
+        F.substring("text", 1, 25),
+        F.lit(_LINE_SHARE),
+    )
+
+
+def _line_dirty_sql() -> str:
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    return (
+        f"concat_ws(chr(10), {q(_LINE_NAV)}, text, {q(_LINE_SHARE)}, "
+        f"{q(_LINE_SHARE)}, {q(_LINE_SEP)}, CAST(doc_id AS VARCHAR), "
+        f"substring(text, 1, 25), {q(_LINE_SHARE)})"
+    )
+
+
 def _text_profile_oracle() -> str:
     from unimib_simpss_spark.functions.analysis import exact_avg_sql
     from unimib_simpss_spark.functions.cleaning import (
+        clean_document_sql,
         clean_text_sql,
         cleanliness_components_sql,
     )
@@ -159,6 +191,16 @@ def _text_profile_oracle() -> str:
                AS sum_b,
            {cc["stripped_frac"]} AS avg_chars
     FROM (SELECT doc_id, {_dirty_text_sql()} AS dt FROM documents
+          WHERE doc_id < 40)
+    UNION ALL
+    SELECT 'lines' AS family, CAST(doc_id AS VARCHAR) AS key1,
+           {clean_document_sql("lt")} AS key2,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(len(string_split({clean_document_sql("lt")}, chr(10)))
+                AS BIGINT) AS sum_a,
+           CAST(len(string_split(lt, chr(10))) AS BIGINT) AS sum_b,
+           CAST(NULL AS DOUBLE) AS avg_chars
+    FROM (SELECT doc_id, {_line_dirty_sql()} AS lt FROM documents
           WHERE doc_id < 40)
     """
 
@@ -326,6 +368,21 @@ def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pc["n_urls"] + pc["n_tags"] + pc["n_control"]).alias("sum_b"),
         pc["stripped_frac"].alias("avg_chars"),
     )
+    # 'lines': the LINE-level rules (filter boilerplate-shaped lines,
+    # first-occurrence dedup) over scraped-page-shaped dirt — the
+    # cleaned document hash-checked verbatim, plus kept/raw line counts
+    ldoc = CL.clean_document(F.col("lt"))
+    lines_leg = docs.where(F.col("doc_id") < 40).select(
+        "doc_id", _line_dirty_col().alias("lt")
+    ).select(
+        F.lit("lines").alias("family"),
+        F.col("doc_id").cast("string").alias("key1"),
+        ldoc.alias("key2"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.size(F.split(ldoc, "\n")).cast("long").alias("sum_a"),
+        F.size(F.split(F.col("lt"), "\n")).cast("long").alias("sum_b"),
+        F.lit(None).cast("double").alias("avg_chars"),
+    )
     return (
         tok.unionAll(lng)
         .unionAll(top)
@@ -333,6 +390,7 @@ def q27_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(bpe_src)
         .unionAll(cln)
         .unionAll(clean_docs)
+        .unionAll(lines_leg)
     )
 
 
