@@ -154,18 +154,45 @@ def main() -> None:
 
     # Per-section walls AFTER the headline pass so they cannot warm or
     # skew it; excluded from `value` (the driver's metric) by design.
-    def run_section(name: str, tagcol: str, tag: str) -> float:
-        from pyspark.sql import functions as F
+    # Kwarg support is detected by SIGNATURE, not try/except TypeError
+    # — a TypeError raised INSIDE a sections-aware plan must surface,
+    # not silently reroute to timing the full host (review r16 pass 1).
+    import inspect
 
+    from pyspark.sql import functions as F
+
+    def _takes_sections(fn) -> bool:
+        return "sections" in inspect.signature(fn).parameters
+
+    def run_section(name: str, tagcol: str, tag: str) -> float:
         t0 = time.perf_counter()
-        try:
+        if _takes_sections(qs[name]):
             df = qs[name](spark, sf_dir, sections=[tag])
-        except TypeError:  # lazy hosts take no sections kwarg
+        else:
             df = qs[name](spark, sf_dir).where(F.col(tagcol) == tag)
         df.write.mode("overwrite").format("noop").save()
         elapsed = time.perf_counter() - t0
         release_result(df)
         return elapsed
+
+    # For filter-fallback hosts, validate the configured tags against
+    # the live output ONCE per host — a renamed section literal would
+    # otherwise bench a constant-folded empty plan and record ~0 s as
+    # the leg's floor (sections-aware hosts validate via
+    # _pick_sections inside the plan).
+    for name, (tagcol, tags) in SECTIONED.items():
+        if _takes_sections(qs[name]):
+            continue
+        live = {
+            r[0]
+            for r in qs[name](spark, sf_dir).select(tagcol).distinct().collect()
+        }
+        missing = set(tags) - live
+        if missing:
+            raise ValueError(
+                f"{name}: configured section(s) {sorted(missing)} not in "
+                f"the live {tagcol!r} values {sorted(live)}"
+            )
 
     sections = {
         name: {

@@ -41,6 +41,8 @@ HOSTILE = [
     "url at eol https://end.com/x",
     "soft­hyphen",
     "vertical\x0btab url https://a.b/c\x0bafter",
+    "see https://x.com Chapter 2 begins",
+    "zwsp stop https://y.io/a​kept too",
 ]
 
 
@@ -139,6 +141,11 @@ def test_each_rule_matches_duckdb(spark):
         ("&lt;p&gt;kept&lt;/p&gt;", "<p>kept</p>"),
         # NBSP folds to space then collapses
         ("a  b", "a b"),
+        # exotic spaces/zero-widths STOP a URL (review r16 pass 1:
+        # the fold runs after the strip, so the stop class must know
+        # them or the NBSP-joined word vanishes with the URL)
+        ("see https://x.com Chapter 2", "see Chapter 2"),
+        ("z https://y.io/a​kept", "z kept"),
     ],
 )
 def test_clean_text_semantics(spark, raw, want):

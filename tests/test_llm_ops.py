@@ -3110,3 +3110,61 @@ class TestIvfSq8:
 
         with pytest.raises(ValueError, match="cell column"):
             S.ivf_topk_quantized(S.quantize_vectors(emb), k=3)
+
+
+def test_arrow_rounding_matches_column_on_exact_halfway_cosine(spark):
+    """Review r16 pass 1: the integer-domain kernels can produce
+    EXACTLY representable halfway cosines (dot 2 over norms 16·16 =
+    0.0078125), where numpy's half-even round and F.round's HALF_UP
+    disagree by an ulp-of-report and can flip a rounded-desc tie. The
+    Arrow impls now round half-away-from-zero; pin both impls and
+    both operators on a constructed halfway corpus."""
+    from unimib_simpss_spark.operators import similarity as S
+
+    # quantized-space vectors with |q| = 16 each (256 ones over
+    # d=512) whose overlaps are 2/6/10 positions → cosines are EXACT
+    # halves at the 6th digit: 2/256 = 0.0078125, 6/256 = 0.0234375,
+    # 10/256 = 0.0390625
+    d = 512
+
+    def vec(ones):
+        v = [0] * d
+        for i in ones:
+            v[i] = 1
+        return v
+
+    qrows = [
+        (1, vec(range(0, 256)), 1.0),
+        (2, vec(list(range(0, 2)) + list(range(256, 510))), 1.0),
+        (3, vec(list(range(0, 6)) + list(range(256, 506))), 1.0),
+        (4, vec(list(range(0, 10)) + list(range(256, 502))), 1.0),
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "vec_id long, qvec array<tinyint>, scale double"
+    ).withColumn("cell", F.lit(0))
+    col_rows = sorted(
+        map(
+            tuple,
+            S.ivf_topk_quantized(
+                qdf, k=3, cell_col="cell", impl="column"
+            ).collect(),
+        )
+    )
+    arrow_rows = sorted(
+        map(
+            tuple,
+            S.ivf_topk_quantized(qdf, k=3, cell_col="cell").collect(),
+        )
+    )
+    assert col_rows == arrow_rows and col_rows
+    # the brute-force pair too
+    bf_col = sorted(
+        map(tuple, S.cosine_topk_quantized(qdf, k=3).collect())
+    )
+    bf_arrow = sorted(
+        map(tuple, S.cosine_topk_quantized_pandas(qdf, k=3).collect())
+    )
+    assert bf_col == bf_arrow and bf_col
+    # and the halfway value itself rounds AWAY from zero on both
+    half = [c for r in col_rows for c in [r[3]] if abs(c - 0.007813) < 1e-9]
+    assert half, col_rows

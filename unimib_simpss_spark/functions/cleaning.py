@@ -120,8 +120,17 @@ CONTROL_ZW_RE = (
 
 # URL: scheme'd or www.-led run of non-whitespace (explicit class —
 # see the module docstring on \s). Case-insensitive scheme via an
-# inline group, identical syntax both engines.
-URL_RE = "(?i)(https?://|www\\.)[^ \\t\\n\\r\\x0B\\x0C]+"
+# inline group, identical syntax both engines. The stop class also
+# includes the exotic spaces and zero-widths the unicode fold maps
+# later in the pipeline (NBSP, U+2000-200A, narrow NBSP, medium math
+# space, ideographic space, ZWSP/ZWNJ/ZWJ, BOM): URLs are stripped
+# BEFORE the fold, and a URL abutting an NBSP-joined word would
+# otherwise swallow the legitimate text after it (review r16 pass 1).
+URL_RE = (
+    "(?i)(https?://|www\\.)[^ \\t\\n\\r\\x0B\\x0C"
+    "\\x{00A0}\\x{2000}-\\x{200D}\\x{202F}\\x{205F}\\x{3000}"
+    "\\x{FEFF}]+"
+)
 
 # HTML tag: requires a letter, '/', or '!' after '<', so math like
 # "3 < 4 and 5 > 2" survives. [^>]* spans newlines in both engines

@@ -870,22 +870,34 @@ def bpe_merges_driver(
         "step int, left string, right string, merged string, "
         "pair_count long"
     )
+    from unimib_simpss_spark.operators.caching import release_result
+
+    # localCheckpoint so the cap-gate count and the collect share ONE
+    # corpus-sized aggregate — without it each action re-runs the
+    # explode+groupBy over the corpus, doubling the trainer's only
+    # corpus-scale cost (review r16 pass 1)
     vocab_rel = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
+        .localCheckpoint()
     )
-    n_types = vocab_rel.count()
-    if n_types > max_vocab_types:
-        raise ValueError(
-            f"vocabulary has {n_types} types > max_vocab_types="
-            f"{max_vocab_types} — raise the cap (driver memory budget) "
-            "or train with the distributed bpe_merges rounds"
-        )
-    entries: list = []  # [syms list, count] — one per word type
-    for r in vocab_rel.collect():
-        entries.append([list(r["word"]) + [eow], int(r["wcount"])])
+    try:
+        n_types = vocab_rel.count()
+        if n_types > max_vocab_types:
+            raise ValueError(
+                f"vocabulary has {n_types} types > max_vocab_types="
+                f"{max_vocab_types} — raise the cap (driver memory "
+                "budget) or train with the distributed bpe_merges rounds"
+            )
+        entries: list = []  # [syms list, count] — one per word type
+        for r in vocab_rel.collect():
+            entries.append([list(r["word"]) + [eow], int(r["wcount"])])
+    finally:
+        release_result(vocab_rel)
+
+    import heapq
 
     def _adj(syms: list) -> list:
         return [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
@@ -896,16 +908,34 @@ def bpe_merges_driver(
         for p in _adj(syms):
             stats[p] = stats.get(p, 0) + c
             where.setdefault(p, set()).add(idx)
+    # lazy max-heap over (-count, pair): a full-dict scan per merge
+    # would make training O(n_merges × |pairs|) — exactly the regime
+    # the docstring promises seconds for (review r16 pass 1). Every
+    # count CHANGE pushes the pair's new total; stale entries are
+    # discarded at pop time by comparing against the live dict. The
+    # key order (-count, pair) IS the (count DESC, lexicographically
+    # smallest pair) tie-break of the distributed trainer.
+    heap = [(-c, p) for p, c in stats.items()]
+    heapq.heapify(heap)
     merges = []
-    while len(merges) < n_merges and stats:
-        # deterministic argmax: count DESC, then lexicographically
-        # smallest (left, right) — the distributed trainer's TakeOrdered
-        mx = max(stats.values())
-        best = min(p for p, c in stats.items() if c == mx)
+    while len(merges) < n_merges and heap:
+        negc, best = heap[0]
+        cnt = stats.get(best)
+        if cnt is None or cnt != -negc:
+            heapq.heappop(heap)  # stale entry (count changed/vanished)
+            continue
         a, b = best
-        cnt = stats[best]
         merges.append((len(merges) + 1, a, b, a + b, cnt))
         merged = a + b
+
+        def _bump(p, new):
+            if new:
+                stats[p] = new
+                heapq.heappush(heap, (-new, p))
+            else:
+                del stats[p]
+                where.pop(p, None)
+
         for idx in sorted(where.get(best, ())):
             syms, c = entries[idx]
             out, i = [], 0
@@ -919,17 +949,12 @@ def bpe_merges_driver(
             # delta-update: retract the old adjacency multiset, add the
             # new one (overlap counting preserved exactly)
             for p in _adj(syms):
-                left = stats[p] - c
-                if left:
-                    stats[p] = left
-                else:
-                    del stats[p]
-                    where.pop(p, None)
+                _bump(p, stats[p] - c)
             for p in set(_adj(syms)):
                 if p in where:
                     where[p].discard(idx)
             for p in _adj(out):
-                stats[p] = stats.get(p, 0) + c
+                _bump(p, stats.get(p, 0) + c)
                 where.setdefault(p, set()).add(idx)
             entries[idx][0] = out
     return spark.createDataFrame(merges, schema)

@@ -23,6 +23,23 @@ from pyspark.sql import functions as F
 from unimib_simpss_spark.operators.caching import materialize_release
 
 
+def _np_round6(sims):
+    """Round a similarity matrix to 6 digits HALF-AWAY-FROM-ZERO —
+    the convention Spark's ``F.round`` (BigDecimal HALF_UP on the
+    double's shortest decimal form) applies on the Column twins.
+    ``np.round`` is half-EVEN, and the integer-domain kernels produce
+    exactly-representable halfway cosines (e.g. dot 2 over norms
+    16·16 = 0.0078125), where the two conventions disagree by one
+    ulp-of-report and can flip a rounded-desc tie order between the
+    Arrow and Column impls (review r16 pass 1). NaN/±inf pass
+    through untouched (downstream masks own them)."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore"):
+        out = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+    return np.where(np.isfinite(sims), out, sims)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -291,7 +308,7 @@ def _ivf_topk_arrow(
                 {"query_id": [], "cell": [], "neighbor_id": [], "cosine": []}
             )
         norms = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        sims = _np_round6((mat @ mat.T) / np.outer(norms, norms))
         np.fill_diagonal(sims, -np.inf)
         order = np.argsort(-sims, axis=1, kind="stable")[:, : min(k, n - 1)]
         nq, kk = order.shape
@@ -382,7 +399,7 @@ def cosine_topk_pandas(
                 {
                     "query_id": np.repeat(ids, nc),
                     "neighbor_id": np.tile(c_ids, nq),
-                    "cosine": np.round(sims.ravel(), 6),
+                    "cosine": _np_round6(sims.ravel()),
                 }
             )
 
@@ -422,7 +439,7 @@ def cosine_pairs(
             return pd.DataFrame({"vec1": [], "vec2": [], "cell": [], "cosine": []})
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        sims = _np_round6((mat @ mat.T) / np.outer(norms, norms))
         iu = np.triu_indices(n, 1)
         keep = sims[iu] >= threshold
         return pd.DataFrame(
@@ -1602,10 +1619,9 @@ def hard_negatives_pandas(
             c_lbl = pdf[label_col].to_numpy()
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(
+                sims = _np_round6(
                     (mat @ c_mat.T)
-                    / (qn[:, None] * np.linalg.norm(c_mat, axis=1)[None, :]),
-                    6,
+                    / (qn[:, None] * np.linalg.norm(c_mat, axis=1)[None, :])
                 )
             c_ok = ~pd.isna(c_lbl)
             valid = (
@@ -2485,7 +2501,7 @@ def cosine_topk_quantized_pandas(
                 {
                     "query_id": np.repeat(ids, nc),
                     "neighbor_id": np.tile(c_ids, nq),
-                    "cosine": np.round(sims.ravel(), 6),
+                    "cosine": _np_round6(sims.ravel()),
                 }
             )
 
@@ -2656,8 +2672,8 @@ def _ivf_topk_quantized_arrow(
             )
         mat = np.array(list(pdf["qvec"]), dtype=np.int64)
         norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-        sims = np.round(
-            (mat @ mat.T).astype(np.float64) / np.outer(norms, norms), 6
+        sims = _np_round6(
+            (mat @ mat.T).astype(np.float64) / np.outer(norms, norms)
         )
         np.fill_diagonal(sims, -np.inf)
         order = np.argsort(-sims, axis=1, kind="stable")[:, : min(k, n - 1)]

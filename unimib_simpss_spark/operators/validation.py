@@ -1646,8 +1646,14 @@ def quantile_drift_by(
                 f"bin) with bin in [0, {q}) — duplicate, NULL, or "
                 "out-of-range rows found (different q?)"
             )
+        # ref_counts' group rides the SAME cast as pick()'s: under a
+        # dict pin everything is in string group space, and joining a
+        # native-typed count key against the string '_g' would go
+        # through Spark's implicit string↔numeric coercion (review
+        # r16 pass 1 — bigint keys near 2^53 collapse under the
+        # double cast and the counts join to the wrong group)
         rc = ref_counts.select(
-            F.col(group_col).alias("_g"),
+            g.alias("_g"),
             F.col("bin").cast("long").alias("bin"),
             F.col("n").cast("long").alias("_rn"),
         )
