@@ -43,6 +43,9 @@ HOSTILE = [
     "vertical\x0btab url https://a.b/c\x0bafter",
     "see https://x.com Chapter 2 begins",
     "zwsp stop https://y.io/a​kept too",
+    "soft https://a.b/x­hyphen kept",
+    "trailing ws before LS  ",  # Java $ vs RE2 $ trap
+    "line sep and para https://z.q/1 after",
 ]
 
 

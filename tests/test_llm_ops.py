@@ -3168,3 +3168,35 @@ def test_arrow_rounding_matches_column_on_exact_halfway_cosine(spark):
     # and the halfway value itself rounds AWAY from zero on both
     half = [c for r in col_rows for c in [r[3]] if abs(c - 0.007813) < 1e-9]
     assert half, col_rows
+
+
+def test_zero_qvec_rows_are_excluded_consistently(spark):
+    """Review r16 pass 2: an all-zero qvec has no cosine direction —
+    0/0 = NaN, which Spark's desc ranks FIRST and numpy's argsort
+    LAST, so the impls would disagree. All quantized scorers now
+    exclude zero-norm rows, identically across Column/Arrow/IVF."""
+    from unimib_simpss_spark.operators import similarity as S
+
+    qrows = [
+        (1, [3, 4] + [0] * 6, 1.0),
+        (2, [4, 3] + [0] * 6, 1.0),
+        (3, [0] * 8, 1.0),  # the zero vector
+        (4, [1, 0, 2, 0, 0, 0, 0, 1], 1.0),
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "vec_id long, qvec array<tinyint>, scale double"
+    ).withColumn("cell", F.lit(0))
+    outs = {
+        "bf_col": S.cosine_topk_quantized(qdf, k=3),
+        "bf_arrow": S.cosine_topk_quantized_pandas(qdf, k=3),
+        "ivf_col": S.ivf_topk_quantized(qdf, k=3, cell_col="cell",
+                                        impl="column"),
+        "ivf_arrow": S.ivf_topk_quantized(qdf, k=3, cell_col="cell"),
+    }
+    rows = {k: sorted(map(tuple, v.collect())) for k, v in outs.items()}
+    for k, rs in rows.items():
+        ids = {r[0] for r in rs} | {r[1 if k.startswith("bf") else 2] for r in rs}
+        assert 3 not in ids, (k, rs)
+        assert rs, k
+    assert rows["bf_col"] == rows["bf_arrow"]
+    assert rows["ivf_col"] == rows["ivf_arrow"]

@@ -127,9 +127,11 @@ CONTROL_ZW_RE = (
 # BEFORE the fold, and a URL abutting an NBSP-joined word would
 # otherwise swallow the legitimate text after it (review r16 pass 1).
 URL_RE = (
-    "(?i)(https?://|www\\.)[^ \\t\\n\\r\\x0B\\x0C"
-    "\\x{00A0}\\x{2000}-\\x{200D}\\x{202F}\\x{205F}\\x{3000}"
-    "\\x{FEFF}]+"
+    "(?i)(https?://|www\\.)"
+    "[^ \\t\\n\\r\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    "\\x{0080}-\\x{009F}\\x{00A0}\\x{00AD}"
+    "\\x{2000}-\\x{200D}\\x{2028}\\x{2029}\\x{202F}\\x{205F}"
+    "\\x{2060}\\x{3000}\\x{FEFF}]+"
 )
 
 # HTML tag: requires a letter, '/', or '!' after '<', so math like
@@ -144,10 +146,23 @@ _ENTITIES: tuple[tuple[str, str], ...] = (
     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
 )
 
-_CRLF: tuple[tuple[str, str], ...] = (("\r\n", "\n"), ("\r", "\n"))
+_CRLF: tuple[tuple[str, str], ...] = (
+    ("\r\n", "\n"),
+    ("\r", "\n"),
+    # U+2028/U+2029 LINE/PARAGRAPH SEPARATOR → LF (web text carries
+    # them; they are line breaks, and leaving them also trips Java's
+    # '$'-before-final-line-terminator quirk — see _EDGE_WS_RE)
+    (" ", "\n"),
+    (" ", "\n"),
+)
 _HSPACE_RUN_RE = "[ \\t]+"  # horizontal runs → one space
 _BLANKS_RUN_RE = "\\n[ \\n]*\\n"  # blank-line runs → one blank line
-_EDGE_WS_RE = "^[ \\t\\n]+|[ \\t\\n]+$"
+# \A/\z anchors, NOT ^/$: Java's '$' matches BEFORE a final line
+# terminator (\n, U+2028, U+2029, U+0085) while RE2's matches only at
+# end of text — 'a  ' trimmed differently on the two engines
+# (review r16 pass 2, execution-verified). \A/\z mean end-of-text in
+# BOTH dialects.
+_EDGE_WS_RE = "\\A[ \\t\\n]+|[ \\t\\n]+\\z"
 
 
 def _replace_chain(col: Column, pairs) -> Column:
@@ -231,12 +246,15 @@ def collapse_whitespace_sql(expr: str) -> str:
 
 
 def clean_text(col: Column | str) -> Column:
-    """The composed cleaning pipeline, in the one order that is
-    correct: tags out first (so attribute URLs vanish with them),
-    then raw-text URLs (before entity decode — '&amp;' inside a
-    query string is part of the URL token), then entities, then the
-    unicode fold (fancy spaces become plain BEFORE collapsing), then
-    control strip, then whitespace collapse + trim."""
+    """The composed cleaning pipeline: tags AND entities out first
+    (strip_html does both — so attribute URLs vanish with their tags,
+    and URL stripping then operates on DECODED text: '&amp;' inside a
+    query string has become '&' and stays part of the URL token,
+    while '&nbsp;' has become a space and terminates it), then
+    raw-text URLs, then the unicode fold (fancy spaces become plain
+    BEFORE collapsing), then control strip, then whitespace collapse
+    + trim. Pinned by the hostile-input parity tests; reordering any
+    stage changes hashed output on both engines at once."""
     return collapse_whitespace(
         strip_control(fold_unicode(strip_urls(strip_html(_c(col)))))
     )

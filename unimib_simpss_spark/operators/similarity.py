@@ -24,19 +24,44 @@ from unimib_simpss_spark.operators.caching import materialize_release
 
 
 def _np_round6(sims):
-    """Round a similarity matrix to 6 digits HALF-AWAY-FROM-ZERO —
-    the convention Spark's ``F.round`` (BigDecimal HALF_UP on the
-    double's shortest decimal form) applies on the Column twins.
-    ``np.round`` is half-EVEN, and the integer-domain kernels produce
+    """Round a similarity matrix to 6 digits the way Spark's
+    ``F.round`` does on the Column twins: HALF_UP over the double's
+    SHORTEST DECIMAL form (``BigDecimal.valueOf``). ``np.round`` is
+    half-EVEN, and the integer-domain kernels produce
     exactly-representable halfway cosines (e.g. dot 2 over norms
-    16·16 = 0.0078125), where the two conventions disagree by one
-    ulp-of-report and can flip a rounded-desc tie order between the
-    Arrow and Column impls (review r16 pass 1). NaN/±inf pass
+    16·16 = 0.0078125) where the conventions disagree by one
+    ulp-of-report and can flip a rounded-desc tie between the Arrow
+    and Column impls (review r16 pass 1).
+
+    Two tiers (review r16 pass 2): the vectorized half-away-from-zero
+    floor covers everything except doubles sitting within ~1e-9 of a
+    6th-digit half, where binary-value rounding and shortest-decimal
+    rounding can still split (0.2614005 stores below the half but its
+    shortest repr ends in '5', so F.round goes UP). Those rare
+    boundary elements are re-rounded exactly via Decimal(repr(x)) —
+    repr IS the shortest form — with ROUND_HALF_UP. NaN/±inf pass
     through untouched (downstream masks own them)."""
     import numpy as np
 
     with np.errstate(invalid="ignore"):
         out = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        scaled = np.abs(sims) * 1e6
+        boundary = np.isfinite(sims) & (
+            np.abs(scaled - np.floor(scaled) - 0.5) < 1e-9
+        )
+    if boundary.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        flat_idx = np.flatnonzero(boundary.ravel())
+        flat_in = sims.ravel()
+        flat_out = out.ravel()
+        for i in flat_idx:
+            flat_out[i] = float(
+                Decimal(repr(float(flat_in[i]))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+        out = flat_out.reshape(out.shape)
     return np.where(np.isfinite(sims), out, sims)
 
 
@@ -2411,7 +2436,7 @@ def cosine_topk_quantized(
         F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double")).alias(
             "_qn"
         ),
-    )
+    ).where(F.col("_qn") > 0)  # zero qvecs have no cosine direction
     pred = query_pred if query_pred is not None else F.lit(True)
     queries = base.where(pred).select(
         F.col("_id").alias("query_id"),
@@ -2482,6 +2507,10 @@ def cosine_topk_quantized_pandas(
     q_ids = np.array([r[0] for r in qrows])
     q_mat = np.array([r[1] for r in qrows], dtype=np.int64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
+    qok = q_norm > 0  # the Column twin's zero-norm exclusion
+    q_ids, q_mat, q_norm = q_ids[qok], q_mat[qok], q_norm[qok]
+    if not len(q_ids):
+        return qdf.sparkSession.createDataFrame([], out_cols)
     sc = qdf.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, q_norm))
 
@@ -2493,6 +2522,11 @@ def cosine_topk_quantized_pandas(
             c_mat = np.array(list(pdf["qvec"]), dtype=np.int64)
             c_ids = pdf[id_col].to_numpy()
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+            cok = c_norm > 0
+            if not cok.all():
+                c_mat, c_ids, c_norm = c_mat[cok], c_ids[cok], c_norm[cok]
+                if not len(c_ids):
+                    continue
             sims = (mat @ c_mat.T).astype(np.float64) / (
                 qn[:, None] * c_norm[None, :]
             )
@@ -2546,9 +2580,11 @@ def cosine_topk_quantized_sql(
             )
         )
     ), nbase AS (
-        SELECT vec_id, qv::DOUBLE[] AS dq,
-               sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS nrm
-        FROM qbase
+        SELECT * FROM (
+            SELECT vec_id, qv::DOUBLE[] AS dq,
+                   sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS nrm
+            FROM qbase
+        ) WHERE nrm > 0
     ), scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round(list_dot_product(q.dq, c.dq) / (q.nrm * c.nrm), 6)
@@ -2610,7 +2646,11 @@ def ivf_topk_quantized(
         F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double")).alias(
             "_n"
         ),
-    )
+    ).where(F.col("_n") > 0)
+    # zero-norm (all-zero) qvecs are EXCLUDED on both impls: a zero
+    # vector has no cosine direction — 0/0 = NaN, and the two impls
+    # would rank NaN opposite ways (Spark desc puts NaN first, numpy
+    # argsort last — review r16 pass 2)
     q = base.select(
         F.col("_id").alias("query_id"),
         F.col("_cell").alias("cell"),
@@ -2672,6 +2712,15 @@ def _ivf_topk_quantized_arrow(
             )
         mat = np.array(list(pdf["qvec"]), dtype=np.int64)
         norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        ok = norms > 0  # the column impl's zero-norm exclusion
+        if not ok.all():
+            pdf, ids, mat, norms = pdf[ok], ids[ok], mat[ok], norms[ok]
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame(
+                    {"query_id": [], "cell": [], "neighbor_id": [],
+                     "cosine": []}
+                )
         sims = _np_round6(
             (mat @ mat.T).astype(np.float64) / np.outer(norms, norms)
         )

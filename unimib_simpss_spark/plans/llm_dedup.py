@@ -227,8 +227,16 @@ def q34_hash_band_pairs(
     want = _pick_sections(
         sections, ("minhash", "simhash", "edit", "hamming24")
     )
-    hsd = cache_intermediate(D._combo_shingle_docs(docs, "text", "doc_id"))
-    legs, handles = [], []
+    legs, handles, caches = [], [], []
+    # only the shingle-space miners read the cached combo relation —
+    # building it for an edit/hamming24-only section run would compute
+    # (and in the table checkpoint mode, WRITE) a corpus-sized pass a
+    # leg never touches (review r16 pass 2; the q38 guard pattern)
+    if want & {"minhash", "simhash"}:
+        hsd = cache_intermediate(
+            D._combo_shingle_docs(docs, "text", "doc_id")
+        )
+        caches.append(hsd)
     if "minhash" in want:
         mh = D.minhash_dedup_pairs(docs, threshold=0.8, _hsd=hsd)
         handles.append(mh)
@@ -291,7 +299,7 @@ def q34_hash_band_pairs(
     u = legs[0]
     for leg in legs[1:]:
         u = u.unionAll(leg)
-    out = materialize_release(u, hsd)
+    out = materialize_release(u, *caches)
     for h in handles:
         release_result(h)
     return out

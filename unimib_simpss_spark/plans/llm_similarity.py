@@ -609,7 +609,10 @@ def x79_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_result,
     )
 
-    emb = _emb(spark, sf_dir)
+    # gate corrupt rows BEFORE quantizing/indexing (quantize_vectors'
+    # documented contract; a NULL-element embedding would produce a
+    # NULL qvec that crashes the per-cell GEMM — review r16 pass 2)
+    emb = _emb(spark, sf_dir).where(S.defined_vector_pred())
     cells = S.kmeans_cells(emb, k=8, iters=3)
     qz = S.quantize_vectors(emb).join(cells, "vec_id")
     routed = cache_intermediate(

@@ -61,7 +61,8 @@ def _dirty_text_col():
 
 
 def _dirty_text_sql() -> str:
-    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    from unimib_simpss_spark.functions.cleaning import _q as q
+
     return (
         f"({q(_DIRT_OPEN)} || text || CASE doc_id % 4"
         f" WHEN 0 THEN {q(_DIRT_URL_PRE)} || CAST(doc_id AS VARCHAR)"
@@ -95,7 +96,8 @@ def _line_dirty_col():
 
 
 def _line_dirty_sql() -> str:
-    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    from unimib_simpss_spark.functions.cleaning import _q as q
+
     return (
         f"concat_ws(chr(10), {q(_LINE_NAV)}, text, {q(_LINE_SHARE)}, "
         f"{q(_LINE_SHARE)}, {q(_LINE_SEP)}, CAST(doc_id AS VARCHAR), "
