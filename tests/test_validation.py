@@ -1518,3 +1518,97 @@ class TestDriftGateSuite:
         assert acc_cur.value == 1 * n_cur, acc_cur.value
         for c in s["caches"]:
             release_intermediate(c)
+
+    def test_pinned_equals_computed_and_scan_free(self, spark, tmp_path):
+        """The suite's published artifacts round-trip: ref_stats +
+        ref_cells pinned back in (ref=None — the reference side
+        cannot be scanned because it is not even passed) reproduce
+        the computed gates bit-for-bit."""
+        from unimib_simpss_spark.operators.caching import (
+            release_intermediate,
+        )
+        from unimib_simpss_spark.operators.validation import (
+            drift_gate_suite,
+        )
+
+        ref, cur = self._fixture(spark)
+        s1 = drift_gate_suite(ref, cur, "x", "g", bins=6, q=4)
+        full = {
+            k: sorted(map(tuple, s1[k].collect()))
+            for k in ("ew", "q", "ew_by", "q_by")
+        }
+        s1["ref_stats"].write.parquet(f"{tmp_path}/stats.parquet")
+        s1["ref_cells"].write.parquet(f"{tmp_path}/cells.parquet")
+        for c in s1["caches"]:
+            release_intermediate(c)
+        s2 = drift_gate_suite(
+            None,
+            cur,
+            "x",
+            "g",
+            bins=6,
+            q=4,
+            ref_stats=spark.read.parquet(f"{tmp_path}/stats.parquet"),
+            ref_cells=spark.read.parquet(f"{tmp_path}/cells.parquet"),
+        )
+        pinned = {
+            k: sorted(map(tuple, s2[k].collect()))
+            for k in ("ew", "q", "ew_by", "q_by")
+        }
+        assert pinned == full
+        for c in s2["caches"]:
+            release_intermediate(c)
+
+    def test_pinned_mode_loud_failures(self, spark):
+        from unimib_simpss_spark.operators.validation import (
+            drift_gate_suite,
+        )
+
+        ref, cur = self._fixture(spark)
+        with pytest.raises(ValueError, match="requires BOTH"):
+            drift_gate_suite(None, cur, "x", "g")
+        no_corpus = spark.createDataFrame(
+            [("a", 0.0, 9.0, [3.0, 6.0, 8.0])],
+            "g string, lo double, hi double, edges array<double>",
+        )
+        cells = spark.createDataFrame(
+            [(0, None, 0, 5)], "slot int, g string, bin long, n long"
+        )
+        with pytest.raises(ValueError, match="NULL-group row"):
+            drift_gate_suite(
+                None, cur, "x", "g", q=4,
+                ref_stats=no_corpus, ref_cells=cells,
+            )
+        dup = spark.createDataFrame(
+            [
+                (None, 0.0, 9.0, [3.0, 6.0, 8.0]),
+                ("a", 0.0, 9.0, [3.0, 6.0, 8.0]),
+                ("a", 1.0, 8.0, [3.0, 6.0, 8.0]),
+            ],
+            "g string, lo double, hi double, edges array<double>",
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            drift_gate_suite(
+                None, cur, "x", "g", q=4, ref_stats=dup, ref_cells=cells
+            )
+        bad_edges = spark.createDataFrame(
+            [(None, 0.0, 9.0, [3.0, 6.0])],
+            "g string, lo double, hi double, edges array<double>",
+        )
+        with pytest.raises(ValueError, match="q-1"):
+            drift_gate_suite(
+                None, cur, "x", "g", q=4,
+                ref_stats=bad_edges, ref_cells=cells,
+            )
+        ok_stats = spark.createDataFrame(
+            [(None, 0.0, 9.0, [3.0, 6.0, 8.0])],
+            "g string, lo double, hi double, edges array<double>",
+        )
+        bad_cells = spark.createDataFrame(
+            [(0, None, 99, 5)], "slot int, g string, bin long, n long"
+        )
+        with pytest.raises(ValueError, match="different config"):
+            drift_gate_suite(
+                None, cur, "x", "g", bins=6, q=4,
+                ref_stats=ok_stats, ref_cells=bad_cells,
+            )

@@ -1829,22 +1829,40 @@ def quantile_edges_kll_by(
 
 
 def drift_gate_suite(
-    ref: DataFrame,
+    ref: DataFrame | None,
     cur: DataFrame,
     col: str,
     group_col: str,
     bins: int = 10,
     q: int = 10,
     ndigits: int = 6,
+    ref_stats: DataFrame | None = None,
+    ref_cells: DataFrame | None = None,
 ) -> dict:
     """The four numeric drift gates ({corpus, per-group} ×
     {equal-width, equi-depth}) over ONE release pair, FUSED: row-for-
     row identical output to running :func:`distribution_drift`,
     :func:`quantile_drift`, :func:`distribution_drift_by`, and
     :func:`quantile_drift_by` separately, at a quarter of the data
-    passes. Returns ``{"ew", "q", "ew_by", "q_by", "caches"}`` — the
-    four gate DataFrames plus the cached cell relations the caller
-    releases (the ``materialize_release`` cache-list contract).
+    passes. Returns ``{"ew", "q", "ew_by", "q_by", "caches",
+    "ref_stats", "ref_cells"}`` — the four gate DataFrames, the
+    cached cell relations the caller releases (the
+    ``materialize_release`` cache-list contract), and the two
+    PUBLISHABLE reference artifacts for the pinned mode below.
+
+    PINNED mode (the release-over-release shape at 100 TB — the
+    fused analog of the individual gates' ``ref_stats``/
+    ``ref_edges``/``ref_counts``): pass ``ref_stats`` = the prior
+    release's published ``(group_col, lo, hi, edges)`` relation
+    (exactly ONE NULL-group row = the corpus stats; NULL groups never
+    occur among the per-group rows by construction) to skip the cube
+    pass, and ``ref_cells`` = its published ``(slot, group_col, bin,
+    n)`` cell relation to skip the reference bin-count pass — with
+    both pinned the reference side is entirely SCAN-FREE (``ref`` may
+    be ``None``). Both artifacts are exactly what this function
+    returns under those keys, so publish-at-release is one
+    ``.write.parquet`` each; pinning values equal to the computed
+    ones yields bit-identical gate rows (pytest-pinned).
 
     Why it exists: run separately, the four gates make ~8 aggregate
     passes over the reference and 4 over the current snapshot
@@ -1881,6 +1899,11 @@ def drift_gate_suite(
         raise ValueError(f"bins must be >= 2, got {bins}")
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")
+    if ref is None and (ref_stats is None or ref_cells is None):
+        raise ValueError(
+            "ref=None requires BOTH ref_stats and ref_cells (nothing "
+            "else defines the reference)"
+        )
     from unimib_simpss_spark.operators.caching import cache_intermediate
 
     spark = cur.sparkSession
@@ -1888,20 +1911,67 @@ def drift_gate_suite(
     pick = lambda d: d.where(v.isNotNull()).select(  # noqa: E731
         F.col(group_col).alias("_g"), v.alias("_v")
     )
-    refd, curd = pick(ref), pick(cur)
-    stats = refd.cube("_g").agg(
-        F.grouping("_g").alias("_all"),
-        F.min("_v").alias("_lo"),
-        F.max("_v").alias("_hi"),
-        *_edges_exprs(q),
-    ).select(
-        "_all",
-        "_g",
-        "_lo",
-        "_hi",
-        F.array(*[F.col(f"_e{i}") for i in range(1, q)]).alias("_edges"),
-    )
-    rows = stats.collect()
+    curd = pick(cur)
+    if ref_stats is not None:
+        # the published artifact: tiny by contract (groups + 1 rows),
+        # collected and validated through the SAME scalar checks the
+        # computed path's rows get
+        srows = ref_stats.select(
+            F.col(group_col).alias("_g"),
+            F.col("lo").cast("double").alias("_lo"),
+            F.col("hi").cast("double").alias("_hi"),
+            F.col("edges").cast("array<double>").alias("_edges"),
+        ).collect()
+        rows = []
+        seen: set = set()
+        for r in srows:
+            if r["_g"] in seen:
+                raise ValueError(
+                    f"ref_stats holds duplicate rows for group "
+                    f"{r['_g']!r} — one (lo, hi, edges) per group "
+                    "required"
+                )
+            seen.add(r["_g"])
+            if r["_lo"] is None or r["_hi"] is None or r["_edges"] is None:
+                raise ValueError(
+                    f"ref_stats: group {r['_g']!r} has NULL lo/hi/edges"
+                )
+            try:
+                _check_edges(r["_edges"], q)
+            except ValueError as e:
+                raise ValueError(
+                    f"ref_stats: group {r['_g']!r}: {e}"
+                ) from e
+            rows.append(
+                {"_all": 1 if r["_g"] is None else 0, "_g": r["_g"],
+                 "_lo": r["_lo"], "_hi": r["_hi"], "_edges": r["_edges"]}
+            )
+        if None not in seen:
+            raise ValueError(
+                "ref_stats must hold exactly one NULL-group row (the "
+                "corpus stats) — none found"
+            )
+        gschema_src = ref_stats.select(
+            F.col(group_col).alias("_g"),
+            F.col("lo").cast("double").alias("_lo"),
+            F.col("hi").cast("double").alias("_hi"),
+            F.col("edges").cast("array<double>").alias("_edges"),
+        ).schema
+    else:
+        stats = pick(ref).cube("_g").agg(
+            F.grouping("_g").alias("_all"),
+            F.min("_v").alias("_lo"),
+            F.max("_v").alias("_hi"),
+            *_edges_exprs(q),
+        ).select(
+            "_all",
+            "_g",
+            "_lo",
+            "_hi",
+            F.array(*[F.col(f"_e{i}") for i in range(1, q)]).alias("_edges"),
+        )
+        rows = stats.collect()
+        gschema_src = stats.select("_g", "_lo", "_hi", "_edges").schema
     corpus = [r for r in rows if r["_all"] == 1]
     if not corpus:
         raise ValueError(
@@ -1917,10 +1987,20 @@ def drift_gate_suite(
         for r in rows
         if r["_all"] == 0 and r["_g"] is not None
     ]
-    gschema = (
-        stats.select("_g", "_lo", "_hi", "_edges").schema
+    gstats = spark.createDataFrame(grows, schema=gschema_src)
+    # the publishable stats artifact (groups + 1 rows, driver-built):
+    # per-group rows plus the NULL-group corpus row
+    pub_stats = spark.createDataFrame(
+        grows
+        + [(None, float(corpus[0]["_lo"]), float(corpus[0]["_hi"]),
+            [float(e) for e in corpus[0]["_edges"]])],
+        schema=gschema_src,
+    ).select(
+        F.col("_g").alias(group_col),
+        F.col("_lo").alias("lo"),
+        F.col("_hi").alias("hi"),
+        F.col("_edges").alias("edges"),
     )
-    gstats = spark.createDataFrame(grows, schema=gschema)
 
     def cells(d: DataFrame) -> DataFrame:
         binned = d.join(F.broadcast(gstats), "_g", "left").select(
@@ -1950,7 +2030,54 @@ def drift_gate_suite(
             )
         )
 
-    rcells, ccells = cells(refd), cells(curd)
+    if ref_cells is not None:
+        # eager tiny-relation shape check (the pinned-gate discipline):
+        # duplicate (slot, group, bin) rows would double-count in the
+        # marginals; out-of-range slots/bins mean the cells were
+        # published under a different (bins, q) config. NULL bins are
+        # legal ONLY on the per-group slots (rows whose group was NULL
+        # or absent from the reference — the computed relation carries
+        # them and the derivations filter them).
+        cin = ref_cells.select(
+            F.col("slot").cast("int").alias("slot"),
+            F.col(group_col).alias("_g"),
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+        )
+        cap = F.when(F.col("slot").isin(0, 2), F.lit(bins)).otherwise(
+            F.lit(q)
+        )
+        bad_bin = F.when(
+            F.col("slot").isin(0, 1),
+            F.col("bin").isNull()
+            | (F.col("bin") < 0)
+            | (F.col("bin") >= cap),
+        ).otherwise(
+            F.col("bin").isNotNull()
+            & ((F.col("bin") < 0) | (F.col("bin") >= cap))
+        )
+        if (
+            cin.groupBy("slot", "_g", "bin")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(
+                (F.col("_c") > 1)
+                | ~F.col("slot").isin(0, 1, 2, 3)
+                | bad_bin
+            )
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"ref_cells must hold unique (slot, {group_col}, bin) "
+                f"rows with slot in 0..3 and bin in [0, bins={bins}) "
+                f"for slots 0/2 or [0, q={q}) for slots 1/3 (NULL bins "
+                "only on slots 2/3) — were the cells published under a "
+                "different config?"
+            )
+        rcells = cache_intermediate(cin)
+    else:
+        rcells = cells(pick(ref))
+    ccells = cells(curd)
     corpus_counts = lambda c, slot, nm: (  # noqa: E731
         c.where(F.col("slot") == slot)
         .groupBy("bin")
@@ -2010,4 +2137,11 @@ def drift_gate_suite(
         "ew_by": ew_by,
         "q_by": q_by,
         "caches": [rcells, ccells],
+        "ref_stats": pub_stats,
+        "ref_cells": rcells.select(
+            "slot",
+            F.col("_g").alias(group_col),
+            "bin",
+            "n",
+        ),
     }
