@@ -2779,3 +2779,115 @@ def test_pinned_group_dicts_require_str_keys(spark, tmp_path):
             spark, ref, str(tmp_path / "t3"), "x", "g", q=3,
             ref_edges={2.5: [10.0, 20.0]},
         )
+
+
+def test_streaming_drift_suite_matches_batch_prefix(spark, tmp_path):
+    """The FUSED drift-gate streaming twin: one sink folds the 4-slot
+    cell relation; the reader replays ALL FOUR gates (corpus/per-group
+    × equal-width/equi-depth) from storage + the pinned reference
+    artifacts, row-identical to batch drift_gate_suite over the same
+    prefix in string group space. Unpinned-group rows count in the
+    corpus gates and drop from the per-group ones (the batch rule)."""
+    import json as _json
+    import os
+    import time
+
+    from unimib_simpss_spark.operators.caching import release_intermediate
+    from unimib_simpss_spark.operators.validation import drift_gate_suite
+    from unimib_simpss_spark.streaming.sinks import (
+        drift_suite_pin,
+        foreach_batch_drift_suite,
+        read_drift_suite_metrics,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 41)]
+        + [("b", float(i * 2)) for i in range(1, 21)]
+        + [(None, 5.0), (None, 75.0)],  # NULL groups: corpus-only
+        "g string, x double",
+    )
+    rows_b1 = [
+        {"g": "a", "x": 3.0}, {"g": "a", "x": 17.5},
+        {"g": "b", "x": 44.0}, {"g": "a", "x": None},
+        {"g": None, "x": 5.0}, {"g": "zzz", "x": 7.0},  # corpus-only
+    ]
+    rows_b2 = [
+        {"g": "a", "x": -5.0}, {"g": "b", "x": 99.0},
+        {"g": "a", "x": 17.5}, {"g": None, "x": 61.0},
+    ]
+    # publish the reference artifacts from ONE batch-suite run
+    probe = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    s_ref = drift_gate_suite(ref, probe, "x", "g", bins=5, q=4)
+    stats_path = str(tmp_path / "stats.parquet")
+    cells_path = str(tmp_path / "cells.parquet")
+    s_ref["ref_stats"].write.parquet(stats_path)
+    s_ref["ref_cells"].write.parquet(cells_path)
+    for c in s_ref["caches"]:
+        release_intermediate(c)
+    pin = drift_suite_pin(spark.read.parquet(stats_path))
+    logdir = tmp_path / "vals"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b1) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows_b2) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    stream = (
+        spark.readStream.schema("g string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "suite")
+    qr = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_drift_suite(table, "x", "g", pin, bins=5, q=4)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qr.awaitTermination(120)
+    got = read_drift_suite_metrics(
+        spark,
+        table,
+        "g",
+        pin,
+        spark.read.parquet(cells_path),
+        bins=5,
+        q=4,
+    )
+    cur = spark.createDataFrame(
+        [(r["g"], r["x"]) for r in rows_b1 + rows_b2],
+        "g string, x double",
+    )
+    want = drift_gate_suite(ref, cur, "x", "g", bins=5, q=4)
+    for k in ("ew", "q", "ew_by", "q_by"):
+        g = sorted(map(tuple, got[k].collect()))
+        w = sorted(map(tuple, want[k].collect()))
+        assert g == w, (k, g, w)
+    for c in want["caches"]:
+        release_intermediate(c)
+    # mismatched pin rejected before any metric math
+    other = dict(pin, lo=pin["lo"] - 1.0)
+    with pytest.raises(ValueError, match="different"):
+        read_drift_suite_metrics(
+            spark, table, "g", other,
+            spark.read.parquet(cells_path), bins=5, q=4,
+        )
+    # wrong config rejected too
+    with pytest.raises(ValueError, match="q-1"):
+        read_drift_suite_metrics(
+            spark, table, "g", pin,
+            spark.read.parquet(cells_path), bins=5, q=7,
+        )
+    # non-str pin groups refused (the hardened key contract)
+    with pytest.raises(TypeError, match="non-str keys"):
+        foreach_batch_drift_suite(
+            str(tmp_path / "t2"), "x", "g",
+            dict(pin, groups={1: (0.0, 1.0, [0.2, 0.5, 0.8])}),
+            bins=5, q=4,
+        )

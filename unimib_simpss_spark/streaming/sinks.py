@@ -1268,3 +1268,296 @@ def read_drift_q_metrics_by(
         ndigits,
         group_col,
     )
+
+
+# ------------------------------------------- fused drift-suite sink
+def drift_suite_pin(ref_stats: DataFrame) -> dict:
+    """Convert the batch suite's published ``ref_stats`` relation
+    (``drift_gate_suite(...)["ref_stats"]``) into the driver-held pin
+    dict the streaming twin takes: ``{"lo", "hi", "edges", "groups":
+    {str group: (lo, hi, edges)}}``. Group keys are normalized through
+    Spark's OWN cast-to-string (the quantile_edges_kll_by rule — the
+    sink stringifies stream rows with the engine cast, and Python
+    str() of a native value can disagree). The collect is groups+1
+    rows by the publisher's construction."""
+    gcol = ref_stats.columns[0]
+    rows = ref_stats.select(
+        F.col(gcol).cast("string").alias("_g"), "lo", "hi", "edges"
+    ).collect()
+    corpus = [r for r in rows if r["_g"] is None]
+    if len(corpus) != 1:
+        raise ValueError(
+            f"ref_stats must hold exactly one NULL-group (corpus) row "
+            f"— found {len(corpus)}"
+        )
+    return {
+        "lo": float(corpus[0]["lo"]),
+        "hi": float(corpus[0]["hi"]),
+        "edges": [float(e) for e in corpus[0]["edges"]],
+        "groups": {
+            r["_g"]: (
+                float(r["lo"]),
+                float(r["hi"]),
+                [float(e) for e in r["edges"]],
+            )
+            for r in rows
+            if r["_g"] is not None
+        },
+    }
+
+
+def _suite_pin_sig(stats: dict, bins: int, q: int) -> str:
+    parts = [
+        repr(float(stats["lo"])),
+        repr(float(stats["hi"])),
+        _edges_sig(stats["edges"]),
+        str(bins),
+        str(q),
+    ]
+    for g in sorted(stats["groups"]):
+        lo, hi, es = stats["groups"][g]
+        parts += [g, repr(float(lo)), repr(float(hi)), _edges_sig(es)]
+    return hashlib.md5("\x1f".join(parts).encode()).hexdigest()
+
+
+def _check_suite_pin(stats: dict, q: int) -> dict:
+    """Validate the fused-suite pin through the SAME scalar checks the
+    batch path applies; returns a normalized copy."""
+    from unimib_simpss_spark.operators.validation import _check_edges
+
+    for k in ("lo", "hi", "edges", "groups"):
+        if k not in stats:
+            raise ValueError(f"drift-suite pin is missing {k!r}")
+    _require_str_keys(stats["groups"], "drift-suite pin groups")
+    out = {
+        "lo": float(stats["lo"]),
+        "hi": float(stats["hi"]),
+        "edges": _check_edges(stats["edges"], q),
+        "groups": {},
+    }
+    for g, (lo, hi, es) in stats["groups"].items():
+        try:
+            out["groups"][g] = (float(lo), float(hi), _check_edges(es, q))
+        except ValueError as e:
+            raise ValueError(f"drift-suite pin: group {g!r}: {e}") from e
+    return out
+
+
+def _suite_gstats_rel(spark, stats: dict):
+    return spark.createDataFrame(
+        [
+            (g, lo, hi, es)
+            for g, (lo, hi, es) in sorted(stats["groups"].items())
+        ],
+        "grp string, _lo double, _hi double, _edges array<double>",
+    )
+
+
+def _suite_cells_expr(col: str, group_col: str, stats: dict, bins: int, q: int):
+    """The 4-slot fused bin projection over a (stream or stored)
+    relation — ONE shared construction for the sink's fold and any
+    future batch-side reuse, mirroring drift_gate_suite's cells()
+    verbatim (same _drift_bin/_qbin columns, stats as literals)."""
+    from unimib_simpss_spark.operators.validation import _drift_bin, _qbin
+
+    cedges = F.array(*[F.lit(e).cast("double") for e in stats["edges"]])
+    clo, chi = F.lit(stats["lo"]), F.lit(stats["hi"])
+
+    def apply(batch: DataFrame) -> DataFrame:
+        spark = batch.sparkSession
+        pins = _suite_gstats_rel(spark, stats)
+        v = F.col(col).cast("double")
+        return (
+            batch.where(v.isNotNull())
+            .select(
+                F.col(group_col).cast("string").alias("grp"), v.alias("_v")
+            )
+            .join(F.broadcast(pins), "grp", "left")
+            .select(
+                "grp",
+                F.posexplode(
+                    F.array(
+                        _drift_bin(F.col("_v"), clo, chi, bins),
+                        _qbin(F.col("_v"), cedges, q),
+                        F.when(
+                            F.col("_lo").isNotNull(),
+                            _drift_bin(
+                                F.col("_v"), F.col("_lo"), F.col("_hi"), bins
+                            ),
+                        ),
+                        F.when(
+                            F.col("_edges").isNotNull(),
+                            _qbin(F.col("_v"), F.col("_edges"), q),
+                        ),
+                    )
+                ).alias("slot", "bin"),
+            )
+            # slots 2/3 rows whose group is unpinned/NULL bin to NULL —
+            # the batch derivations filter them, so the fold drops them
+            # here (fewer stored rows, identical reads)
+            .where(F.col("bin").isNotNull())
+        )
+
+    return apply
+
+
+def foreach_batch_drift_suite(
+    path: str,
+    col: str,
+    group_col: str,
+    stats: dict,
+    bins: int = 10,
+    q: int = 10,
+):
+    """Streaming twin of the FUSED :func:`drift_gate_suite`: each
+    micro-batch runs ONE 4-slot bin projection (corpus equal-width,
+    corpus equi-depth, per-group equal-width, per-group equi-depth —
+    the same posexplode shape as the batch suite) under the PINNED
+    prior-release stats (``stats`` — :func:`drift_suite_pin`'s dict;
+    driver-held, groups+1-sized) and folds ``(slot, grp, bin)`` counts
+    into one additive generation-swap table, instead of four separate
+    drift sinks each re-binning the same rows. The pin signature and
+    (bins, q) config are STORED per row (store-and-assert);
+    :func:`read_drift_suite_metrics` replays the counts through the
+    batch suite's own derivations."""
+    stats = _check_suite_pin(stats, q)
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    sig = _suite_pin_sig(stats, bins, q)
+    fold = foreach_batch_additive(
+        path, ("bins", "q", "pin", "slot", "grp", "bin"), {}
+    )
+    project = _suite_cells_expr(col, group_col, stats, bins, q)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        binned = project(batch).select(
+            F.lit(int(bins)).alias("bins"),
+            F.lit(int(q)).alias("q"),
+            F.lit(sig).alias("pin"),
+            "slot",
+            "grp",
+            "bin",
+        )
+        fold(binned, batch_id)
+
+    return _apply
+
+
+def read_drift_suite_metrics(
+    spark: SparkSession,
+    path: str,
+    group_col: str,
+    stats: dict,
+    ref_cells: DataFrame,
+    bins: int = 10,
+    q: int = 10,
+    ndigits: int = 6,
+) -> dict:
+    """All four drift gates from the streamed fused rollup — the same
+    ``{"ew", "q", "ew_by", "q_by"}`` dict :func:`drift_gate_suite`
+    returns, IN STRING GROUP SPACE (the per-group readers'
+    convention), row-identical to the batch suite over the same data
+    after any stream prefix. The reference side is fully PINNED — the
+    same ``stats`` dict the sink was built with (store-and-asserted
+    against every stored row) plus the batch suite's published
+    ``ref_cells`` relation; a streaming reader never scans the prior
+    release."""
+    from unimib_simpss_spark.operators.validation import (
+        _grouped_joined_bin_counts,
+        _joined_bin_counts,
+        drift_by_metrics_from_counts,
+        drift_metrics_from_counts,
+    )
+
+    stats = _check_suite_pin(stats, q)
+    sig = _suite_pin_sig(stats, bins, q)
+    cur, _ = _current_generation(path)
+    stored = (
+        spark.read.parquet(cur)
+        if cur is not None
+        else spark.createDataFrame(
+            [],
+            "bins int, q int, pin string, slot int, grp string, "
+            "bin long, n_rows long",
+        )
+    )
+    cfg = stored.select("bins", "q", "pin").distinct().collect()
+    if len(cfg) > 1:
+        raise ValueError(
+            f"drift-suite table at {path} holds {len(cfg)} configs — "
+            "it must be written by ONE sink"
+        )
+    if cfg and (
+        cfg[0]["bins"] != bins or cfg[0]["q"] != q or cfg[0]["pin"] != sig
+    ):
+        raise ValueError(
+            f"drift-suite table at {path} was pinned to a different "
+            "(bins, q, stats) config than the reader's — re-pin the "
+            "sink or pass the matching published stats"
+        )
+    gcol = ref_cells.columns[1]
+    rc = ref_cells.select(
+        F.col("slot").cast("int").alias("slot"),
+        F.col(gcol).cast("string").alias("grp"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+    )
+    cc = stored.select("slot", "grp", "bin", F.col("n_rows").alias("n"))
+    corpus_counts = lambda c, slot, nm: (  # noqa: E731
+        c.where(F.col("slot") == slot)
+        .groupBy("bin")
+        .agg(F.sum("n").alias(nm))
+    )
+    by_counts = lambda c, slot, nm: (  # noqa: E731
+        c.where((F.col("slot") == slot) & F.col("bin").isNotNull())
+        .select(F.col("grp").alias("_g"), "bin", F.col("n").alias(nm))
+    )
+    gstats = _suite_gstats_rel(spark, stats).select(
+        F.col("grp").alias("_g")
+    )
+    return {
+        "ew": drift_metrics_from_counts(
+            _joined_bin_counts(
+                corpus_counts(rc, 0, "_rn"),
+                corpus_counts(cc, 0, "_cn"),
+                bins,
+                spark,
+            ),
+            bins,
+            ndigits,
+        ),
+        "q": drift_metrics_from_counts(
+            _joined_bin_counts(
+                corpus_counts(rc, 1, "_rn"),
+                corpus_counts(cc, 1, "_cn"),
+                q,
+                spark,
+            ),
+            q,
+            ndigits,
+        ),
+        "ew_by": drift_by_metrics_from_counts(
+            _grouped_joined_bin_counts(
+                gstats,
+                by_counts(rc, 2, "_rn"),
+                by_counts(cc, 2, "_cn"),
+                bins,
+                spark,
+            ),
+            bins,
+            ndigits,
+            group_col,
+        ),
+        "q_by": drift_by_metrics_from_counts(
+            _grouped_joined_bin_counts(
+                gstats,
+                by_counts(rc, 3, "_rn"),
+                by_counts(cc, 3, "_cn"),
+                q,
+                spark,
+            ),
+            q,
+            ndigits,
+            group_col,
+        ),
+    }
