@@ -1904,6 +1904,13 @@ def drift_gate_suite(
             "ref=None requires BOTH ref_stats and ref_cells (nothing "
             "else defines the reference)"
         )
+    if ref_cells is not None and ref_stats is None:
+        raise ValueError(
+            "ref_cells requires ref_stats: the published counts were "
+            "binned under the publishing release's stats, and pairing "
+            "them with freshly-computed stats from a different ref "
+            "would compare two bin frames (review r16 pass 3)"
+        )
     from unimib_simpss_spark.operators.caching import cache_intermediate
 
     spark = cur.sparkSession
@@ -1916,12 +1923,13 @@ def drift_gate_suite(
         # the published artifact: tiny by contract (groups + 1 rows),
         # collected and validated through the SAME scalar checks the
         # computed path's rows get
-        srows = ref_stats.select(
+        sel = ref_stats.select(
             F.col(group_col).alias("_g"),
             F.col("lo").cast("double").alias("_lo"),
             F.col("hi").cast("double").alias("_hi"),
             F.col("edges").cast("array<double>").alias("_edges"),
-        ).collect()
+        )
+        srows = sel.collect()
         rows = []
         seen: set = set()
         for r in srows:
@@ -1951,12 +1959,7 @@ def drift_gate_suite(
                 "ref_stats must hold exactly one NULL-group row (the "
                 "corpus stats) — none found"
             )
-        gschema_src = ref_stats.select(
-            F.col(group_col).alias("_g"),
-            F.col("lo").cast("double").alias("_lo"),
-            F.col("hi").cast("double").alias("_hi"),
-            F.col("edges").cast("array<double>").alias("_edges"),
-        ).schema
+        gschema_src = sel.schema
     else:
         stats = pick(ref).cube("_g").agg(
             F.grouping("_g").alias("_all"),
@@ -2031,53 +2034,100 @@ def drift_gate_suite(
         )
 
     if ref_cells is not None:
-        # eager tiny-relation shape check (the pinned-gate discipline):
-        # duplicate (slot, group, bin) rows would double-count in the
-        # marginals; out-of-range slots/bins mean the cells were
-        # published under a different (bins, q) config. NULL bins are
-        # legal ONLY on the per-group slots (rows whose group was NULL
-        # or absent from the reference — the computed relation carries
-        # them and the derivations filter them).
-        cin = ref_cells.select(
-            F.col("slot").cast("int").alias("slot"),
-            F.col(group_col).alias("_g"),
-            F.col("bin").cast("long").alias("bin"),
-            F.col("n").cast("long").alias("n"),
+        cin = _check_suite_cells(
+            ref_cells.select(
+                F.col("slot").cast("int").alias("slot"),
+                F.col(group_col).alias("_g"),
+                F.col("bin").cast("long").alias("bin"),
+                F.col("n").cast("long").alias("n"),
+            ),
+            bins,
+            q,
+            group_col,
         )
-        cap = F.when(F.col("slot").isin(0, 2), F.lit(bins)).otherwise(
-            F.lit(q)
-        )
-        bad_bin = F.when(
-            F.col("slot").isin(0, 1),
-            F.col("bin").isNull()
-            | (F.col("bin") < 0)
-            | (F.col("bin") >= cap),
-        ).otherwise(
-            F.col("bin").isNotNull()
-            & ((F.col("bin") < 0) | (F.col("bin") >= cap))
-        )
-        if (
-            cin.groupBy("slot", "_g", "bin")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .where(
-                (F.col("_c") > 1)
-                | ~F.col("slot").isin(0, 1, 2, 3)
-                | bad_bin
-            )
-            .limit(1)
-            .count()
-        ):
-            raise ValueError(
-                f"ref_cells must hold unique (slot, {group_col}, bin) "
-                f"rows with slot in 0..3 and bin in [0, bins={bins}) "
-                f"for slots 0/2 or [0, q={q}) for slots 1/3 (NULL bins "
-                "only on slots 2/3) — were the cells published under a "
-                "different config?"
-            )
         rcells = cache_intermediate(cin)
     else:
         rcells = cells(pick(ref))
     ccells = cells(curd)
+    out = _suite_gates_from_cells(
+        rcells, ccells, gstats, bins, q, ndigits, group_col, spark
+    )
+    out.update(
+        {
+            "caches": [rcells, ccells],
+            "ref_stats": pub_stats,
+            "ref_cells": rcells.select(
+                "slot",
+                F.col("_g").alias(group_col),
+                "bin",
+                "n",
+            ),
+        }
+    )
+    return out
+
+
+def _check_suite_cells(
+    cin: DataFrame, bins: int, q: int, group_col: str = "grp"
+) -> DataFrame:
+    """Eager tiny-relation shape check for a published fused cell
+    relation (columns ``slot``/``_g``/``bin``/``n`` — the
+    pinned-gate discipline, shared by the batch suite's pinned path
+    and the streaming reader): duplicate (slot, group, bin) rows
+    would double-count in the marginals; NULL or out-of-range slots
+    and bins mean the cells were published under a different
+    (bins, q) config (NULL slots would silently match no gate —
+    review r16 pass 3). NULL bins are legal ONLY on the per-group
+    slots (rows whose group was NULL or absent from the reference —
+    the computed relation carries them, the derivations filter
+    them). Returns ``cin`` unchanged."""
+    cap = F.when(F.col("slot").isin(0, 2), F.lit(bins)).otherwise(F.lit(q))
+    bad_bin = F.when(
+        F.col("slot").isin(0, 1),
+        F.col("bin").isNull() | (F.col("bin") < 0) | (F.col("bin") >= cap),
+    ).otherwise(
+        F.col("bin").isNotNull()
+        & ((F.col("bin") < 0) | (F.col("bin") >= cap))
+    )
+    if (
+        cin.groupBy("slot", "_g", "bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(
+            (F.col("_c") > 1)
+            | F.col("slot").isNull()
+            | ~F.col("slot").isin(0, 1, 2, 3)
+            | bad_bin
+        )
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            f"ref_cells must hold unique (slot, {group_col}, bin) "
+            f"rows with slot in 0..3 and bin in [0, bins={bins}) "
+            f"for slots 0/2 or [0, q={q}) for slots 1/3 (NULL bins "
+            "only on slots 2/3) — were the cells published under a "
+            "different config?"
+        )
+    return cin
+
+
+def _suite_gates_from_cells(
+    rcells: DataFrame,
+    ccells: DataFrame,
+    gstats: DataFrame,
+    bins: int,
+    q: int,
+    ndigits: int,
+    group_col: str,
+    spark,
+) -> dict:
+    """The four gate derivations over a reference/current pair of
+    fused cell relations (columns ``slot``/``_g``/``bin``/``n``) —
+    ONE copy shared by :func:`drift_gate_suite` and the streaming
+    reader (``read_drift_suite_metrics``), because their row-identity
+    contract would otherwise rest on duplicated assembly code
+    (review r16 pass 3). ``gstats`` only needs a ``_g`` column (the
+    reference's group universe for the zero-filled _by frames)."""
     corpus_counts = lambda c, slot, nm: (  # noqa: E731
         c.where(F.col("slot") == slot)
         .groupBy("bin")
@@ -2087,61 +2137,31 @@ def drift_gate_suite(
         c.where((F.col("slot") == slot) & F.col("bin").isNotNull())
         .select("_g", "bin", F.col("n").alias(nm))
     )
-    ew = drift_metrics_from_counts(
+    corpus_gate = lambda slot, width: drift_metrics_from_counts(  # noqa: E731
         _joined_bin_counts(
-            corpus_counts(rcells, 0, "_rn"),
-            corpus_counts(ccells, 0, "_cn"),
-            bins,
+            corpus_counts(rcells, slot, "_rn"),
+            corpus_counts(ccells, slot, "_cn"),
+            width,
             spark,
         ),
-        bins,
+        width,
         ndigits,
     )
-    qd = drift_metrics_from_counts(
-        _joined_bin_counts(
-            corpus_counts(rcells, 1, "_rn"),
-            corpus_counts(ccells, 1, "_cn"),
-            q,
-            spark,
-        ),
-        q,
-        ndigits,
-    )
-    ew_by = drift_by_metrics_from_counts(
+    by_gate = lambda slot, width: drift_by_metrics_from_counts(  # noqa: E731
         _grouped_joined_bin_counts(
             gstats,
-            by_counts(rcells, 2, "_rn"),
-            by_counts(ccells, 2, "_cn"),
-            bins,
+            by_counts(rcells, slot, "_rn"),
+            by_counts(ccells, slot, "_cn"),
+            width,
             spark,
         ),
-        bins,
-        ndigits,
-        group_col,
-    )
-    q_by = drift_by_metrics_from_counts(
-        _grouped_joined_bin_counts(
-            gstats,
-            by_counts(rcells, 3, "_rn"),
-            by_counts(ccells, 3, "_cn"),
-            q,
-            spark,
-        ),
-        q,
+        width,
         ndigits,
         group_col,
     )
     return {
-        "ew": ew,
-        "q": qd,
-        "ew_by": ew_by,
-        "q_by": q_by,
-        "caches": [rcells, ccells],
-        "ref_stats": pub_stats,
-        "ref_cells": rcells.select(
-            "slot",
-            F.col("_g").alias(group_col),
-            "bin",
-            "n",
-        ),
+        "ew": corpus_gate(0, bins),
+        "q": corpus_gate(1, q),
+        "ew_by": by_gate(2, bins),
+        "q_by": by_gate(3, q),
     }

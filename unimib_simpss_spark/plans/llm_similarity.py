@@ -612,7 +612,11 @@ def x79_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate corrupt rows BEFORE quantizing/indexing (quantize_vectors'
     # documented contract; a NULL-element embedding would produce a
     # NULL qvec that crashes the per-cell GEMM — review r16 pass 2)
+    # AND exclude zero-norm vectors: the quantized path drops them
+    # (no cosine direction) while the float baseline would keep them
+    # with NaN cosines, corrupting the recall leg (review r16 pass 3)
     emb = _emb(spark, sf_dir).where(S.defined_vector_pred())
+    emb = emb.where(S._norm(F.col("embedding").cast("array<double>")) > 0)
     cells = S.kmeans_cells(emb, k=8, iters=3)
     qz = S.quantize_vectors(emb).join(cells, "vec_id")
     routed = cache_intermediate(

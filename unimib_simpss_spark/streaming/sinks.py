@@ -1463,10 +1463,8 @@ def read_drift_suite_metrics(
     ``ref_cells`` relation; a streaming reader never scans the prior
     release."""
     from unimib_simpss_spark.operators.validation import (
-        _grouped_joined_bin_counts,
-        _joined_bin_counts,
-        drift_by_metrics_from_counts,
-        drift_metrics_from_counts,
+        _check_suite_cells,
+        _suite_gates_from_cells,
     )
 
     stats = _check_suite_pin(stats, q)
@@ -1496,68 +1494,27 @@ def read_drift_suite_metrics(
             "sink or pass the matching published stats"
         )
     gcol = ref_cells.columns[1]
-    rc = ref_cells.select(
-        F.col("slot").cast("int").alias("slot"),
-        F.col(gcol).cast("string").alias("grp"),
-        F.col("bin").cast("long").alias("bin"),
-        F.col("n").cast("long").alias("n"),
+    # the published artifact rides the SAME shape check the batch
+    # suite's pinned path applies — mismatched (bins, q) artifacts
+    # would otherwise silently truncate reference mass in the
+    # zero-fill joins (review r16 pass 3)
+    rc = _check_suite_cells(
+        ref_cells.select(
+            F.col("slot").cast("int").alias("slot"),
+            F.col(gcol).cast("string").alias("_g"),
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+        ),
+        bins,
+        q,
+        gcol,
     )
-    cc = stored.select("slot", "grp", "bin", F.col("n_rows").alias("n"))
-    corpus_counts = lambda c, slot, nm: (  # noqa: E731
-        c.where(F.col("slot") == slot)
-        .groupBy("bin")
-        .agg(F.sum("n").alias(nm))
-    )
-    by_counts = lambda c, slot, nm: (  # noqa: E731
-        c.where((F.col("slot") == slot) & F.col("bin").isNotNull())
-        .select(F.col("grp").alias("_g"), "bin", F.col("n").alias(nm))
+    cc = stored.select(
+        "slot", F.col("grp").alias("_g"), "bin", F.col("n_rows").alias("n")
     )
     gstats = _suite_gstats_rel(spark, stats).select(
         F.col("grp").alias("_g")
     )
-    return {
-        "ew": drift_metrics_from_counts(
-            _joined_bin_counts(
-                corpus_counts(rc, 0, "_rn"),
-                corpus_counts(cc, 0, "_cn"),
-                bins,
-                spark,
-            ),
-            bins,
-            ndigits,
-        ),
-        "q": drift_metrics_from_counts(
-            _joined_bin_counts(
-                corpus_counts(rc, 1, "_rn"),
-                corpus_counts(cc, 1, "_cn"),
-                q,
-                spark,
-            ),
-            q,
-            ndigits,
-        ),
-        "ew_by": drift_by_metrics_from_counts(
-            _grouped_joined_bin_counts(
-                gstats,
-                by_counts(rc, 2, "_rn"),
-                by_counts(cc, 2, "_cn"),
-                bins,
-                spark,
-            ),
-            bins,
-            ndigits,
-            group_col,
-        ),
-        "q_by": drift_by_metrics_from_counts(
-            _grouped_joined_bin_counts(
-                gstats,
-                by_counts(rc, 3, "_rn"),
-                by_counts(cc, 3, "_cn"),
-                q,
-                spark,
-            ),
-            q,
-            ndigits,
-            group_col,
-        ),
-    }
+    return _suite_gates_from_cells(
+        rc, cc, gstats, bins, q, ndigits, group_col, spark
+    )
