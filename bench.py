@@ -92,6 +92,9 @@ SECTIONED: dict[str, tuple[str, list[str]]] = {
         "family",
         ["minhash", "simhash", "edit", "hamming24"],
     ),
+    # VERDICT r16 #2: q36's sq8 leg hid a 4× regression for lack of a
+    # section wall — every leg of the quantization story gets one.
+    "q36_cosine_topk": ("method", ["hof", "arrow", "quant", "sq8"]),
     "q38_decontamination": (
         "section",
         ["ngram", "bm25", "overlap", "rrf", "ev"],

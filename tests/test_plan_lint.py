@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from unimib_simpss_spark.operators.plan_lint import (
     assert_scale_clean,
+    hof_counts,
     lint_plan,
 )
 from unimib_simpss_spark.plans import registry
@@ -125,6 +126,53 @@ _ALLOW: dict[str, set] = {
 def test_registered_query_plans_are_scale_clean(spark, sf_dir, name):
     df = registry.queries()[name](spark, sf_dir)
     assert_scale_clean(df, allow=_ALLOW.get(name, set()))
+
+
+# --------------------------------------- repeated-HOF-derivation ceiling
+# VERDICT r16 #1/#2: a `.where` above a projection is predicate-pushed
+# with its alias SUBSTITUTED, so guarding on a derived value re-derives
+# its whole expression chain inside the scan filters of every branch —
+# q36's sq8 leg shipped a hash-green 4× warm regression exactly this way
+# (optimized plan: 18 `transform(` / 9 `aggregate(` vs 6 / 7 clean).
+# These ceilings FAIL at the regressed shape and pass at the clean one,
+# so the class can't hide behind correct output again.
+
+
+class TestHofDerivationCeiling:
+    def _quantized(self, spark, sf_dir):
+        from unimib_simpss_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return S.quantize_vectors(
+            emb.where(S.defined_vector_pred()), keep=("label",)
+        )
+
+    def test_sq8_topk_plan_derives_the_quantize_chain_once_per_branch(
+        self, spark, sf_dir
+    ):
+        from unimib_simpss_spark.operators import similarity as S
+
+        df = S.cosine_topk_quantized(
+            self._quantized(spark, sf_dir), k=5,
+            query_pred=F.col("vec_id") < 8,
+        )
+        counts = hof_counts(df)
+        # clean shape: 6 transform / 7 aggregate (one quantize chain per
+        # join branch); the r16 regression read 18 / 9
+        assert counts["transform"] <= 8, counts
+        assert counts["aggregate"] <= 8, counts
+
+    def test_ivf_sq8_column_plan_derives_the_quantize_chain_once_per_branch(
+        self, spark, sf_dir
+    ):
+        from unimib_simpss_spark.operators import similarity as S
+
+        qz = self._quantized(spark, sf_dir).withColumn(
+            "cell", F.pmod(F.col("vec_id"), F.lit(4))
+        )
+        counts = hof_counts(S.ivf_topk_quantized(qz, k=3, impl="column"))
+        assert counts["transform"] <= 8, counts
+        assert counts["aggregate"] <= 8, counts
 
 
 # ------------------------------------------------ pre-checkpoint sweep

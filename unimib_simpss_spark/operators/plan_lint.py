@@ -125,6 +125,25 @@ def _global_window_specs(phys: str) -> list[str]:
     return out
 
 
+# Higher-order-function expression heads as they print in an optimized
+# logical plan. Lowercase, so the logical `Filter (...)` node never
+# collides with the `filter(lambda …)` HOF.
+_HOF_HEADS = ("transform(", "aggregate(", "zip_with(", "exists(", "filter(")
+
+
+def hof_counts(df: DataFrame) -> dict[str, int]:
+    """Occurrences of each array higher-order-function head in the
+    OPTIMIZED logical plan. The repeated-derivation detector (VERDICT
+    r16 #2): when a filter above a projection is predicate-pushed with
+    its alias substituted, an expensive HOF chain silently multiplies
+    across scan filters and join branches — q36's sq8 leg shipped a 4×
+    warm regression this way (18 ``transform(`` vs 6 clean) while
+    staying hash-green. Pin a ceiling per hot plan in CI; the counts
+    are plan-shape, so they are stable across data scale."""
+    _, opt = _plan_strings(df)
+    return {h.rstrip("("): opt.count(h) for h in _HOF_HEADS}
+
+
 def lint_plan(df: DataFrame) -> list[Finding]:
     """Lint a DataFrame's physical plan; returns findings ordered
     errors-first. Call AFTER an action if you want the AQE-final plan

@@ -2433,9 +2433,20 @@ def cosine_topk_quantized(
     base = qdf.select(
         F.col(id_col).alias("_id"),
         F.col("qvec").alias("_q"),
-        F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double")).alias(
-            "_qn"
-        ),
+        # The norm rides a Generate (explode of a 1-element array), so
+        # the zero-norm guard below binds to GENERATOR OUTPUT and cannot
+        # be predicate-pushed with its alias substituted (PLANS.md
+        # round-4 discipline, the q67 gram-projection pattern). The
+        # previous `.where` over a plain projection re-derived the whole
+        # sqrt(int_dot(quantize(...))) chain inside the scan filters of
+        # BOTH join branches: optimized plan 18 transform(/9 aggregate(
+        # vs 6/7 clean; worktree A/B at sf0.1: q36 3.1-3.4 s -> 7.5 s
+        # warm (VERDICT r16 #1).
+        F.explode(
+            F.array(
+                F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+            )
+        ).alias("_qn"),
     ).where(F.col("_qn") > 0)  # zero qvecs have no cosine direction
     pred = query_pred if query_pred is not None else F.lit(True)
     queries = base.where(pred).select(
@@ -2643,9 +2654,14 @@ def ivf_topk_quantized(
         F.col(id_col).alias("_id"),
         F.col(cell_col).alias("_cell"),
         F.col("qvec").alias("_q"),
-        F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double")).alias(
-            "_n"
-        ),
+        # Generate-folded norm: see cosine_topk_quantized — the same
+        # alias-substituted-pushdown trap was added here in review r16
+        # (VERDICT r16 #1 names both sites).
+        F.explode(
+            F.array(
+                F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+            )
+        ).alias("_n"),
     ).where(F.col("_n") > 0)
     # zero-norm (all-zero) qvecs are EXCLUDED on both impls: a zero
     # vector has no cosine direction — 0/0 = NaN, and the two impls
