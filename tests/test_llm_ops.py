@@ -2652,6 +2652,27 @@ class TestPrefixRerankTopk:
             S.prefix_rerank_topk_sql(k=5, shortlist=3)
 
 
+class TestNpRound6:
+    def test_tiny_negatives_round_to_positive_zero(self):
+        """ADVICE r16: np.sign kept the sign of a tiny negative that
+        rounds to zero, so the Arrow path could emit -0.0 where the
+        Column twin's F.round (BigDecimal) yields +0.0 — == masks it,
+        a bitwise/hash comparison would not."""
+        import numpy as np
+
+        from unimib_simpss_spark.operators.similarity import _np_round6
+
+        out = _np_round6(np.array([-1e-9, 1e-9, -0.0, 0.0, -4e-7]))
+        assert not np.signbit(out).any(), out
+        assert (out == 0).all()
+        # non-zero values keep their sign and rounding
+        keep = _np_round6(np.array([-0.3098174, 0.3340251, -1e-6]))
+        assert keep.tolist() == [-0.309817, 0.334025, -1e-6]
+        # NaN / inf still pass through untouched
+        spec = _np_round6(np.array([np.nan, np.inf, -np.inf]))
+        assert np.isnan(spec[0]) and spec[1] == np.inf and spec[2] == -np.inf
+
+
 class TestInt8Quantization:
     def test_roundtrip_error_bounded_by_half_scale(self, spark, emb):
         """Per-element reconstruction error must be <= scale/2 (the

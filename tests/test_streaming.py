@@ -2878,6 +2878,29 @@ def test_streaming_drift_suite_matches_batch_prefix(spark, tmp_path):
             spark, table, "g", other,
             spark.read.parquet(cells_path), bins=5, q=4,
         )
+    # ADVICE r16: group columns bind BY NAME — a column-reordered or
+    # renamed published artifact must not misbind positionally
+    assert drift_suite_pin(
+        spark.read.parquet(stats_path).select("edges", "hi", "lo", "g")
+    ) == pin
+    assert drift_suite_pin(
+        spark.read.parquet(stats_path).withColumnRenamed("g", "grp2"),
+        group_col="grp2",
+    ) == pin
+    with pytest.raises(ValueError, match="missing published column"):
+        drift_suite_pin(spark.read.parquet(stats_path).drop("lo"))
+    with pytest.raises(ValueError, match="exactly one group column"):
+        drift_suite_pin(
+            spark.read.parquet(stats_path).withColumn(
+                "extra", F.lit(1)
+            )
+        )
+    with pytest.raises(ValueError, match="has no 'g' column"):
+        read_drift_suite_metrics(
+            spark, table, "g", pin,
+            spark.read.parquet(cells_path).withColumnRenamed("g", "h"),
+            bins=5, q=4,
+        )
     # wrong config rejected too
     with pytest.raises(ValueError, match="q-1"):
         read_drift_suite_metrics(

@@ -1146,6 +1146,41 @@ class TestQuantileDriftBy:
         )
         assert via_dict == via_df
 
+    def test_dict_pin_survives_hostile_group_column_name(self, spark):
+        """ADVICE r16: the dict-pin path used to interpolate group_col
+        into a DDL schema string — a name with a space broke
+        createDataFrame with a parse error unrelated to the pin. The
+        StructType build must accept any column name."""
+        from unimib_simpss_spark.operators.validation import (
+            quantile_drift_by,
+        )
+
+        ref, cur = self._fixture(spark)
+        hostile = "g col;drop"
+        refh = ref.withColumnRenamed("g", hostile)
+        curh = cur.withColumnRenamed("g", hostile)
+        edge_map = {
+            "a": [20.0, 40.0, 60.0, 80.0],
+            "b": [30.0, 60.0, 90.0, 120.0],
+        }
+        via_hostile = sorted(
+            map(
+                tuple,
+                quantile_drift_by(
+                    refh, curh, "x", hostile, q=5, ref_edges=edge_map
+                ).collect(),
+            )
+        )
+        via_plain = sorted(
+            map(
+                tuple,
+                quantile_drift_by(
+                    ref, cur, "x", "g", q=5, ref_edges=edge_map
+                ).collect(),
+            )
+        )
+        assert via_hostile == via_plain
+
     def test_dict_pin_casts_groups_to_string_space(self, spark):
         """A dict pin lives in string group space (the streaming
         reader's convention) — an int-keyed corpus binned under a

@@ -62,6 +62,11 @@ def _np_round6(sims):
                 )
             )
         out = flat_out.reshape(out.shape)
+    # np.sign keeps the sign of a tiny negative that rounds to zero, so
+    # the Arrow path could emit -0.0 where the Column twin's F.round
+    # (BigDecimal) yields +0.0 — == masks it, bitwise/hash comparison
+    # would not (ADVICE r16). Collapse both zeros to +0.0.
+    out = np.where(out == 0, 0.0, out)
     return np.where(np.isfinite(sims), out, sims)
 
 

@@ -1590,12 +1590,29 @@ def quantile_drift_by(
             # string-cast groups (the read_drift_q_metrics_by
             # convention) so a published pin means the same thing on
             # the batch and streaming paths
+            # a real StructType, not a DDL string: interpolating
+            # group_col into DDL breaks on names with spaces/reserved
+            # characters with a parse error unrelated to the pin
+            # (ADVICE r16)
+            from pyspark.sql.types import (
+                ArrayType,
+                DoubleType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
             ref_edges = cur.sparkSession.createDataFrame(
                 [
                     (g, [float(e) for e in es])
                     for g, es in sorted(ref_edges.items())
                 ],
-                f"{group_col} string, edges array<double>",
+                StructType(
+                    [
+                        StructField(group_col, StringType()),
+                        StructField("edges", ArrayType(DoubleType())),
+                    ]
+                ),
             )
         else:
             raise TypeError(

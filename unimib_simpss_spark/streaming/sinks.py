@@ -1271,7 +1271,7 @@ def read_drift_q_metrics_by(
 
 
 # ------------------------------------------- fused drift-suite sink
-def drift_suite_pin(ref_stats: DataFrame) -> dict:
+def drift_suite_pin(ref_stats: DataFrame, group_col: str | None = None) -> dict:
     """Convert the batch suite's published ``ref_stats`` relation
     (``drift_gate_suite(...)["ref_stats"]``) into the driver-held pin
     dict the streaming twin takes: ``{"lo", "hi", "edges", "groups":
@@ -1279,8 +1279,37 @@ def drift_suite_pin(ref_stats: DataFrame) -> dict:
     Spark's OWN cast-to-string (the quantile_edges_kll_by rule — the
     sink stringifies stream rows with the engine cast, and Python
     str() of a native value can disagree). The collect is groups+1
-    rows by the publisher's construction."""
-    gcol = ref_stats.columns[0]
+    rows by the publisher's construction.
+
+    The group column binds BY NAME: either pass ``group_col``
+    explicitly or leave it None to bind the single column that is not
+    ``lo``/``hi``/``edges`` — a POSITIONAL bind (``columns[0]``) on a
+    re-selected/column-reordered artifact silently misbinds and fails
+    only through downstream validation errors pointing at the wrong
+    cause (ADVICE r16)."""
+    fixed = {"lo", "hi", "edges"}
+    missing = fixed - set(ref_stats.columns)
+    if missing:
+        raise ValueError(
+            f"ref_stats is missing published column(s) {sorted(missing)} "
+            f"— got {ref_stats.columns}; pass "
+            "drift_gate_suite(...)['ref_stats']"
+        )
+    if group_col is not None:
+        if group_col not in ref_stats.columns:
+            raise ValueError(
+                f"ref_stats has no {group_col!r} column — got "
+                f"{ref_stats.columns}"
+            )
+        gcol = group_col
+    else:
+        cand = [c for c in ref_stats.columns if c not in fixed]
+        if len(cand) != 1:
+            raise ValueError(
+                "ref_stats must carry exactly one group column beside "
+                f"lo/hi/edges — found {cand}; pass group_col explicitly"
+            )
+        gcol = cand[0]
     rows = ref_stats.select(
         F.col(gcol).cast("string").alias("_g"), "lo", "hi", "edges"
     ).collect()
@@ -1493,7 +1522,18 @@ def read_drift_suite_metrics(
             "(bins, q, stats) config than the reader's — re-pin the "
             "sink or pass the matching published stats"
         )
-    gcol = ref_cells.columns[1]
+    # bind the artifact's group column BY NAME (the reader's group_col
+    # is the publisher's by contract) — the old positional columns[1]
+    # misbinds a re-selected/column-reordered artifact and fails only
+    # via downstream validation errors that point at the wrong cause
+    # (ADVICE r16)
+    if group_col not in ref_cells.columns:
+        raise ValueError(
+            f"ref_cells has no {group_col!r} column — got "
+            f"{ref_cells.columns}; pass drift_gate_suite(...)"
+            "['ref_cells'] published under the same group_col"
+        )
+    gcol = group_col
     # the published artifact rides the SAME shape check the batch
     # suite's pinned path applies — mismatched (bins, q) artifacts
     # would otherwise silently truncate reference mass in the
