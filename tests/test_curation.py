@@ -48,6 +48,94 @@ def test_redaction_removes_all_digits_and_is_idempotent(spark):
     assert rows[1].red == "a[ID]b[ID]c[ID]" and rows[1].nd == 6
 
 
+class TestStructuredPiiScrub:
+    """The structured scrub family (VERDICT r16 #4): email / phone /
+    IPv4 / IPv6 redaction with class tokens, hostile-input parity
+    between the Spark Column chain and the DuckDB SQL twin (verbatim
+    text, not just counts), plus the documented negative space —
+    dates, ISBNs, card digit runs, times, MACs must survive."""
+
+    CASES = [
+        "Reach john.doe+x@sub.example.co.uk or mary%t@ex-a.io now",
+        "user@192.168.1.1 logged in from 10.0.0.7",
+        "call +39 02 1234 5678 or (02)12345678 or 555-123-4567",
+        "dates 2023-08-16 and 16.08.2023 and ISBN 978-3-16-148410-0",
+        "card 4111 1111 1111 1111 order 5551234567",
+        "v10.1.2.3000 vs 1.2.3.4.5 vs 255.255.255.255",
+        "2001:db8::1 and ::1 and fe80::1%eth0 and "
+        "2001:0db8:85a3:0000:0000:8a2e:0370:7334",
+        "time 12:30:45 mac 00:1a:2b:3c:4d:5e ratio 3:2",
+        "std::vector and cafe::babe and a::b",
+        "::ffff:192.168.1.1 mapped",
+        "+1-800-555-0199 ext 77, (800) 555 0199, +12345678901",
+        "no pii here at all, just text 42",
+        "email@domain.museum trailing, x@y.io.",
+        "3+4=7 and 1+1=2",
+        "(2023) was a year 1234",
+        "",
+    ]
+
+    def _spark_rows(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)], "i int, t string"
+        )
+        cnts = P.pii_class_counts("t")
+        return (
+            df.select(
+                "i",
+                P.scrub_pii("t").alias("s"),
+                *[v.alias(k) for k, v in cnts.items()],
+            )
+            .orderBy("i")
+            .collect()
+        )
+
+    def test_verbatim_parity_with_duckdb_twin(self, spark):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE tt(i int, t varchar)")
+        con.executemany(
+            "INSERT INTO tt VALUES (?, ?)", list(enumerate(self.CASES))
+        )
+        csql = P.pii_class_counts_sql("t")
+        sel = ", ".join(f"{v} AS {k}" for k, v in csql.items())
+        duck = con.execute(
+            f"SELECT i, {P.scrub_pii_sql('t')} AS s, {sel} "
+            "FROM tt ORDER BY i"
+        ).fetchall()
+        got = [
+            (r["i"], r["s"], r["emails"], r["phones"], r["ipv4"], r["ipv6"])
+            for r in self._spark_rows(spark)
+        ]
+        assert got == [tuple(d) for d in duck]
+
+    def test_scrubs_and_negative_space(self, spark):
+        out = {r["i"]: r for r in self._spark_rows(spark)}
+        s = {i: out[i]["s"] for i in out}
+        # every class redacts to its own token
+        assert s[0] == "Reach [EMAIL] or [EMAIL] now"
+        assert s[2] == "call [PHONE] or [PHONE] or [PHONE]"
+        assert s[6].count("[IP6]") == 4
+        # numeric email host: email rule rejects, IPv4 rule owns it
+        assert s[1] == "user@[IP4] logged in from [IP4]"
+        # the documented negative space survives untouched
+        for i in (3, 4, 7, 13, 14):  # dates/ISBN, cards, times/MAC, math
+            assert s[i] == self.CASES[i], (i, s[i])
+        # count profile matches the redactions
+        assert (out[0]["emails"], out[2]["phones"]) == (2, 3)
+        assert (out[1]["ipv4"], out[6]["ipv6"]) == (2, 4)
+
+    def test_scrub_is_idempotent(self, spark):
+        df = spark.createDataFrame(
+            [(t,) for t in self.CASES], "t string"
+        ).select(P.scrub_pii("t").alias("once"))
+        rows = df.select(
+            "once", P.scrub_pii("once").alias("twice")
+        ).collect()
+        assert all(r["once"] == r["twice"] for r in rows)
+
+
 def test_kanon_flags_exactly_small_groups(spark):
     df = spark.createDataFrame(
         [("a", 1)] * 5 + [("b", 1)] * 4 + [("c", 2)] * 1, ["seg", "nat"]
