@@ -255,6 +255,80 @@ def test_bigram_lm_dsir_upweights_target_domain(spark):
     assert lm == ref
 
 
+def test_doc_trigrams_counts_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x"), (3, "p q"), (4, "r s t")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r.doc_id, r.w1, r.w2, r.w3) for r in C.doc_trigrams(df).collect()
+    )
+    # 1- and 2-token docs emit nothing (greatest(size-2, 0) guard)
+    assert rows == [
+        (1, "a", "b", "c"),
+        (1, "b", "c", "d"),
+        (4, "r", "s", "t"),
+    ]
+
+
+class TestTrigramLm:
+    """The interpolated-trigram quality filter (VERDICT r16 #5): the
+    fixture contract is SEPARATION — fluent documents (whose trigrams
+    the corpus model has seen often) must score strictly above a
+    shuffled-token document built from the same vocabulary (whose
+    trigram and bigram contexts collapse to the unigram floor)."""
+
+    FLUENT = "the quick brown fox jumps over the lazy dog"
+    # same 9 tokens, fixed shuffled order — same unigram profile
+    SHUFFLED = "dog the over fox quick lazy jumps brown the"
+
+    def _corpus(self, spark):
+        rows = [(i, self.FLUENT) for i in range(8)] + [(99, self.SHUFFLED)]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_fluent_separates_from_shuffled(self, spark):
+        scores = {
+            r.doc_id: (r.n_ngrams, r.score)
+            for r in C.trigram_lm_scores(self._corpus(spark)).collect()
+        }
+        assert len(scores) == 9
+        n, fluent = scores[0]
+        n_s, shuf = scores[99]
+        assert n == n_s == 7  # 9 tokens -> 7 trigrams
+        # Separation with margin. NOTE the self-trained ceiling: a
+        # novel trigram in a novel context scores c123/c12 = 1/1 on
+        # the λ3 term (the corpus model has seen that context exactly
+        # once — in this document), so the separation signal lives in
+        # the λ2/λ1 context terms: fluent ≈ -0.152, shuffled ≈ -0.441
+        # on this fixture (exact rational arithmetic, deterministic).
+        # A reference-corpus-trained model would separate much harder;
+        # scoring against the corpus's own counts is the documented
+        # q64 regime.
+        assert fluent > shuf + 0.25, (fluent, shuf)
+        assert all(scores[i][1] == fluent for i in range(8))
+
+    def test_lambdas_shift_mass_to_unigram_floor(self, spark):
+        """With all weight on the unigram term the two docs tie (same
+        token multiset); the default mixture separates them — the
+        interpolation, not the tokens, carries the signal."""
+        uni_only = {
+            r.doc_id: r.score
+            for r in C.trigram_lm_scores(
+                self._corpus(spark), lambdas=(0.0, 0.0, 1.0)
+            ).collect()
+        }
+        assert uni_only[0] == uni_only[99]
+
+    def test_deterministic(self, spark):
+        a = sorted(
+            map(tuple, C.trigram_lm_scores(self._corpus(spark)).collect())
+        )
+        b = sorted(
+            map(tuple, C.trigram_lm_scores(self._corpus(spark)).collect())
+        )
+        assert a == b
+
+
 def test_source_cap_bounds_and_rank(docs):
     out = C.source_cap(docs, quota=7).cache()
     per = out.groupBy("source").agg(

@@ -51,6 +51,7 @@ def doc_bigrams(
     id_col: str = "doc_id",
     text_col: str = "text",
     carry: tuple[str, ...] = (),
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Explode whitespace-token bigrams: (id, *carry, w1, w2), one row
     per adjacent token pair.
@@ -67,8 +68,13 @@ def doc_bigrams(
     always ≥ 0 and 1-token docs emit no pairs. ``carry`` rides along
     unchanged (per-document constants, e.g. a target-corpus flag) —
     cheaper than re-joining them onto the mined relation by doc id.
+
+    ``toks`` accepts a prebuilt :func:`_bound_tokens` relation so a
+    multi-leg host (q64's lm/dsir/lm3) can cache ONE tokenize pass and
+    feed every n-gram order from it.
     """
-    toks = _bound_tokens(docs, id_col, text_col, carry=carry)
+    if toks is None:
+        toks = _bound_tokens(docs, id_col, text_col, carry=carry)
     n1 = F.size(F.col("toks")) - 1
     pairs = F.zip_with(
         F.slice(F.col("toks"), 1, n1),
@@ -152,6 +158,7 @@ def bigram_lm_dsir(
     id_col: str = "doc_id",
     text_col: str = "text",
     ndigits: int = 3,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-model LM scoring AND DSIR importance weighting off ONE
     bigram mine, tagged by section ``(section, id, n_bigrams, score)``:
@@ -183,7 +190,9 @@ def bigram_lm_dsir(
     from unimib_simpss_spark.operators.caching import materialize_release
 
     base = docs.withColumn("_tgt", target_pred)
-    bi = doc_bigrams(base, id_col=id_col, text_col=text_col, carry=("_tgt",))
+    bi = doc_bigrams(
+        base, id_col=id_col, text_col=text_col, carry=("_tgt",), toks=toks
+    )
     dbi = (
         bi.select(F.col(id_col), "_tgt", F.xxhash64("w1", "w2").alias("bkey"))
         .groupBy(id_col, "_tgt", "bkey")
@@ -228,6 +237,171 @@ def bigram_lm_dsir(
         dsir_leg.select(F.lit("dsir").alias("section"), "*")
     )
     return materialize_release(out, dbi, lm, joined)
+
+
+def doc_trigrams(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """Explode whitespace-token trigrams: (id, w1, w2, w3) — the
+    :func:`doc_bigrams` in-array discipline one order up: triples are
+    built INSIDE the token array (two ``zip_with`` passes over three
+    shifted slices — pairs first, then the third word onto the pair
+    struct), so adjacency never costs a shuffle or window. Slice
+    lengths ride ``greatest(size-2, 0)`` because 1-token docs would
+    otherwise ask for a negative-length slice (``split`` never yields
+    an empty array, but it does yield singletons); ≤2-token docs emit
+    no triples. ``toks`` accepts a prebuilt :func:`_bound_tokens`
+    relation (extra ``carry`` columns are ignored)."""
+    if toks is None:
+        toks = _bound_tokens(docs, id_col, text_col)
+    n2 = F.greatest(F.size(F.col("toks")) - 2, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, n2),
+        F.slice(F.col("toks"), 2, n2),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    tris = F.zip_with(
+        pairs,
+        F.slice(F.col("toks"), 3, n2),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    return toks.select(F.col(id_col), F.explode(tris).alias("t")).select(
+        F.col(id_col),
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
+    )
+
+
+def trigram_lm_scores(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 3,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    materialize: bool = True,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean log-probability under an INTERPOLATED trigram
+    model — the KenLM-shaped quality filter at the center of
+    CCNet-style curation (VERDICT r16 #5), replacing q64's bigram
+    proxy with the standard Jelinek-Mercer mixture:
+
+        p(w3 | w1 w2) = λ3·c(w1w2w3)/c(w1w2) + λ2·c(w2w3)/c(w2)
+                        + λ1·c(w3)/N
+
+    with fixed ``lambdas = (λ3, λ2, λ1)`` (0.6/0.3/0.1 — the classic
+    hand-set mixture; training λ by EM is a held-out-corpus knob this
+    score does not need). The model is the corpus's OWN counts, so
+    every document trigram has c(w1w2w3) ≥ 1 and no smoothing term is
+    required — interpolation alone covers sparse contexts, and a
+    shuffled-token document separates hard from fluent text because
+    its trigram and context counts collapse to the unigram floor.
+    Context counts come from the FULL bigram/unigram streams (all
+    positions, including each document's final bigram), the standard
+    stream-counting approximation — documented because the DuckDB
+    twin must mirror it exactly.
+
+    Plan (the q64 discipline, one order up): mine triples in-array
+    (:func:`doc_trigrams`), immediately collapse to per-document
+    counts keyed by the FIVE xxhash64 keys the mixture needs
+    (trigram, both context bigrams, both context unigrams) — after
+    that point no string ever shuffles; every count relation is a
+    map-side-combinable rollup; the token total rides as a broadcast
+    1-row cross join; scoring is four hash-keyed joins against
+    relations no wider than 8-byte key + count (AQE broadcasts the
+    small sides). At 100 TB the count relations ARE the corpus LM;
+    swap exact counts for count-min/top-K if even they run hot — the
+    scoring joins are unchanged.
+
+    ``toks`` accepts a prebuilt (ideally cached) :func:`_bound_tokens`
+    relation so the q64 host tokenizes ONCE for lm/dsir/lm3."""
+    from unimib_simpss_spark.operators.caching import materialize_release
+
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if toks is None:
+        toks = _bound_tokens(docs, id_col, text_col)
+    tri = doc_trigrams(None, id_col=id_col, toks=toks)
+    dtri = (
+        tri.select(
+            F.col(id_col),
+            F.xxhash64("w1", "w2", "w3").alias("tkey"),
+            F.xxhash64("w1", "w2").alias("k12"),
+            F.xxhash64("w2", "w3").alias("k23"),
+            F.xxhash64("w2").alias("k2"),
+            F.xxhash64("w3").alias("k3"),
+        )
+        .groupBy(id_col, "tkey", "k12", "k23", "k2", "k3")
+        .agg(F.count(F.lit(1)).alias("dcnt"))
+        .persist()
+    )
+    tric = dtri.groupBy("tkey").agg(F.sum("dcnt").alias("c123"))
+    # context counts over the FULL streams (same xxhash64 key
+    # construction as k12/k23/k2/k3 above — the join keys must be the
+    # same hash of the same strings)
+    n1 = F.size(F.col("toks")) - 1
+    bic = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, n1),
+                    F.slice(F.col("toks"), 2, n1),
+                    lambda a, b: F.xxhash64(a, b),
+                )
+            ).alias("bkey")
+        )
+        .groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("bc"))
+    )
+    unic = (
+        toks.select(F.explode(F.col("toks")).alias("w"))
+        .select(F.xxhash64("w").alias("ukey"))
+        .groupBy("ukey")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    utot = unic.agg(F.sum("uc").alias("n_tokens"))
+    joined = (
+        dtri.join(tric, "tkey")
+        .join(
+            bic.select(F.col("bkey").alias("k12"), F.col("bc").alias("c12")),
+            "k12",
+        )
+        .join(
+            bic.select(F.col("bkey").alias("k23"), F.col("bc").alias("c23")),
+            "k23",
+        )
+        .join(
+            unic.select(F.col("ukey").alias("k2"), F.col("uc").alias("c2")),
+            "k2",
+        )
+        .join(
+            unic.select(F.col("ukey").alias("k3"), F.col("uc").alias("c3")),
+            "k3",
+        )
+        .crossJoin(F.broadcast(utot))
+    )
+    # evaluation shape is part of the oracle contract: each ratio
+    # parenthesized, λ terms summed left-to-right (the DuckDB twin
+    # writes the same shape so the doubles agree bit-for-bit)
+    p = (
+        F.lit(l3) * (F.col("c123") / F.col("c12"))
+        + F.lit(l2) * (F.col("c23") / F.col("c2"))
+        + F.lit(l1) * (F.col("c3") / F.col("n_tokens"))
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.sum("dcnt").alias("n_ngrams"),
+        F.round(
+            F.sum(F.col("dcnt") * F.log(p)) / F.sum("dcnt"), ndigits
+        ).alias("score"),
+    )
+    if not materialize:
+        return scored
+    return materialize_release(scored, dtri)
 
 
 def vocab_coverage(

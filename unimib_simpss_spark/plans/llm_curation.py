@@ -451,14 +451,38 @@ stats AS (
 joined AS (
     SELECT bi.doc_id, counts.cnt, tcounts.tcnt
     FROM bi JOIN counts USING (w1, w2) LEFT JOIN tcounts USING (w1, w2)
+),
+tri AS (
+    SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+    FROM toks, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) s
+),
+t3counts AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri GROUP BY 1, 2, 3),
+uni AS (SELECT unnest(l) AS w FROM toks),
+ucounts AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
+utot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+-- the interpolated-trigram mixture: evaluation SHAPE mirrors the
+-- Spark Column verbatim (each ratio parenthesized and cast the same
+-- way, lambda terms summed left-to-right) so the doubles agree
+-- bit-for-bit before the shared round
+tj AS (
+    SELECT t.doc_id,
+           0.6 * (CAST(c.c123 AS DOUBLE) / b12.cnt)
+         + 0.3 * (CAST(b23.cnt AS DOUBLE) / u2.uc)
+         + 0.1 * (CAST(u3.uc AS DOUBLE) / (SELECT n FROM utot)) AS p
+    FROM tri t
+    JOIN t3counts c USING (w1, w2, w3)
+    JOIN counts b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+    JOIN counts b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+    JOIN ucounts u2 ON u2.w = t.w2
+    JOIN ucounts u3 ON u3.w = t.w3
 )
 SELECT 'lm' AS section, doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
        round(avg(ln(cnt / (SELECT rtot FROM stats))), 3) AS score
 FROM joined GROUP BY doc_id
 UNION ALL
 SELECT 'dsir' AS section, doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
        -- + 0 normalizes DuckDB's -0.0 (round of a tiny negative mean)
        -- to +0.0; Spark's BigDecimal round can't produce -0.0
        round(avg(
@@ -468,23 +492,59 @@ SELECT 'dsir' AS section, doc_id,
               / ((SELECT rtot FROM stats) + (SELECT v FROM stats)))
        ), 3) + 0 AS score
 FROM joined GROUP BY doc_id
+UNION ALL
+SELECT 'lm3' AS section, doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       round(avg(ln(p)), 3) + 0 AS score
+FROM tj GROUP BY doc_id
 """
 
 
 @query("q64_bigram_lm_score", oracle=_BIGRAM_LM_ORACLE)
 def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-model document scoring, both pipeline knobs off one mine,
-    tagged by section: 'lm' is the perplexity-proxy quality score (mean
-    bigram log-probability under the corpus's own model — the cheap
-    KenLM-filter stand-in) and 'dsir' is the DSIR importance weight
-    against the '{src0}' in-domain target (Xie et al. 2023 — up-sample
-    documents whose bigrams look like the target corpus). See
-    operators/curation.py bigram_lm_dsir for the plan and 100 TB
-    notes."""
-    return C.bigram_lm_dsir(
-        load_table(spark, sf_dir, "documents"),
-        target_pred=F.col("source") == _DSIR_TARGET_SOURCE,
+    """LM document scoring, three pipeline knobs off ONE tokenize,
+    tagged by section: 'lm' is the bigram perplexity-proxy quality
+    score (mean bigram log-probability under the corpus's own model),
+    'dsir' is the DSIR importance weight against the '{src0}'
+    in-domain target (Xie et al. 2023 — up-sample documents whose
+    bigrams look like the target corpus), and 'lm3' (VERDICT r16 #5)
+    is the interpolated-trigram upgrade of 'lm' — the KenLM-shaped
+    Jelinek-Mercer mixture λ3·p(w3|w1w2) + λ2·p(w3|w2) + λ1·p(w3)
+    at 0.6/0.3/0.1. The bound-token relation is cached ONCE and feeds
+    every n-gram order; all count relations are xxhash64-keyed so no
+    string ever shuffles (the q64 discipline). See
+    operators/curation.py bigram_lm_dsir / trigram_lm_scores for the
+    plans and 100 TB notes."""
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        checkpoint_result,
+        release_intermediate,
+        release_result,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = F.col("source") == _DSIR_TARGET_SOURCE
+    base = docs.withColumn("_tgt", pred)
+    toks = cache_intermediate(
+        C._bound_tokens(base, "doc_id", "text", carry=("_tgt",))
+    )
+    both = C.bigram_lm_dsir(base, target_pred=pred, toks=toks)
+    lm3 = C.trigram_lm_scores(None, toks=toks)
+    out = checkpoint_result(
+        both.withColumnRenamed("n_bigrams", "n_ngrams").unionAll(
+            lm3.select(
+                F.lit("lm3").alias("section"), "doc_id", "n_ngrams", "score"
+            )
+        )
+    )
+    # the q61 union discipline: a caller's single release_result()
+    # cannot free a lazy Union over two checkpointed legs, so the
+    # union is re-checkpointed (tiny — rows, not tokens) and the leg
+    # handles + the shared tokenize cache are freed here
+    release_result(both)
+    release_result(lm3)
+    release_intermediate(toks)
+    return out
 
 
 _VOCAB_TOPK = 50
