@@ -320,12 +320,25 @@ def trigram_lm_scores(
     scoring joins are unchanged.
 
     ``toks`` accepts a prebuilt (ideally cached) :func:`_bound_tokens`
-    relation so the q64 host tokenizes ONCE for lm/dsir/lm3."""
-    from unimib_simpss_spark.operators.caching import materialize_release
+    relation so the q64 host tokenizes ONCE for lm/dsir/lm3; without
+    one, the operator caches its own for the duration (the token
+    relation feeds FOUR count subtrees — trigram, bigram, unigram,
+    total — and Spark will not reuse an uncached scan across them:
+    measured 9 FileScans / 21 split() in the un-cached physical plan).
+    The two context-count relations are likewise cached across their
+    two join uses each (the :func:`bigram_lm_dsir` ``lm`` persist
+    discipline) — they are vocabulary-sized, i.e. the LM itself.
+    With ``materialize=False`` the caller owns every cache."""
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        materialize_release,
+    )
 
     l3, l2, l1 = (float(x) for x in lambdas)
+    own_toks: list[DataFrame] = []
     if toks is None:
-        toks = _bound_tokens(docs, id_col, text_col)
+        toks = cache_intermediate(_bound_tokens(docs, id_col, text_col))
+        own_toks.append(toks)
     tri = doc_trigrams(None, id_col=id_col, toks=toks)
     dtri = (
         tri.select(
@@ -345,7 +358,7 @@ def trigram_lm_scores(
     # construction as k12/k23/k2/k3 above — the join keys must be the
     # same hash of the same strings)
     n1 = F.size(F.col("toks")) - 1
-    bic = (
+    bic = cache_intermediate(
         toks.select(
             F.explode(
                 F.zip_with(
@@ -358,7 +371,7 @@ def trigram_lm_scores(
         .groupBy("bkey")
         .agg(F.count(F.lit(1)).alias("bc"))
     )
-    unic = (
+    unic = cache_intermediate(
         toks.select(F.explode(F.col("toks")).alias("w"))
         .select(F.xxhash64("w").alias("ukey"))
         .groupBy("ukey")
@@ -401,7 +414,7 @@ def trigram_lm_scores(
     )
     if not materialize:
         return scored
-    return materialize_release(scored, dtri)
+    return materialize_release(scored, dtri, bic, unic, *own_toks)
 
 
 def vocab_coverage(
