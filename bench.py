@@ -95,6 +95,9 @@ SECTIONED: dict[str, tuple[str, list[str]]] = {
     # VERDICT r16 #2: q36's sq8 leg hid a 4× regression for lack of a
     # section wall — every leg of the quantization story gets one.
     "q36_cosine_topk": ("method", ["hof", "arrow", "quant", "sq8"]),
+    # r17: q64 grew the lm3 trigram leg (its legs materialize eagerly,
+    # so it needs the sections kwarg, not the filter fallback)
+    "q64_bigram_lm_score": ("section", ["lm", "dsir", "lm3"]),
     "q38_decontamination": (
         "section",
         ["ngram", "bm25", "overlap", "rrf", "ev"],

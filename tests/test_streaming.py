@@ -366,6 +366,10 @@ def test_streaming_pii_scrub(spark, tmp_path):
         [
             {"user_id": 1, "name": "agent 007 card 4111"},
             {"user_id": 2, "name": "plainname"},
+            {
+                "user_id": 3,
+                "name": "mail a@b.io tel +39 02 1234 5678 ip 10.0.0.1",
+            },
         ],
     )
     stream = spark.readStream.schema("user_id BIGINT, name STRING").json(str(src))
@@ -374,6 +378,7 @@ def test_streaming_pii_scrub(spark, tmp_path):
         P.pseudonym("name").alias("pseudonym"),
         P.redact_digits("name").alias("redacted"),
         P.digit_count("name").alias("n_digits"),
+        P.scrub_pii("name").alias("structured"),
     )
     out, chk = tmp_path / "pii_out", tmp_path / "pii_chk"
     q = (
@@ -388,6 +393,10 @@ def test_streaming_pii_scrub(spark, tmp_path):
     assert rows[1].redacted == "agent [ID] card [ID]"
     assert rows[1].n_digits == 7
     assert rows[2].redacted == "plainname" and rows[2].n_digits == 0
+    # the structured scrub (r17) runs at ingest exactly like the
+    # digit-run rule — stateless Column chain in a micro-batch
+    assert rows[3].structured == "mail [EMAIL] tel [PHONE] ip [IP4]"
+    assert rows[1].structured == "agent 007 card 4111"  # digit runs stay
     # pseudonyms: deterministic, distinct, and digit-free surface
     assert rows[1].pseudonym != rows[2].pseudonym
     assert len(rows[1].pseudonym) == 16

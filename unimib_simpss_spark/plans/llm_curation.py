@@ -501,7 +501,9 @@ FROM tj GROUP BY doc_id
 
 
 @query("q64_bigram_lm_score", oracle=_BIGRAM_LM_ORACLE)
-def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q64_bigram_lm_score(
+    spark: SparkSession, sf_dir: str, sections=None
+) -> DataFrame:
     """LM document scoring, three pipeline knobs off ONE tokenize,
     tagged by section: 'lm' is the bigram perplexity-proxy quality
     score (mean bigram log-probability under the corpus's own model),
@@ -521,28 +523,45 @@ def q64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_intermediate,
         release_result,
     )
+    from unimib_simpss_spark.plans.llm_dedup import _pick_sections
 
+    want = _pick_sections(sections, ("lm", "dsir", "lm3"))
     docs = load_table(spark, sf_dir, "documents")
     pred = F.col("source") == _DSIR_TARGET_SOURCE
     base = docs.withColumn("_tgt", pred)
     toks = cache_intermediate(
         C._bound_tokens(base, "doc_id", "text", carry=("_tgt",))
     )
-    both = C.bigram_lm_dsir(base, target_pred=pred, toks=toks)
-    lm3 = C.trigram_lm_scores(None, toks=toks)
-    out = checkpoint_result(
-        both.withColumnRenamed("n_bigrams", "n_ngrams").unionAll(
+    legs, handles = [], []
+    if want & {"lm", "dsir"}:
+        # the two bigram legs are ONE fused operator (shared mine and
+        # scoring join) — a single-leg section wall pays the fused
+        # cost, the q61 indivisible-suite convention
+        both = C.bigram_lm_dsir(base, target_pred=pred, toks=toks)
+        legs.append(
+            both.withColumnRenamed("n_bigrams", "n_ngrams").where(
+                F.col("section").isin(*sorted(want & {"lm", "dsir"}))
+            )
+        )
+        handles.append(both)
+    if "lm3" in want:
+        lm3 = C.trigram_lm_scores(None, toks=toks)
+        legs.append(
             lm3.select(
                 F.lit("lm3").alias("section"), "doc_id", "n_ngrams", "score"
             )
         )
-    )
+        handles.append(lm3)
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionAll(leg)
+    out = checkpoint_result(u)
     # the q61 union discipline: a caller's single release_result()
     # cannot free a lazy Union over two checkpointed legs, so the
     # union is re-checkpointed (tiny — rows, not tokens) and the leg
     # handles + the shared tokenize cache are freed here
-    release_result(both)
-    release_result(lm3)
+    for h in handles:
+        release_result(h)
     release_intermediate(toks)
     return out
 
