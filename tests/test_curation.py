@@ -119,6 +119,11 @@ class TestStructuredPiiScrub:
         assert s[6].count("[IP6]") == 4
         # numeric email host: email rule rejects, IPv4 rule owns it
         assert s[1] == "user@[IP4] logged in from [IP4]"
+        # IPv4-mapped IPv6: the dotted-quad TAIL redacts first, then
+        # the '::ffff' prefix — nothing leaks (review r17 pass 1: the
+        # IPv6-first order scrubbed only '::ffff:192' and leaked the
+        # other three octets)
+        assert s[9] == "[IP6]:[IP4] mapped"
         # the documented negative space survives untouched
         for i in (3, 4, 7, 13, 14):  # dates/ISBN, cards, times/MAC, math
             assert s[i] == self.CASES[i], (i, s[i])

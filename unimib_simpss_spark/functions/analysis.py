@@ -50,8 +50,7 @@ PUNCT_RE = "[^a-zA-Z0-9 \\t\\n\\r]"
 ROLLING_BASE = 1_000_003
 
 
-def _c(col: Column | str) -> Column:
-    return F.col(col) if isinstance(col, str) else col
+from unimib_simpss_spark.functions.common import col_of as _c  # noqa: E402
 
 
 # ------------------------------------------------------------ token counting

@@ -64,13 +64,10 @@ __all__ = [
 ]
 
 
-def _c(col: Column | str) -> Column:
-    return F.col(col) if isinstance(col, str) else col
-
-
-def _q(s: str) -> str:
-    """SQL-quote a literal (single quotes doubled)."""
-    return "'" + s.replace("'", "''") + "'"
+from unimib_simpss_spark.functions.common import (  # noqa: E402
+    col_of as _c,
+    sql_quote as _q,
+)
 
 
 # ------------------------------------------------------------ fold tables

@@ -26,13 +26,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _c(col: Column | str) -> Column:
-    return F.col(col) if isinstance(col, str) else col
-
-
-def _q(s: str) -> str:
-    """SQL-quote a literal (single quotes doubled)."""
-    return "'" + s.replace("'", "''") + "'"
+from unimib_simpss_spark.functions.common import (  # noqa: E402
+    col_of as _c,
+    sql_quote as _q,
+)
 
 
 # --------------------------------------------- structured-PII patterns
@@ -85,15 +82,23 @@ IPV6_RE = (
 
 # Scrub order is part of the contract: emails first (so 'user@host'
 # consumes its host before the IP rules see it… except numeric hosts,
-# which the email rule deliberately rejects), then IPv6 before IPv4
-# (an IPv4-mapped '::ffff:1.2.3.4' loses its IPv6 prefix first), then
-# phones last (the digit-greedy rule must never see IP octets).
-# Placeholders carry no digits or pattern chars, so the chain is
-# idempotent and later rules cannot match inside earlier tokens.
+# which the email rule deliberately rejects), then IPv4 BEFORE IPv6 —
+# an IPv4-mapped '::ffff:1.2.3.4' must lose its dotted-quad TAIL
+# first ('::ffff:[IP4]', then the IPv6 rule takes the '::ffff'
+# prefix → '[IP6]:[IP4]'); with IPv6 first, its rule consumes only
+# '::ffff:1' and the un-matchable remainder '.2.3.4' leaks three
+# octets (review r17 pass 1, DuckDB-verified). A pure IPv6 address
+# carries no dots, so the IPv4 rule never bites it. Phones run last
+# (the digit-greedy rule must never see IP octets). Idempotence is
+# STRUCTURAL, not digit-free: [IP4]/[IP6] do contain a digit, but
+# every rule requires a run the placeholders cannot seed (emails an
+# '@', IPv4 three dots, IPv6 a hex:hex pair or '::', phones a '+',
+# '(' or a \b-anchored 3-digit run — ']4'/'']6' can anchor none of
+# them); pinned by the idempotence test over every hostile case.
 _SCRUB_CHAIN: tuple[tuple[str, str], ...] = (
     (EMAIL_RE, "[EMAIL]"),
-    (IPV6_RE, "[IP6]"),
     (IPV4_RE, "[IP4]"),
+    (IPV6_RE, "[IP6]"),
     (PHONE_RE, "[PHONE]"),
 )
 
@@ -143,7 +148,7 @@ def redact_ipv6_sql(expr: str, token: str = "[IP6]") -> str:
 
 
 def scrub_pii(col: Column | str) -> Column:
-    """The composed structured scrub: email → IPv6 → IPv4 → phone,
+    """The composed structured scrub: email → IPv4 → IPv6 → phone,
     each class to its own placeholder (order documented at
     :data:`_SCRUB_CHAIN`). Pure ``regexp_replace`` chain — JVM-side,
     whole-stage codegen, zero Python, zero shuffles; at 100 TB this

@@ -278,8 +278,9 @@ def q63_pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     structured-PII pass (VERDICT r16 #4 — the CCNet/RefinedWeb scrub
     beyond digit runs): email, phone, IPv4, and IPv6 redaction with
     class-preserving placeholders plus a per-class count profile,
-    over a contact blob composed engine-identically from real
-    customer columns (incl. TPC-H's real c_phone) so the oracle
+    over a contact blob composed engine-identically from customer
+    columns (the driver's customer table has no phone column, so the
+    phone shapes are key-derived — see _SCRUB_BLOB_SQL) so the oracle
     hash-checks the scrubbed TEXT verbatim. See
     functions/privacy.py for the 100 TB notes."""
     from unimib_simpss_spark.operators import validation as V
@@ -523,9 +524,9 @@ def q64_bigram_lm_score(
         release_intermediate,
         release_result,
     )
-    from unimib_simpss_spark.plans.llm_dedup import _pick_sections
+    from unimib_simpss_spark.plans.registry import pick_sections
 
-    want = _pick_sections(sections, ("lm", "dsir", "lm3"))
+    want = pick_sections(sections, ("lm", "dsir", "lm3"))
     docs = load_table(spark, sf_dir, "documents")
     pred = F.col("source") == _DSIR_TARGET_SOURCE
     base = docs.withColumn("_tgt", pred)

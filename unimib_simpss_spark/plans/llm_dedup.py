@@ -24,22 +24,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-def _pick_sections(sections, known: tuple) -> set:
-    """Validate the per-section bench filter (None = all legs — the
-    registered/driver behavior). bench.py passes a single tag to time
-    each leg of a multi-leg host in isolation; an unknown tag raises
-    so a renamed leg cannot silently bench an empty plan."""
-    if sections is None:
-        return set(known)
-    got = {sections} if isinstance(sections, str) else set(sections)
-    bad = got - set(known)
-    if bad:
-        raise ValueError(
-            f"unknown section(s) {sorted(bad)} — known: {sorted(known)}"
-        )
-    if not got:
-        raise ValueError("sections must name at least one leg")
-    return got
+# the sections contract moved to the registry (shared with
+# llm_curation's q64 and bench.py); local name kept for the many
+# in-module call sites
+from unimib_simpss_spark.plans.registry import (  # noqa: E402
+    pick_sections as _pick_sections,
+)
 
 
 def _dedup_groups_oracle() -> str:

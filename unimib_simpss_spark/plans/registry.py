@@ -54,6 +54,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def pick_sections(sections, known: tuple) -> set:
+    """Validate a per-section bench filter (None = all legs — the
+    registered/driver behavior). ``bench.py`` passes a single tag to
+    time each leg of a multi-leg host in isolation; an unknown tag
+    raises so a renamed leg cannot silently bench an empty plan.
+    Lives here because it is the sections CONTRACT every
+    sections-aware host + bench.py + tests/test_bench_sections.py
+    share (review r17 pass 1 — it was private to one plan module)."""
+    if sections is None:
+        return set(known)
+    got = {sections} if isinstance(sections, str) else set(sections)
+    bad = got - set(known)
+    if bad:
+        raise ValueError(
+            f"unknown section(s) {sorted(bad)} — known: {sorted(known)}"
+        )
+    if not got:
+        raise ValueError("sections must name at least one leg")
+    return got
+
+
 def _load() -> None:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
