@@ -136,13 +136,17 @@ def _ldiv_oracle() -> str:
 # every customer row, not just summary counts). The email is
 # name-derived, the +intl phone and NNN-555-NNNN dashed phone and
 # both IPs are key-derived (the driver's customer table carries no
-# phone column), so all four PII classes vary per row.
+# phone column), so all four PII classes vary per row. Both engines
+# LOWER the hex tail (Spark F.hex and DuckDB to_hex are both
+# uppercase) — review r17 pass 2: an unlowered to_hex left the RAW
+# blobs differing on every A-F row, masked only because IPV6_RE is
+# case-insensitive and consumed the whole tail on both sides.
 _SCRUB_BLOB_SQL = (
     "'Reach ' || replace(lower(c_name), '#', '.') || "
     "'@example.com or +39 02 ' || "
     "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || "
     "' 5678 at 10.' || CAST(c_nationkey % 256 AS VARCHAR) || "
-    "'.0.1 / 2001:db8::' || to_hex(c_custkey % 65536) || "
+    "'.0.1 / 2001:db8::' || lower(to_hex(c_custkey % 65536)) || "
     "' tel ' || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-555-' || "
     "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
 )

@@ -51,7 +51,9 @@ def _cosine_topk_union_oracle() -> str:
 
 
 @query("q36_cosine_topk", oracle=_cosine_topk_union_oracle())
-def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_cosine_topk(
+    spark: SparkSession, sf_dir: str, sections=None
+) -> DataFrame:
     """Exact brute-force cosine top-5 for 8 query vectors, run through
     BOTH physical implementations and tagged by method: the JVM
     higher-order-function plan ('hof') and the Arrow/NumPy GEMM
@@ -75,25 +77,53 @@ def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.cosine_topk_quantized; the scales cancel in cosine), so
     the 4-8× bandwidth saving reaches the scoring kernel instead of
     being repaid by a dequantize pass — oracle-paired against the
-    identical integer-domain arithmetic in DuckDB."""
+    identical integer-domain arithmetic in DuckDB.
+
+    ``sections`` builds ONLY the named legs (bench per-leg walls):
+    q36's legs run eager driver jobs at plan-CONSTRUCTION time (the
+    arrow leg's bounded query collect, each Column leg's size-gate
+    count), so the bench filter fallback would charge every leg wall
+    a constant multi-job overhead from the pruned branches (review
+    r17 pass 2) — exactly the contamination the sq8 wall exists to
+    rule out."""
+    from unimib_simpss_spark.plans.registry import pick_sections
+
+    want = pick_sections(sections, ("hof", "arrow", "quant", "sq8"))
     emb = _emb(spark, sf_dir)
-    hof = S.cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 8).select(
-        F.lit("hof").alias("method"), "*"
-    )
-    arrow = S.cosine_topk_pandas(emb, k=5, query_pred=F.col("vec_id") < 8).select(
-        F.lit("arrow").alias("method"), "*"
-    )
-    qz = S.quantize_vectors(
-        emb.where(S.defined_vector_pred()), keep=("label",)
-    )
-    qemb = S.dequantize_vectors(qz, keep=("label",))
-    quant = S.cosine_topk(qemb, k=5, query_pred=F.col("vec_id") < 8).select(
-        F.lit("quant").alias("method"), "*"
-    )
-    sq8 = S.cosine_topk_quantized(
-        qz, k=5, query_pred=F.col("vec_id") < 8
-    ).select(F.lit("sq8").alias("method"), "*")
-    return hof.unionAll(arrow).unionAll(quant).unionAll(sq8)
+    legs = []
+    if "hof" in want:
+        legs.append(
+            S.cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 8).select(
+                F.lit("hof").alias("method"), "*"
+            )
+        )
+    if "arrow" in want:
+        legs.append(
+            S.cosine_topk_pandas(
+                emb, k=5, query_pred=F.col("vec_id") < 8
+            ).select(F.lit("arrow").alias("method"), "*")
+        )
+    if want & {"quant", "sq8"}:
+        qz = S.quantize_vectors(
+            emb.where(S.defined_vector_pred()), keep=("label",)
+        )
+        if "quant" in want:
+            qemb = S.dequantize_vectors(qz, keep=("label",))
+            legs.append(
+                S.cosine_topk(
+                    qemb, k=5, query_pred=F.col("vec_id") < 8
+                ).select(F.lit("quant").alias("method"), "*")
+            )
+        if "sq8" in want:
+            legs.append(
+                S.cosine_topk_quantized(
+                    qz, k=5, query_pred=F.col("vec_id") < 8
+                ).select(F.lit("sq8").alias("method"), "*")
+            )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionAll(leg)
+    return u
 
 
 def _q37_oracle() -> str:
