@@ -97,7 +97,7 @@ SECTIONED: dict[str, tuple[str, list[str]]] = {
     "q36_cosine_topk": ("method", ["hof", "arrow", "quant", "sq8"]),
     # r17: q64 grew the lm3 trigram leg (its legs materialize eagerly,
     # so it needs the sections kwarg, not the filter fallback)
-    "q64_bigram_lm_score": ("section", ["lm", "dsir", "lm3"]),
+    "q64_bigram_lm_score": ("section", ["lm", "dsir", "lm3", "lm3t"]),
     "q38_decontamination": (
         "section",
         ["ngram", "bm25", "overlap", "rrf", "ev"],

@@ -333,6 +333,53 @@ class TestTrigramLm:
         )
         assert a == b
 
+    def test_reference_trained_separates_domains(self, spark):
+        """The pinned (reference-trained) mode — the CCNet regime: the
+        model is the in-domain subset, everything scores under it. An
+        in-domain doc rides high-probability model counts; a fully
+        out-of-domain doc gets exactly the smoothed unigram floor on
+        every trigram (hand-computable: p = λ1·(0+1)/(N+V))."""
+        import math
+
+        target = [(i, "the cat sat on the mat", "tgt") for i in range(5)]
+        out = [(99, "zy qx wv uq tp", "other")]
+        df = spark.createDataFrame(
+            target + out, ["doc_id", "text", "source"]
+        )
+        ref = df.where(F.col("source") == "tgt")
+        scores = {
+            r.doc_id: r.score
+            for r in C.trigram_lm_scores(df, ref=ref).collect()
+        }
+        assert len(scores) == 6
+        # N = 30 target tokens, V = 5 distinct -> every unseen trigram
+        # scores ln(0.1 * 1/35) exactly
+        assert scores[99] == round(math.log(0.1 * (1.0 / 35.0)), 3)
+        assert scores[0] > scores[99] + 4
+        # self-trained mode on the same corpus would NOT separate this
+        # hard (novel context => c123/c12 = 1/1 there)
+        self_scores = {
+            r.doc_id: r.score
+            for r in C.trigram_lm_scores(df).collect()
+        }
+        assert self_scores[99] > scores[99] + 3
+
+    def test_reference_trained_in_domain_close_to_self_trained(self, spark):
+        """A doc made ONLY of model trigrams scores near the self-
+        trained value — the pinned mode differs only by the smoothed
+        unigram floor when everything is on-support."""
+        target = [(i, "the cat sat on the mat", "tgt") for i in range(5)]
+        df = spark.createDataFrame(target, ["doc_id", "text", "source"])
+        pinned = {
+            r.doc_id: r.score
+            for r in C.trigram_lm_scores(df, ref=df).collect()
+        }
+        self_t = {
+            r.doc_id: r.score
+            for r in C.trigram_lm_scores(df).collect()
+        }
+        assert abs(pinned[0] - self_t[0]) < 0.05
+
 
 def test_source_cap_bounds_and_rank(docs):
     out = C.source_cap(docs, quota=7).cache()

@@ -286,6 +286,8 @@ def trigram_lm_scores(
     lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
     materialize: bool = True,
     toks: DataFrame | None = None,
+    ref: DataFrame | None = None,
+    ref_toks: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean log-probability under an INTERPOLATED trigram
     model — the KenLM-shaped quality filter at the center of
@@ -319,6 +321,27 @@ def trigram_lm_scores(
     swap exact counts for count-min/top-K if even they run hot — the
     scoring joins are unchanged.
 
+    **Reference-trained mode** (``ref`` or ``ref_toks`` — the actual
+    CCNet/KenLM regime, where the model is trained on an IN-DOMAIN
+    reference and scores everything): counts come from the reference
+    corpus instead of ``docs``, which removes the self-trained
+    ceiling (a novel trigram in a novel context no longer gets
+    c123/c12 = 1/1 — it gets 0) and therefore NEEDS a floor for
+    unseen mass. The pinned mixture, mirrored verbatim by the
+    DuckDB twin:
+
+        p = λ3·[c123/c12, or 0 when the context is unseen]
+          + λ2·[c23/c2,  or 0 when w2 is unseen]
+          + λ1·(c3 + 1)/(N + V)
+
+    — MLE conditionals defined as 0 off the model's support, and an
+    add-one-smoothed unigram floor over the reference vocabulary
+    (V = distinct reference tokens), so p ≥ λ1/(N+V) > 0 and ln(p)
+    is always defined. An EMPTY reference yields NULL scores (0/0)
+    rather than a fabricated floor — pick a non-empty reference.
+    ``ref_toks`` accepts a prebuilt token relation (q64 slices its
+    shared cached tokenize: ``toks.where(_tgt)`` — zero extra scans).
+
     ``toks`` accepts a prebuilt (ideally cached) :func:`_bound_tokens`
     relation so the q64 host tokenizes ONCE for lm/dsir/lm3; without
     one, the operator caches its own for the duration (the token
@@ -339,6 +362,11 @@ def trigram_lm_scores(
     if toks is None:
         toks = cache_intermediate(_bound_tokens(docs, id_col, text_col))
         own_toks.append(toks)
+    if ref_toks is None and ref is not None:
+        ref_toks = cache_intermediate(_bound_tokens(ref, id_col, text_col))
+        own_toks.append(ref_toks)
+    pinned = ref_toks is not None
+    model_toks = ref_toks if pinned else toks
     tri = doc_trigrams(None, id_col=id_col, toks=toks)
     dtri = (
         tri.select(
@@ -353,13 +381,23 @@ def trigram_lm_scores(
         .agg(F.count(F.lit(1)).alias("dcnt"))
         .persist()
     )
-    tric = dtri.groupBy("tkey").agg(F.sum("dcnt").alias("c123"))
-    # context counts over the FULL streams (same xxhash64 key
+    if pinned:
+        # model trigram counts from the REFERENCE stream (the scored
+        # docs' dtri rollup is the model only in self-trained mode)
+        tric = (
+            doc_trigrams(None, id_col=id_col, toks=model_toks)
+            .select(F.xxhash64("w1", "w2", "w3").alias("tkey"))
+            .groupBy("tkey")
+            .agg(F.count(F.lit(1)).alias("c123"))
+        )
+    else:
+        tric = dtri.groupBy("tkey").agg(F.sum("dcnt").alias("c123"))
+    # context counts over the FULL model streams (same xxhash64 key
     # construction as k12/k23/k2/k3 above — the join keys must be the
     # same hash of the same strings)
     n1 = F.size(F.col("toks")) - 1
     bic = cache_intermediate(
-        toks.select(
+        model_toks.select(
             F.explode(
                 F.zip_with(
                     F.slice(F.col("toks"), 1, n1),
@@ -372,40 +410,61 @@ def trigram_lm_scores(
         .agg(F.count(F.lit(1)).alias("bc"))
     )
     unic = cache_intermediate(
-        toks.select(F.explode(F.col("toks")).alias("w"))
+        model_toks.select(F.explode(F.col("toks")).alias("w"))
         .select(F.xxhash64("w").alias("ukey"))
         .groupBy("ukey")
         .agg(F.count(F.lit(1)).alias("uc"))
     )
-    utot = unic.agg(F.sum("uc").alias("n_tokens"))
+    utot = unic.agg(
+        F.sum("uc").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_types"),
+    )
+    how = "left" if pinned else "inner"
     joined = (
-        dtri.join(tric, "tkey")
+        dtri.join(tric, "tkey", how)
         .join(
             bic.select(F.col("bkey").alias("k12"), F.col("bc").alias("c12")),
             "k12",
+            how,
         )
         .join(
             bic.select(F.col("bkey").alias("k23"), F.col("bc").alias("c23")),
             "k23",
+            how,
         )
         .join(
             unic.select(F.col("ukey").alias("k2"), F.col("uc").alias("c2")),
             "k2",
+            how,
         )
         .join(
             unic.select(F.col("ukey").alias("k3"), F.col("uc").alias("c3")),
             "k3",
+            how,
         )
         .crossJoin(F.broadcast(utot))
     )
     # evaluation shape is part of the oracle contract: each ratio
     # parenthesized, λ terms summed left-to-right (the DuckDB twin
     # writes the same shape so the doubles agree bit-for-bit)
-    p = (
-        F.lit(l3) * (F.col("c123") / F.col("c12"))
-        + F.lit(l2) * (F.col("c23") / F.col("c2"))
-        + F.lit(l1) * (F.col("c3") / F.col("n_tokens"))
-    )
+    if pinned:
+        p = (
+            F.lit(l3)
+            * F.coalesce(F.col("c123") / F.col("c12"), F.lit(0.0))
+            + F.lit(l2)
+            * F.coalesce(F.col("c23") / F.col("c2"), F.lit(0.0))
+            + F.lit(l1)
+            * (
+                (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(1))
+                / (F.col("n_tokens") + F.col("v_types"))
+            )
+        )
+    else:
+        p = (
+            F.lit(l3) * (F.col("c123") / F.col("c12"))
+            + F.lit(l2) * (F.col("c23") / F.col("c2"))
+            + F.lit(l1) * (F.col("c3") / F.col("n_tokens"))
+        )
     scored = joined.groupBy(id_col).agg(
         F.sum("dcnt").alias("n_ngrams"),
         F.round(

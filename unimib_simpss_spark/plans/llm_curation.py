@@ -458,13 +458,33 @@ joined AS (
     FROM bi JOIN counts USING (w1, w2) LEFT JOIN tcounts USING (w1, w2)
 ),
 tri AS (
-    SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+    SELECT doc_id, source, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
     FROM toks, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) s
 ),
-t3counts AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri GROUP BY 1, 2, 3),
-uni AS (SELECT unnest(l) AS w FROM toks),
+t3counts AS (
+    SELECT w1, w2, w3, count(*) AS c123 FROM tri GROUP BY w1, w2, w3
+),
+uni AS (SELECT source, unnest(l) AS w FROM toks),
 ucounts AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
 utot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+-- the lm3t (reference-trained) model: counts from the target subset
+t3c_t AS (
+    SELECT w1, w2, w3, count(*) AS c123 FROM tri
+    WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY w1, w2, w3
+),
+bc_t AS (
+    SELECT w1, w2, count(*) AS cnt FROM bi
+    WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY w1, w2
+),
+uc_t AS (
+    SELECT w, count(*) AS uc FROM uni
+    WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY w
+),
+ut_t AS (
+    SELECT CAST(coalesce(sum(uc), 0) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS v
+    FROM uc_t
+),
 -- the interpolated-trigram mixture: evaluation SHAPE mirrors the
 -- Spark Column verbatim (each ratio parenthesized and cast the same
 -- way, lambda terms summed left-to-right) so the doubles agree
@@ -480,6 +500,22 @@ tj AS (
     JOIN counts b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
     JOIN ucounts u2 ON u2.w = t.w2
     JOIN ucounts u3 ON u3.w = t.w3
+),
+-- the pinned mixture: MLE conditionals 0 off the model's support,
+-- add-one unigram floor over the reference vocabulary (shape mirrors
+-- the Spark Column verbatim)
+tj_t AS (
+    SELECT t.doc_id,
+           0.6 * coalesce(CAST(c.c123 AS DOUBLE) / b12.cnt, 0.0)
+         + 0.3 * coalesce(CAST(b23.cnt AS DOUBLE) / u2.uc, 0.0)
+         + 0.1 * ((coalesce(u3.uc, 0) + 1)
+                  / ((SELECT n FROM ut_t) + (SELECT v FROM ut_t))) AS p
+    FROM tri t
+    LEFT JOIN t3c_t c ON c.w1 = t.w1 AND c.w2 = t.w2 AND c.w3 = t.w3
+    LEFT JOIN bc_t b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+    LEFT JOIN bc_t b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+    LEFT JOIN uc_t u2 ON u2.w = t.w2
+    LEFT JOIN uc_t u3 ON u3.w = t.w3
 )
 SELECT 'lm' AS section, doc_id,
        CAST(count(*) AS BIGINT) AS n_ngrams,
@@ -502,6 +538,11 @@ SELECT 'lm3' AS section, doc_id,
        CAST(count(*) AS BIGINT) AS n_ngrams,
        round(avg(ln(p)), 3) + 0 AS score
 FROM tj GROUP BY doc_id
+UNION ALL
+SELECT 'lm3t' AS section, doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       round(avg(ln(p)), 3) + 0 AS score
+FROM tj_t GROUP BY doc_id
 """
 
 
@@ -509,19 +550,23 @@ FROM tj GROUP BY doc_id
 def q64_bigram_lm_score(
     spark: SparkSession, sf_dir: str, sections=None
 ) -> DataFrame:
-    """LM document scoring, three pipeline knobs off ONE tokenize,
+    """LM document scoring, four pipeline knobs off ONE tokenize,
     tagged by section: 'lm' is the bigram perplexity-proxy quality
     score (mean bigram log-probability under the corpus's own model),
     'dsir' is the DSIR importance weight against the '{src0}'
     in-domain target (Xie et al. 2023 — up-sample documents whose
-    bigrams look like the target corpus), and 'lm3' (VERDICT r16 #5)
+    bigrams look like the target corpus), 'lm3' (VERDICT r16 #5)
     is the interpolated-trigram upgrade of 'lm' — the KenLM-shaped
     Jelinek-Mercer mixture λ3·p(w3|w1w2) + λ2·p(w3|w2) + λ1·p(w3)
-    at 0.6/0.3/0.1. The bound-token relation is cached ONCE and feeds
-    every n-gram order; all count relations are xxhash64-keyed so no
-    string ever shuffles (the q64 discipline). See
-    operators/curation.py bigram_lm_dsir / trigram_lm_scores for the
-    plans and 100 TB notes."""
+    at 0.6/0.3/0.1 — and 'lm3t' is the same mixture trained on the
+    '{src0}' target subset and scoring EVERYTHING (the actual CCNet
+    perplexity-filter regime: reference-trained model, smoothed
+    unigram floor for unseen mass — see trigram_lm_scores' pinned
+    mode). The bound-token relation is cached ONCE and feeds
+    every n-gram order and both models; all count relations are
+    xxhash64-keyed so no string ever shuffles (the q64 discipline).
+    See operators/curation.py bigram_lm_dsir / trigram_lm_scores for
+    the plans and 100 TB notes."""
     from unimib_simpss_spark.operators.caching import (
         cache_intermediate,
         checkpoint_result,
@@ -530,7 +575,7 @@ def q64_bigram_lm_score(
     )
     from unimib_simpss_spark.plans.registry import pick_sections
 
-    want = pick_sections(sections, ("lm", "dsir", "lm3"))
+    want = pick_sections(sections, ("lm", "dsir", "lm3", "lm3t"))
     docs = load_table(spark, sf_dir, "documents")
     pred = F.col("source") == _DSIR_TARGET_SOURCE
     base = docs.withColumn("_tgt", pred)
@@ -557,6 +602,20 @@ def q64_bigram_lm_score(
             )
         )
         handles.append(lm3)
+    if "lm3t" in want:
+        # reference-trained mode: the model is the '{src0}' in-domain
+        # subset — a SLICE of the same cached tokenize (zero extra
+        # scans); every document scores under the target LM, the
+        # CCNet perplexity-filter regime
+        lm3t = C.trigram_lm_scores(
+            None, toks=toks, ref_toks=toks.where(F.col("_tgt"))
+        )
+        legs.append(
+            lm3t.select(
+                F.lit("lm3t").alias("section"), "doc_id", "n_ngrams", "score"
+            )
+        )
+        handles.append(lm3t)
     u = legs[0]
     for leg in legs[1:]:
         u = u.unionAll(leg)
