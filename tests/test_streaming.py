@@ -2790,6 +2790,81 @@ def test_pinned_group_dicts_require_str_keys(spark, tmp_path):
         )
 
 
+def test_streaming_lm_counts_match_batch_reference_model(spark, tmp_path):
+    """The streaming n-gram LM twin: one additive (slot, key) sink
+    accretes the corpus model from the stream; read_lm_scores must
+    score a probe set ROW-IDENTICALLY to the batch reference-trained
+    mode over the same corpus (it replays the same scoring core
+    against the streamed counts). Covers on-support, fully-unseen
+    (floor), and partially-seen probes plus a NULL-text corpus row."""
+    import json as _json
+    import os
+    import time
+
+    from unimib_simpss_spark.operators import curation as C
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_lm_counts,
+        read_lm_scores,
+    )
+
+    corpus_rows = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},
+        {"doc_id": 1, "text": "the cat sat on the mat"},
+        {"doc_id": 2, "text": "the cat sat on the mat"},
+        {"doc_id": 10, "text": "a dog ran fast today"},
+        {"doc_id": 11, "text": None},  # dropped identically both sides
+    ]
+    logdir = tmp_path / "lm_in"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in corpus_rows[:2]) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in corpus_rows[2:]) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "lm_counts")
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_lm_counts(table))
+        .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    probe = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),  # fully on-support
+            (1, "zz qq ww yy xx"),          # fully unseen -> the floor
+            (2, "the cat ran away now"),    # partially seen
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, read_lm_scores(spark, table, probe).collect()))
+    ref = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in corpus_rows],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        map(tuple, C.trigram_lm_scores(probe, ref=ref).collect())
+    )
+    assert got == want and len(got) == 3
+    # replay protection: a stale batch id must be a no-op
+    stale = spark.createDataFrame([("the the the",)], "text string")
+    foreach_batch_lm_counts(table)(stale, 0)
+    got2 = sorted(map(tuple, read_lm_scores(spark, table, probe).collect()))
+    assert got2 == got
+    # descriptive error before the first generation
+    with pytest.raises(ValueError, match="no LM-count generation"):
+        read_lm_scores(spark, str(tmp_path / "lm_nope"), probe)
+
+
 def test_streaming_drift_suite_matches_batch_prefix(spark, tmp_path):
     """The FUSED drift-gate streaming twin: one sink folds the 4-slot
     cell relation; the reader replays ALL FOUR gates (corpus/per-group

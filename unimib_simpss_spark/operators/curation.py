@@ -278,6 +278,106 @@ def doc_trigrams(
     )
 
 
+def _doc_trigram_counts(toks: DataFrame, id_col: str) -> DataFrame:
+    """Per-document trigram occurrences collapsed to counts under the
+    FIVE xxhash64 keys the interpolated mixture joins on (trigram,
+    both context bigrams, both context unigrams) — shared by the batch
+    scorer and the streaming reader so the key construction cannot
+    drift between them."""
+    return (
+        doc_trigrams(None, id_col=id_col, toks=toks)
+        .select(
+            F.col(id_col),
+            F.xxhash64("w1", "w2", "w3").alias("tkey"),
+            F.xxhash64("w1", "w2").alias("k12"),
+            F.xxhash64("w2", "w3").alias("k23"),
+            F.xxhash64("w2").alias("k2"),
+            F.xxhash64("w3").alias("k3"),
+        )
+        .groupBy(id_col, "tkey", "k12", "k23", "k2", "k3")
+        .agg(F.count(F.lit(1)).alias("dcnt"))
+    )
+
+
+def _trigram_mixture_scores(
+    dtri: DataFrame,
+    tric: DataFrame,
+    bic: DataFrame,
+    unic: DataFrame,
+    id_col: str,
+    lambdas: tuple[float, float, float],
+    ndigits: int,
+    pinned: bool,
+) -> DataFrame:
+    """The interpolated-mixture scoring core over prebuilt count
+    relations — :func:`trigram_lm_scores`' join/arithmetic half,
+    factored out so the streaming LM reader
+    (``streaming/sinks.py: read_lm_scores``) replays the IDENTICAL
+    expressions against streamed counts (the
+    ``ldiversity_from_cell`` count-preserving discipline).
+    ``tric``/``bic``/``unic`` are (tkey, c123) / (bkey, bc) /
+    (ukey, uc); ``pinned`` selects the reference-trained formula
+    (left joins, 0 off support, add-one unigram floor) vs the
+    self-trained exact MLE mixture."""
+    l3, l2, l1 = (float(x) for x in lambdas)
+    utot = unic.agg(
+        F.sum("uc").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_types"),
+    )
+    how = "left" if pinned else "inner"
+    joined = (
+        dtri.join(tric, "tkey", how)
+        .join(
+            bic.select(F.col("bkey").alias("k12"), F.col("bc").alias("c12")),
+            "k12",
+            how,
+        )
+        .join(
+            bic.select(F.col("bkey").alias("k23"), F.col("bc").alias("c23")),
+            "k23",
+            how,
+        )
+        .join(
+            unic.select(F.col("ukey").alias("k2"), F.col("uc").alias("c2")),
+            "k2",
+            how,
+        )
+        .join(
+            unic.select(F.col("ukey").alias("k3"), F.col("uc").alias("c3")),
+            "k3",
+            how,
+        )
+        .crossJoin(F.broadcast(utot))
+    )
+    # evaluation shape is part of the oracle contract: each ratio
+    # parenthesized, λ terms summed left-to-right (the DuckDB twin
+    # writes the same shape so the doubles agree bit-for-bit)
+    if pinned:
+        p = (
+            F.lit(l3)
+            * F.coalesce(F.col("c123") / F.col("c12"), F.lit(0.0))
+            + F.lit(l2)
+            * F.coalesce(F.col("c23") / F.col("c2"), F.lit(0.0))
+            + F.lit(l1)
+            * (
+                (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(1))
+                / (F.col("n_tokens") + F.col("v_types"))
+            )
+        )
+    else:
+        p = (
+            F.lit(l3) * (F.col("c123") / F.col("c12"))
+            + F.lit(l2) * (F.col("c23") / F.col("c2"))
+            + F.lit(l1) * (F.col("c3") / F.col("n_tokens"))
+        )
+    return joined.groupBy(id_col).agg(
+        F.sum("dcnt").alias("n_ngrams"),
+        F.round(
+            F.sum(F.col("dcnt") * F.log(p)) / F.sum("dcnt"), ndigits
+        ).alias("score"),
+    )
+
+
 def trigram_lm_scores(
     docs: DataFrame | None,
     id_col: str = "doc_id",
@@ -357,7 +457,6 @@ def trigram_lm_scores(
         materialize_release,
     )
 
-    l3, l2, l1 = (float(x) for x in lambdas)
     own_toks: list[DataFrame] = []
     if toks is None:
         toks = cache_intermediate(_bound_tokens(docs, id_col, text_col))
@@ -367,20 +466,7 @@ def trigram_lm_scores(
         own_toks.append(ref_toks)
     pinned = ref_toks is not None
     model_toks = ref_toks if pinned else toks
-    tri = doc_trigrams(None, id_col=id_col, toks=toks)
-    dtri = (
-        tri.select(
-            F.col(id_col),
-            F.xxhash64("w1", "w2", "w3").alias("tkey"),
-            F.xxhash64("w1", "w2").alias("k12"),
-            F.xxhash64("w2", "w3").alias("k23"),
-            F.xxhash64("w2").alias("k2"),
-            F.xxhash64("w3").alias("k3"),
-        )
-        .groupBy(id_col, "tkey", "k12", "k23", "k2", "k3")
-        .agg(F.count(F.lit(1)).alias("dcnt"))
-        .persist()
-    )
+    dtri = _doc_trigram_counts(toks, id_col).persist()
     if pinned:
         # model trigram counts from the REFERENCE stream (the scored
         # docs' dtri rollup is the model only in self-trained mode)
@@ -415,61 +501,8 @@ def trigram_lm_scores(
         .groupBy("ukey")
         .agg(F.count(F.lit(1)).alias("uc"))
     )
-    utot = unic.agg(
-        F.sum("uc").alias("n_tokens"),
-        F.count(F.lit(1)).alias("v_types"),
-    )
-    how = "left" if pinned else "inner"
-    joined = (
-        dtri.join(tric, "tkey", how)
-        .join(
-            bic.select(F.col("bkey").alias("k12"), F.col("bc").alias("c12")),
-            "k12",
-            how,
-        )
-        .join(
-            bic.select(F.col("bkey").alias("k23"), F.col("bc").alias("c23")),
-            "k23",
-            how,
-        )
-        .join(
-            unic.select(F.col("ukey").alias("k2"), F.col("uc").alias("c2")),
-            "k2",
-            how,
-        )
-        .join(
-            unic.select(F.col("ukey").alias("k3"), F.col("uc").alias("c3")),
-            "k3",
-            how,
-        )
-        .crossJoin(F.broadcast(utot))
-    )
-    # evaluation shape is part of the oracle contract: each ratio
-    # parenthesized, λ terms summed left-to-right (the DuckDB twin
-    # writes the same shape so the doubles agree bit-for-bit)
-    if pinned:
-        p = (
-            F.lit(l3)
-            * F.coalesce(F.col("c123") / F.col("c12"), F.lit(0.0))
-            + F.lit(l2)
-            * F.coalesce(F.col("c23") / F.col("c2"), F.lit(0.0))
-            + F.lit(l1)
-            * (
-                (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(1))
-                / (F.col("n_tokens") + F.col("v_types"))
-            )
-        )
-    else:
-        p = (
-            F.lit(l3) * (F.col("c123") / F.col("c12"))
-            + F.lit(l2) * (F.col("c23") / F.col("c2"))
-            + F.lit(l1) * (F.col("c3") / F.col("n_tokens"))
-        )
-    scored = joined.groupBy(id_col).agg(
-        F.sum("dcnt").alias("n_ngrams"),
-        F.round(
-            F.sum(F.col("dcnt") * F.log(p)) / F.sum("dcnt"), ndigits
-        ).alias("score"),
+    scored = _trigram_mixture_scores(
+        dtri, tric, bic, unic, id_col, lambdas, ndigits, pinned
     )
     if not materialize:
         return scored

@@ -1105,6 +1105,129 @@ def read_ldiv_metrics(
     )
 
 
+# ------------------------------------------- streaming n-gram LM sink
+# slots of the fused n-gram count table (one additive relation holds
+# the whole model): 0 = trigram, 1 = bigram, 2 = unigram
+_LM_SLOT_TRI, _LM_SLOT_BI, _LM_SLOT_UNI = 0, 1, 2
+
+
+def _lm_slot_keys(batch: DataFrame, text_col: str) -> DataFrame:
+    """One fused projection from raw text rows to (slot, key) n-gram
+    hash rows — trigram/bigram/unigram keys built with the SAME
+    xxhash64-over-the-same-strings construction as
+    ``operators/curation.py``'s batch miners (the join keys must be
+    the same hash of the same strings), concatenated slot-tagged and
+    exploded once (the drift suite's fused-slot discipline: one
+    Generate, one combinable count, not three passes)."""
+    toks = batch.select(F.split(F.col(text_col), " ").alias("toks"))
+    n2 = F.greatest(F.size(F.col("toks")) - 2, F.lit(0))
+    n1 = F.size(F.col("toks")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, n2),
+        F.slice(F.col("toks"), 2, n2),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    tkeys = F.zip_with(
+        pairs,
+        F.slice(F.col("toks"), 3, n2),
+        lambda p, c: F.xxhash64(p["w1"], p["w2"], c),
+    )
+    bkeys = F.zip_with(
+        F.slice(F.col("toks"), 1, n1),
+        F.slice(F.col("toks"), 2, n1),
+        lambda a, b: F.xxhash64(a, b),
+    )
+    ukeys = F.transform(F.col("toks"), lambda w: F.xxhash64(w))
+
+    def _slot(arr, slot: int):
+        return F.transform(
+            arr,
+            lambda k: F.struct(F.lit(slot).alias("slot"), k.alias("key")),
+        )
+
+    slotted = F.concat(
+        _slot(tkeys, _LM_SLOT_TRI),
+        _slot(bkeys, _LM_SLOT_BI),
+        _slot(ukeys, _LM_SLOT_UNI),
+    )
+    return toks.select(F.explode(slotted).alias("e")).select(
+        F.col("e.slot").alias("slot"), F.col("e.key").alias("key")
+    )
+
+
+def foreach_batch_lm_counts(path: str, text_col: str = "text"):
+    """``foreachBatch`` body that folds each micro-batch's n-gram
+    counts into one additive (slot, key) generation-swap table — the
+    corpus LM built INCREMENTALLY from the stream. N-gram counts are
+    additive by construction, so the streamed table after any prefix
+    equals the batch miners' counts over the same rows (parity-pinned
+    through :func:`read_lm_scores`); same crash-safe replay protection
+    as every additive sink here (the applied batch id rides the
+    committed generation's name)."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        _, last = _current_generation(path)
+        if batch_id <= last:
+            return  # replayed batch: already folded into the table
+        additive_merge_parquet(
+            _lm_slot_keys(batch, text_col),
+            path,
+            ("slot", "key"),
+            {},
+            batch_id=batch_id,
+        )
+
+    return _apply
+
+
+def read_lm_scores(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 3,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """Score ``docs`` under the STREAMED n-gram model — row-identical
+    to ``trigram_lm_scores(docs, ref=<the streamed corpus>)`` after
+    any stream prefix, because the scoring replays the batch
+    operator's own join/arithmetic core
+    (``curation._trigram_mixture_scores``, the count-preserving
+    ``ldiversity_from_cell`` discipline) against the stored (slot,
+    key) counts. This is the 100 TB serving shape: the in-domain LM
+    accretes from the stream, and any shard scores against it
+    scan-free of the reference corpus. Raises a descriptive error
+    before the sink's first generation (an empty model has no floor
+    — the batch pinned mode documents the same rule)."""
+    from unimib_simpss_spark.operators.curation import (
+        _bound_tokens,
+        _doc_trigram_counts,
+        _trigram_mixture_scores,
+    )
+
+    cur, _ = _current_generation(path)
+    if cur is None:
+        raise ValueError(
+            f"no LM-count generation at {path} yet — the "
+            "foreach_batch_lm_counts sink has not committed a batch"
+        )
+    stored = spark.read.parquet(cur)
+    tric = stored.where(F.col("slot") == _LM_SLOT_TRI).select(
+        F.col("key").alias("tkey"), F.col("n_rows").alias("c123")
+    )
+    bic = stored.where(F.col("slot") == _LM_SLOT_BI).select(
+        F.col("key").alias("bkey"), F.col("n_rows").alias("bc")
+    )
+    unic = stored.where(F.col("slot") == _LM_SLOT_UNI).select(
+        F.col("key").alias("ukey"), F.col("n_rows").alias("uc")
+    )
+    dtri = _doc_trigram_counts(_bound_tokens(docs, id_col, text_col), id_col)
+    return _trigram_mixture_scores(
+        dtri, tric, bic, unic, id_col, lambdas, ndigits, pinned=True
+    )
+
+
 def foreach_batch_drift_q_by(
     path: str, col: str, group_col: str, edges: dict
 ):
