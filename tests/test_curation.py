@@ -346,7 +346,9 @@ class TestTrigramLm:
         df = spark.createDataFrame(
             target + out, ["doc_id", "text", "source"]
         )
-        ref = df.where(F.col("source") == "tgt")
+        # the model side never reads ids — an id-free reference corpus
+        # must work (review r17 pass 3)
+        ref = df.where(F.col("source") == "tgt").select("text")
         scores = {
             r.doc_id: r.score
             for r in C.trigram_lm_scores(df, ref=ref).collect()
@@ -372,7 +374,7 @@ class TestTrigramLm:
         df = spark.createDataFrame(target, ["doc_id", "text", "source"])
         pinned = {
             r.doc_id: r.score
-            for r in C.trigram_lm_scores(df, ref=df).collect()
+            for r in C.trigram_lm_scores(df, ref=df.select("text")).collect()
         }
         self_t = {
             r.doc_id: r.score

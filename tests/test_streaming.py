@@ -2863,6 +2863,13 @@ def test_streaming_lm_counts_match_batch_reference_model(spark, tmp_path):
     # descriptive error before the first generation
     with pytest.raises(ValueError, match="no LM-count generation"):
         read_lm_scores(spark, str(tmp_path / "lm_nope"), probe)
+    # a committed-but-EMPTY model (NULL-text-only prefix) must raise,
+    # not emit silent all-NULL scores (review r17 pass 3)
+    empty_table = str(tmp_path / "lm_empty")
+    nulls = spark.createDataFrame([(None,)], "text string")
+    foreach_batch_lm_counts(empty_table)(nulls, 0)
+    with pytest.raises(ValueError, match="no unigram mass"):
+        read_lm_scores(spark, empty_table, probe)
 
 
 def test_streaming_drift_suite_matches_batch_prefix(spark, tmp_path):

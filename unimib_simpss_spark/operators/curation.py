@@ -278,6 +278,39 @@ def doc_trigrams(
     )
 
 
+def _ngram_key_arrays(toks_col: str = "toks"):
+    """(trigram, bigram, unigram) xxhash64 key-ARRAY expressions over a
+    bound token-array attribute — THE single definition of the LM key
+    construction. The batch model builders (:func:`trigram_lm_scores`)
+    and the streaming LM sink (``streaming/sinks.py:_lm_slot_keys``)
+    both consume these, so a tokenization or key-shape change cannot
+    silently fork an already-accreted streamed table from the batch
+    model (review r17 pass 3). The scoring side's per-document five-key
+    relation (:func:`_doc_trigram_counts`) hashes the same strings
+    column-wise — xxhash64 over equal strings is equal wherever it is
+    computed."""
+    t = F.col(toks_col)
+    n2 = F.greatest(F.size(t) - 2, F.lit(0))
+    n1 = F.size(t) - 1
+    pairs = F.zip_with(
+        F.slice(t, 1, n2),
+        F.slice(t, 2, n2),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    tri = F.zip_with(
+        pairs,
+        F.slice(t, 3, n2),
+        lambda p, c: F.xxhash64(p["w1"], p["w2"], c),
+    )
+    bi = F.zip_with(
+        F.slice(t, 1, n1),
+        F.slice(t, 2, n1),
+        lambda a, b: F.xxhash64(a, b),
+    )
+    uni = F.transform(t, lambda w: F.xxhash64(w))
+    return tri, bi, uni
+
+
 def _doc_trigram_counts(toks: DataFrame, id_col: str) -> DataFrame:
     """Per-document trigram occurrences collapsed to counts under the
     FIVE xxhash64 keys the interpolated mixture joins on (trigram,
@@ -457,47 +490,47 @@ def trigram_lm_scores(
         materialize_release,
     )
 
-    own_toks: list[DataFrame] = []
+    own_caches: list[DataFrame] = []
     if toks is None:
         toks = cache_intermediate(_bound_tokens(docs, id_col, text_col))
-        own_toks.append(toks)
+        own_caches.append(toks)
     if ref_toks is None and ref is not None:
-        ref_toks = cache_intermediate(_bound_tokens(ref, id_col, text_col))
-        own_toks.append(ref_toks)
+        # the MODEL side never reads per-document ids, so a reference
+        # corpus need not carry id_col (review r17 pass 3) — a bare
+        # token-array projection is enough; the count aggregates below
+        # redistribute, so no repartition is needed either
+        ref_toks = cache_intermediate(
+            ref.select(F.split(F.col(text_col), " ").alias("toks"))
+        )
+        own_caches.append(ref_toks)
     pinned = ref_toks is not None
     model_toks = ref_toks if pinned else toks
-    dtri = _doc_trigram_counts(toks, id_col).persist()
+    dtri = _doc_trigram_counts(toks, id_col)
+    tri_k, bi_k, uni_k = _ngram_key_arrays()
+    caches: list[DataFrame] = []
     if pinned:
         # model trigram counts from the REFERENCE stream (the scored
-        # docs' dtri rollup is the model only in self-trained mode)
+        # docs' dtri rollup is the model only in self-trained mode);
+        # dtri has exactly one consumer here, so it is NOT persisted
         tric = (
-            doc_trigrams(None, id_col=id_col, toks=model_toks)
-            .select(F.xxhash64("w1", "w2", "w3").alias("tkey"))
+            model_toks.select(F.explode(tri_k).alias("tkey"))
             .groupBy("tkey")
             .agg(F.count(F.lit(1)).alias("c123"))
         )
     else:
+        dtri = dtri.persist()
+        caches.append(dtri)
         tric = dtri.groupBy("tkey").agg(F.sum("dcnt").alias("c123"))
-    # context counts over the FULL model streams (same xxhash64 key
-    # construction as k12/k23/k2/k3 above — the join keys must be the
-    # same hash of the same strings)
-    n1 = F.size(F.col("toks")) - 1
+    # context counts over the FULL model streams, mined through the
+    # SHARED key-array expressions (single definition — see
+    # _ngram_key_arrays)
     bic = cache_intermediate(
-        model_toks.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("toks"), 1, n1),
-                    F.slice(F.col("toks"), 2, n1),
-                    lambda a, b: F.xxhash64(a, b),
-                )
-            ).alias("bkey")
-        )
+        model_toks.select(F.explode(bi_k).alias("bkey"))
         .groupBy("bkey")
         .agg(F.count(F.lit(1)).alias("bc"))
     )
     unic = cache_intermediate(
-        model_toks.select(F.explode(F.col("toks")).alias("w"))
-        .select(F.xxhash64("w").alias("ukey"))
+        model_toks.select(F.explode(uni_k).alias("ukey"))
         .groupBy("ukey")
         .agg(F.count(F.lit(1)).alias("uc"))
     )
@@ -506,7 +539,7 @@ def trigram_lm_scores(
     )
     if not materialize:
         return scored
-    return materialize_release(scored, dtri, bic, unic, *own_toks)
+    return materialize_release(scored, *caches, bic, unic, *own_caches)
 
 
 def vocab_coverage(

@@ -1113,31 +1113,17 @@ _LM_SLOT_TRI, _LM_SLOT_BI, _LM_SLOT_UNI = 0, 1, 2
 
 def _lm_slot_keys(batch: DataFrame, text_col: str) -> DataFrame:
     """One fused projection from raw text rows to (slot, key) n-gram
-    hash rows — trigram/bigram/unigram keys built with the SAME
-    xxhash64-over-the-same-strings construction as
-    ``operators/curation.py``'s batch miners (the join keys must be
-    the same hash of the same strings), concatenated slot-tagged and
-    exploded once (the drift suite's fused-slot discipline: one
-    Generate, one combinable count, not three passes)."""
+    hash rows. The key construction is IMPORTED from the batch side
+    (``curation._ngram_key_arrays`` — the single definition, so a
+    tokenization or key-shape change cannot fork an already-accreted
+    streamed table from the batch model); here it is only slot-tagged,
+    concatenated, and exploded once (the drift suite's fused-slot
+    discipline: one Generate, one combinable count, not three
+    passes)."""
+    from unimib_simpss_spark.operators.curation import _ngram_key_arrays
+
     toks = batch.select(F.split(F.col(text_col), " ").alias("toks"))
-    n2 = F.greatest(F.size(F.col("toks")) - 2, F.lit(0))
-    n1 = F.size(F.col("toks")) - 1
-    pairs = F.zip_with(
-        F.slice(F.col("toks"), 1, n2),
-        F.slice(F.col("toks"), 2, n2),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    tkeys = F.zip_with(
-        pairs,
-        F.slice(F.col("toks"), 3, n2),
-        lambda p, c: F.xxhash64(p["w1"], p["w2"], c),
-    )
-    bkeys = F.zip_with(
-        F.slice(F.col("toks"), 1, n1),
-        F.slice(F.col("toks"), 2, n1),
-        lambda a, b: F.xxhash64(a, b),
-    )
-    ukeys = F.transform(F.col("toks"), lambda w: F.xxhash64(w))
+    tkeys, bkeys, ukeys = _ngram_key_arrays()
 
     def _slot(arr, slot: int):
         return F.transform(
@@ -1161,21 +1147,13 @@ def foreach_batch_lm_counts(path: str, text_col: str = "text"):
     corpus LM built INCREMENTALLY from the stream. N-gram counts are
     additive by construction, so the streamed table after any prefix
     equals the batch miners' counts over the same rows (parity-pinned
-    through :func:`read_lm_scores`); same crash-safe replay protection
-    as every additive sink here (the applied batch id rides the
-    committed generation's name)."""
+    through :func:`read_lm_scores`). Replay protection and the fold
+    itself delegate to :func:`foreach_batch_additive` — the cursor
+    contract lives once."""
+    fold = foreach_batch_additive(path, ("slot", "key"), {})
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        _, last = _current_generation(path)
-        if batch_id <= last:
-            return  # replayed batch: already folded into the table
-        additive_merge_parquet(
-            _lm_slot_keys(batch, text_col),
-            path,
-            ("slot", "key"),
-            {},
-            batch_id=batch_id,
-        )
+        fold(_lm_slot_keys(batch, text_col), batch_id)
 
     return _apply
 
@@ -1198,8 +1176,11 @@ def read_lm_scores(
     key) counts. This is the 100 TB serving shape: the in-domain LM
     accretes from the stream, and any shard scores against it
     scan-free of the reference corpus. Raises a descriptive error
-    before the sink's first generation (an empty model has no floor
-    — the batch pinned mode documents the same rule)."""
+    before the sink's first generation AND on a committed-but-empty
+    model (a NULL-text-only prefix commits a zero-row generation and
+    advances the cursor; scoring against it would emit silent
+    all-NULL scores — an empty model has no floor, review r17
+    pass 3)."""
     from unimib_simpss_spark.operators.curation import (
         _bound_tokens,
         _doc_trigram_counts,
@@ -1213,6 +1194,14 @@ def read_lm_scores(
             "foreach_batch_lm_counts sink has not committed a batch"
         )
     stored = spark.read.parquet(cur)
+    if (
+        stored.where(F.col("slot") == _LM_SLOT_UNI).limit(1).count() == 0
+    ):
+        raise ValueError(
+            f"LM-count table at {path} holds no unigram mass — the "
+            "streamed prefix tokenized to nothing (e.g. NULL-text "
+            "rows only); an empty model has no smoothing floor"
+        )
     tric = stored.where(F.col("slot") == _LM_SLOT_TRI).select(
         F.col("key").alias("tkey"), F.col("n_rows").alias("c123")
     )
