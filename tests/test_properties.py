@@ -641,3 +641,84 @@ def test_bloom_pruned_semi_join_equals_plain_semi(spark, left, right):
         for r in bloom_pruned_semi_join(probe, build, "k", "k").collect()
     )
     assert pruned == plain
+
+
+# PII-shaped fragments interleaved with random text — the fuzz
+# complement to test_curation.py's 16 hand-picked hostile cases: the
+# property is VERBATIM Spark↔DuckDB parity of the structured scrub
+# (Java Pattern vs RE2 on the same shared constants) plus idempotence
+# on arbitrary input.
+_PII_BITS = st.sampled_from(
+    [
+        "a@b.io",
+        "john.doe+x@sub.example.co.uk",
+        "user@192.168.1.1",
+        "+39 02 1234 5678",
+        "(800) 555 0199",
+        "555-123-4567",
+        "10.0.0.7",
+        "255.255.255.255",
+        "1.2.3.4.5",
+        "2001:db8::1",
+        "::1",
+        "cafe::babe",
+        "00:1a:2b:3c:4d:5e",
+        "12:30:45",
+        "2023-08-16",
+        "978-3-16-148410-0",
+        "4111 1111 1111 1111",
+    ]
+)
+_pii_word = st.one_of(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+            max_codepoint=0x2FF,
+        ),
+        max_size=12,
+    ),
+    _PII_BITS,
+)
+pii_texts = st.lists(
+    st.lists(_pii_word, min_size=0, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(strings=pii_texts)
+def test_scrub_pii_cross_engine_parity_and_idempotent(spark, strings):
+    import duckdb
+
+    from unimib_simpss_spark.functions import privacy as P
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "i int, text string"
+    )
+    cnts = P.pii_class_counts("text")
+    got = (
+        df.select(
+            "i",
+            P.scrub_pii("text").alias("s"),
+            P.scrub_pii(P.scrub_pii("text")).alias("s2"),
+            *[v.alias(k) for k, v in cnts.items()],
+        )
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i int, text varchar)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(strings)))
+    csql = P.pii_class_counts_sql("text")
+    sel = ", ".join(f"{v} AS {k}" for k, v in csql.items())
+    duck = con.execute(
+        f"SELECT {P.scrub_pii_sql('text')} AS s, {sel} FROM t ORDER BY i"
+    ).fetchall()
+    for r, d in zip(got, duck):
+        assert (r.s, r.emails, r.phones, r.ipv4, r.ipv6) == tuple(d), (
+            strings[r.i],
+            r.s,
+            d,
+        )
+        assert r.s2 == r.s  # idempotent on arbitrary input
