@@ -366,6 +366,62 @@ class TestTrigramLm:
         }
         assert self_scores[99] > scores[99] + 3
 
+    def test_published_artifact_equals_ref_mode_and_is_scan_free(
+        self, spark, tmp_path
+    ):
+        """publish_lm_counts → trigram_lm_scores(ref_counts=...) must
+        equal the ref= mode row-for-row, and the scoring plan must
+        never touch the reference corpus (the drift gates' pinned
+        inputFiles contract)."""
+        target = [(i, "the cat sat on the mat", "tgt") for i in range(5)]
+        out = [(99, "zy qx wv uq tp", "other")]
+        docs_path = f"{tmp_path}/docs.parquet"
+        art_path = f"{tmp_path}/lm_artifact.parquet"
+        ref_path = f"{tmp_path}/refcorpus.parquet"
+        spark.createDataFrame(
+            target + out, ["doc_id", "text", "source"]
+        ).write.parquet(docs_path)
+        docs = spark.read.parquet(docs_path)
+        ref = docs.where(F.col("source") == "tgt").select("text")
+        ref.write.parquet(ref_path)
+        C.publish_lm_counts(spark.read.parquet(ref_path)).write.parquet(
+            art_path
+        )
+        via_ref = sorted(
+            map(tuple, C.trigram_lm_scores(docs, ref=ref).collect())
+        )
+        pinned = C.trigram_lm_scores(
+            docs,
+            ref_counts=spark.read.parquet(art_path),
+            materialize=False,
+        )
+        assert sorted(map(tuple, pinned.collect())) == via_ref
+        files = set(pinned.inputFiles())
+        assert files and not any("refcorpus.parquet" in f for f in files), (
+            files
+        )
+        # empty artifact (no unigram mass) rejected loudly
+        with pytest.raises(ValueError, match="no unigram mass"):
+            C.trigram_lm_scores(
+                docs,
+                ref_counts=spark.createDataFrame(
+                    [], "slot int, key long, n_rows long"
+                ),
+            )
+        # malformed artifact rejected by name
+        with pytest.raises(ValueError, match="missing column"):
+            C.trigram_lm_scores(
+                docs,
+                ref_counts=spark.createDataFrame(
+                    [(0, 1)], "slot int, key long"
+                ),
+            )
+        # exactly one reference form
+        with pytest.raises(ValueError, match="exactly one reference"):
+            C.trigram_lm_scores(
+                docs, ref=ref, ref_counts=spark.read.parquet(art_path)
+            )
+
     def test_reference_trained_in_domain_close_to_self_trained(self, spark):
         """A doc made ONLY of model trigrams scores near the self-
         trained value — the pinned mode differs only by the smoothed

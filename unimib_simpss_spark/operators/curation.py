@@ -311,6 +311,84 @@ def _ngram_key_arrays(toks_col: str = "toks"):
     return tri, bi, uni
 
 
+# slots of the fused n-gram count artifact (one relation holds the
+# whole model; same layout batch-published and stream-accreted):
+# 0 = trigram, 1 = bigram, 2 = unigram
+LM_SLOT_TRI, LM_SLOT_BI, LM_SLOT_UNI = 0, 1, 2
+
+
+def lm_slot_keys(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One fused projection from raw text rows to (slot, key) n-gram
+    hash rows — the single definition of the LM artifact's row shape:
+    :func:`publish_lm_counts` aggregates it once per release, the
+    streaming sink (``streaming/sinks.py: foreach_batch_lm_counts``)
+    folds it additively per micro-batch. Slot-tagged key arrays
+    concatenated and exploded once (the drift suite's fused-slot
+    discipline: one Generate, one combinable count, not three
+    passes)."""
+    toks = docs.select(F.split(F.col(text_col), " ").alias("toks"))
+    tkeys, bkeys, ukeys = _ngram_key_arrays()
+
+    def _slot(arr, slot: int):
+        return F.transform(
+            arr,
+            lambda k: F.struct(F.lit(slot).alias("slot"), k.alias("key")),
+        )
+
+    slotted = F.concat(
+        _slot(tkeys, LM_SLOT_TRI),
+        _slot(bkeys, LM_SLOT_BI),
+        _slot(ukeys, LM_SLOT_UNI),
+    )
+    return toks.select(F.explode(slotted).alias("e")).select(
+        F.col("e.slot").alias("slot"), F.col("e.key").alias("key")
+    )
+
+
+def publish_lm_counts(ref: DataFrame, text_col: str = "text") -> DataFrame:
+    """The publishable LM artifact: ``(slot, key, n_rows)`` n-gram
+    counts of a reference corpus — the batch half of the drift gates'
+    pin discipline applied to the LM. A release pipeline writes this
+    ONCE (one combinable count over the reference), and every later
+    scoring job passes it back via
+    ``trigram_lm_scores(ref_counts=...)`` — scan-free of the
+    reference corpus. Layout-identical to the streaming sink's
+    accreted table, so a batch-published and a stream-accreted model
+    are interchangeable artifacts."""
+    return lm_slot_keys(ref, text_col).groupBy("slot", "key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def _lm_model_slices(counts: DataFrame):
+    """Slice a published/streamed (slot, key, n_rows) LM artifact into
+    the three count relations the mixture joins on, with a loud error
+    on an empty model (no unigram mass = no smoothing floor)."""
+    missing = {"slot", "key", "n_rows"} - set(counts.columns)
+    if missing:
+        raise ValueError(
+            f"LM count artifact is missing column(s) {sorted(missing)} "
+            f"— got {counts.columns}; pass publish_lm_counts output or "
+            "the streaming sink's table"
+        )
+    unic = counts.where(F.col("slot") == LM_SLOT_UNI).select(
+        F.col("key").alias("ukey"), F.col("n_rows").alias("uc")
+    )
+    if unic.limit(1).count() == 0:
+        raise ValueError(
+            "LM count artifact holds no unigram mass — the model is "
+            "empty (e.g. a NULL-text-only corpus); an empty model has "
+            "no smoothing floor"
+        )
+    tric = counts.where(F.col("slot") == LM_SLOT_TRI).select(
+        F.col("key").alias("tkey"), F.col("n_rows").alias("c123")
+    )
+    bic = counts.where(F.col("slot") == LM_SLOT_BI).select(
+        F.col("key").alias("bkey"), F.col("n_rows").alias("bc")
+    )
+    return tric, bic, unic
+
+
 def _doc_trigram_counts(toks: DataFrame, id_col: str) -> DataFrame:
     """Per-document trigram occurrences collapsed to counts under the
     FIVE xxhash64 keys the interpolated mixture joins on (trigram,
@@ -421,6 +499,7 @@ def trigram_lm_scores(
     toks: DataFrame | None = None,
     ref: DataFrame | None = None,
     ref_toks: DataFrame | None = None,
+    ref_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean log-probability under an INTERPOLATED trigram
     model — the KenLM-shaped quality filter at the center of
@@ -474,6 +553,12 @@ def trigram_lm_scores(
     rather than a fabricated floor — pick a non-empty reference.
     ``ref_toks`` accepts a prebuilt token relation (q64 slices its
     shared cached tokenize: ``toks.where(_tgt)`` — zero extra scans).
+    ``ref_counts`` accepts the PUBLISHED model artifact instead — a
+    ``(slot, key, n_rows)`` relation from :func:`publish_lm_counts`
+    or the streaming sink's accreted table — and scores scan-free of
+    the reference corpus (the drift gates' ``ref_stats``/``ref_counts``
+    pin discipline applied to the LM; empty-model artifacts are
+    rejected loudly). Exactly one reference form may be given.
 
     ``toks`` accepts a prebuilt (ideally cached) :func:`_bound_tokens`
     relation so the q64 host tokenizes ONCE for lm/dsir/lm3; without
@@ -490,6 +575,13 @@ def trigram_lm_scores(
         materialize_release,
     )
 
+    n_ref_forms = sum(x is not None for x in (ref, ref_toks, ref_counts))
+    if n_ref_forms > 1:
+        raise ValueError(
+            "pass exactly one reference form: ref (corpus), ref_toks "
+            "(prebuilt token relation), or ref_counts (published "
+            "(slot, key, n_rows) artifact)"
+        )
     own_caches: list[DataFrame] = []
     if toks is None:
         toks = cache_intermediate(_bound_tokens(docs, id_col, text_col))
@@ -503,43 +595,50 @@ def trigram_lm_scores(
             ref.select(F.split(F.col(text_col), " ").alias("toks"))
         )
         own_caches.append(ref_toks)
-    pinned = ref_toks is not None
-    model_toks = ref_toks if pinned else toks
+    pinned = n_ref_forms == 1
+    model_toks = ref_toks if ref_toks is not None else toks
     dtri = _doc_trigram_counts(toks, id_col)
-    tri_k, bi_k, uni_k = _ngram_key_arrays()
     caches: list[DataFrame] = []
-    if pinned:
-        # model trigram counts from the REFERENCE stream (the scored
-        # docs' dtri rollup is the model only in self-trained mode);
-        # dtri has exactly one consumer here, so it is NOT persisted
-        tric = (
-            model_toks.select(F.explode(tri_k).alias("tkey"))
-            .groupBy("tkey")
-            .agg(F.count(F.lit(1)).alias("c123"))
-        )
+    if ref_counts is not None:
+        # the published-artifact path: the model relations come from
+        # storage; no reference corpus exists anywhere in the plan
+        tric, bic, unic = _lm_model_slices(ref_counts)
     else:
-        dtri = dtri.persist()
-        caches.append(dtri)
-        tric = dtri.groupBy("tkey").agg(F.sum("dcnt").alias("c123"))
-    # context counts over the FULL model streams, mined through the
-    # SHARED key-array expressions (single definition — see
-    # _ngram_key_arrays)
-    bic = cache_intermediate(
-        model_toks.select(F.explode(bi_k).alias("bkey"))
-        .groupBy("bkey")
-        .agg(F.count(F.lit(1)).alias("bc"))
-    )
-    unic = cache_intermediate(
-        model_toks.select(F.explode(uni_k).alias("ukey"))
-        .groupBy("ukey")
-        .agg(F.count(F.lit(1)).alias("uc"))
-    )
+        tri_k, bi_k, uni_k = _ngram_key_arrays()
+        if pinned:
+            # model trigram counts from the REFERENCE stream (the
+            # scored docs' dtri rollup is the model only in
+            # self-trained mode); dtri has exactly one consumer here,
+            # so it is NOT persisted
+            tric = (
+                model_toks.select(F.explode(tri_k).alias("tkey"))
+                .groupBy("tkey")
+                .agg(F.count(F.lit(1)).alias("c123"))
+            )
+        else:
+            dtri = dtri.persist()
+            caches.append(dtri)
+            tric = dtri.groupBy("tkey").agg(F.sum("dcnt").alias("c123"))
+        # context counts over the FULL model streams, mined through
+        # the SHARED key-array expressions (single definition — see
+        # _ngram_key_arrays)
+        bic = cache_intermediate(
+            model_toks.select(F.explode(bi_k).alias("bkey"))
+            .groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("bc"))
+        )
+        unic = cache_intermediate(
+            model_toks.select(F.explode(uni_k).alias("ukey"))
+            .groupBy("ukey")
+            .agg(F.count(F.lit(1)).alias("uc"))
+        )
+        caches += [bic, unic]
     scored = _trigram_mixture_scores(
         dtri, tric, bic, unic, id_col, lambdas, ndigits, pinned
     )
     if not materialize:
         return scored
-    return materialize_release(scored, *caches, bic, unic, *own_caches)
+    return materialize_release(scored, *caches, *own_caches)
 
 
 def vocab_coverage(

@@ -1106,54 +1106,25 @@ def read_ldiv_metrics(
 
 
 # ------------------------------------------- streaming n-gram LM sink
-# slots of the fused n-gram count table (one additive relation holds
-# the whole model): 0 = trigram, 1 = bigram, 2 = unigram
-_LM_SLOT_TRI, _LM_SLOT_BI, _LM_SLOT_UNI = 0, 1, 2
-
-
-def _lm_slot_keys(batch: DataFrame, text_col: str) -> DataFrame:
-    """One fused projection from raw text rows to (slot, key) n-gram
-    hash rows. The key construction is IMPORTED from the batch side
-    (``curation._ngram_key_arrays`` — the single definition, so a
-    tokenization or key-shape change cannot fork an already-accreted
-    streamed table from the batch model); here it is only slot-tagged,
-    concatenated, and exploded once (the drift suite's fused-slot
-    discipline: one Generate, one combinable count, not three
-    passes)."""
-    from unimib_simpss_spark.operators.curation import _ngram_key_arrays
-
-    toks = batch.select(F.split(F.col(text_col), " ").alias("toks"))
-    tkeys, bkeys, ukeys = _ngram_key_arrays()
-
-    def _slot(arr, slot: int):
-        return F.transform(
-            arr,
-            lambda k: F.struct(F.lit(slot).alias("slot"), k.alias("key")),
-        )
-
-    slotted = F.concat(
-        _slot(tkeys, _LM_SLOT_TRI),
-        _slot(bkeys, _LM_SLOT_BI),
-        _slot(ukeys, _LM_SLOT_UNI),
-    )
-    return toks.select(F.explode(slotted).alias("e")).select(
-        F.col("e.slot").alias("slot"), F.col("e.key").alias("key")
-    )
-
-
 def foreach_batch_lm_counts(path: str, text_col: str = "text"):
     """``foreachBatch`` body that folds each micro-batch's n-gram
     counts into one additive (slot, key) generation-swap table — the
-    corpus LM built INCREMENTALLY from the stream. N-gram counts are
-    additive by construction, so the streamed table after any prefix
-    equals the batch miners' counts over the same rows (parity-pinned
+    corpus LM built INCREMENTALLY from the stream, LAYOUT-IDENTICAL
+    to the batch-published artifact (``curation.publish_lm_counts``;
+    ``curation.lm_slot_keys`` is the single definition of the row
+    shape, so a tokenization or key change cannot fork an accreted
+    table from the batch model). N-gram counts are additive by
+    construction, so the streamed table after any prefix equals the
+    batch publisher's counts over the same rows (parity-pinned
     through :func:`read_lm_scores`). Replay protection and the fold
     itself delegate to :func:`foreach_batch_additive` — the cursor
     contract lives once."""
+    from unimib_simpss_spark.operators.curation import lm_slot_keys
+
     fold = foreach_batch_additive(path, ("slot", "key"), {})
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        fold(_lm_slot_keys(batch, text_col), batch_id)
+        fold(lm_slot_keys(batch, text_col), batch_id)
 
     return _apply
 
@@ -1169,22 +1140,20 @@ def read_lm_scores(
 ) -> DataFrame:
     """Score ``docs`` under the STREAMED n-gram model — row-identical
     to ``trigram_lm_scores(docs, ref=<the streamed corpus>)`` after
-    any stream prefix, because the scoring replays the batch
-    operator's own join/arithmetic core
-    (``curation._trigram_mixture_scores``, the count-preserving
-    ``ldiversity_from_cell`` discipline) against the stored (slot,
-    key) counts. This is the 100 TB serving shape: the in-domain LM
+    any stream prefix: the current generation IS a published LM
+    artifact, so this is exactly
+    ``trigram_lm_scores(docs, ref_counts=<table>)`` (one scoring
+    implementation — the count-preserving ``ldiversity_from_cell``
+    discipline). This is the 100 TB serving shape: the in-domain LM
     accretes from the stream, and any shard scores against it
     scan-free of the reference corpus. Raises a descriptive error
-    before the sink's first generation AND on a committed-but-empty
-    model (a NULL-text-only prefix commits a zero-row generation and
-    advances the cursor; scoring against it would emit silent
-    all-NULL scores — an empty model has no floor, review r17
-    pass 3)."""
+    before the sink's first generation; a committed-but-EMPTY model
+    (a NULL-text-only prefix commits a zero-row generation and
+    advances the cursor) is rejected by the shared artifact
+    validation — an empty model has no floor (review r17 pass 3)."""
     from unimib_simpss_spark.operators.curation import (
         _bound_tokens,
-        _doc_trigram_counts,
-        _trigram_mixture_scores,
+        trigram_lm_scores,
     )
 
     cur, _ = _current_generation(path)
@@ -1193,27 +1162,15 @@ def read_lm_scores(
             f"no LM-count generation at {path} yet — the "
             "foreach_batch_lm_counts sink has not committed a batch"
         )
-    stored = spark.read.parquet(cur)
-    if (
-        stored.where(F.col("slot") == _LM_SLOT_UNI).limit(1).count() == 0
-    ):
-        raise ValueError(
-            f"LM-count table at {path} holds no unigram mass — the "
-            "streamed prefix tokenized to nothing (e.g. NULL-text "
-            "rows only); an empty model has no smoothing floor"
-        )
-    tric = stored.where(F.col("slot") == _LM_SLOT_TRI).select(
-        F.col("key").alias("tkey"), F.col("n_rows").alias("c123")
-    )
-    bic = stored.where(F.col("slot") == _LM_SLOT_BI).select(
-        F.col("key").alias("bkey"), F.col("n_rows").alias("bc")
-    )
-    unic = stored.where(F.col("slot") == _LM_SLOT_UNI).select(
-        F.col("key").alias("ukey"), F.col("n_rows").alias("uc")
-    )
-    dtri = _doc_trigram_counts(_bound_tokens(docs, id_col, text_col), id_col)
-    return _trigram_mixture_scores(
-        dtri, tric, bic, unic, id_col, lambdas, ndigits, pinned=True
+    return trigram_lm_scores(
+        None,
+        id_col=id_col,
+        text_col=text_col,
+        ndigits=ndigits,
+        lambdas=lambdas,
+        materialize=False,
+        toks=_bound_tokens(docs, id_col, text_col),
+        ref_counts=spark.read.parquet(cur),
     )
 
 
