@@ -422,6 +422,33 @@ class TestTrigramLm:
                 docs, ref=ref, ref_counts=spark.read.parquet(art_path)
             )
 
+    def test_invalid_artifact_leaks_nothing(self, spark, tmp_path):
+        """An invalid ref_counts artifact must raise BEFORE anything
+        is cached or materialized: in table-checkpoint mode the old
+        order left an orphaned tokenize checkpoint behind the
+        ValueError (review r17 pass 4, repro'd)."""
+        from unimib_simpss_spark.operators.caching import (
+            live_checkpoint_tables,
+            persistent_rdd_ids,
+            set_checkpoint_mode,
+            set_checkpoint_table_dir,
+        )
+
+        docs = self._corpus(spark)
+        bad = spark.createDataFrame([], "slot int, key long, n_rows long")
+        before = persistent_rdd_ids(spark)
+        with pytest.raises(ValueError, match="no unigram mass"):
+            C.trigram_lm_scores(docs, ref_counts=bad)
+        assert persistent_rdd_ids(spark) - before == set()
+        set_checkpoint_table_dir(str(tmp_path / "ckpt_tables"))
+        set_checkpoint_mode("table")
+        try:
+            with pytest.raises(ValueError, match="no unigram mass"):
+                C.trigram_lm_scores(docs, ref_counts=bad)
+            assert live_checkpoint_tables() == frozenset()
+        finally:
+            set_checkpoint_mode("local")
+
     def test_reference_trained_in_domain_close_to_self_trained(self, spark):
         """A doc made ONLY of model trigrams scores near the self-
         trained value — the pinned mode differs only by the smoothed

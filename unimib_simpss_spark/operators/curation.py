@@ -282,10 +282,11 @@ def _ngram_key_arrays(toks_col: str = "toks"):
     """(trigram, bigram, unigram) xxhash64 key-ARRAY expressions over a
     bound token-array attribute — THE single definition of the LM key
     construction. The batch model builders (:func:`trigram_lm_scores`)
-    and the streaming LM sink (``streaming/sinks.py:_lm_slot_keys``)
-    both consume these, so a tokenization or key-shape change cannot
-    silently fork an already-accreted streamed table from the batch
-    model (review r17 pass 3). The scoring side's per-document five-key
+    and the artifact row-shape projection (:func:`lm_slot_keys`, which
+    the streaming sink ``streaming/sinks.py:foreach_batch_lm_counts``
+    folds) both consume these, so a tokenization or key-shape change
+    cannot silently fork an already-accreted streamed table from the
+    batch model (review r17 pass 3). The scoring side's per-document five-key
     relation (:func:`_doc_trigram_counts`) hashes the same strings
     column-wise — xxhash64 over equal strings is equal wherever it is
     computed."""
@@ -360,10 +361,13 @@ def publish_lm_counts(ref: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _lm_model_slices(counts: DataFrame):
-    """Slice a published/streamed (slot, key, n_rows) LM artifact into
-    the three count relations the mixture joins on, with a loud error
-    on an empty model (no unigram mass = no smoothing floor)."""
+def _lm_validate_artifact(counts: DataFrame) -> None:
+    """Loud-failure gate for a published/streamed (slot, key, n_rows)
+    LM artifact — runs on the RAW relation BEFORE anything is cached
+    or materialized, so an invalid artifact cannot orphan a checkpoint
+    table or a tokenize job behind the ValueError (review r17
+    pass 4, repro'd in table mode). The unigram probe is one eager
+    ``limit(1)`` job — the price of the loud-failure contract."""
     missing = {"slot", "key", "n_rows"} - set(counts.columns)
     if missing:
         raise ValueError(
@@ -371,20 +375,26 @@ def _lm_model_slices(counts: DataFrame):
             f"— got {counts.columns}; pass publish_lm_counts output or "
             "the streaming sink's table"
         )
-    unic = counts.where(F.col("slot") == LM_SLOT_UNI).select(
-        F.col("key").alias("ukey"), F.col("n_rows").alias("uc")
-    )
-    if unic.limit(1).count() == 0:
+    if counts.where(F.col("slot") == LM_SLOT_UNI).limit(1).count() == 0:
         raise ValueError(
             "LM count artifact holds no unigram mass — the model is "
             "empty (e.g. a NULL-text-only corpus); an empty model has "
             "no smoothing floor"
         )
+
+
+def _lm_model_slices(counts: DataFrame):
+    """Slice a VALIDATED (slot, key, n_rows) LM artifact into the
+    three count relations the mixture joins on (validation:
+    :func:`_lm_validate_artifact`)."""
     tric = counts.where(F.col("slot") == LM_SLOT_TRI).select(
         F.col("key").alias("tkey"), F.col("n_rows").alias("c123")
     )
     bic = counts.where(F.col("slot") == LM_SLOT_BI).select(
         F.col("key").alias("bkey"), F.col("n_rows").alias("bc")
+    )
+    unic = counts.where(F.col("slot") == LM_SLOT_UNI).select(
+        F.col("key").alias("ukey"), F.col("n_rows").alias("uc")
     )
     return tric, bic, unic
 
@@ -558,7 +568,15 @@ def trigram_lm_scores(
     or the streaming sink's accreted table — and scores scan-free of
     the reference corpus (the drift gates' ``ref_stats``/``ref_counts``
     pin discipline applied to the LM; empty-model artifacts are
-    rejected loudly). Exactly one reference form may be given.
+    rejected loudly — note that validation runs ONE eager probe job
+    even under ``materialize=False``, the price of the loud-failure
+    contract). Exactly one reference form may be given. The artifact
+    is consumed by several scoring subtrees: under
+    ``materialize=True`` this call caches it for the duration; under
+    ``materialize=False`` pass a storage-backed artifact (a parquet
+    read — slot filters push into each scan) or cache it yourself —
+    a LAZY ``publish_lm_counts`` output would re-aggregate the
+    reference once per consumer.
 
     ``toks`` accepts a prebuilt (ideally cached) :func:`_bound_tokens`
     relation so the q64 host tokenizes ONCE for lm/dsir/lm3; without
@@ -566,7 +584,8 @@ def trigram_lm_scores(
     relation feeds FOUR count subtrees — trigram, bigram, unigram,
     total — and Spark will not reuse an uncached scan across them:
     measured 9 FileScans / 21 split() in the un-cached physical plan).
-    The two context-count relations are likewise cached across their
+    In the corpus-built modes (self-trained / ``ref``/``ref_toks``)
+    the two context-count relations are likewise cached across their
     two join uses each (the :func:`bigram_lm_dsir` ``lm`` persist
     discipline) — they are vocabulary-sized, i.e. the LM itself.
     With ``materialize=False`` the caller owns every cache."""
@@ -583,6 +602,19 @@ def trigram_lm_scores(
             "(slot, key, n_rows) artifact)"
         )
     own_caches: list[DataFrame] = []
+    caches: list[DataFrame] = []
+    artifact_slices = None
+    if ref_counts is not None:
+        # validate on the RAW artifact first (nothing cached or
+        # materialized yet — an invalid artifact must not orphan a
+        # checkpoint table or a tokenize job, review r17 pass 4);
+        # then, when this call owns lifecycles, cache it across its
+        # several scoring consumers
+        _lm_validate_artifact(ref_counts)
+        if materialize:
+            ref_counts = cache_intermediate(ref_counts)
+            caches.append(ref_counts)
+        artifact_slices = _lm_model_slices(ref_counts)
     if toks is None:
         toks = cache_intermediate(_bound_tokens(docs, id_col, text_col))
         own_caches.append(toks)
@@ -598,11 +630,10 @@ def trigram_lm_scores(
     pinned = n_ref_forms == 1
     model_toks = ref_toks if ref_toks is not None else toks
     dtri = _doc_trigram_counts(toks, id_col)
-    caches: list[DataFrame] = []
-    if ref_counts is not None:
+    if artifact_slices is not None:
         # the published-artifact path: the model relations come from
         # storage; no reference corpus exists anywhere in the plan
-        tric, bic, unic = _lm_model_slices(ref_counts)
+        tric, bic, unic = artifact_slices
     else:
         tri_k, bi_k, uni_k = _ngram_key_arrays()
         if pinned:

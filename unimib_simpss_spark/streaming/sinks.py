@@ -1162,16 +1162,24 @@ def read_lm_scores(
             f"no LM-count generation at {path} yet — the "
             "foreach_batch_lm_counts sink has not committed a batch"
         )
-    return trigram_lm_scores(
-        None,
-        id_col=id_col,
-        text_col=text_col,
-        ndigits=ndigits,
-        lambdas=lambdas,
-        materialize=False,
-        toks=_bound_tokens(docs, id_col, text_col),
-        ref_counts=spark.read.parquet(cur),
-    )
+    try:
+        return trigram_lm_scores(
+            None,
+            id_col=id_col,
+            text_col=text_col,
+            ndigits=ndigits,
+            lambdas=lambdas,
+            materialize=False,
+            toks=_bound_tokens(docs, id_col, text_col),
+            ref_counts=spark.read.parquet(cur),
+        )
+    except ValueError as e:
+        if "unigram mass" in str(e):
+            # re-anchor the shared artifact error on the TABLE a
+            # serving job was reading — operational triage needs the
+            # path (review r17 pass 4)
+            raise ValueError(f"LM-count table at {path}: {e}") from e
+        raise
 
 
 def foreach_batch_drift_q_by(
