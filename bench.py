@@ -155,6 +155,26 @@ def main() -> None:
 
     load_start = loadavg()
     run(HEADLINE[0])  # warmup: JVM + codegen + parquet footer cache
+
+    # Box-factor calibration (r17): floors are per-VM, and three
+    # rounds running have paid adjudication time re-deriving each
+    # box's factor from untouched queries. This times a FIXED
+    # CPU-bound job (no I/O, no shuffle data volume, fully
+    # deterministic) AFTER warmup; the ratio of two runs' calib_s
+    # approximates their box-speed ratio, so cross-VM per-query
+    # comparisons can be de-rated without hunting for calm controls.
+    def calibrate() -> float:
+        t0 = time.perf_counter()
+        # xxhash64 per row: representative of real query work (hash
+        # joins/groupBys), resistant to JIT auto-vectorization
+        # shortcuts, and large enough (~1 s) that task-scheduling
+        # overhead does not dominate the reading
+        spark.range(1 << 30).selectExpr(
+            "sum(xxhash64(id)) AS s"
+        ).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    calib = sorted(calibrate() for _ in range(3))[1]  # median of 3
     timings = {name: round(run(name), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
 
@@ -222,6 +242,7 @@ def main() -> None:
                 "queries": timings,
                 "sections": sections,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calib_s": calib,
                 "load_1min_start": load_start,
                 "load_1min_end": loadavg(),
             },
