@@ -510,6 +510,7 @@ def trigram_lm_scores(
     ref: DataFrame | None = None,
     ref_toks: DataFrame | None = None,
     ref_counts: DataFrame | None = None,
+    dtri: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean log-probability under an INTERPOLATED trigram
     model — the KenLM-shaped quality filter at the center of
@@ -578,6 +579,15 @@ def trigram_lm_scores(
     a LAZY ``publish_lm_counts`` output would re-aggregate the
     reference once per consumer.
 
+    ``dtri`` accepts a prebuilt (ideally cached)
+    :func:`_doc_trigram_counts` relation — the scored side's
+    five-key per-document counts are IDENTICAL across every model
+    this corpus is scored under, so a host running both the
+    self-trained and reference-trained legs (q64's lm3/lm3t) mines
+    the triples ONCE and shares the relation; the caller owns its
+    cache, and in self-trained mode a caller-provided ``dtri`` is
+    used as-is (no second persist).
+
     ``toks`` accepts a prebuilt (ideally cached) :func:`_bound_tokens`
     relation so the q64 host tokenizes ONCE for lm/dsir/lm3; without
     one, the operator caches its own for the duration (the token
@@ -629,7 +639,9 @@ def trigram_lm_scores(
         own_caches.append(ref_toks)
     pinned = n_ref_forms == 1
     model_toks = ref_toks if ref_toks is not None else toks
-    dtri = _doc_trigram_counts(toks, id_col)
+    own_dtri = dtri is None
+    if own_dtri:
+        dtri = _doc_trigram_counts(toks, id_col)
     if artifact_slices is not None:
         # the published-artifact path: the model relations come from
         # storage; no reference corpus exists anywhere in the plan
@@ -647,8 +659,11 @@ def trigram_lm_scores(
                 .agg(F.count(F.lit(1)).alias("c123"))
             )
         else:
-            dtri = dtri.persist()
-            caches.append(dtri)
+            if own_dtri:
+                # two consumers (tric + the scoring join) — persist,
+                # unless the caller provided (and owns) the relation
+                dtri = dtri.persist()
+                caches.append(dtri)
             tric = dtri.groupBy("tkey").agg(F.sum("dcnt").alias("c123"))
         # context counts over the FULL model streams, mined through
         # the SHARED key-array expressions (single definition — see

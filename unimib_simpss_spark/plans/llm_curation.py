@@ -594,8 +594,16 @@ def q64_bigram_lm_score(
             )
         )
         handles.append(both)
+    dtri = None
+    if want & {"lm3", "lm3t"}:
+        # the scored side's five-key trigram-count relation is
+        # IDENTICAL under both models — mine the triples ONCE and
+        # share it across the legs (the tokenize-once discipline,
+        # one mine up); cached here because each leg that uses it
+        # consumes it once or twice
+        dtri = cache_intermediate(C._doc_trigram_counts(toks, "doc_id"))
     if "lm3" in want:
-        lm3 = C.trigram_lm_scores(None, toks=toks)
+        lm3 = C.trigram_lm_scores(None, toks=toks, dtri=dtri)
         legs.append(
             lm3.select(
                 F.lit("lm3").alias("section"), "doc_id", "n_ngrams", "score"
@@ -608,7 +616,7 @@ def q64_bigram_lm_score(
         # scans); every document scores under the target LM, the
         # CCNet perplexity-filter regime
         lm3t = C.trigram_lm_scores(
-            None, toks=toks, ref_toks=toks.where(F.col("_tgt"))
+            None, toks=toks, ref_toks=toks.where(F.col("_tgt")), dtri=dtri
         )
         legs.append(
             lm3t.select(
@@ -626,6 +634,8 @@ def q64_bigram_lm_score(
     # handles + the shared tokenize cache are freed here
     for h in handles:
         release_result(h)
+    if dtri is not None:
+        release_intermediate(dtri)
     release_intermediate(toks)
     return out
 
