@@ -174,7 +174,13 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
+    # the calibration must be self-adjudicating like every other
+    # timing: a >window ambient wave inflates all three samples
+    # together (median can't filter it), so the load markers are the
+    # only way a reader can reject a hot calib_s
+    _calib_load_before = loadavg()
     calib = sorted(calibrate() for _ in range(3))[1]  # median of 3
+    load_markers["_calib"] = [_calib_load_before, loadavg()]
     timings = {name: round(run(name), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
 
@@ -209,10 +215,12 @@ def main() -> None:
     for name, (tagcol, tags) in SECTIONED.items():
         if _takes_sections(qs[name]):
             continue
-        live = {
-            r[0]
-            for r in qs[name](spark, sf_dir).select(tagcol).distinct().collect()
-        }
+        df = qs[name](spark, sf_dir)
+        live = {r[0] for r in df.select(tagcol).distinct().collect()}
+        # an eagerly-checkpointed host would otherwise leave its
+        # result blocks live through the whole sections pass (lazy
+        # hosts: no-op)
+        release_result(df)
         missing = set(tags) - live
         if missing:
             raise ValueError(

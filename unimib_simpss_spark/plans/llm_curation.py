@@ -595,12 +595,14 @@ def q64_bigram_lm_score(
         )
         handles.append(both)
     dtri = None
-    if want & {"lm3", "lm3t"}:
+    if "lm3" in want:
         # the scored side's five-key trigram-count relation is
         # IDENTICAL under both models — mine the triples ONCE and
         # share it across the legs (the tokenize-once discipline,
-        # one mine up); cached here because each leg that uses it
-        # consumes it once or twice
+        # one mine up). Built only when the lm3 leg runs: a LONE
+        # lm3t section consumes dtri exactly once, where caching it
+        # would be pure overhead (review r17 pass 5 — the operator's
+        # own unpersisted-in-pinned-mode rule, kept at the host)
         dtri = cache_intermediate(C._doc_trigram_counts(toks, "doc_id"))
     if "lm3" in want:
         lm3 = C.trigram_lm_scores(None, toks=toks, dtri=dtri)
