@@ -163,13 +163,21 @@ def main() -> None:
     # deterministic) AFTER warmup; the ratio of two runs' calib_s
     # approximates their box-speed ratio, so cross-VM per-query
     # comparisons can be de-rated without hunting for calm controls.
+    # The job is parallel, so calib_s conflates core count with
+    # per-core speed (ADVICE r17): cross-VM de-rating by calib ratio is
+    # valid only between runs with the same effective parallelism. The
+    # metric line therefore records calib_cores (and calib_rows) next
+    # to calib_s so a reader can reject an apples-to-oranges ratio.
+    calib_rows = 1 << 30
+    calib_cores = spark.sparkContext.defaultParallelism
+
     def calibrate() -> float:
         t0 = time.perf_counter()
         # xxhash64 per row: representative of real query work (hash
         # joins/groupBys), resistant to JIT auto-vectorization
         # shortcuts, and large enough (~1 s) that task-scheduling
         # overhead does not dominate the reading
-        spark.range(1 << 30).selectExpr(
+        spark.range(calib_rows).selectExpr(
             "sum(xxhash64(id)) AS s"
         ).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
@@ -251,6 +259,8 @@ def main() -> None:
                 "sections": sections,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calib_s": calib,
+                "calib_cores": calib_cores,
+                "calib_rows": calib_rows,
                 "load_1min_start": load_start,
                 "load_1min_end": loadavg(),
             },

@@ -449,6 +449,54 @@ class TestTrigramLm:
         finally:
             set_checkpoint_mode("local")
 
+    def test_materialize_false_corpus_built_leaks_nothing(
+        self, spark, tmp_path
+    ):
+        """materialize=False must create NO internal caches (ADVICE
+        r17): the corpus-built modes used to cache_intermediate their
+        own toks/bic/unic and return early without releasing them —
+        in table-checkpoint mode each call leaked never-deleted
+        checkpoint-table directories. The lazy plan must also still
+        score identically to the materialized one."""
+        from unimib_simpss_spark.operators.caching import (
+            live_checkpoint_tables,
+            persistent_rdd_ids,
+            set_checkpoint_mode,
+            set_checkpoint_table_dir,
+        )
+
+        docs = self._corpus(spark)
+        ref = docs.select("text")
+        before = persistent_rdd_ids(spark)
+        lazy_self = C.trigram_lm_scores(docs, materialize=False)
+        lazy_ref = C.trigram_lm_scores(docs, ref=ref, materialize=False)
+        got_self = sorted(map(tuple, lazy_self.collect()))
+        got_ref = sorted(map(tuple, lazy_ref.collect()))
+        assert persistent_rdd_ids(spark) - before == set()
+        set_checkpoint_table_dir(str(tmp_path / "ckpt_tables_mf"))
+        set_checkpoint_mode("table")
+        try:
+            C.trigram_lm_scores(docs, materialize=False).collect()
+            C.trigram_lm_scores(docs, ref=ref, materialize=False).collect()
+            assert live_checkpoint_tables() == frozenset()
+        finally:
+            set_checkpoint_mode("local")
+        eager_self = sorted(
+            map(tuple, C.trigram_lm_scores(docs).collect())
+        )
+        eager_ref = sorted(
+            map(tuple, C.trigram_lm_scores(docs, ref=ref).collect())
+        )
+        assert got_self == eager_self and got_ref == eager_ref
+
+    def test_no_docs_no_toks_raises_descriptively(self, spark):
+        """docs=None + toks=None is a descriptive ValueError, not an
+        AttributeError out of _bound_tokens(None, ...) (ADVICE r17)."""
+        with pytest.raises(ValueError, match="docs or a prebuilt toks"):
+            C.doc_trigrams(None)
+        with pytest.raises(ValueError, match="docs or a prebuilt toks"):
+            C.trigram_lm_scores(None)
+
     def test_reference_trained_in_domain_close_to_self_trained(self, spark):
         """A doc made ONLY of model trigrams scores near the self-
         trained value — the pinned mode differs only by the smoothed

@@ -256,6 +256,8 @@ def doc_trigrams(
     no triples. ``toks`` accepts a prebuilt :func:`_bound_tokens`
     relation (extra ``carry`` columns are ignored)."""
     if toks is None:
+        if docs is None:
+            raise ValueError("pass docs or a prebuilt toks relation")
         toks = _bound_tokens(docs, id_col, text_col)
     n2 = F.greatest(F.size(F.col("toks")) - 2, F.lit(0))
     pairs = F.zip_with(
@@ -471,8 +473,14 @@ def _trigram_mixture_scores(
         .crossJoin(F.broadcast(utot))
     )
     # evaluation shape is part of the oracle contract: each ratio
-    # parenthesized, λ terms summed left-to-right (the DuckDB twin
-    # writes the same shape so the doubles agree bit-for-bit)
+    # parenthesized, λ terms summed left-to-right, so each per-trigram
+    # p is IDENTICAL in both engines. The document aggregate is not
+    # bit-for-bit, though (ADVICE r17): Spark sums dcnt·ln p over
+    # distinct five-key groups while the DuckDB twin averages ln p over
+    # per-occurrence rows, and dcnt·x ≠ x+x+x in IEEE (nor is Spark's
+    # distributed sum order deterministic) — agreement holds through
+    # the shared round(·, ndigits), with a residual tie-boundary risk
+    # for a value within an ulp of a .5·10^-ndigits edge.
     if pinned:
         p = (
             F.lit(l3)
@@ -598,7 +606,15 @@ def trigram_lm_scores(
     the two context-count relations are likewise cached across their
     two join uses each (the :func:`bigram_lm_dsir` ``lm`` persist
     discipline) — they are vocabulary-sized, i.e. the LM itself.
-    With ``materialize=False`` the caller owns every cache."""
+    With ``materialize=False`` the operator creates NO caches at all
+    (there is no release point it could hand back, and a
+    ``cache_intermediate`` in ``"table"`` checkpoint mode writes a
+    directory at call time — an internally-created cache would leak
+    storage the caller never sees, ADVICE r17): the returned plan
+    re-derives the token/count subtrees per consumer, so callers who
+    want the shared-work plan must pass prebuilt cached
+    ``toks``/``ref_toks``/``ref_counts``/``dtri`` and own their
+    lifecycles."""
     from unimib_simpss_spark.operators.caching import (
         cache_intermediate,
         materialize_release,
@@ -625,18 +641,30 @@ def trigram_lm_scores(
             ref_counts = cache_intermediate(ref_counts)
             caches.append(ref_counts)
         artifact_slices = _lm_model_slices(ref_counts)
+    if docs is None and toks is None:
+        raise ValueError("pass docs or a prebuilt toks relation")
+
+    def _own_cache(df: DataFrame) -> DataFrame:
+        # internally-created shared relations are cached ONLY when this
+        # call owns lifecycles (materialize=True) — see the docstring's
+        # materialize=False contract (ADVICE r17: an uncollected
+        # cache_intermediate leaks a checkpoint table in "table" mode)
+        if not materialize:
+            return df
+        out = cache_intermediate(df)
+        own_caches.append(out)
+        return out
+
     if toks is None:
-        toks = cache_intermediate(_bound_tokens(docs, id_col, text_col))
-        own_caches.append(toks)
+        toks = _own_cache(_bound_tokens(docs, id_col, text_col))
     if ref_toks is None and ref is not None:
         # the MODEL side never reads per-document ids, so a reference
         # corpus need not carry id_col (review r17 pass 3) — a bare
         # token-array projection is enough; the count aggregates below
         # redistribute, so no repartition is needed either
-        ref_toks = cache_intermediate(
+        ref_toks = _own_cache(
             ref.select(F.split(F.col(text_col), " ").alias("toks"))
         )
-        own_caches.append(ref_toks)
     pinned = n_ref_forms == 1
     model_toks = ref_toks if ref_toks is not None else toks
     own_dtri = dtri is None
@@ -659,26 +687,35 @@ def trigram_lm_scores(
                 .agg(F.count(F.lit(1)).alias("c123"))
             )
         else:
-            if own_dtri:
+            if own_dtri and materialize:
                 # two consumers (tric + the scoring join) — persist,
-                # unless the caller provided (and owns) the relation
+                # unless the caller provided (and owns) the relation,
+                # or materialize=False (no internal caches; block
+                # persist here, not cache_intermediate: the relation is
+                # per-document-sized, a "table" checkpoint would pay an
+                # O(corpus) write for a within-call-only share)
                 dtri = dtri.persist()
                 caches.append(dtri)
             tric = dtri.groupBy("tkey").agg(F.sum("dcnt").alias("c123"))
         # context counts over the FULL model streams, mined through
         # the SHARED key-array expressions (single definition — see
-        # _ngram_key_arrays)
-        bic = cache_intermediate(
+        # _ngram_key_arrays); cached only when this call owns
+        # lifecycles (each is consumed by two scoring joins + the
+        # broadcast total)
+        bic = (
             model_toks.select(F.explode(bi_k).alias("bkey"))
             .groupBy("bkey")
             .agg(F.count(F.lit(1)).alias("bc"))
         )
-        unic = cache_intermediate(
+        unic = (
             model_toks.select(F.explode(uni_k).alias("ukey"))
             .groupBy("ukey")
             .agg(F.count(F.lit(1)).alias("uc"))
         )
-        caches += [bic, unic]
+        if materialize:
+            bic = cache_intermediate(bic)
+            unic = cache_intermediate(unic)
+            caches += [bic, unic]
     scored = _trigram_mixture_scores(
         dtri, tric, bic, unic, id_col, lambdas, ndigits, pinned
     )
