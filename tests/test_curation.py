@@ -610,6 +610,77 @@ def test_dup_spans_separates_distant_hits(spark):
     assert rows[1].n_spans == 2 and rows[1].dup_tokens == 12
 
 
+def test_remove_dup_spans_lowest_id_survives(spark):
+    from unimib_simpss_spark.operators.curation import remove_dup_spans
+
+    para = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{para} filler one two three four five six"),
+            (2, f"unrelated lead in words here then {para}"),
+            (3, "totally different text with no overlap at all whatsoever"),
+            (4, f"yet another copy here {para} and a tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in remove_dup_spans(docs, n=6).collect()}
+    # every doc appears; doc 1 (lowest id) keeps the paragraph verbatim
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].removed_tokens == 0
+    assert rows[1].text.startswith(para)
+    # docs 2 and 4 lose exactly the 8-token paragraph, nothing else
+    assert rows[2].removed_tokens == 8
+    assert rows[2].text == "unrelated lead in words here then"
+    assert rows[4].removed_tokens == 8
+    assert rows[4].text == "yet another copy here and a tail"
+    # untouched doc passes through as its normalized token stream
+    assert rows[3].removed_tokens == 0
+    assert rows[3].text.startswith("totally different")
+    # the rewritten corpus has no shared 6-gram left across docs
+    from unimib_simpss_spark.operators.curation import dup_spans
+
+    rewritten = spark.createDataFrame(
+        [(d, r.text) for d, r in rows.items()], ["doc_id", "text"]
+    )
+    assert dup_spans(rewritten, n=6).count() == 0
+
+
+def test_remove_dup_spans_fully_duplicated_doc_empties(spark):
+    from unimib_simpss_spark.operators.curation import remove_dup_spans
+
+    para = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(10, f"intro words {para} outro"), (20, para), (30, "tiny")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in remove_dup_spans(docs, n=6).collect()}
+    # doc 20 is nothing but the copied passage: it empties, stays a row
+    assert rows[20].text == "" and rows[20].removed_tokens == 7
+    assert rows[10].removed_tokens == 0
+    # sub-n doc passes through
+    assert rows[30].text == "tiny" and rows[30].removed_tokens == 0
+
+
+def test_remove_dup_spans_union_of_overlapping_losses(spark):
+    from unimib_simpss_spark.operators.curation import remove_dup_spans
+
+    a = "a1 a2 a3 a4 a5 a6"  # owned by doc 1
+    b = "b1 b2 b3 b4 b5 b6"  # owned by doc 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} unique one filler"),
+            (2, f"{b} other unique filler"),
+            # doc 3 loses a to doc 1 AND b to doc 2, adjacent: both cut
+            (3, f"keep this {a} {b} and this"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in remove_dup_spans(docs, n=6).collect()}
+    assert rows[3].text == "keep this and this"
+    assert rows[3].removed_tokens == 12
+    assert rows[1].removed_tokens == 0 and rows[2].removed_tokens == 0
+
+
 # ----------------------------------------------------------------- bm25
 
 

@@ -837,12 +837,73 @@ def source_cap(
 DUP_SPAN_NGRAM = 6
 
 
-def dup_spans(
+def dup_gram_relations(
     docs: DataFrame,
+    n: int = DUP_SPAN_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The two relations behind the duplicated-passage family —
+    ``base = (doc_id, tk)`` bound token arrays over ALL documents
+    (short ones included: :func:`remove_dup_spans` must pass them
+    through unchanged) and ``grams = (doc_id, pos, g)`` positional
+    n-grams — factored out so a host running both the report
+    (:func:`dup_spans`) and the rewrite (:func:`remove_dup_spans`)
+    mines the corpus ONCE and shares one cached gram relation across
+    all four consumers (q64's tokenize-once discipline).
+
+    ``tokens()`` is evaluated exactly ONCE per row: the short-document
+    guard is folded into the gram projection (``when(size(tk) >= n)``
+    over the bound attribute; posexplode of the empty array emits no
+    rows) instead of a pre-shuffle ``where`` — a row filter on
+    ``size(tokens(text))`` gets alias-substituted below the projection
+    by PushDownPredicates and re-tokenizes every row (3 evaluations in
+    the explained plan vs 1 for this shape, verified on Spark 4.1).
+    Sub-``n``-token docs ride the Exchange as dead weight, but they are
+    by definition the corpus's smallest rows."""
+    from unimib_simpss_spark.functions.text import tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
+    ).repartition("doc_id")
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("tk") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("tk"), i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "g"),
+    )
+    return base, grams
+
+
+def _gram_islands(hits: DataFrame, n: int) -> DataFrame:
+    """Merge a (doc_id, pos) gram-hit relation into islands: a new
+    island starts when the positional gap exceeds ``n`` (two length-n
+    gram intervals [p, p+n-1], [p+d, p+d+n-1] touch or overlap exactly
+    when d ≤ n, so this island rule IS interval union for same-length
+    intervals). State is one lag row; the partition is the doc."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    return hits.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def dup_spans(
+    docs: DataFrame | None,
     n: int = DUP_SPAN_NGRAM,
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Inter-document duplicated-passage detection: positional n-gram
     matches merged into maximal spans (the n-gram-granular form of
@@ -864,33 +925,15 @@ def dup_spans(
     the gram relation; at 100 TB swap the join key for the 64-bit gram
     hash exactly as q38's scale note prescribes.
 
-    ``tokens()`` is evaluated exactly ONCE per row: the short-document
-    guard is folded into the gram projection (``when(size(tk) >= n)``
-    over the bound attribute; posexplode of the empty array emits no
-    rows) instead of a pre-shuffle ``where`` — a row filter on
-    ``size(tokens(text))`` gets alias-substituted below the projection
-    by PushDownPredicates and re-tokenizes every row (3 evaluations in
-    the explained plan vs 1 for this shape, verified on Spark 4.1).
-    Sub-``n``-token docs ride the Exchange as dead weight, but they are
-    by definition the corpus's smallest rows.
+    ``grams`` accepts a prebuilt (ideally cached)
+    :func:`dup_gram_relations` gram relation — a host running the
+    report and the rewrite shares ONE mine; see that function's
+    docstring for the tokenize-once plan notes that used to live here.
     """
-    from unimib_simpss_spark.functions.text import tokens
-
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
-    ).repartition("doc_id")
-    grams = base.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.size("tk") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - (n - 1)),
-                    lambda i: F.array_join(F.slice(F.col("tk"), i, n), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "g"),
-    )
+    if grams is None:
+        if docs is None:
+            raise ValueError("pass docs or a prebuilt grams relation")
+        _, grams = dup_gram_relations(docs, n, id_col, text_col)
     shared = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -898,13 +941,7 @@ def dup_spans(
         .select("g")
     )
     dup = grams.join(shared, "g").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
-    islands = dup.withColumn("brk", brk).withColumn(
-        "island",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    spans = islands.groupBy("doc_id", "island").agg(
+    spans = _gram_islands(dup, n).groupBy("doc_id", "island").agg(
         F.count(F.lit(1)).alias("gs"),
         (F.max("pos") - F.min("pos") + n).alias("st"),
     )
@@ -912,6 +949,96 @@ def dup_spans(
         F.sum("gs").cast("long").alias("n_dup_grams"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("st").cast("long").alias("dup_tokens"),
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame | None,
+    n: int = DUP_SPAN_NGRAM,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base: DataFrame | None = None,
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """Duplicate-span REMOVAL — the actual deliverable of
+    exact-substring training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): where
+    :func:`dup_spans` *reports* the duplicated islands, this emits the
+    REWRITTEN corpus with every non-surviving occurrence excised at
+    n-gram boundaries. One row per input document:
+    ``(doc_id, removed_tokens, text)`` — ``text`` is the deduplicated
+    token stream (space-joined normalized tokens, the same token space
+    the spans are defined over; docs with nothing to remove, including
+    sub-``n``-token docs, pass through as their joined token stream).
+
+    Survivor convention (deterministic, order-free): for each shared
+    gram the single document with the LOWEST doc_id containing it is
+    the owner and keeps all its occurrences; every other document's
+    occurrences of that gram are marked for excision. A copied passage
+    therefore survives exactly once — in its lowest-id host — and is
+    cut from every later document; a document that loses overlapping
+    grams to different owners excises the union of the marked ranges.
+
+    Plan: the SAME positional-gram relation the report mines (pass the
+    cached ``base``/``grams`` pair from :func:`dup_gram_relations` to
+    share it) → per-gram ``(count_distinct, min(doc_id))`` rollup →
+    join back, keep losing hits → the report's island merge (islands
+    ARE interval union for same-length gram intervals, see
+    :func:`_gram_islands`) → per-doc interval array via a bounded
+    ``collect_list`` (span-count-sized, not token-sized) → one
+    broadcast-friendly left join onto ``base`` and a pure-Column
+    excision: ``filter(tk, (t, i) -> NOT exists(ivs, s -> lo ≤ i ≤
+    hi))`` + ``array_join`` — O(len·spans) inside codegen, no Python,
+    no token ever re-shuffled after the mine. At 100 TB the gram key
+    swaps for its 64-bit hash exactly as the report's scale note
+    prescribes (excision only ever compares positions, never gram
+    strings)."""
+    if base is None or grams is None:
+        if docs is None:
+            raise ValueError(
+                "pass docs or a prebuilt (base, grams) relation pair"
+            )
+        b2, g2 = dup_gram_relations(docs, n, id_col, text_col)
+        base = base if base is not None else b2
+        grams = grams if grams is not None else g2
+    owners = (
+        grams.groupBy("g")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .where(F.col("nd") >= min_docs)
+        .select("g", "owner")
+    )
+    lose = (
+        grams.join(owners, "g")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
+    )
+    ivs = _gram_islands(lose, n).groupBy("doc_id", "island").agg(
+        F.min("pos").alias("lo"), (F.max("pos") + n - 1).alias("hi")
+    )
+    per_doc = ivs.groupBy("doc_id").agg(
+        F.collect_list(F.struct("lo", "hi")).alias("ivs"),
+        F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias(
+            "removed_tokens"
+        ),
+    )
+    no_ivs = F.array().cast("array<struct<lo:int,hi:int>>")
+    kept = F.filter(
+        "tk",
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("ivs"), no_ivs),
+            lambda s: (i >= s["lo"]) & (i <= s["hi"]),
+        ),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("removed_tokens", F.lit(0).cast("long")).alias(
+            "removed_tokens"
+        ),
+        F.array_join(kept, " ").alias(text_col),
     )
 
 

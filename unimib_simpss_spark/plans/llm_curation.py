@@ -771,15 +771,17 @@ def _dup_spans_oracle() -> str:
     n = _DUP_N
     return f"""
     WITH tn AS (
-        SELECT doc_id, {tk} AS tk FROM documents WHERE len({tk}) >= {n}
+        SELECT doc_id, {tk} AS tk FROM documents
     ),
     grams AS (
         SELECT doc_id, i - 1 AS pos,
                array_to_string(list_slice(tk, i, i + {n - 1}), ' ') AS g
-        FROM tn, LATERAL (SELECT unnest(range(1, len(tk) - {n} + 2)) AS i) s
+        FROM (SELECT doc_id, tk FROM tn WHERE len(tk) >= {n}) tg,
+             LATERAL (SELECT unnest(range(1, len(tk) - {n} + 2)) AS i) s
     ),
     shared AS (
-        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        SELECT g, min(doc_id) AS owner
+        FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
     ),
     dup AS (SELECT doc_id, pos FROM grams JOIN shared USING (g)),
     d1 AS (
@@ -798,24 +800,141 @@ def _dup_spans_oracle() -> str:
     spans AS (
         SELECT doc_id, island, count(*) AS gs, max(pos) - min(pos) + {n} AS st
         FROM isl GROUP BY doc_id, island
+    ),
+    rep AS (
+        SELECT doc_id,
+               CAST(sum(gs) AS BIGINT) AS n_dup_grams,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(st) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    ),
+    lose AS (
+        SELECT g2.doc_id, g2.pos FROM grams g2
+        JOIN shared sh ON g2.g = sh.g WHERE g2.doc_id <> sh.owner
+    ),
+    r1 AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         > {n} THEN 1 ELSE 0 END AS brk
+        FROM lose
+    ),
+    risl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+        FROM r1
+    ),
+    rspans AS (
+        SELECT doc_id, min(pos) AS lo, max(pos) + {n - 1} AS hi
+        FROM risl GROUP BY doc_id, island
+    ),
+    cov AS (SELECT doc_id, unnest(range(lo, hi + 1)) AS p FROM rspans),
+    removed AS (
+        SELECT doc_id, CAST(sum(hi - lo + 1) AS BIGINT) AS removed_tokens
+        FROM rspans GROUP BY doc_id
+    ),
+    toksx AS (
+        SELECT doc_id, i - 1 AS p, tk[i] AS w
+        FROM tn, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) s
+    ),
+    kept AS (
+        SELECT t.doc_id, t.p, t.w FROM toksx t
+        LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        WHERE c.p IS NULL
+    ),
+    rtext AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
+        FROM kept GROUP BY doc_id
+    ),
+    rew AS (
+        SELECT tn.doc_id,
+               coalesce(rm.removed_tokens, 0) AS removed_tokens,
+               coalesce(rt.text, '') AS text
+        FROM tn
+        LEFT JOIN removed rm USING (doc_id)
+        LEFT JOIN rtext rt USING (doc_id)
     )
-    SELECT doc_id,
-           CAST(sum(gs) AS BIGINT) AS n_dup_grams,
-           CAST(count(*) AS BIGINT) AS n_spans,
-           CAST(sum(st) AS BIGINT) AS dup_tokens
-    FROM spans GROUP BY doc_id
+    SELECT 'spans' AS section, doc_id, n_dup_grams, n_spans, dup_tokens,
+           CAST(NULL AS VARCHAR) AS text
+    FROM rep
+    UNION ALL
+    SELECT 'rewrite' AS section, doc_id,
+           CAST(NULL AS BIGINT) AS n_dup_grams,
+           CAST(NULL AS BIGINT) AS n_spans,
+           removed_tokens AS dup_tokens, text
+    FROM rew
     """
 
 
 @query("q67_dup_spans", oracle=_dup_spans_oracle())
-def q67_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-document duplicated-passage report: positional 6-gram
-    matches across documents merged into maximal spans per document
-    (exact-substring dedup at n-gram granularity, Lee et al. 2022).
-    Sorts inside the driver's 50-slot window since the q65→q30 merge;
-    the local parity gate (tests/test_oracle_parity.py) runs the same
-    hash compare at sf0.001."""
-    return C.dup_spans(load_table(spark, sf_dir, "documents"), n=_DUP_N)
+def q67_dup_spans(
+    spark: SparkSession, sf_dir: str, sections=None
+) -> DataFrame:
+    """Exact-substring dedup at n-gram granularity (Lee et al. 2022),
+    two legs off ONE positional 6-gram mine: 'spans' is the per-doc
+    duplicated-island report (one row per doc sharing a 6-gram with
+    another doc), 'rewrite' (VERDICT r17 #1) is the paper's actual
+    deliverable — the REWRITTEN corpus with every non-surviving
+    occurrence excised at gram boundaries, one row per input document,
+    hash-checked VERBATIM against the DuckDB twin (dup_tokens carries
+    the leg's token tally: merged-span length in 'spans', removed
+    tokens in 'rewrite'). Survivor convention: the lowest-doc_id
+    holder of each shared gram keeps it; see
+    operators/curation.py: remove_dup_spans for the plan + 100 TB
+    notes. Sorts inside the driver's 50-slot window since the q65→q30
+    merge; the local parity gate (tests/test_oracle_parity.py) runs
+    the same hash compare at sf0.001."""
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        checkpoint_result,
+        release_intermediate,
+    )
+    from unimib_simpss_spark.plans.registry import pick_sections
+
+    want = pick_sections(sections, ("spans", "rewrite"))
+    docs = load_table(spark, sf_dir, "documents")
+    base, grams = C.dup_gram_relations(docs, n=_DUP_N)
+    own = []
+    if len(want) == 2:
+        # four consumers across the two legs (shared-gram agg + join
+        # back, owner agg + join back) — mine once; a single-leg
+        # section run stays lazy (two consumers, the operator's
+        # shipped shape)
+        grams = cache_intermediate(grams)
+        own.append(grams)
+    nul = F.lit(None)
+    legs = []
+    if "spans" in want:
+        rep = C.dup_spans(None, n=_DUP_N, grams=grams)
+        legs.append(
+            rep.select(
+                F.lit("spans").alias("section"),
+                "doc_id", "n_dup_grams", "n_spans", "dup_tokens",
+                nul.cast("string").alias("text"),
+            )
+        )
+    if "rewrite" in want:
+        rw = C.remove_dup_spans(None, n=_DUP_N, base=base, grams=grams)
+        legs.append(
+            rw.select(
+                F.lit("rewrite").alias("section"),
+                "doc_id",
+                nul.cast("long").alias("n_dup_grams"),
+                nul.cast("long").alias("n_spans"),
+                F.col("removed_tokens").alias("dup_tokens"),
+                "text",
+            )
+        )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionAll(leg)
+    if not own:
+        return u
+    out = checkpoint_result(u)
+    for c in own:
+        release_intermediate(c)
+    return out
 
 @query("x68_bpe_merges")  # iterative argmax loop → rows-only
 def x68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
