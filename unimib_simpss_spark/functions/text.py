@@ -131,10 +131,18 @@ def normalized_text_sql(expr: str) -> str:
     return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
 
 
+def token_fingerprint_from_tokens(tk: Column) -> Column:
+    """:func:`token_fingerprint` over an already-bound token-array
+    attribute — hosts that hoist one tokenize across legs (q61) derive
+    the fingerprint without re-tokenizing; same perf contract as
+    ``shingles_from_tokens`` (pass a projected attribute)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tk)), " "))
+
+
 def token_fingerprint(col: Column | str) -> Column:
     """md5 of the sorted distinct token set — order/multiplicity-blind
     content fingerprint (catches shuffled near-dups exactly)."""
-    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+    return token_fingerprint_from_tokens(tokens(col))
 
 
 def token_fingerprint_sql(expr: str) -> str:

@@ -162,7 +162,12 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-def _combo_shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _combo_shingle_docs(
+    docs: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sz, hs): the pair miners' shared shingle-hash relation.
 
     One md5 per TOKEN (reduced mod 2^31-1), 3-gram hashes composed by
@@ -174,8 +179,19 @@ def _combo_shingle_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFram
     in-spec: both engines agree bit-for-bit). jaccard_pairs and
     minhash_dedup_pairs build this same logical plan, so one persisted
     copy serves both in a shared session (CacheManager plan matching).
-    """
-    tok_h = _tokenized_docs(docs, text_col, id_col).select(
+
+    ``toks`` accepts a prebuilt (ideally cached) ``(doc_id, tk)``
+    token relation covering ALL docs — a host whose other legs also
+    tokenize (q61's bloom fingerprint) hoists ONE tokenize and this
+    derivation applies ``_tokenized_docs``' min-token filter itself
+    (``size(tk) >= 3`` over the bound attribute: no re-tokenize,
+    3-gram shingling needs 3 tokens)."""
+    tok_src = (
+        toks.where(F.size("tk") >= 3).select("doc_id", "tk")
+        if toks is not None
+        else _tokenized_docs(docs, text_col, id_col)
+    )
+    tok_h = tok_src.select(
         "doc_id",
         F.transform(
             F.col("tk"),
@@ -1144,6 +1160,7 @@ def incremental_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = True,
+    _hsd: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: which NEW documents near-duplicate
     the EXISTING corpus? ``is_new`` is a boolean Column splitting the
@@ -1169,9 +1186,16 @@ def incremental_dedup_pairs(
     checkpointed pair relation the plan reads — the caller must
     ``release_result(pairs_cache)`` when done. Production callers use
     the default, which returns one self-owned DataFrame.
+
+    ``_hsd`` passes a caller-owned persisted shingle relation through
+    to :func:`jaccard_pairs` (the q61 host shares one tokenize across
+    its pairs and bloom legs).
     """
     sides = docs.select(F.col(id_col), is_new.alias("is_new"))
-    pairs = jaccard_pairs(docs, threshold=threshold, text_col=text_col, id_col=id_col)
+    pairs = jaccard_pairs(
+        docs, threshold=threshold, text_col=text_col, id_col=id_col,
+        _hsd=_hsd,
+    )
     a = sides.withColumnRenamed(id_col, "doc1").withColumnRenamed("is_new", "new1")
     b = sides.withColumnRenamed(id_col, "doc2").withColumnRenamed("is_new", "new2")
     out = (
