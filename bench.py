@@ -98,8 +98,10 @@ SECTIONED: dict[str, tuple[str, list[str]]] = {
     # r17: q64 grew the lm3 trigram leg (its legs materialize eagerly,
     # so it needs the sections kwarg, not the filter fallback)
     "q64_bigram_lm_score": ("section", ["lm", "dsir", "lm3", "lm3t"]),
-    # r18: q67 grew the duplicate-span rewrite leg (VERDICT r17 #1)
+    # r18: q67 grew the duplicate-span rewrite leg (VERDICT r17 #1);
+    # q62 grew the CCNet perplexity-bucketed admission stage + report
     "q67_dup_spans": ("section", ["spans", "rewrite"]),
+    "q62_corpus_pipeline": ("section", ["stats", "ppl"]),
     "q38_decontamination": (
         "section",
         ["ngram", "bm25", "overlap", "rrf", "ev"],

@@ -202,6 +202,13 @@ _INTERIOR_ALLOW: dict[str, set] = {
     # totals crosses and the CDF window over the bins-row relation —
     # every one bounded by construction (bins defaults to 10)
     "llm_dedup.q61_incremental_dedup": {"bnl-join", "global-window"},
+    # q62's perplexity stage scores under the pinned trigram LM whose
+    # 1-row (n_tokens, v_types) total rides a broadcast cross join —
+    # the same bounded 1-row BNL class as bm25's corpus-totals cross;
+    # the host's own bucket relation crosses the 1-row tertile-edges
+    # aggregate the same way
+    "curation.trigram_lm_scores": {"bnl-join"},
+    "llm_dedup.q62_corpus_pipeline": {"bnl-join"},
 }
 
 # The heavy operator family the sweep must cover (checkpoint users).

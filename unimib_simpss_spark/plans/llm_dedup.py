@@ -1055,6 +1055,88 @@ _P_MIX_DEFAULT = 0.75
 _P_BENCH_PRED = "doc_id % 97 = 0"
 _P_PACK_BUDGET = 512
 _P_SOURCE_QUOTA = 8
+# CCNet perplexity-admission stage (VERDICT r17 #3): the pinned
+# reference LM is trained on the in-domain source, candidates split
+# head/middle/tail at the EXACT score-tertile edges, tail is refused
+_P_PPL_REF = "src0"
+_P_TERTILES = (1 / 3, 2 / 3)
+
+
+def _ppl_lm_sql() -> str:
+    """WITH-fragment (no leading ``WITH``) computing every document's
+    score under the '{src0}'-trained pinned trigram mixture plus the
+    tertile bucket assignment — the q64 'lm3t' oracle's tj_t cluster
+    (same whitespace tokenization, same mixture shape, same add-one
+    unigram floor; see llm_curation._BIGRAM_LM_ORACLE) re-hosted for
+    the capstone, with bucket edges via ``quantile_disc`` (the
+    quantile_drift percentile_disc↔quantile_disc parity contract:
+    both SQL-standard ceil(p·n), verified at exact boundaries). The
+    interpolated float literals come from the SAME Python doubles the
+    Spark side uses, so the tertile fractions are bit-identical."""
+    p1, p2 = _P_TERTILES
+    return f"""
+    ptoks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+    ),
+    ptri AS (
+        SELECT doc_id, source, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+        FROM ptoks, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) s
+    ),
+    pt3c AS (
+        SELECT w1, w2, w3, count(*) AS c123 FROM ptri
+        WHERE source = '{_P_PPL_REF}' GROUP BY w1, w2, w3
+    ),
+    pbc AS (
+        SELECT w1, w2, count(*) AS cnt
+        FROM (
+            SELECT l[i] AS w1, l[i + 1] AS w2
+            FROM ptoks, LATERAL (SELECT unnest(range(1, len(l))) AS i) s
+            WHERE source = '{_P_PPL_REF}'
+        ) GROUP BY w1, w2
+    ),
+    puc AS (
+        SELECT w, count(*) AS uc
+        FROM (
+            SELECT unnest(l) AS w FROM ptoks
+            WHERE source = '{_P_PPL_REF}'
+        ) GROUP BY w
+    ),
+    put AS (
+        SELECT CAST(coalesce(sum(uc), 0) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS v
+        FROM puc
+    ),
+    ptj AS (
+        SELECT t.doc_id,
+               0.6 * coalesce(CAST(c.c123 AS DOUBLE) / b12.cnt, 0.0)
+             + 0.3 * coalesce(CAST(b23.cnt AS DOUBLE) / u2.uc, 0.0)
+             + 0.1 * ((coalesce(u3.uc, 0) + 1)
+                      / ((SELECT n FROM put) + (SELECT v FROM put))) AS p
+        FROM ptri t
+        LEFT JOIN pt3c c ON c.w1 = t.w1 AND c.w2 = t.w2 AND c.w3 = t.w3
+        LEFT JOIN pbc b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+        LEFT JOIN pbc b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+        LEFT JOIN puc u2 ON u2.w = t.w2
+        LEFT JOIN puc u3 ON u3.w = t.w3
+    ),
+    pscored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+               round(avg(ln(p)), 3) + 0 AS score
+        FROM ptj GROUP BY doc_id
+    ),
+    pedges AS (
+        SELECT quantile_disc(score, {p1!r}) AS e1,
+               quantile_disc(score, {p2!r}) AS e2
+        FROM pscored
+    ),
+    pbuck AS (
+        SELECT doc_id, n_ngrams, score,
+               CASE WHEN score <= (SELECT e1 FROM pedges) THEN 'tail'
+                    WHEN score <= (SELECT e2 FROM pedges) THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM pscored
+    )
+    """
 
 
 def _gate_sql() -> str:
@@ -1098,12 +1180,15 @@ def _corpus_pipeline_oracle() -> str:
     return f"""
     WITH cl AS ({clusters}),
     hits AS ({hits}),
+    {_ppl_lm_sql()},
     surv AS (
         SELECT p.doc_id, p.text, p.source
         FROM documents p JOIN cl c ON p.doc_id = c.doc_id
         WHERE c.doc_id = c.survivor
           AND NOT (p.{_P_BENCH_PRED})
           AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = p.doc_id)
+          AND EXISTS (SELECT 1 FROM pbuck b
+                      WHERE b.doc_id = p.doc_id AND b.bucket <> 'tail')
           AND {mix}
     ),
     capped AS (
@@ -1122,31 +1207,53 @@ def _corpus_pipeline_oracle() -> str:
     packed AS (
         SELECT split, ws, q, {pack} AS seq_bin FROM t
     )
-    SELECT split,
+    SELECT 'stats' AS section, split,
            count(*) AS n_docs,
            CAST(count(DISTINCT seq_bin) AS BIGINT) AS n_seqs,
            CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
            {exact_avg_sql('q')} AS avg_quality
     FROM packed
     GROUP BY split
+    UNION ALL
+    SELECT 'ppl' AS section, bucket AS split,
+           count(*) AS n_docs,
+           CAST(NULL AS BIGINT) AS n_seqs,
+           CAST(sum(n_ngrams) AS BIGINT) AS sum_ws_tokens,
+           {exact_avg_sql('score')} AS avg_quality
+    FROM pbuck
+    GROUP BY bucket
     """
 
 
 @query("q62_corpus_pipeline", oracle=_corpus_pipeline_oracle())
-def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q62_corpus_pipeline(
+    spark: SparkSession, sf_dir: str, sections=None
+) -> DataFrame:
     """Capstone documents-in → training-corpus-out pipeline, composed
     entirely from verified operators: quality + Gopher-repetition
     admission gate → exact near-dup clustering → QUALITY-RANKED
     survivor selection (each cluster keeps its best copy, not its
-    min-id one) → benchmark holdout + n-gram decontamination → per-source
-    corpus mixing → per-source domain cap (hash-ordered top-8) →
-    deterministic train/val/test split → 512-token sequence packing →
-    per-split corpus stats. Every stage is
-    collect-free and keyed. The whole query executes EAGERLY at
-    construction time: the heavy stages checkpoint so their O(corpus)
-    caches can be released deterministically, and the final (3-row)
-    aggregate is materialized so the tokenized admission relation can be
-    dropped too — the caller owns one self-contained handle."""
+    min-id one) → benchmark holdout + n-gram decontamination →
+    **perplexity-bucketed admission** (VERDICT r17 #3 — the CCNet
+    regime: every candidate scored under the pinned '{src0}'-trained
+    trigram mixture (q64's 'lm3t' model), the corpus split
+    head/middle/tail at the EXACT score-tertile edges
+    (percentile_disc — the quantile_drift edge discipline; value
+    comparison against published edges, so at 100 TB the edges pin
+    like every other reference artifact), tail refused; unscorable
+    docs (< 3 whitespace tokens) carry no fluency evidence and are
+    refused too) → per-source corpus mixing → per-source domain cap
+    (hash-ordered top-8) → deterministic train/val/test split →
+    512-token sequence packing → per-split corpus stats. Two
+    sections: 'stats' is the per-split corpus report, 'ppl' is the
+    bucket profile (one row per head/middle/tail: candidate count,
+    total trigrams, exact-mean score — the CCNet cut sheet). Every
+    stage is collect-free and keyed. The whole query executes EAGERLY
+    at construction time: the heavy stages checkpoint so their
+    O(corpus) caches can be released deterministically, and the final
+    (6-row) aggregate is materialized so the tokenized admission
+    relation can be dropped too — the caller owns one self-contained
+    handle."""
     from unimib_simpss_spark.functions import analysis as A
     from unimib_simpss_spark.functions.text import tokens
     from unimib_simpss_spark.operators.caching import (
@@ -1154,97 +1261,182 @@ def q62_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_release,
         release_result,
     )
+    from unimib_simpss_spark.operators.curation import trigram_lm_scores
     from unimib_simpss_spark.operators.sampling import (
         greedy_pack,
         mix_keep,
         split_assignment,
     )
 
+    want = _pick_sections(sections, ("stats", "ppl"))
     docs = _docs(spark, sf_dir)
-    # Admission gate over a tokenize-once projection. The cache is a
-    # PUSHDOWN BARRIER, not just a compute cache: cache substitution
-    # happens before optimization, so the gate filter stays above the
-    # InMemoryRelation — un-persisted, PushDownPredicates substitutes
-    # the tk alias into the gate and shoves it below the exchange, and
-    # the repetition HOF lambdas then re-tokenize per position ON EVERY
-    # CONSUMER of this relation (measured: 2.8 s → 24 s at sf0.1).
-    # cache_intermediate keeps the barrier under the mode-switchable
-    # layer: in "table" mode the tokens are STORED and every consumer
-    # scans them (the same no-re-tokenize guarantee, durable form).
-    pre = cache_intermediate(
-        docs.select("doc_id", "text", "source", tokens("text").alias("tk"))
-        .repartition("doc_id")
+    # --- perplexity bucketing, shared by the admission stage and the
+    # 'ppl' report: score EVERY candidate under the pinned reference
+    # LM (one checkpointed doc-count-sized relation), take the two
+    # exact tertile edges in one percentile pass, assign buckets via
+    # a broadcast 1-row cross join (pure value comparisons)
+    p1, p2 = _P_TERTILES
+    scored = trigram_lm_scores(
+        docs, ref=docs.where(F.col("source") == _P_PPL_REF).select("text")
     )
-    qc = A.quality_components_from_tokens(F.col("tk"), F.col("text"))
-    rc = A.repetition_components_from_tokens(F.col("tk"))
-    docs_q = pre.where(
-        (A.quality_score_from_components(qc) >= 0.5)
-        & (rc["top_token_frac"] <= A.REPETITION_MAX_TOP_TOKEN_FRAC)
-        & (rc["dup_2gram_frac"] <= A.REPETITION_MAX_DUP_2GRAM_FRAC)
-        & (rc["dup_3gram_frac"] <= A.REPETITION_MAX_DUP_3GRAM_FRAC)
-    ).select(
-        "doc_id",
-        "text",
-        "source",
-        # computed off the PERSISTED token attribute — passing raw
-        # quality_score("text") into dedup_clusters would re-tokenize
-        # the gated corpus a second time just to rank survivors
-        A.quality_score_from_components(qc).alias("q"),
+    edges = scored.agg(
+        F.expr(
+            f"percentile_disc({p1!r}) WITHIN GROUP (ORDER BY score)"
+        ).alias("e1"),
+        F.expr(
+            f"percentile_disc({p2!r}) WITHIN GROUP (ORDER BY score)"
+        ).alias("e2"),
     )
-    pairs = D.jaccard_pairs(docs_q, threshold=0.8)
-    # Keep the BEST copy of each near-dup cluster (max quality score,
-    # ties → min id — dedup_clusters' survivor column), not the min-id
-    # one: the whole point of an admission-gated corpus is that the
-    # highest-quality duplicate survives.
-    clusters = D.dedup_clusters(docs_q, pairs, score=F.col("q"))
-    release_result(pairs)  # clusters is materialized; the pair graph is spent
-    hits = D.decontaminate(docs, is_benchmark=F.expr(_P_BENCH_PRED))
-    surv = (
-        docs_q.join(
-            clusters.where(F.col("doc_id") == F.col("survivor")).select("doc_id"),
+    buck = cache_intermediate(
+        scored.crossJoin(F.broadcast(edges)).select(
             "doc_id",
+            "n_ngrams",
+            "score",
+            F.when(F.col("score") <= F.col("e1"), "tail")
+            .when(F.col("score") <= F.col("e2"), "middle")
+            .otherwise("head")
+            .alias("bucket"),
         )
-        .where(~F.expr(_P_BENCH_PRED))
-        .join(hits.select("doc_id"), "doc_id", "left_anti")
-        .where(mix_keep("source", "doc_id", _P_MIX, default_fraction=_P_MIX_DEFAULT))
     )
-    # Domain cap over the SURVIVORS (post-gate, post-dedup, post-mix) —
-    # the round-6 source_cap operator as the capstone's bounding stage
-    # (project=False: filter in the window pass itself; a self-join on
-    # the kept ids would evaluate the survivor subtree twice).
-    from unimib_simpss_spark.operators.curation import source_cap
+    caches = [buck]
+    legs = []
+    clusters = hits = None
+    if "stats" in want:
+        # Admission gate over a tokenize-once projection. The cache is
+        # a PUSHDOWN BARRIER, not just a compute cache: cache
+        # substitution happens before optimization, so the gate filter
+        # stays above the InMemoryRelation — un-persisted,
+        # PushDownPredicates substitutes the tk alias into the gate and
+        # shoves it below the exchange, and the repetition HOF lambdas
+        # then re-tokenize per position ON EVERY CONSUMER of this
+        # relation (measured: 2.8 s → 24 s at sf0.1).
+        # cache_intermediate keeps the barrier under the
+        # mode-switchable layer: in "table" mode the tokens are STORED
+        # and every consumer scans them (the same no-re-tokenize
+        # guarantee, durable form).
+        pre = cache_intermediate(
+            docs.select(
+                "doc_id", "text", "source", tokens("text").alias("tk")
+            ).repartition("doc_id")
+        )
+        caches.append(pre)
+        qc = A.quality_components_from_tokens(F.col("tk"), F.col("text"))
+        rc = A.repetition_components_from_tokens(F.col("tk"))
+        docs_q = pre.where(
+            (A.quality_score_from_components(qc) >= 0.5)
+            & (rc["top_token_frac"] <= A.REPETITION_MAX_TOP_TOKEN_FRAC)
+            & (rc["dup_2gram_frac"] <= A.REPETITION_MAX_DUP_2GRAM_FRAC)
+            & (rc["dup_3gram_frac"] <= A.REPETITION_MAX_DUP_3GRAM_FRAC)
+        ).select(
+            "doc_id",
+            "text",
+            "source",
+            # computed off the PERSISTED token attribute — passing raw
+            # quality_score("text") into dedup_clusters would
+            # re-tokenize the gated corpus a second time just to rank
+            # survivors
+            A.quality_score_from_components(qc).alias("q"),
+        )
+        pairs = D.jaccard_pairs(docs_q, threshold=0.8)
+        # Keep the BEST copy of each near-dup cluster (max quality
+        # score, ties → min id — dedup_clusters' survivor column), not
+        # the min-id one: the whole point of an admission-gated corpus
+        # is that the highest-quality duplicate survives.
+        clusters = D.dedup_clusters(docs_q, pairs, score=F.col("q"))
+        release_result(pairs)  # clusters materialized; pair graph spent
+        hits = D.decontaminate(docs, is_benchmark=F.expr(_P_BENCH_PRED))
+        surv = (
+            docs_q.join(
+                clusters.where(
+                    F.col("doc_id") == F.col("survivor")
+                ).select("doc_id"),
+                "doc_id",
+            )
+            .where(~F.expr(_P_BENCH_PRED))
+            .join(hits.select("doc_id"), "doc_id", "left_anti")
+            # the CCNet perplexity cut: only head/middle-bucket docs
+            # are admissible (left-semi against the cached bucket
+            # relation — unscorable docs have no bucket row and fall
+            # out here by the same join)
+            .join(
+                buck.where(F.col("bucket") != "tail").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .where(
+                mix_keep(
+                    "source", "doc_id", _P_MIX,
+                    default_fraction=_P_MIX_DEFAULT,
+                )
+            )
+        )
+        # Domain cap over the SURVIVORS (post-gate, post-dedup,
+        # post-mix) — the round-6 source_cap operator as the capstone's
+        # bounding stage (project=False: filter in the window pass
+        # itself; a self-join on the kept ids would evaluate the
+        # survivor subtree twice).
+        from unimib_simpss_spark.operators.curation import source_cap
 
-    surv = source_cap(surv, quota=_P_SOURCE_QUOTA, project=False)
-    # Packing budget counts WHITESPACE tokens (token_count_ws), matching
-    # this oracle's portable twin; the trained-tokenizer budget variant
-    # (bpe_token_count_expr) is exercised and oracle-paired as q32's
-    # 'bpe' counter leg — swap the expression here when the production
-    # tokenizer is the trained BPE.
-    t = surv.select(
-        "doc_id",
-        split_assignment("doc_id", _P_SPLITS),
-        A.token_count_ws("text").alias("ws"),
-        A.quality_score("text").alias("q"),
-    )
-    packed = greedy_pack(
-        t, partition_col="split", order_col="doc_id", token_col="ws",
-        budget=_P_PACK_BUDGET,
-    )
-    # avg over doubles is float summation in ACCUMULATION ORDER — with
-    # the survivor rule shifting which docs flow here, the mean landed
-    # near a 4-digit rounding boundary and the plain round(avg(q), 4)
-    # flipped its last digit between runs/partitionings (the exact
-    # q23/q55 trap). exact_avg sums quantized integers instead:
-    # order-independent and engine-identical.
-    out = packed.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct("seq_bin").alias("n_seqs"),
-        F.sum("ws").alias("sum_ws_tokens"),
-        A.exact_avg("q").alias("avg_quality"),
-    )
-    out = materialize_release(out, pre)
-    release_result(clusters)  # spent once the 3-row result is owned
-    release_result(hits)
+        surv = source_cap(surv, quota=_P_SOURCE_QUOTA, project=False)
+        # Packing budget counts WHITESPACE tokens (token_count_ws),
+        # matching this oracle's portable twin; the trained-tokenizer
+        # budget variant (bpe_token_count_expr) is exercised and
+        # oracle-paired as q32's 'bpe' counter leg — swap the
+        # expression here when the production tokenizer is the trained
+        # BPE.
+        t = surv.select(
+            "doc_id",
+            split_assignment("doc_id", _P_SPLITS),
+            A.token_count_ws("text").alias("ws"),
+            A.quality_score("text").alias("q"),
+        )
+        packed = greedy_pack(
+            t, partition_col="split", order_col="doc_id", token_col="ws",
+            budget=_P_PACK_BUDGET,
+        )
+        # avg over doubles is float summation in ACCUMULATION ORDER —
+        # with the survivor rule shifting which docs flow here, the
+        # mean landed near a 4-digit rounding boundary and the plain
+        # round(avg(q), 4) flipped its last digit between
+        # runs/partitionings (the exact q23/q55 trap). exact_avg sums
+        # quantized integers instead: order-independent and
+        # engine-identical.
+        legs.append(
+            packed.groupBy("split").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("seq_bin").alias("n_seqs"),
+                F.sum("ws").alias("sum_ws_tokens"),
+                A.exact_avg("q").alias("avg_quality"),
+            ).select(
+                F.lit("stats").alias("section"),
+                "split", "n_docs", "n_seqs", "sum_ws_tokens",
+                "avg_quality",
+            )
+        )
+    if "ppl" in want:
+        legs.append(
+            buck.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_ngrams").cast("long").alias("sum_ws_tokens"),
+                A.exact_avg("score").alias("avg_quality"),
+            ).select(
+                F.lit("ppl").alias("section"),
+                F.col("bucket").alias("split"),
+                "n_docs",
+                F.lit(None).cast("long").alias("n_seqs"),
+                "sum_ws_tokens",
+                "avg_quality",
+            )
+        )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionAll(leg)
+    out = materialize_release(u, *caches)
+    release_result(scored)
+    if clusters is not None:
+        release_result(clusters)  # spent once the result is owned
+    if hits is not None:
+        release_result(hits)
     return out
 
 
