@@ -610,6 +610,166 @@ def test_dup_spans_separates_distant_hits(spark):
     assert rows[1].n_spans == 2 and rows[1].dup_tokens == 12
 
 
+# ------------------------------------------------------------ unigram LM
+
+
+def _ref_unigram_segmentations(word, vocab, max_len=8):
+    """All segmentations of ``word`` into vocab pieces (enumeration —
+    the independent reference for the lattice forward/backward)."""
+    if not word:
+        return [[]]
+    out = []
+    for j in range(1, min(len(word), max_len) + 1):
+        if word[:j] in vocab:
+            for rest in _ref_unigram_segmentations(word[j:], vocab, max_len):
+                out.append([word[:j]] + rest)
+    return out
+
+
+def _ref_expected_counts(words, logp, max_len=8):
+    """Brute-force E-step: per-piece expected counts over the full
+    segmentation distribution, weighted by word counts."""
+    import math
+
+    expected = {p: 0.0 for p in logp}
+    for w, c in words:
+        segs = _ref_unigram_segmentations(w, set(logp), max_len)
+        probs = [math.exp(sum(logp[p] for p in s)) for s in segs]
+        z = sum(probs)
+        if z <= 0:
+            continue
+        for s, pr in zip(segs, probs):
+            for p in s:
+                expected[p] += c * pr / z
+    return expected
+
+
+def test_unigram_forward_backward_matches_enumeration():
+    import math
+
+    from unimib_simpss_spark.operators.curation import (
+        _unigram_forward_backward,
+    )
+
+    logp = {
+        "a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
+        "ba": math.log(0.15), "aba": math.log(0.1),
+    }
+    words = [("abab", 3), ("aba", 2), ("bb", 1)]
+    # Z parity: alpha[n] equals the enumerated total probability
+    for w, _ in words:
+        segs = _ref_unigram_segmentations(w, set(logp))
+        z_ref = sum(
+            math.exp(sum(logp[p] for p in s)) for s in segs
+        )
+        _, _, z = _unigram_forward_backward(w, logp, 8)
+        assert abs(z - z_ref) < 1e-12, w
+    # expected-count parity: one E-step via alpha/beta equals the
+    # brute-force enumeration
+    expected = {p: 0.0 for p in logp}
+    for w, c in words:
+        alpha, beta, z = _unigram_forward_backward(w, logp, 8)
+        if z <= 0:
+            continue
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + 8) + 1):
+                lp = logp.get(w[i:j])
+                if lp is not None and alpha[i] > 0 and beta[j] > 0:
+                    expected[w[i:j]] += (
+                        c * alpha[i] * math.exp(lp) * beta[j] / z
+                    )
+    ref = _ref_expected_counts(words, logp)
+    for p in logp:
+        assert abs(expected[p] - ref[p]) < 1e-9, p
+
+
+def test_unigram_trainer_keeps_frequent_word_whole(spark):
+    from unimib_simpss_spark.operators.curation import (
+        unigram_lm_vocab_driver,
+        unigram_viterbi,
+    )
+
+    rows = [("hello there",)] * 30 + [("xq zv",)] * 2
+    docs = spark.createDataFrame(rows, ["text"])
+    vocab = unigram_lm_vocab_driver(docs, vocab_size=12)
+    table = {r["piece"]: r["logp"] for r in vocab.collect()}
+    # every training character survives (coverage guarantee)
+    for ch in set("hellotherexqzv"):
+        assert ch in table, ch
+    # the dominant words segment as single pieces under Viterbi
+    assert unigram_viterbi("hello", table) == ["hello"]
+    assert unigram_viterbi("there", table) == ["there"]
+    # determinism: retraining yields the identical table
+    again = {
+        r["piece"]: r["logp"]
+        for r in unigram_lm_vocab_driver(docs, vocab_size=12).collect()
+    }
+    assert again == table
+
+
+def test_unigram_viterbi_matches_bruteforce_best(spark):
+    import math
+
+    from unimib_simpss_spark.operators.curation import (
+        unigram_lm_vocab_driver,
+        unigram_viterbi,
+    )
+
+    docs = spark.createDataFrame(
+        [("abab aba bab",)] * 5 + [("ab ba b",)] * 3, ["text"]
+    )
+    table = {
+        r["piece"]: r["logp"]
+        for r in unigram_lm_vocab_driver(docs, vocab_size=8).collect()
+    }
+    for w in ("abab", "aba", "bab", "ab", "ba", "b", "abba"):
+        got = unigram_viterbi(w, table)
+        assert "".join(got) == w
+        segs = _ref_unigram_segmentations(w, set(table))
+        if segs:
+            best_ref = max(
+                sum(table[p] for p in s) for s in segs
+            )
+            assert abs(sum(table[p] for p in got) - best_ref) < 1e-12, w
+
+
+def test_unigram_viterbi_unknown_char_fallback():
+    import math
+
+    from unimib_simpss_spark.operators.curation import unigram_viterbi
+
+    table = {"a": math.log(0.6), "b": math.log(0.4)}
+    out = unigram_viterbi("a!b", table)
+    assert out == ["a", "!", "b"]
+
+
+def test_unigram_encode_roundtrip(spark):
+    from unimib_simpss_spark.operators.curation import (
+        unigram_encode,
+        unigram_lm_vocab_driver,
+        unigram_viterbi,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello there hello"), (2, "zvq"), (3, "")],
+        ["doc_id", "text"],
+    )
+    vocab = unigram_lm_vocab_driver(docs, vocab_size=15)
+    out = {r.doc_id: r for r in unigram_encode(docs, vocab).collect()}
+    table = {r["piece"]: r["logp"] for r in vocab.collect()}
+    # concatenating pieces reproduces each doc's non-space text, and
+    # the distributed encode equals the driver Viterbi word-by-word
+    for d, text in ((1, "hello there hello"), (2, "zvq"), (3, "")):
+        want = []
+        for w in text.split(" "):
+            if w:
+                want.extend(unigram_viterbi(w, table))
+        assert list(out[d].pieces) == want, d
+        assert out[d].n_pieces == len(want)
+        assert "".join(out[d].pieces) == text.replace(" ", "")
+
+
 def test_remove_dup_spans_lowest_id_survives(spark):
     from unimib_simpss_spark.operators.curation import remove_dup_spans
 

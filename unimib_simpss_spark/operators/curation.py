@@ -1581,6 +1581,290 @@ def bpe_merges_driver(
     return spark.createDataFrame(merges, schema)
 
 
+# ------------------------------------------------------ unigram-LM tokenizer
+# The SentencePiece-style trainer beside BPE (VERDICT r17 #4): where BPE
+# grows a vocabulary bottom-up by merging, the unigram LM starts from an
+# over-complete seed and PRUNES under an EM-fitted piece distribution
+# (Kudo 2018, "Subword Regularization"). Same scale split as
+# bpe_merges_driver: the corpus-sized work is ONE distributed word-count
+# aggregate; training runs exactly on the driver over the type
+# vocabulary.
+
+_UNI_UNK_PENALTY = 10.0  # ln-prob below the model's min for unseen chars
+
+
+def _unigram_forward_backward(
+    chars: str, logp: dict, max_len: int
+) -> tuple[list, list, float]:
+    """Lattice forward/backward over one word in the LINEAR domain:
+    α[i] = total probability of s[:i] over all segmentations, β[i] the
+    mirror over s[i:]; returns (α, β, Z). Words are short (≤ tens of
+    chars), so doubles cannot underflow at realistic piece probs; a
+    word with NO segmentation under the current vocabulary yields
+    Z = 0 and the caller skips it (cannot happen after seeding, which
+    always keeps every observed character)."""
+    import math
+
+    n = len(chars)
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for j in range(1, n + 1):
+        s = 0.0
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(chars[i:j])
+            if lp is not None and alpha[i] > 0.0:
+                s += alpha[i] * math.exp(lp)
+        alpha[j] = s
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            lp = logp.get(chars[i:j])
+            if lp is not None and beta[j] > 0.0:
+                s += math.exp(lp) * beta[j]
+        beta[i] = s
+    return alpha, beta, alpha[n]
+
+
+def unigram_lm_vocab_driver(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    shrink: float = 0.75,
+    em_iters: int = 2,
+    max_vocab_types: int = 2_000_000,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece's algorithm, Kudo
+    2018) in the vocabulary-fits-driver regime — the modern trainer
+    beside :func:`bpe_merges_driver`, same production shape: ONE
+    distributed whitespace word-count (the only corpus-scale job, cap-
+    gated by ``max_vocab_types`` BEFORE collecting), then exact driver
+    EM over the weighted type vocabulary.
+
+    Algorithm, stated precisely so the pure-Python parity reference in
+    tests/test_curation.py pins every step:
+
+    - **seed**: candidate pieces are every substring of every word
+      type up to ``max_piece_len`` chars, weighted by word count ×
+      occurrence positions; every observed single character is kept
+      unconditionally (coverage guarantee), multi-char candidates keep
+      the top ``seed_size`` (default ``4×vocab_size``) by
+      (count DESC, piece ASC). Initial probabilities ∝ those counts.
+    - **EM**: the E-step accumulates each piece's EXPECTED count over
+      every word's full segmentation lattice (forward/backward — not
+      Viterbi-hardened), words weighted by corpus count; the M-step
+      renormalizes. Exact, in deterministic sorted-word order (float
+      accumulation order is part of the determinism contract: the
+      collected vocabulary is sorted before any float is touched).
+    - **prune**: after each ``em_iters`` block, multi-char pieces rank
+      by (expected count DESC, piece ASC) and the vocabulary shrinks
+      to ``max(vocab_size, ceil(|V|·shrink))`` until it reaches
+      ``vocab_size`` — the expected-count form of Kudo's loss-based
+      pruning (the loss approximation replaced by the EM statistic the
+      loop already owns; single characters are never pruned). A final
+      EM block refits the surviving vocabulary.
+
+    Returns ``(rank, piece, logp, is_char)`` — rank 1.. by
+    (logp DESC, piece ASC), ``logp`` the fitted ln-probability rounded
+    to 6 digits. Pair with :func:`unigram_encode` /
+    :func:`unigram_viterbi` (Viterbi best-segmentation under this
+    table). At 100 TB the word-count aggregate is the same map-side-
+    combinable rollup BPE uses; the driver step is bounded by the TYPE
+    vocabulary, not the corpus."""
+    import math
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if not 0.0 < shrink < 1.0:
+        raise ValueError(f"shrink must be in (0, 1), got {shrink}")
+    spark = docs.sparkSession
+    from unimib_simpss_spark.operators.caching import release_result
+
+    vocab_rel = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .localCheckpoint()
+    )
+    try:
+        n_types = vocab_rel.count()
+        if n_types > max_vocab_types:
+            raise ValueError(
+                f"vocabulary has {n_types} types > max_vocab_types="
+                f"{max_vocab_types} — raise the cap (driver memory "
+                "budget) or shard the trainer"
+            )
+        words = sorted(
+            (r["word"], int(r["wcount"])) for r in vocab_rel.collect()
+        )
+    finally:
+        release_result(vocab_rel)
+
+    # ---- seed: substring counts (all positions), chars unconditional
+    sub_counts: dict = {}
+    for w, c in words:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                p = w[i:j]
+                sub_counts[p] = sub_counts.get(p, 0) + c
+    chars = {p for p in sub_counts if len(p) == 1}
+    multis = sorted(
+        (p for p in sub_counts if len(p) > 1),
+        key=lambda p: (-sub_counts[p], p),
+    )
+    n_seed = (4 * vocab_size) if seed_size is None else seed_size
+    vocab = chars | set(multis[: max(0, n_seed - len(chars))])
+    total = float(sum(sub_counts[p] for p in vocab))
+    logp = {p: math.log(sub_counts[p] / total) for p in sorted(vocab)}
+
+    def em_block() -> dict:
+        expected = dict.fromkeys(sorted(logp), 0.0)
+        for _ in range(em_iters):
+            for p in expected:
+                expected[p] = 0.0
+            for w, c in words:
+                alpha, beta, z = _unigram_forward_backward(
+                    w, logp, max_piece_len
+                )
+                if z <= 0.0:
+                    continue
+                n = len(w)
+                for i in range(n):
+                    if alpha[i] <= 0.0:
+                        continue
+                    for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                        lp = logp.get(w[i:j])
+                        if lp is not None and beta[j] > 0.0:
+                            expected[w[i:j]] += (
+                                c * alpha[i] * math.exp(lp) * beta[j] / z
+                            )
+            tot = sum(expected.values())
+            for p in expected:
+                # a piece can drop to 0 expectation (never used by any
+                # lattice path with mass); floor at a tiny prob so its
+                # ln stays finite — it will be pruned by rank anyway
+                logp[p] = math.log(max(expected[p] / tot, 1e-300))
+        return expected
+
+    expected = em_block()
+    while len(logp) > max(vocab_size, len(chars)):
+        target = max(vocab_size, int(math.ceil(len(logp) * shrink)))
+        if target >= len(logp):
+            target = len(logp) - 1
+        ranked = sorted(
+            (p for p in logp if len(p) > 1),
+            key=lambda p: (-expected[p], p),
+        )
+        keep_multi = max(0, target - len(chars))
+        vocab = chars | set(ranked[:keep_multi])
+        logp = {p: logp[p] for p in sorted(vocab)}
+        expected = em_block()  # refit the survivors
+
+    rows = sorted(
+        ((p, round(lp, 6)) for p, lp in logp.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return spark.createDataFrame(
+        [
+            (rk + 1, p, lp, len(p) == 1)
+            for rk, (p, lp) in enumerate(rows)
+        ],
+        "rank int, piece string, logp double, is_char boolean",
+    )
+
+
+def unigram_viterbi(word: str, logp: dict, max_piece_len: int = 8) -> list:
+    """Viterbi best segmentation of one word under a unigram-LM piece
+    table: maximize the summed ln-probability; ties prefer the LONGER
+    final piece (smaller split point), the deterministic convention
+    the encode parity test brute-forces. Characters absent from the
+    model segment as themselves at ``min(logp) − _UNI_UNK_PENALTY``
+    (the coverage fallback — seeding keeps every TRAINING char, so
+    this only fires on unseen text)."""
+    if not word:
+        return []
+    unk = (min(logp.values()) if logp else 0.0) - _UNI_UNK_PENALTY
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None:
+                if j - i > 1:
+                    continue
+                lp = unk
+            cand = best[i] + lp
+            # strict > with ascending i: ties keep the SMALLEST i seen
+            # (longest final piece)
+            if best[i] > NEG and cand > best[j]:
+                best[j] = cand
+                back[j] = i
+    out, j = [], n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def unigram_encode(
+    docs: DataFrame,
+    model,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Corpus encode under a trained unigram-LM table: one Arrow batch
+    pass (``mapInPandas`` — the §2.7 carve-out: Viterbi DP is genuine
+    per-string state no Column expression expresses), whitespace words
+    segmented independently and concatenated. Returns ``(id, pieces
+    array<string>, n_pieces)``. ``model`` is the
+    :func:`unigram_lm_vocab_driver` DataFrame (collected here, bounded
+    by the trained vocab size) or a prebuilt ``{piece: logp}`` dict."""
+    if isinstance(model, DataFrame):
+        table = {r["piece"]: float(r["logp"]) for r in model.collect()}
+    else:
+        table = dict(model)
+    if not table:
+        raise ValueError("empty unigram model — train before encoding")
+    spark_schema = (
+        f"{id_col} long, pieces array<string>, n_pieces int"
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_pieces, out_n = [], []
+            for text in pdf[text_col]:
+                pieces: list = []
+                for w in (text or "").split(" "):
+                    if w:
+                        pieces.extend(
+                            unigram_viterbi(w, table, max_piece_len)
+                        )
+                out_pieces.append(pieces)
+                out_n.append(len(pieces))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": out_pieces,
+                    "n_pieces": out_n,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(enc, spark_schema)
+
+
 # --------------------------------------------------------------- BPE encode
 # The second half of the tokenizer story: :func:`bpe_merges` trains the
 # merge table; these apply it to tokenize the corpus (the pipeline step

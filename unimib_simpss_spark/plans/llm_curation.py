@@ -972,6 +972,72 @@ def x68_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("dist").alias("path"), "*")
     return drv.unionAll(dist)
 
+@query("x80_unigram_vocab")  # EM trainer, iterative → rows-only
+def x80_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training at
+    production shape (VERDICT r17 #4) — the prune-under-EM counterpart
+    to x68's merge-growing BPE, over the SAME enriched corpus
+    (documents text ∪ customer names; the id-like names supply the
+    digit-heavy vocabulary). ONE distributed word-count job reduces
+    the corpus to the type vocabulary; seeding, the exact
+    forward/backward EM, and expected-count pruning run on the driver
+    (operators/curation.py: unigram_lm_vocab_driver — Kudo 2018).
+
+    Two tagged sections in one rows-only relation the determinism
+    sweep re-checks end-to-end: 'vocab' is the learned (rank, piece,
+    logp) table; 'enc' / 'enc_docs' are the APPLY side — the documents
+    corpus Viterbi-encoded under the learned table via the Arrow batch
+    pass (unigram_encode), summarized as total pieces / docs (encoding
+    floats through the mapInPandas boundary stay deterministic because
+    the model collects ROUNDED logp). Iterative EM → not
+    SQL-expressible for the driver's oracle; the trainer, the lattice
+    E-step, and the Viterbi encoder are parity-tested against
+    pure-Python enumeration references in tests/test_curation.py."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("text")
+    )
+    vocab = C.unigram_lm_vocab_driver(
+        docs.unionAll(cust), vocab_size=300
+    )
+    nul_l = F.lit(None).cast("long")
+    vleg = vocab.select(
+        F.lit("vocab").alias("section"),
+        "rank",
+        "piece",
+        "logp",
+        nul_l.alias("n"),
+    )
+    enc = C.unigram_encode(
+        load_table(spark, sf_dir, "documents"), vocab
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+    )
+    pad = [
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("string").alias("piece"),
+        F.lit(None).cast("double").alias("logp"),
+    ]
+    # both summary rows off ONE evaluation of the encode aggregate (a
+    # union of two selects would run the Arrow encode twice)
+    eleg = enc.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("enc").alias("section"),
+                    F.col("n_pieces").alias("n"),
+                ),
+                F.struct(
+                    F.lit("enc_docs").alias("section"),
+                    F.col("n_docs").cast("long").alias("n"),
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.section").alias("section"), *pad, F.col("e.n").alias("n"))
+    return vleg.unionAll(eleg)
+
+
 @query("x70_quality_classifier")  # iterative GD loop → rows-only
 def x70_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine quality-classifier training (CCNet/fastText shape):
