@@ -651,37 +651,103 @@ def test_unigram_forward_backward_matches_enumeration():
         _unigram_forward_backward,
     )
 
+    NEG = float("-inf")
     logp = {
         "a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
         "ba": math.log(0.15), "aba": math.log(0.1),
     }
     words = [("abab", 3), ("aba", 2), ("bb", 1)]
-    # Z parity: alpha[n] equals the enumerated total probability
+    # Z parity: exp(lα[n]) equals the enumerated total probability
     for w, _ in words:
         segs = _ref_unigram_segmentations(w, set(logp))
         z_ref = sum(
             math.exp(sum(logp[p] for p in s)) for s in segs
         )
-        _, _, z = _unigram_forward_backward(w, logp, 8)
-        assert abs(z - z_ref) < 1e-12, w
-    # expected-count parity: one E-step via alpha/beta equals the
+        _, _, lz = _unigram_forward_backward(w, logp, 8)
+        assert abs(math.exp(lz) - z_ref) < 1e-12, w
+    # expected-count parity: one E-step via lα/lβ equals the
     # brute-force enumeration
     expected = {p: 0.0 for p in logp}
     for w, c in words:
-        alpha, beta, z = _unigram_forward_backward(w, logp, 8)
-        if z <= 0:
+        la, lb, lz = _unigram_forward_backward(w, logp, 8)
+        if lz == NEG:
             continue
         n = len(w)
         for i in range(n):
             for j in range(i + 1, min(n, i + 8) + 1):
                 lp = logp.get(w[i:j])
-                if lp is not None and alpha[i] > 0 and beta[j] > 0:
-                    expected[w[i:j]] += (
-                        c * alpha[i] * math.exp(lp) * beta[j] / z
+                if lp is not None and la[i] != NEG and lb[j] != NEG:
+                    expected[w[i:j]] += c * math.exp(
+                        la[i] + lp + lb[j] - lz
                     )
     ref = _ref_expected_counts(words, logp)
     for p in logp:
         assert abs(expected[p] - ref[p]) < 1e-9, p
+
+
+def test_unigram_lattice_survives_long_words():
+    """The review-r18 underflow class: a whitespace-free word of
+    hundreds of chars (URL, base64 blob, unsegmented CJK) underflowed
+    the LINEAR lattice to Z = 0 exactly and silently dropped out of
+    training; the log-domain lattice keeps it. 'ab'*200 at realistic
+    piece probs is the reproduced case."""
+    import math
+
+    from unimib_simpss_spark.operators.curation import (
+        _unigram_forward_backward,
+    )
+
+    logp = {
+        "a": math.log(0.004), "b": math.log(0.004),
+        "ab": math.log(0.002),
+    }
+    la, lb, lz = _unigram_forward_backward("ab" * 200, logp, 8)
+    assert lz != float("-inf")
+    # lnZ is at least the all-chars path and at most ln(1)
+    assert 400 * math.log(0.004) <= lz < 0.0
+    # forward and backward agree on the total mass
+    assert abs(lz - lb[0]) < 1e-9
+
+
+def test_unigram_trainer_long_word_corpus(spark):
+    """End-to-end guard for the ZeroDivisionError half of the r18
+    finding: a corpus whose every word is hundreds of chars (the
+    all-long-words case that zeroed tot in em_block) must train, keep
+    coverage, and encode."""
+    from unimib_simpss_spark.operators.curation import (
+        unigram_lm_vocab_driver,
+        unigram_viterbi,
+    )
+
+    rows = [("ab" * 200,)] * 3 + [("cd" * 150,)] * 2
+    docs = spark.createDataFrame(rows, ["text"])
+    vocab = unigram_lm_vocab_driver(docs, vocab_size=6)
+    table = {r["piece"]: r["logp"] for r in vocab.collect()}
+    for ch in "abcd":
+        assert ch in table, ch
+    seg = unigram_viterbi("ab" * 200, table)
+    assert "".join(seg) == "ab" * 200
+
+
+def test_unigram_trainer_seed_candidate_gate(spark):
+    import pytest
+
+    from unimib_simpss_spark.operators.curation import (
+        unigram_lm_vocab_driver,
+    )
+
+    docs = spark.createDataFrame([("hello there friends",)], ["text"])
+    with pytest.raises(ValueError, match="max_seed_candidates"):
+        unigram_lm_vocab_driver(docs, vocab_size=4, max_seed_candidates=10)
+
+
+def test_doc_bigrams_none_raises_descriptive():
+    import pytest
+
+    from unimib_simpss_spark.operators.curation import doc_bigrams
+
+    with pytest.raises(ValueError, match="pass docs or a prebuilt"):
+        doc_bigrams(None)
 
 
 def test_unigram_trainer_keeps_frequent_word_whole(spark):

@@ -38,7 +38,14 @@ def _bound_tokens(
     mine at sf0.1); the repartition also spreads per-row compute off
     single-split files. ``carry`` names extra per-document columns to
     keep alongside the tokens (e.g. a target-corpus flag).
+
+    Raises the descriptive docs-or-toks error HERE (ADVICE r17 asked
+    for it on two call sites; the shared entry point covers all the
+    docs/toks-signature siblings — doc_bigrams included — instead of
+    point patches).
     """
+    if docs is None:
+        raise ValueError("pass docs or a prebuilt toks relation")
     return docs.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
@@ -976,9 +983,16 @@ def remove_dup_spans(
     gram the single document with the LOWEST doc_id containing it is
     the owner and keeps all its occurrences; every other document's
     occurrences of that gram are marked for excision. A copied passage
-    therefore survives exactly once — in its lowest-id host — and is
+    therefore survives AT MOST once — in its lowest-id host — and is
     cut from every later document; a document that loses overlapping
     grams to different owners excises the union of the marked ranges.
+    (At most, not exactly: the owner's kept occurrence can itself be
+    clipped when it overlaps a range the owner loses to a DIFFERENT
+    gram's owner — doc 2 owns G at positions 3..8 but loses H, owned
+    by doc 1, covering 0..5, so tokens 3..5 of G are cut in doc 2 too
+    and G's full passage survives verbatim nowhere. Lee et al.'s
+    remove-all-but-one has the same property at overlap boundaries;
+    auditors of content preservation should count on ≤ 1, never = 1.)
 
     Plan: the SAME positional-gram relation the report mines (pass the
     cached ``base``/``grams`` pair from :func:`dup_gram_relations` to
@@ -1593,38 +1607,53 @@ def bpe_merges_driver(
 _UNI_UNK_PENALTY = 10.0  # ln-prob below the model's min for unseen chars
 
 
+def _logsumexp(xs: list) -> float:
+    """ln Σ exp(x) over a short list, stable at any magnitude (the
+    max-shift form); empty → -inf (no admissible path)."""
+    import math
+
+    if not xs:
+        return float("-inf")
+    m = max(xs)
+    return m + math.log(sum(math.exp(x - m) for x in xs))
+
+
 def _unigram_forward_backward(
     chars: str, logp: dict, max_len: int
 ) -> tuple[list, list, float]:
-    """Lattice forward/backward over one word in the LINEAR domain:
-    α[i] = total probability of s[:i] over all segmentations, β[i] the
-    mirror over s[i:]; returns (α, β, Z). Words are short (≤ tens of
-    chars), so doubles cannot underflow at realistic piece probs; a
-    word with NO segmentation under the current vocabulary yields
-    Z = 0 and the caller skips it (cannot happen after seeding, which
-    always keeps every observed character)."""
-    import math
-
+    """Lattice forward/backward over one word in the LOG domain:
+    lα[i] = ln total probability of s[:i] over all segmentations,
+    lβ[i] the mirror over s[i:]; returns (lα, lβ, lnZ). Log-domain
+    because a segmentation's probability is a product of per-piece
+    probs: a whitespace-free word of a few hundred chars (URL, base64
+    blob, unsegmented CJK text — routine in curation corpora)
+    underflows a LINEAR lattice to Z = 0 exactly and silently drops
+    out of training (review r18 pass 1, reproduced at 400 chars);
+    ln-sums never underflow. A word with NO segmentation under the
+    current vocabulary yields lnZ = -inf and the caller skips it
+    (cannot happen after seeding, which always keeps every observed
+    character)."""
+    NEG = float("-inf")
     n = len(chars)
-    alpha = [0.0] * (n + 1)
-    alpha[0] = 1.0
+    la = [NEG] * (n + 1)
+    la[0] = 0.0
     for j in range(1, n + 1):
-        s = 0.0
+        terms = []
         for i in range(max(0, j - max_len), j):
             lp = logp.get(chars[i:j])
-            if lp is not None and alpha[i] > 0.0:
-                s += alpha[i] * math.exp(lp)
-        alpha[j] = s
-    beta = [0.0] * (n + 1)
-    beta[n] = 1.0
+            if lp is not None and la[i] != NEG:
+                terms.append(la[i] + lp)
+        la[j] = _logsumexp(terms)
+    lb = [NEG] * (n + 1)
+    lb[n] = 0.0
     for i in range(n - 1, -1, -1):
-        s = 0.0
+        terms = []
         for j in range(i + 1, min(n, i + max_len) + 1):
             lp = logp.get(chars[i:j])
-            if lp is not None and beta[j] > 0.0:
-                s += math.exp(lp) * beta[j]
-        beta[i] = s
-    return alpha, beta, alpha[n]
+            if lp is not None and lb[j] != NEG:
+                terms.append(lp + lb[j])
+        lb[i] = _logsumexp(terms)
+    return la, lb, la[n]
 
 
 def unigram_lm_vocab_driver(
@@ -1636,13 +1665,17 @@ def unigram_lm_vocab_driver(
     shrink: float = 0.75,
     em_iters: int = 2,
     max_vocab_types: int = 2_000_000,
+    max_seed_candidates: int = 50_000_000,
 ) -> DataFrame:
     """Unigram-LM tokenizer training (SentencePiece's algorithm, Kudo
     2018) in the vocabulary-fits-driver regime — the modern trainer
     beside :func:`bpe_merges_driver`, same production shape: ONE
-    distributed whitespace word-count (the only corpus-scale job, cap-
-    gated by ``max_vocab_types`` BEFORE collecting), then exact driver
-    EM over the weighted type vocabulary.
+    distributed whitespace word-count (the only corpus-scale job,
+    cap-gated BEFORE collecting by ``max_vocab_types`` — the collect —
+    AND ``max_seed_candidates`` — the substring-seeding structure,
+    which holds up to types × len × ``max_piece_len`` entries and OOMs
+    the driver long before a pure type-count cap fires), then exact
+    driver EM over the weighted type vocabulary.
 
     Algorithm, stated precisely so the pure-Python parity reference in
     tests/test_curation.py pins every step:
@@ -1691,12 +1724,32 @@ def unigram_lm_vocab_driver(
         .localCheckpoint()
     )
     try:
-        n_types = vocab_rel.count()
+        # Two distributed gates BEFORE any driver collect: the type
+        # count (the collect itself), and the SEEDING bound — the seed
+        # structure holds every distinct substring of every type at
+        # every position (≤ types × len × max_piece_len entries), so a
+        # corpus can pass a pure type-count cap and still OOM the
+        # driver in the substring loop (review r18 pass 1). Both reads
+        # come out of one 1-row aggregate over the word-count relation.
+        gates = vocab_rel.agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.coalesce(
+                F.sum(F.length("word") * F.lit(max_piece_len)), F.lit(0)
+            ).alias("n_cands"),
+        ).collect()[0]
+        n_types, n_cands = int(gates["n_types"]), int(gates["n_cands"])
         if n_types > max_vocab_types:
             raise ValueError(
                 f"vocabulary has {n_types} types > max_vocab_types="
                 f"{max_vocab_types} — raise the cap (driver memory "
                 "budget) or shard the trainer"
+            )
+        if n_cands > max_seed_candidates:
+            raise ValueError(
+                f"seeding would enumerate up to {n_cands} substring "
+                f"candidates > max_seed_candidates={max_seed_candidates}"
+                " — raise the cap (driver memory budget), lower "
+                "max_piece_len, or shard the trainer"
             )
         words = sorted(
             (r["word"], int(r["wcount"])) for r in vocab_rel.collect()
@@ -1722,28 +1775,39 @@ def unigram_lm_vocab_driver(
     total = float(sum(sub_counts[p] for p in vocab))
     logp = {p: math.log(sub_counts[p] / total) for p in sorted(vocab)}
 
+    NEG = float("-inf")
+
     def em_block() -> dict:
         expected = dict.fromkeys(sorted(logp), 0.0)
         for _ in range(em_iters):
             for p in expected:
                 expected[p] = 0.0
             for w, c in words:
-                alpha, beta, z = _unigram_forward_backward(
+                la, lb, lz = _unigram_forward_backward(
                     w, logp, max_piece_len
                 )
-                if z <= 0.0:
+                if lz == NEG:
                     continue
                 n = len(w)
                 for i in range(n):
-                    if alpha[i] <= 0.0:
+                    if la[i] == NEG:
                         continue
                     for j in range(i + 1, min(n, i + max_piece_len) + 1):
                         lp = logp.get(w[i:j])
-                        if lp is not None and beta[j] > 0.0:
-                            expected[w[i:j]] += (
-                                c * alpha[i] * math.exp(lp) * beta[j] / z
+                        if lp is not None and lb[j] != NEG:
+                            expected[w[i:j]] += c * math.exp(
+                                la[i] + lp + lb[j] - lz
                             )
             tot = sum(expected.values())
+            if tot <= 0.0:
+                # unreachable after seeding (every word admits its
+                # character segmentation and the log-domain lattice
+                # cannot underflow), but a zero here must fail loudly,
+                # not ZeroDivisionError two lines down
+                raise ValueError(
+                    "unigram EM collected zero expected mass — no word "
+                    "admits a segmentation under the current vocabulary"
+                )
             for p in expected:
                 # a piece can drop to 0 expectation (never used by any
                 # lattice path with mass); floor at a tiny prob so its
@@ -1778,17 +1842,28 @@ def unigram_lm_vocab_driver(
     )
 
 
-def unigram_viterbi(word: str, logp: dict, max_piece_len: int = 8) -> list:
+def unigram_viterbi(
+    word: str,
+    logp: dict,
+    max_piece_len: int = 8,
+    unk: float | None = None,
+) -> list:
     """Viterbi best segmentation of one word under a unigram-LM piece
     table: maximize the summed ln-probability; ties prefer the LONGER
     final piece (smaller split point), the deterministic convention
     the encode parity test brute-forces. Characters absent from the
     model segment as themselves at ``min(logp) − _UNI_UNK_PENALTY``
     (the coverage fallback — seeding keeps every TRAINING char, so
-    this only fires on unseen text)."""
+    this only fires on unseen text). ``unk`` accepts that fallback
+    score precomputed: it is a constant of the MODEL, and the default
+    recomputes it with an O(|V|) min-scan per call — per word
+    occurrence inside :func:`unigram_encode`'s corpus-wide Arrow pass,
+    which at a 32k-piece vocabulary would dwarf the DP itself (review
+    r18 pass 1)."""
     if not word:
         return []
-    unk = (min(logp.values()) if logp else 0.0) - _UNI_UNK_PENALTY
+    if unk is None:
+        unk = (min(logp.values()) if logp else 0.0) - _UNI_UNK_PENALTY
     n = len(word)
     NEG = float("-inf")
     best = [NEG] * (n + 1)
@@ -1836,6 +1911,9 @@ def unigram_encode(
         table = dict(model)
     if not table:
         raise ValueError("empty unigram model — train before encoding")
+    # the unseen-char fallback is a model constant — computed ONCE
+    # here, not via an O(|V|) min-scan per word inside the batch loop
+    unk = min(table.values()) - _UNI_UNK_PENALTY
     spark_schema = (
         f"{id_col} long, pieces array<string>, n_pieces int"
     )
@@ -1850,7 +1928,9 @@ def unigram_encode(
                 for w in (text or "").split(" "):
                     if w:
                         pieces.extend(
-                            unigram_viterbi(w, table, max_piece_len)
+                            unigram_viterbi(
+                                w, table, max_piece_len, unk=unk
+                            )
                         )
                 out_pieces.append(pieces)
                 out_n.append(len(pieces))

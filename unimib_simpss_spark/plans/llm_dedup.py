@@ -1274,10 +1274,22 @@ def q62_corpus_pipeline(
     # 'ppl' report: score EVERY candidate under the pinned reference
     # LM (one checkpointed doc-count-sized relation), take the two
     # exact tertile edges in one percentile pass, assign buckets via
-    # a broadcast 1-row cross join (pure value comparisons)
+    # a broadcast 1-row cross join (pure value comparisons). The LM's
+    # tokenize is the q64 'lm3t' discipline: ONE cached whitespace
+    # token relation with `source` carried; the model side is a FILTER
+    # over it (ref_toks=ptoks.where), not a second scan+split of the
+    # documents table (review r18 pass 1 — passing ref=docs.where(...)
+    # re-scanned the corpus just to tokenize the reference slice).
     p1, p2 = _P_TERTILES
+    from unimib_simpss_spark.operators.curation import _bound_tokens
+
+    ptoks = cache_intermediate(
+        _bound_tokens(docs, "doc_id", "text", carry=("source",))
+    )
     scored = trigram_lm_scores(
-        docs, ref=docs.where(F.col("source") == _P_PPL_REF).select("text")
+        None,
+        toks=ptoks,
+        ref_toks=ptoks.where(F.col("source") == _P_PPL_REF),
     )
     edges = scored.agg(
         F.expr(
@@ -1298,7 +1310,7 @@ def q62_corpus_pipeline(
             .alias("bucket"),
         )
     )
-    caches = [buck]
+    caches = [buck, ptoks]
     legs = []
     clusters = hits = None
     if "stats" in want:
