@@ -672,6 +672,82 @@ def test_corpus_mix_deterministic_and_weighted(spark, docs):
         mix_keep("source", "doc_id", {"src0": 1.5})
 
 
+def test_replicate_by_weight_epochs(spark, docs):
+    from unimib_simpss_spark.operators.sampling import (
+        mix_keep,
+        replicate_by_weight,
+        replicate_copies,
+    )
+
+    weights = {"src0": 2.0, "src1": 2.5, "src2": 0.3, "src3": 0.0}
+    rep = replicate_by_weight(
+        docs.select("doc_id", "source"), "source", "doc_id", weights,
+        default_weight=1.0,
+    )
+    out = {
+        r.source: r
+        for r in rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("nd"),
+            F.max("rep").alias("mx"),
+        )
+        .collect()
+    }
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # integer weight: exactly 2 copies of every doc, reps tagged 1..2
+    assert out["src0"].n == 2 * totals["src0"]
+    assert out["src0"].nd == totals["src0"] and out["src0"].mx == 2
+    # fractional weight: strictly between 2 and 3 epochs, max rep 3
+    assert 2 * totals["src1"] < out["src1"].n < 3 * totals["src1"]
+    assert out["src1"].mx == 3
+    # weight 0 drops the source entirely
+    assert "src3" not in out
+    # weight < 1 degenerates to exactly mix_keep's row set (same hash
+    # space + threshold convention)
+    kept = {
+        r.doc_id
+        for r in docs.where(
+            mix_keep("source", "doc_id", {"src2": 0.3}, default_fraction=0.0)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    repl2 = {
+        r.doc_id
+        for r in rep.where(F.col("source") == "src2")
+        .select("doc_id")
+        .collect()
+    }
+    assert repl2 == kept and 0 < len(kept) < totals["src2"]
+    # deterministic: identical multiset on rerun
+    again = {
+        r.source: (r.n, r.nd, r.mx)
+        for r in replicate_by_weight(
+            docs.select("doc_id", "source"), "source", "doc_id", weights,
+            default_weight=1.0,
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("nd"),
+            F.max("rep").alias("mx"),
+        )
+        .collect()
+    }
+    assert again == {s: (r.n, r.nd, r.mx) for s, r in out.items()}
+    # fat-finger guard fails at plan time
+    with pytest.raises(ValueError, match="max_copies"):
+        replicate_copies("source", "doc_id", {"src0": 2000.0})
+    with pytest.raises(ValueError, match="max_copies"):
+        replicate_copies("source", "doc_id", {"src0": -0.5})
+
+
 class TestProductQuantization:
     def test_codes_shape_and_determinism(self, emb):
         books = S.pq_codebooks(emb, m=4, ksub=16)

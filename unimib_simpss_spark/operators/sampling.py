@@ -125,6 +125,124 @@ def mix_keep_sql(
     return f"({h} < CASE {group_expr} {whens} ELSE {default_t} END)"
 
 
+def _replicate_parts(
+    weights: dict[str, float],
+    default_weight: float,
+    buckets: int,
+    max_copies: int,
+) -> tuple[dict[str, tuple[int, int]], tuple[int, int]]:
+    """Per-group (integer copies, fractional-copy hash threshold) pairs
+    computed ONCE in Python — both engines interpolate the same ints,
+    so copy counts are bit-identical by construction."""
+    import math
+
+    def part(g, w):
+        if not (w == w and 0.0 <= w <= max_copies):
+            raise ValueError(
+                f"weight for {g!r} must be in [0, {max_copies}] "
+                f"(max_copies guards against an accidental corpus "
+                f"explosion), got {w}"
+            )
+        k = int(math.floor(w))
+        return k, int(round((w - k) * buckets))
+
+    return (
+        {g: part(g, w) for g, w in weights.items()},
+        part("default_weight", default_weight),
+    )
+
+
+def replicate_copies(
+    group_col: str,
+    key: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 10_000,
+    max_copies: int = 1_000,
+) -> Column:
+    """Integer copy-count column implementing deterministic
+    fractional-EPOCH up-sampling — the other half of the data-mixing
+    story :func:`mix_keep` tells: a recipe weight of 2.5 epochs for a
+    high-quality source (the LLaMA/Pile regime, where books/wiki
+    repeat while web crawl is sub-sampled) means every doc appears
+    ``floor(w)`` times plus one more with probability ``frac(w)``:
+
+        n = floor(w) + [hash(key) % buckets < round(frac(w)·buckets)]
+
+    The fractional copy rides the SAME hash space and threshold
+    convention as :func:`mix_keep`, so a weight < 1 degenerates to
+    exactly mix_keep's row set — down- and up-sampling compose on one
+    deterministic membership function (rerun/engine/append-stable).
+    Groups not listed get ``default_weight``; a weight of 0 drops the
+    group. ``max_copies`` bounds any single weight — at corpus scale a
+    fat-fingered 10^6 here IS an outage, so it fails loudly at plan
+    time, not in the shuffle."""
+    parts, (dk, dthr) = _replicate_parts(
+        weights, default_weight, buckets, max_copies
+    )
+    h = hash64(F.col(key).cast("string")) % buckets
+    base: Column | None = None
+    thr: Column | None = None
+    for g, (k, t) in parts.items():
+        cond = F.col(group_col) == g
+        base = F.when(cond, k) if base is None else base.when(cond, k)
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    base_col = base.otherwise(dk) if base is not None else F.lit(dk)
+    thr_col = thr.otherwise(dthr) if thr is not None else F.lit(dthr)
+    return base_col + (h < thr_col).cast("int")
+
+
+def replicate_copies_sql(
+    group_expr: str,
+    key_expr: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 10_000,
+    max_copies: int = 1_000,
+) -> str:
+    """DuckDB SQL text twin of :func:`replicate_copies`."""
+    parts, (dk, dthr) = _replicate_parts(
+        weights, default_weight, buckets, max_copies
+    )
+    h = f"({hash64_sql(f'CAST({key_expr} AS VARCHAR)')} % {buckets})"
+    base = " ".join(f"WHEN '{g}' THEN {k}" for g, (k, _) in parts.items())
+    thr = " ".join(f"WHEN '{g}' THEN {t}" for g, (_, t) in parts.items())
+    return (
+        f"(CASE {group_expr} {base} ELSE {dk} END"
+        f" + CASE WHEN {h} < CASE {group_expr} {thr} ELSE {dthr} END"
+        f" THEN 1 ELSE 0 END)"
+    )
+
+
+def replicate_by_weight(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 10_000,
+    max_copies: int = 1_000,
+    rep_col: str = "rep",
+) -> DataFrame:
+    """Materialize the up-sampled corpus: each row of ``df`` repeated
+    :func:`replicate_copies` times, tagged ``rep_col`` = 1..n so
+    replicas stay distinguishable downstream (e.g. ``(key, rep)`` as
+    the packing key). Map-side explode of a bounded sequence — no
+    shuffle, no driver state; output size is Σ w_g·|g|, plan-time
+    bounded by ``max_copies``. Zero-copy rows vanish (the explode of
+    an empty array), which is how a weight < 1 reproduces
+    :func:`mix_keep` exactly. The sequence is built under a ``when``
+    guard because Spark's ``sequence(1, 0)`` yields a DESCENDING
+    [1, 0], not an empty array."""
+    n = replicate_copies(
+        group_col, key, weights, default_weight, buckets, max_copies
+    )
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(rep_col, F.explode(seq))
+
+
 def pps_keep(
     weight_col: str,
     key: str,

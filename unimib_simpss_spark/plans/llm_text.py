@@ -500,16 +500,28 @@ _MIX_DEFAULT = 0.75
 _SOURCE_CAP_QUOTA = 10
 _MIX_ALPHA = 0.3
 _PPS_FULL_CHARS = 500  # docs at/over this length are always kept
+# Epoch weights for the 'rep' up-sampling leg: exercise every branch —
+# integer ≥ 2, exactly 1 (identity), fractional < 1 (the mix_keep
+# degenerate), and a fractional default for unlisted sources.
+_REP_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.3}
+_REP_DEFAULT = 1.25
 
 
 def _corpus_mix_oracle() -> str:
     from unimib_simpss_spark.operators.curation import source_divergence_sql
-    from unimib_simpss_spark.operators.sampling import mix_keep_sql, pps_keep_sql
+    from unimib_simpss_spark.operators.sampling import (
+        mix_keep_sql,
+        pps_keep_sql,
+        replicate_copies_sql,
+    )
 
     keep = mix_keep_sql(
         "source", "doc_id", _MIX_FRACS, default_fraction=_MIX_DEFAULT
     )
     pps = pps_keep_sql("n_chars", "doc_id", _PPS_FULL_CHARS)
+    nc = replicate_copies_sql(
+        "source", "doc_id", _REP_WEIGHTS, default_weight=_REP_DEFAULT
+    )
     div = source_divergence_sql()
     return f"""
     WITH m AS (
@@ -571,6 +583,24 @@ def _corpus_mix_oracle() -> str:
     FROM documents
     GROUP BY source
     UNION ALL
+    SELECT 'rep' AS section, i.source, i.n_docs,
+           COALESCE(o.n_kept, 0) AS n_kept,
+           COALESCE(o.kept_tokens, 0) AS kept_tokens,
+           round(COALESCE(o.n_kept, 0) / i.n_docs::DOUBLE, 4)
+               AS achieved_frac,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS rk
+    FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) i
+    LEFT JOIN (
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(ws) AS BIGINT) AS kept_tokens
+        FROM (SELECT source, ws,
+                     unnest(generate_series(1, nc)) AS rep
+              FROM (SELECT doc_id, source, {_ws} AS ws, {nc} AS nc
+                    FROM documents))
+        GROUP BY source
+    ) o USING (source)
+    UNION ALL
     SELECT m.section, d.source,
            d.n_tokens AS n_docs,
            d.n_types  AS n_kept,
@@ -613,6 +643,17 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       membership. For this leg kept_tokens carries the kept CHAR mass
       (the PPS weight), and the leg's scan reads only (doc_id, source,
       n_chars) — never the text column.
+    - 'rep' (round 18) — fractional-epoch UP-sampling
+      (operators/sampling.py replicate_by_weight): the other half of
+      the mixing story, where a 2.5-epoch recipe weight repeats every
+      doc 2× plus a deterministic-hash 50% third copy (the LLaMA/Pile
+      regime — books/wiki repeat, crawl sub-samples; weights < 1
+      degenerate to exactly the 'mix' leg's row set, same hash space
+      and threshold convention). The leg aggregates the EXPLODED
+      replica relation (count, replicated token mass, achieved epoch
+      factor per source) and left-joins the per-source input counts —
+      a source-cardinality-sized broadcast join; the explode itself is
+      map-side, no shuffle at any scale.
     - 'entropy' / 'kl' / 'js' (round 9) — mixture DIAGNOSTICS
       (operators/curation.py source_divergence): per-source unigram
       entropy, KL divergence to the corpus distribution, and
@@ -627,7 +668,11 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_cap,
         source_divergence,
     )
-    from unimib_simpss_spark.operators.sampling import mix_keep, pps_keep
+    from unimib_simpss_spark.operators.sampling import (
+        mix_keep,
+        pps_keep,
+        replicate_by_weight,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     keep = mix_keep("source", "doc_id", _MIX_FRACS, default_fraction=_MIX_DEFAULT)
@@ -704,6 +749,35 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("rk"),
         )
     )
+    repl = replicate_by_weight(
+        docs.select(
+            "doc_id", "source", A.token_count_ws("text").alias("ws")
+        ),
+        "source",
+        "doc_id",
+        _REP_WEIGHTS,
+        default_weight=_REP_DEFAULT,
+    )
+    rep_out = repl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("ws").cast("long").alias("kept_tokens"),
+    )
+    rep_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rep_leg = rep_in.join(rep_out, "source", "left").select(
+        F.lit("rep").alias("section"),
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0).cast("long")).alias(
+            "kept_tokens"
+        ),
+        F.round(
+            F.coalesce("n_kept", F.lit(0).cast("long")) / F.col("n_docs"),
+            4,
+        ).alias("achieved_frac"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("rk"),
+    )
     div = source_divergence(docs)
     div_leg = div.select(
         F.explode(
@@ -728,7 +802,13 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(None).cast("long").alias("rk"),
     )
-    return mix.unionAll(cap).unionAll(alpha).unionAll(pps).unionAll(div_leg)
+    return (
+        mix.unionAll(cap)
+        .unionAll(alpha)
+        .unionAll(pps)
+        .unionAll(rep_leg)
+        .unionAll(div_leg)
+    )
 
 
 _PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence
