@@ -583,23 +583,14 @@ def _corpus_mix_oracle() -> str:
     FROM documents
     GROUP BY source
     UNION ALL
-    SELECT 'rep' AS section, i.source, i.n_docs,
-           COALESCE(o.n_kept, 0) AS n_kept,
-           COALESCE(o.kept_tokens, 0) AS kept_tokens,
-           round(COALESCE(o.n_kept, 0) / i.n_docs::DOUBLE, 4)
-               AS achieved_frac,
+    SELECT 'rep' AS section, source, count(*) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS n_kept,
+           CAST(sum(nc * ws) AS BIGINT) AS kept_tokens,
+           round(sum(nc) / count(*)::DOUBLE, 4) AS achieved_frac,
            CAST(NULL AS BIGINT) AS doc_id,
            CAST(NULL AS BIGINT) AS rk
-    FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) i
-    LEFT JOIN (
-        SELECT source, count(*) AS n_kept,
-               CAST(sum(ws) AS BIGINT) AS kept_tokens
-        FROM (SELECT source, ws,
-                     unnest(generate_series(1, nc)) AS rep
-              FROM (SELECT doc_id, source, {_ws} AS ws, {nc} AS nc
-                    FROM documents))
-        GROUP BY source
-    ) o USING (source)
+    FROM (SELECT source, {_ws} AS ws, {nc} AS nc FROM documents)
+    GROUP BY source
     UNION ALL
     SELECT m.section, d.source,
            d.n_tokens AS n_docs,
@@ -644,16 +635,17 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the PPS weight), and the leg's scan reads only (doc_id, source,
       n_chars) — never the text column.
     - 'rep' (round 18) — fractional-epoch UP-sampling
-      (operators/sampling.py replicate_by_weight): the other half of
-      the mixing story, where a 2.5-epoch recipe weight repeats every
-      doc 2× plus a deterministic-hash 50% third copy (the LLaMA/Pile
-      regime — books/wiki repeat, crawl sub-samples; weights < 1
-      degenerate to exactly the 'mix' leg's row set, same hash space
-      and threshold convention). The leg aggregates the EXPLODED
-      replica relation (count, replicated token mass, achieved epoch
-      factor per source) and left-joins the per-source input counts —
-      a source-cardinality-sized broadcast join; the explode itself is
-      map-side, no shuffle at any scale.
+      (operators/sampling.py replicate_copies / replicate_by_weight):
+      the other half of the mixing story, where a 2.5-epoch recipe
+      weight repeats every doc 2× plus a deterministic-hash 50% third
+      copy (the LLaMA/Pile regime — books/wiki repeat, crawl
+      sub-samples; weights < 1 degenerate to exactly the 'mix' leg's
+      row set, same hash space and threshold convention). The report
+      rides the SAME scan and per-source aggregate as 'mix' (Σnc is
+      the replica count and Σ nc·ws the replicated token mass by
+      construction — no explode, no join); the materializing form
+      (replicate_by_weight's rep-tagged explode) is what downstream
+      packing consumes, determinism-tested in pytest.
     - 'entropy' / 'kl' / 'js' (round 9) — mixture DIAGNOSTICS
       (operators/curation.py source_divergence): per-source unigram
       entropy, KL divergence to the corpus distribution, and
@@ -671,30 +663,61 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unimib_simpss_spark.operators.sampling import (
         mix_keep,
         pps_keep,
-        replicate_by_weight,
+        replicate_copies,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     keep = mix_keep("source", "doc_id", _MIX_FRACS, default_fraction=_MIX_DEFAULT)
-    t = docs.select(
-        "source", keep.alias("keep"), A.token_count_ws("text").alias("ws")
+    nc = replicate_copies(
+        "source", "doc_id", _REP_WEIGHTS, default_weight=_REP_DEFAULT
     )
-    mix = t.groupBy("source").agg(
+    t = docs.select(
+        "source",
+        keep.alias("keep"),
+        nc.alias("nc"),
+        A.token_count_ws("text").alias("ws"),
+    )
+    # 'mix' (down-sampling) and 'rep' (up-sampling) ride ONE scan and
+    # ONE combinable per-source aggregate, then explode into their two
+    # section rows (the div_leg idiom). The rep report never
+    # materializes the replicas: Σnc IS the exploded row count and
+    # Σ(nc·ws) the replicated token mass by construction — exploding
+    # just to re-aggregate would pay the copy blow-up for nothing (the
+    # materializing form, replicate_by_weight, is what downstream
+    # packing consumes and is determinism-tested in pytest).
+    g = t.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.sum(F.when(F.col("keep"), F.col("ws")).otherwise(F.lit(0))).alias(
-            "kept_tokens"
-        ),
-        F.round(F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 4).alias(
-            "achieved_frac"
-        ),
-    ).select(
-        F.lit("mix").alias("section"),
+        F.sum(F.col("keep").cast("long")).alias("mix_kept"),
+        F.sum(F.when(F.col("keep"), F.col("ws")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("mix_tokens"),
+        F.sum("nc").cast("long").alias("rep_kept"),
+        F.sum(F.col("nc") * F.col("ws")).cast("long").alias("rep_tokens"),
+    )
+    mix = g.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mix").alias("s"),
+                    F.col("mix_kept").alias("k"),
+                    F.col("mix_tokens").alias("t"),
+                ),
+                F.struct(
+                    F.lit("rep").alias("s"),
+                    F.col("rep_kept").alias("k"),
+                    F.col("rep_tokens").alias("t"),
+                ),
+            )
+        ).alias("m"),
         "source",
         "n_docs",
-        "n_kept",
-        "kept_tokens",
-        "achieved_frac",
+    ).select(
+        F.col("m.s").alias("section"),
+        "source",
+        "n_docs",
+        F.col("m.k").alias("n_kept"),
+        F.col("m.t").alias("kept_tokens"),
+        F.round(F.col("m.k") / F.col("n_docs"), 4).alias("achieved_frac"),
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(None).cast("long").alias("rk"),
     )
@@ -749,35 +772,6 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("rk"),
         )
     )
-    repl = replicate_by_weight(
-        docs.select(
-            "doc_id", "source", A.token_count_ws("text").alias("ws")
-        ),
-        "source",
-        "doc_id",
-        _REP_WEIGHTS,
-        default_weight=_REP_DEFAULT,
-    )
-    rep_out = repl.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("ws").cast("long").alias("kept_tokens"),
-    )
-    rep_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    rep_leg = rep_in.join(rep_out, "source", "left").select(
-        F.lit("rep").alias("section"),
-        "source",
-        "n_docs",
-        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-        F.coalesce("kept_tokens", F.lit(0).cast("long")).alias(
-            "kept_tokens"
-        ),
-        F.round(
-            F.coalesce("n_kept", F.lit(0).cast("long")) / F.col("n_docs"),
-            4,
-        ).alias("achieved_frac"),
-        F.lit(None).cast("long").alias("doc_id"),
-        F.lit(None).cast("long").alias("rk"),
-    )
     div = source_divergence(docs)
     div_leg = div.select(
         F.explode(
@@ -802,13 +796,7 @@ def q30_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(None).cast("long").alias("rk"),
     )
-    return (
-        mix.unionAll(cap)
-        .unionAll(alpha)
-        .unionAll(pps)
-        .unionAll(rep_leg)
-        .unionAll(div_leg)
-    )
+    return mix.unionAll(cap).unionAll(alpha).unionAll(pps).unionAll(div_leg)
 
 
 _PACK_BUDGET = 512  # ws tokens/doc ≈ 50 → ~10 docs per sequence
