@@ -2872,6 +2872,91 @@ def test_streaming_lm_counts_match_batch_reference_model(spark, tmp_path):
         read_lm_scores(spark, empty_table, probe)
 
 
+def test_streaming_ppl_admission_matches_batch_gate(spark, tmp_path):
+    """The CCNet admission gate in streaming form (q62's ppl stage as
+    a scrub-at-ingest twin): candidates scored under the stream-
+    accreted LM artifact, bucketed by PUBLISHED tertile edges (pure
+    value comparisons — at admission time no percentile machinery
+    runs; the edges pin at release like every other reference
+    artifact), tail refused. The admitted id set must equal the batch
+    gate's (reference-trained scores + the same edge rule), and an
+    unscorable sub-3-token candidate must fall out of BOTH sides by
+    carrying no score row."""
+    import json as _json
+
+    from unimib_simpss_spark.operators import curation as C
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_lm_counts,
+        read_lm_scores,
+    )
+
+    corpus_rows = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},
+        {"doc_id": 1, "text": "the cat sat on the mat"},
+        {"doc_id": 2, "text": "a dog ran fast today"},
+    ]
+    logdir = tmp_path / "ppl_in"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in corpus_rows) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "ppl_counts")
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_lm_counts(table))
+        .option("checkpointLocation", str(tmp_path / "ppl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cands = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),   # on-support -> head-ish
+            (1, "the cat ran away now"),     # partially seen
+            (2, "a dog ran fast today"),     # on-support
+            (3, "zz qq ww yy xx"),           # fully unseen -> floor
+            (4, "zz qq ww vv uu tt"),        # unseen, longer
+            (5, "too short"),                # < 3 tokens: unscorable
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in corpus_rows],
+        "doc_id long, text string",
+    )
+    # release-time pin: tertile edges off the BATCH reference-trained
+    # scores (the q62 percentile pass, run once at publish)
+    batch = C.trigram_lm_scores(cands, ref=ref)
+    p1 = 1.0 / 3.0
+    e1 = batch.agg(
+        F.expr(
+            f"percentile_disc({p1!r}) WITHIN GROUP (ORDER BY score)"
+        ).alias("e1")
+    ).collect()[0]["e1"]
+    want = sorted(
+        r["doc_id"]
+        for r in batch.where(F.col("score") > e1).select("doc_id").collect()
+    )
+    # streaming side: score under the accreted artifact, admit by the
+    # published edge — a map-side filter, no rank machinery
+    got = sorted(
+        r["doc_id"]
+        for r in read_lm_scores(spark, table, cands)
+        .where(F.col("score") > e1)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want
+    # the gate actually cuts: a tail exists, and the unscorable
+    # candidate is refused on both sides (no score row anywhere)
+    assert 0 < len(want) < 5
+    assert 5 not in set(want)
+    assert batch.where(F.col("doc_id") == 5).count() == 0
+
+
 def test_streaming_drift_suite_matches_batch_prefix(spark, tmp_path):
     """The FUSED drift-gate streaming twin: one sink folds the 4-slot
     cell relation; the reader replays ALL FOUR gates (corpus/per-group
