@@ -729,6 +729,23 @@ def test_unigram_trainer_long_word_corpus(spark):
     assert "".join(seg) == "ab" * 200
 
 
+def test_unigram_trainer_empty_corpus_returns_empty_vocab(spark):
+    """An empty/whitespace-only corpus yields a 0-row vocab (the
+    pre-r18 contract) — NOT the em_block zero-mass ValueError, whose
+    diagnosis ('no word admits a segmentation') would be wrong when
+    there are no words at all."""
+    from unimib_simpss_spark.operators.curation import (
+        unigram_lm_vocab_driver,
+    )
+
+    docs = spark.createDataFrame([("",), ("   ",)], ["text"])
+    vocab = unigram_lm_vocab_driver(docs, vocab_size=4)
+    assert vocab.count() == 0
+    assert [f.name for f in vocab.schema.fields] == [
+        "rank", "piece", "logp", "is_char",
+    ]
+
+
 def test_unigram_trainer_seed_candidate_gate(spark):
     import pytest
 

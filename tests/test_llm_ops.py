@@ -746,6 +746,29 @@ def test_replicate_by_weight_epochs(spark, docs):
         replicate_copies("source", "doc_id", {"src0": 2000.0})
     with pytest.raises(ValueError, match="max_copies"):
         replicate_copies("source", "doc_id", {"src0": -0.5})
+    # reserved-name rule: a pre-existing rep column must not be
+    # silently overwritten
+    with pytest.raises(ValueError, match="already has a 'rep'"):
+        replicate_by_weight(
+            rep, "source", "doc_id", weights, default_weight=1.0
+        )
+
+
+def test_replicate_copies_sql_empty_weights_parses():
+    """The SQL twin with {} weights must emit valid SQL (a zero-WHEN
+    CASE is a parse error), agreeing with the Column twin's default-
+    only behavior."""
+    import duckdb
+
+    from unimib_simpss_spark.operators.sampling import replicate_copies_sql
+
+    nc = replicate_copies_sql("s", "id", {}, default_weight=1.5)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT id, {nc} AS nc FROM (VALUES (1, 'a'), (2, 'b')) t(id, s)"
+        " ORDER BY id"
+    ).fetchall()
+    assert all(n in (1, 2) for _, n in rows)
 
 
 class TestProductQuantization:

@@ -22,6 +22,8 @@ operators are that admission idea generalized to corpus granularity.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1609,9 +1611,9 @@ _UNI_UNK_PENALTY = 10.0  # ln-prob below the model's min for unseen chars
 
 def _logsumexp(xs: list) -> float:
     """ln Σ exp(x) over a short list, stable at any magnitude (the
-    max-shift form); empty → -inf (no admissible path)."""
-    import math
-
+    max-shift form); empty → -inf (no admissible path). ``math`` is a
+    module-level import — this runs once per lattice CELL in the EM
+    inner loop (review r18 pass 2)."""
     if not xs:
         return float("-inf")
     m = max(xs)
@@ -1756,6 +1758,15 @@ def unigram_lm_vocab_driver(
         )
     finally:
         release_result(vocab_rel)
+    if not words:
+        # empty / whitespace-only corpus: 0-row vocab (the pre-r18
+        # contract — the em_block zero-mass guard must never fire for
+        # "there are no words at all", review r18 pass 2); encoding
+        # under it still fails loudly via unigram_encode's empty-model
+        # check
+        return spark.createDataFrame(
+            [], "rank int, piece string, logp double, is_char boolean"
+        )
 
     # ---- seed: substring counts (all positions), chars unconditional
     sub_counts: dict = {}

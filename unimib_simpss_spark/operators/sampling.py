@@ -205,6 +205,11 @@ def replicate_copies_sql(
         weights, default_weight, buckets, max_copies
     )
     h = f"({hash64_sql(f'CAST({key_expr} AS VARCHAR)')} % {buckets})"
+    if not parts:
+        # no per-group weights: plain default literals — a zero-WHEN
+        # CASE is a parse error, where the Column twin handles {} fine
+        # (review r18 pass 2)
+        return f"({dk} + CASE WHEN {h} < {dthr} THEN 1 ELSE 0 END)"
     base = " ".join(f"WHEN '{g}' THEN {k}" for g, (k, _) in parts.items())
     thr = " ".join(f"WHEN '{g}' THEN {t}" for g, (_, t) in parts.items())
     return (
@@ -234,6 +239,13 @@ def replicate_by_weight(
     :func:`mix_keep` exactly. The sequence is built under a ``when``
     guard because Spark's ``sequence(1, 0)`` yields a DESCENDING
     [1, 0], not an empty array."""
+    if rep_col in df.columns:
+        # silent overwrite corrupts a previously-tagged corpus (the
+        # stratified_split reserved-name rule, review r18 pass 2)
+        raise ValueError(
+            f"df already has a {rep_col!r} column — pass rep_col to "
+            "pick a free name"
+        )
     n = replicate_copies(
         group_col, key, weights, default_weight, buckets, max_copies
     )

@@ -1259,6 +1259,7 @@ def q62_corpus_pipeline(
     from unimib_simpss_spark.operators.caching import (
         cache_intermediate,
         materialize_release,
+        release_intermediate,
         release_result,
     )
     from unimib_simpss_spark.operators.curation import trigram_lm_scores
@@ -1291,6 +1292,13 @@ def q62_corpus_pipeline(
         toks=ptoks,
         ref_toks=ptoks.where(F.col("source") == _P_PPL_REF),
     )
+    # scored is eagerly checkpointed inside trigram_lm_scores
+    # (materialize=True), so the O(corpus) token-array cache has zero
+    # remaining consumers RIGHT HERE — holding it through the
+    # dedup/decontamination/packing stages would pin a
+    # wider-than-the-text relation (a written table in "table" mode)
+    # for nothing (review r18 pass 2)
+    release_intermediate(ptoks)
     edges = scored.agg(
         F.expr(
             f"percentile_disc({p1!r}) WITHIN GROUP (ORDER BY score)"
@@ -1310,7 +1318,7 @@ def q62_corpus_pipeline(
             .alias("bucket"),
         )
     )
-    caches = [buck, ptoks]
+    caches = [buck]
     legs = []
     clusters = hits = None
     if "stats" in want:
