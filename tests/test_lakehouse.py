@@ -113,6 +113,56 @@ def test_write_sharded_even_and_deterministic(spark, sf_dir, tmp_path):
         assert ids1 == ids2
 
 
+def test_corpus_release_manifest_roundtrip(spark, sf_dir, tmp_path):
+    """write_corpus_release publishes shards + a per-shard manifest
+    (rows, token mass, order-free digest); validate_corpus_release
+    verifies a clean drop, detects a lost shard and a tampered row,
+    and flags a manifest-less (crashed) release."""
+    import shutil
+
+    from unimib_simpss_spark.sources.lakehouse import (
+        validate_corpus_release,
+        write_corpus_release,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    out = str(tmp_path / "release")
+    man = write_corpus_release(
+        docs, out, n_shards=4, key="doc_id", token_col="n_chars"
+    )
+    rows = {r["shard"]: r for r in man.collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in rows.values()) == docs.count()
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r["n_tokens"] for r in rows.values()) == total_chars
+    # clean drop validates; identical rerun publishes an identical
+    # manifest (deterministic shards + order-free digest)
+    got = validate_corpus_release(spark, out, token_col="n_chars")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, man.collect())
+    )
+    out2 = str(tmp_path / "release2")
+    man2 = write_corpus_release(
+        docs, out2, n_shards=4, key="doc_id", token_col="n_chars"
+    )
+    assert sorted(map(tuple, man2.collect())) == sorted(
+        map(tuple, man.collect())
+    )
+    # a lost shard directory is named in the failure
+    shutil.rmtree(f"{out2}/shard=2")
+    with pytest.raises(ValueError, match=r"shards \[2\]"):
+        validate_corpus_release(spark, out2, token_col="n_chars")
+    # a crashed release (no manifest) is flagged as such
+    out3 = str(tmp_path / "release3")
+    from unimib_simpss_spark.sources.lakehouse import write_sharded
+
+    write_sharded(docs, out3, n_shards=2, key="doc_id")
+    with pytest.raises(ValueError, match="incomplete or crashed"):
+        validate_corpus_release(spark, out3)
+
+
 def test_analyze_table_feeds_cbo_statistics(warehouse_spark):
     """ANALYZE TABLE populates table and column statistics the
     cost-based optimizer reads (row count table-level; NDV/min/max

@@ -129,6 +129,56 @@ def x78_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("x81_corpus_release")  # run-time filesystem artifact → rows-only
+def x81_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-RELEASE proof: the documents table shipped as a
+    training-data drop (``sources/lakehouse.py: write_corpus_release``
+    — deterministic hash-bucketed shards + a ``_MANIFEST`` parquet
+    written last) and then verified loader-side
+    (:func:`validate_corpus_release` recomputes every shard's row
+    count, token mass, and order-free content digest from the data and
+    compares row-for-row). Output = the VERIFIED manifest, one row per
+    shard — the contract a downstream training loader checks before
+    trusting a drop. Rows-only entry (the x74 pattern): the artifact
+    is a run-time filesystem layout DuckDB-over-the-sources cannot
+    reproduce; every column is deterministic given the input (shard
+    membership is hash-bucketed, the digest is order-free), so the
+    run-determinism sweep covers it. The temp release is removed in
+    ``finally`` after the manifest is materialized to local rows."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from unimib_simpss_spark.sources.lakehouse import (
+        validate_corpus_release,
+        write_corpus_release,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    tmp = _tempfile.mkdtemp(prefix="simpss-x81-")
+    try:
+        out = f"{tmp}/release"
+        write_corpus_release(
+            docs, out, n_shards=8, key="doc_id", token_col="n_chars"
+        )
+        man = validate_corpus_release(spark, out, token_col="n_chars")
+        rows = sorted(
+            (
+                int(r["shard"]),
+                int(r["n_rows"]),
+                int(r["n_tokens"]),
+                int(r["digest"]),
+            )
+            for r in man.collect()
+        )
+        return spark.createDataFrame(
+            rows, "shard int, n_rows long, n_tokens long, digest long"
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("x74_zorder_pruning")  # run-time filesystem layout → rows-only
 def x74_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-pruning proof for Z-order clustered writes: the events

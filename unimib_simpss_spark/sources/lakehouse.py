@@ -98,6 +98,112 @@ def write_sharded(
     )
 
 
+_MANIFEST_DIR = "_MANIFEST"
+_DIGEST_MOD = (1 << 61) - 1  # Mersenne: order-free sum stays in a long
+
+
+def _shard_manifest(df: DataFrame, token_col: str | None) -> DataFrame:
+    """Per-shard integrity rows over a shard-tagged corpus: row count,
+    token mass, and an ORDER-FREE content digest — the per-row 60-bit
+    md5 hash of the full row (fixed column order via to_json of a
+    struct) summed in decimal and folded mod a Mersenne prime, so the
+    digest is independent of row order and partitioning, overflow-free
+    to 10^18 rows, and any single-row change moves it."""
+    from pyspark.sql import functions as F
+
+    from unimib_simpss_spark.functions.hashing import hash64
+
+    data_cols = sorted(c for c in df.columns if c != "shard")
+    h = hash64(F.to_json(F.struct(*[F.col(c) for c in data_cols])))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(
+            F.sum(h.cast("decimal(38,0)")), F.lit(_DIGEST_MOD)
+        )
+        .cast("long")
+        .alias("digest"),
+    ]
+    if token_col is not None:
+        aggs.insert(
+            1, F.sum(F.col(token_col)).cast("long").alias("n_tokens")
+        )
+    else:
+        aggs.insert(1, F.lit(None).cast("long").alias("n_tokens"))
+    return df.groupBy("shard").agg(*aggs)
+
+
+def write_corpus_release(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str,
+    token_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """The finished-corpus RELEASE: :func:`write_sharded`'s
+    deterministic hash-bucketed shards plus a ``_MANIFEST`` parquet —
+    one row per shard with ``(n_rows, n_tokens, digest)`` — written
+    LAST, so a crashed or partial release is machine-detectable (no
+    manifest ⇒ not a release; see :func:`validate_corpus_release`).
+    This is the contract a training loader actually needs from a data
+    drop: reproducible shard membership (hash-bucketed, append-stable),
+    same-size files, and checksums it can verify shard-by-shard without
+    trusting the producer. Re-running over identical input rewrites
+    byte-identical shards and an identical manifest (mode=overwrite
+    end-to-end). Returns the manifest DataFrame (read back from
+    storage, so the caller holds the published artifact, not a
+    recomputation plan)."""
+    spark = df.sparkSession
+    write_sharded(df, path, n_shards, key, order_col)
+    man = _shard_manifest(spark.read.parquet(path), token_col)
+    man.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_MANIFEST_DIR}"
+    )
+    return spark.read.parquet(f"{path}/{_MANIFEST_DIR}")
+
+
+def validate_corpus_release(
+    spark: SparkSession, path: str, token_col: str | None = None
+) -> DataFrame:
+    """Loader-side integrity check of a :func:`write_corpus_release`
+    drop: recompute the per-shard manifest from the shard data and
+    compare row-for-row against the published one. Raises ValueError
+    naming the bad shards on any mismatch (bit rot, a lost/truncated
+    shard directory, a tampered row) and when no manifest exists (a
+    crashed release never publishes one). Returns the verified
+    manifest. Cost: one scan of the release — the same price the
+    loader pays to read it."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        stored = spark.read.parquet(f"{path}/{_MANIFEST_DIR}")
+    except AnalysisException as exc:
+        raise ValueError(
+            f"no manifest at {path}/{_MANIFEST_DIR} — incomplete or "
+            "crashed release (the manifest is written last)"
+        ) from exc
+    # the shard scan must not see the manifest subdir: read via the
+    # hive-partition layout, then drop manifest-less shards explicitly
+    data = spark.read.option("basePath", path).parquet(
+        f"{path}/shard=*"
+    )
+    fresh = _shard_manifest(data, token_col)
+    s = {r["shard"]: (r["n_rows"], r["n_tokens"], r["digest"])
+         for r in stored.collect()}
+    f = {r["shard"]: (r["n_rows"], r["n_tokens"], r["digest"])
+         for r in fresh.collect()}
+    bad = sorted(
+        k for k in (s.keys() | f.keys()) if s.get(k) != f.get(k)
+    )
+    if bad:
+        raise ValueError(
+            f"corpus release at {path} failed validation on shards "
+            f"{bad}: stored={[s.get(k) for k in bad]} "
+            f"recomputed={[f.get(k) for k in bad]}"
+        )
+    return stored
+
+
 def analyze_table(
     spark: SparkSession, table: str, columns: tuple[str, ...] = ()
 ) -> None:
