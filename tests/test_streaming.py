@@ -2872,6 +2872,79 @@ def test_streaming_lm_counts_match_batch_reference_model(spark, tmp_path):
         read_lm_scores(spark, empty_table, probe)
 
 
+def test_streaming_release_manifest_matches_batch_writer(spark, tmp_path):
+    """The release-manifest streaming twin: the manifest accreted from
+    the stream (additive per-shard digests, mod-Mersenne folding) must
+    be BIT-IDENTICAL to write_corpus_release's manifest over the same
+    rows — shard membership, counts, token mass, and content digest.
+    Also pins replay protection and the n_shards fork guard."""
+    import json as _json
+    import os
+    import time
+
+    from unimib_simpss_spark.sources.lakehouse import write_corpus_release
+    from unimib_simpss_spark.streaming.sinks import (
+        foreach_batch_release_manifest,
+        read_release_manifest,
+    )
+
+    rows = [
+        {"doc_id": i, "text": f"doc number {i} body", "n": 10 + i}
+        for i in range(40)
+    ]
+    logdir = tmp_path / "rel_in"
+    logdir.mkdir()
+    (logdir / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:25]) + "\n"
+    )
+    t = time.time()
+    os.utime(logdir / "a.json", (t, t))
+    (logdir / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[25:]) + "\n"
+    )
+    os.utime(logdir / "b.json", (t + 4, t + 4))
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING, n BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(logdir))
+    )
+    table = str(tmp_path / "rel_manifest")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_release_manifest(
+                table, key="doc_id", n_shards=4, token_col="n"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "rel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, read_release_manifest(spark, table).collect()))
+    # batch twin over the same rows, same column set
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["n"]) for r in rows],
+        "doc_id long, text string, n long",
+    )
+    man = write_corpus_release(
+        docs, str(tmp_path / "rel_batch"), n_shards=4, key="doc_id",
+        token_col="n",
+    )
+    want = sorted(map(tuple, man.collect()))
+    assert got == want and len(got) == 4
+    # replayed batch id: a no-op (additive fold must not double-count)
+    stale = docs.limit(3)
+    foreach_batch_release_manifest(table, "doc_id", 4, "n")(stale, 0)
+    got2 = sorted(map(tuple, read_release_manifest(spark, table).collect()))
+    assert got2 == got
+    # a differently-sharded fold is refused, not silently corrupting
+    with pytest.raises(ValueError, match="n_shards=8"):
+        foreach_batch_release_manifest(table, "doc_id", 8, "n")(docs, 99)
+    # descriptive error before the first generation
+    with pytest.raises(ValueError, match="no release-manifest"):
+        read_release_manifest(spark, str(tmp_path / "rel_nope"))
+
+
 def test_streaming_ppl_admission_matches_batch_gate(spark, tmp_path):
     """The CCNet admission gate in streaming form (q62's ppl stage as
     a scrub-at-ingest twin): candidates scored under the stream-

@@ -1105,6 +1105,96 @@ def read_ldiv_metrics(
     )
 
 
+# ---------------------------------- streaming release-manifest sink
+def foreach_batch_release_manifest(
+    path: str, key: str, n_shards: int, token_col: str | None = None
+):
+    """``foreachBatch`` body accreting the corpus-release MANIFEST
+    from the stream (the 15th batch-parity twin): each micro-batch is
+    shard-tagged exactly as ``sources/lakehouse.write_sharded`` does
+    (``pmod(xxhash64(key), n_shards)``) and its per-shard
+    ``(n_rows, n_tokens, digest)`` rows fold into a generation-swap
+    table. The content digest is a per-row md5 hash summed mod a
+    Mersenne prime (``lakehouse._shard_manifest`` — the single
+    definition of the row shape), which makes it ADDITIVE:
+    ``(a mod P + b mod P) mod P = (a+b) mod P``, so the accreted
+    manifest after any stream prefix is BIT-IDENTICAL to
+    ``write_corpus_release``'s manifest over the same rows — the
+    loader-side integrity contract holds for a streamed drop without
+    ever re-scanning what was shipped. ``n_shards`` is stored in the
+    table (the HLL ``p``-guard discipline): folding a differently-
+    sharded batch would silently corrupt shard membership, so it
+    raises instead. Replay protection is the generation-name cursor
+    (additive fold, non-idempotent — the
+    :func:`foreach_batch_additive` contract)."""
+    from unimib_simpss_spark.sources.lakehouse import (
+        _DIGEST_MOD,
+        _shard_manifest,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cur, last = _current_generation(path)
+        if batch_id <= last:
+            return  # replayed batch: already folded
+        tagged = batch.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
+        )
+        fresh = _shard_manifest(tagged, token_col).withColumn(
+            "n_shards", F.lit(n_shards)
+        )
+        if cur is not None:
+            old = spark.read.parquet(cur)
+            stored_n = old.select("n_shards").first()
+            if stored_n is not None and stored_n.n_shards != n_shards:
+                raise ValueError(
+                    f"manifest table at {path} was accreted with "
+                    f"n_shards={stored_n.n_shards}; folding "
+                    f"n_shards={n_shards} would corrupt shard "
+                    "membership"
+                )
+            merged = (
+                old.select(*fresh.columns)
+                .unionByName(fresh)
+                .groupBy("shard", "n_shards")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("n_tokens").cast("long").alias("n_tokens"),
+                    F.pmod(
+                        F.sum(F.col("digest").cast("decimal(38,0)")),
+                        F.lit(_DIGEST_MOD),
+                    )
+                    .cast("long")
+                    .alias("digest"),
+                )
+                .select(*fresh.columns)
+            )
+        else:
+            merged = fresh
+
+        def _write(target: str) -> None:
+            merged.write.mode("overwrite").parquet(target)
+
+        _swap_in_generation(path, _write, batch_id=max(last, batch_id))
+
+    return _apply
+
+
+def read_release_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """The accreted release manifest — ``(shard, n_rows, n_tokens,
+    digest)``, the exact rows ``write_corpus_release`` would publish
+    for the same corpus (the ``n_shards`` guard column is stripped).
+    Raises before the sink's first generation."""
+    cur, _ = _current_generation(path)
+    if cur is None:
+        raise ValueError(
+            f"no release-manifest generation at {path} yet — the "
+            "foreach_batch_release_manifest sink has not committed a "
+            "batch"
+        )
+    return spark.read.parquet(cur).drop("n_shards")
+
+
 # ------------------------------------------- streaming n-gram LM sink
 def foreach_batch_lm_counts(path: str, text_col: str = "text"):
     """``foreachBatch`` body that folds each micro-batch's n-gram
