@@ -137,9 +137,10 @@ def test_corpus_release_manifest_roundtrip(spark, sf_dir, tmp_path):
     assert sum(r["n_rows"] for r in rows.values()) == docs.count()
     total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
     assert sum(r["n_tokens"] for r in rows.values()) == total_chars
-    # clean drop validates; identical rerun publishes an identical
-    # manifest (deterministic shards + order-free digest)
-    got = validate_corpus_release(spark, out, token_col="n_chars")
+    # clean drop validates (the validator reads token_col from the
+    # manifest itself — no caller guess to get wrong); identical rerun
+    # publishes an identical manifest
+    got = validate_corpus_release(spark, out)
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, man.collect())
     )
@@ -150,10 +151,33 @@ def test_corpus_release_manifest_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, man2.collect())) == sorted(
         map(tuple, man.collect())
     )
+    # a TAMPERED ROW that preserves row count and token mass is caught
+    # by the digest alone: rewrite shard 1 with one text value edited
+    sh1 = f"{out}/shard=1"
+    d1 = spark.read.parquet(sh1)
+    sch = d1.schema
+    edited = [
+        tuple(
+            "TAMPERED" if (i == 0 and f.name == "text") else r[f.name]
+            for f in sch.fields
+        )
+        for i, r in enumerate(d1.collect())
+    ]
+    spark.createDataFrame(edited, sch).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(sh1)
+    with pytest.raises(ValueError, match=r"shards \[1\]"):
+        validate_corpus_release(spark, out)
     # a lost shard directory is named in the failure
     shutil.rmtree(f"{out2}/shard=2")
     with pytest.raises(ValueError, match=r"shards \[2\]"):
-        validate_corpus_release(spark, out2, token_col="n_chars")
+        validate_corpus_release(spark, out2)
+    # ALL shard dirs lost but the manifest intact: descriptive, not an
+    # uncaught AnalysisException
+    for d in (0, 1, 3):
+        shutil.rmtree(f"{out2}/shard={d}")
+    with pytest.raises(ValueError, match="shard"):
+        validate_corpus_release(spark, out2)
     # a crashed release (no manifest) is flagged as such
     out3 = str(tmp_path / "release3")
     from unimib_simpss_spark.sources.lakehouse import write_sharded

@@ -2930,7 +2930,14 @@ def test_streaming_release_manifest_matches_batch_writer(spark, tmp_path):
         docs, str(tmp_path / "rel_batch"), n_shards=4, key="doc_id",
         token_col="n",
     )
-    want = sorted(map(tuple, man.collect()))
+    # compare on the four DATA columns (the batch manifest additionally
+    # records its token_col metadata; the stream table its n_shards)
+    want = sorted(
+        map(
+            tuple,
+            man.select("shard", "n_rows", "n_tokens", "digest").collect(),
+        )
+    )
     assert got == want and len(got) == 4
     # replayed batch id: a no-op (additive fold must not double-count)
     stale = docs.limit(3)

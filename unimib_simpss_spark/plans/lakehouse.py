@@ -162,7 +162,7 @@ def x81_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_corpus_release(
             docs, out, n_shards=8, key="doc_id", token_col="n_chars"
         )
-        man = validate_corpus_release(spark, out, token_col="n_chars")
+        man = validate_corpus_release(spark, out)
         rows = sorted(
             (
                 int(r["shard"]),

@@ -87,9 +87,8 @@ def write_sharded(
     """
     from pyspark.sql import functions as F
 
-    shard = F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
     (
-        df.withColumn("shard", shard)
+        df.withColumn("shard", shard_col(key, n_shards))
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", order_col or key)
         .write.mode("overwrite")
@@ -100,6 +99,18 @@ def write_sharded(
 
 _MANIFEST_DIR = "_MANIFEST"
 _DIGEST_MOD = (1 << 61) - 1  # Mersenne: order-free sum stays in a long
+
+
+def shard_col(key: str, n_shards: int):
+    """THE shard-membership expression — ``pmod(xxhash64(key),
+    n_shards)``. Single definition: :func:`write_sharded`, the
+    manifest machinery, and the streaming manifest sink
+    (``streaming/sinks.foreach_batch_release_manifest``) must all
+    bucket identically or the loader-side digest contract silently
+    breaks (review r18 pass 3)."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
 
 
 def _shard_manifest(df: DataFrame, token_col: str | None) -> DataFrame:
@@ -148,31 +159,40 @@ def write_corpus_release(
     This is the contract a training loader actually needs from a data
     drop: reproducible shard membership (hash-bucketed, append-stable),
     same-size files, and checksums it can verify shard-by-shard without
-    trusting the producer. Re-running over identical input rewrites
-    byte-identical shards and an identical manifest (mode=overwrite
-    end-to-end). Returns the manifest DataFrame (read back from
-    storage, so the caller holds the published artifact, not a
-    recomputation plan)."""
+    trusting the producer. The manifest records ``token_col`` as a
+    constant metadata column, so the validator recomputes under the
+    WRITER's definition instead of trusting a caller parameter (a
+    mismatched guess would read as whole-release corruption — review
+    r18 pass 3; the streaming twin stores ``n_shards`` for the same
+    reason). Re-running over identical input rewrites byte-identical
+    shards and an identical manifest (mode=overwrite end-to-end).
+    Returns the manifest DataFrame (read back from storage, so the
+    caller holds the published artifact, not a recomputation plan)."""
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     write_sharded(df, path, n_shards, key, order_col)
-    man = _shard_manifest(spark.read.parquet(path), token_col)
+    man = _shard_manifest(spark.read.parquet(path), token_col).withColumn(
+        "token_col", F.lit(token_col).cast("string")
+    )
     man.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/{_MANIFEST_DIR}"
     )
     return spark.read.parquet(f"{path}/{_MANIFEST_DIR}")
 
 
-def validate_corpus_release(
-    spark: SparkSession, path: str, token_col: str | None = None
-) -> DataFrame:
+def validate_corpus_release(spark: SparkSession, path: str) -> DataFrame:
     """Loader-side integrity check of a :func:`write_corpus_release`
-    drop: recompute the per-shard manifest from the shard data and
+    drop: recompute the per-shard manifest from the shard data —
+    under the manifest's own stored ``token_col``, so the check cannot
+    be derailed by a caller guessing the writer's settings — and
     compare row-for-row against the published one. Raises ValueError
     naming the bad shards on any mismatch (bit rot, a lost/truncated
-    shard directory, a tampered row) and when no manifest exists (a
-    crashed release never publishes one). Returns the verified
-    manifest. Cost: one scan of the release — the same price the
-    loader pays to read it."""
+    shard directory, a tampered row — the digest catches value edits
+    that preserve counts), when the shard data is missing entirely,
+    and when no manifest exists (a crashed release never publishes
+    one). Returns the verified manifest. Cost: one scan of the
+    release — the same price the loader pays to read it."""
     from pyspark.sql.utils import AnalysisException
 
     try:
@@ -182,11 +202,25 @@ def validate_corpus_release(
             f"no manifest at {path}/{_MANIFEST_DIR} — incomplete or "
             "crashed release (the manifest is written last)"
         ) from exc
-    # the shard scan must not see the manifest subdir: read via the
-    # hive-partition layout, then drop manifest-less shards explicitly
-    data = spark.read.option("basePath", path).parquet(
-        f"{path}/shard=*"
-    )
+    tc_row = stored.select("token_col").first()
+    token_col = tc_row["token_col"] if tc_row is not None else None
+    # plain directory read: parquet listing skips underscore-prefixed
+    # children, so _MANIFEST is excluded WITHOUT a glob (a glob would
+    # both mis-expand metachar-bearing paths and raise an uncaught
+    # AnalysisException when every shard dir is lost — review r18
+    # pass 3); shard=N dirs come back as the partition column
+    try:
+        data = spark.read.parquet(path)
+    except AnalysisException as exc:
+        raise ValueError(
+            f"corpus release at {path} has a manifest but no readable "
+            "shard data — the shard directories are lost"
+        ) from exc
+    if "shard" not in data.columns:
+        raise ValueError(
+            f"corpus release at {path} has a manifest but no shard=N "
+            "directories — the shard layout is lost"
+        )
     fresh = _shard_manifest(data, token_col)
     s = {r["shard"]: (r["n_rows"], r["n_tokens"], r["digest"])
          for r in stored.collect()}

@@ -1111,8 +1111,9 @@ def foreach_batch_release_manifest(
 ):
     """``foreachBatch`` body accreting the corpus-release MANIFEST
     from the stream (the 15th batch-parity twin): each micro-batch is
-    shard-tagged exactly as ``sources/lakehouse.write_sharded`` does
-    (``pmod(xxhash64(key), n_shards)``) and its per-shard
+    shard-tagged through the SHARED ``sources/lakehouse.shard_col``
+    expression (single definition with ``write_sharded``, so the two
+    sides cannot drift apart) and its per-shard
     ``(n_rows, n_tokens, digest)`` rows fold into a generation-swap
     table. The content digest is a per-row md5 hash summed mod a
     Mersenne prime (``lakehouse._shard_manifest`` — the single
@@ -1130,6 +1131,7 @@ def foreach_batch_release_manifest(
     from unimib_simpss_spark.sources.lakehouse import (
         _DIGEST_MOD,
         _shard_manifest,
+        shard_col,
     )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -1137,9 +1139,7 @@ def foreach_batch_release_manifest(
         cur, last = _current_generation(path)
         if batch_id <= last:
             return  # replayed batch: already folded
-        tagged = batch.withColumn(
-            "shard", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards))
-        )
+        tagged = batch.withColumn("shard", shard_col(key, n_shards))
         fresh = _shard_manifest(tagged, token_col).withColumn(
             "n_shards", F.lit(n_shards)
         )
