@@ -722,3 +722,48 @@ def test_scrub_pii_cross_engine_parity_and_idempotent(spark, strings):
             d,
         )
         assert r.s2 == r.s  # idempotent on arbitrary input
+
+
+@SETTINGS
+@given(
+    keys=st.lists(
+        st.integers(0, 10**9), min_size=1, max_size=50, unique=True
+    ),
+    w=st.floats(min_value=0.0, max_value=5.0, allow_nan=False),
+    dw=st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+)
+def test_replicate_copies_sql_matches_python_reference(keys, w, dw):
+    """Cross-engine fuzz of the fractional-epoch copy count (the
+    scrub-fuzz discipline applied to the up-sampling arithmetic):
+    DuckDB evaluating replicate_copies_sql must equal a pure-Python
+    reference built from the SAME _replicate_parts thresholds and the
+    md5-prefix hash — any drift in the hash slice, rounding, or CASE
+    rendering shows up here before it forks a corpus mix. Also pins
+    floor(w) <= n <= ceil(w) per row."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from unimib_simpss_spark.operators.sampling import (
+        _replicate_parts,
+        replicate_copies_sql,
+    )
+
+    weights = {"a": w}
+    parts, (dk, dthr) = _replicate_parts(weights, dw, 10_000, 1_000)
+    nc = replicate_copies_sql("s", "id", weights, default_weight=dw)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, s VARCHAR)")
+    rows = [(k, "a" if k % 2 == 0 else "b") for k in keys]
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = dict(
+        con.execute(f"SELECT id, {nc} FROM t ORDER BY id").fetchall()
+    )
+    for k, s in rows:
+        kk, thr = parts["a"] if s == "a" else (dk, dthr)
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 10_000
+        want = kk + (1 if h < thr else 0)
+        assert got[k] == want, (k, s, got[k], want)
+        w_eff = w if s == "a" else dw
+        assert math.floor(w_eff) <= got[k] <= math.ceil(w_eff), (k, w_eff)
