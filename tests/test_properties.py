@@ -321,7 +321,7 @@ def test_pps_keep_matches_python_model(spark, weights, full):
         for r in df.select("id", pps_keep("w", "id", full).alias("k")).collect()
     }
     for i, w in rows:
-        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1_000_000
+        h = _ref_hash64(str(i)) % 1_000_000
         import math
 
         expect = h * full < math.floor(w) * 1_000_000
@@ -348,9 +348,7 @@ def test_portable_cell_range_and_python_parity(spark, strings, j, width):
     ).collect()
     for r in rows:
         assert 0 <= r.c < width
-        h = int(
-            hashlib.md5(f"{j}:{r.text}".encode()).hexdigest()[:15], 16
-        ) % width
+        h = _ref_hash64(f"{j}:{r.text}") % width
         assert r.c == h, (r.text, j, width)
 
 
@@ -724,6 +722,15 @@ def test_scrub_pii_cross_engine_parity_and_idempotent(spark, strings):
         assert r.s2 == r.s  # idempotent on arbitrary input
 
 
+def _ref_hash64(s: str) -> int:
+    """Driver-side model of functions/hashing.hash64 — the 60-bit
+    (15-hex-char) md5 prefix. Single definition for the portable-hash
+    reference used by the pps/cell/replicate property tests."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 @SETTINGS
 @given(
     keys=st.lists(
@@ -733,37 +740,40 @@ def test_scrub_pii_cross_engine_parity_and_idempotent(spark, strings):
     dw=st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
 )
 def test_replicate_copies_sql_matches_python_reference(keys, w, dw):
-    """Cross-engine fuzz of the fractional-epoch copy count (the
-    scrub-fuzz discipline applied to the up-sampling arithmetic):
-    DuckDB evaluating replicate_copies_sql must equal a pure-Python
-    reference built from the SAME _replicate_parts thresholds and the
-    md5-prefix hash — any drift in the hash slice, rounding, or CASE
-    rendering shows up here before it forks a corpus mix. Also pins
-    floor(w) <= n <= ceil(w) per row."""
-    import hashlib
+    """Fuzz of the fractional-epoch copy count (the scrub-fuzz
+    discipline applied to the up-sampling arithmetic): DuckDB
+    evaluating replicate_copies_sql must equal an INDEPENDENT
+    pure-Python reference — the documented convention restated here
+    (n = floor(w) + [md5-prefix-hash % buckets < round(frac(w) ·
+    buckets)]), NOT _replicate_parts' own output, so a rounding or
+    floor regression in the shared helper fails this test instead of
+    propagating into both sides of it. Every key is inserted in BOTH
+    groups (ids 2k / 2k+1), so each example exercises the per-group
+    WHEN arm and the default ELSE arm of the generated CASE. Also pins
+    floor(w) <= n <= ceil(w) per row. (The Spark Column twin shares
+    _replicate_parts by construction and is pinned value-for-value by
+    q30's oracle hash at two sfs plus test_replicate_by_weight_epochs'
+    mix_keep-degeneracy check.)"""
     import math
 
     import duckdb
 
-    from unimib_simpss_spark.operators.sampling import (
-        _replicate_parts,
-        replicate_copies_sql,
-    )
+    from unimib_simpss_spark.operators.sampling import replicate_copies_sql
 
     weights = {"a": w}
-    parts, (dk, dthr) = _replicate_parts(weights, dw, 10_000, 1_000)
     nc = replicate_copies_sql("s", "id", weights, default_weight=dw)
     con = duckdb.connect()
     con.execute("CREATE TABLE t(id BIGINT, s VARCHAR)")
-    rows = [(k, "a" if k % 2 == 0 else "b") for k in keys]
+    rows = [(2 * k, "a") for k in keys] + [(2 * k + 1, "b") for k in keys]
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     got = dict(
         con.execute(f"SELECT id, {nc} FROM t ORDER BY id").fetchall()
     )
-    for k, s in rows:
-        kk, thr = parts["a"] if s == "a" else (dk, dthr)
-        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 10_000
-        want = kk + (1 if h < thr else 0)
-        assert got[k] == want, (k, s, got[k], want)
+    for i, s in rows:
         w_eff = w if s == "a" else dw
-        assert math.floor(w_eff) <= got[k] <= math.ceil(w_eff), (k, w_eff)
+        kk = int(math.floor(w_eff))
+        thr = int(round((w_eff - kk) * 10_000))
+        h = _ref_hash64(str(i)) % 10_000
+        want = kk + (1 if h < thr else 0)
+        assert got[i] == want, (i, s, got[i], want)
+        assert math.floor(w_eff) <= got[i] <= math.ceil(w_eff), (i, w_eff)
