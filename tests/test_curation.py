@@ -853,6 +853,25 @@ def test_unigram_encode_roundtrip(spark):
         assert "".join(out[d].pieces) == text.replace(" ", "")
 
 
+def test_unigram_encode_keeps_input_id_type(spark):
+    """The output schema derives the id field from the INPUT (the
+    bpe_encode discipline) — a hardcoded `long` failed at the Arrow
+    boundary for string ids (review r18 pass 5)."""
+    from unimib_simpss_spark.operators.curation import (
+        unigram_encode,
+        unigram_lm_vocab_driver,
+    )
+
+    docs = spark.createDataFrame(
+        [("d-1", "hello hello"), ("d-2", "there")], ["doc_id", "text"]
+    )
+    vocab = unigram_lm_vocab_driver(docs, vocab_size=12)
+    out = unigram_encode(docs, vocab)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r.doc_id: "".join(r.pieces) for r in out.collect()}
+    assert got == {"d-1": "hellohello", "d-2": "there"}
+
+
 def test_remove_dup_spans_lowest_id_survives(spark):
     from unimib_simpss_spark.operators.curation import remove_dup_spans
 

@@ -754,6 +754,40 @@ def test_replicate_by_weight_epochs(spark, docs):
         )
 
 
+def test_replicate_null_key_drops_on_both_engines(spark):
+    """NULL-key rule (review r18 pass 5): a NULL key has no hash, so
+    the copy count is NULL and the row drops — on BOTH engines. The
+    unguarded SQL CASE used to emit floor(w) copies where Spark
+    dropped the row, a silent cross-engine fork."""
+    import duckdb
+
+    from unimib_simpss_spark.operators.sampling import (
+        replicate_by_weight,
+        replicate_copies_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (2, "a")], "id long, s string"
+    )
+    out = replicate_by_weight(df, "s", "id", {"a": 2.0})
+    got = sorted(r["id"] for r in out.collect())
+    assert got == [1, 1, 2, 2]  # the NULL-key row emitted nothing
+    nc = replicate_copies_sql("s", "id", {"a": 2.0})
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT id, {nc} AS nc FROM (VALUES (1, 'a'), (NULL, 'a'),"
+        " (2, 'a')) t(id, s)"
+    ).fetchall()
+    by_id = {i: n for i, n in rows}
+    assert by_id[1] == 2 and by_id[2] == 2 and by_id[None] is None
+    # the exploded oracle form emits nothing for the NULL row either
+    n_exploded = con.execute(
+        f"SELECT count(*) FROM (SELECT unnest(generate_series(1, {nc}))"
+        " FROM (VALUES (NULL, 'a')) t(id, s))"
+    ).fetchone()[0]
+    assert n_exploded == 0
+
+
 def test_replicate_copies_sql_empty_weights_parses():
     """The SQL twin with {} weights must emit valid SQL (a zero-WHEN
     CASE is a parse error), agreeing with the Column twin's default-

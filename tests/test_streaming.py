@@ -2947,6 +2947,10 @@ def test_streaming_release_manifest_matches_batch_writer(spark, tmp_path):
     # a differently-sharded fold is refused, not silently corrupting
     with pytest.raises(ValueError, match="n_shards=8"):
         foreach_batch_release_manifest(table, "doc_id", 8, "n")(docs, 99)
+    # ... and so is a different token_col (sum() skips NULLs, so the
+    # mass would silently freeze while rows/digests kept growing)
+    with pytest.raises(ValueError, match="token_col"):
+        foreach_batch_release_manifest(table, "doc_id", 4, None)(docs, 99)
     # descriptive error before the first generation
     with pytest.raises(ValueError, match="no release-manifest"):
         read_release_manifest(spark, str(tmp_path / "rel_nope"))

@@ -1685,9 +1685,14 @@ def unigram_lm_vocab_driver(
     - **seed**: candidate pieces are every substring of every word
       type up to ``max_piece_len`` chars, weighted by word count ×
       occurrence positions; every observed single character is kept
-      unconditionally (coverage guarantee), multi-char candidates keep
-      the top ``seed_size`` (default ``4×vocab_size``) by
-      (count DESC, piece ASC). Initial probabilities ∝ those counts.
+      unconditionally (coverage guarantee), and multi-char candidates
+      fill the REMAINING ``seed_size − |chars|`` slots of the
+      ``seed_size`` budget (default ``4×vocab_size``) by
+      (count DESC, piece ASC) — the budget covers the whole seed
+      vocabulary, so a corpus whose distinct-character count reaches
+      it seeds characters only (review r18 pass 5 pinned the
+      code-over-docstring reading). Initial probabilities ∝ those
+      counts.
     - **EM**: the E-step accumulates each piece's EXPECTED count over
       every word's full segmentation lattice (forward/backward — not
       Viterbi-hardened), words weighted by corpus count; the M-step
@@ -1925,8 +1930,23 @@ def unigram_encode(
     # the unseen-char fallback is a model constant — computed ONCE
     # here, not via an O(|V|) min-scan per word inside the batch loop
     unk = min(table.values()) - _UNI_UNK_PENALTY
-    spark_schema = (
-        f"{id_col} long, pieces array<string>, n_pieces int"
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # the id field keeps the INPUT's type (the bpe_encode discipline —
+    # a hardcoded `long` failed at the Arrow boundary for string/int
+    # ids, review r18 pass 5)
+    spark_schema = StructType(
+        [
+            docs.schema[id_col],
+            StructField("pieces", ArrayType(StringType())),
+            StructField("n_pieces", IntegerType()),
+        ]
     )
 
     def enc(batches):

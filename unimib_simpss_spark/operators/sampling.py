@@ -174,9 +174,12 @@ def replicate_copies(
     exactly mix_keep's row set — down- and up-sampling compose on one
     deterministic membership function (rerun/engine/append-stable).
     Groups not listed get ``default_weight``; a weight of 0 drops the
-    group. ``max_copies`` bounds any single weight — at corpus scale a
-    fat-fingered 10^6 here IS an outage, so it fails loudly at plan
-    time, not in the shuffle."""
+    group. A NULL key has no hash and yields NULL copies — the row
+    DROPS (``replicate_by_weight`` emits no replica; aggregates skip
+    it), the same rule ``mix_keep`` applies, and the SQL twin pins the
+    identical behavior (review r18 pass 5). ``max_copies`` bounds any
+    single weight — at corpus scale a fat-fingered 10^6 here IS an
+    outage, so it fails loudly at plan time, not in the shuffle."""
     parts, (dk, dthr) = _replicate_parts(
         weights, default_weight, buckets, max_copies
     )
@@ -209,14 +212,26 @@ def replicate_copies_sql(
         # no per-group weights: plain default literals — a zero-WHEN
         # CASE is a parse error, where the Column twin handles {} fine
         # (review r18 pass 2)
-        return f"({dk} + CASE WHEN {h} < {dthr} THEN 1 ELSE 0 END)"
-    base = " ".join(f"WHEN '{g}' THEN {k}" for g, (k, _) in parts.items())
-    thr = " ".join(f"WHEN '{g}' THEN {t}" for g, (_, t) in parts.items())
-    return (
-        f"(CASE {group_expr} {base} ELSE {dk} END"
-        f" + CASE WHEN {h} < CASE {group_expr} {thr} ELSE {dthr} END"
-        f" THEN 1 ELSE 0 END)"
-    )
+        body = f"({dk} + CASE WHEN {h} < {dthr} THEN 1 ELSE 0 END)"
+    else:
+        base = " ".join(
+            f"WHEN '{g}' THEN {k}" for g, (k, _) in parts.items()
+        )
+        thr = " ".join(
+            f"WHEN '{g}' THEN {t}" for g, (_, t) in parts.items()
+        )
+        body = (
+            f"(CASE {group_expr} {base} ELSE {dk} END"
+            f" + CASE WHEN {h} < CASE {group_expr} {thr} ELSE {dthr} END"
+            f" THEN 1 ELSE 0 END)"
+        )
+    # NULL-key rule, pinned to match BOTH the Column twin and mix_keep:
+    # a NULL key has no hash and produces NULL copies (the row drops —
+    # sum() skips it, unnest(generate_series(1, NULL)) emits nothing).
+    # Without this wrap the SQL's CASE WHEN NULL < thr THEN 1 ELSE 0
+    # would emit floor(w) copies while Spark dropped the row — a silent
+    # cross-engine fork (review r18 pass 5).
+    return f"(CASE WHEN {key_expr} IS NULL THEN NULL ELSE {body} END)"
 
 
 def replicate_by_weight(

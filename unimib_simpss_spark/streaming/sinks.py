@@ -1140,12 +1140,14 @@ def foreach_batch_release_manifest(
         if batch_id <= last:
             return  # replayed batch: already folded
         tagged = batch.withColumn("shard", shard_col(key, n_shards))
-        fresh = _shard_manifest(tagged, token_col).withColumn(
-            "n_shards", F.lit(n_shards)
+        fresh = (
+            _shard_manifest(tagged, token_col)
+            .withColumn("n_shards", F.lit(n_shards))
+            .withColumn("token_col", F.lit(token_col).cast("string"))
         )
         if cur is not None:
             old = spark.read.parquet(cur)
-            stored_n = old.select("n_shards").first()
+            stored_n = old.select("n_shards", "token_col").first()
             if stored_n is not None and stored_n.n_shards != n_shards:
                 raise ValueError(
                     f"manifest table at {path} was accreted with "
@@ -1153,10 +1155,21 @@ def foreach_batch_release_manifest(
                     f"n_shards={n_shards} would corrupt shard "
                     "membership"
                 )
+            if stored_n is not None and stored_n.token_col != token_col:
+                # sum() skips NULLs, so a redeploy with a different
+                # token_col would silently freeze the token mass while
+                # rows/digests kept growing (review r18 pass 5) — the
+                # n_shards rule applies to every accretion setting
+                raise ValueError(
+                    f"manifest table at {path} was accreted with "
+                    f"token_col={stored_n.token_col!r}; folding "
+                    f"token_col={token_col!r} would corrupt the token "
+                    "mass"
+                )
             merged = (
                 old.select(*fresh.columns)
                 .unionByName(fresh)
-                .groupBy("shard", "n_shards")
+                .groupBy("shard", "n_shards", "token_col")
                 .agg(
                     F.sum("n_rows").cast("long").alias("n_rows"),
                     F.sum("n_tokens").cast("long").alias("n_tokens"),
@@ -1192,7 +1205,7 @@ def read_release_manifest(spark: SparkSession, path: str) -> DataFrame:
             "foreach_batch_release_manifest sink has not committed a "
             "batch"
         )
-    return spark.read.parquet(cur).drop("n_shards")
+    return spark.read.parquet(cur).drop("n_shards", "token_col")
 
 
 # ------------------------------------------- streaming n-gram LM sink
