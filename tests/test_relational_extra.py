@@ -585,6 +585,26 @@ class TestFunnel:
         with _pytest.raises(ValueError, match="distinct"):
             funnel_first_completion(e, ["a", "a"])
 
+    def test_one_exchange_no_joins(self, spark, sf_dir):
+        """The window-stack shape (optimization r18): a depth-4 funnel
+        plans ONE exchange, ONE scan, and ZERO joins. The join-chain
+        form it replaced re-referenced its own accumulating output per
+        step, doubling the planned subtree each step (2^k scans at
+        depth k) and shuffling once per step."""
+        from unimib_simpss_spark.catalog import load_table
+        from unimib_simpss_spark.operators.sessions import (
+            funnel_first_completion,
+        )
+
+        fun = funnel_first_completion(
+            load_table(spark, sf_dir, "events"),
+            ["signup", "view", "click", "purchase"],
+        )
+        plan = fun._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "Join" not in plan, plan
+        assert plan.count("Scan parquet") == 1, plan
+
 
 class TestAcfByKey:
     def test_alternating_and_constant_series(self, spark):

@@ -22,13 +22,14 @@ Scale shapes (the 100 TB contract):
   the explicit form is pinned by test; the explicit form exists
   because it also yields per-EVENT session tags (native
   session_window only aggregates).
-- :func:`funnel_first_completion` is chained conditional
-  min-aggregates: step 1 is an unconditioned ``min(ts) FILTER
-  (type = step1)``; step i is the first step-i event STRICTLY after
-  the step-(i-1) completion, one narrow (user, t_{i-1}) self-join per
-  step. Every aggregate and join keys on the user column, so AQE
-  reuses one co-partitioning; nothing ever materializes a per-user
-  event array (no collect_list — hot users cost nothing extra).
+- :func:`funnel_first_completion` is stacked conditional
+  min-windows: step 1 is an unconditioned ``min(ts) FILTER
+  (type = step1)`` over the whole user partition; step i is the first
+  step-i event STRICTLY after the step-(i-1) completion, one stacked
+  WindowExec per step over the SAME exchange + sort (t_{i-1} is a
+  per-row column when step i's window runs). One scan, one shuffle,
+  zero joins; nothing ever materializes a per-user event array (no
+  collect_list — hot users cost nothing extra).
 
 Rows with a NULL timestamp are EXCLUDED by both operators (an event
 with no position in time belongs to no session and completes no
@@ -182,15 +183,20 @@ def funnel_first_completion(
     — a step-2 event before any step-1 event does not count), plus
     ``steps_completed``. Users with no step-1 event emit no row.
 
-    Chained conditional aggregation: len(steps) narrow min-aggregates
-    joined on the user key — no per-user event array, no window over
-    the raw events; each stage's input is the previous stage's
-    (user, ts) relation joined back to the one events scan. At the
-    typical 3-5 step depth the chained joins win (narrow aggregates,
-    AQE co-partitions every stage on the user key); for 10+ step
-    funnels a single user-keyed sorted window pass that scans each
-    user's events once would beat the join chain — switch shapes
-    there rather than deepening this one."""
+    Shape: ONE scan, ONE exchange. Each ``t{i}`` is a conditional
+    ``min`` over the SAME whole-partition user window, referencing
+    ``t{i-1}`` (a per-row column by then) in its condition — the
+    chained dependency costs one stacked WindowExec per step over one
+    shared sort, never a join. The per-user aggregate at the end
+    collapses the (per-user-constant) window columns and reuses the
+    window's clustering, so no second exchange. A NULL ``t{i-1}``
+    nulls the comparison, so incomplete prefixes propagate exactly as
+    in the join-chain form this replaced — that form re-referenced
+    its own accumulating output per step, doubling the planned
+    subtree each step (2^k scans of the events table at depth k,
+    ~140 planned scans through q02's five funnel consumers; optimization
+    r18). No per-user event array anywhere — hot users cost nothing
+    extra."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != len(steps):
@@ -202,20 +208,28 @@ def funnel_first_completion(
         F.col(ts_col).alias("_ts"),
         F.col(type_col).alias("_tp"),
     )
-    out = (
-        e.where(F.col("_tp") == steps[0])
-        .groupBy("user_id")
-        .agg(F.min("_ts").alias("t1"))
+    wu = Window.partitionBy("user_id")
+    cur = e.withColumn(
+        "t1",
+        F.min(F.when(F.col("_tp") == steps[0], F.col("_ts"))).over(wu),
     )
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            e.where(F.col("_tp") == step)
-            .join(out.select("user_id", F.col(f"t{i - 1}").alias("_prev")), "user_id")
-            .where(F.col("_ts") > F.col("_prev"))
-            .groupBy("user_id")
-            .agg(F.min("_ts").alias(f"t{i}"))
+        cur = cur.withColumn(
+            f"t{i}",
+            F.min(
+                F.when(
+                    (F.col("_tp") == step)
+                    & (F.col("_ts") > F.col(f"t{i - 1}")),
+                    F.col("_ts"),
+                )
+            ).over(wu),
         )
-        out = out.join(nxt, "user_id", "left")
+    tcols = [f"t{i}" for i in range(1, len(steps) + 1)]
+    out = (
+        cur.groupBy("user_id")
+        .agg(*[F.min(t).alias(t) for t in tcols])
+        .where(F.col("t1").isNotNull())
+    )
     done: Column = F.lit(1)
     for i in range(2, len(steps) + 1):
         done = done + F.col(f"t{i}").isNotNull().cast("int")
@@ -224,7 +238,7 @@ def funnel_first_completion(
         # internal user_id alias must not leak into the output schema)
         F.col("user_id").alias(user_col),
         done.cast("long").alias("steps_completed"),
-        *[f"t{i}" for i in range(1, len(steps) + 1)],
+        *tcols,
     )
 
 

@@ -154,7 +154,9 @@ def _q02_oracle() -> str:
 
 
 @query("q02_latest_event_per_user", oracle=_q02_oracle())
-def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q02_latest_event_per_user(
+    spark: SparkSession, sf_dir: str, sections=None
+) -> DataFrame:
     """The per-user event-sequence analytics host, three sections over
     one events scan:
 
@@ -167,10 +169,10 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       aggregate adds NO second exchange (HashPartitioning(user)
       already clusters (user, session_seq) — plan-asserted in tests).
     - ``funnel``: first-completion funnel signup→view→click→purchase
-      (depth-4 chained conditional min-aggregates, strictly-after
-      semantics; one row per completed step, n = steps the user
-      finished). No per-user event array anywhere — hot users cost
-      nothing.
+      (depth-4 stacked conditional min-windows over one user
+      exchange, strictly-after semantics; one explode pass emits one
+      row per completed step, n = steps the user finished). No
+      per-user event array anywhere — hot users cost nothing.
     - ``fsummary``: the funnel's step-to-step conversion summary —
       one row per step, n = users reaching the step, num = n divided
       by the previous step's reach (NULL for step 1) — off ONE
@@ -190,6 +192,10 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       conditioning that lets both engines' moments hash-match); two
       rows per user, str_val = 'slope' | 'intercept', num = the value.
     """
+    from unimib_simpss_spark.operators.caching import (
+        cache_intermediate,
+        materialize_release,
+    )
     from unimib_simpss_spark.operators.sessions import (
         funnel_first_completion,
         session_stats,
@@ -199,141 +205,216 @@ def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         linear_trend_by_key,
         time_weighted_avg,
     )
+    from unimib_simpss_spark.plans.registry import pick_sections
 
+    _ALL = ("latest", "session", "funnel", "fsummary", "acf", "twa", "trend")
+    want = pick_sections(sections, _ALL)
     e = _t(spark, sf_dir, "events")
+    caches: list = []
+    legs: dict = {}
+    if len(want) > 1:
+        # Every section windows/aggregates on the user key — ONE
+        # projected, user-partitioned cache replaces seven scans and
+        # seven exchanges of the same table (optimization r18, guide
+        # §2.4 "share one exchange"): each window's required
+        # ClusteredDistribution(user_id[, ...]) is satisfied by the
+        # cached HashPartitioning(user_id), so no section adds an
+        # exchange. Single-leg section runs keep the shipped lazy
+        # single-scan shape (the q61 discipline).
+        e = cache_intermediate(
+            e.select(
+                "user_id", "event_id", "ts", "value", "event_type"
+            ).repartition("user_id")
+        )
+        caches.append(e)
+        from unimib_simpss_spark.operators.caching import checkpoint_mode
+
+        if checkpoint_mode() != "table":
+            # Fill the cache NOW: consumers planned before the cached
+            # AQE subplan finalizes cannot see its HashPartitioning and
+            # each re-adds its own Exchange (measured — an
+            # un-materialized cached repartition buys one consumer-side
+            # shuffle per section). The fill runs exactly once either
+            # way; eager fill just moves it before planning. Table mode
+            # re-reads parquet (no partitioning to preserve) — skip the
+            # extra job there.
+            e.count()
     _nul = lambda t, name: F.lit(None).cast(t).alias(name)  # noqa: E731
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    latest = (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.lit("latest").alias("section"),
+    if "latest" in want:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        legs["latest"] = (
+            e.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                F.lit("latest").alias("section"),
+                "user_id",
+                F.col("event_id").alias("seq"),
+                F.col("ts").alias("ts_a"),
+                _nul("timestamp", "ts_b"),
+                _nul("long", "n"),
+                F.col("value").alias("num"),
+                F.col("event_type").alias("str_val"),
+            )
+        )
+    if "session" in want:
+        legs["session"] = session_stats(e, gap_seconds=_Q02_GAP).select(
+            F.lit("session").alias("section"),
             "user_id",
-            F.col("event_id").alias("seq"),
-            F.col("ts").alias("ts_a"),
-            _nul("timestamp", "ts_b"),
-            _nul("long", "n"),
-            F.col("value").alias("num"),
-            F.col("event_type").alias("str_val"),
+            F.col("session_seq").alias("seq"),
+            F.col("session_start").alias("ts_a"),
+            F.col("session_end").alias("ts_b"),
+            F.col("n_events").alias("n"),
+            F.col("duration_sec").alias("num"),
+            _nul("string", "str_val"),
         )
-    )
-    sess = session_stats(e, gap_seconds=_Q02_GAP).select(
-        F.lit("session").alias("section"),
-        "user_id",
-        F.col("session_seq").alias("seq"),
-        F.col("session_start").alias("ts_a"),
-        F.col("session_end").alias("ts_b"),
-        F.col("n_events").alias("n"),
-        F.col("duration_sec").alias("num"),
-        _nul("string", "str_val"),
-    )
-    fun = funnel_first_completion(e, _Q02_FUNNEL)
-    fun_steps = [
-        fun.where(F.col(f"t{i}").isNotNull()).select(
-            F.lit("funnel").alias("section"),
+    fun = None
+    if want & {"funnel", "fsummary"}:
+        fun = funnel_first_completion(e, _Q02_FUNNEL)
+        if {"funnel", "fsummary"} <= want:
+            # two consumers (the step rows + the conversion summary):
+            # cache the users-sized funnel relation so the window pass
+            # runs once
+            fun = cache_intermediate(fun)
+            caches.append(fun)
+    if "funnel" in want:
+        # one explode pass emits all four step rows per user (the four
+        # per-step filters were four planned copies of the funnel
+        # subtree — optimization r18); rows are identical: step i
+        # emits iff t{i} is non-NULL
+        legs["funnel"] = (
+            fun.select(
+                "user_id",
+                "steps_completed",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).cast("long").alias("seq"),
+                                F.col(f"t{i}").alias("ts_a"),
+                                F.lit(step).alias("str_val"),
+                            )
+                            for i, step in enumerate(_Q02_FUNNEL, start=1)
+                        ]
+                    )
+                ).alias("_e"),
+            )
+            .where(F.col("_e.ts_a").isNotNull())
+            .select(
+                F.lit("funnel").alias("section"),
+                "user_id",
+                F.col("_e.seq").alias("seq"),
+                F.col("_e.ts_a").alias("ts_a"),
+                _nul("timestamp", "ts_b"),
+                F.col("steps_completed").alias("n"),
+                _nul("double", "num"),
+                F.col("_e.str_val").alias("str_val"),
+            )
+        )
+    if "fsummary" in want:
+        # 'fsummary': per-step reach + step-to-step conversion — the
+        # standard funnel deliverable (one 4-column aggregate row
+        # exploded into one row per step; NULLIF guards the
+        # empty-funnel 0/0)
+        legs["fsummary"] = (
+            fun.agg(
+                *[
+                    F.count(F.col(f"t{i}")).alias(f"c{i}")
+                    for i in range(1, len(_Q02_FUNNEL) + 1)
+                ]
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).cast("long").alias("seq"),
+                                F.col(f"c{i}").alias("n"),
+                                (
+                                    F.round(
+                                        F.col(f"c{i}").cast("double")
+                                        / F.nullif(
+                                            F.col(f"c{i - 1}"), F.lit(0)
+                                        ),
+                                        6,
+                                    )
+                                    if i > 1
+                                    else F.lit(None).cast("double")
+                                ).alias("num"),
+                                F.lit(step).alias("str_val"),
+                            )
+                            for i, step in enumerate(_Q02_FUNNEL, start=1)
+                        ]
+                    )
+                ).alias("_e")
+            )
+            .select(
+                F.lit("fsummary").alias("section"),
+                _nul("long", "user_id"),
+                F.col("_e.seq").alias("seq"),
+                _nul("timestamp", "ts_a"),
+                _nul("timestamp", "ts_b"),
+                F.col("_e.n").alias("n"),
+                F.col("_e.num").alias("num"),
+                F.col("_e.str_val").alias("str_val"),
+            )
+        )
+    if "acf" in want:
+        legs["acf"] = acf_by_key(e).select(
+            F.lit("acf").alias("section"),
             "user_id",
-            F.lit(i).cast("long").alias("seq"),
-            F.col(f"t{i}").alias("ts_a"),
-            _nul("timestamp", "ts_b"),
-            F.col("steps_completed").alias("n"),
-            _nul("double", "num"),
-            F.lit(step).alias("str_val"),
-        )
-        for i, step in enumerate(_Q02_FUNNEL, start=1)
-    ]
-    # 'fsummary': per-step reach + step-to-step conversion — the
-    # standard funnel deliverable (one 4-column aggregate row exploded
-    # into one row per step; NULLIF guards the empty-funnel 0/0)
-    fsum = (
-        fun.agg(
-            *[
-                F.count(F.col(f"t{i}")).alias(f"c{i}")
-                for i in range(1, len(_Q02_FUNNEL) + 1)
-            ]
-        )
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).cast("long").alias("seq"),
-                            F.col(f"c{i}").alias("n"),
-                            (
-                                F.round(
-                                    F.col(f"c{i}").cast("double")
-                                    / F.nullif(F.col(f"c{i - 1}"), F.lit(0)),
-                                    6,
-                                )
-                                if i > 1
-                                else F.lit(None).cast("double")
-                            ).alias("num"),
-                            F.lit(step).alias("str_val"),
-                        )
-                        for i, step in enumerate(_Q02_FUNNEL, start=1)
-                    ]
-                )
-            ).alias("_e")
-        )
-        .select(
-            F.lit("fsummary").alias("section"),
-            _nul("long", "user_id"),
-            F.col("_e.seq").alias("seq"),
+            F.col("lag").alias("seq"),
             _nul("timestamp", "ts_a"),
             _nul("timestamp", "ts_b"),
-            F.col("_e.n").alias("n"),
+            F.col("n_pairs").alias("n"),
+            F.col("acf").alias("num"),
+            _nul("string", "str_val"),
+        )
+    if "twa" in want:
+        legs["twa"] = time_weighted_avg(e).select(
+            F.lit("twa").alias("section"),
+            "user_id",
+            _nul("long", "seq"),
+            F.col("window_start").alias("ts_a"),
+            _nul("timestamp", "ts_b"),
+            F.col("n_readings").alias("n"),
+            F.col("twa").alias("num"),
+            _nul("string", "str_val"),
+        )
+    if "trend" in want:
+        legs["trend"] = linear_trend_by_key(e).select(
+            "user_id",
+            "n_points",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("slope").alias("num"),
+                        F.lit("slope").alias("str_val"),
+                    ),
+                    F.struct(
+                        F.col("intercept").alias("num"),
+                        F.lit("intercept").alias("str_val"),
+                    ),
+                )
+            ).alias("_e"),
+        ).select(
+            F.lit("trend").alias("section"),
+            "user_id",
+            _nul("long", "seq"),
+            _nul("timestamp", "ts_a"),
+            _nul("timestamp", "ts_b"),
+            F.col("n_points").alias("n"),
             F.col("_e.num").alias("num"),
             F.col("_e.str_val").alias("str_val"),
         )
-    )
-    acf = acf_by_key(e).select(
-        F.lit("acf").alias("section"),
-        "user_id",
-        F.col("lag").alias("seq"),
-        _nul("timestamp", "ts_a"),
-        _nul("timestamp", "ts_b"),
-        F.col("n_pairs").alias("n"),
-        F.col("acf").alias("num"),
-        _nul("string", "str_val"),
-    )
-    twa = time_weighted_avg(e).select(
-        F.lit("twa").alias("section"),
-        "user_id",
-        _nul("long", "seq"),
-        F.col("window_start").alias("ts_a"),
-        _nul("timestamp", "ts_b"),
-        F.col("n_readings").alias("n"),
-        F.col("twa").alias("num"),
-        _nul("string", "str_val"),
-    )
-    trend = linear_trend_by_key(e).select(
-        "user_id",
-        "n_points",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("slope").alias("num"),
-                    F.lit("slope").alias("str_val"),
-                ),
-                F.struct(
-                    F.col("intercept").alias("num"),
-                    F.lit("intercept").alias("str_val"),
-                ),
-            )
-        ).alias("_e"),
-    ).select(
-        F.lit("trend").alias("section"),
-        "user_id",
-        _nul("long", "seq"),
-        _nul("timestamp", "ts_a"),
-        _nul("timestamp", "ts_b"),
-        F.col("n_points").alias("n"),
-        F.col("_e.num").alias("num"),
-        F.col("_e.str_val").alias("str_val"),
-    )
-    out = latest.unionAll(sess)
-    for leg in fun_steps:
+    ordered = [legs[k] for k in _ALL if k in legs]
+    out = ordered[0]
+    for leg in ordered[1:]:
         out = out.unionAll(leg)
-    return out.unionAll(fsum).unionAll(acf).unionAll(twa).unionAll(trend)
+    if caches:
+        return materialize_release(out, *caches)
+    return out
 
 
 # --------------------------------------------------------------------------
