@@ -583,17 +583,6 @@ def q64_bigram_lm_score(
         C._bound_tokens(base, "doc_id", "text", carry=("_tgt",))
     )
     legs, handles = [], []
-    if want & {"lm", "dsir"}:
-        # the two bigram legs are ONE fused operator (shared mine and
-        # scoring join) — a single-leg section wall pays the fused
-        # cost, the q61 indivisible-suite convention
-        both = C.bigram_lm_dsir(base, target_pred=pred, toks=toks)
-        legs.append(
-            both.withColumnRenamed("n_bigrams", "n_ngrams").where(
-                F.col("section").isin(*sorted(want & {"lm", "dsir"}))
-            )
-        )
-        handles.append(both)
     dtri = None
     if "lm3" in want:
         # the scored side's five-key trigram-count relation is
@@ -604,22 +593,56 @@ def q64_bigram_lm_score(
         # would be pure overhead (review r17 pass 5 — the operator's
         # own unpersisted-in-pinned-mode rule, kept at the host)
         dtri = cache_intermediate(C._doc_trigram_counts(toks, "doc_id"))
-    if "lm3" in want:
-        lm3 = C.trigram_lm_scores(None, toks=toks, dtri=dtri)
+    # The three scorers are INDEPENDENT eagerly-materialized operators
+    # over the same caches: overlap their checkpoint jobs (guide §2.6,
+    # the q61/q62 discipline). Shared cache fills (toks, dtri) are
+    # per-partition-locked in the BlockManager, so concurrent
+    # consumers compute each block once; plans and rows are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    f_bi = f_lm3 = f_lm3t = None
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        if want & {"lm", "dsir"}:
+            # the two bigram legs are ONE fused operator (shared mine
+            # and scoring join) — a single-leg section wall pays the
+            # fused cost, the q61 indivisible-suite convention
+            f_bi = pool.submit(
+                C.bigram_lm_dsir, base, target_pred=pred, toks=toks
+            )
+        if "lm3" in want:
+            f_lm3 = pool.submit(
+                C.trigram_lm_scores, None, toks=toks, dtri=dtri
+            )
+        if "lm3t" in want:
+            # reference-trained mode: the model is the '{src0}'
+            # in-domain subset — a SLICE of the same cached tokenize
+            # (zero extra scans); every document scores under the
+            # target LM, the CCNet perplexity-filter regime
+            f_lm3t = pool.submit(
+                C.trigram_lm_scores,
+                None,
+                toks=toks,
+                ref_toks=toks.where(F.col("_tgt")),
+                dtri=dtri,
+            )
+    if f_bi is not None:
+        both = f_bi.result()
+        legs.append(
+            both.withColumnRenamed("n_bigrams", "n_ngrams").where(
+                F.col("section").isin(*sorted(want & {"lm", "dsir"}))
+            )
+        )
+        handles.append(both)
+    if f_lm3 is not None:
+        lm3 = f_lm3.result()
         legs.append(
             lm3.select(
                 F.lit("lm3").alias("section"), "doc_id", "n_ngrams", "score"
             )
         )
         handles.append(lm3)
-    if "lm3t" in want:
-        # reference-trained mode: the model is the '{src0}' in-domain
-        # subset — a SLICE of the same cached tokenize (zero extra
-        # scans); every document scores under the target LM, the
-        # CCNet perplexity-filter regime
-        lm3t = C.trigram_lm_scores(
-            None, toks=toks, ref_toks=toks.where(F.col("_tgt")), dtri=dtri
-        )
+    if f_lm3t is not None:
+        lm3t = f_lm3t.result()
         legs.append(
             lm3t.select(
                 F.lit("lm3t").alias("section"), "doc_id", "n_ngrams", "score"

@@ -108,8 +108,33 @@ def q33_jaccard_pairs(
     # safe once both handles exist
     hsd = cache_intermediate(D._combo_shingle_docs(docs, "text", "doc_id"))
     legs, handles = [], []
-    if "jaccard" in want:
-        jac = D.jaccard_pairs(docs, threshold=0.8, _hsd=hsd)
+    # the two miners are independent eagerly-materialized operators
+    # over the same cached shingle relation — overlap their jobs
+    # (guide §2.6, the q61/q62 discipline); shared cache fills are
+    # per-partition-locked, so the corpus still shingles once
+    from concurrent.futures import ThreadPoolExecutor
+
+    f_jac = f_con = None
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        if "jaccard" in want:
+            f_jac = pool.submit(
+                D.jaccard_pairs, docs, threshold=0.8, _hsd=hsd
+            )
+        if "containment" in want:
+            # max_shingle_df exercises the BOUNDED index path
+            # (rarest-first prefix + df-capped postings + scoped
+            # fallback) on the driver surface — the capped miner is
+            # exact, so the uncapped oracle hash-checks that claim at
+            # every sf
+            f_con = pool.submit(
+                D.containment_pairs,
+                docs,
+                threshold=0.8,
+                max_shingle_df=64,
+                _hsd=hsd,
+            )
+    if f_jac is not None:
+        jac = f_jac.result()
         handles.append(jac)
         legs.append(
             jac.select(
@@ -119,14 +144,8 @@ def q33_jaccard_pairs(
                 F.col("jaccard").alias("score"),
             )
         )
-    if "containment" in want:
-        # max_shingle_df exercises the BOUNDED index path (rarest-first
-        # prefix + df-capped postings + scoped fallback) on the driver
-        # surface — the capped miner is exact, so the uncapped oracle
-        # hash-checks that claim at every sf
-        con = D.containment_pairs(
-            docs, threshold=0.8, max_shingle_df=64, _hsd=hsd
-        )
+    if f_con is not None:
+        con = f_con.result()
         handles.append(con)
         legs.append(
             con.select(
@@ -227,8 +246,33 @@ def q34_hash_band_pairs(
             D._combo_shingle_docs(docs, "text", "doc_id")
         )
         caches.append(hsd)
-    if "minhash" in want:
-        mh = D.minhash_dedup_pairs(docs, threshold=0.8, _hsd=hsd)
+    # the three eagerly-materialized miners are independent — overlap
+    # their checkpoint jobs (guide §2.6, the q61/q62 discipline);
+    # the shared shingle cache still fills once (block-level locks)
+    from concurrent.futures import ThreadPoolExecutor
+
+    f_mh = f_sh = f_ed = None
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        if "minhash" in want:
+            f_mh = pool.submit(
+                D.minhash_dedup_pairs, docs, threshold=0.8, _hsd=hsd
+            )
+        if "simhash" in want:
+            f_sh = pool.submit(
+                D.simhash_pairs, docs, max_hamming=3, _hsd=hsd
+            )
+        if "edit" in want:
+            f_ed = pool.submit(
+                D.edit_distance_pairs,
+                docs.select(
+                    "doc_id", F.substring("text", 1, 40).alias("s")
+                ),
+                "s",
+                "doc_id",
+                max_dist=2,
+            )
+    if f_mh is not None:
+        mh = f_mh.result()
         handles.append(mh)
         legs.append(
             mh.select(
@@ -238,8 +282,8 @@ def q34_hash_band_pairs(
                 F.col("jaccard").alias("score"),
             )
         )
-    if "simhash" in want:
-        sh = D.simhash_pairs(docs, max_hamming=3, _hsd=hsd)
+    if f_sh is not None:
+        sh = f_sh.result()
         handles.append(sh)
         legs.append(
             sh.select(
@@ -249,11 +293,8 @@ def q34_hash_band_pairs(
                 F.col("hamming").cast("double").alias("score"),
             )
         )
-    if "edit" in want:
-        ed = D.edit_distance_pairs(
-            docs.select("doc_id", F.substring("text", 1, 40).alias("s")),
-            "s", "doc_id", max_dist=2,
-        )
+    if f_ed is not None:
+        ed = f_ed.result()
         handles.append(ed)
         legs.append(
             ed.select(
@@ -417,8 +458,29 @@ def q38_decontamination(
         sg = cache_intermediate(D.decon_shingles(docs, is_benchmark=pred))
         col = cache_intermediate(gram_collisions(sg))
         caches += [sg, col]
-    if "ngram" in want:
-        ng_raw = D.decontaminate(docs, is_benchmark=pred, _collisions=col)
+    # the three eagerly-materialized retrieval legs are independent —
+    # overlap their jobs (guide §2.6, the q61/q62 discipline); the
+    # shared collision cache still fills once (block-level locks)
+    from concurrent.futures import ThreadPoolExecutor
+
+    f_ng = f_ov = f_bm = None
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        if "ngram" in want:
+            f_ng = pool.submit(
+                D.decontaminate, docs, is_benchmark=pred, _collisions=col
+            )
+        if want & {"overlap", "rrf", "ev"}:
+            f_ov = pool.submit(
+                ngram_overlap_topk,
+                docs,
+                is_benchmark=pred,
+                k=20,
+                _collisions=col,
+            )
+        if want & {"bm25", "rrf", "ev"}:
+            f_bm = pool.submit(bm25_decontam_topk, docs, is_benchmark=pred)
+    if f_ng is not None:
+        ng_raw = f_ng.result()
         handles.append(ng_raw)
         legs["ngram"] = ng_raw.select(
             F.lit("ngram").alias("section"),
@@ -429,10 +491,8 @@ def q38_decontamination(
             _nul("double", "score"),
             _nul("long", "rank"),
         )
-    if want & {"overlap", "rrf", "ev"}:
-        ov_raw = ngram_overlap_topk(
-            docs, is_benchmark=pred, k=20, _collisions=col
-        )
+    if f_ov is not None:
+        ov_raw = f_ov.result()
         handles.append(ov_raw)
         if "overlap" in want:
             legs["overlap"] = ov_raw.select(
@@ -444,8 +504,8 @@ def q38_decontamination(
                 _nul("double", "score"),
                 "rank",
             )
-    if want & {"bm25", "rrf", "ev"}:
-        bm_raw = bm25_decontam_topk(docs, is_benchmark=pred)
+    if f_bm is not None:
+        bm_raw = f_bm.result()
         handles.append(bm_raw)
         if "bm25" in want:
             legs["bm25"] = bm_raw.select(

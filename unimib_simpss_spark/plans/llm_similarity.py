@@ -90,36 +90,57 @@ def q36_cosine_topk(
 
     want = pick_sections(sections, ("hof", "arrow", "quant", "sq8"))
     emb = _emb(spark, sf_dir)
-    legs = []
-    if "hof" in want:
-        legs.append(
-            S.cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 8).select(
-                F.lit("hof").alias("method"), "*"
-            )
-        )
-    if "arrow" in want:
-        legs.append(
-            S.cosine_topk_pandas(
-                emb, k=5, query_pred=F.col("vec_id") < 8
-            ).select(F.lit("arrow").alias("method"), "*")
-        )
-    if want & {"quant", "sq8"}:
+
+    # each leg's construction runs its own small eager jobs (size-gate
+    # counts, the arrow leg's query collect) — overlap them on a pool
+    # (guide §2.6, the q61/q62 discipline); the union below preserves
+    # the hof/arrow/quant/sq8 leg order
+    def _build_quant_legs():
         qz = S.quantize_vectors(
             emb.where(S.defined_vector_pred()), keep=("label",)
         )
+        out = []
         if "quant" in want:
             qemb = S.dequantize_vectors(qz, keep=("label",))
-            legs.append(
+            out.append(
                 S.cosine_topk(
                     qemb, k=5, query_pred=F.col("vec_id") < 8
                 ).select(F.lit("quant").alias("method"), "*")
             )
         if "sq8" in want:
-            legs.append(
+            out.append(
                 S.cosine_topk_quantized(
                     qz, k=5, query_pred=F.col("vec_id") < 8
                 ).select(F.lit("sq8").alias("method"), "*")
             )
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    f_hof = f_arrow = f_qz = None
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        if "hof" in want:
+            f_hof = pool.submit(
+                S.cosine_topk, emb, k=5, query_pred=F.col("vec_id") < 8
+            )
+        if "arrow" in want:
+            f_arrow = pool.submit(
+                S.cosine_topk_pandas,
+                emb,
+                k=5,
+                query_pred=F.col("vec_id") < 8,
+            )
+        if want & {"quant", "sq8"}:
+            f_qz = pool.submit(_build_quant_legs)
+    legs = []
+    if f_hof is not None:
+        legs.append(f_hof.result().select(F.lit("hof").alias("method"), "*"))
+    if f_arrow is not None:
+        legs.append(
+            f_arrow.result().select(F.lit("arrow").alias("method"), "*")
+        )
+    if f_qz is not None:
+        legs.extend(f_qz.result())
     u = legs[0]
     for leg in legs[1:]:
         u = u.unionAll(leg)
