@@ -951,7 +951,7 @@ def q61_incremental_dedup(
     # assembly point below.
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=3)
+    pool = ThreadPoolExecutor(max_workers=9)
     f_edit = f_suite = f_cat = None
     if "edit" in want:
         f_edit = pool.submit(
@@ -1100,33 +1100,49 @@ def q61_incremental_dedup(
             F.col("category").alias("old_hash"),
             F.lit(None).cast("string").alias("new_hash"),
         )
-    pool.shutdown(wait=True)
     from unimib_simpss_spark.operators.caching import (
+        checkpoint_result,
         materialize_release,
         release_result,
     )
 
-    ordered = [
-        legs[k]
-        for k in (
-            "pairs",
-            "bloom",
-            "edit",
-            "diff",
-            "drift",
-            "driftq",
-            "driftsrc",
-            "driftqsrc",
-            "driftcat",
-        )
-        if k in legs
-    ]
+    order = (
+        "pairs",
+        "bloom",
+        "edit",
+        "diff",
+        "drift",
+        "driftq",
+        "driftsrc",
+        "driftqsrc",
+        "driftcat",
+    )
+    # Checkpoint each leg CONCURRENTLY before the union: one 9-leg
+    # union plan takes Catalyst seconds of single-threaded optimizer
+    # time (thread-dumped: the py4j thread inside transformUp over the
+    # ~4400-node tree), while nine leg-sized plans optimize and
+    # execute in parallel pool threads. The union over the
+    # checkpointed legs is then trivially small. Shared caches stay
+    # alive until materialize_release below, so concurrent fills
+    # still compute each block once (optimization r18).
+    if len(legs) > 1:
+        leg_futs = [
+            (k, pool.submit(checkpoint_result, legs[k]))
+            for k in order
+            if k in legs
+        ]
+        ck = [(k, f.result()) for k, f in leg_futs]
+        handles += [df for _, df in ck]
+        ordered = [df for _, df in ck]
+    else:
+        ordered = [legs[k] for k in order if k in legs]
+    pool.shutdown(wait=True)
     u = ordered[0]
     for leg in ordered[1:]:
         u = u.unionAll(leg)
     out = materialize_release(u, *caches)
     for h in handles:
-        # union checkpointed; the miners' caches are spent
+        # union checkpointed; the miners' and legs' blocks are spent
         release_result(h)
     return out
 
