@@ -87,6 +87,27 @@ _LIVE_TABLE_PATHS: set[str] = set()
 # it with the same named-allowlist discipline as the registry sweep.
 # Zero cost when no capture is active (one None check per checkpoint).
 _LINT_SINK: list | None = None
+# Explicit label override for lints captured inside worker threads: a
+# host that submits checkpoint_result/cache_intermediate to a pool has
+# no frame of its own on the worker thread's stack, so the walk below
+# would label those lints "thread.run" and decouple them from the
+# host's allowlist entry (optimization r18 — q61's per-leg concurrent
+# checkpoints). Thread-local so concurrent hosts cannot cross-label.
+import threading as _threading
+
+_LINT_LABEL = _threading.local()
+
+
+@contextmanager
+def lint_label(label: str):
+    """Attribute lints captured while open to ``label`` instead of the
+    stack walk — for checkpoints submitted to pool threads."""
+    prev = getattr(_LINT_LABEL, "v", None)
+    _LINT_LABEL.v = label
+    try:
+        yield
+    finally:
+        _LINT_LABEL.v = prev
 
 
 @contextmanager
@@ -111,12 +132,14 @@ def _lint_incoming(df: DataFrame) -> None:
 
     from unimib_simpss_spark.operators.plan_lint import lint_plan
 
-    label = "?"
-    for fr in inspect.stack()[1:]:
-        mod = fr.frame.f_globals.get("__name__", "")
-        if not mod.endswith("operators.caching"):
-            label = f"{mod.rsplit('.', 1)[-1]}.{fr.function}"
-            break
+    label = getattr(_LINT_LABEL, "v", None)
+    if label is None:
+        label = "?"
+        for fr in inspect.stack()[1:]:
+            mod = fr.frame.f_globals.get("__name__", "")
+            if not mod.endswith("operators.caching"):
+                label = f"{mod.rsplit('.', 1)[-1]}.{fr.function}"
+                break
     _LINT_SINK.append((label, lint_plan(df)))
 
 

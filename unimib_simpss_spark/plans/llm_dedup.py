@@ -1126,10 +1126,17 @@ def q61_incremental_dedup(
     # alive until materialize_release below, so concurrent fills
     # still compute each block once (optimization r18).
     if len(legs) > 1:
+        from unimib_simpss_spark.operators.caching import lint_label
+
+        def _ck_leg(df):
+            # worker threads carry no host frame — attribute the leg
+            # checkpoints' lints to this host explicitly so the
+            # interior-plan sweep's allowlist keys keep working
+            with lint_label("llm_dedup.q61_incremental_dedup"):
+                return checkpoint_result(df)
+
         leg_futs = [
-            (k, pool.submit(checkpoint_result, legs[k]))
-            for k in order
-            if k in legs
+            (k, pool.submit(_ck_leg, legs[k])) for k in order if k in legs
         ]
         ck = [(k, f.result()) for k, f in leg_futs]
         handles += [df for _, df in ck]
