@@ -54,7 +54,12 @@ def main() -> None:
 
     import unimib_simpss_spark
 
-    for mod in list(sys.modules.values()):
+    for mod_name, mod in list(sys.modules.items()):
+        # scope to this package — overwriting same-named attributes on
+        # unrelated third-party modules could clobber their API
+        # (ADVICE r18)
+        if not mod_name.startswith("unimib_simpss_spark"):
+            continue
         for attr in (
             "checkpoint_result",
             "materialize_release",

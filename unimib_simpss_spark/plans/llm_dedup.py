@@ -1389,91 +1389,150 @@ def q62_corpus_pipeline(
     p1, p2 = _P_TERTILES
     from unimib_simpss_spark.operators.curation import _bound_tokens
 
-    def _lm_chain():
-        ptoks = cache_intermediate(
-            _bound_tokens(docs, "doc_id", "text", carry=("source",))
-        )
+    def _lm_chain(ptoks, own_ptoks: bool):
         scored = trigram_lm_scores(
             None,
             toks=ptoks,
             ref_toks=ptoks.where(F.col("source") == _P_PPL_REF),
         )
         # scored is eagerly checkpointed inside trigram_lm_scores
-        # (materialize=True), so the O(corpus) token-array cache has
-        # zero remaining consumers RIGHT HERE — holding it through the
+        # (materialize=True); a chain-owned token cache has zero
+        # remaining consumers RIGHT HERE — holding it through the
         # dedup/decontamination/packing stages would pin a
         # wider-than-the-text relation (a written table in "table"
-        # mode) for nothing (review r18 pass 2)
-        release_intermediate(ptoks)
+        # mode) for nothing (review r18 pass 2). In stats mode ptoks
+        # is a projection of the SHARED corpus cache (other chains
+        # still read it), so the host releases that one at the end.
+        if own_ptoks:
+            release_intermediate(ptoks)
         return scored
-
-    def _dedup_chain():
-        # Admission gate over a tokenize-once projection. The cache is
-        # a PUSHDOWN BARRIER, not just a compute cache: cache
-        # substitution happens before optimization, so the gate filter
-        # stays above the InMemoryRelation — un-persisted,
-        # PushDownPredicates substitutes the tk alias into the gate and
-        # shoves it below the exchange, and the repetition HOF lambdas
-        # then re-tokenize per position ON EVERY CONSUMER of this
-        # relation (measured: 2.8 s → 24 s at sf0.1).
-        # cache_intermediate keeps the barrier under the
-        # mode-switchable layer: in "table" mode the tokens are STORED
-        # and every consumer scans them (the same no-re-tokenize
-        # guarantee, durable form).
-        pre = cache_intermediate(
-            docs.select(
-                "doc_id", "text", "source", tokens("text").alias("tk")
-            ).repartition("doc_id")
-        )
-        qc = A.quality_components_from_tokens(F.col("tk"), F.col("text"))
-        rc = A.repetition_components_from_tokens(F.col("tk"))
-        docs_q = pre.where(
-            (A.quality_score_from_components(qc) >= 0.5)
-            & (rc["top_token_frac"] <= A.REPETITION_MAX_TOP_TOKEN_FRAC)
-            & (rc["dup_2gram_frac"] <= A.REPETITION_MAX_DUP_2GRAM_FRAC)
-            & (rc["dup_3gram_frac"] <= A.REPETITION_MAX_DUP_3GRAM_FRAC)
-        ).select(
-            "doc_id",
-            "text",
-            "source",
-            # computed off the PERSISTED token attribute — passing raw
-            # quality_score("text") into dedup_clusters would
-            # re-tokenize the gated corpus a second time just to rank
-            # survivors
-            A.quality_score_from_components(qc).alias("q"),
-        )
-        pairs = D.jaccard_pairs(docs_q, threshold=0.8)
-        # Keep the BEST copy of each near-dup cluster (max quality
-        # score, ties → min id — dedup_clusters' survivor column), not
-        # the min-id one: the whole point of an admission-gated corpus
-        # is that the highest-quality duplicate survives.
-        clusters = D.dedup_clusters(docs_q, pairs, score=F.col("q"))
-        release_result(pairs)  # clusters materialized; pair graph spent
-        return pre, docs_q, clusters
 
     legs = []
     clusters = hits = None
     if "stats" in want:
+        # ONE corpus scan for the whole pipeline (VERDICT r19 #1 —
+        # guide §2.3/§6: the corpus is the 100 TB table; every extra
+        # pass is a full re-read). Previously the LM chain
+        # (_bound_tokens: whitespace split), the admission gate (alnum
+        # tokens()) and the decontamination index (decon_shingles:
+        # alnum tokens()) each scanned documents from parquet — three
+        # full corpus scans + three doc_id exchanges. Now one cached
+        # relation carries BOTH token disciplines behind one exchange,
+        # and the other chains derive from it via the operators'
+        # prebuilt-relation parameters (toks/_hsd/_sg — the sanctioned
+        # q34/q61 recipe). The cache is also a PUSHDOWN BARRIER, not
+        # just a compute cache: cache substitution happens before
+        # optimization, so the gate filter stays above the
+        # InMemoryRelation — un-persisted, PushDownPredicates
+        # substitutes the tk alias into the gate and shoves it below
+        # the exchange, and the repetition HOF lambdas then
+        # re-tokenize per position ON EVERY CONSUMER of this relation
+        # (measured: 2.8 s → 24 s at sf0.1). cache_intermediate keeps
+        # the barrier under the mode-switchable layer: in "table" mode
+        # the tokens are STORED and every consumer scans them (the
+        # same no-re-tokenize guarantee, durable form).
+        from unimib_simpss_spark.functions.text import shingles_from_tokens
+
+        pre = cache_intermediate(
+            docs.select(
+                "doc_id",
+                "text",
+                "source",
+                tokens("text").alias("tk"),
+                # the LM's whitespace discipline (_bound_tokens'
+                # exact expression — empties kept)
+                F.split(F.col("text"), " ").alias("toks"),
+            ).repartition("doc_id")
+        )
+
+        def _dedup_chain():
+            qc = A.quality_components_from_tokens(
+                F.col("tk"), F.col("text")
+            )
+            rc = A.repetition_components_from_tokens(F.col("tk"))
+            gated = pre.where(
+                (A.quality_score_from_components(qc) >= 0.5)
+                & (rc["top_token_frac"] <= A.REPETITION_MAX_TOP_TOKEN_FRAC)
+                & (rc["dup_2gram_frac"] <= A.REPETITION_MAX_DUP_2GRAM_FRAC)
+                & (rc["dup_3gram_frac"] <= A.REPETITION_MAX_DUP_3GRAM_FRAC)
+            )
+            docs_q = gated.select(
+                "doc_id",
+                "text",
+                "source",
+                # computed off the PERSISTED token attribute — passing
+                # raw quality_score("text") into dedup_clusters would
+                # re-tokenize the gated corpus a second time just to
+                # rank survivors
+                A.quality_score_from_components(qc).alias("q"),
+            )
+            # the miner's shingle-hash relation derives from the SHARED
+            # tokens (jaccard_pairs' _hsd parameter — without it the
+            # miner re-tokenizes the gated text and adds its own
+            # repartition exchange); cached because the miner joins it
+            # three ways, released as soon as the pairs materialize
+            hsd = cache_intermediate(
+                D._combo_shingle_docs(
+                    None, "text", "doc_id",
+                    toks=gated.select("doc_id", "tk"),
+                )
+            )
+            pairs = D.jaccard_pairs(docs_q, threshold=0.8, _hsd=hsd)
+            release_intermediate(hsd)
+            # Keep the BEST copy of each near-dup cluster (max quality
+            # score, ties → min id — dedup_clusters' survivor column),
+            # not the min-id one: the whole point of an admission-gated
+            # corpus is that the highest-quality duplicate survives.
+            clusters = D.dedup_clusters(docs_q, pairs, score=F.col("q"))
+            release_result(pairs)  # clusters materialized; graph spent
+            return docs_q, clusters
+
+        def _decon_chain():
+            # decon_shingles' exact rows off the shared tk attribute
+            # (filter size(tk) >= n ⇔ its pre-shuffle token-count
+            # guard; same alnum tokens, same n-gram shingles)
+            sg = cache_intermediate(
+                pre.where(F.size("tk") >= D.DECON_NGRAM).select(
+                    "doc_id",
+                    F.expr(_P_BENCH_PRED).alias("is_bench"),
+                    shingles_from_tokens(
+                        F.col("tk"), D.DECON_NGRAM
+                    ).alias("sg"),
+                )
+            )
+            hits = D.decontaminate(
+                docs, is_benchmark=F.expr(_P_BENCH_PRED), _sg=sg
+            )
+            release_intermediate(sg)
+            return hits
+
         # The three admission inputs are INDEPENDENT eager chains (the
         # LM scorer, the dedup-cluster chain, the decontamination
         # index), each a sequence of checkpoint jobs that leaves most
         # executor slots idle — overlap them (guide §2.6: concurrent
-        # jobs back-fill each other's stragglers). Same plans, same
-        # rows; only the construction wall changes (15.8 s → 11.5 s
-        # cold at sf0.1, optimization r18).
+        # jobs back-fill each other's stragglers); the shared cache
+        # fills once under the BlockManager's per-partition locks.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_lm = pool.submit(_lm_chain)
-            f_dd = pool.submit(_dedup_chain)
-            f_dc = pool.submit(
-                D.decontaminate, docs, is_benchmark=F.expr(_P_BENCH_PRED)
+            f_lm = pool.submit(
+                _lm_chain, pre.select("doc_id", "source", "toks"), False
             )
+            f_dd = pool.submit(_dedup_chain)
+            f_dc = pool.submit(_decon_chain)
             scored = f_lm.result()
-            pre, docs_q, clusters = f_dd.result()
+            docs_q, clusters = f_dd.result()
             hits = f_dc.result()
     else:
-        scored = _lm_chain()
+        # single-section ('ppl') run: the chain owns a narrow
+        # (doc_id, source, toks) cache and frees it as soon as the
+        # scores materialize — no reason to tokenize or carry text
+        scored = _lm_chain(
+            cache_intermediate(
+                _bound_tokens(docs, "doc_id", "text", carry=("source",))
+            ),
+            True,
+        )
     edges = scored.agg(
         F.expr(
             f"percentile_disc({p1!r}) WITHIN GROUP (ORDER BY score)"
