@@ -292,3 +292,30 @@ def test_block_persisted_handle_never_releases_upstream_table(spark, tmp_path):
         set_checkpoint_mode("local")
         sweep_checkpoint_tables(spark)
         set_checkpoint_table_dir(None)
+
+
+def test_q61_releases_everything_when_a_leg_fails(spark, monkeypatch):
+    """ADVICE r18: a leg failure in the threaded q61 host must not leak
+    the shared caches, the sibling legs' already-materialized handles,
+    or the pool's non-daemon threads. The edit leg is planted to raise;
+    the host must propagate the error with the context left clean."""
+    import threading
+
+    from unimib_simpss_spark.plans import llm_dedup
+
+    before = persistent_rdd_ids(spark)
+
+    def boom(*a, **kw):
+        raise RuntimeError("planted leg failure")
+
+    monkeypatch.setattr(D, "edit_distance_join", boom)
+    with pytest.raises(RuntimeError, match="planted leg failure"):
+        llm_dedup.q61_incremental_dedup(spark, SF_SMALL)
+    leaked = persistent_rdd_ids(spark) - before
+    assert leaked == set(), f"q61 leaked persistent RDDs: {sorted(leaked)}"
+    # the pool was shut down: no worker thread survives the host
+    assert not [
+        t
+        for t in threading.enumerate()
+        if t.name.startswith("ThreadPoolExecutor") and t.is_alive()
+    ]

@@ -390,20 +390,52 @@ def bloom_probe(
     hit_col: str = "bloom_hit",
 ) -> DataFrame:
     """Membership test: ``probes`` + a ``hit_col`` long (1 = possibly
-    present — all k bits set; 0 = definitely absent). k broadcast
-    left joins against the (deduplicated, ≤m-row) bit relation, hit =
-    every probe bit matched. Row-preserving: duplicate probe rows each
-    get their own verdict (no groupBy collapses the batch — a replayed
-    record must still count once per occurrence downstream)."""
+    present — all k bits set; 0 = definitely absent). The ≤ m-row bit
+    relation is packed into ceil(m/64) signed longs by one combinable
+    aggregate and collected once (bounded driver state: the words are
+    1 KiB at the default m=8192 — m is a fixed design constant, never
+    data-sized), then the probe is a pure map-side column expression —
+    an array-literal ``getbit`` per hash row. This replaces the former
+    k broadcast left joins (k broadcast-build jobs + k hash probes per
+    row + a k-times-wider plan) with k O(1) word lookups and NO join:
+    at scale the probe stage is map-only and nothing ships at
+    execution time (optimization r19; guide §3.3). The packing
+    aggregate runs when this is CALLED — one small eager job, the same
+    bounded-collect regime as the IVF centroid loads.
+
+    Row-preserving: duplicate probe rows each get their own verdict
+    (no groupBy collapses the batch — a replayed record must still
+    count once per occurrence downstream). NULL probe values yield
+    NULL bit tests which coalesce to verdict 0 — identical to the join
+    form, where a NULL key never equi-joins."""
     c = F.col(col) if isinstance(col, str) else col
-    uniq = bits.select("pos").distinct()
-    out = probes
+    n_words = (m + 63) // 64
+    packed = (
+        bits.select("pos")
+        .where(F.col("pos").isNotNull())
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in packed:
+        words[r["w"]] = r["bits"]
+    mask = F.lit(words)
     hit = F.lit(True)
     for j in range(k):
-        bj = F.broadcast(uniq.select(F.col("pos").alias(f"_p{j}")))
-        out = out.join(bj, portable_cell(c, j, m) == F.col(f"_p{j}"), "left")
-        hit = hit & F.col(f"_p{j}").isNotNull()
-    return out.select(*probes.columns, hit.cast("long").alias(hit_col))
+        cell = portable_cell(c, j, m)
+        word = F.element_at(
+            mask, (F.shiftright(cell, 6) + 1).cast("int")
+        )
+        hit = hit & (F.getbit(word, cell.bitwiseAND(F.lit(63))) == 1)
+    return probes.select(
+        *probes.columns,
+        F.coalesce(hit, F.lit(False)).cast("long").alias(hit_col),
+    )
 
 
 def hist_quantile(

@@ -951,207 +951,286 @@ def q61_incremental_dedup(
     # assembly point below.
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=9)
-    f_edit = f_suite = f_cat = None
-    if "edit" in want:
-        f_edit = pool.submit(
-            D.edit_distance_join,
-            docs.where(is_new).select(
-                "doc_id", F.substring("text", 1, 40).alias("s")
-            ),
-            docs.where(~is_new).select(
-                "doc_id", F.substring("text", 1, 40).alias("s")
-            ),
-            "s",
-            "doc_id",
-            max_dist=2,
-        )
-    if "diff" in want:
-        from unimib_simpss_spark.operators.curation import corpus_diff
+    futs: list = []
 
-        survivors = docs.where(~is_new).select(
-            "doc_id",
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(F.col("text"), F.lit(" v2")),
+    def _submit(fn, *a, **kw):
+        # every pool future is recorded so the failure path can wait
+        # for and release whatever completed legs produced (a result
+        # consumed only later would otherwise leak its blocks)
+        f = pool.submit(fn, *a, **kw)
+        futs.append(f)
+        return f
+
+    def _assemble():
+        f_edit = f_suite = f_cat = None
+        if "edit" in want:
+            f_edit = _submit(
+                D.edit_distance_join,
+                docs.where(is_new).select(
+                    "doc_id", F.substring("text", 1, 40).alias("s")
+                ),
+                docs.where(~is_new).select(
+                    "doc_id", F.substring("text", 1, 40).alias("s")
+                ),
+                "s",
+                "doc_id",
+                max_dist=2,
             )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        reingested = docs.where(F.col("doc_id") % 11 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-        diff = corpus_diff(
-            docs.select("doc_id", "text"), survivors.unionAll(reingested)
-        )
-        legs["diff"] = diff.select(
-            F.lit("diff").alias("section"),
-            F.col("doc_id").alias("new_doc"),
-            F.lit(None).cast("long").alias("corpus_doc"),
-            F.lit(None).cast("double").alias("jaccard"),
-            F.lit(None).cast("long").alias("bloom_hit"),
-            F.lit(None).cast("long").alias("edit_dist"),
-            "status",
-            "old_hash",
-            "new_hash",
-        )
-    # ALL FIVE drift gates (equal-width, equi-depth, their per-source
-    # forms, categorical) measure the SAME release pair: cache one
-    # narrow (chars, source) relation per snapshot — ints + a short
-    # string, never text — and run the four NUMERIC gates through the
-    # fused drift_gate_suite: one cube stats pass over the reference
-    # (min/max + percentiles + every per-source row in a single
-    # traversal) and one fused bin-count pass per snapshot, instead
-    # of the ~8 aggregate passes the gates cost run separately
-    if want & {*_DRIFT, "driftcat"}:
-        from unimib_simpss_spark.operators.caching import cache_intermediate
+        if "diff" in want:
+            from unimib_simpss_spark.operators.curation import corpus_diff
 
-        survivors_src = docs.where(~is_new).select(
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(F.col("text"), F.lit(" v2")),
+            survivors = docs.where(~is_new).select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
             )
-            .otherwise(F.col("text"))
-            .alias("text"),
-            "source",
-        )
-        reingested_src = docs.where(F.col("doc_id") % 11 == 0).select(
-            "text", "source"
-        )
-        ref_cs = cache_intermediate(
-            docs.select(F.length("text").alias("chars"), "source")
-        )
-        cur_cs = cache_intermediate(
-            survivors_src.unionAll(reingested_src).select(
-                F.length("text").alias("chars"), "source"
+            reingested = docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
             )
-        )
-        caches += [ref_cs, cur_cs]
-    if want & set(_DRIFT):
-        from unimib_simpss_spark.operators.validation import drift_gate_suite
+            diff = corpus_diff(
+                docs.select("doc_id", "text"), survivors.unionAll(reingested)
+            )
+            legs["diff"] = diff.select(
+                F.lit("diff").alias("section"),
+                F.col("doc_id").alias("new_doc"),
+                F.lit(None).cast("long").alias("corpus_doc"),
+                F.lit(None).cast("double").alias("jaccard"),
+                F.lit(None).cast("long").alias("bloom_hit"),
+                F.lit(None).cast("long").alias("edit_dist"),
+                "status",
+                "old_hash",
+                "new_hash",
+            )
+        # ALL FIVE drift gates (equal-width, equi-depth, their per-source
+        # forms, categorical) measure the SAME release pair: cache one
+        # narrow (chars, source) relation per snapshot — ints + a short
+        # string, never text — and run the four NUMERIC gates through the
+        # fused drift_gate_suite: one cube stats pass over the reference
+        # (min/max + percentiles + every per-source row in a single
+        # traversal) and one fused bin-count pass per snapshot, instead
+        # of the ~8 aggregate passes the gates cost run separately
+        if want & {*_DRIFT, "driftcat"}:
+            from unimib_simpss_spark.operators.caching import cache_intermediate
 
-        f_suite = pool.submit(
-            drift_gate_suite, ref_cs, cur_cs, "chars", "source", bins=10,
-            q=10,
-        )
-    if "driftcat" in want:
-        from unimib_simpss_spark.operators.validation import categorical_drift
+            survivors_src = docs.where(~is_new).select(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+                "source",
+            )
+            reingested_src = docs.where(F.col("doc_id") % 11 == 0).select(
+                "text", "source"
+            )
+            ref_cs = cache_intermediate(
+                docs.select(F.length("text").alias("chars"), "source")
+            )
+            cur_cs = cache_intermediate(
+                survivors_src.unionAll(reingested_src).select(
+                    F.length("text").alias("chars"), "source"
+                )
+            )
+            caches.extend([ref_cs, cur_cs])
+        if want & set(_DRIFT):
+            from unimib_simpss_spark.operators.validation import drift_gate_suite
 
-        f_cat = pool.submit(
-            categorical_drift,
-            ref_cs.select("source"),
-            cur_cs.select("source"),
-            "source",
-            top_k=6,
-        )
-    if f_edit is not None:
-        ed = f_edit.result()
-        handles.append(ed)
-        legs["edit"] = ed.select(
-            F.lit("edit").alias("section"),
-            F.col("left_id").alias("new_doc"),
-            F.col("right_id").alias("corpus_doc"),
-            F.lit(None).cast("double").alias("jaccard"),
-            F.lit(None).cast("long").alias("bloom_hit"),
-            F.col("dist").alias("edit_dist"),
-            *pad,
-        )
-    if f_suite is not None:
-        suite = f_suite.result()
-        caches += suite["caches"]
-        # (tag, suite key, old_hash carrier): the per-source forms
-        # carry the source in old_hash; the corpus forms carry NULL.
-        # 'driftq' is the equi-depth twin (reference decile edges —
-        # the heavy-tail-safe convention); the _by forms attribute
-        # the shift to the source that moved it.
-        for tag, key, carry_src in (
-            ("drift", "ew", False),
-            ("driftq", "q", False),
-            ("driftsrc", "ew_by", True),
-            ("driftqsrc", "q_by", True),
-        ):
-            if tag not in want:
-                continue
-            legs[tag] = suite[key].select(
-                F.lit(tag).alias("section"),
-                F.col("bin").alias("new_doc"),
+            f_suite = _submit(
+                drift_gate_suite, ref_cs, cur_cs, "chars", "source", bins=10,
+                q=10,
+            )
+        if "driftcat" in want:
+            from unimib_simpss_spark.operators.validation import categorical_drift
+
+            f_cat = _submit(
+                categorical_drift,
+                ref_cs.select("source"),
+                cur_cs.select("source"),
+                "source",
+                top_k=6,
+            )
+        if f_edit is not None:
+            ed = f_edit.result()
+            handles.append(ed)
+            legs["edit"] = ed.select(
+                F.lit("edit").alias("section"),
+                F.col("left_id").alias("new_doc"),
+                F.col("right_id").alias("corpus_doc"),
+                F.lit(None).cast("double").alias("jaccard"),
+                F.lit(None).cast("long").alias("bloom_hit"),
+                F.col("dist").alias("edit_dist"),
+                *pad,
+            )
+        if f_suite is not None:
+            suite = f_suite.result()
+            caches.extend(suite["caches"])
+            # (tag, suite key, old_hash carrier): the per-source forms
+            # carry the source in old_hash; the corpus forms carry NULL.
+            # 'driftq' is the equi-depth twin (reference decile edges —
+            # the heavy-tail-safe convention); the _by forms attribute
+            # the shift to the source that moved it.
+            for tag, key, carry_src in (
+                ("drift", "ew", False),
+                ("driftq", "q", False),
+                ("driftsrc", "ew_by", True),
+                ("driftqsrc", "q_by", True),
+            ):
+                if tag not in want:
+                    continue
+                legs[tag] = suite[key].select(
+                    F.lit(tag).alias("section"),
+                    F.col("bin").alias("new_doc"),
+                    F.col("ref_n").alias("corpus_doc"),
+                    F.col("value").alias("jaccard"),
+                    F.col("cur_n").alias("bloom_hit"),
+                    F.lit(None).cast("long").alias("edit_dist"),
+                    F.col("metric").alias("status"),
+                    (
+                        F.col("source")
+                        if carry_src
+                        else F.lit(None).cast("string")
+                    ).alias("old_hash"),
+                    F.lit(None).cast("string").alias("new_hash"),
+                )
+        if f_cat is not None:
+            drift_cat = f_cat.result()
+            legs["driftcat"] = drift_cat.select(
+                F.lit("driftcat").alias("section"),
+                F.lit(None).cast("long").alias("new_doc"),
                 F.col("ref_n").alias("corpus_doc"),
                 F.col("value").alias("jaccard"),
                 F.col("cur_n").alias("bloom_hit"),
                 F.lit(None).cast("long").alias("edit_dist"),
                 F.col("metric").alias("status"),
-                (
-                    F.col("source")
-                    if carry_src
-                    else F.lit(None).cast("string")
-                ).alias("old_hash"),
+                F.col("category").alias("old_hash"),
                 F.lit(None).cast("string").alias("new_hash"),
             )
-    if f_cat is not None:
-        drift_cat = f_cat.result()
-        legs["driftcat"] = drift_cat.select(
-            F.lit("driftcat").alias("section"),
-            F.lit(None).cast("long").alias("new_doc"),
-            F.col("ref_n").alias("corpus_doc"),
-            F.col("value").alias("jaccard"),
-            F.col("cur_n").alias("bloom_hit"),
-            F.lit(None).cast("long").alias("edit_dist"),
-            F.col("metric").alias("status"),
-            F.col("category").alias("old_hash"),
-            F.lit(None).cast("string").alias("new_hash"),
+        from unimib_simpss_spark.operators.caching import (
+            checkpoint_result,
+            materialize_release,
+            release_result,
         )
-    from unimib_simpss_spark.operators.caching import (
-        checkpoint_result,
-        materialize_release,
-        release_result,
-    )
 
-    order = (
-        "pairs",
-        "bloom",
-        "edit",
-        "diff",
-        "drift",
-        "driftq",
-        "driftsrc",
-        "driftqsrc",
-        "driftcat",
-    )
-    # Checkpoint each leg CONCURRENTLY before the union: one 9-leg
-    # union plan takes Catalyst seconds of single-threaded optimizer
-    # time (thread-dumped: the py4j thread inside transformUp over the
-    # ~4400-node tree), while nine leg-sized plans optimize and
-    # execute in parallel pool threads. The union over the
-    # checkpointed legs is then trivially small. Shared caches stay
-    # alive until materialize_release below, so concurrent fills
-    # still compute each block once (optimization r18).
-    if len(legs) > 1:
-        from unimib_simpss_spark.operators.caching import lint_label
+        order = (
+            "pairs",
+            "bloom",
+            "edit",
+            "diff",
+            "drift",
+            "driftq",
+            "driftsrc",
+            "driftqsrc",
+            "driftcat",
+        )
+        # Checkpoint each leg CONCURRENTLY before the union: one 9-leg
+        # union plan takes Catalyst seconds of single-threaded optimizer
+        # time (thread-dumped: the py4j thread inside transformUp over the
+        # ~4400-node tree), while nine leg-sized plans optimize and
+        # execute in parallel pool threads. The union over the
+        # checkpointed legs is then trivially small. Shared caches stay
+        # alive until materialize_release below, so concurrent fills
+        # still compute each block once (optimization r18).
+        if len(legs) > 1:
+            from unimib_simpss_spark.operators.caching import lint_label
 
-        def _ck_leg(df):
-            # worker threads carry no host frame — attribute the leg
-            # checkpoints' lints to this host explicitly so the
-            # interior-plan sweep's allowlist keys keep working
-            with lint_label("llm_dedup.q61_incremental_dedup"):
-                return checkpoint_result(df)
+            def _ck_leg(df):
+                # worker threads carry no host frame — attribute the leg
+                # checkpoints' lints to this host explicitly so the
+                # interior-plan sweep's allowlist keys keep working
+                with lint_label("llm_dedup.q61_incremental_dedup"):
+                    return checkpoint_result(df)
 
-        leg_futs = [
-            (k, pool.submit(_ck_leg, legs[k])) for k in order if k in legs
-        ]
-        ck = [(k, f.result()) for k, f in leg_futs]
-        handles += [df for _, df in ck]
-        ordered = [df for _, df in ck]
-    else:
-        ordered = [legs[k] for k in order if k in legs]
-    pool.shutdown(wait=True)
-    u = ordered[0]
-    for leg in ordered[1:]:
-        u = u.unionAll(leg)
-    out = materialize_release(u, *caches)
-    for h in handles:
-        # union checkpointed; the miners' and legs' blocks are spent
-        release_result(h)
-    return out
+            # The five drift-family legs are bin-count-sized plans over
+            # the suite's already-cached relations — each a trivial
+            # checkpoint job. They sit contiguously at the union's tail,
+            # so ONE checkpoint of their sub-union preserves assembly
+            # order and cuts four barrier jobs (optimization r19:
+            # coarsen where legs are small; the heavyweight legs keep
+            # their per-leg checkpoints exactly because their plans are
+            # the big ones).
+            fam = [
+                legs[k]
+                for k in ("drift", "driftq", "driftsrc", "driftqsrc",
+                          "driftcat")
+                if k in legs
+            ]
+            big = [
+                (k, legs[k])
+                for k in ("pairs", "bloom", "edit", "diff")
+                if k in legs
+            ]
+            leg_futs = [(k, _submit(_ck_leg, df)) for k, df in big]
+            if len(fam) > 1:
+                fu = fam[0]
+                for leg in fam[1:]:
+                    fu = fu.unionAll(leg)
+                leg_futs.append(("driftfam", _submit(_ck_leg, fu)))
+            elif fam:
+                leg_futs.append(("driftfam", _submit(_ck_leg, fam[0])))
+            ck = [(k, f.result()) for k, f in leg_futs]
+            handles.extend([df for _, df in ck])
+            ordered = [df for _, df in ck]
+        else:
+            ordered = [legs[k] for k in order if k in legs]
+        u = ordered[0]
+        for leg in ordered[1:]:
+            u = u.unionAll(leg)
+        out = materialize_release(u, *caches)
+        for h in handles:
+            # union checkpointed; the miners' and legs' blocks are spent
+            release_result(h)
+        return out
+
+    # try/finally (ADVICE r18): if any leg construction or .result()
+    # raises, the pool must still shut down (its non-daemon threads
+    # and in-flight concurrent checkpoint jobs would outlive the
+    # host), and the shared caches + already-materialized handles
+    # must be released before the exception propagates - in 'table'
+    # checkpoint mode an orphaned handle is a written directory
+    # nothing ever deletes.
+    pool = ThreadPoolExecutor(max_workers=9)
+    try:
+        return _assemble()
+    except BaseException:
+        import concurrent.futures as _cf
+
+        from unimib_simpss_spark.operators.caching import (
+            release_intermediate,
+            release_result,
+        )
+
+        _cf.wait(futs)
+        for f in futs:
+            exc = f.exception()
+            if exc is not None:
+                continue
+            r = f.result()
+            try:
+                if isinstance(r, dict) and "caches" in r:
+                    for df in r["caches"]:
+                        release_intermediate(df)
+                elif isinstance(r, DataFrame):
+                    release_result(r)
+            except Exception:
+                pass
+        for df in caches:
+            try:
+                release_intermediate(df)
+            except Exception:
+                pass
+        for df in handles:
+            try:
+                release_result(df)
+            except Exception:
+                pass
+        raise
+    finally:
+        pool.shutdown(wait=True)
 
 
 _P_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
