@@ -374,7 +374,15 @@ class TestTwoPhaseCC:
         """VERDICT r11 #5 — auto must converge on the deep chain that
         exhausts the propagation budget, WITHOUT the caller knowing the
         graph's diameter (the same input raises under plain
-        propagation at the same max_iters)."""
+        propagation when its round budget is below the two-hop reach).
+
+        Updated for optimization r19's two-hop shortcutting: label
+        reach now DOUBLES per round (2ʳ−1 after r rounds), so the
+        199-edge chain converges under plain propagation in ~9 rounds
+        instead of raising at 25 — asserted below as the doubling
+        pin — while still exhausting auto's 8-round budget (reach 127
+        < 199 at round 7, labels still changing at round 8) and
+        falling back to two-phase."""
         import pytest as _pytest
 
         from unimib_simpss_spark.operators import dedup as D
@@ -384,8 +392,14 @@ class TestTwoPhaseCC:
         assert len(got) == 200 and set(got.values()) == {0}
         assert D.connected_components.last_algorithm == "two-phase"
         assert D.connected_components.last_rounds <= 15
+        # two-hop doubling: diameter 199 needs only ⌈log₂ 200⌉ + 1
+        # rounds under plain propagation now (was: raises at 25)
+        got_p = self._labels(spark, chain, "propagation", max_iters=25)
+        assert got_p == got
+        assert D.connected_components.last_rounds <= 10
+        # a budget below the two-hop reach still raises
         with _pytest.raises(ValueError, match="did not converge"):
-            self._labels(spark, chain, "propagation", max_iters=25)
+            self._labels(spark, chain, "propagation", max_iters=7)
 
     def test_two_phase_convergence_check_is_single_action(
         self, spark, monkeypatch

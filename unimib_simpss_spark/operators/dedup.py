@@ -878,10 +878,29 @@ _AUTO_PROPAGATION_BUDGET = 8
 def _connected_components_propagation(
     edges: DataFrame, src: str, dst: str, max_iters: int
 ) -> DataFrame | None:
-    """Min-label propagation loop; returns the converged labels, or
+    """Min-label propagation loop with TWO-HOP shortcutting (pointer
+    doubling, optimization r19); returns the converged labels, or
     ``None`` after ``max_iters`` non-converged rounds (all cached state
     released either way — the caller decides whether exhaustion raises
-    or falls back)."""
+    or falls back).
+
+    From round 3 on, a node takes the min over (a) its own label,
+    (b) its neighbors' labels, and (c) its LABEL'S label — one extra
+    equi-join against the previous round's already-checkpointed
+    relation. The shortcut makes label reach double per round, so
+    rounds — and with them the per-round checkpoint + convergence-count
+    barrier jobs, the dominant cost of iterative CC at scale — go from
+    diameter to ~log₂(diameter) on deep graphs. Rounds 1–2 stay plain
+    ON PURPOSE: the jump can shorten nothing before reach 2, and real
+    dedup graphs are that shallow (q59's planted pairs converge in 2
+    rounds at every SF — measured r19; an unconditional jump added a
+    per-round join for zero round savings there). Final labels are
+    IDENTICAL either way: labels only ever decrease, every label is a
+    component member's id (both hop forms preserve this), and a round
+    with zero changes still implies label(x) ≤ min over neighbors,
+    which forces the all-equal-per-component fixed point — the same
+    argument as plain propagation (planted-graph parity pinned in
+    tests/test_llm_ops.py)."""
     sym = edges.select(
         F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
     ).union(
@@ -896,10 +915,37 @@ def _connected_components_propagation(
         nbr_labels = labels.select(
             F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
         )
+        if rounds >= 3:
+            # two-hop term: label(label(x)) off the CHECKPOINTED
+            # previous round (joining the checkpoint twice is cheap; a
+            # self-join on this round's aggregate would compute the
+            # aggregate twice). label(y) ≤ y always, so the jump keeps
+            # labels monotone; the left join's coalesce covers nothing
+            # in practice (every label IS a node with a label row) but
+            # keeps the row count pinned.
+            self_term = (
+                labels.alias("a")
+                .join(
+                    labels.select(
+                        F.col("node").alias("_jn"),
+                        F.col("label").alias("_jl"),
+                    ),
+                    F.col("a.label") == F.col("_jn"),
+                    "left",
+                )
+                .select(
+                    F.col("a.node").alias("node"),
+                    F.coalesce(F.col("_jl"), F.col("a.label")).alias(
+                        "label"
+                    ),
+                )
+            )
+        else:
+            self_term = labels
         proposed = (
             sym.join(nbr_labels, "nbr")
             .select("node", F.col("nbr_label").alias("label"))
-            .union(labels)
+            .union(self_term)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
