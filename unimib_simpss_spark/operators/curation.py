@@ -847,10 +847,11 @@ DUP_SPAN_NGRAM = 6
 
 
 def dup_gram_relations(
-    docs: DataFrame,
+    docs: DataFrame | None,
     n: int = DUP_SPAN_NGRAM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    base: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The two relations behind the duplicated-passage family —
     ``base = (doc_id, tk)`` bound token arrays over ALL documents
@@ -869,12 +870,21 @@ def dup_gram_relations(
     by PushDownPredicates and re-tokenizes every row (3 evaluations in
     the explained plan vs 1 for this shape, verified on Spark 4.1).
     Sub-``n``-token docs ride the Exchange as dead weight, but they are
-    by definition the corpus's smallest rows."""
+    by definition the corpus's smallest rows.
+
+    ``base`` accepts a prebuilt (ideally cached) ``(doc_id, tk)``
+    relation so a host can cache base FIRST and derive the gram
+    relation from the cached tokens — without it, the rewrite leg's
+    join-back onto ``base`` is a second full corpus scan + tokenize +
+    exchange next to the cached grams (optimization r19)."""
     from unimib_simpss_spark.functions.text import tokens
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
-    ).repartition("doc_id")
+    if base is None:
+        if docs is None:
+            raise ValueError("pass docs or a prebuilt base relation")
+        base = docs.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
+        ).repartition("doc_id")
     grams = base.select(
         "doc_id",
         F.posexplode(

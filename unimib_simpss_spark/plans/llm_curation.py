@@ -923,7 +923,14 @@ def q67_dup_spans(
         # four consumers across the two legs (shared-gram agg + join
         # back, owner agg + join back) — mine once; a single-leg
         # section run stays lazy (two consumers, the operator's
-        # shipped shape)
+        # shipped shape). base is cached FIRST and the cached grams
+        # derive from it (optimization r19): un-cached, the rewrite
+        # leg's join-back onto base was a SECOND full corpus scan +
+        # tokenize + doc_id exchange next to the cached mine (the
+        # interior plan showed two documents scans; now one).
+        base = cache_intermediate(base)
+        own.append(base)
+        _, grams = C.dup_gram_relations(None, n=_DUP_N, base=base)
         grams = cache_intermediate(grams)
         own.append(grams)
     nul = F.lit(None)
