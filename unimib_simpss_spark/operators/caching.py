@@ -350,6 +350,33 @@ def materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
     return out
 
 
+@contextmanager
+def release_on_error(caches: list, handles: list | None = None):
+    """Guard a multi-leg host's assembly (ADVICE r18): if anything in
+    the block raises — a pool leg, a .result(), the final materialize —
+    release every cache and every already-materialized handle appended
+    to the tracked lists before the exception propagates. Without it a
+    failing leg leaks its siblings' persisted blocks (or, in "table"
+    checkpoint mode, written directories nothing ever deletes). Pass
+    the SAME list objects the host appends to as it builds; releases
+    are best-effort (the exception in flight is the one that matters).
+    """
+    try:
+        yield
+    except BaseException:
+        for df in list(caches):
+            try:
+                release_intermediate(df)
+            except Exception:
+                pass
+        for df in list(handles or ()):
+            try:
+                release_result(df)
+            except Exception:
+                pass
+        raise
+
+
 def persistent_rdd_ids(spark) -> set:
     """IDs of every RDD currently holding persisted/checkpointed blocks
     in the context — the observable for cache-leak tests."""

@@ -195,8 +195,17 @@ def funnel_first_completion(
     its own accumulating output per step, doubling the planned
     subtree each step (2^k scans of the events table at depth k,
     ~140 planned scans through q02's five funnel consumers; optimization
-    r18). No per-user event array anywhere — hot users cost nothing
-    extra."""
+    r18). No per-user event ARRAY is ever collected, but each of the k
+    stacked unbounded WindowExecs buffers a user's filtered step events
+    in a spillable row buffer (ADVICE r18): a pathologically hot user
+    costs k spillable partition buffers plus a straggling sort
+    partition, where the replaced join-chain streamed through partial
+    aggregates. (A per-(user, step) min-ts pre-aggregation would NOT
+    fix that: t_i is the min of step-i timestamps AFTER t_{i-1}, so
+    every step-i timestamp is a candidate, not just the global min. If
+    bench-visible skew ever shows up here, dedup exact-duplicate
+    (user, step, ts) rows first — the recurrence is insensitive to
+    multiplicity — and lean on the windows' spill path.)"""
     if not steps:
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != len(steps):

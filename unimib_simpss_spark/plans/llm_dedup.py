@@ -886,10 +886,15 @@ def q61_incremental_dedup(
     # single-leg section run keeps each operator's shipped lazy shape.
     tk_rel = hsd = None
     if {"pairs", "bloom"} <= want:
+        # repartition FIRST, tokenize after (optimization r19, the q62
+        # fill lesson): a projection below the repartition is computed
+        # map-side — one task on a single-split corpus — while the
+        # post-exchange form tokenizes cores-wide in the cache-fill
+        # stage and ships text instead of the token arrays
         tk_rel = cache_intermediate(
-            docs.select(
-                "doc_id", is_new.alias("is_new"), tokens("text").alias("tk")
-            ).repartition("doc_id")
+            docs.select("doc_id", is_new.alias("is_new"), "text")
+            .repartition("doc_id")
+            .select("doc_id", "is_new", tokens("text").alias("tk"))
         )
         hsd = cache_intermediate(
             D._combo_shingle_docs(None, "text", "doc_id", toks=tk_rel)
@@ -1512,8 +1517,19 @@ def q62_corpus_pipeline(
         # same no-re-tokenize guarantee, durable form).
         from unimib_simpss_spark.functions.text import shingles_from_tokens
 
+        # repartition FIRST, tokenize after: the projection below a
+        # repartition is computed map-side, and the test corpus is one
+        # parquet split — both tokenizes would run inside a single
+        # task (measured: the merged map-side form benched 1.3 s
+        # SLOWER cold than three concurrent chain fills). Post-
+        # exchange, the tokenizes run cores-wide in the cache-fill
+        # stage, and the exchange ships text instead of two token
+        # arrays (guide §2.3: shuffle fewer bytes). The cache is still
+        # the pushdown barrier for every consumer.
         pre = cache_intermediate(
-            docs.select(
+            docs.select("doc_id", "text", "source")
+            .repartition("doc_id")
+            .select(
                 "doc_id",
                 "text",
                 "source",
@@ -1521,7 +1537,7 @@ def q62_corpus_pipeline(
                 # the LM's whitespace discipline (_bound_tokens'
                 # exact expression — empties kept)
                 F.split(F.col("text"), " ").alias("toks"),
-            ).repartition("doc_id")
+            )
         )
 
         def _dedup_chain():
@@ -1593,15 +1609,31 @@ def q62_corpus_pipeline(
         # fills once under the BlockManager's per-partition locks.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_lm = pool.submit(
-                _lm_chain, pre.select("doc_id", "source", "toks"), False
-            )
-            f_dd = pool.submit(_dedup_chain)
-            f_dc = pool.submit(_decon_chain)
-            scored = f_lm.result()
-            docs_q, clusters = f_dd.result()
-            hits = f_dc.result()
+        from unimib_simpss_spark.operators.caching import release_on_error
+
+        # failure-path hygiene (ADVICE r18): a chain that raises must
+        # not leak the shared corpus cache or its completed siblings'
+        # checkpoints — each chain's products are tracked as they
+        # finish, and the guard releases everything before re-raising
+        # (the with-pool block has already joined every thread by then)
+        chain_handles: list = []
+
+        def _tracked(fn, *a):
+            r = fn(*a)
+            chain_handles.extend(r if isinstance(r, tuple) else (r,))
+            return r
+
+        with release_on_error([pre], chain_handles):
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_lm = pool.submit(
+                    _tracked, _lm_chain,
+                    pre.select("doc_id", "source", "toks"), False,
+                )
+                f_dd = pool.submit(_tracked, _dedup_chain)
+                f_dc = pool.submit(_tracked, _decon_chain)
+                scored = f_lm.result()
+                docs_q, clusters = f_dd.result()
+                hits = f_dc.result()
     else:
         # single-section ('ppl') run: the chain owns a narrow
         # (doc_id, source, toks) cache and frees it as soon as the
@@ -1720,7 +1752,12 @@ def q62_corpus_pipeline(
     u = legs[0]
     for leg in legs[1:]:
         u = u.unionAll(leg)
-    out = materialize_release(u, *caches)
+    from unimib_simpss_spark.operators.caching import release_on_error
+
+    with release_on_error(
+        caches, [h for h in (scored, clusters, hits) if h is not None]
+    ):
+        out = materialize_release(u, *caches)
     release_result(scored)
     if clusters is not None:
         release_result(clusters)  # spent once the result is owned
