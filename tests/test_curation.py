@@ -448,6 +448,7 @@ class TestTrigramLm:
             assert live_checkpoint_tables() == frozenset()
         finally:
             set_checkpoint_mode("local")
+            set_checkpoint_table_dir(None)
 
     def test_materialize_false_corpus_built_leaks_nothing(
         self, spark, tmp_path
@@ -481,6 +482,7 @@ class TestTrigramLm:
             assert live_checkpoint_tables() == frozenset()
         finally:
             set_checkpoint_mode("local")
+            set_checkpoint_table_dir(None)
         eager_self = sorted(
             map(tuple, C.trigram_lm_scores(docs).collect())
         )

@@ -579,8 +579,20 @@ def q64_bigram_lm_score(
     docs = load_table(spark, sf_dir, "documents")
     pred = F.col("source") == _DSIR_TARGET_SOURCE
     base = docs.withColumn("_tgt", pred)
+    # _bound_tokens' exact schema, but repartitioned BEFORE the split
+    # (optimization r19, the q62 fill lesson): the operator's
+    # projection-below-exchange form computes the split map-side — one
+    # task on a single-split corpus — while this cached host form runs
+    # it cores-wide in the fill stage and ships text, not arrays. Only
+    # safe because the relation is cached immediately (the cache is
+    # the anti-CollapseProject barrier the operator's exchange
+    # otherwise provides to lazy callers).
     toks = cache_intermediate(
-        C._bound_tokens(base, "doc_id", "text", carry=("_tgt",))
+        base.select("doc_id", "_tgt", "text")
+        .repartition("doc_id")
+        .select(
+            "doc_id", "_tgt", F.split(F.col("text"), " ").alias("toks")
+        )
     )
     legs, handles = [], []
     dtri = None
@@ -927,8 +939,19 @@ def q67_dup_spans(
         # derive from it (optimization r19): un-cached, the rewrite
         # leg's join-back onto base was a SECOND full corpus scan +
         # tokenize + doc_id exchange next to the cached mine (the
-        # interior plan showed two documents scans; now one).
-        base = cache_intermediate(base)
+        # interior plan showed two documents scans; now one). The
+        # cached fill also tokenizes AFTER the exchange (cores-wide on
+        # a single-split corpus; the cache is the pushdown barrier) —
+        # the operator's projection-below-exchange form stays as-is
+        # for lazy single-leg runs, which need that exchange as the
+        # anti-CollapseProject barrier.
+        from unimib_simpss_spark.functions.text import tokens as _tk
+
+        base = cache_intermediate(
+            docs.select("doc_id", "text")
+            .repartition("doc_id")
+            .select(F.col("doc_id"), _tk("text").alias("tk"))
+        )
         own.append(base)
         _, grams = C.dup_gram_relations(None, n=_DUP_N, base=base)
         grams = cache_intermediate(grams)
