@@ -45,6 +45,7 @@ Checkpoint modes (:func:`set_checkpoint_mode`):
 from __future__ import annotations
 
 import itertools
+import threading as _threading
 import uuid
 from contextlib import contextmanager
 
@@ -93,8 +94,6 @@ _LINT_SINK: list | None = None
 # would label those lints "thread.run" and decouple them from the
 # host's allowlist entry (optimization r18 — q61's per-leg concurrent
 # checkpoints). Thread-local so concurrent hosts cannot cross-label.
-import threading as _threading
-
 _LINT_LABEL = _threading.local()
 
 

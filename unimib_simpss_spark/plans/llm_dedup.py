@@ -1624,7 +1624,14 @@ def q62_corpus_pipeline(
             return r
 
         with release_on_error([pre], chain_handles):
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                # kick the cache fill off FIRST: the chains each spend
+                # driver seconds in Catalyst before their first action
+                # (profiled: the fill stage otherwise launches ~5 s in),
+                # and unlike q02 no consumer needs the finalized
+                # partitioning at plan time — so the 32-way tokenize
+                # overlaps the planning instead of waiting behind it
+                pool.submit(lambda: pre.count())
                 f_lm = pool.submit(
                     _tracked, _lm_chain,
                     pre.select("doc_id", "source", "toks"), False,
