@@ -288,9 +288,12 @@ class TestTwoPhaseCC:
     def test_thousand_node_chain_log_rounds_vs_linear(self, spark):
         """The judge's constructed case: a 1000-node duplicate chain.
         Two-phase converges in ~11 alternating rounds (O(log n)) with
-        every node labeled 0; propagation needs diameter≈999 rounds, so
-        a 20-round budget must raise instead of silently returning
-        partial labels."""
+        every node labeled 0. Propagation's two-hop shortcutting
+        (optimization r19) reaches 2^(r−1) after round r, so the
+        999-diameter chain now converges in ~12 propagation rounds
+        too (was: needs ≈999, raised at any sane budget) — asserted
+        as the doubling pin; a budget below the two-hop reach must
+        still raise instead of silently returning partial labels."""
         import pytest as _pytest
 
         from unimib_simpss_spark.operators import dedup as D
@@ -299,8 +302,11 @@ class TestTwoPhaseCC:
         two = self._labels(spark, chain, "two-phase", max_iters=25)
         assert D.connected_components.last_rounds <= 15
         assert len(two) == 1000 and set(two.values()) == {0}
+        prop = self._labels(spark, chain, "propagation", max_iters=20)
+        assert prop == two
+        assert D.connected_components.last_rounds <= 13
         with _pytest.raises(ValueError, match="did not converge"):
-            self._labels(spark, chain, "propagation", max_iters=20)
+            self._labels(spark, chain, "propagation", max_iters=9)
 
     def test_self_loop_only_nodes_kept_by_both_algorithms(self, spark):
         """Review r11: the canonicalization filter (hi != lo) erased

@@ -1296,14 +1296,28 @@ def decon_shingles(
     """The (doc_id, is_bench, sg) shingle relation every
     decontamination-family ranker indexes — built once and passed via
     the ``_sg`` parameter when several legs share it (q34's ``_hsd``
-    recipe; the caller owns the cache)."""
+    recipe; the caller owns the cache).
+
+    Short docs emit ``sg = []`` instead of being filtered (optimization
+    r19): the old pre-shuffle ``where(size(tokens(..)) >= n)`` guard
+    was a FULL map-side tokenize of every row — one serial task on a
+    single-split corpus, and a second whole-corpus tokenize pass at any
+    scale (the pushed-down filter can't share the post-exchange
+    projection's work across the shuffle boundary). Every consumer
+    reaches this relation through an ``explode(sg)``
+    (:func:`~unimib_simpss_spark.operators.retrieval.gram_collisions`),
+    where an empty array emits nothing — identical collision rows,
+    identical ranker outputs (``shingles_from_tokens`` already
+    short-circuits sub-``n`` docs to ``[]``). The sub-``n`` rows ride
+    the exchange as dead weight, but they are by definition the
+    corpus's smallest rows (the dup_gram_relations trade, applied
+    here)."""
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.col(text_col).alias("_text"),
             is_benchmark.alias("is_bench"),
         )
-        .where(F.size(tokens("_text")) >= n)  # pre-shuffle cheap guard
         .repartition("doc_id")
         .select("doc_id", "is_bench", tokens("_text").alias("tk"))
         .select(
