@@ -424,7 +424,10 @@ def bloom_probe(
     words = [0] * n_words
     for r in packed:
         words[r["w"]] = r["bits"]
-    mask = F.lit(words)
+    # pin the literal's type: a mask whose set words all happen to fit
+    # 32 bits would infer array<int>, and getbit on an int rejects bit
+    # positions >= 32 (caught by the property suite)
+    mask = F.lit(words).cast("array<long>")
     hit = F.lit(True)
     for j in range(k):
         cell = portable_cell(c, j, m)
